@@ -1,0 +1,139 @@
+package graft.core
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** Multi-stream composition — the reference's "join/union layer"
+  * (SURVEY.md §2.7). conduino has no keyed relational joins; its
+  * multi-stream forms are positional (zip) and sequential (concat), which
+  * map to Spark joins/unions on the `seq` ordinal.
+  */
+object Compose {
+
+  /** Re-rank a stream to dense ordinals 0..n-1 (needed before positional
+    * joins when seqs are sparse).
+    */
+  def dense[A: TypeTag](in: SStream[A]): SStream[A] = {
+    implicit val encEE: Encoder[Elem[Elem[A]]] = Elem.enc[Elem[A]]
+    implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+    val ranked = Ordinals.zipWithOrdinal(in.ds, Seq(col("seq")))
+    SStream(ranked.map(e => Elem(e.seq, e.value.value)))
+  }
+
+  /** zipSource (reference `src/Data/Conduino.hs:512-521`): run two sources
+    * in lockstep, pair their outputs positionally, end at the shorter —
+    * an inner equi-join on the dense ordinal (sort-merge/shuffled-hash by
+    * Catalyst; ends at the shorter side automatically).
+    */
+  def zipSources[A: TypeTag, B: TypeTag](sa: SStream[A], sb: SStream[B]): SStream[(A, B)] = {
+    implicit val encO: Encoder[Elem[(A, B)]] = Elem.enc[(A, B)]
+    val da = dense(sa).ds
+    val db = dense(sb).ds
+    SStream(
+      da.joinWith(db, da("seq") === db("seq"), "inner")
+        .map { case (x, y) => Elem(x.seq, (x.value, y.value)) })
+  }
+
+  /** ZipSource's Alternative `<|>` (reference `src/Data/Conduino.hs:
+    * 491-533`): exhaust the left source, then the right — UNION ALL with
+    * the right side's ordinals offset past the left's maximum. The offset
+    * is a lazy 1-row aggregate broadcast into the plan (no driver action).
+    */
+  def concatSources[A: TypeTag](sa: SStream[A], sb: SStream[A]): SStream[A] = {
+    implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+    val off = sa.ds.toDF().agg(
+      (coalesce(max(col("seq")), lit(-1L)) + 1L).as("off"))
+    val shifted = sb.ds.toDF().crossJoin(broadcast(off))
+      .select((col("seq") + col("off")).as("seq"), col("value"))
+      .as[Elem[A]]
+    SStream(sa.ds.union(shifted))
+  }
+
+  /** fuseBoth / `&|` (reference `src/Data/Conduino.hs:342-355,386-388`):
+    * run the chain and return BOTH the downstream sink's result and the
+    * upstream's terminal result. The upstream result is computed by its
+    * own sink over the shared (cached) upstream — one extra scan over
+    * cached data, matching SURVEY §2.7's plan.
+    */
+  def fuseBoth[A, B, RU, RD](p: Pipe[A, B], upRes: Sink[A, RU], down: Sink[B, RD])
+      (in: SStream[A]): (RD, RU) = {
+    val shared = in.cache()
+    val rd = down(p(shared))
+    val ru = upRes(shared)
+    (rd, ru)
+  }
+
+  /** fuseUpstream / `|.` (reference `src/Data/Conduino.hs:372-378`):
+    * run the chain for effect, keep the upstream's result only.
+    */
+  def fuseUpstream[A, B, RU](p: Pipe[A, B], upRes: Sink[A, RU], down: Sink[B, _])
+      (in: SStream[A]): RU = fuseBoth(p, upRes, down)(in)._2
+
+  /** fuseBothMaybe (reference `src/Data/Conduino.hs:362-367`): upstream
+    * result as Some only if the upstream was fully drained. A batch
+    * pipeline always drains its (finite) upstream unless the downstream is
+    * a terminating PrefixPipe that cuts before end-of-stream.
+    */
+  def fuseBothMaybe[A: TypeTag, B, RU, RD](p: PrefixPipe[A, B], upRes: Sink[A, RU],
+                                           down: Sink[B, RD])(in: SStream[A]): (RD, Option[RU]) = {
+    val shared = in.cache()
+    val rd = down(p(shared))
+    val cut = p.cut(shared).head().getLong(0)
+    val lastSeq = shared.ds.toDF()
+      .agg(coalesce(max(col("seq")), lit(Long.MinValue))).head().getLong(0)
+    val drained = cut == Long.MaxValue || cut >= lastSeq
+    (rd, if (drained) Some(upRes(shared)) else None)
+  }
+
+  /** unconsZipSource (reference `src/Data/Conduino.hs:596-603`): pop the
+    * first element, return it plus the rest of the stream.
+    */
+  def uncons[A: TypeTag](in: SStream[A]): (Option[A], SStream[A]) = {
+    implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+    val first = in.ds.orderBy(col("seq")).head(1).headOption
+    val rest = first match {
+      case Some(e) => SStream(in.ds.filter(col("seq") > lit(e.seq)))
+      case None    => in
+    }
+    (first.map(_.value), rest)
+  }
+
+  /** withSource / genSource (reference `src/Data/Conduino.hs:570-591`):
+    * consume a source with a callback, in order — the foreach-style
+    * boundary out of the engine.
+    */
+  def foreachOrdered[A](in: SStream[A])(f: A => Unit): Unit =
+    in.toLocalIterator.foreach(f)
+
+  /** feedbackPipe (reference `src/Data/Conduino.hs:429-434`): loop a
+    * pipe's output back to its own input; every output also goes
+    * downstream. No Catalyst representation exists for a cyclic plan, so
+    * this is a driver-side fixed-point loop (SURVEY.md §4.4): round k
+    * feeds round k-1's output, each round localCheckpointed to truncate
+    * lineage; stops when a round yields nothing or maxRounds is reached.
+    *
+    * Output ordering note: the reference interleaves depth-first (the
+    * feedback queue has priority over upstream). We reproduce that order
+    * by packing each round's sub-ordinals below the parent ordinal
+    * (same scheme as concatMap), so sorting by seq gives the reference's
+    * emission order for bounded fan-out.
+    */
+  def feedbackPipe[A: TypeTag](p: Pipe[A, A], maxRounds: Int = 100)
+                              (in: SStream[A]): SStream[A] = {
+    implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+    var acc: Dataset[Elem[A]] = null
+    var frontier = in.ds
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      val out = p(SStream(frontier)).ds
+        .map(e => Elem(e.seq << Pipes.SubSeqBits, e.value))
+        .localCheckpoint()
+      acc = if (acc == null) out else acc.union(out)
+      frontier = out
+      round += 1
+    }
+    SStream(if (acc == null) in.ds.filter(lit(false)) else acc)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.core
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** Stream constructors — the port of conduino's source combinators
+  * (reference `src/Data/Conduino/Combinators.hs:97-320`). A source is a
+  * `Pipe () o u m a`; here it is a constructor of `SStream[O]`.
+  *
+  * Unbounded sources (`repeat`, `iterate`, `unfold` with no stop) exist in
+  * the reference because pipes are lazy; a batch Dataset is finite, so the
+  * unbounded variants take an explicit element budget `n` (the prefix a
+  * downstream `take n` would demand — limit pushdown made explicit). Their
+  * genuinely-unbounded forms live in graft.streaming over readStream.
+  */
+object Sources {
+
+  /** sourceList (reference `Combinators.hs:175-177`): yield every element
+    * of a collection in order. seq = list index.
+    */
+  def fromSeq[A: TypeTag](spark: SparkSession, xs: Seq[A]): SStream[A] = {
+    implicit val e: Encoder[Elem[A]] = Elem.enc[A]
+    SStream(spark.createDataset(
+      xs.iterator.zipWithIndex.map { case (x, i) => Elem(i.toLong, x) }.toSeq))
+  }
+
+  /** A table/Dataset as a stream, ordered by the given sort columns
+    * (scalable two-phase ordinal, no global window).
+    */
+  def fromDataset[A](ds: Dataset[A], sortCols: Seq[Column])
+                    (implicit enc: Encoder[Elem[A]]): SStream[A] =
+    SStream(Ordinals.zipWithOrdinal(ds, sortCols))
+
+  /** A DataFrame that already carries (or can derive) its ordinal from an
+    * existing unique key expression — the zero-shuffle scale path.
+    */
+  def fromKeyedDataFrame(df: DataFrame, seqExpr: Column): DataFrame =
+    Ordinals.byExpression(df, seqExpr)
+
+  /** replicate (reference `Combinators.hs:185-187`): n copies of x. */
+  def replicate[A: TypeTag](spark: SparkSession, n: Long, x: A): SStream[A] = {
+    implicit val e: Encoder[Elem[A]] = Elem.enc[A]
+    SStream(spark.range(n).map(i => Elem(i, x)))
+  }
+
+  /** repeat (reference `Combinators.hs:180-182`), bounded to n elements. */
+  def repeat[A: TypeTag](spark: SparkSession, x: A, n: Long): SStream[A] =
+    replicate(spark, n, x)
+
+  /** iterate (reference `Combinators.hs:167-172`): x0 excluded, yields
+    * f(x0), f(f(x0)), … — bounded to n. When `f` is expressible as a
+    * closed form over the index, prefer `iterateClosedForm`: it is a pure
+    * distributed projection over `spark.range` with no sequential driver
+    * work.
+    */
+  def iterate[A: TypeTag](spark: SparkSession, f: A => A, x0: A, n: Long): SStream[A] =
+    fromSeq(spark, Iterator.iterate(x0)(f).drop(1).take(n.toInt).toSeq)
+
+  /** iterate when f^k(x0) has a closed form g(k) (k = 1-based step count):
+    * fully distributed generation. e.g. succ → g(k) = x0 + k.
+    */
+  def iterateClosedForm(spark: SparkSession, n: Long, g: Column => Column): DataFrame =
+    spark.range(n).select(col("id").as("seq"), g(col("id") + 1).as("value"))
+
+  /** unfold (reference `Combinators.hs:121-130`), bounded to n elements.
+    * General s -> (o, s) is inherently sequential: generated on the driver
+    * and parallelized. Used for small control streams; large generated
+    * streams should use `spark.range` + closed forms instead.
+    */
+  def unfold[A: TypeTag, S](spark: SparkSession, f: S => (A, S), s0: S, n: Long): SStream[A] = {
+    val it = new Iterator[A] {
+      private var s = s0
+      def hasNext = true
+      def next() = { val (a, s2) = f(s); s = s2; a }
+    }
+    fromSeq(spark, it.take(n.toInt).toSeq)
+  }
+
+  /** unfoldMaybe (reference `Combinators.hs:110-115`): unfold until None. */
+  def unfoldMaybe[A: TypeTag, S](spark: SparkSession, f: S => Option[(A, S)], s0: S): SStream[A] = {
+    val buf = Seq.newBuilder[A]
+    var s = s0
+    var continue = true
+    while (continue) f(s) match {
+      case Some((a, s2)) => buf += a; s = s2
+      case None          => continue = false
+    }
+    fromSeq(spark, buf.result())
+  }
+
+  /** unfoldEither (reference `Combinators.hs:97-106`): unfold until Left r;
+    * returns the stream plus the terminal result.
+    */
+  def unfoldEither[A: TypeTag, S, R](spark: SparkSession, f: S => Either[R, (A, S)], s0: S): (SStream[A], R) = {
+    val buf = Seq.newBuilder[A]
+    var s = s0
+    var res: Option[R] = None
+    while (res.isEmpty) f(s) match {
+      case Right((a, s2)) => buf += a; s = s2
+      case Left(r)        => res = Some(r)
+    }
+    (fromSeq(spark, buf.result()), res.get)
+  }
+
+  /** iterateMaybe (reference `Combinators.hs:143-148`): yields f(x0),
+    * f(f(x0)), … until None (x0 itself excluded, as in `iterate`).
+    */
+  def iterateMaybe[A: TypeTag](spark: SparkSession, f: A => Option[A], x0: A): SStream[A] =
+    unfoldMaybe[A, A](spark, (s: A) => f(s).map(y => (y, y)), x0)
+
+  /** iterateEither (reference `Combinators.hs:134-139`): iterate until
+    * Left r; returns the stream plus the terminal result.
+    */
+  def iterateEither[A: TypeTag, R](spark: SparkSession, f: A => Either[R, A], x0: A): (SStream[A], R) =
+    unfoldEither[A, A, R](spark, (s: A) => f(s).map(y => (y, y)), x0)
+
+  /** replicateM (reference `Combinators.hs:218-224`): run an effect n
+    * times, yielding each result. The effect runs task-side, once per
+    * element, distributed over `spark.range` partitions.
+    */
+  def replicateM[A: TypeTag](spark: SparkSession, n: Long, eff: () => A): SStream[A] = {
+    implicit val e: Encoder[Elem[A]] = Elem.enc[A]
+    SStream(spark.range(n).mapPartitions(_.map(i => Elem(i, eff()))))
+  }
+
+  /** repeatM (reference `Combinators.hs:313-320`), bounded: alias of
+    * replicateM (the unbounded form is the streaming rate source).
+    */
+  def repeatM[A: TypeTag](spark: SparkSession, eff: () => A, n: Long): SStream[A] =
+    replicateM(spark, n, eff)
+
+  /** sourceHandleLines / sourceHandleLinesText
+    * (reference `Combinators.hs:245-275`): one element per text line, seq =
+    * global line number (file order).
+    */
+  def textLines(spark: SparkSession, path: String): SStream[String] = {
+    implicit val e: Encoder[Elem[String]] = Elem.enc[String]
+    val rdd = spark.read.textFile(path).rdd.zipWithIndex()
+      .map { case (line, i) => Elem(i, line) }
+    SStream(spark.createDataset(rdd))
+  }
+
+  /** stdinLines semantics (reference `Combinators.hs:228-231`): lines until
+    * the first empty line — a composed source `.| takeWhile (not null)`.
+    */
+  def linesUntilBlank(spark: SparkSession, path: String): SStream[String] =
+    textLines(spark, path) |> Pipes.takeWhile[String](_.nonEmpty)
+
+  /** sourceHandle (reference `Combinators.hs:280-288`): a binary stream as
+    * chunks. One chunk per file via the binaryFile source; seq = file order.
+    */
+  def binaryChunks(spark: SparkSession, pathGlob: String): SStream[Array[Byte]] = {
+    implicit val e: Encoder[Elem[Array[Byte]]] = Elem.enc[Array[Byte]]
+    val df = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content")).orderBy("path")
+    val rdd = df.select("content").rdd.zipWithIndex()
+      .map { case (r, i) => Elem(i, r.getAs[Array[Byte]](0)) }
+    SStream(spark.createDataset(rdd))
+  }
+}
