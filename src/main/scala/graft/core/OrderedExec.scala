@@ -50,13 +50,14 @@ private[graft] object OrderedExec {
     val spark = in.sparkSession
     implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
     val s = sorted(in).persist()
+    // toList before sortBy/map: avoids needing a ClassTag[B] for Array ops
     val partials = s.rdd
       .mapPartitionsWithIndex { (i, it) =>
         Iterator((i, it.foldLeft(zero)((b, e) => step(b, e.value))))
       }
-      .collect().sortBy(_._1).map(_._2)
+      .collect().toList.sortBy(_._1).map(_._2)
     // carry-in for partition i = combine of partials 0..i-1
-    val carries = partials.scanLeft(zero)(combine)
+    val carries = partials.scanLeft(zero)(combine).toVector
     val bCarries = spark.sparkContext.broadcast(carries)
     val rdd = s.rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = bCarries.value(i)

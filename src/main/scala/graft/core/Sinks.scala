@@ -32,7 +32,7 @@ final case class FoldSink[A, B, R](
         .mapPartitionsWithIndex { (i, it) =>
           Iterator((i, it.foldLeft(zero)((b, e) => step(b, e.value))))
         }
-        .collect().sortBy(_._1).map(_._2)
+        .collect().toList.sortBy(_._1).map(_._2)
       finish(parts.foldLeft(zero)(c))
     case None =>
       finish(in.toLocalIterator.foldLeft(zero)(step))
