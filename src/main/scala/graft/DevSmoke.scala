@@ -42,6 +42,11 @@ object DevSmoke {
     println(s"EMPTY RESULT: scan=$emptyScan fold=$emptyFold")
     assert(emptyScan == Nil && emptyFold == 0L, s"empty mismatch: $emptyScan / $emptyFold")
 
+    // driver smoke contract: entry() must return rows > 0 on sf0.001
+    val entryRows = SparkEntry.entry(spark).count()
+    println(s"ENTRY RESULT: $entryRows rows")
+    assert(entryRows > 0, "entry() returned no rows")
+
     println("DEVSMOKE OK")
     spark.stop()
   }

@@ -1,13 +1,326 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.operators._
+
+/** Driver contract (SURVEY.md §7): one harness query per implemented
+  * operator of SURVEY.md §2, each with an equivalent DuckDB oracle over
+  * the same parquet tables.
+  *
+  * Conventions shared by the queries and their oracles:
+  *  - the events stream: seq = event_id (dense, unique); `ival` = the
+  *    event value in integer cents, CAST(FLOOR(value*100+0.5) AS BIGINT) —
+  *    integer arithmetic so running sums/folds are exact and
+  *    order-independent across engines (doubles are only ever COPIED,
+  *    never re-aggregated, to keep hashes bit-stable);
+  *  - every aggregate/computed column is aliased identically in the Spark
+  *    plan and the SQL text (the driver hash-compares by column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------- shared stream builders ----------
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
+
+  private def ivalCol: Column = floor(col("value") * 100 + 0.5).cast("long")
+
+  private val IvalSql = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+
+  /** events as a typed stream of cents (for the typed sink operators). */
+  private def centsStream(spark: SparkSession, dir: String): SStream[Long] = {
+    implicit val enc: Encoder[Elem[Long]] = Elem.enc[Long]
+    SStream(events(spark, dir).select(col("seq"), ivalCol.as("value")).as[Elem[Long]])
+  }
+
+  private def oneRow(spark: SparkSession, names: Seq[String], values: Seq[Any]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(names.zip(values).map {
+      case (n, _: Long)   => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType)
+      case (n, _: Double) => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)
+      case (n, _: String) => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)
+      case (n, _: Seq[_]) => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+      case (n, _) => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)
+    })
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row.fromSeq(values)).asJava, schema)
+  }
+
+  // ---------- driver contract ----------
+
+  /** Flagship (README.md:17-20): sourceList .| scan (+) 0 .| sinkList —
+    * the running sum of event cents, distributed prefix-combine.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    RowExec.runningSumLong(
+      events(spark, dir).select(col("seq"), ivalCol.as("ival")),
+      col("ival"), "run_sum")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 sourceList — table scan with key-derived ordinals (zero shuffle)
+    "q_source_list" -> ((s, dir) =>
+      events(s, dir).select(col("seq"), col("value"))),
+
+    // §2.3 map — columnar projection
+    "q_map" -> ((s, dir) =>
+      ColOps.mapC(events(s, dir))(
+        (col("value") * 2).as("value_x2"), upper(col("event_type")).as("etype"))),
+
+    // §2.3 filter
+    "q_filter" -> ((s, dir) =>
+      events(s, dir).filter(col("value") > 100 && col("event_type") === "click")
+        .select(col("seq"), col("value"))),
+
+    // §2.3 concatMap — ordered fan-out with packed sub-ordinals
+    "q_concat_map" -> ((s, dir) =>
+      ColOps.explodeOrdered(
+        events(s, dir).select(col("seq"), ivalCol.as("ival")),
+        array(col("ival"), col("ival") * 2), "v")),
+
+    // §2.3 concat — flatten a stream of word lists (documents)
+    "q_concat" -> ((s, dir) =>
+      ColOps.explodeOrdered(
+        ColOps.withSeq(ColOps.table(s, dir, "documents"), col("doc_id")),
+        split(col("text"), " "), "word")),
+
+    // §2.4 scan — distributed running sum (prefix-combine, no global window)
+    "q_scan" -> ((s, dir) =>
+      RowExec.runningSumLong(
+        events(s, dir).select(col("seq"), ivalCol.as("ival")),
+        col("ival"), "run_sum").select(col("seq"), col("run_sum"))),
+
+    // §2.4 mapAccum — stateful delta encoding (boundary exchange, lookback 1)
+    "q_map_accum" -> ((s, dir) => {
+      val src = events(s, dir).select(col("seq"), ivalCol.as("ival"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.LongType)))
+      RowExec.mapWithCarry(src, 1, schema) { (carry, it) =>
+        var prev = carry.lastOption.map(_.getLong(1)).getOrElse(0L)
+        it.map { r =>
+          val v = r.getLong(1); val d = v - prev; prev = v
+          org.apache.spark.sql.Row(r.getLong(0), d)
+        }
+      }
+    }),
+
+    // §2.4 pairs — consecutive pairs via boundary exchange
+    "q_pairs" -> ((s, dir) =>
+      RowExec.pairsDf(events(s, dir).select(col("seq"), col("value")), Seq("value"))
+        .select(col("seq"), col("prev_value"), col("value"))),
+
+    // §2.4 consecutive — previous-≤3 sliding window (note the reference's
+    // off-by-one: the window BEFORE each element)
+    "q_consecutive" -> ((s, dir) =>
+      RowExec.consecutiveDf(
+        events(s, dir).select(col("seq"), ivalCol.as("ival")), "ival", 3)
+        .select(col("seq"), col("window"))),
+
+    // §2.5 take — cut-filter (no TakeOrderedAndProject over payload)
+    "q_take" -> ((s, dir) =>
+      ColOps.takeN(events(s, dir).select(col("seq"), col("value")), 1000)),
+
+    // §2.5 drop — suffix after the 9000th element
+    "q_drop" -> ((s, dir) =>
+      ColOps.dropN(events(s, dir).select(col("seq"), col("value")), 9000)),
+
+    // §2.5 takeWhile — prefix before the first value ≥ 400
+    "q_take_while" -> ((s, dir) =>
+      ColOps.takeWhileC(events(s, dir).select(col("seq"), col("value")),
+        col("value") < 400)),
+
+    // §2.5 dropWhile — the complementary suffix
+    "q_drop_while" -> ((s, dir) =>
+      ColOps.dropWhileC(events(s, dir).select(col("seq"), col("value")),
+        col("value") < 400)),
+
+    // §2.5 head
+    "q_head" -> ((s, dir) =>
+      ColOps.headDf(events(s, dir).select(col("seq"), col("value"), col("event_type")))),
+
+    // §2.5 last
+    "q_last" -> ((s, dir) =>
+      ColOps.lastDf(events(s, dir).select(col("seq"), col("value"), col("event_type")))),
+
+    // §2.6 foldl — typed FoldSink, distributed combine path
+    "q_foldl" -> ((s, dir) => {
+      val total = centsStream(s, dir).into(
+        Sinks.foldlCombine(0L)((b: Long, a: Long) => b + a)(_ + _))
+      oneRow(s, Seq("total"), Seq(total))
+    }),
+
+    // §2.6 foldMap — max monoid over a projection
+    "q_fold_map" -> ((s, dir) => {
+      val mx = centsStream(s, dir).into(
+        Sinks.foldMap[Long, Long](identity, Long.MinValue)(math.max))
+      oneRow(s, Seq("mx"), Seq(mx))
+    }),
+
+    // §2.6 foldr — right fold = left fold over reversed order (string concat
+    // of the first 50 event types, right-assembled)
+    "q_foldr" -> ((s, dir) => {
+      implicit val enc: Encoder[Elem[String]] = Elem.enc[String]
+      val st = SStream(events(s, dir)
+        .select(col("seq"), col("event_type").as("value")).as[Elem[String]])
+      val first50 = st |> Pipes.take[String](50)
+      val cat = first50.into(Sinks.foldr("")((x: String, acc: String) => acc + x))
+      oneRow(s, Seq("cat"), Seq(cat))
+    }),
+
+    // §2.6 sinkList — ordered collect, one array row
+    "q_sink_list" -> ((s, dir) => {
+      val xs = centsStream(s, dir).into(Sinks.sinkList)
+      oneRow(s, Seq("xs"), Seq(xs))
+    }),
+
+    // §2.6 sinkNull — drain; observable result = element count
+    "q_sink_null" -> ((s, dir) => {
+      val st = centsStream(s, dir)
+      st.into(Sinks.sinkNull)
+      oneRow(s, Seq("cnt"), Seq(st.into(Sinks.count)))
+    }),
+
+    // §2.7 zipSource — positional join on dense ordinals, ends at shorter
+    "q_zip_source" -> ((s, dir) => {
+      val a = events(s, dir).select(col("seq"), col("value"))
+      val b = ColOps.withSeq(ColOps.table(s, dir, "orders"), col("o_orderkey"))
+        .select(col("seq"), col("o_totalprice"))
+      ColOps.zipBySeq(a, b, "")
+    }),
+
+    // §2.7 ZipSource <|> — ordered concatenation with seq offset
+    "q_concat_sources" -> ((s, dir) => {
+      val a = events(s, dir).select(col("seq"), col("value"))
+      val b = events(s, dir).filter(col("event_type") === "click")
+        .select(col("seq"), col("value"))
+      ColOps.concatStreams(a, b)
+    }),
+
+    // §2.7 zipSink — two folds, one scan
+    "q_zip_sink" -> ((s, dir) => {
+      val (total, cnt) = centsStream(s, dir).into(Sinks.zip(
+        Sinks.foldlCombine(0L)((b: Long, a: Long) => b + a)(_ + _),
+        Sinks.foldlCombine(0L)((b: Long, _: Long) => b + 1)(_ + _)))
+      oneRow(s, Seq("total", "cnt"), Seq(total, cnt))
+    }),
+
+    // §2.7 altSink — first-to-finish race (takeList(1) terminates first)
+    "q_alt_sink" -> ((s, dir) => {
+      implicit val enc: Encoder[Elem[Double]] = Elem.enc[Double]
+      val st = SStream(events(s, dir)
+        .select(col("seq"), col("value")).as[Elem[Double]])
+      val won = st.into(Sinks.alt(Sinks.takeList[Double](1), Sinks.takeList[Double](5)))
+      oneRow(s, Seq("v"), Seq(won.head))
+    }),
+
+    // §2.7 fuseBoth — downstream result AND upstream terminal result
+    "q_fuse_both" -> ((s, dir) => {
+      val (down, up) = Compose.fuseBoth(
+        Pipes.map[Long, Long](_ * 2),
+        Sinks.count[Long],
+        Sinks.foldlCombine(0L)((b: Long, a: Long) => b + a)(_ + _))(centsStream(s, dir))
+      oneRow(s, Seq("total_x2", "cnt"), Seq(down, up))
+    }),
+
+    // §2.1 iterate — closed-form distributed generation (iterate succ 0)
+    "q_iterate" -> ((s, _) =>
+      Sources.iterateClosedForm(s, 50, k => k)),
+
+    // §2.1 replicate
+    "q_replicate" -> ((s, _) => {
+      implicit val enc: Encoder[Elem[String]] = Elem.enc[String]
+      Sources.replicate(s, 200L, "x").ds.toDF()
+    }),
+
+    // §2.8 passthrough — outputs paired with their provenance input
+    "q_passthrough" -> ((s, dir) => {
+      val outs = Pipes.passthrough[Long, Long](Pipes.map[Long, Long](_ * 2))
+        .apply(centsStream(s, dir))
+      outs.ds.toDF().select(col("seq"),
+        col("value._1").as("input_v"), col("value._2").as("output_v"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_source_list" -> "SELECT event_id AS seq, value FROM events",
+    "q_map" ->
+      "SELECT event_id AS seq, value * 2 AS value_x2, upper(event_type) AS etype FROM events",
+    "q_filter" ->
+      "SELECT event_id AS seq, value FROM events WHERE value > 100 AND event_type = 'click'",
+    "q_concat_map" ->
+      s"""SELECT event_id * 1048576 + u.i AS seq,
+          CASE WHEN u.i = 0 THEN $IvalSql ELSE $IvalSql * 2 END AS v
+          FROM events, (SELECT UNNEST([0,1]) AS i) u""",
+    "q_concat" ->
+      """SELECT doc_id * 1048576 + x.u.i AS seq, x.u.w AS word
+         FROM (SELECT doc_id, UNNEST([{'i': j, 'w': string_split(text, ' ')[j+1]}
+                 for j in range(0, len(string_split(text, ' ')))]) AS u
+               FROM documents) x""",
+    "q_scan" ->
+      s"""SELECT event_id AS seq,
+          CAST(SUM($IvalSql) OVER (ORDER BY event_id) AS BIGINT) AS run_sum FROM events""",
+    "q_map_accum" ->
+      s"""SELECT event_id AS seq,
+          $IvalSql - COALESCE(lag($IvalSql) OVER (ORDER BY event_id), 0) AS delta
+          FROM events""",
+    "q_pairs" ->
+      """SELECT event_id AS seq, lag(value) OVER (ORDER BY event_id) AS prev_value, value
+         FROM events QUALIFY prev_value IS NOT NULL""",
+    "q_consecutive" ->
+      s"""SELECT event_id AS seq,
+          COALESCE(list($IvalSql) OVER (ORDER BY event_id
+            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), []) AS window
+          FROM events""",
+    "q_take" ->
+      "SELECT event_id AS seq, value FROM events ORDER BY event_id LIMIT 1000",
+    "q_drop" ->
+      """SELECT event_id AS seq, value FROM events WHERE event_id >
+         (SELECT max(event_id) FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 9000) t)""",
+    "q_take_while" ->
+      """SELECT event_id AS seq, value FROM events WHERE event_id <
+         (SELECT COALESCE(min(event_id), 9223372036854775807) FROM events WHERE NOT (value < 400))""",
+    "q_drop_while" ->
+      """SELECT event_id AS seq, value FROM events WHERE event_id >=
+         (SELECT COALESCE(min(event_id), 9223372036854775807) FROM events WHERE NOT (value < 400))""",
+    "q_head" ->
+      "SELECT event_id AS seq, value, event_type FROM events ORDER BY event_id LIMIT 1",
+    "q_last" ->
+      "SELECT event_id AS seq, value, event_type FROM events ORDER BY event_id DESC LIMIT 1",
+    "q_foldl" -> s"SELECT CAST(SUM($IvalSql) AS BIGINT) AS total FROM events",
+    "q_fold_map" -> s"SELECT CAST(MAX($IvalSql) AS BIGINT) AS mx FROM events",
+    "q_foldr" ->
+      """SELECT string_agg(event_type, '' ORDER BY event_id DESC) AS cat
+         FROM (SELECT event_type, event_id FROM events ORDER BY event_id LIMIT 50) t""",
+    "q_sink_list" ->
+      s"SELECT list($IvalSql ORDER BY event_id) AS xs FROM events",
+    "q_sink_null" -> "SELECT COUNT(*) AS cnt FROM events",
+    "q_zip_source" ->
+      """SELECT a.rn AS seq, a.value, b.o_totalprice
+         FROM (SELECT row_number() OVER (ORDER BY event_id) - 1 AS rn, value FROM events) a
+         JOIN (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn, o_totalprice FROM orders) b
+         USING (rn)""",
+    "q_concat_sources" ->
+      """SELECT event_id AS seq, value FROM events
+         UNION ALL
+         SELECT event_id + (SELECT max(event_id) + 1 FROM events), value
+         FROM events WHERE event_type = 'click'""",
+    "q_zip_sink" ->
+      s"SELECT CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt FROM events",
+    "q_alt_sink" ->
+      "SELECT value AS v FROM events ORDER BY event_id LIMIT 1",
+    "q_fuse_both" ->
+      s"SELECT CAST(SUM($IvalSql * 2) AS BIGINT) AS total_x2, COUNT(*) AS cnt FROM events",
+    "q_iterate" ->
+      "SELECT CAST(t.i AS BIGINT) AS seq, CAST(t.i + 1 AS BIGINT) AS value FROM range(50) t(i)",
+    "q_replicate" ->
+      "SELECT CAST(t.i AS BIGINT) AS seq, 'x' AS value FROM range(200) t(i)",
+    "q_passthrough" ->
+      s"""SELECT event_id AS seq, $IvalSql AS input_v, $IvalSql * 2 AS output_v FROM events""",
+  )
 }

@@ -114,21 +114,33 @@ object Compose {
     * feeds round k-1's output, each round localCheckpointed to truncate
     * lineage; stops when a round yields nothing or maxRounds is reached.
     *
-    * Output ordering note: the reference interleaves depth-first (the
-    * feedback queue has priority over upstream). We reproduce that order
-    * by packing each round's sub-ordinals below the parent ordinal
-    * (same scheme as concatMap), so sorting by seq gives the reference's
-    * emission order for bounded fan-out.
+    * Output ordering: ROUND-MAJOR (BFS) — all of round k's outputs before
+    * round k+1's, each round re-ranked to dense ordinals and the round
+    * number packed into the high bits. This is a documented deviation from
+    * the reference's depth-first interleaving (`Data/Conduino.hs:429-434`):
+    * a distributed engine processes a whole frontier per pass, and any
+    * fixed per-round bit-shift scheme silently overflows after a few
+    * rounds (the round-1 bug). Range-guarded: up to 2^22 rounds of up to
+    * 2^40 elements each, fail-fast beyond.
     */
   def feedbackPipe[A: TypeTag](p: Pipe[A, A], maxRounds: Int = 100)
                               (in: SStream[A]): SStream[A] = {
     implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+    val SeqBits = 40
+    require(maxRounds >= 1 && maxRounds < (1 << 22),
+      s"feedbackPipe: maxRounds $maxRounds out of range [1, 2^22)")
     var acc: Dataset[Elem[A]] = null
     var frontier = in.ds
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
-      val out = p(SStream(frontier)).ds
-        .map(e => Elem(e.seq << Pipes.SubSeqBits, e.value))
+      val outDense = dense(SStream(p(SStream(frontier)).ds)).ds
+      val r = round.toLong + 1
+      val out = outDense
+        .map { e =>
+          require(e.seq < (1L << SeqBits),
+            s"feedbackPipe: round $r produced more than 2^$SeqBits elements")
+          Elem((r << SeqBits) | e.seq, e.value)
+        }
         .localCheckpoint()
       acc = if (acc == null) out else acc.union(out)
       frontier = out

@@ -131,13 +131,13 @@ object Ordinals {
         var s = bOffsets.value(i)
         it.map { a => val e = Elem(s, a); s += 1; e }
       }
-      spark.createDataset(rdd)(enc)
-    } finally {
-      // Keep cached through the second pass; Spark computes lazily, so we
-      // must not unpersist here. Caller-visible dataset re-reads from cache;
-      // blocks age out under LRU. (Deliberate: correctness over eager free.)
-      ()
-    }
+      // Eagerly materialize the ordinal-stamped result (localCheckpoint),
+      // then free the sorted intermediate — bounded cache lifecycle instead
+      // of an unpersisted leak that multiplies at scale.
+      val out = spark.createDataset(rdd)(enc).localCheckpoint()
+      sorted.unpersist()
+      out
+    } finally ()
   }
 
   /** Ordinal from an expression when the table already has a unique,

@@ -63,7 +63,10 @@ private[graft] object OrderedExec {
       var acc = bCarries.value(i)
       it.map { e => acc = step(acc, e.value); Elem(e.seq, acc) }
     }
-    spark.createDataset(rdd)
+    // Materialize, then free the sorted intermediate (persist lifecycle).
+    val out = spark.createDataset(rdd).localCheckpoint()
+    s.unpersist()
+    out
   }
 
   /** Boundary exchange: run `f(carryIn, partitionElems)` over each sorted
@@ -102,7 +105,9 @@ private[graft] object OrderedExec {
     val rdd = s.rdd.mapPartitionsWithIndex { (i, it) =>
       f(bCarries.value(i), it)
     }
-    (spark.createDataset(rdd), globalTail)
+    val out = spark.createDataset(rdd).localCheckpoint()
+    s.unpersist()
+    (out, globalTail)
   }
 
   /** Sequential fallback for arbitrary (non-mergeable) state transitions:

@@ -35,12 +35,17 @@ trait PrefixPipe[A, B] extends Pipe[A, B] { self =>
     * concatenation, order preserved (reference doc examples
     * `Combinators.hs:417-422` → [2,4,6,-4,-5,-6,-7,-8] and
     * `Combinators.hs:525-527` → drop 3 >> sinkList == [4..8]).
+    *
+    * Order across the two branches is enforced by shifting the post
+    * branch's ordinals past the pre branch's maximum (a lazy 1-row
+    * broadcast aggregate, `Compose.concatSources`) — safe under arbitrary
+    * nesting, unlike any fixed high-bit tag (which a nested andThen would
+    * clobber).
     */
   def andThen(q: Pipe[A, B])(implicit tt: TypeTag[A], tb: TypeTag[B]): Pipe[A, B] =
     new Pipe[A, B] {
       def apply(in: SStream[A]): SStream[B] = {
         implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
-        implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
         val c = self.cut(in)
         val pre = SStream(in.ds.toDF().crossJoin(broadcast(c))
           .where(col("seq") <= col("cut")).select(col("seq"), col("value"))
@@ -48,12 +53,7 @@ trait PrefixPipe[A, B] extends Pipe[A, B] { self =>
         val post = SStream(in.ds.toDF().crossJoin(broadcast(c))
           .where(col("seq") > col("cut")).select(col("seq"), col("value"))
           .as[Elem[A]])
-        // Disjoint seq ranges would already order pre before post, but a
-        // branch transform may re-encode seqs (concatMap packing); tag the
-        // branch in the top bits to make the global order unconditional.
-        val preOut = self(pre).ds.map(e => Elem(e.seq, e.value))
-        val postOut = q(post).ds.map(e => Elem(e.seq | (1L << 62), e.value))
-        SStream(preOut.union(postOut))
+        Compose.concatSources(self(pre), q(post))
       }
     }
 }
@@ -218,34 +218,78 @@ object Pipes {
     * output of a pipe with the most recent input consumed before it. For
     * our seq-carrying pipes the provenance is the input whose seq is the
     * largest input seq ≤ the output's parent seq (concatMap packing is
-    * unpacked by shifting). Implemented as a broadcast-friendly as-of pair
-    * for seq-preserving pipes: join back on exact seq.
+    * unpacked by shifting). Restricted here to seq-preserving pipes:
+    * join back on exact seq. Both sides are projected to fresh column
+    * names before the join — `p(in).ds` usually shares attribute ids with
+    * `in.ds` (a self-join), which Spark would otherwise reject as
+    * ambiguous or silently turn into a trivially-true condition.
     */
   def passthrough[A: TypeTag, B: TypeTag](p: Pipe[A, B]): Pipe[A, (Option[A], B)] =
     new Pipe[A, (Option[A], B)] {
       def apply(in: SStream[A]): SStream[(Option[A], B)] = {
         implicit val eo: Encoder[Elem[(Option[A], B)]] = Elem.enc[(Option[A], B)]
-        // outputs keyed by provenance seq; standard ops preserve seq 1:1
-        val outs = p(in).ds
-        val joined = outs.joinWith(in.ds, outs("seq") === in.ds("seq"), "left_outer")
-        SStream(joined.map { case (o, i) =>
-          Elem(o.seq, (Option(i).map(_.value), o.value))
-        })
+        val outDf = p(in).ds.toDF()
+          .select(col("seq").as("oseq"), col("value").as("oval"))
+        val inDf = in.ds.toDF()
+          .select(col("seq").as("iseq"), col("value").as("ival"))
+        val j = outDf.join(inDf, col("oseq") === col("iseq"), "left_outer")
+          .select(col("oseq").as("seq"),
+                  struct(col("ival").as("_1"), col("oval").as("_2")).as("value"))
+        SStream(j.as[Elem[(Option[A], B)]])
       }
     }
 
   // ----- prefix / suffix (reference Combinators.hs:423-440,528-547) -----
 
+  /** The n-th smallest `seq` as a lazy 1-row DataFrame (column `cut`;
+    * Long.MinValue when the stream is empty / n == 0). Only the 8-byte seq
+    * column passes through the TakeOrderedAndProject — the payload never
+    * moves; callers then broadcast the 1-row cut into a filter, so the
+    * main data path stays a pruned parallel scan. For n beyond Int.MaxValue
+    * (no Catalyst limit can express it) an exact driver-side binary search
+    * over the seq domain finds the cut in O(log range) count jobs.
+    */
+  private[graft] def nthSeqCut(df: DataFrame, n: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (n <= 0) spark.range(1).select(lit(Long.MinValue).as("cut"))
+    else if (n <= Int.MaxValue)
+      df.select(col("seq")).orderBy(col("seq")).limit(n.toInt)
+        .agg(coalesce(max(col("seq")), lit(Long.MinValue)).as("cut"))
+    else {
+      val total = df.count()
+      val cutV: Long =
+        if (total == 0) Long.MinValue
+        else if (n >= total)
+          df.agg(max(col("seq"))).head().getLong(0)
+        else {
+          // binary search the seq domain for the n-th order statistic
+          val row = df.agg(min(col("seq")), max(col("seq"))).head()
+          var lo = row.getLong(0); var hi = row.getLong(1)
+          while (lo < hi) {
+            val mid = lo + (hi - lo) / 2
+            val cnt = df.filter(col("seq") <= lit(mid)).count()
+            if (cnt >= n) hi = mid else lo = mid + 1
+          }
+          lo
+        }
+      Seq(cutV).toDF("cut")
+    }
+  }
+
   /** take (reference `Combinators.hs:423-426`): pass the first n, then
-    * terminate. Catalyst pushes the limit down; for huge n prefer the
-    * cut-filter form used by andThen.
+    * terminate. Cut-filter plan: find the n-th seq (narrow, seq column
+    * only), broadcast the 1-row cut, filter — no TakeOrderedAndProject
+    * over payload rows, so the plan survives huge n.
     */
   def take[A: TypeTag](n: Long): PrefixPipe[A, A] = new PrefixPipe[A, A] {
-    def apply(in: SStream[A]): SStream[A] =
-      SStream(in.ds.orderBy(col("seq")).limit(n.toInt))
-    def cut(in: SStream[A]): DataFrame =
-      in.ds.toDF().orderBy(col("seq")).limit(n.toInt)
-        .agg(coalesce(max(col("seq")), lit(Long.MinValue)).as("cut"))
+    def apply(in: SStream[A]): SStream[A] = {
+      implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+      SStream(in.ds.toDF().crossJoin(broadcast(cut(in)))
+        .where(col("seq") <= col("cut"))
+        .select(col("seq"), col("value")).as[Elem[A]])
+    }
+    def cut(in: SStream[A]): DataFrame = nthSeqCut(in.ds.toDF(), n)
   }
 
   /** takeWhile (reference `Combinators.hs:432-440`): pass while p holds;
@@ -274,9 +318,7 @@ object Pipes {
   def drop[A: TypeTag](n: Long): PrefixPipe[A, A] = new PrefixPipe[A, A] {
     def apply(in: SStream[A]): SStream[A] =
       SStream(in.ds.filter(lit(false)))
-    def cut(in: SStream[A]): DataFrame =
-      in.ds.toDF().orderBy(col("seq")).limit(n.toInt)
-        .agg(coalesce(max(col("seq")), lit(Long.MinValue)).as("cut"))
+    def cut(in: SStream[A]): DataFrame = nthSeqCut(in.ds.toDF(), n)
   }
 
   /** dropWhile (reference `Combinators.hs:537-547`): consume while p holds

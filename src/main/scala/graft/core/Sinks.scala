@@ -125,10 +125,16 @@ object Sinks {
   def takeList[A: TypeTag](n: Int): PrefixSink[A, List[A]] = new PrefixSink[A, List[A]] {
     def apply(in: SStream[A]): List[A] =
       in.ds.orderBy(col("seq")).limit(n).collect().iterator.map(_.value).toList
-    def terminationSeq(in: SStream[A]): Long =
-      in.ds.toDF().orderBy(col("seq")).limit(n)
-        .agg(coalesce(max(col("seq")), lit(Long.MaxValue)))
-        .head().getLong(0)
+    /** Finishes after its n-th element — but if the stream is SHORTER than
+      * n it only finishes at end-of-stream, so report Long.MaxValue (ties
+      * in `alt` then go left, matching the reference's left-biased
+      * `altSink_`, `src/Data/Conduino.hs:637-648`).
+      */
+    def terminationSeq(in: SStream[A]): Long = {
+      val row = in.ds.toDF().orderBy(col("seq")).limit(n)
+        .agg(org.apache.spark.sql.functions.count(lit(1)), max(col("seq"))).head()
+      if (row.getLong(0) < n) Long.MaxValue else row.getLong(1)
+    }
   }
 
   /** A full-stream sink wrapped for altSink (never finishes early). */

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Pipes
+
+/** Columnar (DataFrame-level) stream operators — the Catalyst-optimized
+  * mirror of the typed `graft.core` pipes, used by the harness queries.
+  *
+  * A stream is a DataFrame carrying a `seq: Long` ordinal (SURVEY.md §1.2).
+  * Everything here is built from `org.apache.spark.sql.functions` and plain
+  * DataFrame transformations so predicate pushdown, column pruning and
+  * whole-stage codegen apply; the only non-Catalyst pieces are the two
+  * driver-coordinated order schemes in [[RowExec]].
+  */
+object ColOps {
+
+  /** Read a harness table. The events table stores TIMESTAMP(NANOS) which
+    * Spark 4 rejects by default; surface it as Long (no query reads `ts`
+    * as a timestamp) so the scan is legal whatever session built us.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** sourceList over a keyed table (reference `Combinators.hs:175-177`):
+    * seq from an existing unique key expression — zero shuffle.
+    */
+  def withSeq(df: DataFrame, keyExpr: Column): DataFrame =
+    df.withColumn("seq", keyExpr.cast(LongType))
+
+  /** map (reference `Combinators.hs:324-326`): projection, keeping seq. */
+  def mapC(df: DataFrame)(cols: Column*): DataFrame =
+    df.select(col("seq") +: cols: _*)
+
+  /** concatMap/concat (reference `Combinators.hs:451-462`): ordered
+    * flatten. Sub-ordinals pack into the low `subBits` of seq (same scheme
+    * as `Pipes.concatMap`); fan-out beyond 2^subBits fails fast in-plan
+    * via raise_error, parent seqs beyond the packable range likewise.
+    */
+  def explodeOrdered(df: DataFrame, arr: Column, outName: String,
+                     subBits: Int = Pipes.SubSeqBits): DataFrame = {
+    val maxFan = 1L << subBits
+    val maxSeq = 1L << (62 - subBits)
+    df.select(col("seq"), posexplode(arr).as(Seq("__pos", outName)))
+      .select(
+        when(col("__pos") >= maxFan,
+             raise_error(lit(s"explodeOrdered: >2^$subBits outputs for one input")))
+          .when(col("seq") < 0 || col("seq") >= maxSeq,
+             raise_error(lit(s"explodeOrdered: seq out of packable range")))
+          .otherwise(shiftleft(col("seq"), subBits).bitwiseOR(col("__pos")))
+          .cast(LongType).as("seq"),
+        col(outName))
+  }
+
+  /** take (reference `Combinators.hs:423-426`): cut-filter plan — the
+    * n-th seq found over the narrow seq column, broadcast into a filter.
+    */
+  def takeN(df: DataFrame, n: Long): DataFrame =
+    df.crossJoin(broadcast(Pipes.nthSeqCut(df, n)))
+      .where(col("seq") <= col("cut")).drop("cut")
+
+  /** drop (reference `Combinators.hs:528-530`) as the suffix it leaves. */
+  def dropN(df: DataFrame, n: Long): DataFrame =
+    df.crossJoin(broadcast(Pipes.nthSeqCut(df, n)))
+      .where(col("seq") > col("cut")).drop("cut")
+
+  /** takeWhile (reference `Combinators.hs:432-440`): pass while `keep`
+    * holds; first failing element is consumed, not passed.
+    */
+  def takeWhileC(df: DataFrame, keep: Column): DataFrame = {
+    val cut = df.filter(!keep)
+      .agg(coalesce(min(col("seq")), lit(Long.MaxValue)).as("cut"))
+    df.crossJoin(broadcast(cut)).where(col("seq") < col("cut")).drop("cut")
+  }
+
+  /** dropWhile (reference `Combinators.hs:537-547`): the complement suffix
+    * from the first element where `keep` fails (that element included).
+    */
+  def dropWhileC(df: DataFrame, keep: Column): DataFrame = {
+    val cut = df.filter(!keep)
+      .agg(coalesce(min(col("seq")), lit(Long.MaxValue)).as("cut"))
+    df.crossJoin(broadcast(cut)).where(col("seq") >= col("cut")).drop("cut")
+  }
+
+  /** head (reference `src/Data/Conduino.hs:115-117`). */
+  def headDf(df: DataFrame): DataFrame = df.orderBy(col("seq")).limit(1)
+
+  /** last (reference `Combinators.hs:558-564`): per-partition top-1 then
+    * driver merge (TakeOrderedAndProject on 1 row — no global sort).
+    */
+  def lastDf(df: DataFrame): DataFrame = df.orderBy(col("seq").desc).limit(1)
+
+  /** ZipSource `<|>` (reference `src/Data/Conduino.hs:491-533`): exhaust
+    * left then right — UNION ALL, right ordinals shifted past the left
+    * maximum by a lazy broadcast 1-row aggregate.
+    */
+  def concatStreams(a: DataFrame, b: DataFrame): DataFrame = {
+    val off = a.agg((coalesce(max(col("seq")), lit(-1L)) + 1L).as("__off"))
+    a.unionByName(
+      b.crossJoin(broadcast(off))
+        .withColumn("seq", col("seq") + col("__off")).drop("__off"))
+  }
+
+  /** zipSource (reference `src/Data/Conduino.hs:512-521`): positional
+    * pairing — dense-rank both sides (two-phase ordinal, no global
+    * window), inner equi-join on the rank; ends at the shorter side.
+    * Right-side payload columns are renamed with `prefixB`.
+    */
+  def zipBySeq(a: DataFrame, b: DataFrame, prefixB: String): DataFrame = {
+    val da = RowExec.withDenseSeq(a, Seq(col("seq")))
+    val db0 = RowExec.withDenseSeq(b, Seq(col("seq")))
+    val db = db0.columns.foldLeft(db0) { (d, c) =>
+      if (c == "seq") d else d.withColumnRenamed(c, s"$prefixB$c")
+    }.withColumnRenamed("seq", "__bseq")
+    da.join(db, col("seq") === col("__bseq"), "inner").drop("__bseq")
+  }
+}
