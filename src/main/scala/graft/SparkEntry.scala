@@ -286,7 +286,7 @@ object SparkEntry {
       """SELECT event_id AS seq, value FROM events WHERE event_id <
          (SELECT COALESCE(min(event_id), 9223372036854775807) FROM events WHERE NOT (value < 400))""",
     "q_drop_while" ->
-      """SELECT event_id AS seq, value FROM events WHERE event_id >=
+      """SELECT event_id AS seq, value FROM events WHERE event_id >
          (SELECT COALESCE(min(event_id), 9223372036854775807) FROM events WHERE NOT (value < 400))""",
     "q_head" ->
       "SELECT event_id AS seq, value, event_type FROM events ORDER BY event_id LIMIT 1",

@@ -77,13 +77,15 @@ object ColOps {
     df.crossJoin(broadcast(cut)).where(col("seq") < col("cut")).drop("cut")
   }
 
-  /** dropWhile (reference `Combinators.hs:537-547`): the complement suffix
-    * from the first element where `keep` fails (that element included).
+  /** dropWhile (reference `Combinators.hs:537-547`): the suffix strictly
+    * after the first element where `keep` fails — the reference CONSUMES
+    * that first failing element (`pure ()` after awaiting it), so it is
+    * not part of the remainder.
     */
   def dropWhileC(df: DataFrame, keep: Column): DataFrame = {
     val cut = df.filter(!keep)
       .agg(coalesce(min(col("seq")), lit(Long.MaxValue)).as("cut"))
-    df.crossJoin(broadcast(cut)).where(col("seq") >= col("cut")).drop("cut")
+    df.crossJoin(broadcast(cut)).where(col("seq") > col("cut")).drop("cut")
   }
 
   /** head (reference `src/Data/Conduino.hs:115-117`). */
