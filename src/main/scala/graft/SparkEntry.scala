@@ -245,6 +245,73 @@ object SparkEntry {
       outs.ds.toDF().select(col("seq"),
         col("value._1").as("input_v"), col("value._2").as("output_v"))
     }),
+
+    // ---------- LLM-data-pipeline operators ----------
+
+    // exact dedup: hash-groupBy (one shuffle on the 32-byte digest)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
+    // MinHash signatures: k portable min-hashes per doc, zero shuffle
+    "q_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(ColOps.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("minhash"))),
+
+    // LSH near-dup: banded bucket join → candidate pairs → exact
+    // shingle Jaccard ≥ 0.5 (never all-pairs)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.jaccardPairs(ColOps.table(s, dir, "documents"), "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)),
+
+    // n-gram Jaccard verification of every LSH candidate pair
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
+    // SimHash fingerprints
+    "q_dedup_simhash" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+
+    // language ID (stopword heuristic)
+    "q_lang_id" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    // quality scoring
+    "q_text_quality" -> ((s, dir) => {
+      val d = ColOps.table(s, dir, "documents")
+      d.select(col("doc_id") +: TextOps.qualityCols(col("text")): _*)
+    }),
+
+    // token counting (BPE-ish regex tokens)
+    "q_token_count" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))),
+
+    // document fingerprinting
+    "q_fingerprint" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // brute-force cosine top-3 (broadcast queries, partitioned ranking)
+    "q_embed_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Similarity.embeddings(s, dir), 20, 3)),
+
+    // LSH-bucketed ANN (the 100-TB scale path)
+    "q_embed_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Similarity.embeddings(s, dir), 20, 3)),
+
+    // embedding-cosine near-dup pairs within LSH buckets
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Similarity.embeddings(s, dir), 0.8)),
+
+    // multimodal: binary columns + batch decode stub (real plumbing)
+    "q_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.assets(s, dir))),
+
+    // multimodal: frame sampling fan-out
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.assets(s, dir), 64)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -322,5 +389,132 @@ object SparkEntry {
       "SELECT CAST(t.i AS BIGINT) AS seq, 'x' AS value FROM range(200) t(i)",
     "q_passthrough" ->
       s"""SELECT event_id AS seq, $IvalSql AS input_v, $IvalSql * 2 AS output_v FROM events""",
+
+    // ---------- LLM-data-pipeline oracles ----------
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+
+    "q_minhash_sig" ->
+      s"""SELECT doc_id, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
+          FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t""",
+
+    "q_dedup_minhash" -> (jaccardPairsSql + " WHERE jaccard >= 0.5"),
+
+    "q_ngram_jaccard" -> jaccardPairsSql,
+
+    "q_dedup_simhash" ->
+      s"SELECT doc_id, ${Dedup.simhashSql} AS simhash FROM documents",
+
+    "q_lang_id" -> langIdSql,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+          length(text)::BIGINT AS n_chars_m,
+          len(string_split(text, ' '))::BIGINT AS n_words,
+          len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+          CAST(len(list_filter(string_split(text, ' '), w -> w IN ($allStopsSql))) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+          FROM documents""",
+
+    "q_token_count" ->
+      "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens FROM documents",
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""",
+
+    "q_embed_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 20),
+          sc AS (SELECT q.q_id, e.vec_id, ${Similarity.cosineSql("q.q_emb", "e.emb")} AS cos
+                 FROM q, e WHERE e.vec_id <> q.q_id)
+          SELECT q_id, vec_id, cos, rnk FROM
+            (SELECT q_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+             FROM sc) r
+          WHERE rnk <= 3""",
+
+    "q_embed_lsh" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          e AS (SELECT vec_id, emb, ${Similarity.lshBucketSql("emb")} AS bucket FROM e0),
+          q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM e WHERE vec_id < 20),
+          sc AS (SELECT q.q_id, e.vec_id, ${Similarity.cosineSql("q.q_emb", "e.emb")} AS cos
+                 FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
+          SELECT q_id, vec_id, cos, rnk FROM
+            (SELECT q_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+             FROM sc) r
+          WHERE rnk <= 3""",
+
+    "q_embed_neardup" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          e AS (SELECT vec_id, emb, ${Similarity.lshBucketSql("emb")} AS bucket FROM e0)
+          SELECT id_a, id_b, cos FROM
+            (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    ${Similarity.cosineSql("a.emb", "b.emb")} AS cos
+             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+          WHERE cos > 0.8""",
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+         strlen(text)::BIGINT AS n_bytes,
+         md5(text) AS digest,
+         md5(substr(text, 1, 16)) AS thumb_digest,
+         (strlen(text) % 640 + 1)::BIGINT AS width,
+         (strlen(text) % 480 + 1)::BIGINT AS height,
+         (strlen(text) // 100 + 1)::BIGINT AS n_frames
+         FROM documents""",
+
+    "q_frame_sample" ->
+      """SELECT doc_id AS asset_id, x.u.i::BIGINT AS frame_no,
+                md5(substr(text, x.u.i * 64 + 1, 1)) AS frame_digest
+         FROM (SELECT doc_id, text,
+                 UNNEST([{'i': j} for j in range(0, (strlen(text) - 1) // 64 + 1)]) AS u
+               FROM documents) x""",
   )
+
+  /** Shared DuckDB CTE pipeline: minhash sigs → band buckets → candidate
+    * pairs → exact shingle Jaccard (mirrors Dedup.jaccardPairs).
+    */
+  private def jaccardPairsSql: String = {
+    val bands = (0 until Dedup.NumBands).map { b =>
+      val parts = (0 until Dedup.BandSize).map(r => s"minhash[${b * Dedup.BandSize + r + 1}]")
+      s"concat_ws('|', '$b', ${parts.mkString(", ")})"
+    }
+    s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
+                     FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
+        bk AS (SELECT doc_id, UNNEST([${bands.mkString(", ")}]) AS bucket FROM sig),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+               CAST(len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) AS jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b"""
+  }
+
+  private def allStopsSql: String =
+    TextOps.StopWords.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB argmax-with-alphabetical-tie-break mirror of TextOps.langId. */
+  private def langIdSql: String = {
+    val langs = TextOps.StopWords.keys.toSeq.sorted
+    def score(l: String): String = {
+      val in = TextOps.StopWords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($in)))"
+    }
+    val scored = langs.map(l => s"${score(l)} AS s_$l").mkString(", ")
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(m => s"s_$l >= s_$m")
+      val conds = (s"s_$l > 0" +: later).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'unknown' END AS lang_pred
+        FROM (SELECT doc_id, $scored FROM documents) s"""
+  }
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines:
+  *
+  *  - exact: hash-groupBy on the full text (one shuffle on a 32-byte key);
+  *  - near-dup MinHash+LSH: word-3-gram shingles → k portable min-hashes →
+  *    banded buckets → candidate pairs ONLY within a shared bucket
+  *    (never all-pairs — the candidate join is a plain shuffle join on the
+  *    band key, so it scales as O(docs × bands), not O(docs²));
+  *  - SimHash: 30-bit sign fingerprint of word hashes, bucketable by
+  *    prefix for Hamming-near candidates.
+  *
+  * Signatures are computed entirely inside per-row column expressions
+  * (transform/aggregate/filter over arrays — whole-stage codegen, zero
+  * shuffle); only the final bucket join shuffles. All hashes are the
+  * portable `TextOps.charHash`, so the DuckDB oracle replicates results
+  * exactly.
+  */
+object Dedup {
+
+  val P: Long = TextOps.HashMod
+  val NumHashes = 16
+  val BandSize = 4 // 4 bands × 4 rows
+  val NumBands: Int = NumHashes / BandSize
+
+  /** Fixed affine constants for the k min-hash functions (replicated in
+    * the oracle SQL — keep in sync with [[minhashSqlParts]]).
+    */
+  val HashA: Seq[Long] = (0 until NumHashes).map(i => (1103515245L * (2 * i + 1)) % P)
+  val HashB: Seq[Long] = (0 until NumHashes).map(i => (12345L * (i + 1) + 678910L) % P)
+
+  /** Exact dedup: group by text hash; keep the smallest id, count dups. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-3-gram shingle hashes of a text column. */
+  def shingleHashes(text: Column): Column = {
+    val w = TextOps.words(text)
+    val sh = when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array())
+    array_distinct(transform(sh, s => TextOps.charHash(s)))
+  }
+
+  /** doc → (id, sh: array<long>, minhash: array<long>[k]). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withSh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("sh"))
+    val mins = (0 until NumHashes).map { i =>
+      array_min(transform(col("sh"), h => (lit(HashA(i)) * h + lit(HashB(i))) % P))
+    }
+    withSh.select(col("doc_id"), col("sh"), array(mins: _*).as("minhash"))
+  }
+
+  /** (band, bucket-string, doc_id) — one row per band per doc. */
+  def bandBuckets(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      concat_ws("|", lit(b.toString) +:
+        (0 until BandSize).map(r => element_at(col("minhash"), b * BandSize + r + 1)): _*)
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bucket"))
+  }
+
+  /** Candidate pairs: docs sharing ≥1 band bucket (a < b, distinct). */
+  def candidatePairs(sig: DataFrame): DataFrame = {
+    val bk = bandBuckets(sig)
+    val a = bk.select(col("bucket"), col("doc_id").as("doc_a"))
+    val b = bk.select(col("bucket").as("bucket_b"), col("doc_id").as("doc_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Verified near-dups: candidate pairs + exact shingle-set Jaccard.
+    * Intersection via filter-over-distinct-arrays (portable to DuckDB);
+    * the division is exact IEEE on both engines.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol)
+    val pairs = candidatePairs(sig)
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  // --- SimHash ---
+
+  val SimBits = 30
+
+  /** 30-bit SimHash over word hashes: bit b set iff the majority of words
+    * have bit b set in their hash (strict majority — deterministic).
+    */
+  def simhash(text: Column): Column = {
+    val hw = transform(TextOps.words(text), w => TextOps.charHash(w))
+    val n = size(hw).cast("long")
+    val bits = (0 until SimBits).map { b =>
+      val cnt = size(filter(hw, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L)).cast("long")
+      when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  // --- oracle SQL builders (same constants, DuckDB dialect) ---
+
+  /** DuckDB expression for the distinct shingle-hash list of `text`. */
+  def shinglesSql: String = {
+    val h = TextOps.charHashSql("s")
+    s"""list_distinct([$h for s in
+        (CASE WHEN len(string_split(text,' ')) >= 3 THEN
+          [array_to_string(string_split(text,' ')[j+1:j+3], ' ')
+           for j in range(0, len(string_split(text,' ')) - 2)]
+         ELSE [] END)])"""
+  }
+
+  /** DuckDB expression list for the k min-hashes over a list column `sh`. */
+  def minhashSql(shExpr: String): Seq[String] =
+    (0 until NumHashes).map { i =>
+      s"list_min([(${HashA(i)} * h + ${HashB(i)}) % $P for h in $shExpr])"
+    }
+
+  /** DuckDB expression for the SimHash of `text`. */
+  def simhashSql: String = {
+    val h = TextOps.charHashSql("w")
+    val hw = s"[$h for w in string_split(text, ' ')]"
+    val bits = (0 until SimBits).map { b =>
+      s"(CASE WHEN 2 * len(list_filter($hw, x -> ((x >> $b) & 1) = 1)) > len($hw) THEN ${1L << b} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")::BIGINT")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, batch decode / feature-extract / frame-sample over
+  * `mapPartitions`.
+  *
+  * The image/audio codecs are NOT in this container, so the decoder is a
+  * clearly-marked DETERMINISTIC STUB (see [[stubDecode]]) — but the
+  * Spark-side plumbing is real and tested: the binary+metadata schema,
+  * the partition-batched decode signature (bytes in, fixed-width features
+  * out, no driver involvement), and the parallel execution shape are
+  * exactly what a real codec would plug into (swap `stubDecode` for the
+  * JNI/library call; everything else stands).
+  */
+object Multimodal {
+
+  /** Media asset schema: (asset_id, media: binary, meta struct). The
+    * harness has no binary fixtures, so assets are staged from the
+    * documents table (text encoded as UTF-8 bytes stands in for an
+    * image/audio payload).
+    */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    ColOps.table(spark, dir, "documents").select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(col("lang").as("container"), col("n_chars").as("declared_size")).as("meta"))
+
+  private val decodedSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("digest", StringType, nullable = false),
+    StructField("thumb_digest", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  /** STUB DECODER — deterministic fake standing in for the real codec.
+    * Real implementation would decode `bytes` (image/audio/video) and
+    * emit true dimensions / frame samples; the fake derives them from
+    * byte length and content hashes so results are verifiable.
+    */
+  private def stubDecode(bytes: Array[Byte]): (Long, String, String, Long, Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val digest = hex(md.digest(bytes))
+    val thumb = hex(java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes.take(16)))
+    val n = bytes.length.toLong
+    (n, digest, thumb, n % 640 + 1, n % 480 + 1, n / 100 + 1)
+  }
+
+  /** Batch decode: one partition at a time, bytes → features. This is
+    * the operator a real pipeline would run over millions of images —
+    * fully parallel, no data to the driver, output schema fixed-width.
+    */
+  def decode(assets: DataFrame): DataFrame = {
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val mediaIdx = assets.schema.fieldIndex("media")
+    val spark = assets.sparkSession
+    val rdd = assets.rdd.mapPartitions { it =>
+      it.map { r =>
+        val (n, digest, thumb, w, h, f) = stubDecode(r.getAs[Array[Byte]](mediaIdx))
+        Row(r.getLong(idIdx), n, digest, thumb, w, h, f)
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Frame sampling stub: every `stride`-th byte of the media payload as
+    * a "frame", with its offset — the partitioning/fan-out shape of real
+    * video frame extraction (explode to one row per frame).
+    */
+  def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
+    assets.select(
+      col("asset_id"),
+      posexplode(transform(
+        sequence(lit(0), ((length(col("media")) - 1) / stride).cast("int")),
+        i => substring(col("media"), (i * stride + 1).cast("int"), lit(1))))
+        .as(Seq("frame_no", "frame_bytes")))
+      .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(col("frame_bytes")).as("frame_digest"))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword heuristic), quality scoring, token counting,
+  * document fingerprinting. All pure `org.apache.spark.sql.functions`
+  * column expressions — codegen'd, no UDFs, no shuffle; each has an
+  * equivalent DuckDB formulation (see SparkEntry.oracleSql) built from
+  * the same constants.
+  *
+  * The portable hash at the bottom of everything is a rolling polynomial
+  * hash over character codes, `H(s) = foldl (acc*31 + ascii(c)) mod P` —
+  * chosen (over murmur/xxhash builtins) because BOTH engines can compute
+  * it exactly with integer arithmetic, so dedup/simhash results are
+  * engine-independent.
+  */
+object TextOps {
+
+  /** Modulus for all portable hashes (fits squares in Long). */
+  val HashMod = 1000000007L
+
+  /** Rolling polynomial char hash of a string column (portable). */
+  def charHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % HashMod)
+
+  /** The same hash as DuckDB SQL text (for oracle construction). */
+  def charHashSql(s: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split($s, '')]), (a, c) -> (a * 31 + c) % ${HashMod})"
+
+  /** Whitespace word split (documents are single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token extraction: alnum runs. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+
+  // --- language ID: stopword-count heuristic, deterministic tie-break ---
+
+  val StopWords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "is", "and"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "la", "les", "et"))
+
+  /** Count of words in the given stopword list. */
+  def stopCount(text: Column, stops: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(stops: _*)))
+
+  /** Predicted language: argmax stopword count, ties broken by
+    * alphabetical language order, 'unknown' when every score is 0.
+    */
+  def langId(text: Column): Column = {
+    val langs = StopWords.keys.toSeq.sorted
+    val scores = langs.map(l => l -> stopCount(text, StopWords(l)))
+    val best = scores.foldLeft(lit(0)) { case (acc, (_, s)) => greatest(acc, s) }
+    scores.reverse.foldLeft(lit("unknown")) { case (els, (l, s)) =>
+      when(s > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Quality-scoring columns: length, words, tokens, mean word length,
+    * stopword ratio (all exact integer/deterministic-double arithmetic).
+    */
+  def qualityCols(text: Column): Seq[Column] = {
+    val w = words(text)
+    val nWords = size(w).cast("long")
+    val nChars = length(text).cast("long")
+    val allStops = StopWords.values.flatten.toSeq.distinct
+    Seq(
+      nChars.as("n_chars_m"),
+      nWords.as("n_words"),
+      size(tokens(text)).cast("long").as("n_tokens"),
+      ((nChars - (nWords - 1)).cast("double") / nWords.cast("double")).as("mean_word_len"),
+      (size(filter(w, x => x.isin(allStops: _*))).cast("double") /
+        nWords.cast("double")).as("stop_ratio"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}
