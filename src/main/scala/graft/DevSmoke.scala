@@ -47,6 +47,35 @@ object DevSmoke {
     println(s"ENTRY RESULT: $entryRows rows")
     assert(entryRows > 0, "entry() returned no rows")
 
+    // incremental contract: live MemoryStream feed with carried scan state
+    val feeder = graft.streaming.Incremental.open(spark,
+      graft.streaming.StreamPipes.scanStateful(0L)((b: Long, a: Long) => b + a),
+      "devsmoke_inc")
+    try {
+      val fa = feeder.feed(Seq(1L, 2L, 3L))
+      val fb = feeder.feed(Seq(4L))
+      println(s"INCREMENTAL RESULT: $fa then $fb")
+      assert(fa == Seq(1L, 3L, 6L) && fb == Seq(10L), s"incremental mismatch: $fa $fb")
+    } finally feeder.stop()
+
+    // dead-letter split over real table data: parse props k, fail on k%7==0
+    val docs = graft.operators.ColOps.withSeq(
+      graft.operators.ColOps.table(spark, "/root/testdata/sf0.001", "events"),
+      org.apache.spark.sql.functions.col("event_id"))
+    implicit val encS: org.apache.spark.sql.Encoder[Elem[String]] = Elem.enc[String]
+    val propsStream = SStream(docs.select(
+      org.apache.spark.sql.functions.col("seq"),
+      org.apache.spark.sql.functions.col("props").as("value")).as[Elem[String]])
+    val (good, dead) = Lift.runExcept[String, Long] { s =>
+      val k = s.replaceAll("[^0-9]", "").toLong
+      if (k % 7 == 0) Left(s"k divisible by 7: $k") else Right(k)
+    }(propsStream)
+    val nGood = good.into(Sinks.count)
+    val nDead = dead.into(Sinks.count)
+    println(s"DEADLETTER RESULT: good=$nGood dead=$nDead total=${nGood + nDead}")
+    assert(nGood + nDead == 1000, "dead-letter split lost rows")
+    assert(nDead > 0, "expected some dead letters")
+
     println("DEVSMOKE OK")
     spark.stop()
   }

@@ -148,4 +148,42 @@ object Compose {
     }
     SStream(if (acc == null) in.ds.filter(lit(false)) else acc)
   }
+
+  /** feedbackPipeEither (reference `src/Data/Conduino.hs:445-462`): the
+    * feedback loop where the pipe can distinguish upstream input from
+    * fed-back input. Spark has no `Either` encoder, so the tag is a
+    * Boolean: `(fromUpstream, value)` — `(true, x)` ≡ the reference's
+    * `Left x` (fresh upstream), `(false, x)` ≡ `Right x` (fed back).
+    * Same round-major loop and range guards as [[feedbackPipe]].
+    */
+  def feedbackPipeEither[A: TypeTag](p: Pipe[(Boolean, A), A], maxRounds: Int = 100)
+                                    (in: SStream[A]): SStream[A] = {
+    implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+    implicit val encT: Encoder[Elem[(Boolean, A)]] = Elem.enc[(Boolean, A)]
+    val SeqBits = 40
+    require(maxRounds >= 1 && maxRounds < (1 << 22),
+      s"feedbackPipeEither: maxRounds $maxRounds out of range [1, 2^22)")
+    var acc: Dataset[Elem[A]] = null
+    var frontier = in.ds
+    var fromUpstream = true
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      val up = fromUpstream
+      val tagged = SStream(frontier.map(e => Elem(e.seq, (up, e.value))))
+      val outDense = dense(SStream(p(tagged).ds)).ds
+      val r = round.toLong + 1
+      val out = outDense
+        .map { e =>
+          require(e.seq < (1L << SeqBits),
+            s"feedbackPipeEither: round $r produced more than 2^$SeqBits elements")
+          Elem((r << SeqBits) | e.seq, e.value)
+        }
+        .localCheckpoint()
+      acc = if (acc == null) out else acc.union(out)
+      frontier = out
+      fromUpstream = false
+      round += 1
+    }
+    SStream(if (acc == null) in.ds.filter(lit(false)) else acc)
+  }
 }

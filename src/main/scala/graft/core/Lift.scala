@@ -1,0 +1,104 @@
+package graft.core
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** The effect-context layer — the port of `Data.Conduino.Lift`
+  * (reference `src/Data/Conduino/Lift.hs`). conduino runs pipes over a
+  * transformer stack; the distributed analogs (SURVEY.md §2.9):
+  *
+  *  - writerP (`Lift.hs:359-467`) → Spark accumulators: a monoidal log
+  *    accumulated task-side, readable after the action completes (same
+  *    caveat as the reference's "emitted once on termination",
+  *    `Lift.hs:350-357` — and additionally at-least-once under task
+  *    retry, the documented Spark relaxation);
+  *  - readerP (`Lift.hs:324-343`) → broadcast environment: `runReaderP`
+  *    supplies the environment to one pipeline stage;
+  *  - exceptP / catchP (`Lift.hs:198-315`) → dead-letter side outputs:
+  *    a failing element short-circuits ITS OWN row into the dead-letter
+  *    stream instead of killing the query (`runExceptP` isolates failure
+  *    to a stage and returns Either — here both branches are streams);
+  *  - stateP (`Lift.hs:116-188`) → operator-local state is already native
+  *    (scan/mapAccum fold state; GroupState in streaming); a *shared
+  *    global* mutable state has no sane distributed analog and stays
+  *    driver-side (documented scope boundary).
+  */
+object Lift {
+
+  /** writerP: accumulate `weight(a)` into `acc` for every element passing
+    * through; the element is passed on unchanged (the Writer effect of
+    * `Lift.hs:359-380`, with the accumulator as the monoid).
+    *
+    * AT-LEAST-ONCE: Spark re-executes transformations (range-partition
+    * sampling passes, task retries, recomputation of unpersisted
+    * lineage), and transformation-side accumulators count every
+    * execution. Use this for metrics/progress; use [[runWriter]] when the
+    * log must be exact.
+    */
+  def writerPipe[A: TypeTag](acc: LongAccumulator)(weight: A => Long): Pipe[A, A] =
+    Pipes.mapM[A, A] { a => acc.add(weight(a)); a }
+
+  /** runWriterP: run a sink over the stream and return (result, log) —
+    * the log is total only after the action finishes (`Lift.hs:405-420`).
+    * Exact: the log is a second aggregate over the shared cached stream
+    * (one extra scan of cached data), not an effect count.
+    */
+  def runWriter[A: TypeTag, R](spark: SparkSession, weight: A => Long)
+                              (sink: Sink[A, R])(in: SStream[A]): (R, Long) = {
+    val shared = in.cache()
+    val r = sink(shared)
+    val logged = shared.into(
+      Sinks.foldlCombine(0L)((b: Long, a: A) => b + weight(a))(_ + _))
+    (r, logged)
+  }
+
+  /** readerP/runReaderP: build a pipe from a broadcast environment —
+    * the environment ships once per executor, not per task closure.
+    */
+  def readerPipe[R, A, B: TypeTag](env: Broadcast[R])(f: (R, A) => B): Pipe[A, B] =
+    Pipes.map[A, B](a => f(env.value, a))
+
+  def runReader[R: scala.reflect.ClassTag](spark: SparkSession, env: R): Broadcast[R] =
+    spark.sparkContext.broadcast(env)
+
+  /** exceptP/runExceptP: apply a failable projection; failures become
+    * dead-letter rows `(input, error)` instead of query failure. Both
+    * branches are lazy views over one shared pass (`Try` column, then
+    * two filters — Catalyst computes the Try once per row per branch
+    * over the cached stream).
+    */
+  def runExcept[A: TypeTag, B: TypeTag](f: A => Either[String, B])(
+      in: SStream[A]): (SStream[B], SStream[(A, String)]) = {
+    implicit val encE: Encoder[Elem[(A, Option[B], Option[String])]] =
+      Elem.enc[(A, Option[B], Option[String])]
+    implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+    implicit val encD: Encoder[Elem[(A, String)]] = Elem.enc[(A, String)]
+    val tried = SStream(in.ds.map { e =>
+      f(e.value) match {
+        case Right(b)  => Elem(e.seq, (e.value, Option(b), Option.empty[String]))
+        case Left(err) => Elem(e.seq, (e.value, Option.empty[B], Option(err)))
+      }
+    }).cache()
+    val good = SStream(tried.ds
+      .filter((e: Elem[(A, Option[B], Option[String])]) => e.value._2.isDefined)
+      .map(e => Elem(e.seq, e.value._2.get)))
+    val dead = SStream(tried.ds
+      .filter((e: Elem[(A, Option[B], Option[String])]) => e.value._3.isDefined)
+      .map(e => Elem(e.seq, (e.value._1, e.value._3.get))))
+    (good, dead)
+  }
+
+  /** catchP: like runExcept but catching exceptions thrown by `f`
+    * (`Lift.hs:284-315` — task-failure isolation at element granularity).
+    */
+  def runCatch[A: TypeTag, B: TypeTag](f: A => B)(
+      in: SStream[A]): (SStream[B], SStream[(A, String)]) =
+    runExcept[A, B] { a =>
+      try Right(f(a))
+      catch { case scala.util.control.NonFatal(e) => Left(e.toString) }
+    }(in)
+}

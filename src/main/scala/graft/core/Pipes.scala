@@ -134,6 +134,35 @@ object Pipes {
   def mapOutput[I, O, P: TypeTag](p: Pipe[I, O])(f: O => P): Pipe[I, P] =
     p |> map[O, P](f)
 
+  /** mapUpRes (reference `Internal.hs:254-256`): map the upstream-RESULT
+    * type. In the batch engine, upstream results are not threaded through
+    * pipes — they surface as Sink results (`Compose.fuseBoth`) — so on
+    * the data path this is the identity; map the upstream sink's result
+    * with `Sink.map` instead.
+    */
+  def mapUpRes[I, O](p: Pipe[I, O]): Pipe[I, O] = p
+
+  /** trimapPipe (reference `Internal.hs:208-226`): contramap the input,
+    * map the output (and the upstream result, a no-op here — see
+    * [[mapUpRes]]) of one pipe.
+    */
+  def trimap[I2, I: TypeTag, O, O2: TypeTag](fin: I2 => I, fout: O => O2)(
+      p: Pipe[I, O]): Pipe[I2, O2] =
+    mapInput[I2, I, O](fin)(p) |> map[O, O2](fout)
+
+  /** hoistPipe (reference `Internal.hs:233-239`): transport a pipe to a
+    * different effect context — here, re-bind the stream to another
+    * SparkSession (e.g. `spark.newSession()` with different conf). The
+    * logical data is unchanged; the plan continues in the target session.
+    */
+  def hoist[A: TypeTag](to: org.apache.spark.sql.SparkSession): Pipe[A, A] =
+    new Pipe[A, A] {
+      def apply(in: SStream[A]): SStream[A] = {
+        implicit val e: Encoder[Elem[A]] = Elem.enc[A]
+        SStream(to.createDataset(in.ds.rdd))
+      }
+    }
+
   // ----- ordered stateful (reference Combinators.hs:344-410) -----
 
   /** scan (reference `Combinators.hs:362-371`): running left fold, yielding

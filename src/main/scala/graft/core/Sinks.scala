@@ -40,6 +40,16 @@ final case class FoldSink[A, B, R](
 
   override def map[S](f: R => S): FoldSink[A, B, S] =
     copy(finish = finish.andThen(f))
+
+  /** ZipSink Applicative `<*>` (reference `src/Data/Conduino.hs:675-683`):
+    * product of two folds over ONE stream scan.
+    */
+  def zip[B2, R2](other: FoldSink[A, B2, R2]): FoldSink[A, (B, B2), (R, R2)] =
+    Sinks.zip(this, other)
+
+  /** liftA2 over the one-scan product. */
+  def zipWith[B2, R2, S](other: FoldSink[A, B2, R2])(f: (R, R2) => S): FoldSink[A, (B, B2), S] =
+    zip(other).map { case (r1, r2) => f(r1, r2) }
 }
 
 /** A sink that stops consuming before end-of-stream (head, take-n).
@@ -52,6 +62,11 @@ trait PrefixSink[A, R] extends Sink[A, R] {
     * this sink only finishes at end-of-stream.
     */
   def terminationSeq(in: SStream[A]): Long
+
+  /** ZipSink Alternative `<|>` (reference `src/Data/Conduino.hs:684-687`):
+    * the first-to-finish race, left-biased on ties.
+    */
+  def alt(other: PrefixSink[A, R]): Sink[A, R] = Sinks.alt(this, other)
 }
 
 object Sinks {
@@ -143,6 +158,46 @@ object Sinks {
     def terminationSeq(in: SStream[A]): Long = Long.MaxValue
   }
 
+  /** sinkHandle (reference `Combinators.hs:291-297`): write each element
+    * as a line of text at `path` (distributed write; part-file order
+    * follows seq because the writer range-partitions by seq first).
+    */
+  def sinkTextFile[A](path: String): Sink[A, Unit] = new Sink[A, Unit] {
+    def apply(in: SStream[A]): Unit =
+      OrderedExec.sorted(in.ds)
+        .map((e: Elem[A]) => e.value.toString)(org.apache.spark.sql.Encoders.STRING)
+        .write.mode("overwrite").text(path)
+  }
+
+  /** stdout / stderr (reference `Combinators.hs:300-307`): print each
+    * element in seq order on the driver (ordered toLocalIterator — the
+    * observable side of the stream, not a data path).
+    */
+  def stdout[A]: Sink[A, Unit] = new Sink[A, Unit] {
+    def apply(in: SStream[A]): Unit = in.toLocalIterator.foreach(println)
+  }
+  def stderr[A]: Sink[A, Unit] = new Sink[A, Unit] {
+    def apply(in: SStream[A]): Unit = in.toLocalIterator.foreach(System.err.println)
+  }
+
+  /** Marker for the never-finishing sink (so `alt` can distinguish
+    * "finishes exactly at end-of-stream" from "never finishes at all" —
+    * both report Long.MaxValue as a seq).
+    */
+  private[graft] trait NeverSink
+
+  /** The never-finishing sink — ZipSink's Alternative `empty`
+    * (reference `src/Data/Conduino.hs:675-687`): consumes forever, so in
+    * an `alt` race the other side always wins; it has no result of its
+    * own.
+    */
+  def never[A, R]: PrefixSink[A, R] = new PrefixSink[A, R] with NeverSink {
+    def apply(in: SStream[A]): R =
+      throw new UnsupportedOperationException(
+        "never (ZipSink empty): a never-finishing sink has no result")
+    def terminationSeq(in: SStream[A]): Long = Long.MaxValue
+  }
+
   /** zipSink (reference `src/Data/Conduino.hs:654-660`): feed one stream to
     * two folds in a single scan; finishes when both finish ("and").
     */
@@ -161,10 +216,14 @@ object Sinks {
     */
   def alt[A, R](s1: PrefixSink[A, R], s2: PrefixSink[A, R]): Sink[A, R] =
     new Sink[A, R] {
-      def apply(in: SStream[A]): R = {
-        val t1 = s1.terminationSeq(in)
-        val t2 = s2.terminationSeq(in)
-        if (t1 <= t2) s1(in) else s2(in)
+      def apply(in: SStream[A]): R = (s1, s2) match {
+        // empty <|> s = s (the never sink cannot win a race)
+        case (_: NeverSink, _) => s2(in)
+        case (_, _: NeverSink) => s1(in)
+        case _ =>
+          val t1 = s1.terminationSeq(in)
+          val t2 = s2.terminationSeq(in)
+          if (t1 <= t2) s1(in) else s2(in)
       }
     }
 }

@@ -131,6 +131,34 @@ object Sources {
   def repeatM[A: TypeTag](spark: SparkSession, eff: () => A, n: Long): SStream[A] =
     replicateM(spark, n, eff)
 
+  /** repeatMaybeM (reference `Combinators.hs:206-211`): repeat a
+    * driver-side effect, yielding results, until it returns None. The
+    * effect is inherently sequential (each call decides whether to
+    * continue) — a control stream, driver-generated then parallelized.
+    */
+  def repeatMaybeM[A: TypeTag](spark: SparkSession, eff: () => Option[A]): SStream[A] = {
+    val buf = Seq.newBuilder[A]
+    var continue = true
+    while (continue) eff() match {
+      case Some(a) => buf += a
+      case None    => continue = false
+    }
+    fromSeq(spark, buf.result())
+  }
+
+  /** repeatEitherM (reference `Combinators.hs:190-199`): repeat until the
+    * effect returns Left r; yields the Rights, returns the terminal r.
+    */
+  def repeatEitherM[A: TypeTag, R](spark: SparkSession, eff: () => Either[R, A]): (SStream[A], R) = {
+    val buf = Seq.newBuilder[A]
+    var res: Option[R] = None
+    while (res.isEmpty) eff() match {
+      case Right(a) => buf += a
+      case Left(r)  => res = Some(r)
+    }
+    (fromSeq(spark, buf.result()), res.get)
+  }
+
   /** sourceHandleLines / sourceHandleLinesText
     * (reference `Combinators.hs:245-275`): one element per text line, seq =
     * global line number (file order).

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.core._
+
+/** The reference's incremental-execution contract
+  * (`squeezePipe`/`feedPipe`, `src/Data/Conduino.hs:229-296`) on
+  * Structured Streaming.
+  *
+  * `feedPipe xs p` feeds a pipe its inputs one quantum at a time,
+  * draining all available outputs between quanta, with the pipe's state
+  * suspended in between — exactly Structured Streaming's micro-batch
+  * model. Here: a [[MemoryStream]] is the input queue, `feed()` is
+  * `addData + processAllAvailable` (one micro-batch), the streaming
+  * query's operator state is the suspended continuation, and the memory
+  * sink holds the drained outputs (`squeeze()` reads the increment).
+  *
+  * Stateless pipes (map/filter/concatMap — the `graft.core.Pipes`
+  * closures) run unchanged on the streaming Dataset. Ordered-stateful
+  * scan/mapAccum run via [[StreamPipes.scanStateful]]
+  * (flatMapGroupsWithState), whose GroupState is the carried fold
+  * accumulator.
+  *
+  * Scale note: this single-key scan serializes by design — the reference
+  * semantics are a strictly ordered stream. Real 100-TB streaming jobs
+  * shard by key first (`groupByKey(k)` + the same stateful op per key),
+  * which this implementation supports by construction
+  * (flatMapGroupsWithState is already keyed); the single-key instance is
+  * the faithful port of the reference's contract.
+  */
+object Incremental {
+
+  /** An open incremental run of `pipe` — the continuation value of
+    * `feedPipe` (`Data/Conduino.hs:253-256`). Feed quanta, squeeze
+    * outputs, stop.
+    */
+  final class Feeder[A, B] private[Incremental] (
+      spark: SparkSession,
+      input: MemoryStream[Elem[A]],
+      query: StreamingQuery,
+      sinkTable: String,
+      rowToB: Row => Elem[B]) {
+
+    private var fed = 0L
+    private var drained = 0
+
+    /** Feed one input quantum (assign seqs continuing the stream) and run
+      * one micro-batch (`feedPipeEither` step, lines 253-256).
+      */
+    def feed(xs: Seq[A]): Seq[B] = {
+      input.addData(xs.map { a => val e = Elem(fed, a); fed += 1; e })
+      query.processAllAvailable()
+      squeeze()
+    }
+
+    /** Drain outputs produced since the last squeeze
+      * (`squeezePipe`, lines 265-278): all output available without
+      * feeding more input.
+      */
+    def squeeze(): Seq[B] = {
+      val all = spark.table(sinkTable).collect().toList.map(rowToB)
+        .sortBy(_.seq)
+      val fresh = all.drop(drained)
+      drained = all.length
+      fresh.map(_.value).toSeq
+    }
+
+    def stop(): Unit = query.stop()
+  }
+
+  /** Open a pipe for incremental feeding (`feedPipe`'s loop). The pipe
+    * must be streaming-capable (stateless core pipes and
+    * [[StreamPipes]] stateful ones are; cut/iterative pipes are batch
+    * constructs).
+    */
+  def open[A: TypeTag, B: TypeTag](spark: SparkSession, pipe: Pipe[A, B],
+                                   name: String): Feeder[A, B] = {
+    implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+    implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+    implicit val sq: SQLContext = spark.sqlContext
+    val input = MemoryStream[Elem[A]]
+    val out = pipe(SStream(input.toDS())).ds
+    val query = out.writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append())
+      .start()
+    new Feeder[A, B](spark, input, query, name, rowFromMemory[B](spark, out.schema))
+  }
+
+  /** Row decoder for the memory sink: re-encode each Row back to Elem[B]
+    * through the Elem encoder (cheap at test scale; the contract harness
+    * is a test surface, SURVEY.md §3.2).
+    */
+  private def rowFromMemory[B: TypeTag](spark: SparkSession,
+                                        schema: org.apache.spark.sql.types.StructType): Row => Elem[B] = {
+    implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+    (r: Row) => {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(List(r).asJava, schema).as[Elem[B]].head()
+    }
+  }
+}
+
+/** Streaming-capable stateful pipes (the `transformWithState`/
+  * `flatMapGroupsWithState` side of SURVEY.md §2.4).
+  */
+object StreamPipes {
+
+  /** scan over a streaming Dataset: flatMapGroupsWithState holds the
+    * accumulator; within each micro-batch rows are folded in seq order.
+    * Output seq = input seq (same convention as the batch scan).
+    */
+  def scanStateful[A: TypeTag, B: TypeTag](zero: B)(step: (B, A) => B): Pipe[A, B] =
+    new Pipe[A, B] {
+      def apply(in: SStream[A]): SStream[B] = {
+        implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+        implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+        implicit val encBraw: Encoder[B] =
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[B]()
+        implicit val encKey: Encoder[Int] = Encoders.scalaInt
+        val out = in.ds.groupByKey(_ => 0)
+          .flatMapGroupsWithState[B, Elem[B]](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (_: Int, rows: Iterator[Elem[A]], state: GroupState[B]) =>
+              var acc = state.getOption.getOrElse(zero)
+              val outs = rows.toSeq.sortBy(_.seq).map { e =>
+                acc = step(acc, e.value); Elem(e.seq, acc)
+              }
+              state.update(acc)
+              outs.iterator
+          }
+        SStream(out)
+      }
+    }
+
+  /** mapAccum over a streaming Dataset (same machinery, outputs only). */
+  def mapAccumStateful[A: TypeTag, S: TypeTag, B: TypeTag](s0: S)(
+      f: (A, S) => (S, B)): Pipe[A, B] =
+    new Pipe[A, B] {
+      def apply(in: SStream[A]): SStream[B] = {
+        implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+        implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+        implicit val encS: Encoder[S] =
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[S]()
+        implicit val encKey: Encoder[Int] = Encoders.scalaInt
+        val out = in.ds.groupByKey(_ => 0)
+          .flatMapGroupsWithState[S, Elem[B]](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (_: Int, rows: Iterator[Elem[A]], state: GroupState[S]) =>
+              var s = state.getOption.getOrElse(s0)
+              val outs = rows.toSeq.sortBy(_.seq).map { e =>
+                val (s2, b) = f(e.value, s); s = s2; Elem(e.seq, b)
+              }
+              state.update(s)
+              outs.iterator
+          }
+        SStream(out)
+      }
+    }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.core._
+
+/** The Lift layer services (SURVEY.md §2.9): accumulator-Writer,
+  * broadcast-Reader, dead-letter-Except.
+  */
+class LiftSpec extends SparkSpec {
+
+  private def src(xs: Seq[Int]) = Sources.fromSeq(spark, xs)
+
+  test("writerP: accumulator log alongside the sink result") {
+    val (sum, logged) = Lift.runWriter[Int, Int](spark, a => if (a % 2 == 0) 1L else 0L)(
+      Sinks.foldlCombine(0)((b: Int, a: Int) => b + a)(_ + _))(src(1 to 10))
+    assert(sum == 55)
+    assert(logged == 5) // five evens passed through — exact
+
+    // the accumulator flavor is at-least-once (documented relaxation)
+    val acc = spark.sparkContext.longAccumulator("w")
+    (src(1 to 10) |> Lift.writerPipe[Int](acc)(_ => 1L)).into(Sinks.count)
+    assert(acc.value >= 10)
+  }
+
+  test("readerP: broadcast environment reaches every element") {
+    val env = Lift.runReader(spark, Map("scale" -> 10))
+    val p = Lift.readerPipe[Map[String, Int], Int, Int](env)((r, a) => a * r("scale"))
+    assert((src(List(1, 2, 3)) |> p).into(Sinks.sinkList) == List(10, 20, 30))
+  }
+
+  test("exceptP: failures become dead letters, successes flow on") {
+    val (good, dead) = Lift.runExcept[Int, Int] { a =>
+      if (a % 3 == 0) Left(s"div3:$a") else Right(a * 10)
+    }(src(1 to 9))
+    assert(good.into(Sinks.sinkList) == List(10, 20, 40, 50, 70, 80))
+    assert(dead.into(Sinks.sinkList) == List((3, "div3:3"), (6, "div3:6"), (9, "div3:9")))
+  }
+
+  test("catchP: thrown exceptions are caught per element") {
+    val (good, dead) = Lift.runCatch[Int, Int] { a =>
+      if (a == 4) throw new IllegalStateException("boom") else a + 1
+    }(src(List(3, 4, 5)))
+    assert(good.into(Sinks.sinkList) == List(4, 6))
+    val d = dead.into(Sinks.sinkList)
+    assert(d.map(_._1) == List(4) && d.head._2.contains("boom"))
+  }
+
+  test("feedbackPipeEither distinguishes upstream from fed-back input") {
+    // upstream (Left) values get +100 once; fed-back values halve until 0
+    val p = Pipes.map[(Boolean, Int), Int] {
+      case (true, x)  => x + 100
+      case (false, x) => x / 2
+    } |> Pipes.filter[Int](_ > 0)
+    val got = Compose.feedbackPipeEither(p, maxRounds = 20)(src(List(8)))
+      .into(Sinks.sinkList)
+    // round1: 8+100=108; then 54, 27, 13, 6, 3, 1 — all fed back
+    assert(got == List(108, 54, 27, 13, 6, 3, 1))
+  }
+
+  test("ZipSink wrappers: zipWith one-scan product; never loses alt races") {
+    val sum = Sinks.foldlCombine(0)((b: Int, a: Int) => b + a)(_ + _)
+    val cnt = Sinks.foldlCombine(0)((b: Int, _: Int) => b + 1)(_ + _)
+    val mean = sum.zipWith(cnt)((s, c) => s.toDouble / c)
+    assert(src(List(2, 4, 6)).into(mean) == 4.0)
+    val won = src(List(7, 8)).into(
+      Sinks.alt(Sinks.never[Int, List[Int]], Sinks.takeList[Int](1)))
+    assert(won == List(7))
+    val won2 = src(List(7, 8)).into(
+      Sinks.takeList[Int](1).alt(Sinks.never[Int, List[Int]]))
+    assert(won2 == List(7))
+  }
+
+  test("trimap / hoist / repeatMaybeM / repeatEitherM") {
+    val p = Pipes.trimap[Int, Int, Int, String](_ + 1, _.toString)(Pipes.map[Int, Int](_ * 2))
+    assert((src(List(1, 2)) |> p).into(Sinks.sinkList) == List("4", "6"))
+
+    val hoisted = (src(List(1, 2)) |> Pipes.hoist[Int](spark.newSession()))
+    assert(hoisted.into(Sinks.sinkList) == List(1, 2))
+
+    var i = 0
+    val s1 = Sources.repeatMaybeM(spark, () => { i += 1; if (i <= 3) Some(i) else None })
+    assert(s1.into(Sinks.sinkList) == List(1, 2, 3))
+
+    var j = 0
+    val (s2, r) = Sources.repeatEitherM[Int, String](spark,
+      () => { j += 1; if (j <= 2) Right(j) else Left("stop") })
+    assert(s2.into(Sinks.sinkList) == List(1, 2) && r == "stop")
+  }
+
+  test("sinkTextFile writes the stream as text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+    src(List(10, 20, 30)).into(Sinks.sinkTextFile(dir))
+    val lines = spark.read.textFile(dir).collect().map(_.toInt).sorted.toList
+    assert(lines == List(10, 20, 30))
+  }
+}
