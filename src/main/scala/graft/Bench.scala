@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/shuffle paths once so the first measured query
+    // isn't charged session startup (~1.5-5 s of JIT + codegen compile).
+    spark.range(100000).selectExpr("sum(id)").collect()
+    spark.range(1000).toDF("seq").repartitionByRange(2, org.apache.spark.sql.functions.col("seq")).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -191,7 +191,8 @@ object SparkEntry {
       val a = events(s, dir).select(col("seq"), col("value"))
       val b = ColOps.withSeq(ColOps.table(s, dir, "orders"), col("o_orderkey"))
         .select(col("seq"), col("o_totalprice"))
-      ColOps.zipBySeq(a, b, "")
+      // both keys are dense surrogate ids from 0 — skip the rank passes
+      ColOps.zipBySeq(a, b, "", assumeDense = true)
     }),
 
     // §2.7 ZipSource <|> — ordered concatenation with seq offset
@@ -269,8 +270,7 @@ object SparkEntry {
 
     // SimHash fingerprints
     "q_dedup_simhash" -> ((s, dir) =>
-      ColOps.table(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+      Dedup.simhashDf(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
     // language ID (stopword heuristic)
     "q_lang_id" -> ((s, dir) =>

@@ -111,10 +111,15 @@ object ColOps {
     * pairing — dense-rank both sides (two-phase ordinal, no global
     * window), inner equi-join on the rank; ends at the shorter side.
     * Right-side payload columns are renamed with `prefixB`.
+    *
+    * `assumeDense`: skip the two rank passes when the caller guarantees
+    * both seq columns are already dense from 0 (e.g. derived from dense
+    * surrogate keys) — the join then runs straight off the scans.
     */
-  def zipBySeq(a: DataFrame, b: DataFrame, prefixB: String): DataFrame = {
-    val da = RowExec.withDenseSeq(a, Seq(col("seq")))
-    val db0 = RowExec.withDenseSeq(b, Seq(col("seq")))
+  def zipBySeq(a: DataFrame, b: DataFrame, prefixB: String,
+               assumeDense: Boolean = false): DataFrame = {
+    val da = if (assumeDense) a else RowExec.withDenseSeq(a, Seq(col("seq")))
+    val db0 = if (assumeDense) b else RowExec.withDenseSeq(b, Seq(col("seq")))
     val db = db0.columns.foldLeft(db0) { (d, c) =>
       if (c == "seq") d else d.withColumnRenamed(c, s"$prefixB$c")
     }.withColumnRenamed("seq", "__bseq")

@@ -37,19 +37,28 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-3-gram shingle hashes of a text column. */
-  def shingleHashes(text: Column): Column = {
-    val w = TextOps.words(text)
-    val sh = when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3), i =>
-        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-      .otherwise(array())
-    array_distinct(transform(sh, s => TextOps.charHash(s)))
-  }
-
-  /** doc → (id, sh: array<long>, minhash: array<long>[k]). */
+  /** doc → (id, sh: array<long>, minhash: array<long>[k]).
+    *
+    * Staged as three Projects so each intermediate array is computed
+    * exactly once per row: (1) `hw` = per-word char hashes; (2) `sh` =
+    * word-3-gram shingle hashes composed arithmetically from `hw`
+    * ((((h1*31 + h2) mod P)*31 + h3) mod P — shingle strings never
+    * materialize); (3) the k min-hashes over `sh`. Referencing a
+    * `transform(...)` Column from inside another lambda would instead
+    * INLINE it at every element_at — Catalyst does not CSE across lambda
+    * boundaries, and the recompute is quadratic (measured 10× slower).
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withSh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("sh"))
+    val withHw = df.select(col(idCol).as("doc_id"),
+      transform(TextOps.words(col(textCol)), w => TextOps.charHash(w)).as("hw"))
+    val hw = col("hw")
+    val withSh = withHw.select(col("doc_id"),
+      array_distinct(
+        when(size(hw) >= 3,
+          transform(sequence(lit(0), size(hw) - 3), i =>
+            (((element_at(hw, i + 1) * 31 + element_at(hw, i + 2)) % P) * 31
+              + element_at(hw, i + 3)) % P))
+          .otherwise(array())).as("sh"))
     val mins = (0 until NumHashes).map { i =>
       array_min(transform(col("sh"), h => (lit(HashA(i)) * h + lit(HashB(i))) % P))
     }
@@ -79,7 +88,11 @@ object Dedup {
     * the division is exact IEEE on both engines.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol)
+    // The signature pipeline feeds three consumers (bucket pass + both
+    // pair sides): materialize it once — signatures are tiny relative to
+    // the text (k longs + the shingle set), so this is the cheap side of
+    // the trade at any scale.
+    val sig = minhashSignatures(df, idCol, textCol).localCheckpoint()
     val pairs = candidatePairs(sig)
     val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -95,27 +108,33 @@ object Dedup {
 
   /** 30-bit SimHash over word hashes: bit b set iff the majority of words
     * have bit b set in their hash (strict majority — deterministic).
+    * Staged projection: `hw` is materialized once, the 30 bit counters
+    * read it (same lambda-inlining trap as in [[minhashSignatures]]).
     */
-  def simhash(text: Column): Column = {
-    val hw = transform(TextOps.words(text), w => TextOps.charHash(w))
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withHw = df.select(col(idCol).as("doc_id"),
+      transform(TextOps.words(col(textCol)), w => TextOps.charHash(w)).as("hw"))
+    val hw = col("hw")
     val n = size(hw).cast("long")
     val bits = (0 until SimBits).map { b =>
       val cnt = size(filter(hw, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L)).cast("long")
       when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    withHw.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
   // --- oracle SQL builders (same constants, DuckDB dialect) ---
 
-  /** DuckDB expression for the distinct shingle-hash list of `text`. */
+  /** DuckDB expression for the distinct shingle-hash list of `text`
+    * (same word-hash composition as [[shingleHashes]]).
+    */
   def shinglesSql: String = {
-    val h = TextOps.charHashSql("s")
-    s"""list_distinct([$h for s in
-        (CASE WHEN len(string_split(text,' ')) >= 3 THEN
-          [array_to_string(string_split(text,' ')[j+1:j+3], ' ')
-           for j in range(0, len(string_split(text,' ')) - 2)]
-         ELSE [] END)])"""
+    val h = TextOps.charHashSql("w")
+    val hw = s"[$h for w in string_split(text, ' ')]"
+    s"""list_distinct((CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+          [(((hw[j+1] * 31 + hw[j+2]) % $P) * 31 + hw[j+3]) % $P
+           for j in range(0, len(hw) - 2)]
+         ELSE [] END))""".replace("hw", s"($hw)")
   }
 
   /** DuckDB expression list for the k min-hashes over a list column `sh`. */
