@@ -76,6 +76,18 @@ object DevSmoke {
     assert(nGood + nDead == 1000, "dead-letter split lost rows")
     assert(nDead > 0, "expected some dead letters")
 
+    // multi-file text/binary sources: global line order across files
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src")
+    java.nio.file.Files.writeString(tmp.resolve("a.txt"), "l1\nl2\n")
+    java.nio.file.Files.writeString(tmp.resolve("b.txt"), "l3\nl4\nl5\n")
+    val lines = Sources.textLines(spark, tmp.toString).into(Sinks.sinkList)
+    println(s"TEXTLINES RESULT: $lines")
+    assert(lines == List("l1", "l2", "l3", "l4", "l5"), s"textLines order: $lines")
+    val chunks = Sources.binaryChunks(spark, tmp.toString + "/*.txt")
+      .into(Sinks.sinkList).map(b => new String(b))
+    println(s"BINCHUNKS RESULT: ${chunks.map(_.replace("\n", "|"))}")
+    assert(chunks == List("l1\nl2\n", "l3\nl4\nl5\n"), "binaryChunks order/content")
+
     println("DEVSMOKE OK")
     spark.stop()
   }

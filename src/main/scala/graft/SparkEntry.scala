@@ -312,6 +312,23 @@ object SparkEntry {
     // multimodal: frame sampling fan-out
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.assets(s, dir), 64)),
+
+    // Lift/exceptP: per-element failures → dead-letter side output; the
+    // result is the union (good rows + dead rows, tagged)
+    "q_dead_letter" -> ((s, dir) => {
+      implicit val enc: Encoder[Elem[String]] = Elem.enc[String]
+      val props = SStream(events(s, dir)
+        .select(col("seq"), col("props").as("value")).as[Elem[String]])
+      val (good, dead) = Lift.runExcept[String, Long] { p =>
+        val k = p.replaceAll("[^0-9]", "").toLong
+        if (k % 7 == 0) Left("k_div_7") else Right(k)
+      }(props)
+      val g = good.ds.toDF().select(col("seq"), col("value").as("k"),
+        lit("ok").as("status"))
+      val d = dead.ds.toDF().select(col("seq"), lit(null).cast("long").as("k"),
+        col("value._2").as("status"))
+      g.unionByName(d)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -474,6 +491,13 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  UNNEST([{'i': j} for j in range(0, (strlen(text) - 1) // 64 + 1)]) AS u
                FROM documents) x""",
+
+    "q_dead_letter" ->
+      """SELECT event_id AS seq,
+                CASE WHEN k % 7 <> 0 THEN k ELSE NULL END AS k,
+                CASE WHEN k % 7 <> 0 THEN 'ok' ELSE 'k_div_7' END AS status
+         FROM (SELECT event_id, CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
+               FROM events) t""",
   )
 
   /** Shared DuckDB CTE pipeline: minhash sigs → band buckets → candidate

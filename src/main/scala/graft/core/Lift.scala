@@ -101,4 +101,40 @@ object Lift {
       try Right(f(a))
       catch { case scala.util.control.NonFatal(e) => Left(e.toString) }
     }(in)
+
+  /** stateP (`Lift.hs:116-188`): per-stage sequential state is exactly
+    * `Pipes.mapAccum`; this alias names the correspondence.
+    */
+  def statePipe[A, S, B: TypeTag](s0: S)(f: (A, S) => (S, B)): Pipe[A, B] =
+    Pipes.mapAccum[A, S, B](s0)(f)
+
+  /** runStateP/execStateP: run a state-threading pipe over the stream and
+    * return (outputs, final state) — the final state recovered from the
+    * last output (`Lift.hs:128-150`).
+    */
+  def runState[A: TypeTag, S: TypeTag](s0: S)(step: (S, A) => S)(
+      in: SStream[A]): (SStream[S], S) = {
+    val outs = (in |> Pipes.scan[A, S](s0)(step)).cache()
+    (outs, outs.into(Sinks.last[S]).getOrElse(s0))
+  }
+
+  /** rwsP (`Lift.hs:483-590`): Reader+Writer+State combined — broadcast
+    * env in, exact monoidal log out, sequential state threaded through.
+    */
+  def runRWS[R: scala.reflect.ClassTag, A: TypeTag, S: TypeTag, B: TypeTag](
+      spark: SparkSession, env: R, weight: A => Long, s0: S)(
+      f: (R, A, S) => (S, B))(in: SStream[A]): (SStream[B], Long, S) = {
+    val benv = runReader(spark, env)
+    val shared = in.cache()
+    val logged = shared.into(
+      Sinks.foldlCombine(0L)((b: Long, a: A) => b + weight(a))(_ + _))
+    implicit val encSB: Encoder[Elem[(S, B)]] = Elem.enc[(S, B)]
+    val outsSB = (shared |> Pipes.mapAccum[A, S, (S, B)](s0) { (a, s) =>
+      val (s2, b) = f(benv.value, a, s); (s2, (s2, b))
+    }).cache()
+    implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+    val outs = SStream(outsSB.ds.map(e => Elem(e.seq, e.value._2)))
+    val finalS = outsSB.into(Sinks.last[(S, B)]).map(_._1).getOrElse(s0)
+    (outs, logged, finalS)
+  }
 }

@@ -165,9 +165,15 @@ object Sources {
     */
   def textLines(spark: SparkSession, path: String): SStream[String] = {
     implicit val e: Encoder[Elem[String]] = Elem.enc[String]
-    val rdd = spark.read.textFile(path).rdd.zipWithIndex()
-      .map { case (line, i) => Elem(i, line) }
-    SStream(spark.createDataset(rdd))
+    // file order = (file name, offset within file); the two-phase ordinal
+    // (no global window, no extra zipWithIndex pass) stamps dense seqs
+    val withPos = spark.read.textFile(path)
+      .select(col("value"),
+        input_file_name().as("__f"),
+        monotonically_increasing_id().as("__off"))
+    val ordered = graft.operators.RowExec
+      .withDenseSeq(withPos, Seq(col("__f"), col("__off")))
+    SStream(ordered.select(col("seq"), col("value")).as[Elem[String]])
   }
 
   /** stdinLines semantics (reference `Combinators.hs:228-231`): lines until
@@ -182,9 +188,9 @@ object Sources {
   def binaryChunks(spark: SparkSession, pathGlob: String): SStream[Array[Byte]] = {
     implicit val e: Encoder[Elem[Array[Byte]]] = Elem.enc[Array[Byte]]
     val df = spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content")).orderBy("path")
-    val rdd = df.select("content").rdd.zipWithIndex()
-      .map { case (r, i) => Elem(i, r.getAs[Array[Byte]](0)) }
-    SStream(spark.createDataset(rdd))
+      .select(col("path"), col("content"))
+    val ordered = graft.operators.RowExec.withDenseSeq(df, Seq(col("path")))
+    SStream(ordered.select(col("seq"), col("content").as("value"))
+      .as[Elem[Array[Byte]]])
   }
 }

@@ -86,6 +86,20 @@ class LiftSpec extends SparkSpec {
     assert(s2.into(Sinks.sinkList) == List(1, 2) && r == "stop")
   }
 
+  test("stateP / runState / runRWS") {
+    val p = Lift.statePipe[Int, Int, Int](0)((a, s) => (s + a, s + a))
+    assert((src(List(1, 2, 3)) |> p).into(Sinks.sinkList) == List(1, 3, 6))
+
+    val (outs, finalS) = Lift.runState[Int, Int](10)((s, a) => s + a)(src(List(1, 2, 3)))
+    assert(outs.into(Sinks.sinkList) == List(11, 13, 16) && finalS == 16)
+
+    val (outs2, logged, s2) = Lift.runRWS[Int, Int, Int, Int](
+      spark, env = 100, weight = _ => 1L, s0 = 0)(
+      (env, a, s) => (s + a, env * (s + a)))(src(List(1, 2, 3)))
+    assert(outs2.into(Sinks.sinkList) == List(100, 300, 600))
+    assert(logged == 3 && s2 == 6)
+  }
+
   test("sinkTextFile writes the stream as text") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
     src(List(10, 20, 30)).into(Sinks.sinkTextFile(dir))
