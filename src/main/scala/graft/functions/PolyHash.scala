@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the engine's portable text hash.
+  *
+  * `word_hashes(text)` = array of rolling polynomial hashes, one per
+  * space-separated word: `H(w) = foldl (acc*31 + codepoint(c)) mod P`
+  * over the word's characters — the same value as the composable SQL
+  * form `list_reduce(list_prepend(0, [ascii(c) for c in split(w,'')]),
+  * (a,c) -> (a*31+c) % P)` used by the DuckDB oracle, and as
+  * `TextOps.charHash` per word.
+  *
+  * Why a custom Expression (SURVEY.md §4 preference order (b)): the
+  * higher-order-function formulation builds three nested lambda
+  * evaluations per word (split → transform → aggregate) with per-element
+  * closures; this expression is one tight loop over the string bytes,
+  * participates in whole-stage codegen via a static-call `doGenCode`
+  * (no interpreted fallback on the hot path), and allocates only the
+  * output array.
+  */
+case class WordHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_hashes needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordHashes.hashWords(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordHashes.hashWords($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_hashes"
+}
+
+object WordHashes {
+  val P: Long = 1000000007L
+
+  /** One pass over the string's code points; words split on ' ' (the
+    * same split as `split(text, " ")` — empty words hash to 0, matching
+    * the fold's zero).
+    */
+  def hashWords(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp == ' ') {
+        out += acc
+        acc = 0L
+      } else {
+        acc = (acc * 31 + cp) % P
+      }
+      i += Character.charCount(cp)
+    }
+    out += acc
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column-API entry point (Spark 4 Column↔Expression bridge). */
+  def word_hashes(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WordHashes(GraftColumnBridge.expression(c)))
+  }
+}

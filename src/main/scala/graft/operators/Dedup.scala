@@ -50,7 +50,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withHw = df.select(col(idCol).as("doc_id"),
-      transform(TextOps.words(col(textCol)), w => TextOps.charHash(w)).as("hw"))
+      graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
     val hw = col("hw")
     val withSh = withHw.select(col("doc_id"),
       array_distinct(
@@ -113,7 +113,7 @@ object Dedup {
     */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withHw = df.select(col(idCol).as("doc_id"),
-      transform(TextOps.words(col(textCol)), w => TextOps.charHash(w)).as("hw"))
+      graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
     val hw = col("hw")
     val n = size(hw).cast("long")
     val bits = (0 until SimBits).map { b =>
