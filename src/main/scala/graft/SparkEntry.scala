@@ -313,6 +313,19 @@ object SparkEntry {
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.assets(s, dir), 64)),
 
+    // event-time tumbling window aggregation (EventTime.tumbling — the
+    // streaming windowed-agg operator, run in batch mode here; ts is
+    // TIMESTAMP(NANOS) surfaced as Long)
+    "q_event_window" -> ((s, dir) => {
+      val ev = ColOps.table(s, dir, "events")
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ival", ivalCol)
+      graft.streaming.EventTime.tumbling(ev, "ts2", "5 seconds", "1 hour",
+        Seq(sum(col("ival")).as("total"), count(lit(1)).as("cnt")))
+        .select(unix_timestamp(col("w_start")).as("w_start_s"),
+          col("total").cast("long").as("total"), col("cnt"))
+    }),
+
     // Lift/exceptP: per-element failures → dead-letter side output; the
     // result is the union (good rows + dead rows, tagged)
     "q_dead_letter" -> ((s, dir) => {
@@ -491,6 +504,11 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  UNNEST([{'i': j} for j in range(0, (strlen(text) - 1) // 64 + 1)]) AS u
                FROM documents) x""",
+
+    "q_event_window" ->
+      s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start_s,
+          CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
+          FROM events GROUP BY 1""",
 
     "q_dead_letter" ->
       """SELECT event_id AS seq,

@@ -182,6 +182,31 @@ object Sources {
   def linesUntilBlank(spark: SparkSession, path: String): SStream[String] =
     textLines(spark, path) |> Pipes.takeWhile[String](_.nonEmpty)
 
+  /** stdinLines over the REAL stdin (reference `Combinators.hs:228-231`):
+    * driver-side console read until EOF or the first empty line, then
+    * parallelized — stdin is a driver resource, not a distributed one.
+    */
+  def stdinLines(spark: SparkSession): SStream[String] = {
+    // read System.in at CALL time (scala.io.StdIn captures the stream at
+    // class-init, which breaks redirected/late-bound stdin)
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    val buf = Seq.newBuilder[String]
+    var line = reader.readLine()
+    while (line != null && line.nonEmpty) { buf += line; line = reader.readLine() }
+    fromSeq(spark, buf.result())
+  }
+
+  /** stdin as raw chunks (reference `Combinators.hs:235-237`): fixed-size
+    * byte chunks off the driver's System.in until EOF.
+    */
+  def stdinChunks(spark: SparkSession, chunkSize: Int = 32 * 1024): SStream[Array[Byte]] = {
+    val buf = Seq.newBuilder[Array[Byte]]
+    val arr = new Array[Byte](chunkSize)
+    var n = System.in.read(arr)
+    while (n > 0) { buf += java.util.Arrays.copyOf(arr, n); n = System.in.read(arr) }
+    fromSeq(spark, buf.result())
+  }
+
   /** sourceHandle (reference `Combinators.hs:280-288`): a binary stream as
     * chunks. One chunk per file via the binaryFile source; seq = file order.
     */

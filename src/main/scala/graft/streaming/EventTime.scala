@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermarks — the
+  * `readStream → transform → window → agg → writeStream` shape.
+  *
+  * The reference is purely arrival-ordered (time never appears in its
+  * API — SURVEY.md §2.10), so this is an EXTENSION operator for the
+  * training-data-pipeline surface: sessionized/windowed statistics over
+  * the events table at 100 TB run exactly like this, with the watermark
+  * bounding state and late data dropped deterministically.
+  */
+object EventTime {
+
+  /** Tumbling-window aggregation. Works on both batch and streaming
+    * DataFrames (same plan; streaming adds watermark-driven state
+    * eviction and append-mode emission on window close).
+    */
+  def tumbling(events: DataFrame, tsCol: String, watermarkDelay: String,
+               windowDur: String, aggExprs: Seq[Column]): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    src.groupBy(window(col(tsCol), windowDur))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("*")).drop("window")
+  }
+}

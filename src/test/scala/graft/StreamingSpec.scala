@@ -63,6 +63,41 @@ class StreamingSpec extends SparkSpec {
     } finally f.stop()
   }
 
+  test("event-time tumbling window with watermark: closes on watermark advance, batch ≡ streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDS().toDF("ts", "v")
+    val agg = EventTime.tumbling(df, "ts", "5 seconds", "10 seconds",
+      Seq(sum(col("v")).as("total"), count(lit(1)).as("cnt")))
+    val q = agg.writeStream.format("memory").queryName("et_win")
+      .outputMode("append").start()
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    try {
+      input.addData(Seq((ts(1), 10L), (ts(3), 20L), (ts(12), 5L)))
+      q.processAllAvailable()
+      // watermark = 12-5 = 7 < 10: no window closed yet
+      assert(spark.table("et_win").count() == 0)
+      input.addData(Seq((ts(21), 1L)))
+      q.processAllAvailable()
+      q.processAllAvailable() // watermark advance lands in the next batch
+      // watermark = 21-5 = 16 ≥ 10: window [0,10) closes with 10+20
+      val closed = spark.table("et_win").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("w_start").getTime / 1000,
+                   r.getAs[Long]("total"), r.getAs[Long]("cnt")))
+      assert(closed.toSet == Set((0L, 30L, 2L)), s"got: ${closed.toList}")
+      // batch run over the same data agrees on the closed window
+      val batch = EventTime.tumbling(
+        Seq((ts(1), 10L), (ts(3), 20L), (ts(12), 5L), (ts(21), 1L)).toDF("ts", "v"),
+        "ts", "5 seconds", "10 seconds",
+        Seq(sum(col("v")).as("total"), count(lit(1)).as("cnt")))
+      val b0 = batch.filter(col("w_start") === ts(0)).collect().head
+      assert(b0.getAs[Long]("total") == 30L && b0.getAs[Long]("cnt") == 2L)
+    } finally q.stop()
+  }
+
   test("squeeze with no new input yields nothing (squeezePipe contract)") {
     val f = Incremental.open(spark, Pipes.map[Int, Int](_ + 1), "inc_squeeze")
     try {
