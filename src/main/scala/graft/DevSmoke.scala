@@ -88,6 +88,15 @@ object DevSmoke {
     println(s"BINCHUNKS RESULT: ${chunks.map(_.replace("\n", "|"))}")
     assert(chunks == List("l1\nl2\n", "l3\nl4\nl5\n"), "binaryChunks order/content")
 
+    // monadic sequencing (reference Combinators.hs:417-422) through the
+    // checkpointed-cut andThen path
+    val seqSrc = Sources.fromSeq(spark, (1 to 8))
+    val seqP = Pipes.take[Int](3).thenPipe(Pipes.map[Int, Int](_ * 2))
+      .andThen(Pipes.map[Int, Int](-_))
+    val seqGot = (seqSrc |> seqP).into(Sinks.sinkList)
+    println(s"ANDTHEN RESULT: $seqGot")
+    assert(seqGot == List(2, 4, 6, -4, -5, -6, -7, -8), s"andThen: $seqGot")
+
     println("DEVSMOKE OK")
     spark.stop()
   }

@@ -46,7 +46,9 @@ trait PrefixPipe[A, B] extends Pipe[A, B] { self =>
     new Pipe[A, B] {
       def apply(in: SStream[A]): SStream[B] = {
         implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
-        val c = self.cut(in)
+        // the 1-row cut feeds both branches: materialize it once instead
+        // of embedding two copies of the cut scan in the plan
+        val c = self.cut(in).localCheckpoint()
         val pre = SStream(in.ds.toDF().crossJoin(broadcast(c))
           .where(col("seq") <= col("cut")).select(col("seq"), col("value"))
           .as[Elem[A]])
