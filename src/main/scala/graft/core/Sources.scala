@@ -159,6 +159,14 @@ object Sources {
     (fromSeq(spark, buf.result()), res.get)
   }
 
+  /** genSource (reference `src/Data/Conduino.hs:570-577`): build a source
+    * from a church-encoded generator — in this engine a driver-side
+    * callback emitting elements until None, i.e. exactly
+    * [[repeatMaybeM]]'s shape (the generator ≅ effectful unfold).
+    */
+  def genSource[A: TypeTag](spark: SparkSession, gen: () => Option[A]): SStream[A] =
+    repeatMaybeM(spark, gen)
+
   /** sourceHandleLines / sourceHandleLinesText
     * (reference `Combinators.hs:245-275`): one element per text line, seq =
     * global line number (file order).

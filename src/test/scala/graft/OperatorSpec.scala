@@ -177,6 +177,15 @@ class OperatorSpec extends SparkSpec {
     assert(run(s2) == List(1, 2, 3) && r == "done")
   }
 
+  test("composition laws: |> associativity and map fusion") {
+    val p = Pipes.map[Int, Int](_ + 1)
+    val q = Pipes.filter[Int](_ % 2 == 0)
+    val r = Pipes.map[Int, Int](_ * 3)
+    assert(run(src() |> ((p |> q) |> r)) == run(src() |> (p |> (q |> r))))
+    val fused = run(src() |> Pipes.map[Int, Int](x => (x + 1) * 2))
+    assert(run(src() |> (Pipes.map[Int, Int](_ + 1) |> Pipes.map[Int, Int](_ * 2))) == fused)
+  }
+
   test("unfold family") {
     assert(run(Sources.unfold(spark, (s: Int) => (s * 2, s + 1), 1, 5)) == List(2, 4, 6, 8, 10))
     assert(run(Sources.unfoldMaybe(spark,
