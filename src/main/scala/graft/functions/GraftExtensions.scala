@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. After that:
+  * `spark.sql("SELECT word_hashes(text) FROM docs")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("word_hashes"),
+      new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "word_hashes(text) takes one argument")
+        WordHashes(children.head)
+      }))
+  }
+}

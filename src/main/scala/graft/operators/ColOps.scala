@@ -107,6 +107,23 @@ object ColOps {
         .withColumn("seq", col("seq") + col("__off")).drop("__off"))
   }
 
+  /** Skew-resistant equi-join (the salting pattern for hot keys at
+    * 100 TB): the large/skewed left side gets a deterministic salt in
+    * [0, salt), the small-side rows are replicated once per salt value,
+    * and the join runs on (key, salt) — a hot key's rows spread over
+    * `salt` tasks instead of one. Semantically identical to
+    * `left.join(right, key)`; complements AQE's skew-join handling when
+    * a single key exceeds what split-partitions can fix.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt >= 1)
+    val sl = left.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+    val sr = right.withColumn("__salt", explode(
+      array((0 until salt).map(lit(_)): _*)))
+    sl.join(sr, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
   /** zipSource (reference `src/Data/Conduino.hs:512-521`): positional
     * pairing — dense-rank both sides (two-phase ordinal, no global
     * window), inner equi-join on the rank; ends at the shorter side.

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.ColOps
+
+/** Session extensions (SQL registration of native expressions) and the
+  * skew-salting join helper.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("word_hashes is callable from SQL via GraftExtensions") {
+    // build a SECOND session with extensions over the shared context
+    // (getOrCreate would return the default session and skip extensions)
+    val prev = spark // force shared-session init first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql("SELECT word_hashes('a b') AS h").collect()(0).getSeq[Long](0)
+      assert(got == Seq(97L, 98L))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("saltedJoin == plain join, with the hot key spread over salts") {
+    import spark.implicits._
+    // skewed left: one hot key with 10k rows, others tiny
+    val left = (Seq.fill(10000)(1) ++ (2 to 50)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val right = (1 to 50).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k"), "inner")
+    val salted = ColOps.saltedJoin(left, right, "k", 8)
+    assert(salted.count() == plain.count())
+    val a = salted.orderBy("payload").collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val b = plain.orderBy("payload").collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(a.sameElements(b))
+  }
+}
