@@ -229,6 +229,39 @@ object SparkEntry {
       oneRow(s, Seq("total_x2", "cnt"), Seq(down, up))
     }),
 
+    // §2.7 feedbackPipe — driver-loop iteration, checked as the per-round
+    // multiset of values (order-insensitive form; seq carries the round
+    // in its high bits)
+    "q_feedback" -> ((s, dir) => {
+      implicit val enc: Encoder[Elem[Long]] = Elem.enc[Long]
+      val start = SStream(events(s, dir).filter(col("seq") < 100)
+        .select(col("seq"), ivalCol.as("value")).as[Elem[Long]])
+      val p = Pipes.map[Long, Long](_ / 3) |> Pipes.filter[Long](_ > 0)
+      val out = Compose.feedbackPipe(p, maxRounds = 64)(start)
+      out.ds.toDF()
+        .select(shiftrightunsigned(col("seq"), 40).as("round"), col("value").as("v"))
+        .groupBy(col("round"), col("v")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.6 fold — monoidal concat (min/max monoid product), one scan
+    "q_fold_minmax" -> ((s, dir) => {
+      val (mn, mx) = centsStream(s, dir).into(Sinks.zip(
+        Sinks.fold(Long.MaxValue)(math.min),
+        Sinks.fold(Long.MinValue)(math.max)))
+      oneRow(s, Seq("mn", "mx"), Seq(mn, mx))
+    }),
+
+    // §2.8 unconsZipSource — pop the head, return the rest
+    "q_uncons" -> ((s, dir) => {
+      implicit val enc: Encoder[Elem[Double]] = Elem.enc[Double]
+      val st = SStream(events(s, dir)
+        .select(col("seq"), col("value")).as[Elem[Double]])
+      val (h, rest) = Compose.uncons(st)
+      // Seq[Any]: mixed Double+Long would otherwise numeric-widen to Double
+      oneRow(s, Seq("first_v", "rest_cnt"),
+        Seq[Any](h.getOrElse(0.0), rest.into(Sinks.count)))
+    }),
+
     // §2.1 iterate — closed-form distributed generation (iterate succ 0)
     "q_iterate" -> ((s, _) =>
       Sources.iterateClosedForm(s, 50, k => k)),
@@ -413,6 +446,22 @@ object SparkEntry {
       "SELECT value AS v FROM events ORDER BY event_id LIMIT 1",
     "q_fuse_both" ->
       s"SELECT CAST(SUM($IvalSql * 2) AS BIGINT) AS total_x2, COUNT(*) AS cnt FROM events",
+    "q_feedback" ->
+      s"""WITH RECURSIVE fb(round, v) AS (
+            SELECT 1::BIGINT AS round, $IvalSql // 3 AS v FROM events
+            WHERE event_id < 100 AND $IvalSql // 3 > 0
+            UNION ALL
+            SELECT round + 1, v // 3 FROM fb WHERE v // 3 > 0
+          )
+          SELECT round, v, COUNT(*) AS n FROM fb GROUP BY round, v""",
+
+    "q_fold_minmax" ->
+      s"SELECT CAST(MIN($IvalSql) AS BIGINT) AS mn, CAST(MAX($IvalSql) AS BIGINT) AS mx FROM events",
+
+    "q_uncons" ->
+      """SELECT (SELECT value FROM events ORDER BY event_id LIMIT 1) AS first_v,
+                (SELECT COUNT(*) - 1 FROM events) AS rest_cnt""",
+
     "q_iterate" ->
       "SELECT CAST(t.i AS BIGINT) AS seq, CAST(t.i + 1 AS BIGINT) AS value FROM range(50) t(i)",
     "q_replicate" ->
