@@ -123,28 +123,49 @@ object Compose {
     * rounds (the round-1 bug). Range-guarded: up to 2^22 rounds of up to
     * 2^40 elements each, fail-fast beyond.
     */
+  /** Frontiers at or below this size are re-ranked on the driver (one
+    * job per round) instead of the distributed dense-rank (three jobs per
+    * round) — feedback frontiers usually shrink geometrically, so most
+    * rounds of most loops take the fast path; large frontiers keep the
+    * fully distributed one.
+    */
+  private val SmallFrontier = 65536
+
   def feedbackPipe[A: TypeTag](p: Pipe[A, A], maxRounds: Int = 100)
                               (in: SStream[A]): SStream[A] = {
     implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
     val SeqBits = 40
     require(maxRounds >= 1 && maxRounds < (1 << 22),
       s"feedbackPipe: maxRounds $maxRounds out of range [1, 2^22)")
+    val spark = in.spark
     var acc: Dataset[Elem[A]] = null
     var frontier = in.ds
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
-      val outDense = dense(SStream(p(SStream(frontier)).ds)).ds
+    var done = false
+    while (round < maxRounds && !done) {
+      val rawOut = p(SStream(frontier)).ds
       val r = round.toLong + 1
-      val out = outDense
-        .map { e =>
-          require(e.seq < (1L << SeqBits),
-            s"feedbackPipe: round $r produced more than 2^$SeqBits elements")
-          Elem((r << SeqBits) | e.seq, e.value)
+      val probe = rawOut.orderBy(col("seq")).limit(SmallFrontier + 1).collect()
+      val out: Dataset[Elem[A]] =
+        if (probe.isEmpty) { done = true; null }
+        else if (probe.length <= SmallFrontier) {
+          spark.createDataset(probe.toIndexedSeq.zipWithIndex.map { case (e, i) =>
+            Elem((r << SeqBits) | i.toLong, e.value)
+          })
+        } else {
+          dense(SStream(rawOut)).ds
+            .map { e =>
+              require(e.seq < (1L << SeqBits),
+                s"feedbackPipe: round $r produced more than 2^$SeqBits elements")
+              Elem((r << SeqBits) | e.seq, e.value)
+            }
+            .localCheckpoint()
         }
-        .localCheckpoint()
-      acc = if (acc == null) out else acc.union(out)
-      frontier = out
-      round += 1
+      if (!done) {
+        acc = if (acc == null) out else acc.union(out)
+        frontier = out
+        round += 1
+      }
     }
     SStream(if (acc == null) in.ds.filter(lit(false)) else acc)
   }
@@ -163,26 +184,39 @@ object Compose {
     val SeqBits = 40
     require(maxRounds >= 1 && maxRounds < (1 << 22),
       s"feedbackPipeEither: maxRounds $maxRounds out of range [1, 2^22)")
+    val spark = in.spark
     var acc: Dataset[Elem[A]] = null
     var frontier = in.ds
     var fromUpstream = true
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    var done = false
+    while (round < maxRounds && !done) {
       val up = fromUpstream
       val tagged = SStream(frontier.map(e => Elem(e.seq, (up, e.value))))
-      val outDense = dense(SStream(p(tagged).ds)).ds
+      val rawOut = p(tagged).ds
       val r = round.toLong + 1
-      val out = outDense
-        .map { e =>
-          require(e.seq < (1L << SeqBits),
-            s"feedbackPipeEither: round $r produced more than 2^$SeqBits elements")
-          Elem((r << SeqBits) | e.seq, e.value)
+      val probe = rawOut.orderBy(col("seq")).limit(SmallFrontier + 1).collect()
+      val out: Dataset[Elem[A]] =
+        if (probe.isEmpty) { done = true; null }
+        else if (probe.length <= SmallFrontier) {
+          spark.createDataset(probe.toIndexedSeq.zipWithIndex.map { case (e, i) =>
+            Elem((r << SeqBits) | i.toLong, e.value)
+          })
+        } else {
+          dense(SStream(rawOut)).ds
+            .map { e =>
+              require(e.seq < (1L << SeqBits),
+                s"feedbackPipeEither: round $r produced more than 2^$SeqBits elements")
+              Elem((r << SeqBits) | e.seq, e.value)
+            }
+            .localCheckpoint()
         }
-        .localCheckpoint()
-      acc = if (acc == null) out else acc.union(out)
-      frontier = out
-      fromUpstream = false
-      round += 1
+      if (!done) {
+        acc = if (acc == null) out else acc.union(out)
+        frontier = out
+        fromUpstream = false
+        round += 1
+      }
     }
     SStream(if (acc == null) in.ds.filter(lit(false)) else acc)
   }
