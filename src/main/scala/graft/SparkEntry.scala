@@ -577,7 +577,8 @@ object SparkEntry {
     }
     s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
                      FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
-        bk AS (SELECT doc_id, UNNEST([${bands.mkString(", ")}]) AS bucket FROM sig),
+        bk AS (SELECT doc_id, UNNEST([${bands.mkString(", ")}]) AS bucket
+               FROM sig WHERE len(sh) > 0),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
         SELECT p.doc_a, p.doc_b,

@@ -123,45 +123,54 @@ object Compose {
     * rounds (the round-1 bug). Range-guarded: up to 2^22 rounds of up to
     * 2^40 elements each, fail-fast beyond.
     */
-  /** Frontiers at or below this size are re-ranked on the driver (one
-    * job per round) instead of the distributed dense-rank (three jobs per
-    * round) — feedback frontiers usually shrink geometrically, so most
-    * rounds of most loops take the fast path; large frontiers keep the
-    * fully distributed one.
+  /** Frontiers at or below this size are re-ranked on the driver instead
+    * of the distributed dense-rank (three extra jobs) — feedback
+    * frontiers usually shrink geometrically, so most rounds of most
+    * loops take the fast path; large frontiers keep the fully
+    * distributed one.
     */
   private val SmallFrontier = 65536
+
+  private val FeedbackSeqBits = 40
+
+  /** One feedback round: checkpoint the round's output ONCE (the pipe
+    * never executes twice), count it off the checkpoint, then re-rank —
+    * driver-side for small rounds, distributed dense-rank for large.
+    * Returns null when the round produced nothing (loop termination).
+    */
+  private def feedbackRound[A: TypeTag](rawOut: Dataset[Elem[A]], round: Long)
+      (implicit encA: Encoder[Elem[A]]): Dataset[Elem[A]] = {
+    val spark = rawOut.sparkSession
+    val mat = rawOut.localCheckpoint()
+    val cnt = mat.count()
+    if (cnt == 0) null
+    else if (cnt <= SmallFrontier) {
+      val collected = mat.collect().sortBy(_.seq)
+      spark.createDataset(collected.toIndexedSeq.zipWithIndex.map { case (e, i) =>
+        Elem((round << FeedbackSeqBits) | i.toLong, e.value)
+      })
+    } else {
+      require(cnt < (1L << FeedbackSeqBits),
+        s"feedbackPipe: round $round produced more than 2^$FeedbackSeqBits elements")
+      dense(SStream(mat)).ds
+        .map(e => Elem((round << FeedbackSeqBits) | e.seq, e.value))
+        .localCheckpoint()
+    }
+  }
 
   def feedbackPipe[A: TypeTag](p: Pipe[A, A], maxRounds: Int = 100)
                               (in: SStream[A]): SStream[A] = {
     implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
-    val SeqBits = 40
     require(maxRounds >= 1 && maxRounds < (1 << 22),
       s"feedbackPipe: maxRounds $maxRounds out of range [1, 2^22)")
-    val spark = in.spark
     var acc: Dataset[Elem[A]] = null
     var frontier = in.ds
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      val rawOut = p(SStream(frontier)).ds
-      val r = round.toLong + 1
-      val probe = rawOut.orderBy(col("seq")).limit(SmallFrontier + 1).collect()
-      val out: Dataset[Elem[A]] =
-        if (probe.isEmpty) { done = true; null }
-        else if (probe.length <= SmallFrontier) {
-          spark.createDataset(probe.toIndexedSeq.zipWithIndex.map { case (e, i) =>
-            Elem((r << SeqBits) | i.toLong, e.value)
-          })
-        } else {
-          dense(SStream(rawOut)).ds
-            .map { e =>
-              require(e.seq < (1L << SeqBits),
-                s"feedbackPipe: round $r produced more than 2^$SeqBits elements")
-              Elem((r << SeqBits) | e.seq, e.value)
-            }
-            .localCheckpoint()
-        }
-      if (!done) {
+      val out = feedbackRound(p(SStream(frontier)).ds, round.toLong + 1)
+      if (out == null) done = true
+      else {
         acc = if (acc == null) out else acc.union(out)
         frontier = out
         round += 1
@@ -181,10 +190,8 @@ object Compose {
                                     (in: SStream[A]): SStream[A] = {
     implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
     implicit val encT: Encoder[Elem[(Boolean, A)]] = Elem.enc[(Boolean, A)]
-    val SeqBits = 40
     require(maxRounds >= 1 && maxRounds < (1 << 22),
       s"feedbackPipeEither: maxRounds $maxRounds out of range [1, 2^22)")
-    val spark = in.spark
     var acc: Dataset[Elem[A]] = null
     var frontier = in.ds
     var fromUpstream = true
@@ -193,25 +200,9 @@ object Compose {
     while (round < maxRounds && !done) {
       val up = fromUpstream
       val tagged = SStream(frontier.map(e => Elem(e.seq, (up, e.value))))
-      val rawOut = p(tagged).ds
-      val r = round.toLong + 1
-      val probe = rawOut.orderBy(col("seq")).limit(SmallFrontier + 1).collect()
-      val out: Dataset[Elem[A]] =
-        if (probe.isEmpty) { done = true; null }
-        else if (probe.length <= SmallFrontier) {
-          spark.createDataset(probe.toIndexedSeq.zipWithIndex.map { case (e, i) =>
-            Elem((r << SeqBits) | i.toLong, e.value)
-          })
-        } else {
-          dense(SStream(rawOut)).ds
-            .map { e =>
-              require(e.seq < (1L << SeqBits),
-                s"feedbackPipeEither: round $r produced more than 2^$SeqBits elements")
-              Elem((r << SeqBits) | e.seq, e.value)
-            }
-            .localCheckpoint()
-        }
-      if (!done) {
+      val out = feedbackRound(p(tagged).ds, round.toLong + 1)
+      if (out == null) done = true
+      else {
         acc = if (acc == null) out else acc.union(out)
         frontier = out
         fromUpstream = false

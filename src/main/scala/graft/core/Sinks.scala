@@ -146,9 +146,12 @@ object Sinks {
       * `altSink_`, `src/Data/Conduino.hs:637-648`).
       */
     def terminationSeq(in: SStream[A]): Long = {
-      val row = in.ds.toDF().orderBy(col("seq")).limit(n)
-        .agg(org.apache.spark.sql.functions.count(lit(1)), max(col("seq"))).head()
-      if (row.getLong(0) < n) Long.MaxValue else row.getLong(1)
+      if (n <= 0) Long.MinValue // needs nothing: finishes before any element
+      else {
+        val row = in.ds.toDF().orderBy(col("seq")).limit(n)
+          .agg(org.apache.spark.sql.functions.count(lit(1)), max(col("seq"))).head()
+        if (row.getLong(0) < n) Long.MaxValue else row.getLong(1)
+      }
     }
   }
 

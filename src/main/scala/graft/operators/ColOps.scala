@@ -17,12 +17,16 @@ import graft.core.Pipes
   */
 object ColOps {
 
-  /** Read a harness table. The events table stores TIMESTAMP(NANOS) which
-    * Spark 4 rejects by default; surface it as Long (no query reads `ts`
-    * as a timestamp) so the scan is legal whatever session built us.
+  /** Read a harness table. The events table stores TIMESTAMP(NANOS)
+    * which Spark 4 rejects by default; surface it as Long (no query reads
+    * `ts` as a timestamp) so the scan is legal whatever session built us.
+    * The legacy flag is session-global in Spark, so it is flipped only
+    * for the one table that needs it — reads of other tables leave the
+    * session untouched.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -65,13 +65,20 @@ object Dedup {
     withSh.select(col("doc_id"), col("sh"), array(mins: _*).as("minhash"))
   }
 
-  /** (band, bucket-string, doc_id) — one row per band per doc. */
+  /** (band, bucket-string, doc_id) — one row per band per doc. Docs with
+    * NO shingles (< 3 words) are excluded: their min-hashes are all null
+    * and concat_ws would silently collapse every short doc into the same
+    * NumBands buckets — an O(shortDocs²) all-pairs explosion. Short docs
+    * are simply not candidates for shingle-based near-dup (use exact
+    * dedup / embedding near-dup for them).
+    */
   def bandBuckets(sig: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until BandSize).map(r => element_at(col("minhash"), b * BandSize + r + 1)): _*)
     }
-    sig.select(col("doc_id"), explode(array(bands: _*)).as("bucket"))
+    sig.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bucket"))
   }
 
   /** Candidate pairs: docs sharing ≥1 band bucket (a < b, distinct). */

@@ -44,7 +44,7 @@ object Incremental {
       input: MemoryStream[Elem[A]],
       query: StreamingQuery,
       sinkTable: String,
-      rowToB: Row => Elem[B]) {
+      rowsToElems: Seq[Row] => Seq[Elem[B]]) {
 
     private var fed = 0L
     private var drained = 0
@@ -60,14 +60,16 @@ object Incremental {
 
     /** Drain outputs produced since the last squeeze
       * (`squeezePipe`, lines 265-278): all output available without
-      * feeding more input.
+      * feeding more input. One batched decode per call: only the rows
+      * appended since the last drain are re-encoded (seqs are assigned
+      * monotonically by `feed`, so the globally-sorted prefix is exactly
+      * what previous squeezes returned).
       */
     def squeeze(): Seq[B] = {
-      val all = spark.table(sinkTable).collect().toList.map(rowToB)
-        .sortBy(_.seq)
+      val all = spark.table(sinkTable).collect().toList
       val fresh = all.drop(drained)
       drained = all.length
-      fresh.map(_.value).toSeq
+      rowsToElems(fresh).sortBy(_.seq).map(_.value)
     }
 
     def stop(): Unit = query.stop()
@@ -91,17 +93,19 @@ object Incremental {
     new Feeder[A, B](spark, input, query, name, rowFromMemory[B](spark, out.schema))
   }
 
-  /** Row decoder for the memory sink: re-encode each Row back to Elem[B]
-    * through the Elem encoder (cheap at test scale; the contract harness
-    * is a test surface, SURVEY.md §3.2).
+  /** Batched Row decoder for the memory sink: ONE DataFrame round-trip
+    * per squeeze (not per row), re-encoding Rows back to Elem[B] through
+    * the Elem encoder.
     */
   private def rowFromMemory[B: TypeTag](spark: SparkSession,
-                                        schema: org.apache.spark.sql.types.StructType): Row => Elem[B] = {
+                                        schema: org.apache.spark.sql.types.StructType): Seq[Row] => Seq[Elem[B]] = {
     implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
-    (r: Row) => {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(List(r).asJava, schema).as[Elem[B]].head()
-    }
+    (rs: Seq[Row]) =>
+      if (rs.isEmpty) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rs.asJava, schema).as[Elem[B]].collect().toSeq
+      }
   }
 }
 

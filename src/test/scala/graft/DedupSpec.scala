@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Dedup edge cases the parquet fixtures can't reach (their docs are all
+  * ≥ 3 words): short documents must not enter the LSH bands.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("short docs (<3 words) get no band buckets and no candidate pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "x"), (4L, ""),
+      (5L, "alpha beta gamma delta"), (6L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    // short docs have empty shingle sets → excluded from bands
+    val bk = Dedup.bandBuckets(sig)
+    assert(bk.filter(col("doc_id") < 5).count() == 0)
+    // only the genuinely identical long docs pair up; no null jaccard rows
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 6L)))
+    assert(pairs.forall(!_.isNullAt(2)))
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val docs = Seq((10L, "same"), (11L, "same"), (12L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 2L), (12L, 1L)))
+  }
+}

@@ -129,6 +129,13 @@ class OperatorSpec extends SparkSpec {
     assert(shortS == List(1, 2))
   }
 
+  test("altSink with takeList(0): zero-need sink wins instantly with []") {
+    val got = src().into(Sinks.alt(Sinks.takeList[Int](0), Sinks.takeList[Int](5)))
+    assert(got == Nil)
+    val got2 = src().into(Sinks.alt(Sinks.whole(Sinks.sinkList[Int]), Sinks.takeList[Int](0)))
+    assert(got2 == Nil)
+  }
+
   test("fuseBoth / fuseUpstream / fuseBothMaybe") {
     val sum = Sinks.foldlCombine(0)((b: Int, a: Int) => b + a)(_ + _)
     val (down, up) = Compose.fuseBoth(Pipes.map[Int, Int](_ * 2), Sinks.count[Int], sum)(src())
