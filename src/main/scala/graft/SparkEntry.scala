@@ -334,9 +334,11 @@ object SparkEntry {
     "q_embed_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Similarity.embeddings(s, dir), 20, 3)),
 
-    // embedding-cosine near-dup pairs within LSH buckets
+    // embedding-cosine near-dup pairs within LSH buckets (0.35 ≈ the
+    // 99.9th percentile of pairwise cosine on these random embeddings —
+    // high enough to be selective, low enough to produce verifiable rows)
     "q_embed_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Similarity.embeddings(s, dir), 0.8)),
+      Similarity.cosineNearDupPairs(Similarity.embeddings(s, dir), 0.35)),
 
     // multimodal: binary columns + batch decode stub (real plumbing)
     "q_multimodal_decode" -> ((s, dir) =>
@@ -535,7 +537,7 @@ object SparkEntry {
             (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                     ${Similarity.cosineSql("a.emb", "b.emb")} AS cos
              FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
-          WHERE cos > 0.8""",
+          WHERE cos > 0.35""",
 
     "q_multimodal_decode" ->
       """SELECT doc_id AS asset_id,
