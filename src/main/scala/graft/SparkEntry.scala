@@ -116,11 +116,15 @@ object SparkEntry {
         .select(col("seq"), col("prev_value"), col("value"))),
 
     // §2.4 consecutive — previous-≤3 sliding window (note the reference's
-    // off-by-one: the window BEFORE each element)
+    // off-by-one: the window BEFORE each element). The window array is
+    // emitted as a comma-joined string: the driver's hash comparator can't
+    // sort array-typed cells, so the projection is scalar; the operator
+    // itself stays array-valued.
     "q_consecutive" -> ((s, dir) =>
       RowExec.consecutiveDf(
         events(s, dir).select(col("seq"), ivalCol.as("ival")), "ival", 3)
-        .select(col("seq"), col("window"))),
+        .select(col("seq"),
+          array_join(col("window").cast("array<string>"), ",").as("window"))),
 
     // §2.5 take — cut-filter (no TakeOrderedAndProject over payload)
     "q_take" -> ((s, dir) =>
@@ -286,10 +290,15 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
-    // MinHash signatures: k portable min-hashes per doc, zero shuffle
-    "q_minhash_sig" -> ((s, dir) =>
+    // MinHash signatures: k portable min-hashes per doc, zero shuffle.
+    // One scalar BIGINT column per hash (mh_00..mh_15) — the driver's
+    // comparator can't sort array cells (see q_consecutive).
+    "q_minhash_sig" -> ((s, dir) => {
+      val mh = (0 until Dedup.NumHashes).map(i =>
+        element_at(col("minhash"), i + 1).as(f"mh_$i%02d"))
       Dedup.minhashSignatures(ColOps.table(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("minhash"))),
+        .select(col("doc_id") +: mh: _*)
+    }),
 
     // LSH near-dup: banded bucket join → candidate pairs → exact
     // shingle Jaccard ≥ 0.5 (never all-pairs)
@@ -404,10 +413,12 @@ object SparkEntry {
     "q_pairs" ->
       """SELECT event_id AS seq, lag(value) OVER (ORDER BY event_id) AS prev_value, value
          FROM events QUALIFY prev_value IS NOT NULL""",
+    // COALESCE to '': DuckDB array_to_string([]) is NULL, Spark array_join
+    // of an empty array is ''
     "q_consecutive" ->
       s"""SELECT event_id AS seq,
-          COALESCE(list($IvalSql) OVER (ORDER BY event_id
-            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), []) AS window
+          COALESCE(array_to_string(list($IvalSql) OVER (ORDER BY event_id
+            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ','), '') AS window
           FROM events""",
     "q_take" ->
       "SELECT event_id AS seq, value FROM events ORDER BY event_id LIMIT 1000",
@@ -477,9 +488,12 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
 
-    "q_minhash_sig" ->
-      s"""SELECT doc_id, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
-          FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t""",
+    "q_minhash_sig" -> {
+      val cols = Dedup.minhashSql("sh").zipWithIndex
+        .map { case (e, i) => f"$e AS mh_$i%02d" }.mkString(",\n          ")
+      s"""SELECT doc_id, $cols
+          FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t"""
+    },
 
     "q_dedup_minhash" -> (jaccardPairsSql + " WHERE jaccard >= 0.5"),
 
