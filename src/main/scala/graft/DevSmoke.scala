@@ -67,8 +67,11 @@ object DevSmoke {
       org.apache.spark.sql.functions.col("seq"),
       org.apache.spark.sql.functions.col("props").as("value")).as[Elem[String]])
     val (good, dead) = Lift.runExcept[String, Long] { s =>
-      val k = s.replaceAll("[^0-9]", "").toLong
-      if (k % 7 == 0) Left(s"k divisible by 7: $k") else Right(k)
+      // Try-wrapped parse: digit-free or >18-digit props become dead
+      // letters instead of task failures
+      scala.util.Try(s.replaceAll("[^0-9]", "").toLong).toEither
+        .left.map(e => s"unparseable: $e")
+        .filterOrElse(_ % 7 != 0, "k divisible by 7")
     }(propsStream)
     val nGood = good.into(Sinks.count)
     val nDead = dead.into(Sinks.count)

@@ -371,19 +371,17 @@ object SparkEntry {
     }),
 
     // Lift/exceptP: per-element failures → dead-letter side output; the
-    // result is the union (good rows + dead rows, tagged)
+    // result is the union (good rows + dead rows, tagged). Columnar form
+    // (Lift.runExceptC): the parse is try_cast, the domain check a CASE —
+    // no JVM closure, stays inside whole-stage codegen.
     "q_dead_letter" -> ((s, dir) => {
-      implicit val enc: Encoder[Elem[String]] = Elem.enc[String]
-      val props = SStream(events(s, dir)
-        .select(col("seq"), col("props").as("value")).as[Elem[String]])
-      val (good, dead) = Lift.runExcept[String, Long] { p =>
-        val k = p.replaceAll("[^0-9]", "").toLong
-        if (k % 7 == 0) Left("k_div_7") else Right(k)
-      }(props)
-      val g = good.ds.toDF().select(col("seq"), col("value").as("k"),
-        lit("ok").as("status"))
-      val d = dead.ds.toDF().select(col("seq"), lit(null).cast("long").as("k"),
-        col("value._2").as("status"))
+      val props = events(s, dir).select(col("seq"), col("props"))
+      val k = expr("try_cast(regexp_replace(props, '[^0-9]', '') AS BIGINT)")
+      val (good, dead) = Lift.runExceptC(props, k)(v =>
+        when(v.isNull, lit("unparseable")).when(v % 7 === 0, lit("k_div_7")))
+      val g = good.select(col("seq"), col("value").as("k"), lit("ok").as("status"))
+      val d = dead.select(col("seq"), lit(null).cast("long").as("k"),
+        col("error").as("status"))
       g.unionByName(d)
     }),
   )

@@ -102,6 +102,30 @@ object Lift {
       catch { case scala.util.control.NonFatal(e) => Left(e.toString) }
     }(in)
 
+  /** Columnar exceptP (`Lift.hs:198-283` re-expressed for Catalyst): the
+    * failable projection is given as Columns — `value` computes the
+    * result (NULL when unparseable, e.g. via `try_cast`/`try_divide`) and
+    * `error(value)` yields the dead-letter label (NULL = success). Both
+    * branches are filtered projections over one shared select: no JVM
+    * closure, no cache, full whole-stage codegen, and the branch filters
+    * can still push down toward the scan. Prefer this whenever the
+    * projection is SQL-expressible; [[runExcept]]/[[runCatch]] remain for
+    * genuinely opaque functions.
+    *
+    * Returns (good, dead): good keeps the input columns plus `value`;
+    * dead keeps the input columns plus `error`.
+    */
+  def runExceptC(in: DataFrame, value: Column)(error: Column => Column)
+      : (DataFrame, DataFrame) = {
+    val tried = in.withColumn("__graft_value", value)
+      .withColumn("__graft_err", error(col("__graft_value")))
+    val good = tried.filter(col("__graft_err").isNull)
+      .drop("__graft_err").withColumnRenamed("__graft_value", "value")
+    val dead = tried.filter(col("__graft_err").isNotNull)
+      .drop("__graft_value").withColumnRenamed("__graft_err", "error")
+    (good, dead)
+  }
+
   /** stateP (`Lift.hs:116-188`): per-stage sequential state is exactly
     * `Pipes.mapAccum`; this alias names the correspondence.
     */

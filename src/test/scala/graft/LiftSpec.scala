@@ -35,6 +35,19 @@ class LiftSpec extends SparkSpec {
     assert(dead.into(Sinks.sinkList) == List((3, "div3:3"), (6, "div3:6"), (9, "div3:9")))
   }
 
+  test("columnar exceptP: null parses and domain failures become dead letters") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq(
+      (1L, "k=14"), (2L, "k=3"), (3L, "no digits"), (4L, "k=10"))).toDF("seq", "props")
+    val (good, dead) = Lift.runExceptC(df,
+      expr("try_cast(regexp_replace(props, '[^0-9]', '') AS BIGINT)"))(v =>
+      when(v.isNull, lit("unparseable")).when(v % 7 === 0, lit("k_div_7")))
+    assert(good.select("seq", "value").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toList == List((2L, 3L), (4L, 10L)))
+    assert(dead.select("seq", "error").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toList == List((1L, "k_div_7"), (3L, "unparseable")))
+  }
+
   test("catchP: thrown exceptions are caught per element") {
     val (good, dead) = Lift.runCatch[Int, Int] { a =>
       if (a == 4) throw new IllegalStateException("boom") else a + 1
