@@ -166,14 +166,17 @@ object SparkEntry {
       oneRow(s, Seq("mx"), Seq(mx))
     }),
 
-    // §2.6 foldr — right fold = left fold over reversed order (string concat
-    // of the first 50 event types, right-assembled)
+    // §2.6 foldr — right fold over the stream, DISTRIBUTED via
+    // foldrCombine (per-partition right folds over seq-ascending range
+    // partitions, O(partitions) partials merged on the driver — the
+    // combine for reverse-concat is the flipped concat)
     "q_foldr" -> ((s, dir) => {
       implicit val enc: Encoder[Elem[String]] = Elem.enc[String]
       val st = SStream(events(s, dir)
         .select(col("seq"), col("event_type").as("value")).as[Elem[String]])
       val first50 = st |> Pipes.take[String](50)
-      val cat = first50.into(Sinks.foldr("")((x: String, acc: String) => acc + x))
+      val cat = first50.into(
+        Sinks.foldrCombine("")((x: String, acc: String) => acc + x)((a, b) => b + a))
       oneRow(s, Seq("cat"), Seq(cat))
     }),
 
@@ -195,7 +198,8 @@ object SparkEntry {
       val a = events(s, dir).select(col("seq"), col("value"))
       val b = ColOps.withSeq(ColOps.table(s, dir, "orders"), col("o_orderkey"))
         .select(col("seq"), col("o_totalprice"))
-      // both keys are dense surrogate ids from 0 — skip the rank passes
+      // both keys are dense surrogate ids from 0 — skip the rank passes;
+      // the density claim is verified in-plan (raise_error on sparse keys)
       ColOps.zipBySeq(a, b, "", assumeDense = true)
     }),
 
@@ -282,6 +286,63 @@ object SparkEntry {
         .apply(centsStream(s, dir))
       outs.ds.toDF().select(col("seq"),
         col("value._1").as("input_v"), col("value._2").as("output_v"))
+    }),
+
+    // §2.3 mapInput — contramap a projection before a pipe (the pipe
+    // filters Longs; the stream feeds Doubles)
+    "q_map_input" -> ((s, dir) => {
+      implicit val enc: Encoder[Elem[Double]] = Elem.enc[Double]
+      val st = SStream(events(s, dir)
+        .select(col("seq"), col("value")).as[Elem[Double]])
+      val p = Pipes.mapInput[Double, Long, Long](
+        d => math.floor(d * 100 + 0.5).toLong)(Pipes.filter[Long](_ % 2 == 0))
+      p(st).ds.toDF()
+    }),
+
+    // §2.3 mapOutput — post-compose a projection after a pipe
+    "q_map_output" -> ((s, dir) => {
+      val p = Pipes.mapOutput[Long, Long, Long](
+        Pipes.filter[Long](_ > 20000))(_ * 3)
+      p(centsStream(s, dir)).ds.toDF()
+    }),
+
+    // §2.7 fuseUpstream — run the chain, keep the UPSTREAM result only
+    "q_fuse_upstream" -> ((s, dir) => {
+      val up = Compose.fuseUpstream(
+        Pipes.map[Long, Long](_ * 2),
+        Sinks.foldlCombine(0L)((b: Long, a: Long) => b + a)(_ + _),
+        Sinks.count[Long])(centsStream(s, dir))
+      oneRow(s, Seq("total"), Seq(up))
+    }),
+
+    // §2.7 fuseBothMaybe — upstream result Some only when fully drained:
+    // take(100) cuts early (None), take(1e6) drains the stream (Some)
+    "q_fuse_both_maybe" -> ((s, dir) => {
+      val st = centsStream(s, dir)
+      val sumSink = Sinks.foldlCombine(0L)((b: Long, a: Long) => b + a)(_ + _)
+      val (d1, u1) = Compose.fuseBothMaybe(
+        Pipes.take[Long](100), Sinks.count[Long], sumSink)(st)
+      val (d2, u2) = Compose.fuseBothMaybe(
+        Pipes.take[Long](1000000), Sinks.count[Long], sumSink)(st)
+      oneRow(s, Seq("sum_100", "u1_cnt", "sum_all", "u2_cnt"),
+        Seq(d1, u1.getOrElse(-1L), d2, u2.getOrElse(-1L)))
+    }),
+
+    // §2.2 sourceHandleLines — one element per text line of a staged file
+    // (staged driver-side from the documents table, one doc per line in
+    // doc_id order; the OPERATOR under test is the distributed text read
+    // with the two-phase (file, offset) ordinal)
+    "q_text_lines" -> ((s, dir) => {
+      val texts = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect().map(_.getString(1))
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_textlines_${Integer.toHexString(dir.hashCode)}.txt")
+      java.nio.file.Files.write(path, texts.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Sources.textLines(s, path.toString).ds.toDF()
+        .select(col("seq"), col("value").as("line"))
     }),
 
     // ---------- LLM-data-pipeline operators ----------
@@ -480,6 +541,26 @@ object SparkEntry {
     "q_passthrough" ->
       s"""SELECT event_id AS seq, $IvalSql AS input_v, $IvalSql * 2 AS output_v FROM events""",
 
+    "q_map_input" ->
+      s"SELECT event_id AS seq, $IvalSql AS value FROM events WHERE $IvalSql % 2 = 0",
+
+    "q_map_output" ->
+      s"SELECT event_id AS seq, $IvalSql * 3 AS value FROM events WHERE $IvalSql > 20000",
+
+    "q_fuse_upstream" ->
+      s"SELECT CAST(SUM($IvalSql) AS BIGINT) AS total FROM events",
+
+    "q_fuse_both_maybe" ->
+      s"""SELECT
+          (SELECT CAST(SUM(iv) AS BIGINT) FROM
+            (SELECT $IvalSql AS iv FROM events ORDER BY event_id LIMIT 100) t) AS sum_100,
+          CAST(-1 AS BIGINT) AS u1_cnt,
+          (SELECT CAST(SUM($IvalSql) AS BIGINT) FROM events) AS sum_all,
+          (SELECT COUNT(*) FROM events) AS u2_cnt""",
+
+    "q_text_lines" ->
+      "SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq, text AS line FROM documents",
+
     // ---------- LLM-data-pipeline oracles ----------
 
     "q_dedup_exact" ->
@@ -530,12 +611,18 @@ object SparkEntry {
              FROM sc) r
           WHERE rnk <= 3""",
 
+    // banded OR-construction mirror: same plane constants, same band
+    // packing, same bucket cap as Similarity.lshTopK
     "q_embed_lsh" ->
-      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-          e AS (SELECT vec_id, emb, ${Similarity.lshBucketSql("emb")} AS bucket FROM e0),
-          q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM e WHERE vec_id < 20),
-          sc AS (SELECT q.q_id, e.vec_id, ${Similarity.cosineSql("q.q_emb", "e.emb")} AS cos
-                 FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
+      s"""WITH ${Similarity.cappedBucketsSql()},
+          cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+                   FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+                   WHERE q.vec_id < 20),
+          sc AS (SELECT cand.q_id, cand.vec_id,
+                        ${Similarity.cosineSql("qe.emb", "ce.emb")} AS cos
+                 FROM cand
+                 JOIN e0 qe ON qe.vec_id = cand.q_id
+                 JOIN e0 ce ON ce.vec_id = cand.vec_id)
           SELECT q_id, vec_id, cos, rnk FROM
             (SELECT q_id, vec_id, cos,
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
@@ -543,19 +630,24 @@ object SparkEntry {
           WHERE rnk <= 3""",
 
     "q_embed_neardup" ->
-      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-          e AS (SELECT vec_id, emb, ${Similarity.lshBucketSql("emb")} AS bucket FROM e0)
+      s"""WITH ${Similarity.cappedBucketsSql()},
+          pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           SELECT id_a, id_b, cos FROM
-            (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    ${Similarity.cosineSql("a.emb", "b.emb")} AS cos
-             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+            (SELECT p.id_a, p.id_b, ${Similarity.cosineSql("ea.emb", "eb.emb")} AS cos
+             FROM pairs p
+             JOIN e0 ea ON ea.vec_id = p.id_a
+             JOIN e0 eb ON eb.vec_id = p.id_b) s
           WHERE cos > 0.35""",
 
+    // thumb_digest is byte-based on both sides: md5 of the lowercase-hex
+    // string of the first 16 BYTES (32 hex chars) — agrees with the Spark
+    // stub for non-ASCII payloads (see Multimodal.stubDecode)
     "q_multimodal_decode" ->
       """SELECT doc_id AS asset_id,
          strlen(text)::BIGINT AS n_bytes,
          md5(text) AS digest,
-         md5(substr(text, 1, 16)) AS thumb_digest,
+         md5(substring(lower(hex(encode(text))), 1, 32)) AS thumb_digest,
          (strlen(text) % 640 + 1)::BIGINT AS width,
          (strlen(text) % 480 + 1)::BIGINT AS height,
          (strlen(text) // 100 + 1)::BIGINT AS n_frames
@@ -573,11 +665,17 @@ object SparkEntry {
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY 1""",
 
+    // TRY_CAST + three-way CASE, mirroring runExceptC's branches exactly:
+    // NULL k (digit-free or >18-digit props) → 'unparseable', k % 7 = 0 →
+    // 'k_div_7', else ok (dead rows carry NULL k)
     "q_dead_letter" ->
       """SELECT event_id AS seq,
-                CASE WHEN k % 7 <> 0 THEN k ELSE NULL END AS k,
-                CASE WHEN k % 7 <> 0 THEN 'ok' ELSE 'k_div_7' END AS status
-         FROM (SELECT event_id, CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
+                CASE WHEN k IS NOT NULL AND k % 7 <> 0 THEN k ELSE NULL END AS k,
+                CASE WHEN k IS NULL THEN 'unparseable'
+                     WHEN k % 7 = 0 THEN 'k_div_7'
+                     ELSE 'ok' END AS status
+         FROM (SELECT event_id,
+                      TRY_CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
                FROM events) t""",
   )
 
@@ -591,8 +689,10 @@ object SparkEntry {
     }
     s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
                      FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
-        bk AS (SELECT doc_id, UNNEST([${bands.mkString(", ")}]) AS bucket
-               FROM sig WHERE len(sh) > 0),
+        bk AS (SELECT doc_id, bucket FROM
+                 (SELECT doc_id, UNNEST([${bands.mkString(", ")}]) AS bucket
+                  FROM sig WHERE len(sh) > 0) b0
+               QUALIFY count(*) OVER (PARTITION BY bucket) <= ${Dedup.MaxBucket}),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
         SELECT p.doc_a, p.doc_b,

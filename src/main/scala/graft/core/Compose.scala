@@ -133,28 +133,45 @@ object Compose {
 
   private val FeedbackSeqBits = 40
 
-  /** One feedback round: checkpoint the round's output ONCE (the pipe
-    * never executes twice), count it off the checkpoint, then re-rank —
-    * driver-side for small rounds, distributed dense-rank for large.
-    * Returns null when the round produced nothing (loop termination).
+  /** One feedback round → (renumbered output, its size), or (null, 0)
+    * when the round produced nothing (loop termination).
+    *
+    * `prevCount` is the size of the round's INPUT frontier (-1 when
+    * unknown, i.e. the first round). When the input was small, the
+    * round's output is collected directly — ONE Spark job per round (the
+    * pipe executes exactly once, inside the collect; re-rank and count
+    * are driver-local on the collected array). Feedback frontiers
+    * usually shrink geometrically, so after the first round most loops
+    * pay a single job per round instead of the former
+    * checkpoint+count+collect three. Large frontiers keep the fully
+    * distributed checkpoint + dense-rank path.
     */
-  private def feedbackRound[A: TypeTag](rawOut: Dataset[Elem[A]], round: Long)
-      (implicit encA: Encoder[Elem[A]]): Dataset[Elem[A]] = {
+  private def feedbackRound[A: TypeTag](rawOut: Dataset[Elem[A]], round: Long,
+                                        prevCount: Long)
+      (implicit encA: Encoder[Elem[A]]): (Dataset[Elem[A]], Long) = {
     val spark = rawOut.sparkSession
-    val mat = rawOut.localCheckpoint()
-    val cnt = mat.count()
-    if (cnt == 0) null
-    else if (cnt <= SmallFrontier) {
-      val collected = mat.collect().sortBy(_.seq)
-      spark.createDataset(collected.toIndexedSeq.zipWithIndex.map { case (e, i) =>
-        Elem((round << FeedbackSeqBits) | i.toLong, e.value)
-      })
-    } else {
-      require(cnt < (1L << FeedbackSeqBits),
+    def fromCollected(collected: Array[Elem[A]]): (Dataset[Elem[A]], Long) = {
+      require(collected.length < (1L << FeedbackSeqBits),
         s"feedbackPipe: round $round produced more than 2^$FeedbackSeqBits elements")
-      dense(SStream(mat)).ds
-        .map(e => Elem((round << FeedbackSeqBits) | e.seq, e.value))
-        .localCheckpoint()
+      (spark.createDataset(collected.toIndexedSeq.zipWithIndex.map { case (e, i) =>
+        Elem((round << FeedbackSeqBits) | i.toLong, e.value)
+      }), collected.length.toLong)
+    }
+    if (prevCount >= 0 && prevCount <= SmallFrontier) {
+      val collected = rawOut.collect().sortBy(_.seq)
+      if (collected.isEmpty) (null, 0L) else fromCollected(collected)
+    } else {
+      val mat = rawOut.localCheckpoint()
+      val cnt = mat.count()
+      if (cnt == 0) (null, 0L)
+      else if (cnt <= SmallFrontier) fromCollected(mat.collect().sortBy(_.seq))
+      else {
+        require(cnt < (1L << FeedbackSeqBits),
+          s"feedbackPipe: round $round produced more than 2^$FeedbackSeqBits elements")
+        (dense(SStream(mat)).ds
+          .map(e => Elem((round << FeedbackSeqBits) | e.seq, e.value))
+          .localCheckpoint(), cnt)
+      }
     }
   }
 
@@ -165,14 +182,16 @@ object Compose {
       s"feedbackPipe: maxRounds $maxRounds out of range [1, 2^22)")
     var acc: Dataset[Elem[A]] = null
     var frontier = in.ds
+    var prevCount = -1L
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      val out = feedbackRound(p(SStream(frontier)).ds, round.toLong + 1)
+      val (out, cnt) = feedbackRound(p(SStream(frontier)).ds, round.toLong + 1, prevCount)
       if (out == null) done = true
       else {
         acc = if (acc == null) out else acc.union(out)
         frontier = out
+        prevCount = cnt
         round += 1
       }
     }
@@ -194,17 +213,19 @@ object Compose {
       s"feedbackPipeEither: maxRounds $maxRounds out of range [1, 2^22)")
     var acc: Dataset[Elem[A]] = null
     var frontier = in.ds
+    var prevCount = -1L
     var fromUpstream = true
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
       val up = fromUpstream
       val tagged = SStream(frontier.map(e => Elem(e.seq, (up, e.value))))
-      val out = feedbackRound(p(tagged).ds, round.toLong + 1)
+      val (out, cnt) = feedbackRound(p(tagged).ds, round.toLong + 1, prevCount)
       if (out == null) done = true
       else {
         acc = if (acc == null) out else acc.union(out)
         frontier = out
+        prevCount = cnt
         fromUpstream = false
         round += 1
       }

@@ -83,7 +83,9 @@ object Sinks {
 
   /** foldr (reference `Combinators.hs:468-474`): right fold == left fold
     * over the reversed stream (lazy/short-circuit use is out of scope,
-    * SURVEY.md §2.6).
+    * SURVEY.md §2.6). Sequential driver-side path — correct for ANY step
+    * closure but pulls the stream through the driver; use
+    * [[foldrCombine]] when the fold decomposes.
     */
   def foldr[A, B](zero: B)(step: (A, B) => B): Sink[A, B] = new Sink[A, B] {
     def apply(in: SStream[A]): B = {
@@ -92,6 +94,30 @@ object Sinks {
         .foldLeft(zero)((b, e) => step(e.value, b))
     }
   }
+
+  /** foldr with a mergeable accumulator — the distributed right fold
+    * (mirror of [[foldlCombine]]'s prefix-combine, over seq-ascending
+    * range partitions folded from the right). Contract: `c` associative
+    * with `zero` as identity, and
+    * `foldr(zero, xs ++ ys) == c(foldr(zero, xs), foldr(zero, ys))`
+    * (i.e. the step is the action of a monoid `c` on suffixes). Each
+    * partition right-folds locally in parallel; the O(numPartitions)
+    * partials merge in seq order on the driver — driver traffic is one
+    * partial per partition, never the stream.
+    */
+  def foldrCombine[A, B](zero: B)(step: (A, B) => B)(c: (B, B) => B): Sink[A, B] =
+    new Sink[A, B] {
+      def apply(in: SStream[A]): B = {
+        val parts = OrderedExec.sorted(in.ds).rdd
+          .mapPartitionsWithIndex { (i, it) =>
+            // right fold needs the partition's tail first: materialize the
+            // (bounded, range-partitioned) partition and foldRight it
+            Iterator((i, it.toIndexedSeq.foldRight(zero)((e, b) => step(e.value, b))))
+          }
+          .collect().toList.sortBy(_._1).map(_._2)
+        parts.foldRight(zero)(c)
+      }
+    }
 
   /** fold (reference `Combinators.hs:490-492`): monoidal concat. */
   def fold[A](zero: A)(combine: (A, A) => A): FoldSink[A, A, A] =

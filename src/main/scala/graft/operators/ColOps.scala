@@ -17,17 +17,26 @@ import graft.core.Pipes
   */
 object ColOps {
 
-  /** Read a harness table. The events table stores TIMESTAMP(NANOS)
-    * which Spark 4 rejects by default; surface it as Long (no query reads
-    * `ts` as a timestamp) so the scan is legal whatever session built us.
-    * The legacy flag is session-global in Spark, so it is flipped only
-    * for the one table that needs it — reads of other tables leave the
-    * session untouched.
+  /** Schema of the events table with ts surfaced as Long. The parquet
+    * column is TIMESTAMP(NANOS), which Spark 4's schema INFERENCE rejects
+    * by default; supplying the schema explicitly skips inference, and the
+    * vectorized reader then reads the INT64 values as-is — no
+    * session-global `nanosAsLong` flag, so the session is genuinely
+    * untouched (verified by ColOpsSpec: a read in a fresh session leaves
+    * the conf unset and later reads keep working).
     */
+  private val EventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Read a harness table (events gets the explicit nanos-as-long schema). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val reader = if (name == "events") spark.read.schema(EventsSchema) else spark.read
+    reader.parquet(s"$dir/$name.parquet")
   }
 
   /** sourceList over a keyed table (reference `Combinators.hs:175-177`):
@@ -135,15 +144,39 @@ object ColOps {
     *
     * `assumeDense`: skip the two rank passes when the caller guarantees
     * both seq columns are already dense from 0 (e.g. derived from dense
-    * surrogate keys) — the join then runs straight off the scans.
+    * surrogate keys) — the join then runs straight off the scans. The
+    * guarantee is VERIFIED in-plan: a broadcast 1-row density check
+    * (min=0 ∧ max=count-1) guards each side and `raise_error`s on the
+    * first row if the keys turn out sparse — fail-loud, not silent
+    * misalignment.
     */
   def zipBySeq(a: DataFrame, b: DataFrame, prefixB: String,
                assumeDense: Boolean = false): DataFrame = {
-    val da = if (assumeDense) a else RowExec.withDenseSeq(a, Seq(col("seq")))
-    val db0 = if (assumeDense) b else RowExec.withDenseSeq(b, Seq(col("seq")))
+    val da = if (assumeDense) assertDenseSeq(a, "left") else RowExec.withDenseSeq(a, Seq(col("seq")))
+    val db0 = if (assumeDense) assertDenseSeq(b, "right") else RowExec.withDenseSeq(b, Seq(col("seq")))
     val db = db0.columns.foldLeft(db0) { (d, c) =>
       if (c == "seq") d else d.withColumnRenamed(c, s"$prefixB$c")
     }.withColumnRenamed("seq", "__bseq")
     da.join(db, col("seq") === col("__bseq"), "inner").drop("__bseq")
+  }
+
+  /** In-plan density assertion for [[zipBySeq]]'s `assumeDense` fast
+    * path: crossJoin a broadcast 1-row boolean (cheap: the aggregate scans
+    * only the seq column) and re-emit seq through a guard that raises on
+    * the first row if seqs are not exactly 0..n-1.
+    */
+  private def assertDenseSeq(df: DataFrame, side: String): DataFrame = {
+    val g = df.agg(
+      (count(lit(1)) === 0L ||
+        (min(col("seq")) === 0L && max(col("seq")) === count(lit(1)) - 1L))
+        .as("__dense"))
+    val cols = df.columns.map {
+      case "seq" => when(col("__dense"), col("seq"))
+        .otherwise(raise_error(
+          lit(s"zipBySeq(assumeDense): $side seq column is not dense from 0")))
+        .as("seq")
+      case c => col(c)
+    }
+    df.crossJoin(broadcast(g)).select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
   }
 }

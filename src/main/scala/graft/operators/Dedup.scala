@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines:
@@ -25,6 +26,15 @@ object Dedup {
   val NumHashes = 16
   val BandSize = 4 // 4 bands × 4 rows
   val NumBands: Int = NumHashes / BandSize
+
+  /** Band buckets more populated than this are dropped from candidacy
+    * (mirrored in the oracle SQL): a viral bucket — boilerplate shared by
+    * millions of docs — would otherwise degenerate to O(bucket²)
+    * candidate pairs at 100 TB. Exact duplicates inside a dropped bucket
+    * are still caught by [[exact]]; a bucket this hot carries no near-dup
+    * signal anyway.
+    */
+  val MaxBucket = 1024
 
   /** Fixed affine constants for the k min-hash functions (replicated in
     * the oracle SQL — keep in sync with [[minhashSqlParts]]).
@@ -81,9 +91,22 @@ object Dedup {
       .select(col("doc_id"), explode(array(bands: _*)).as("bucket"))
   }
 
-  /** Candidate pairs: docs sharing ≥1 band bucket (a < b, distinct). */
-  def candidatePairs(sig: DataFrame): DataFrame = {
-    val bk = bandBuckets(sig)
+  /** Band buckets with over-populated buckets dropped (the candidate
+    * index actually joined — one shuffle on the bucket key, which the
+    * window count shares).
+    */
+  def cappedBandBuckets(sig: DataFrame, cap: Int = MaxBucket): DataFrame = {
+    val w = Window.partitionBy(col("bucket"))
+    bandBuckets(sig)
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= cap).drop("__n")
+  }
+
+  /** Candidate pairs: docs sharing ≥1 surviving band bucket (a < b,
+    * distinct).
+    */
+  def candidatePairs(sig: DataFrame, cap: Int = MaxBucket): DataFrame = {
+    val bk = cappedBandBuckets(sig, cap)
     val a = bk.select(col("bucket"), col("doc_id").as("doc_a"))
     val b = bk.select(col("bucket").as("bucket_b"), col("doc_id").as("doc_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
@@ -94,13 +117,14 @@ object Dedup {
     * Intersection via filter-over-distinct-arrays (portable to DuckDB);
     * the division is exact IEEE on both engines.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   cap: Int = MaxBucket): DataFrame = {
     // The signature pipeline feeds three consumers (bucket pass + both
     // pair sides): materialize it once — signatures are tiny relative to
     // the text (k longs + the shingle set), so this is the cheap side of
     // the trade at any scale.
     val sig = minhashSignatures(df, idCol, textCol).localCheckpoint()
-    val pairs = candidatePairs(sig)
+    val pairs = candidatePairs(sig, cap)
     val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")

@@ -42,13 +42,21 @@ object Multimodal {
     * Real implementation would decode `bytes` (image/audio/video) and
     * emit true dimensions / frame samples; the fake derives them from
     * byte length and content hashes so results are verifiable.
+    *
+    * thumb_digest is BYTE-based (md5 of the lowercase-hex string of the
+    * first 16 BYTES — hex because DuckDB's md5 only takes VARCHAR, and a
+    * multi-byte character truncated at byte 16 would not round-trip
+    * through a string). The oracle mirrors it as
+    * `md5(substring(lower(hex(encode(text))), 1, 32))`, which agrees for
+    * non-ASCII payloads too (MultimodalSpec pins a non-ASCII row).
     */
-  private def stubDecode(bytes: Array[Byte]): (Long, String, String, Long, Long, Long) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  private[operators] def stubDecode(bytes: Array[Byte]): (Long, String, String, Long, Long, Long) = {
     def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
-    val digest = hex(md.digest(bytes))
-    val thumb = hex(java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes.take(16)))
+    def md5(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+    val digest = hex(md5(bytes))
+    val thumb = hex(md5(hex(bytes.take(16))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val n = bytes.length.toLong
     (n, digest, thumb, n % 640 + 1, n % 480 + 1, n / 100 + 1)
   }

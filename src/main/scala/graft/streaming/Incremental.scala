@@ -47,7 +47,7 @@ object Incremental {
       rowsToElems: Seq[Row] => Seq[Elem[B]]) {
 
     private var fed = 0L
-    private var drained = 0
+    private var lastDrainedSeq = Long.MinValue
 
     /** Feed one input quantum (assign seqs continuing the stream) and run
       * one micro-batch (`feedPipeEither` step, lines 253-256).
@@ -60,16 +60,20 @@ object Incremental {
 
     /** Drain outputs produced since the last squeeze
       * (`squeezePipe`, lines 265-278): all output available without
-      * feeding more input. One batched decode per call: only the rows
-      * appended since the last drain are re-encoded (seqs are assigned
-      * monotonically by `feed`, so the globally-sorted prefix is exactly
-      * what previous squeezes returned).
+      * feeding more input. Drained rows are identified BY SEQ, not by
+      * position: input seqs are assigned monotonically by `feed` and
+      * every streaming-capable pipe preserves seq monotonicity, so
+      * `seq > lastDrainedSeq` selects exactly the rows appended since the
+      * last drain — exactly-once even if the memory sink's collect order
+      * is not stable append order. One batched decode per call (fresh
+      * rows only).
       */
     def squeeze(): Seq[B] = {
-      val all = spark.table(sinkTable).collect().toList
-      val fresh = all.drop(drained)
-      drained = all.length
-      rowsToElems(fresh).sortBy(_.seq).map(_.value)
+      val all = spark.table(sinkTable).collect().toSeq
+      val fresh = Incremental.freshBySeq(all, lastDrainedSeq)
+      val elems = rowsToElems(fresh).sortBy(_.seq)
+      if (elems.nonEmpty) lastDrainedSeq = elems.last.seq
+      elems.map(_.value)
     }
 
     def stop(): Unit = query.stop()
@@ -92,6 +96,13 @@ object Incremental {
       .start()
     new Feeder[A, B](spark, input, query, name, rowFromMemory[B](spark, out.schema))
   }
+
+  /** Rows strictly after the last drained seq — the squeeze selection,
+    * factored out so StreamingSpec can assert exactly-once delivery under
+    * a PERMUTED collect order.
+    */
+  private[streaming] def freshBySeq(rows: Seq[Row], lastDrainedSeq: Long): Seq[Row] =
+    rows.filter(_.getAs[Long]("seq") > lastDrainedSeq)
 
   /** Batched Row decoder for the memory sink: ONE DataFrame round-trip
     * per squeeze (not per row), re-encoding Rows back to Elem[B] through
