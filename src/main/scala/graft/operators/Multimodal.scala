@@ -50,7 +50,7 @@ object Multimodal {
     * `md5(substring(lower(hex(encode(text))), 1, 32))`, which agrees for
     * non-ASCII payloads too (MultimodalSpec pins a non-ASCII row).
     */
-  private[operators] def stubDecode(bytes: Array[Byte]): (Long, String, String, Long, Long, Long) = {
+  private[graft] def stubDecode(bytes: Array[Byte]): (Long, String, String, Long, Long, Long) = {
     def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
     def md5(b: Array[Byte]): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5").digest(b)

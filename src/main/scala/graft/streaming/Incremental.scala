@@ -101,7 +101,7 @@ object Incremental {
     * factored out so StreamingSpec can assert exactly-once delivery under
     * a PERMUTED collect order.
     */
-  private[streaming] def freshBySeq(rows: Seq[Row], lastDrainedSeq: Long): Seq[Row] =
+  private[graft] def freshBySeq(rows: Seq[Row], lastDrainedSeq: Long): Seq[Row] =
     rows.filter(_.getAs[Long]("seq") > lastDrainedSeq)
 
   /** Batched Row decoder for the memory sink: ONE DataFrame round-trip

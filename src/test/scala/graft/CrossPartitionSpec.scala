@@ -58,4 +58,25 @@ class CrossPartitionSpec extends SparkSpec {
       .into(Sinks.foldr(0L)((a: Long, b: Long) => a - b))
     assert(got == small.foldRight(0L)(_ - _))
   }
+
+  test("foldrCombine across partitions == foldRight (non-commutative affine composition, N=50k)") {
+    // element v ↦ affine map x → αx+β (mod M); foldr composes
+    // g_first ∘ … ∘ g_last — composition is associative with identity
+    // but NOT commutative, so any partition-order slip is caught
+    val M = 1000000007L
+    type Aff = (Long, Long)
+    val id: Aff = (1L, 0L)
+    def mk(v: Long): Aff = ((v % 97) + 2, (v % 1003) + 1)
+    def compose(f: Aff, g: Aff): Aff = ((f._1 * g._1) % M, (f._1 * g._2 + f._2) % M)
+    val got = src.into(
+      Sinks.foldrCombine(id)((v: Long, acc: Aff) => compose(mk(v), acc))(compose))
+    assert(got == xs.foldRight(id)((v, acc) => compose(mk(v), acc)))
+  }
+
+  test("foldrCombine reverse-concat == sequential foldr (flipped combine)") {
+    val strs = (0 until 2000).map(i => ('a' + i % 26).toChar.toString)
+    val got = Sources.fromSeq(spark, strs)
+      .into(Sinks.foldrCombine("")((x: String, acc: String) => acc + x)((a, b) => b + a))
+    assert(got == strs.foldRight("")((x, acc) => acc + x))
+  }
 }

@@ -32,4 +32,25 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((10L, 2L), (12L, 1L)))
   }
+
+  test("viral band bucket (> cap) drops out of candidacy; survivors bounded by cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val boiler = "alpha beta gamma delta epsilon"
+    val docs = ((0L until 30L).map(i => (i, boiler)) ++
+      Seq((100L, "zeta eta theta iota kappa"), (101L, "zeta eta theta iota kappa")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint()
+    // cap=10: the 30-identical cluster floods every one of its buckets past
+    // the cap; the small duplicate pair survives untouched
+    val maxPop = Dedup.cappedBandBuckets(sig, cap = 10)
+      .groupBy("bucket").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    assert(maxPop <= 10)
+    val pairs = Dedup.candidatePairs(sig, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)))
+    // default cap keeps the cluster: all C(30,2) pairs plus the small one
+    assert(Dedup.candidatePairs(sig).count() == 30L * 29 / 2 + 1)
+  }
 }

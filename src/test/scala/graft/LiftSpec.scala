@@ -48,6 +48,26 @@ class LiftSpec extends SparkSpec {
       .sortBy(_._1).toList == List((1L, "k_div_7"), (3L, "unparseable")))
   }
 
+  test("columnar exceptP replica of q_dead_letter: digit-free AND >18-digit props are unparseable") {
+    import org.apache.spark.sql.functions._
+    // fixture replica incl. the two latent edge cases: no digits at all
+    // ('' → try_cast NULL) and a 20-digit overflow (→ try_cast NULL);
+    // the DuckDB oracle's TRY_CAST + three-way CASE maps them identically
+    val df = spark.createDataFrame(Seq(
+      (1L, "abc!!"),                      // no digits → unparseable
+      (2L, "99999999999999999999"),       // 20 digits, overflows BIGINT → unparseable
+      (3L, "k=14"),                       // 14 % 7 == 0 → k_div_7
+      (4L, "k=15"))).toDF("seq", "props") // ok
+    val (good, dead) = Lift.runExceptC(df,
+      expr("try_cast(regexp_replace(props, '[^0-9]', '') AS BIGINT)"))(v =>
+      when(v.isNull, lit("unparseable")).when(v % 7 === 0, lit("k_div_7")))
+    assert(good.select("seq", "value").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toList == List((4L, 15L)))
+    assert(dead.select("seq", "error").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toList ==
+      List((1L, "unparseable"), (2L, "unparseable"), (3L, "k_div_7")))
+  }
+
   test("catchP: thrown exceptions are caught per element") {
     val (good, dead) = Lift.runCatch[Int, Int] { a =>
       if (a == 4) throw new IllegalStateException("boom") else a + 1

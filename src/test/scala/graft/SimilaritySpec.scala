@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Banded sign-LSH + precomputed-norm similarity: bit-exactness of the
+  * staged-norm cosine, agreement of LSH scores with brute force, and the
+  * bucket-population cap (the 100-TB guard: a viral bucket must drop out
+  * of candidacy instead of going O(bucket²)).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(11)
+  private def randVec(): Seq[Double] = Seq.fill(Similarity.Dim)(rnd.nextDouble() * 2 - 1)
+
+  private def embDf(vecs: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    vecs.toDF("vec_id", "emb")
+  }
+
+  // strict left folds, same order as the engine's aggregate()
+  private def dot(x: Seq[Double], y: Seq[Double]): Double =
+    x.zip(y).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+  private def nrm(x: Seq[Double]): Double =
+    math.sqrt(x.foldLeft(0.0)((s, v) => s + v * v))
+
+  test("cosineFromNorms (staged norms) == naive left-fold cosine, bit-exact") {
+    val a = randVec(); val b = randVec()
+    val en = Similarity.withNorm(embDf(Seq((0L, a), (1L, b))))
+    val qa = en.filter(col("vec_id") === 0).select(col("emb").as("ea"), col("nrm").as("na"))
+    val qb = en.filter(col("vec_id") === 1).select(col("emb").as("eb"), col("nrm").as("nb"))
+    val got = qa.crossJoin(qb)
+      .select(Similarity.cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")).as("c"))
+      .head().getDouble(0)
+    assert(got == dot(a, b) / (nrm(a) * nrm(b)))
+  }
+
+  test("banded lshTopK scores match independently computed cosines; results non-empty") {
+    val vecs = (0L until 40L).map(i => (i, randVec()))
+    val byId = vecs.toMap
+    val rows = Similarity.lshTopK(embDf(vecs), 5, 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, v, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(c == dot(byId(q), byId(v)) / (nrm(byId(q)) * nrm(byId(v))))
+    }
+    // per-query at most k rows, ranks 1..k
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.length <= 3 && g.map(_.getLong(3)).sorted.sameElements(1L to g.length))
+    }
+  }
+
+  test("bucket cap: viral bucket drops out of candidacy; post-cap populations bounded") {
+    val same = randVec()
+    val viral = (0L until 50L).map(i => (i, same))
+    val df = embDf(viral)
+    // capped at 10: every band bucket holds all 50 identical vectors → dropped
+    assert(Similarity.cappedBuckets(Similarity.signatures(df), cap = 10).count() == 0)
+    assert(Similarity.lshTopK(df, 5, 3, cap = 10).count() == 0)
+    assert(Similarity.cosineNearDupPairs(df, -1.0, cap = 10).count() == 0)
+    // default cap keeps them: all C(50,2) identical pairs found
+    assert(Similarity.cosineNearDupPairs(df, 0.99).count() == 50L * 49 / 2)
+    // mixed population: nothing that survives the cap exceeds it
+    val mixed = embDf(viral ++ Seq((100L, randVec()), (101L, randVec())))
+    val maxPop = Similarity.cappedBuckets(Similarity.signatures(mixed), cap = 10)
+      .groupBy("bucket").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    assert(maxPop <= 10)
+  }
+
+  test("planes are parameterized: 32 planes as 4x8-bit bands") {
+    val df = embDf(Seq((0L, randVec())))
+    val cols = Similarity.bandBucketCols(col("emb"), numPlanes = 32, bandBits = 8)
+    assert(cols.length == 4)
+    val bkts = df.select(array(cols: _*).as("bkts")).head().getSeq[String](0)
+    assert(bkts.length == 4 && bkts.zipWithIndex.forall { case (s, i) =>
+      s.matches(s"$i\\|\\d+")
+    })
+    // and the SQL builder emits the same number of band expressions
+    assert(Similarity.bandBucketSqls("emb", numPlanes = 32, bandBits = 8).length == 4)
+  }
+}

@@ -106,4 +106,26 @@ class StreamingSpec extends SparkSpec {
       assert(f.squeeze().isEmpty)
     } finally f.stop()
   }
+
+  test("squeeze drains by seq: exactly-once even under a permuted collect order") {
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("seq", LongType), StructField("value", IntegerType)))
+    def row(s: Long) =
+      new GenericRowWithSchema(Array[Any](s, s.toInt), schema)
+        : org.apache.spark.sql.Row
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 20L).map(row)
+    // first drain sees rows 0..9 in scrambled order
+    val drain1 = Incremental.freshBySeq(rnd.shuffle(rows.take(10)), Long.MinValue)
+    assert(drain1.map(_.getAs[Long]("seq")).sorted == (0L until 10L))
+    val last1 = drain1.map(_.getAs[Long]("seq")).max
+    // second drain sees ALL rows, scrambled — positional drop would
+    // duplicate or lose; seq-based drain returns exactly the new ten
+    val drain2 = Incremental.freshBySeq(rnd.shuffle(rows), last1)
+    assert(drain2.map(_.getAs[Long]("seq")).sorted == (10L until 20L))
+    // nothing new → empty
+    assert(Incremental.freshBySeq(rnd.shuffle(rows), 19L).isEmpty)
+  }
 }
