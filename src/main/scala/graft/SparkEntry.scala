@@ -328,6 +328,17 @@ object SparkEntry {
         Seq(d1, u1.getOrElse(-1L), d2, u2.getOrElse(-1L)))
     }),
 
+    // §2.7 ZipSource applicative zipWith (liftA2) — positional combine of
+    // two sources through an arbitrary function, ends at the shorter
+    "q_zip_with" -> ((s, dir) => {
+      implicit val encL: Encoder[Elem[Long]] = Elem.enc[Long]
+      val ev = centsStream(s, dir)
+      val ord = SStream(ColOps.withSeq(ColOps.table(s, dir, "orders"), col("o_orderkey"))
+        .select(col("seq"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("value"))
+        .as[Elem[Long]])
+      Compose.zipSourcesWith(ev, ord)((a, b) => a + b).ds.toDF()
+    }),
+
     // §2.2 sourceHandleLines — one element per text line of a staged file
     // (staged driver-side from the documents table, one doc per line in
     // doc_id order; the OPERATOR under test is the distributed text read
@@ -560,6 +571,15 @@ object SparkEntry {
 
     "q_text_lines" ->
       "SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq, text AS line FROM documents",
+
+    "q_zip_with" ->
+      s"""SELECT a.rn AS seq, a.iv + b.ov AS value
+          FROM (SELECT row_number() OVER (ORDER BY event_id) - 1 AS rn, $IvalSql AS iv
+                FROM events) a
+          JOIN (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS ov
+                FROM orders) b
+          USING (rn)""",
 
     // ---------- LLM-data-pipeline oracles ----------
 

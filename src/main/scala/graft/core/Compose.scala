@@ -36,6 +36,20 @@ object Compose {
         .map { case (x, y) => Elem(x.seq, (x.value, y.value)) })
   }
 
+  /** ZipSource's general Applicative (reference `src/Data/Conduino.hs:
+    * 507-521`): positional zip through an arbitrary combiner — liftA2,
+    * which carries the whole applicative surface here: Catalyst cannot
+    * encode function-VALUED datasets, so `fs <*> xs` is expressed by
+    * fusing the function construction into `f` (any `<*>` chain
+    * rewrites to a zipWith of the underlying data sources). Ends at the
+    * shorter side exactly as the reference's lockstep pull does.
+    */
+  def zipSourcesWith[A: TypeTag, B: TypeTag, C: TypeTag](
+      sa: SStream[A], sb: SStream[B])(f: (A, B) => C): SStream[C] = {
+    implicit val encC: Encoder[Elem[C]] = Elem.enc[C]
+    SStream(zipSources(sa, sb).ds.map(e => Elem(e.seq, f(e.value._1, e.value._2))))
+  }
+
   /** ZipSource's Alternative `<|>` (reference `src/Data/Conduino.hs:
     * 491-533`): exhaust the left source, then the right — UNION ALL with
     * the right side's ordinals offset past the left's maximum. The offset
@@ -161,16 +175,15 @@ object Compose {
       val collected = rawOut.collect().sortBy(_.seq)
       if (collected.isEmpty) (null, 0L) else fromCollected(collected)
     } else {
-      val mat = rawOut.localCheckpoint()
+      val mat = Materialize.checkpoint(rawOut)
       val cnt = mat.count()
       if (cnt == 0) (null, 0L)
       else if (cnt <= SmallFrontier) fromCollected(mat.collect().sortBy(_.seq))
       else {
         require(cnt < (1L << FeedbackSeqBits),
           s"feedbackPipe: round $round produced more than 2^$FeedbackSeqBits elements")
-        (dense(SStream(mat)).ds
-          .map(e => Elem((round << FeedbackSeqBits) | e.seq, e.value))
-          .localCheckpoint(), cnt)
+        (Materialize.checkpoint(dense(SStream(mat)).ds
+          .map(e => Elem((round << FeedbackSeqBits) | e.seq, e.value))), cnt)
       }
     }
   }

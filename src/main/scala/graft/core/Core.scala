@@ -134,7 +134,7 @@ object Ordinals {
       // Eagerly materialize the ordinal-stamped result (localCheckpoint),
       // then free the sorted intermediate — bounded cache lifecycle instead
       // of an unpersisted leak that multiplies at scale.
-      val out = spark.createDataset(rdd)(enc).localCheckpoint()
+      val out = Materialize.checkpoint(spark.createDataset(rdd)(enc))
       sorted.unpersist()
       out
     } finally ()

@@ -64,7 +64,7 @@ private[graft] object OrderedExec {
       it.map { e => acc = step(acc, e.value); Elem(e.seq, acc) }
     }
     // Materialize, then free the sorted intermediate (persist lifecycle).
-    val out = spark.createDataset(rdd).localCheckpoint()
+    val out = Materialize.checkpoint(spark.createDataset(rdd))
     s.unpersist()
     out
   }
@@ -105,7 +105,7 @@ private[graft] object OrderedExec {
     val rdd = s.rdd.mapPartitionsWithIndex { (i, it) =>
       f(bCarries.value(i), it)
     }
-    val out = spark.createDataset(rdd).localCheckpoint()
+    val out = Materialize.checkpoint(spark.createDataset(rdd))
     s.unpersist()
     (out, globalTail)
   }

@@ -48,7 +48,7 @@ trait PrefixPipe[A, B] extends Pipe[A, B] { self =>
         implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
         // the 1-row cut feeds both branches: materialize it once instead
         // of embedding two copies of the cut scan in the plan
-        val c = self.cut(in).localCheckpoint()
+        val c = Materialize.checkpoint(self.cut(in))
         val pre = SStream(in.ds.toDF().crossJoin(broadcast(c))
           .where(col("seq") <= col("cut")).select(col("seq"), col("value"))
           .as[Elem[A]])

@@ -123,7 +123,7 @@ object Dedup {
     // pair sides): materialize it once — signatures are tiny relative to
     // the text (k longs + the shingle set), so this is the cheap side of
     // the trade at any scale.
-    val sig = minhashSignatures(df, idCol, textCol).localCheckpoint()
+    val sig = graft.core.Materialize.checkpoint(minhashSignatures(df, idCol, textCol))
     val pairs = candidatePairs(sig, cap)
     val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

@@ -59,7 +59,7 @@ object RowExec {
         Row.fromSeq(r.toSeq :+ acc)
       }
     }
-    val out = spark.createDataFrame(rdd, outSchema).localCheckpoint()
+    val out = graft.core.Materialize.checkpoint(spark.createDataFrame(rdd, outSchema))
     s.unpersist()
     out.drop("__v")
   }
@@ -87,7 +87,7 @@ object RowExec {
     }
     val bCarries = spark.sparkContext.broadcast(carries.toVector)
     val rdd = s.rdd.mapPartitionsWithIndex { (i, it) => f(bCarries.value(i), it) }
-    val out = spark.createDataFrame(rdd, outSchema).localCheckpoint()
+    val out = graft.core.Materialize.checkpoint(spark.createDataFrame(rdd, outSchema))
     s.unpersist()
     out
   }
@@ -158,7 +158,7 @@ object RowExec {
       var k = bOffsets.value(i)
       it.map { r => val out = Row.fromSeq(k +: r.toSeq); k += 1; out }
     }
-    val out = spark.createDataFrame(rdd, outSchema).localCheckpoint()
+    val out = graft.core.Materialize.checkpoint(spark.createDataFrame(rdd, outSchema))
     s.unpersist()
     out
   }

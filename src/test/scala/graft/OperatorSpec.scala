@@ -106,6 +106,29 @@ class OperatorSpec extends SparkSpec {
     assert(got == xs ++ ys)
   }
 
+  test("zipSourcesWith (ZipSource applicative liftA2) combines positionally, ends at shorter") {
+    val xs = Seq(1L, 2L, 3L, 4L)
+    val ys = Seq(10L, 20L, 30L)
+    val got = Compose.zipSourcesWith(
+      Sources.fromSeq(spark, xs), Sources.fromSeq(spark, ys))((a, b) => a * 100 + b)
+      .into(Sinks.sinkList)
+    assert(got == List(110L, 220L, 330L))
+  }
+
+  test("stdout/stderr sinks print elements in seq order") {
+    val outB = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outB)) {
+      Sources.fromSeq(spark, Seq(1, 2, 3)).into(Sinks.stdout)
+    }
+    assert(outB.toString.linesIterator.toList == List("1", "2", "3"))
+    val errB = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(errB))
+    try Sources.fromSeq(spark, Seq(4, 5)).into(Sinks.stderr)
+    finally System.setErr(old)
+    assert(errB.toString.linesIterator.toList == List("4", "5"))
+  }
+
   test("zipSink: two folds, one pass") {
     val (s, c) = src().into(Sinks.zip(
       Sinks.foldlCombine(0)((b: Int, a: Int) => b + a)(_ + _),
