@@ -4,7 +4,7 @@ import scala.reflect.runtime.universe.TypeTag
 
 import org.apache.spark.sql._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.core._
 
@@ -175,5 +175,97 @@ object StreamPipes {
           }
         SStream(out)
       }
+    }
+
+  // ----- transformWithState variants (SURVEY §1.2/§7.6) -----
+  //
+  // The non-deprecated arbitrary-state API. Requires the RocksDB state
+  // store provider on the session:
+  //   spark.sql.streaming.stateStore.providerClass =
+  //     org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+  // Within a micro-batch rows fold in seq order; the ValueState carries
+  // the accumulator across batches — exactly the suspended continuation
+  // of the reference's feedPipe.
+
+  /** Single-key ordered stateful processor: fold rows in seq order
+    * through `f: (state, elem) → (state', outputs)`.
+    */
+  private class OrderedProcessor[A, S, B](
+      zero: S, stateEnc: Encoder[S],
+      f: (S, Elem[A]) => (S, Seq[Elem[B]]))
+    extends StatefulProcessor[Int, Elem[A], Elem[B]] {
+
+    @transient private var st: ValueState[S] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[S]("graft_state", stateEnc, TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[Elem[A]],
+                                 tv: TimerValues): Iterator[Elem[B]] = {
+      var s = if (st.exists()) st.get() else zero
+      // force the fold BEFORE updating state (iterators are lazy)
+      val out = rows.toSeq.sortBy(_.seq).flatMap { e =>
+        val (s2, bs) = f(s, e); s = s2; bs
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  private def twsPipe[A: TypeTag, S: TypeTag, B: TypeTag](zero: S)(
+      f: (S, Elem[A]) => (S, Seq[Elem[B]])): Pipe[A, B] =
+    new Pipe[A, B] {
+      def apply(in: SStream[A]): SStream[B] = {
+        implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+        implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+        implicit val encKey: Encoder[Int] = Encoders.scalaInt
+        // resolveAndBind: composite state types (Seq/Option) otherwise
+        // reach getValueState with an UnresolvedMapObjects deserializer
+        val encS: Encoder[S] =
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[S]().resolveAndBind()
+        SStream(in.ds.groupByKey(_ => 0)
+          .transformWithState(new OrderedProcessor[A, S, B](zero, encS, f),
+            TimeMode.None(), OutputMode.Append()))
+      }
+    }
+
+  /** scan on transformWithState (streaming twin of `Pipes.scan`). */
+  def scanTws[A: TypeTag, B: TypeTag](zero: B)(step: (B, A) => B): Pipe[A, B] =
+    twsPipe[A, B, B](zero) { (s, e) =>
+      val s2 = step(s, e.value); (s2, Seq(Elem(e.seq, s2)))
+    }
+
+  /** mapAccum on transformWithState. */
+  def mapAccumTws[A: TypeTag, S: TypeTag, B: TypeTag](s0: S)(
+      f: (A, S) => (S, B)): Pipe[A, B] =
+    twsPipe[A, S, B](s0) { (s, e) =>
+      val (s2, b) = f(e.value, s); (s2, Seq(Elem(e.seq, b)))
+    }
+
+  /** take(n) as a streaming pipe: pass the first n elements, drop the
+    * rest (a stream never "terminates upstream", so the cut is a
+    * stateful drop — the reference's take semantics on an open stream).
+    */
+  def takeTws[A: TypeTag](n: Long): Pipe[A, A] =
+    twsPipe[A, Long, A](0L) { (cnt, e) =>
+      if (cnt < n) (cnt + 1, Seq(e)) else (cnt, Nil)
+    }
+
+  /** pairs as a streaming pipe: (previous, current) per element after the
+    * first — state is the last element seen, carried across quanta.
+    */
+  def pairsTws[A: TypeTag]: Pipe[A, (A, A)] =
+    twsPipe[A, Option[A], (A, A)](Option.empty[A]) { (prev, e) =>
+      (Some(e.value), prev.toSeq.map(p => Elem(e.seq, (p, e.value))))
+    }
+
+  /** consecutive(n) as a streaming pipe: for each element, the window of
+    * up to n elements BEFORE it (the reference's off-by-one, matching
+    * `Pipes.consecutive` minus the end-of-stream window — an open stream
+    * has no end).
+    */
+  def consecutiveTws[A: TypeTag](n: Int): Pipe[A, Seq[A]] =
+    twsPipe[A, Seq[A], Seq[A]](Vector.empty[A]) { (win, e) =>
+      ((win :+ e.value).takeRight(n), Seq(Elem(e.seq, win)))
     }
 }

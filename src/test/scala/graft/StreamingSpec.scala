@@ -107,6 +107,56 @@ class StreamingSpec extends SparkSpec {
     } finally f.stop()
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState scan/mapAccum ≡ batch across quanta (non-deprecated API)") {
+    withRocksDb {
+      val f = Incremental.open(spark,
+        StreamPipes.scanTws(0)((b: Int, a: Int) => b + a), "tws_scan")
+      try {
+        assert(f.feed(Seq(1, 2, 3)) == Seq(1, 3, 6))
+        assert(f.feed(Seq(4)) == Seq(10))       // state carried across quanta
+      } finally f.stop()
+      val g = Incremental.open(spark,
+        StreamPipes.mapAccumTws(0)((a: Int, s: Int) => (s + a, s)), "tws_macc")
+      try {
+        assert(g.feed(Seq(5, 6)) == Seq(0, 5))  // emits the PRE-state
+        assert(g.feed(Seq(7)) == Seq(11))
+      } finally g.stop()
+    }
+  }
+
+  test("transformWithState take/pairs/consecutive carry state across quanta") {
+    withRocksDb {
+      val ft = Incremental.open(spark, StreamPipes.takeTws[Int](4), "tws_take")
+      try {
+        assert(ft.feed(Seq(1, 2, 3)) == Seq(1, 2, 3))
+        assert(ft.feed(Seq(4, 5, 6)) == Seq(4)) // cut lands mid-quantum
+        assert(ft.feed(Seq(7)).isEmpty)
+      } finally ft.stop()
+      val fp = Incremental.open(spark, StreamPipes.pairsTws[Int], "tws_pairs")
+      try {
+        assert(fp.feed(Seq(1, 2, 3)) == Seq((1, 2), (2, 3)))
+        assert(fp.feed(Seq(4)) == Seq((3, 4))) // pair spans the quantum gap
+      } finally fp.stop()
+      val fc = Incremental.open(spark, StreamPipes.consecutiveTws[Int](2), "tws_consec")
+      try {
+        assert(fc.feed(Seq(1, 2, 3)) == Seq(Seq(), Seq(1), Seq(1, 2)))
+        assert(fc.feed(Seq(4)) == Seq(Seq(2, 3)))
+      } finally fc.stop()
+    }
+  }
+
   test("squeeze drains by seq: exactly-once even under a permuted collect order") {
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.types._
