@@ -1,9 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_FORCE=hash evaluates EVERY output column per row
+    // (sum of xxhash64 over the full struct) instead of count() —
+    // count() lets Catalyst prune unreferenced projections, so
+    // pure-projection queries mostly measure fixed overhead. The default
+    // stays count() for continuity with the recorded baselines; both
+    // modes are recorded in BASELINE.md.
+    val forceHash = sys.env.get("SPARK_GRAFT_FORCE").contains("hash")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,7 +24,11 @@ object Bench {
     spark.range(1000).toDF("seq").repartitionByRange(2, org.apache.spark.sql.functions.col("seq")).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        if (forceHash) df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+        else df.count()
+      } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
