@@ -407,6 +407,21 @@ object SparkEntry {
       ColOps.table(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // PII redaction (training-data scrubbing): email/phone/IP → tags
+    "q_redact_pii" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))),
+
+    // corpus word frequencies — the classic one-shuffle wordcount
+    "q_word_freq" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))),
+
+    // fixed-size word chunking (context-window packing fan-out)
+    "q_chunk_text" -> ((s, dir) =>
+      TextOps.chunkWords(ColOps.table(s, dir, "documents"), "doc_id", "text", 50)),
+
     // brute-force cosine top-3 (broadcast queries, partitioned ranking)
     "q_embed_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, dir), 20, 3)),
@@ -619,6 +634,22 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""",
+
+    "q_redact_pii" ->
+      s"SELECT doc_id, ${TextOps.redactPiiSql("text")} AS redacted FROM documents",
+
+    "q_word_freq" ->
+      """SELECT w AS word, COUNT(*) AS n
+         FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
+         GROUP BY w""",
+
+    "q_chunk_text" ->
+      """SELECT doc_id, x.u.i::BIGINT AS chunk_no,
+                array_to_string(x.w[x.u.i * 50 + 1 : x.u.i * 50 + 50], ' ') AS chunk
+         FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                 UNNEST([{'i': j} for j in
+                         range(0, (len(string_split(text, ' ')) - 1) // 50 + 1)]) AS u
+               FROM documents) x""",
 
     "q_embed_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -81,4 +81,52 @@ object TextOps {
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  // --- PII redaction (training-data scrubbing) ---
+
+  /** Redaction patterns, applied in order: email first (so the phone
+    * rule cannot half-eat a mailbox's digits), IP before phone (the
+    * phone character class admits dots, so a bare IPv4 would otherwise
+    * read as a phone number). Kept ERE-portable: the same pattern
+    * strings run in Spark's regexp_replace (Java regex) and DuckDB's
+    * (RE2, 'g' flag).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "\\+?[0-9][0-9() .-]{7,}[0-9]" -> "<PHONE>")
+
+  /** Scrub emails / phone numbers / IPv4s from a text column — pure
+    * regexp_replace chain, codegen'd, zero shuffle.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** The same redaction as DuckDB SQL text over expression `s` (DuckDB
+    * string literals do NOT process backslashes, so the pattern embeds
+    * verbatim — only quotes need escaping).
+    */
+  def redactPiiSql(s: String): String =
+    PiiPatterns.foldLeft(s) { case (e, (pat, tag)) =>
+      s"regexp_replace($e, '${pat.replace("'", "''")}', '$tag', 'g')"
+    }
+
+  /** Fixed-size word chunking for training-sample preparation: one row
+    * per chunk of up to `chunkWords` words, with the chunk index — the
+    * fan-out shape of context-window packing. Pure explode, no shuffle;
+    * chunk count per doc is ceil(n_words / chunkWords).
+    */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int): DataFrame = {
+    val w = words(col(textCol))
+    df.select(col(idCol), w.as("__w"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("__w")) - 1) / chunkWords).cast("int")),
+          i => concat_ws(" ", slice(col("__w"), i * chunkWords + 1, lit(chunkWords)))))
+          .as(Seq("chunk_no", "chunk")))
+      .select(col(idCol), col("chunk_no").cast("long").as("chunk_no"), col("chunk"))
+  }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** PII redaction and chunking — the training-data scrubbing/packing ops. */
+class TextOpsSpec extends SparkSpec {
+
+  test("redactPii scrubs emails, IPv4s and phone numbers (in that order)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact john.doe+spam@ex-ample.co.uk or call +1 (415) 555-0199 now"),
+      (2L, "server at 192.168.1.100 responded to user2024@x.com fast"),
+      (3L, "plain text with no pii at all"),
+      (4L, "digits 12345678901 run and short 1234 one"))
+    val got = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.redactPii(col("text")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "contact <EMAIL> or call <PHONE> now")
+    assert(got(2L) == "server at <IP> responded to <EMAIL> fast")
+    assert(got(3L) == "plain text with no pii at all")
+    assert(got(4L) == "digits <PHONE> run and short 1234 one")
+  }
+
+  test("chunkWords packs words into fixed-size chunks with dense chunk numbers") {
+    import spark.implicits._
+    val text = (1 to 23).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, text), (8L, "solo"), (9L, "")).toDF("doc_id", "text")
+    val got = TextOps.chunkWords(df, "doc_id", "text", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toList
+    val w = (1 to 23).map(i => s"w$i")
+    assert(got == List(
+      (7L, 0L, w.take(10).mkString(" ")),
+      (7L, 1L, w.slice(10, 20).mkString(" ")),
+      (7L, 2L, w.slice(20, 23).mkString(" ")),
+      (8L, 0L, "solo"),
+      (9L, 0L, "")))
+  }
+}
