@@ -339,6 +339,21 @@ object SparkEntry {
       Compose.zipSourcesWith(ev, ord)((a, b) => a + b).ds.toDF()
     }),
 
+    // as-of join — for each click, the latest view of the same user at or
+    // before it (merge-scan: one shuffle on user_id + window, never a
+    // range cross-product)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = ColOps.table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("v_event_id"), col("value").as("v_value"))
+      ColOps.asofJoin(clicks, views, "user_id", "ts", "event_id")
+        .select(col("event_id").as("seq"), col("user_id"),
+          col("asof_v_event_id"), col("asof_v_value"))
+    }),
+
     // §2.2 sourceHandleLines — one element per text line of a staged file
     // (staged driver-side from the documents table, one doc per line in
     // doc_id order; the OPERATOR under test is the distributed text read
@@ -586,6 +601,25 @@ object SparkEntry {
 
     "q_text_lines" ->
       "SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq, text AS line FROM documents",
+
+    "q_asof_join" ->
+      """WITH l AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value
+                    FROM events WHERE event_type = 'click'),
+              r AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+                           event_id AS v_event_id, value AS v_value
+                    FROM events WHERE event_type = 'view'),
+              u AS (SELECT user_id, t, event_id, 1 AS is_l,
+                           NULL::BIGINT AS v_event_id, NULL::DOUBLE AS v_value FROM l
+                    UNION ALL
+                    SELECT user_id, t, event_id, 0, v_event_id, v_value FROM r),
+              w AS (SELECT *,
+                      last_value(v_event_id IGNORE NULLS) OVER win AS asof_v_event_id,
+                      last_value(v_value IGNORE NULLS) OVER win AS asof_v_value
+                    FROM u
+                    WINDOW win AS (PARTITION BY user_id ORDER BY t, is_l, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS seq, user_id, asof_v_event_id, asof_v_value
+         FROM w WHERE is_l = 1""",
 
     "q_zip_with" ->
       s"""SELECT a.rn AS seq, a.iv + b.ov AS value

@@ -160,6 +160,48 @@ object ColOps {
     da.join(db, col("seq") === col("__bseq"), "inner").drop("__bseq")
   }
 
+  /** As-of join (the trade↔quote / event↔state-at-time operator Spark
+    * has no built-in for): for each left row, attach the LATEST right
+    * row of the same `key` with `time` at or before the left row's —
+    * deterministic under duplicate timestamps via the per-side tie
+    * columns (latest right tie wins).
+    *
+    * Spark-first plan (preference (a) — composed from existing ops, no
+    * custom SparkPlan): UNION the sides, ONE shuffle on `key`, one
+    * within-partition sort on (time, side, tie), and a running
+    * `last(ignoreNulls)` window with an explicit ROWS frame — the
+    * merge-scan as-of. Scales as a single exchange + sort; never a
+    * per-row lookup join, never a range cross-product. Right rows at the
+    * SAME time as a left row are visible to it (side orders right
+    * first) — the standard "at or before" convention.
+    *
+    * Requirements: both inputs share the `key`/`time`/`tie` column names
+    * with identical types (`tie` holds each side's own row id and only
+    * orders the window); every OTHER right column must have a name
+    * disjoint from left's (rename before calling) — those are the
+    * payload. Output = every left row + one `asof_<col>` column per
+    * payload column (null when no right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               tie: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = right.columns
+      .filterNot(c => c == key || c == time || left.columns.contains(c)).toSeq
+    require(payload.nonEmpty, "asofJoin: right side has no payload columns")
+    val l = left.withColumn("__is_left", lit(1))
+    val r = right.withColumn("__is_left", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__is_left"), col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(u) { (d, c) =>
+      d.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_left") === 1)
+      .drop("__is_left")
+      .drop(payload: _*)
+  }
+
   /** In-plan density assertion for [[zipBySeq]]'s `assumeDense` fast
     * path: crossJoin a broadcast 1-row boolean (cheap: the aggregate scans
     * only the seq column) and re-emit seq through a guard that raises on

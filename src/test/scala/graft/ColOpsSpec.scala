@@ -32,6 +32,28 @@ class ColOpsSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("not dense")))
   }
 
+  test("asofJoin: latest right row at-or-before each left row, tie-broken, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (2L, 5L, 102L, "c"))
+      .toDF("k", "t", "event_id", "lv")
+    val right = Seq(
+      (1L, 10L, 200L, "r1"), (1L, 10L, 201L, "r2"), // tie at t=10 → 201 wins
+      (1L, 15L, 202L, "r3"),
+      (2L, 50L, 203L, "r4"))                        // after every left row of k=2
+      .toDF("k", "t", "event_id", "rv0")
+      .select(col("k"), col("t"), col("event_id"),
+        col("event_id").as("r_id"), col("rv0").as("rv"))
+    val got = ColOps.asofJoin(left, right, "k", "t", "event_id")
+      .select(col("event_id"), col("asof_r_id"), col("asof_rv"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1).toList
+    assert(got == List(
+      (100L, Some(201L), Some("r2")),  // same-time right rows visible, max tie
+      (101L, Some(202L), Some("r3")),
+      (102L, None, None)))             // no predecessor → null
+  }
+
   test("multimodal thumb digest is byte-based: non-ASCII row agrees with the oracle formula") {
     val s = "héllo wörld exträ pädding"
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
