@@ -437,6 +437,11 @@ object SparkEntry {
     "q_chunk_text" -> ((s, dir) =>
       TextOps.chunkWords(ColOps.table(s, dir, "documents"), "doc_id", "text", 50)),
 
+    // KMV distinct-count sketch over corpus words (deterministic — the
+    // oracle-matchable stand-in for approx_count_distinct)
+    "q_kmv_sketch" -> ((s, dir) =>
+      Sketches.kmvWordSketch(ColOps.table(s, dir, "documents"), "text")),
+
     // brute-force cosine top-3 (broadcast queries, partitioned ranking)
     "q_embed_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, dir), 20, 3)),
@@ -676,6 +681,8 @@ object SparkEntry {
       """SELECT w AS word, COUNT(*) AS n
          FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
          GROUP BY w""",
+
+    "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
 
     "q_chunk_text" ->
       """SELECT doc_id, x.u.i::BIGINT AS chunk_no,

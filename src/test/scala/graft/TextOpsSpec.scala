@@ -22,6 +22,20 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) == "digits <PHONE> run and short 1234 one")
   }
 
+  test("KMV sketch: exact below k, ~1/sqrt(k) accurate above") {
+    import spark.implicits._
+    // 40 distinct words < K=256 → exact
+    val small = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val r1 = Sketches.kmvWordSketch(small, "text").head()
+    assert(r1.getAs[Long]("n_in_sketch") == 40L && r1.getAs[Long]("est") == 40L)
+    // 20k distinct words → estimate within ~4 standard errors (25%)
+    val big = Seq.tabulate(100)(d =>
+      (d.toLong, (0 until 200).map(i => s"tok${d * 200 + i}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val est = Sketches.kmvWordSketch(big, "text").head().getAs[Long]("est")
+    assert(est > 15000L && est < 25000L, s"est=$est for 20000 true distinct")
+  }
+
   test("chunkWords packs words into fixed-size chunks with dense chunk numbers") {
     import spark.implicits._
     val text = (1 to 23).map(i => s"w$i").mkString(" ")
