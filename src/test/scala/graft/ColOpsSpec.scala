@@ -54,6 +54,18 @@ class ColOpsSpec extends SparkSpec {
       (102L, None, None)))             // no predecessor → null
   }
 
+  test("asofJoin edge cases: empty right keeps all left rows with nulls; empty left is empty") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L, "a")).toDF("k", "t", "event_id", "lv")
+    val right0 = Seq.empty[(Long, Long, Long, Long, String)]
+      .toDF("k", "t", "event_id", "r_id", "rv")
+    val got = ColOps.asofJoin(left, right0, "k", "t", "event_id").collect()
+    assert(got.length == 1 && got(0).isNullAt(got(0).fieldIndex("asof_r_id")))
+    val left0 = Seq.empty[(Long, Long, Long, String)].toDF("k", "t", "event_id", "lv")
+    val right = Seq((1L, 5L, 200L, 201L, "x")).toDF("k", "t", "event_id", "r_id", "rv")
+    assert(ColOps.asofJoin(left0, right, "k", "t", "event_id").count() == 0)
+  }
+
   test("multimodal thumb digest is byte-based: non-ASCII row agrees with the oracle formula") {
     val s = "héllo wörld exträ pädding"
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)

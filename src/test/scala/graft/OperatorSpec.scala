@@ -115,6 +115,14 @@ class OperatorSpec extends SparkSpec {
     assert(got == List(110L, 220L, 330L))
   }
 
+  test("zipSourcesWith with an empty side is empty; foldrCombine of empty stream is zero") {
+    val e = Sources.fromSeq(spark, Seq.empty[Long])
+    val xs = Sources.fromSeq(spark, Seq(1L, 2L))
+    assert(Compose.zipSourcesWith(e, xs)((a, b) => a + b).into(Sinks.count) == 0)
+    assert(Compose.zipSourcesWith(xs, e)((a, b) => a + b).into(Sinks.count) == 0)
+    assert(e.into(Sinks.foldrCombine("z")((x: Long, acc: String) => x + acc)((a, b) => b + a)) == "z")
+  }
+
   test("stdout/stderr sinks print elements in seq order") {
     val outB = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(outB)) {
