@@ -26,7 +26,10 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
-        if (forceHash) df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+        // bit_xor, not sum: xxhash64 values span the full Long range, so a
+        // running sum overflows within rows and ANSI mode (Spark 4
+        // default) would abort the job mid-measurement
+        if (forceHash) df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
         else df.count()
       } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -359,14 +359,20 @@ object SparkEntry {
     // doc_id order; the OPERATOR under test is the distributed text read
     // with the two-phase (file, offset) ordinal)
     "q_text_lines" -> ((s, dir) => {
+      // newline-in-text would split one doc into two lines and an empty
+      // LAST doc's line would be eaten by the trailing-newline convention
+      // — sanitize newlines (mirrored in the oracle) and terminate an
+      // empty final line explicitly
       val texts = ColOps.table(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).collect().map(_.getString(1))
+        .orderBy(col("doc_id")).collect().map(_.getString(1).replace('\n', ' '))
+      val content = texts.mkString("\n") +
+        (if (texts.nonEmpty && texts.last.isEmpty) "\n" else "")
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         s"graft_textlines_${Integer.toHexString(dir.hashCode)}.txt")
-      java.nio.file.Files.write(path, texts.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(path,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Sources.textLines(s, path.toString).ds.toDF()
         .select(col("seq"), col("value").as("line"))
     }),
@@ -605,7 +611,8 @@ object SparkEntry {
           (SELECT COUNT(*) FROM events) AS u2_cnt""",
 
     "q_text_lines" ->
-      "SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq, text AS line FROM documents",
+      """SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq,
+                replace(text, chr(10), ' ') AS line FROM documents""",
 
     "q_asof_join" ->
       """WITH l AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value
@@ -784,7 +791,7 @@ object SparkEntry {
         bk AS (SELECT doc_id, bucket FROM
                  (SELECT doc_id, UNNEST([${bands.mkString(", ")}]) AS bucket
                   FROM sig WHERE len(sh) > 0) b0
-               QUALIFY count(*) OVER (PARTITION BY bucket) <= ${Dedup.MaxBucket}),
+               ${ColOps.capBucketsQualifySql(Dedup.MaxBucket)}),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
         SELECT p.doc_a, p.doc_b,

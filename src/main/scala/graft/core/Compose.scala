@@ -160,21 +160,20 @@ object Compose {
     * checkpoint+count+collect three. Large frontiers keep the fully
     * distributed checkpoint + dense-rank path.
     */
+  /** Cap on rows a feedback round may pull to the driver via the
+    * small-frontier fast path (the limit(cap+1) overflow probe).
+    */
+  private val OutputCollectCap = 1 << 20
+
   private def feedbackRound[A: TypeTag](rawOut: Dataset[Elem[A]], round: Long,
                                         prevCount: Long)
       (implicit encA: Encoder[Elem[A]]): (Dataset[Elem[A]], Long) = {
     val spark = rawOut.sparkSession
-    def fromCollected(collected: Array[Elem[A]]): (Dataset[Elem[A]], Long) = {
-      require(collected.length < (1L << FeedbackSeqBits),
-        s"feedbackPipe: round $round produced more than 2^$FeedbackSeqBits elements")
+    def fromCollected(collected: Array[Elem[A]]): (Dataset[Elem[A]], Long) =
       (spark.createDataset(collected.toIndexedSeq.zipWithIndex.map { case (e, i) =>
         Elem((round << FeedbackSeqBits) | i.toLong, e.value)
       }), collected.length.toLong)
-    }
-    if (prevCount >= 0 && prevCount <= SmallFrontier) {
-      val collected = rawOut.collect().sortBy(_.seq)
-      if (collected.isEmpty) (null, 0L) else fromCollected(collected)
-    } else {
+    def distributed(): (Dataset[Elem[A]], Long) = {
       val mat = Materialize.checkpoint(rawOut)
       val cnt = mat.count()
       if (cnt == 0) (null, 0L)
@@ -186,6 +185,17 @@ object Compose {
           .map(e => Elem((round << FeedbackSeqBits) | e.seq, e.value))), cnt)
       }
     }
+    if (prevCount >= 0 && prevCount <= SmallFrontier) {
+      // bound the driver collect: a small INPUT does not bound the OUTPUT
+      // (the pipe may fan out), so collect through limit(cap+1) — if the
+      // cap+1-th row exists the round is too big for the driver; fall
+      // back to the distributed path (re-running the deterministic pipe,
+      // a rare one-off on the transition)
+      val probe = rawOut.limit(OutputCollectCap + 1).collect()
+      if (probe.isEmpty) (null, 0L)
+      else if (probe.length <= OutputCollectCap) fromCollected(probe.sortBy(_.seq))
+      else distributed()
+    } else distributed()
   }
 
   def feedbackPipe[A: TypeTag](p: Pipe[A, A], maxRounds: Int = 100)

@@ -25,8 +25,12 @@ object Materialize {
 
   def checkpoint[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
-    val reliable = spark.conf.getOption(ReliableKey).contains("true") &&
-      spark.sparkContext.getCheckpointDir.isDefined
-    if (reliable) ds.checkpoint() else ds.localCheckpoint()
+    if (spark.conf.getOption(ReliableKey).contains("true")) {
+      // misconfiguration must not silently downgrade to the non-reliable
+      // path — that is the exact failure mode the flag exists to prevent
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableKey=true but no checkpoint dir: call sc.setCheckpointDir first")
+      ds.checkpoint()
+    } else ds.localCheckpoint()
   }
 }

@@ -120,6 +120,21 @@ object ColOps {
         .withColumn("seq", col("seq") + col("__off")).drop("__off"))
   }
 
+  /** Keep only rows whose `bucket` population is ≤ cap — the shared
+    * viral-bucket guard of the dedup and embedding LSH candidate indexes
+    * (the window count rides the same bucket shuffle the candidate join
+    * needs anyway).
+    */
+  def capBuckets(df: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    df.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= cap).drop("__n")
+  }
+
+  /** The oracle-side mirror of [[capBuckets]] (DuckDB QUALIFY fragment). */
+  def capBucketsQualifySql(cap: Int): String =
+    s"QUALIFY count(*) OVER (PARTITION BY bucket) <= $cap"
+
   /** Skew-resistant equi-join (the salting pattern for hot keys at
     * 100 TB): the large/skewed left side gets a deterministic salt in
     * [0, salt), the small-side rows are replicated once per salt value,
@@ -185,21 +200,33 @@ object ColOps {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
                tie: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // shared-by-contract: key/time/tie; any OTHER collision would be
+    // silently merged by unionByName — fail loud instead
+    val colliding = right.columns
+      .filter(c => c != key && c != time && c != tie && left.columns.contains(c))
+    require(colliding.isEmpty,
+      s"asofJoin: right payload columns collide with left: ${colliding.mkString(", ")} — rename them")
     val payload = right.columns
-      .filterNot(c => c == key || c == time || left.columns.contains(c)).toSeq
+      .filterNot(c => c == key || c == time || c == tie).toSeq
     require(payload.nonEmpty, "asofJoin: right side has no payload columns")
+    // ONE struct of the whole payload is window-filled, so the attached
+    // values always come from a single right row — per-column fills
+    // would tear mixed rows when a payload field is null
+    val r = right
+      .withColumn("__asof_row", struct(payload.map(col): _*))
+      .drop(payload: _*)
+      .withColumn("__is_left", lit(0))
     val l = left.withColumn("__is_left", lit(1))
-    val r = right.withColumn("__is_left", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__is_left"), col(tie))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(u) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    val filled = u.withColumn("__asof", last(col("__asof_row"), ignoreNulls = true).over(w))
+    payload.foldLeft(filled) { (d, c) =>
+      d.withColumn(s"asof_$c", col("__asof").getField(c))
     }
-    filled.filter(col("__is_left") === 1)
-      .drop("__is_left")
-      .drop(payload: _*)
+      .filter(col("__is_left") === 1)
+      .drop("__is_left", "__asof_row", "__asof")
   }
 
   /** In-plan density assertion for [[zipBySeq]]'s `assumeDense` fast
@@ -208,9 +235,13 @@ object ColOps {
     * the first row if seqs are not exactly 0..n-1.
     */
   private def assertDenseSeq(df: DataFrame, side: String): DataFrame = {
+    // min=0 ∧ max=n-1 alone admits duplicate-plus-gap multisets like
+    // {0,1,1,3}; distinctness closes that hole (the three together imply
+    // exactly 0..n-1)
     val g = df.agg(
       (count(lit(1)) === 0L ||
-        (min(col("seq")) === 0L && max(col("seq")) === count(lit(1)) - 1L))
+        (min(col("seq")) === 0L && max(col("seq")) === count(lit(1)) - 1L &&
+          countDistinct(col("seq")) === count(lit(1))))
         .as("__dense"))
     val cols = df.columns.map {
       case "seq" => when(col("__dense"), col("seq"))

@@ -95,12 +95,8 @@ object Dedup {
     * index actually joined — one shuffle on the bucket key, which the
     * window count shares).
     */
-  def cappedBandBuckets(sig: DataFrame, cap: Int = MaxBucket): DataFrame = {
-    val w = Window.partitionBy(col("bucket"))
-    bandBuckets(sig)
-      .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= cap).drop("__n")
-  }
+  def cappedBandBuckets(sig: DataFrame, cap: Int = MaxBucket): DataFrame =
+    ColOps.capBuckets(bandBuckets(sig), cap)
 
   /** Candidate pairs: docs sharing ≥1 surviving band bucket (a < b,
     * distinct).

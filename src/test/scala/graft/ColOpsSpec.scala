@@ -54,6 +54,31 @@ class ColOpsSpec extends SparkSpec {
       (102L, None, None)))             // no predecessor → null
   }
 
+  test("zipBySeq assumeDense: duplicate-plus-gap seq multiset is rejected (not just min/max)") {
+    import spark.implicits._
+    val a = Seq((0L, "w"), (1L, "x"), (2L, "y"), (3L, "z")).toDF("seq", "va")
+    // {0,1,1,3}: count=4, min=0, max=3 — passes a min/max-only check
+    val bDupGap = Seq((0L, 1.0), (1L, 2.0), (1L, 3.0), (3L, 4.0)).toDF("seq", "vb")
+    val ex = intercept[Throwable] {
+      ColOps.zipBySeq(a, bDupGap, "b_", assumeDense = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("not dense")))
+  }
+
+  test("asofJoin attaches ONE whole right row — a null payload field is not patched from older rows") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, 100L, "a")).toDF("k", "t", "event_id", "lv")
+    val right = Seq(
+      (1L, 5L, 200L, Some(200L), Some("x")),
+      (1L, 8L, 201L, Some(201L), None: Option[String])) // latest row has a null field
+      .toDF("k", "t", "event_id", "r_id", "rv")
+    val got = ColOps.asofJoin(left, right, "k", "t", "event_id").head()
+    assert(got.getAs[Long]("asof_r_id") == 201L)
+    assert(got.isNullAt(got.fieldIndex("asof_rv"))) // NOT "x" from the older row
+  }
+
   test("asofJoin edge cases: empty right keeps all left rows with nulls; empty left is empty") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L, "a")).toDF("k", "t", "event_id", "lv")
