@@ -69,6 +69,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH join:\n$p")
   }
 
+  test("as-of join is one keyed exchange + window, never a range cross-product") {
+    val df = SparkEntry.queries("q_asof_join")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of compiled to a product join:\n$p")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"as-of window not keyed by user_id:\n$p")
+    // exactly one exchange on the key feeds the window (union sides share it)
+    val keyExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(user_id")).toList
+    assert(keyExchanges.nonEmpty && keyExchanges.size <= 2,
+      s"unexpected exchange count for as-of:\n$keyExchanges")
+  }
+
+  test("KMV sketch top-k is a partial TakeOrdered on the narrow hash, no global sort") {
+    val df = SparkEntry.queries("q_kmv_sketch")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"no partial top-k:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")),
+      s"global sort in sketch plan:\n$p")
+  }
+
+  test("banded LSH topk: candidate generation is bucket-equi-joined and deduped before scoring") {
+    val df = SparkEntry.queries("q_embed_lsh")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in banded LSH:\n$p")
+    assert(p.contains("HashAggregate"), s"no dedup aggregate before scoring:\n$p")
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
