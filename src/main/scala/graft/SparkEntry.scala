@@ -483,6 +483,32 @@ object SparkEntry {
           col("total").cast("long").as("total"), col("cnt"))
     }),
 
+    // event-time SLIDING windows (2h window, 1h slide — each event in 2
+    // windows; the fan-out is inside Spark's window() generator)
+    "q_event_sliding" -> ((s, dir) => {
+      val ev = ColOps.table(s, dir, "events")
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ival", ivalCol)
+      graft.streaming.EventTime.sliding(ev, "ts2", "1 hour", "2 hours", "1 hour",
+        Seq(sum(col("ival")).as("total0"), count(lit(1)).as("cnt")))
+        .select(unix_timestamp(col("w_start")).as("w_start_s"),
+          col("total0").cast("long").as("total"), col("cnt"))
+    }),
+
+    // event-time SESSION windows per user (2h inactivity gap; session end
+    // = last event + gap, half-open — an event exactly at the previous
+    // session's end starts a new one)
+    "q_event_session" -> ((s, dir) => {
+      val ev = ColOps.table(s, dir, "events")
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ival", ivalCol)
+      graft.streaming.EventTime.session(ev, "ts2", "user_id", "1 hour", "2 hours",
+        Seq(sum(col("ival")).as("total0"), count(lit(1)).as("cnt")))
+        .select(col("user_id"), unix_micros(col("s_start")).as("s_start_us"),
+          unix_micros(col("s_end")).as("s_end_us"),
+          col("total0").cast("long").as("total"), col("cnt"))
+    }),
+
     // Lift/exceptP: per-element failures → dead-letter side output; the
     // result is the union (good rows + dead rows, tagged). Columnar form
     // (Lift.runExceptC): the parse is try_cast, the domain check a CASE —
@@ -763,6 +789,29 @@ object SparkEntry {
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start_s,
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY 1""",
+
+    "q_event_sliding" ->
+      s"""SELECT (epoch_ns(ts) // 3600000000000 - u.j) * 3600 AS w_start_s,
+          CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
+          FROM events, (SELECT UNNEST([0, 1]) AS j) u
+          GROUP BY 1""",
+
+    // gaps-and-islands mirror of session_window: a new session starts
+    // when the gap to the previous event is >= 2h (Spark's window is
+    // half-open, so an event exactly at prev_last+gap is OUTSIDE)
+    "q_event_session" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, $IvalSql AS iv FROM events),
+              m AS (SELECT user_id, t, iv,
+                      CASE WHEN lag(t) OVER w IS NULL
+                                OR t - lag(t) OVER w >= 7200000000000
+                           THEN 1 ELSE 0 END AS new_s
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+              s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+          SELECT user_id, min(t) // 1000 AS s_start_us,
+                 max(t) // 1000 + 7200000000 AS s_end_us,
+                 CAST(SUM(iv) AS BIGINT) AS total, COUNT(*) AS cnt
+          FROM s GROUP BY user_id, sid""",
 
     // TRY_CAST + three-way CASE, mirroring runExceptC's branches exactly:
     // NULL k (digit-free or >18-digit props) → 'unparseable', k % 7 = 0 →

@@ -26,4 +26,33 @@ object EventTime {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("*")).drop("window")
   }
+
+  /** Sliding-window aggregation: each event contributes to every window
+    * of length `windowDur` that covers it, one starting every `slideDur`
+    * (dur/slide windows per event — the fan-out happens inside Spark's
+    * `window()` generator, no self-join).
+    */
+  def sliding(events: DataFrame, tsCol: String, watermarkDelay: String,
+              windowDur: String, slideDur: String, aggExprs: Seq[Column]): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    src.groupBy(window(col(tsCol), windowDur, slideDur))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("*")).drop("window")
+  }
+
+  /** Session-window aggregation per key: a session closes after `gapDur`
+    * of inactivity (Spark's native `session_window` — state bounded by
+    * the watermark in streaming mode; in batch mode the same plan runs as
+    * a merge of overlapping candidate sessions).
+    */
+  def session(events: DataFrame, tsCol: String, keyCol: String,
+              watermarkDelay: String, gapDur: String, aggExprs: Seq[Column]): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
+    src.groupBy(col(keyCol), session_window(col(tsCol), gapDur))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("*"))
+      .drop("session_window")
+  }
 }
