@@ -36,6 +36,16 @@ object SparkEntry {
     SStream(events(spark, dir).select(col("seq"), ivalCol.as("value")).as[Elem[Long]])
   }
 
+  /** Events with the ns timestamp truncated to a µs `ts2` plus `ival` —
+    * the shared prep of every event-time window query (the ns→µs
+    * truncation is load-bearing for the DuckDB-oracle contract: DuckDB
+    * reads the TIMESTAMP_NS parquet micro-truncated).
+    */
+  private def eventsWithTs(s: SparkSession, dir: String): DataFrame =
+    ColOps.table(s, dir, "events")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ival", ivalCol)
+
   private def oneRow(spark: SparkSession, names: Seq[String], values: Seq[Any]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(names.zip(values).map {
@@ -474,10 +484,7 @@ object SparkEntry {
     // streaming windowed-agg operator, run in batch mode here; ts is
     // TIMESTAMP(NANOS) surfaced as Long)
     "q_event_window" -> ((s, dir) => {
-      val ev = ColOps.table(s, dir, "events")
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-        .withColumn("ival", ivalCol)
-      graft.streaming.EventTime.tumbling(ev, "ts2", "5 seconds", "1 hour",
+      graft.streaming.EventTime.tumbling(eventsWithTs(s, dir), "ts2", "5 seconds", "1 hour",
         Seq(sum(col("ival")).as("total"), count(lit(1)).as("cnt")))
         .select(unix_timestamp(col("w_start")).as("w_start_s"),
           col("total").cast("long").as("total"), col("cnt"))
@@ -486,27 +493,23 @@ object SparkEntry {
     // event-time SLIDING windows (2h window, 1h slide — each event in 2
     // windows; the fan-out is inside Spark's window() generator)
     "q_event_sliding" -> ((s, dir) => {
-      val ev = ColOps.table(s, dir, "events")
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-        .withColumn("ival", ivalCol)
-      graft.streaming.EventTime.sliding(ev, "ts2", "1 hour", "2 hours", "1 hour",
-        Seq(sum(col("ival")).as("total0"), count(lit(1)).as("cnt")))
+      graft.streaming.EventTime.sliding(eventsWithTs(s, dir), "ts2",
+        "1 hour", "2 hours", "1 hour",
+        Seq(sum(col("ival")).as("total"), count(lit(1)).as("cnt")))
         .select(unix_timestamp(col("w_start")).as("w_start_s"),
-          col("total0").cast("long").as("total"), col("cnt"))
+          col("total").cast("long").as("total"), col("cnt"))
     }),
 
     // event-time SESSION windows per user (2h inactivity gap; session end
     // = last event + gap, half-open — an event exactly at the previous
     // session's end starts a new one)
     "q_event_session" -> ((s, dir) => {
-      val ev = ColOps.table(s, dir, "events")
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-        .withColumn("ival", ivalCol)
-      graft.streaming.EventTime.session(ev, "ts2", "user_id", "1 hour", "2 hours",
-        Seq(sum(col("ival")).as("total0"), count(lit(1)).as("cnt")))
+      graft.streaming.EventTime.session(eventsWithTs(s, dir), "ts2", "user_id",
+        "1 hour", "2 hours",
+        Seq(sum(col("ival")).as("total"), count(lit(1)).as("cnt")))
         .select(col("user_id"), unix_micros(col("s_start")).as("s_start_us"),
           unix_micros(col("s_end")).as("s_end_us"),
-          col("total0").cast("long").as("total"), col("cnt"))
+          col("total").cast("long").as("total"), col("cnt"))
     }),
 
     // Lift/exceptP: per-element failures → dead-letter side output; the

@@ -19,13 +19,9 @@ object EventTime {
     * eviction and append-mode emission on window close).
     */
   def tumbling(events: DataFrame, tsCol: String, watermarkDelay: String,
-               windowDur: String, aggExprs: Seq[Column]): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
-    src.groupBy(window(col(tsCol), windowDur))
-      .agg(aggExprs.head, aggExprs.tail: _*)
-      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
-        col("*")).drop("window")
-  }
+               windowDur: String, aggExprs: Seq[Column]): DataFrame =
+    // a tumbling window IS the slide == duration special case
+    sliding(events, tsCol, watermarkDelay, windowDur, windowDur, aggExprs)
 
   /** Sliding-window aggregation: each event contributes to every window
     * of length `windowDur` that covers it, one starting every `slideDur`

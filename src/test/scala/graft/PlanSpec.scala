@@ -69,26 +69,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH join:\n$p")
   }
 
-  test("as-of join is one keyed exchange + window, never a range cross-product") {
+  test("as-of join is ONE keyed exchange + window, never a range cross-product") {
     val df = SparkEntry.queries("q_asof_join")(spark, dir)
+    df.count() // finalize the AQE plan before inspecting it
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"as-of compiled to a product join:\n$p")
     assert(p.contains("windowspecdefinition(user_id"),
       s"as-of window not keyed by user_id:\n$p")
-    // exactly one exchange on the key feeds the window (union sides share it)
+    // exactly one exchange on the key (above the union, shared by both
+    // sides) — a second one means the union sides stopped sharing it
     val keyExchanges = p.linesIterator
       .filter(l => l.contains("Exchange hashpartitioning(user_id")).toList
-    assert(keyExchanges.nonEmpty && keyExchanges.size <= 2,
-      s"unexpected exchange count for as-of:\n$keyExchanges")
+    assert(keyExchanges.size == 1,
+      s"expected exactly 1 keyed exchange for as-of, got ${keyExchanges.size}:\n$keyExchanges")
   }
 
   test("KMV sketch top-k is a partial TakeOrdered on the narrow hash, no global sort") {
     val df = SparkEntry.queries("q_kmv_sketch")(spark, dir)
     val p = plan(df)
     assert(p.contains("TakeOrderedAndProject"), s"no partial top-k:\n$p")
-    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")),
-      s"global sort in sketch plan:\n$p")
+    // a global Sort would need a range-partitioning exchange below it —
+    // assert that shape is absent (Spark prints global sorts as
+    // 'Sort [...], true, 0', never the literal 'global=true')
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"range exchange (global sort) in sketch plan:\n$p")
   }
 
   test("banded LSH topk: candidate generation is bucket-equi-joined and deduped before scoring") {

@@ -107,6 +107,75 @@ class StreamingSpec extends SparkSpec {
     } finally f.stop()
   }
 
+  test("event-time sliding window streaming: closed windows match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = EventTime.sliding(input.toDS().toDF("ts", "v"), "ts",
+      "5 seconds", "10 seconds", "5 seconds",
+      Seq(sum(col("v")).as("total"), count(lit(1)).as("cnt")))
+    val q = agg.writeStream.format("memory").queryName("et_slide")
+      .outputMode("append").start()
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val data = Seq((ts(1), 10L), (ts(3), 20L), (ts(7), 5L))
+    try {
+      input.addData(data)
+      q.processAllAvailable()
+      input.addData(Seq((ts(31), 1L))) // watermark 26 closes everything early
+      q.processAllAvailable(); q.processAllAvailable()
+      val closed = spark.table("et_slide").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("w_start").getTime / 1000,
+                   r.getAs[Long]("total"), r.getAs[Long]("cnt"))).toSet
+      // windows: [-5,5): 10+20; [0,10): 10+20+5; [5,15): 5
+      assert(closed == Set((-5L, 30L, 2L), (0L, 35L, 3L), (5L, 5L, 1L)),
+        s"got $closed")
+      val batch = EventTime.sliding(data.toDF("ts", "v"), "ts",
+        "5 seconds", "10 seconds", "5 seconds",
+        Seq(sum(col("v")).as("total"), count(lit(1)).as("cnt")))
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("w_start").getTime / 1000,
+                             r.getAs[Long]("total"), r.getAs[Long]("cnt"))).toSet
+      assert(batch == closed, s"batch $batch != streaming $closed")
+    } finally q.stop()
+  }
+
+  test("event-time session window streaming: closed sessions match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val agg = EventTime.session(input.toDS().toDF("ts", "k", "v"), "ts", "k",
+      "5 seconds", "10 seconds",
+      Seq(sum(col("v")).as("total"), count(lit(1)).as("cnt")))
+    val q = agg.writeStream.format("memory").queryName("et_sess")
+      .outputMode("append").start()
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    // k=1: events at 1,8 (one session, gap<10); k=2: event at 2
+    val data = Seq((ts(1), 1L, 10L), (ts(8), 1L, 20L), (ts(2), 2L, 7L))
+    try {
+      input.addData(data)
+      q.processAllAvailable()
+      input.addData(Seq((ts(60), 9L, 1L))) // watermark 55 closes all sessions
+      q.processAllAvailable(); q.processAllAvailable()
+      val closed = spark.table("et_sess").collect()
+        .map(r => (r.getAs[Long]("k"),
+                   r.getAs[java.sql.Timestamp]("s_start").getTime / 1000,
+                   r.getAs[java.sql.Timestamp]("s_end").getTime / 1000,
+                   r.getAs[Long]("total"))).toSet
+      assert(closed == Set((1L, 1L, 18L, 30L), (2L, 2L, 12L, 7L)), s"got $closed")
+      val batch = EventTime.session(data.toDF("ts", "k", "v"), "ts", "k",
+        "5 seconds", "10 seconds",
+        Seq(sum(col("v")).as("total"), count(lit(1)).as("cnt")))
+        .collect().map(r => (r.getAs[Long]("k"),
+                             r.getAs[java.sql.Timestamp]("s_start").getTime / 1000,
+                             r.getAs[java.sql.Timestamp]("s_end").getTime / 1000,
+                             r.getAs[Long]("total"))).toSet
+      assert(batch == closed, s"batch $batch != streaming $closed")
+    } finally q.stop()
+  }
+
   private def withRocksDb[T](body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
