@@ -490,6 +490,23 @@ object SparkEntry {
           col("total").cast("long").as("total"), col("cnt"))
     }),
 
+    // discrete quantiles per group via order statistics (row_number over
+    // a PARTITIONED window — parallel by group; exact and deterministic,
+    // unlike interpolated percentile/approx sketches whose float
+    // arithmetic is engine-private)
+    "q_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wn = Window.partitionBy(col("event_type"))
+      val ranked = ev.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      def pick(p: Double) =
+        max(when(col("rn") === floor((col("n") - 1) * p) + 1, col("value")))
+      ranked.groupBy(col("event_type")).agg(
+        pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+    }),
+
     // event-time SLIDING windows (2h window, 1h slide — each event in 2
     // windows; the fan-out is inside Spark's window() generator)
     "q_event_sliding" -> ((s, dir) => {
@@ -792,6 +809,17 @@ object SparkEntry {
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start_s,
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY 1""",
+
+    "q_quantiles" ->
+      """WITH r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+                    FROM events)
+         SELECT event_type,
+                max(CASE WHEN rn = floor((n-1) * 0.5) + 1 THEN value END) AS p50,
+                max(CASE WHEN rn = floor((n-1) * 0.9) + 1 THEN value END) AS p90,
+                max(CASE WHEN rn = floor((n-1) * 0.99) + 1 THEN value END) AS p99
+         FROM r GROUP BY event_type""",
 
     "q_event_sliding" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000 - u.j) * 3600 AS w_start_s,
