@@ -490,6 +490,25 @@ object SparkEntry {
           col("total").cast("long").as("total"), col("cnt"))
     }),
 
+    // keyed running scan — the per-key form of q_scan: a PARTITIONED
+    // window (parallel by key, no global order, no boundary exchange);
+    // at 100 TB this is the shape keyed running aggregates should take
+    "q_keyed_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(col("seq"), col("user_id"), ivalCol.as("ival"))
+        .select(col("seq"), col("user_id"), sum(col("ival")).over(w).as("run_sum"))
+    }),
+
+    // rollup — hierarchical subtotal lattice (event_type, user bucket) →
+    // per-pair, per-type, grand total in ONE pass
+    "q_rollup" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), pmod(col("user_id"), lit(10)).as("ub"), ivalCol.as("ival"))
+        .rollup(col("event_type"), col("ub"))
+        .agg(sum(col("ival")).cast("long").as("total"), count(lit(1)).as("cnt"))),
+
     // discrete quantiles per group via order statistics (row_number over
     // a PARTITIONED window — parallel by group; exact and deterministic,
     // unlike interpolated percentile/approx sketches whose float
@@ -809,6 +828,17 @@ object SparkEntry {
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start_s,
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY 1""",
+
+    "q_keyed_scan" ->
+      s"""SELECT event_id AS seq, user_id,
+          CAST(SUM($IvalSql) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum
+          FROM events""",
+
+    "q_rollup" ->
+      s"""SELECT event_type, user_id % 10 AS ub,
+          CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
+          FROM events GROUP BY ROLLUP (event_type, ub)""",
 
     "q_quantiles" ->
       """WITH r AS (SELECT event_type, value,

@@ -47,6 +47,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup: drop rows whose key columns were already
+    * seen within the watermark horizon — the streaming form of [[exact]]
+    * with state BOUNDED by the watermark (unbounded dropDuplicates state
+    * is the classic streaming-dedup OOM at 100 TB; the horizon is the
+    * documented trade: a duplicate arriving later than `delay` after its
+    * original passes through).
+    */
+  def streamingExact(df: DataFrame, tsCol: String, delay: String,
+                     keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
   /** doc → (id, sh: array<long>, minhash: array<long>[k]).
     *
     * Staged as three Projects so each intermediate array is computed

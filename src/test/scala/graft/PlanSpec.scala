@@ -103,6 +103,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"no dedup aggregate before scoring:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no exchange on the join path") {
+    import spark.implicits._
+    val l = (0L until 1000L).map(i => (i % 50, i)).toDF("k", "lv")
+    val r = (0L until 500L).map(i => (i % 50, i * 2)).toDF("k", "rv")
+    spark.sql("DROP TABLE IF EXISTS bkt_l")
+    spark.sql("DROP TABLE IF EXISTS bkt_r")
+    l.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_l")
+    r.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_r")
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+        assert(j.count() == l.join(r, "k").count()) // semantics unchanged
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"not a shuffle-family join:\n$p")
+        // the whole point of bucketing: both sides arrive pre-partitioned
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"bucketed join still exchanges:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_l")
+      spark.sql("DROP TABLE IF EXISTS bkt_r")
+    }
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))

@@ -176,6 +176,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicates within the watermark horizon emit once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = graft.operators.Dedup.streamingExact(
+      input.toDS().toDF("ts", "doc"), "ts", "10 seconds", Seq("doc"))
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    try {
+      input.addData(Seq((ts(1), "a"), (ts(2), "b"), (ts(2), "a"))) // intra-batch dup
+      q.processAllAvailable()
+      input.addData(Seq((ts(5), "a"), (ts(6), "c")))               // cross-batch dup
+      q.processAllAvailable()
+      val docs = spark.table("sdedup").collect().map(_.getAs[String]("doc")).toList
+      assert(docs.sorted == List("a", "b", "c"), s"got $docs")
+    } finally q.stop()
+  }
+
   private def withRocksDb[T](body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
