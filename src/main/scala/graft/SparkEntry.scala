@@ -490,6 +490,17 @@ object SparkEntry {
           col("total").cast("long").as("total"), col("cnt"))
     }),
 
+    // band (range) join — near-value event pairs via the binned
+    // equi-join (one shuffle on the bin key; a bare |Δ|≤tol join would
+    // plan as an O(n²) nested-loop product)
+    "q_band_join" -> ((s, dir) => {
+      val a = events(s, dir).select(col("seq").as("seq_a"), col("value").as("v_a"))
+      val b = events(s, dir).select(col("seq").as("seq_b"), col("value").as("v_b"))
+      ColOps.bandJoin(a, b, "v_a", "v_b", 0.05)
+        .filter(col("seq_a") < col("seq_b"))
+        .select(col("seq_a"), col("seq_b"), col("v_a"), col("v_b"))
+    }),
+
     // keyed running scan — the per-key form of q_scan: a PARTITIONED
     // window (parallel by key, no global order, no boundary exchange);
     // at 100 TB this is the shape keyed running aggregates should take
@@ -828,6 +839,12 @@ object SparkEntry {
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start_s,
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY 1""",
+
+    "q_band_join" ->
+      """SELECT a.event_id AS seq_a, b.event_id AS seq_b,
+                a.value AS v_a, b.value AS v_b
+         FROM events a JOIN events b
+           ON b.event_id > a.event_id AND abs(a.value - b.value) <= 0.05""",
 
     "q_keyed_scan" ->
       s"""SELECT event_id AS seq, user_id,

@@ -120,6 +120,33 @@ object ColOps {
         .withColumn("seq", col("seq") + col("__off")).drop("__off"))
   }
 
+  /** Band (range) join: pairs with |valueL − valueR| ≤ tol, executed as
+    * a BINNED equi-join — Catalyst plans a bare inequality join as a
+    * nested-loop product, which is O(n²) at any scale. Bin width is
+    * 2·tol: the left side explodes to its bin ±1 (every true pair is
+    * within half a bin of a shared boundary, so the ±1 neighborhood
+    * covers it with half-a-bin of slack against float edge rounding),
+    * the equi-join runs on the bin key, and the exact |Δ| ≤ tol filter
+    * decides membership. Each true pair is produced EXACTLY once (its
+    * bin offset is fixed), so no distinct pass is needed. Cost is
+    * O(n·occupancy), one shuffle on the bin key.
+    *
+    * Value column names must differ between the sides (rename before
+    * calling); other column names must be disjoint too (equi-join output
+    * carries both sides' columns).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, lv: String, rv: String,
+               tol: Double): DataFrame = {
+    require(tol > 0, "bandJoin: tol must be positive")
+    val w = 2 * tol
+    val lb = left
+      .withColumn("__lbin", floor(col(lv) / w).cast(LongType))
+      .withColumn("__bin", explode(array(col("__lbin") - 1, col("__lbin"), col("__lbin") + 1)))
+      .drop("__lbin")
+    val rb = right.withColumn("__bin", floor(col(rv) / w).cast(LongType))
+    lb.join(rb, "__bin").where(abs(col(lv) - col(rv)) <= tol).drop("__bin")
+  }
+
   /** Keep only rows whose `bucket` population is ≤ cap — the shared
     * viral-bucket guard of the dedup and embedding LSH candidate indexes
     * (the window count rides the same bucket shuffle the candidate join

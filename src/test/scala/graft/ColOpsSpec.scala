@@ -91,6 +91,25 @@ class ColOpsSpec extends SparkSpec {
     assert(ColOps.asofJoin(left0, right, "k", "t", "event_id").count() == 0)
   }
 
+  test("bandJoin == naive inequality join, each pair exactly once (incl. bin-boundary values)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // mix random values with exact bin-boundary multiples of 2*tol
+    val vals = Seq.tabulate(300)(i =>
+      if (i % 10 == 0) (i / 10) * 0.1 else rnd.nextDouble() * 3)
+    val a = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("seq_a", "v_a")
+    val b = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("seq_b", "v_b")
+    val got = ColOps.bandJoin(a, b, "v_a", "v_b", 0.05)
+      .filter(col("seq_a") < col("seq_b"))
+      .collect().map(r => (r.getAs[Long]("seq_a"), r.getAs[Long]("seq_b"))).toList
+    val expect = (for {
+      i <- vals.indices; j <- vals.indices
+      if i < j && math.abs(vals(i) - vals(j)) <= 0.05
+    } yield (i.toLong, j.toLong)).toList
+    assert(got.sorted == expect.sorted)
+    assert(got.size == got.distinct.size, "pair emitted more than once")
+  }
+
   test("multimodal thumb digest is byte-based: non-ASCII row agrees with the oracle formula") {
     val s = "héllo wörld exträ pädding"
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
