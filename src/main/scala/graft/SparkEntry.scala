@@ -516,7 +516,9 @@ object SparkEntry {
     // per-pair, per-type, grand total in ONE pass
     "q_rollup" -> ((s, dir) =>
       events(s, dir)
-        .select(col("event_type"), pmod(col("user_id"), lit(10)).as("ub"), ivalCol.as("ival"))
+        // % not pmod: DuckDB's % is sign-of-dividend; they agree only on
+        // non-negative ids, so use the operator with identical semantics
+        .select(col("event_type"), (col("user_id") % 10).as("ub"), ivalCol.as("ival"))
         .rollup(col("event_type"), col("ub"))
         .agg(sum(col("ival")).cast("long").as("total"), count(lit(1)).as("cnt"))),
 
@@ -840,11 +842,19 @@ object SparkEntry {
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY 1""",
 
+    // the BETWEEN slack band (0.0501 > tol) is redundant with the exact
+    // abs filter but gives DuckDB a range condition for its IEJoin —
+    // without it the oracle degenerates to an O(n²) filtered product
+    // (measured 83 s vs 0.3 s at sf0.1). The slack must be strictly
+    // wider than tol: an exact-0.05 BETWEEN disagrees with the abs
+    // filter on boundary pairs.
     "q_band_join" ->
       """SELECT a.event_id AS seq_a, b.event_id AS seq_b,
                 a.value AS v_a, b.value AS v_b
          FROM events a JOIN events b
-           ON b.event_id > a.event_id AND abs(a.value - b.value) <= 0.05""",
+           ON b.event_id > a.event_id
+          AND b.value BETWEEN a.value - 0.0501 AND a.value + 0.0501
+          AND abs(a.value - b.value) <= 0.05""",
 
     "q_keyed_scan" ->
       s"""SELECT event_id AS seq, user_id,

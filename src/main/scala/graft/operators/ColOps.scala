@@ -138,6 +138,8 @@ object ColOps {
   def bandJoin(left: DataFrame, right: DataFrame, lv: String, rv: String,
                tol: Double): DataFrame = {
     require(tol > 0, "bandJoin: tol must be positive")
+    require(!(left.columns ++ right.columns).exists(c => c == "__bin" || c == "__lbin"),
+      "bandJoin: inputs must not carry __bin/__lbin columns (internal names)")
     val w = 2 * tol
     val lb = left
       .withColumn("__lbin", floor(col(lv) / w).cast(LongType))
