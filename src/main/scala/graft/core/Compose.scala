@@ -14,12 +14,27 @@ object Compose {
 
   /** Re-rank a stream to dense ordinals 0..n-1 (needed before positional
     * joins when seqs are sparse).
+    *
+    * ADAPTIVE: first a narrow density probe — partial-agg min/max/count
+    * plus one exact countDistinct shuffle of 8-byte seqs — and only rank
+    * when the seqs are NOT already 0..n-1. Sources built from keyed
+    * tables / fromSeq are usually dense, and the probe is far cheaper
+    * than the rank machinery (full-row range shuffle + boundary job +
+    * stamp + materialize) it then skips. countDistinct is required:
+    * min=0 ∧ max=n-1 alone admits duplicate-plus-gap multisets.
     */
   def dense[A: TypeTag](in: SStream[A]): SStream[A] = {
     implicit val encEE: Encoder[Elem[Elem[A]]] = Elem.enc[Elem[A]]
     implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
-    val ranked = Ordinals.zipWithOrdinal(in.ds, Seq(col("seq")))
-    SStream(ranked.map(e => Elem(e.seq, e.value.value)))
+    val r = in.ds.toDF().agg(
+      count(lit(1)), coalesce(min(col("seq")), lit(0L)),
+      coalesce(max(col("seq")), lit(-1L)), countDistinct(col("seq"))).head()
+    val (n, mn, mx, nd) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    if (n == 0 || (mn == 0L && mx == n - 1 && nd == n)) in
+    else {
+      val ranked = Ordinals.zipWithOrdinal(in.ds, Seq(col("seq")))
+      SStream(ranked.map(e => Elem(e.seq, e.value.value)))
+    }
   }
 
   /** zipSource (reference `src/Data/Conduino.hs:512-521`): run two sources

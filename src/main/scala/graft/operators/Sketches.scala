@@ -39,9 +39,12 @@ object Sketches {
     * count when fewer than k distinct values exist.
     */
   def kmvWordSketch(df: DataFrame, textCol: String): DataFrame = {
-    val hashes = df.select(explode(TextOps.words(col(textCol))).as("w"))
-      .select(((lit(KmvA) * TextOps.charHash(col("w")) + lit(KmvB)) % TextOps.HashMod)
-        .as("hv")).distinct()
+    // word_hashes = the native codegen expression computing charHash per
+    // word in one pass (vs explode + per-word aggregate-over-split)
+    val hashes = df
+      .select(explode(graft.functions.WordHashes.word_hashes(col(textCol))).as("wh"))
+      .select(((lit(KmvA) * col("wh") + lit(KmvB)) % TextOps.HashMod).as("hv"))
+      .distinct()
     hashes.orderBy(col("hv")).limit(K)
       .agg(max(col("hv")).as("kth_min"), count(lit(1)).as("n_in_sketch"))
       .select(
