@@ -466,6 +466,11 @@ object SparkEntry {
     "q_embed_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Similarity.embeddings(s, dir), 20, 3)),
 
+    // IVF ANN (the inverted-file scale path: broadcast seed assignment,
+    // search nProbe/nCells of the collection)
+    "q_embed_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Similarity.embeddings(s, dir), 20, 3)),
+
     // embedding-cosine near-dup pairs within LSH buckets (0.35 ≈ the
     // 99.9th percentile of pairwise cosine on these random embeddings —
     // high enough to be selective, low enough to produce verifiable rows)
@@ -805,6 +810,8 @@ object SparkEntry {
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
              FROM sc) r
           WHERE rnk <= 3""",
+
+    "q_embed_ivf" -> Similarity.ivfTopKSql(20, 3),
 
     "q_embed_neardup" ->
       s"""WITH ${Similarity.cappedBucketsSql()},

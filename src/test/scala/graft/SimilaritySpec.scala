@@ -68,6 +68,27 @@ class SimilaritySpec extends SparkSpec {
     assert(maxPop <= 10)
   }
 
+  test("IVF topk: scores match independent cosines; per-query at most k ranked results") {
+    val vecs = (0L until 60L).map(i => (i, randVec()))
+    val byId = vecs.toMap
+    val rows = Similarity.ivfTopK(embDf(vecs), 5, 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, v, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(v != q)
+      assert(c == dot(byId(q), byId(v)) / (nrm(byId(q)) * nrm(byId(v))))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.length <= 3 && g.map(_.getLong(3)).sorted.sameElements(1L to g.length))
+    }
+    // more probes can only improve or keep each query's best candidate
+    val best1 = Similarity.ivfTopK(embDf(vecs), 5, 1, nProbe = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val best4 = Similarity.ivfTopK(embDf(vecs), 5, 1, nProbe = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    best1.foreach { case (q, c1) => assert(best4(q) >= c1) }
+  }
+
   test("planes are parameterized: 32 planes as 4x8-bit bands") {
     val df = embDf(Seq((0L, randVec())))
     val cols = Similarity.bandBucketCols(col("emb"), numPlanes = 32, bandBits = 8)
