@@ -30,6 +30,19 @@ object SparkEntry {
 
   private val IvalSql = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
 
+  /** Shared by q_scan (batch) and q_scan_stream (Structured Streaming):
+    * one oracle text, two engine paths — they must agree bit-for-bit.
+    */
+  private val ScanOracleSql =
+    s"""SELECT event_id AS seq,
+        CAST(SUM($IvalSql) OVER (ORDER BY event_id) AS BIGINT) AS run_sum FROM events"""
+
+  /** Shared by q_map_accum (batch) and q_delta_stream (streaming). */
+  private val MapAccumOracleSql =
+    s"""SELECT event_id AS seq,
+        $IvalSql - COALESCE(lag($IvalSql) OVER (ORDER BY event_id), 0) AS delta
+        FROM events"""
+
   /** events as a typed stream of cents (for the typed sink operators). */
   private def centsStream(spark: SparkSession, dir: String): SStream[Long] = {
     implicit val enc: Encoder[Elem[Long]] = Elem.enc[Long]
@@ -118,6 +131,37 @@ object SparkEntry {
           org.apache.spark.sql.Row(r.getLong(0), d)
         }
       }
+    }),
+
+    // §2.8 feedPipe/squeezePipe executed FOR REAL through Structured
+    // Streaming (reference `Data/Conduino.hs:229-296`): the same running
+    // sum as q_scan, but fed through a MemoryStream in micro-batch quanta
+    // and folded by transformWithState (StreamPipes.scanTws) with the
+    // accumulator carried in the state store across batches. Hash-checked
+    // against the SAME oracle as q_scan — the streaming path must agree
+    // with the batch path bit-for-bit.
+    "q_scan_stream" -> ((s, dir) => {
+      import s.implicits._
+      val elems = events(s, dir).select(col("seq"), ivalCol.as("ival"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+        .toSeq.map { case (sq, v) => Elem(sq, v) }
+      graft.streaming.StreamExec.runStreaming(
+        s, elems, graft.streaming.StreamPipes.scanTws(0L)((b: Long, a: Long) => b + a))
+        .select(col("seq"), col("value").as("run_sum"))
+    }),
+
+    // §2.8 + §2.4 mapAccum through Structured Streaming: delta encoding
+    // with the previous value carried in transformWithState state.
+    // Same oracle as q_map_accum.
+    "q_delta_stream" -> ((s, dir) => {
+      import s.implicits._
+      val elems = events(s, dir).select(col("seq"), ivalCol.as("ival"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+        .toSeq.map { case (sq, v) => Elem(sq, v) }
+      graft.streaming.StreamExec.runStreaming(
+        s, elems, graft.streaming.StreamPipes.mapAccumTws(0L)(
+          (a: Long, prev: Long) => (a, a - prev)))
+        .select(col("seq"), col("value").as("delta"))
     }),
 
     // §2.4 pairs — consecutive pairs via boundary exchange
@@ -597,13 +641,11 @@ object SparkEntry {
          FROM (SELECT doc_id, UNNEST([{'i': j, 'w': string_split(text, ' ')[j+1]}
                  for j in range(0, len(string_split(text, ' ')))]) AS u
                FROM documents) x""",
-    "q_scan" ->
-      s"""SELECT event_id AS seq,
-          CAST(SUM($IvalSql) OVER (ORDER BY event_id) AS BIGINT) AS run_sum FROM events""",
-    "q_map_accum" ->
-      s"""SELECT event_id AS seq,
-          $IvalSql - COALESCE(lag($IvalSql) OVER (ORDER BY event_id), 0) AS delta
-          FROM events""",
+    "q_scan" -> ScanOracleSql,
+    "q_map_accum" -> MapAccumOracleSql,
+    // streaming-executed twins: SAME oracle text by construction
+    "q_scan_stream" -> ScanOracleSql,
+    "q_delta_stream" -> MapAccumOracleSql,
     "q_pairs" ->
       """SELECT event_id AS seq, lag(value) OVER (ORDER BY event_id) AS prev_value, value
          FROM events QUALIFY prev_value IS NOT NULL""",

@@ -246,6 +246,20 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("StreamExec.runStreaming: scan lands batch-identical output via a stateful streaming plan") {
+    val elems = (1L to 10L).map(i => Elem(i, i))
+    // quantum=4 → three micro-batches: state carry is genuinely exercised
+    val df = StreamExec.runStreaming(spark, elems,
+      StreamPipes.scanTws(0L)((b: Long, a: Long) => b + a), quantum = 4)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[Long]("value"))).sortBy(_._1)
+    assert(got.map(_._2).toList == List(1L, 3L, 6L, 10L, 15L, 21L, 28L, 36L, 45L, 55L),
+      s"got ${got.toList}")
+    // the proof the oracle row can't give: the executed plan is stateful
+    assert(StreamExec.lastStreamingPlan.contains("TransformWithState"),
+      s"expected a TransformWithState operator in:\n${StreamExec.lastStreamingPlan}")
+  }
+
   test("squeeze drains by seq: exactly-once even under a permuted collect order") {
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.types._
