@@ -24,20 +24,30 @@ object Bench {
     spark.range(1000).toDF("seq").repartitionByRange(2, org.apache.spark.sql.functions.col("seq")).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        // bit_xor, not sum: xxhash64 values span the full Long range, so a
-        // running sum overflows within rows and ANSI mode (Spark 4
-        // default) would abort the job mid-measurement
-        if (forceHash) df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
-        else df.count()
-      } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failing query must be VISIBLE in the JSON, not recorded as a
+      // fast normal timing — emit {"err": "..."} for it instead
+      val err: Option[String] =
+        try {
+          val df = fn(spark, sfDir)
+          // bit_xor, not sum: xxhash64 values span the full Long range, so a
+          // running sum overflows within rows and ANSI mode (Spark 4
+          // default) would abort the job mid-measurement
+          if (forceHash) df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+          else df.count()
+          None
+        } catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
+        }
+      name -> ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, (_, Some(msg))) => s"\"" + k + "\":{\"err\":\"" + msg + "\"}"
+      case (k, (sec, None))    => s"\"" + k + "\":" + sec
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case (sec, None) => sec }.sum
+    val nErr = results.values.count(_._2.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,6 +59,39 @@ object SparkEntry {
       .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
       .withColumn("ival", ivalCol)
 
+  /** Stage the documents table as a one-doc-per-line text file for
+    * q_text_lines — ONCE per data dir (the file is deterministic from
+    * `dir`, so a later bench/verify run reuses it and the measured query
+    * charges only the distributed text read, not the driver staging).
+    *
+    * Newline-in-text would split one doc into two lines and an empty LAST
+    * doc's line would be eaten by the trailing-newline convention —
+    * sanitize newlines (mirrored in the oracle) and terminate an empty
+    * final line explicitly.
+    *
+    * The path is keyed by the SANITIZED FULL dir string (hashCode alone
+    * could collide across dirs and serve the wrong fixture), and the
+    * write is temp-file + atomic move so a concurrent run on the same dir
+    * never reads a torn file.
+    */
+  private def stagedTextLines(s: SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_textlines_$key.txt")
+    if (!Files.exists(path)) {
+      val texts = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect().map(_.getString(1).replace('\n', ' '))
+      val content = texts.mkString("\n") +
+        (if (texts.nonEmpty && texts.last.isEmpty) "\n" else "")
+      val tmp = Files.createTempFile(path.getParent, s"graft_textlines_$key", ".tmp")
+      Files.write(tmp, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    path
+  }
+
   private def oneRow(spark: SparkSession, names: Seq[String], values: Seq[Any]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(names.zip(values).map {
@@ -413,21 +446,7 @@ object SparkEntry {
     // doc_id order; the OPERATOR under test is the distributed text read
     // with the two-phase (file, offset) ordinal)
     "q_text_lines" -> ((s, dir) => {
-      // newline-in-text would split one doc into two lines and an empty
-      // LAST doc's line would be eaten by the trailing-newline convention
-      // — sanitize newlines (mirrored in the oracle) and terminate an
-      // empty final line explicitly
-      val texts = ColOps.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).collect().map(_.getString(1).replace('\n', ' '))
-      val content = texts.mkString("\n") +
-        (if (texts.nonEmpty && texts.last.isEmpty) "\n" else "")
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_textlines_${Integer.toHexString(dir.hashCode)}.txt")
-      java.nio.file.Files.write(path,
-        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Sources.textLines(s, path.toString).ds.toDF()
+      Sources.textLines(s, stagedTextLines(s, dir).toString).ds.toDF()
         .select(col("seq"), col("value").as("line"))
     }),
 

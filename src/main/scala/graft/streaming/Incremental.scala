@@ -58,6 +58,12 @@ object Incremental {
       squeeze()
     }
 
+    /** Rows collected by the most recent squeeze — exposed so the spec
+      * can assert only the DRAINED increment crosses the driver, never
+      * the whole sink table.
+      */
+    private[graft] var lastSqueezeRowCount: Int = -1
+
     /** Drain outputs produced since the last squeeze
       * (`squeezePipe`, lines 265-278): all output available without
       * feeding more input. Drained rows are identified BY SEQ, not by
@@ -65,12 +71,16 @@ object Incremental {
       * every streaming-capable pipe preserves seq monotonicity, so
       * `seq > lastDrainedSeq` selects exactly the rows appended since the
       * last drain — exactly-once even if the memory sink's collect order
-      * is not stable append order. One batched decode per call (fresh
-      * rows only).
+      * is not stable append order. The seq predicate is pushed into the
+      * table read BEFORE collect, so driver traffic is O(fresh rows) per
+      * call, not O(all outputs ever) — a long-lived Feeder stays linear,
+      * not quadratic. One batched decode per call (fresh rows only).
       */
     def squeeze(): Seq[B] = {
-      val all = spark.table(sinkTable).collect().toSeq
-      val fresh = Incremental.freshBySeq(all, lastDrainedSeq)
+      import org.apache.spark.sql.functions.col
+      val fresh = spark.table(sinkTable)
+        .filter(col("seq") > lastDrainedSeq).collect().toSeq
+      lastSqueezeRowCount = fresh.size
       val elems = rowsToElems(fresh).sortBy(_.seq)
       if (elems.nonEmpty) lastDrainedSeq = elems.last.seq
       elems.map(_.value)

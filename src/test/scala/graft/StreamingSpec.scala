@@ -246,6 +246,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("squeeze collects only the drained increment, not the whole sink table") {
+    val f = Incremental.open(spark, Pipes.map[Int, Int](_ + 1), "inc_increment")
+    try {
+      assert(f.feed(Seq(1, 2, 3)) == Seq(2, 3, 4))
+      assert(f.lastSqueezeRowCount == 3)
+      // second quantum: only the 2 FRESH rows may cross the driver —
+      // a full-table collect would read 5 here
+      assert(f.feed(Seq(4, 5)) == Seq(5, 6))
+      assert(f.lastSqueezeRowCount == 2)
+      assert(f.squeeze().isEmpty && f.lastSqueezeRowCount == 0)
+    } finally f.stop()
+  }
+
   test("StreamExec.runStreaming: scan lands batch-identical output via a stateful streaming plan") {
     val elems = (1L to 10L).map(i => Elem(i, i))
     // quantum=4 → three micro-batches: state carry is genuinely exercised
