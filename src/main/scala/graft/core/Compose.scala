@@ -89,8 +89,12 @@ object Compose {
   def fuseBoth[A, B, RU, RD](p: Pipe[A, B], upRes: Sink[A, RU], down: Sink[B, RD])
       (in: SStream[A]): (RD, RU) = {
     val shared = in.cache()
+    // sinks materialize their result (§2.6 contract), so by here both
+    // passes over the shared cache are done — release it (the pinned
+    // blocks would otherwise evict working memory at scale)
     val rd = down(p(shared))
     val ru = upRes(shared)
+    shared.unpersist()
     (rd, ru)
   }
 
@@ -113,7 +117,9 @@ object Compose {
     val lastSeq = shared.ds.toDF()
       .agg(coalesce(max(col("seq")), lit(Long.MinValue))).head().getLong(0)
     val drained = cut == Long.MaxValue || cut >= lastSeq
-    (rd, if (drained) Some(upRes(shared)) else None)
+    val res = (rd, if (drained) Some(upRes(shared)) else None)
+    shared.unpersist() // all passes over the shared cache are complete
+    res
   }
 
   /** unconsZipSource (reference `src/Data/Conduino.hs:596-603`): pop the

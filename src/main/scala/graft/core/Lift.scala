@@ -53,6 +53,7 @@ object Lift {
     val r = sink(shared)
     val logged = shared.into(
       Sinks.foldlCombine(0L)((b: Long, a: A) => b + weight(a))(_ + _))
+    shared.unpersist() // both passes done; free the pinned blocks
     (r, logged)
   }
 
@@ -66,10 +67,11 @@ object Lift {
     spark.sparkContext.broadcast(env)
 
   /** exceptP/runExceptP: apply a failable projection; failures become
-    * dead-letter rows `(input, error)` instead of query failure. Both
-    * branches are lazy views over one shared pass (`Try` column, then
-    * two filters — Catalyst computes the Try once per row per branch
-    * over the cached stream).
+    * dead-letter rows `(input, error)` instead of query failure. The
+    * shared `Try` pass is materialized ONCE (persist → checkpoint →
+    * unpersist, the RowExec lifecycle) and both branches are narrow
+    * filtered views over the checkpointed blocks — `f` runs exactly once
+    * per element and no cache outlives the call.
     */
   def runExcept[A: TypeTag, B: TypeTag](f: A => Either[String, B])(
       in: SStream[A]): (SStream[B], SStream[(A, String)]) = {
@@ -77,12 +79,12 @@ object Lift {
       Elem.enc[(A, Option[B], Option[String])]
     implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
     implicit val encD: Encoder[Elem[(A, String)]] = Elem.enc[(A, String)]
-    val tried = SStream(in.ds.map { e =>
+    val tried = SStream(Materialize.checkpoint(in.ds.map { e =>
       f(e.value) match {
         case Right(b)  => Elem(e.seq, (e.value, Option(b), Option.empty[String]))
         case Left(err) => Elem(e.seq, (e.value, Option.empty[B], Option(err)))
       }
-    }).cache()
+    }))
     val good = SStream(tried.ds
       .filter((e: Elem[(A, Option[B], Option[String])]) => e.value._2.isDefined)
       .map(e => Elem(e.seq, e.value._2.get)))
@@ -138,7 +140,10 @@ object Lift {
     */
   def runState[A: TypeTag, S: TypeTag](s0: S)(step: (S, A) => S)(
       in: SStream[A]): (SStream[S], S) = {
-    val outs = (in |> Pipes.scan[A, S](s0)(step)).cache()
+    // checkpoint, not cache: eager + GC-reclaimable, so the `last` pass
+    // and the caller's consumption read materialized blocks and no
+    // explicit cache outlives the call
+    val outs = SStream(Materialize.checkpoint((in |> Pipes.scan[A, S](s0)(step)).ds))
     (outs, outs.into(Sinks.last[S]).getOrElse(s0))
   }
 
@@ -153,9 +158,13 @@ object Lift {
     val logged = shared.into(
       Sinks.foldlCombine(0L)((b: Long, a: A) => b + weight(a))(_ + _))
     implicit val encSB: Encoder[Elem[(S, B)]] = Elem.enc[(S, B)]
-    val outsSB = (shared |> Pipes.mapAccum[A, S, (S, B)](s0) { (a, s) =>
-      val (s2, b) = f(benv.value, a, s); (s2, (s2, b))
-    }).cache()
+    // checkpoint (eager) the state-threaded pass, then the shared cache
+    // has served both its consumers — release it
+    val outsSB = SStream(Materialize.checkpoint(
+      (shared |> Pipes.mapAccum[A, S, (S, B)](s0) { (a, s) =>
+        val (s2, b) = f(benv.value, a, s); (s2, (s2, b))
+      }).ds))
+    shared.unpersist()
     implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
     val outs = SStream(outsSB.ds.map(e => Elem(e.seq, e.value._2)))
     val finalS = outsSB.into(Sinks.last[(S, B)]).map(_._1).getOrElse(s0)

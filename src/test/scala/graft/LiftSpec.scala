@@ -21,6 +21,24 @@ class LiftSpec extends SparkSpec {
     assert(acc.value >= 10)
   }
 
+  test("shared caches are released: fuseBoth/fuseBothMaybe/runWriter leave no lingering cached RDD") {
+    // baseline may contain checkpoint blocks from earlier tests — only
+    // NON-checkpoint cached RDDs must not grow (checkpointed outputs are
+    // results and are GC-reclaimed; an unreleased .cache() never is)
+    def cachedNonCheckpoint: Int =
+      spark.sparkContext.getPersistentRDDs.values.count(r => !r.isCheckpointed)
+    val before = cachedNonCheckpoint
+    val sum = Sinks.foldlCombine(0)((b: Int, a: Int) => b + a)(_ + _)
+    val (d, u) = Compose.fuseBoth(Pipes.map[Int, Int](_ * 2), Sinks.count[Int], sum)(src(1 to 10))
+    assert(u == 10L && d == 110)
+    val (_, u2) = Compose.fuseBothMaybe(Pipes.take[Int](5), Sinks.count[Int], sum)(src(1 to 10))
+    assert(u2.isEmpty) // cut before end-of-stream
+    val (r, logged) = Lift.runWriter[Int, Int](spark, _ => 1L)(sum)(src(1 to 10))
+    assert(r == 55 && logged == 10)
+    assert(cachedNonCheckpoint == before,
+      s"lingering caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.toString)}")
+  }
+
   test("readerP: broadcast environment reaches every element") {
     val env = Lift.runReader(spark, Map("scale" -> 10))
     val p = Lift.readerPipe[Map[String, Int], Int, Int](env)((r, a) => a * r("scale"))
