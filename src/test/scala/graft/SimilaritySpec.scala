@@ -89,6 +89,34 @@ class SimilaritySpec extends SparkSpec {
     best1.foreach { case (q, c1) => assert(best4(q) >= c1) }
   }
 
+  test("ANN recall@3 vs brute force stays above the documented floor (clustered fixture)") {
+    // clustered data — the workload ANN exists for; on uniform-random
+    // vectors neither LSH nor IVF carries signal and recall is undefined
+    // as a quality bar. 8 clusters x 25 points, noise << center scale.
+    val crnd = new scala.util.Random(7)
+    val centers = Seq.fill(8)(Seq.fill(Similarity.Dim)(crnd.nextDouble() * 2 - 1))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(_ + (crnd.nextDouble() * 2 - 1) * 0.15))
+    }
+    val df = embDf(vecs)
+    val nQ = 8; val k = 3
+    def topSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val bf = topSets(Similarity.bruteForceTopK(df, nQ, k).collect())
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      bf.map { case (q, t) => approx.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / k }
+        .sum / bf.size
+    val lshRecall = recall(topSets(Similarity.lshTopK(df, nQ, k).collect()))
+    val ivfRecall = recall(topSets(Similarity.ivfTopK(df, nQ, k).collect()))
+    info(f"recall@3: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f")
+    // floors: measured lsh=0.833, ivf=1.000 on this seed (deterministic);
+    // asserted with headroom so a constants change that genuinely destroys
+    // recall fails loudly while benign jitter does not
+    assert(lshRecall >= 0.75, f"LSH recall@3 $lshRecall%.3f < 0.75")
+    assert(ivfRecall >= 0.75, f"IVF recall@3 $ivfRecall%.3f < 0.75")
+  }
+
   test("planes are parameterized: 32 planes as 4x8-bit bands") {
     val df = embDf(Seq((0L, randVec())))
     val cols = Similarity.bandBucketCols(col("emb"), numPlanes = 32, bandBits = 8)
