@@ -21,7 +21,15 @@ object TextOps {
   /** Modulus for all portable hashes (fits squares in Long). */
   val HashMod = 1000000007L
 
-  /** Rolling polynomial char hash of a string column (portable). */
+  /** Rolling polynomial char hash of a string column (portable).
+    *
+    * Iterates CODE POINTS, not UTF-16 code units: Spark's `split(s,"")`
+    * keeps surrogate pairs whole (Java regex zero-width split) and
+    * `ascii()` returns the full code point, matching DuckDB's
+    * codepoint-based `string_split`/`ascii` and `WordHashes.hashWords`'
+    * explicit codePointAt loop — pinned by the astral-plane row in
+    * TextOpsSpec.
+    */
   def charHash(s: Column): Column =
     aggregate(split(s, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % HashMod)

@@ -22,6 +22,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) == "digits <PHONE> run and short 1234 one")
   }
 
+  test("charHash iterates CODE POINTS: astral-plane string matches the DuckDB oracle value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "a 𝄞(U+1D11E) b" — a surrogate pair in UTF-16; a code-UNIT fold
+    // would yield 57834039, the DuckDB/codepoint fold yields 3784485
+    // (pinned from DuckDB: list_reduce over string_split(s,'') ascii)
+    val s = "a𝄞b"
+    val got = Seq(s).toDF("t")
+      .select(TextOps.charHash(col("t")).as("h")).head().getLong(0)
+    assert(got == 3784485L, s"charHash($s) = $got, want the codepoint fold 3784485")
+    // the native codegen expression iterates code points by construction
+    val wh = Seq(s).toDF("t")
+      .select(graft.functions.WordHashes.word_hashes(col("t")).as("hs"))
+      .head().getSeq[Long](0)
+    assert(wh == Seq(3784485L))
+  }
+
   test("KMV sketch: exact below k, ~1/sqrt(k) accurate above") {
     import spark.implicits._
     // 40 distinct words < K=256 → exact
