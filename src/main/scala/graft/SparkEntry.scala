@@ -428,15 +428,20 @@ object SparkEntry {
 
     // as-of join — for each click, the latest view of the same user at or
     // before it (merge-scan: one shuffle on user_id + window, never a
-    // range cross-product)
+    // range cross-product). The as-of time is the µs-TRUNCATED ts on BOTH
+    // sides of the contract: DuckDB reads the TIMESTAMP(NANOS) column
+    // µs-truncated, so the engine orders by the same `ts div 1000` —
+    // sub-microsecond fixture data would agree too, not just the current
+    // whole-µs rows.
     "q_asof_join" -> ((s, dir) => {
       val ev = ColOps.table(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id"),
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
           col("event_id").as("v_event_id"), col("value").as("v_value"))
-      ColOps.asofJoin(clicks, views, "user_id", "ts", "event_id")
+      ColOps.asofJoin(clicks, views, "user_id", "ts_us", "event_id")
         .select(col("event_id").as("seq"), col("user_id"),
           col("asof_v_event_id"), col("asof_v_value"))
     }),
@@ -758,23 +763,28 @@ object SparkEntry {
       """SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq,
                 replace(text, chr(10), ' ') AS line FROM documents""",
 
+    // epoch_us = the µs-truncated time the engine mirrors with
+    // `ts div 1000`; the fill is ONE whole-row struct (not per-column
+    // last_value), matching ColOps.asofJoin — a NULL payload field is
+    // never patched from an older right row
     "q_asof_join" ->
-      """WITH l AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
                     FROM events WHERE event_type = 'click'),
-              r AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+              r AS (SELECT user_id, epoch_us(ts) AS t, event_id,
                            event_id AS v_event_id, value AS v_value
                     FROM events WHERE event_type = 'view'),
               u AS (SELECT user_id, t, event_id, 1 AS is_l,
-                           NULL::BIGINT AS v_event_id, NULL::DOUBLE AS v_value FROM l
+                           NULL::STRUCT(e BIGINT, v DOUBLE) AS pay FROM l
                     UNION ALL
-                    SELECT user_id, t, event_id, 0, v_event_id, v_value FROM r),
+                    SELECT user_id, t, event_id, 0,
+                           {'e': v_event_id, 'v': v_value} FROM r),
               w AS (SELECT *,
-                      last_value(v_event_id IGNORE NULLS) OVER win AS asof_v_event_id,
-                      last_value(v_value IGNORE NULLS) OVER win AS asof_v_value
+                      last_value(pay IGNORE NULLS) OVER win AS af
                     FROM u
                     WINDOW win AS (PARTITION BY user_id ORDER BY t, is_l, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_id AS seq, user_id, asof_v_event_id, asof_v_value
+         SELECT event_id AS seq, user_id,
+                (af).e AS asof_v_event_id, (af).v AS asof_v_value
          FROM w WHERE is_l = 1""",
 
     "q_zip_with" ->

@@ -138,6 +138,14 @@ object ColOps {
   def bandJoin(left: DataFrame, right: DataFrame, lv: String, rv: String,
                tol: Double): DataFrame = {
     require(tol > 0, "bandJoin: tol must be positive")
+    require(lv != rv,
+      s"bandJoin: value columns must differ between sides (both '$lv') — rename one")
+    // the documented contract, enforced: an overlap would be an
+    // ambiguous-column AnalysisException (or worse, a silent
+    // self-comparison) downstream of the equi-join
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"bandJoin: column names must be disjoint between sides; overlapping: ${overlap.mkString(", ")}")
     require(!(left.columns ++ right.columns).exists(c => c == "__bin" || c == "__lbin"),
       "bandJoin: inputs must not carry __bin/__lbin columns (internal names)")
     val w = 2 * tol
