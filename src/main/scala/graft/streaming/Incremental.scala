@@ -278,4 +278,67 @@ object StreamPipes {
     twsPipe[A, Seq[A], Seq[A]](Vector.empty[A]) { (win, e) =>
       ((win :+ e.value).takeRight(n), Seq(Elem(e.seq, win)))
     }
+
+  /** takeWhile as a streaming pipe (reference
+    * `Data/Conduino/Combinators.hs:432-440`): pass elements while `p`
+    * holds; the first failing element sets a PERSISTENT cut — it and
+    * everything after (across quanta) is dropped. An open stream never
+    * "terminates upstream", so like [[takeTws]] the cut is a stateful
+    * drop.
+    */
+  def takeWhileTws[A: TypeTag](p: A => Boolean): Pipe[A, A] =
+    twsPipe[A, Boolean, A](false) { (cut, e) =>
+      if (cut || !p(e.value)) (true, Nil) else (false, Seq(e))
+    }
+
+  /** The streaming form of `dropWhile p >> id` (`Combinators.hs:537-547`
+    * composed with the identity tail — the form users run; standalone
+    * batch `Pipes.dropWhile` is a consumer yielding nothing): drop the
+    * longest prefix satisfying `p` AND the first failing element (the
+    * reference consumes it, no leftovers); everything after passes,
+    * across quanta.
+    */
+  def dropWhileTws[A: TypeTag](p: A => Boolean): Pipe[A, A] =
+    twsPipe[A, Boolean, A](false) { (cutSeen, e) =>
+      if (cutSeen) (true, Seq(e))
+      else if (!p(e.value)) (true, Nil) // first failing element: consumed, not emitted
+      else (false, Nil)
+    }
+
+  /** Positional zip of two STREAMING sources (reference zipSource,
+    * `Data/Conduino.hs:512-521`): a stream-stream inner equi-join on seq.
+    *
+    * Scale shape: the join key includes a WATERMARKED synthetic
+    * event-time column derived from seq (`timestamp_micros(seq)`), so
+    * Spark purges matched join state as the watermark advances instead
+    * of buffering both streams forever — state is bounded by
+    * `delayThreshold` worth of un-arrived positions, the requirement for
+    * a long-lived zip of unbounded streams.
+    */
+  /** Synthetic event-time base for [[zipSourcesStream]]: seq 0 must not
+    * land ON the epoch — the initial watermark is the epoch, and a row
+    * whose event time equals the watermark is dropped as late before it
+    * can join. One day clears any delayThreshold a zip would use.
+    */
+  private val ZipEpochOffsetUs = 86400000000L
+
+  def zipSourcesStream[A: TypeTag, B: TypeTag](
+      a: SStream[A], b: SStream[B],
+      delayThreshold: String = "1 hour"): SStream[(A, B)] = {
+    implicit val encAB: Encoder[Elem[(A, B)]] = Elem.enc[(A, B)]
+    import org.apache.spark.sql.functions._
+    val da = a.ds.toDF()
+      .withColumn("__ts", timestamp_micros(col("seq") + lit(ZipEpochOffsetUs)))
+      .withWatermark("__ts", delayThreshold)
+    val db = b.ds.toDF()
+      .select(col("seq").as("__bseq"), col("value").as("__bvalue"))
+      .withColumn("__bts", timestamp_micros(col("__bseq") + lit(ZipEpochOffsetUs)))
+      .withWatermark("__bts", delayThreshold)
+    val joined = da.join(db,
+      col("__ts") === col("__bts") && col("seq") === col("__bseq"))
+    SStream(joined
+      .select(col("seq"),
+        struct(col("value").as("_1"), col("__bvalue").as("_2")).as("value"))
+      .as[Elem[(A, B)]])
+  }
 }

@@ -246,6 +246,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming takeWhile/dropWhile: cut carried across quanta (incremental ≡ batch)") {
+    withRocksDb {
+      val inputs = Seq(1, 2, 3, 7, 2, 1)
+      val quanta = Seq(inputs.take(2), inputs.slice(2, 4), inputs.drop(4))
+      val batchTW = (Sources.fromSeq(spark, inputs)
+        |> Pipes.takeWhile[Int](_ < 5)).into(Sinks.sinkList)
+      val f = Incremental.open(spark, StreamPipes.takeWhileTws[Int](_ < 5), "tws_tw")
+      try {
+        // cut lands MID-quantum (at 7); later quanta emit nothing even
+        // though their elements satisfy the predicate again
+        assert(quanta.flatMap(q => f.feed(q)) == batchTW && batchTW == Seq(1, 2, 3))
+      } finally f.stop()
+      // the emitting form is the composite `dropWhile p >> id` — the
+      // first failing element is consumed by dropWhile, not passed
+      val batchDW = (Sources.fromSeq(spark, inputs)
+        |> Pipes.suffixAfter(Pipes.dropWhile[Int](_ < 5))).into(Sinks.sinkList)
+      val g = Incremental.open(spark, StreamPipes.dropWhileTws[Int](_ < 5), "tws_dw")
+      try {
+        assert(quanta.flatMap(q => g.feed(q)) == batchDW && batchDW == Seq(2, 1))
+      } finally g.stop()
+    }
+  }
+
+  test("streaming zipSource: stream-stream equi-join on seq, positions pair across quanta") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val encI: org.apache.spark.sql.Encoder[Elem[Int]] = Elem.enc[Int]
+    implicit val encS: org.apache.spark.sql.Encoder[Elem[String]] = Elem.enc[String]
+    val ia = MemoryStream[Elem[Int]]
+    val ib = MemoryStream[Elem[String]]
+    val zipped = StreamPipes.zipSourcesStream(SStream(ia.toDS()), SStream(ib.toDS()))
+    val q = zipped.ds.writeStream.format("memory").queryName("zip_stream")
+      .outputMode("append").start()
+    try {
+      // sides advance at different rates; position 1's pair spans quanta
+      ia.addData(Seq(Elem(0L, 10), Elem(1L, 11)))
+      ib.addData(Seq(Elem(0L, "a")))
+      q.processAllAvailable()
+      ia.addData(Seq(Elem(2L, 12)))
+      ib.addData(Seq(Elem(1L, "b"), Elem(2L, "c")))
+      q.processAllAvailable()
+      val got = spark.table("zip_stream").collect()
+        .map { r =>
+          val v = r.getStruct(r.fieldIndex("value"))
+          (r.getAs[Long]("seq"), (v.getInt(0), v.getString(1)))
+        }.sortBy(_._1).toSeq
+      assert(got == Seq(0L -> (10, "a"), 1L -> (11, "b"), 2L -> (12, "c")), s"got $got")
+      // the executed plan is a genuine stream-stream join with watermarks
+      val plan = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
+        buf.toString("UTF-8")
+      }
+      assert(plan.contains("StreamingSymmetricHashJoin"), s"plan:\n$plan")
+    } finally q.stop()
+  }
+
   test("squeeze collects only the drained increment, not the whole sink table") {
     val f = Incremental.open(spark, Pipes.map[Int, Int](_ + 1), "inc_increment")
     try {
