@@ -59,6 +59,14 @@ object SparkEntry {
       .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
       .withColumn("ival", ivalCol)
 
+  /** Quantum for the streaming-executed queries: 4 micro-batches at any
+    * SF (state carry across batches is the thing under proof; per-batch
+    * overhead is ~0.7 s of micro-batch planning + RocksDB commit, so a
+    * row-count-proportional batch COUNT would make the bench measure
+    * overhead, not the pipe).
+    */
+  private def streamQuantum(n: Int): Int = math.max(512, (n + 3) / 4)
+
   /** Stage the documents table as a one-doc-per-line text file for
     * q_text_lines — ONCE per data dir (the file is deterministic from
     * `dir`, so a later bench/verify run reuses it and the measured query
@@ -179,7 +187,8 @@ object SparkEntry {
         .as[(Long, Long)].collect().sortBy(_._1)
         .toSeq.map { case (sq, v) => Elem(sq, v) }
       graft.streaming.StreamExec.runStreaming(
-        s, elems, graft.streaming.StreamPipes.scanTws(0L)((b: Long, a: Long) => b + a))
+        s, elems, graft.streaming.StreamPipes.scanTws(0L)((b: Long, a: Long) => b + a),
+        quantum = streamQuantum(elems.size))
         .select(col("seq"), col("value").as("run_sum"))
     }),
 
@@ -193,7 +202,8 @@ object SparkEntry {
         .toSeq.map { case (sq, v) => Elem(sq, v) }
       graft.streaming.StreamExec.runStreaming(
         s, elems, graft.streaming.StreamPipes.mapAccumTws(0L)(
-          (a: Long, prev: Long) => (a, a - prev)))
+          (a: Long, prev: Long) => (a, a - prev)),
+        quantum = streamQuantum(elems.size))
         .select(col("seq"), col("value").as("delta"))
     }),
 
