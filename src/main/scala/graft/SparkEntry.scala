@@ -371,6 +371,17 @@ object SparkEntry {
     "q_iterate" -> ((s, _) =>
       Sources.iterateClosedForm(s, 50, k => k)),
 
+    // §2.1 iterate, DISTRIBUTED by leapfrog (Sources.iterateJump): an LCG
+    // x ↦ (a·x + c) mod m — no closed form handy, but the affine jump
+    // f^k is O(log k), so each partition skips ahead and iterates
+    // locally; no driver generation at any n. Oracle = the same
+    // recurrence as a DuckDB recursive CTE.
+    "q_iterate_jump" -> ((s, _) => {
+      val (a, c, m) = (1103515245L, 12345L, 2147483648L)
+      Sources.iterateJump[Long](s, x => (a * x + c) % m, 42L, 10000L,
+        Sources.affineJump(a, c, m)).ds.toDF()
+    }),
+
     // §2.1 replicate
     "q_replicate" -> ((s, _) => {
       implicit val enc: Encoder[Elem[String]] = Elem.enc[String]
@@ -747,6 +758,12 @@ object SparkEntry {
 
     "q_iterate" ->
       "SELECT CAST(t.i AS BIGINT) AS seq, CAST(t.i + 1 AS BIGINT) AS value FROM range(50) t(i)",
+    "q_iterate_jump" ->
+      """WITH RECURSIVE t(seq, value) AS (
+           SELECT CAST(-1 AS BIGINT), CAST(42 AS BIGINT)
+           UNION ALL
+           SELECT seq + 1, (1103515245 * value + 12345) % 2147483648 FROM t WHERE seq < 9999)
+         SELECT seq, value FROM t WHERE seq >= 0""",
     "q_replicate" ->
       "SELECT CAST(t.i AS BIGINT) AS seq, 'x' AS value FROM range(200) t(i)",
     "q_passthrough" ->

@@ -64,10 +64,56 @@ object Sources {
   def iterateClosedForm(spark: SparkSession, n: Long, g: Column => Column): DataFrame =
     spark.range(n).select(col("id").as("seq"), g(col("id") + 1).as("value"))
 
+  /** iterate, distributed by CHUNK (the leapfrog / skip-ahead pattern):
+    * each partition of `spark.range` computes its own starting state with
+    * `jump(x0, k) = f^k(x0)` and then iterates `f` locally — no driver
+    * generation at any n. This covers the cases between [[iterate]]
+    * (driver-bound, needs nothing) and [[iterateClosedForm]] (fully
+    * distributed, needs a FULL closed form): affine recurrences / LCGs
+    * (see [[affineJump]]), geometric sequences, matrix powers — anywhere
+    * f^k is computable in O(log k) even though g(k) alone isn't handy.
+    * Output convention matches `iterate`: x0 excluded, seq i holds
+    * f^(i+1)(x0).
+    */
+  def iterateJump[A: TypeTag](spark: SparkSession, f: A => A, x0: A, n: Long,
+                              jump: (A, Long) => A, numSlices: Int = 0): SStream[A] = {
+    implicit val e: Encoder[Elem[A]] = Elem.enc[A]
+    val slices = if (numSlices > 0) numSlices
+                 else spark.sparkContext.defaultParallelism
+    SStream(spark.range(0, n, 1, slices).mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        var x = jump(x0, buf.head + 1) // range partitions are contiguous
+        buf.map { i => val out = Elem(i, x); x = f(x); out }
+      }
+    })
+  }
+
+  /** Jump function for the affine recurrence x ↦ (a·x + c) mod m:
+    * composes the map k times by fast exponentiation of the (a, c) pair
+    * ((a,c)∘(a',c') = (a·a', a·c' + c)) — O(log k), no modular inverse
+    * needed (works for any m, unlike the geometric-series closed form).
+    * Requires a, c, x < m and m² within Long (m ≤ ~3·10⁹ is safe).
+    */
+  def affineJump(a: Long, c: Long, m: Long): (Long, Long) => Long = {
+    (x: Long, k: Long) =>
+      var (ra, rc) = (1L, 0L) // identity map
+      var (ba, bc) = (a % m, c % m)
+      var kk = k
+      while (kk > 0) {
+        if ((kk & 1L) == 1L) { val t = ((ba * ra) % m, (ba * rc + bc) % m); ra = t._1; rc = t._2 }
+        val s = ((ba * ba) % m, (ba * bc + bc) % m); ba = s._1; bc = s._2
+        kk >>= 1
+      }
+      (ra * (x % m) + rc) % m
+  }
+
   /** unfold (reference `Combinators.hs:121-130`), bounded to n elements.
     * General s -> (o, s) is inherently sequential: generated on the driver
     * and parallelized. Used for small control streams; large generated
-    * streams should use `spark.range` + closed forms instead.
+    * streams should use `spark.range` + closed forms, or [[iterateJump]]
+    * when a skip-ahead exists, instead.
     */
   def unfold[A: TypeTag, S](spark: SparkSession, f: S => (A, S), s0: S, n: Long): SStream[A] = {
     val it = new Iterator[A] {

@@ -93,6 +93,22 @@ class OperatorSpec extends SparkSpec {
     assert(src(Nil).into(Sinks.last[Int]).isEmpty)
   }
 
+  test("iterateJump == sequential iterate (affine LCG), generated across partitions") {
+    val (a, c, m) = (1103515245L, 12345L, 2147483648L)
+    val f = (x: Long) => (a * x + c) % m
+    val n = 1000
+    val jumped = Sources.iterateJump[Long](spark, f, 42L, n,
+      Sources.affineJump(a, c, m), numSlices = 8)
+    // leapfrog output == the driver-sequential reference, element for element
+    val expected = Iterator.iterate(42L)(f).drop(1).take(n).toList
+    assert(jumped.into(Sinks.sinkList) == expected)
+    // and the generation is genuinely distributed (no driver collect)
+    assert(jumped.ds.rdd.getNumPartitions == 8)
+    // jump identity: f^k(x0) computed by jump == k sequential applications
+    val jf = Sources.affineJump(a, c, m)
+    assert(jf(42L, 137L) == Iterator.iterate(42L)(f).drop(137).next())
+  }
+
   test("zipSources == xs.zip(ys), ends at shorter") {
     val ys = List.fill(120)(rnd.nextInt(100))
     val got = Compose.zipSources(src(), Sources.fromSeq(spark, ys))
