@@ -36,8 +36,12 @@ object Bench {
           else df.count()
           None
         } catch { case e: Throwable =>
+          // keep the JSON parseable no matter what the message contains:
+          // strip to printable ASCII (errors can embed control chars or
+          // raw file bytes; a blind take() could even split a surrogate)
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
+            .map(c => if (c >= ' ' && c < 127 && c != '"' && c != '\\') c else ' ')
+            .take(120))
         }
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }

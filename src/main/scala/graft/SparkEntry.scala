@@ -65,28 +65,49 @@ object SparkEntry {
     * row-count-proportional batch COUNT would make the bench measure
     * overhead, not the pipe).
     */
-  private def streamQuantum(n: Int): Int = math.max(512, (n + 3) / 4)
+  private def streamQuantum(n: Int): Int = math.max(1, (n + 3) / 4)
+
+  /** Shared driver-side staging of the events stream as ordered
+    * Elem(seq, ival) quanta — the input of both streaming-executed
+    * queries (fixture-scale by design; see StreamExec scaladoc).
+    */
+  private def centsElems(s: SparkSession, dir: String): Seq[Elem[Long]] = {
+    import s.implicits._
+    events(s, dir).select(col("seq"), ivalCol.as("ival"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+      .toSeq.map { case (sq, v) => Elem(sq, v) }
+  }
+
+  /** Dirs staged by [[stagedTextLines]] in THIS JVM — staging runs once
+    * per process, so repeated query invocations (bench, forceHash) reuse
+    * the file, while a fresh JVM re-stages and can never serve a stale
+    * fixture from a previous run's regenerated testdata.
+    */
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Stage the documents table as a one-doc-per-line text file for
-    * q_text_lines — ONCE per data dir (the file is deterministic from
-    * `dir`, so a later bench/verify run reuses it and the measured query
-    * charges only the distributed text read, not the driver staging).
+    * q_text_lines — once per JVM per data dir (a later call in the same
+    * process reuses it, so the measured query charges only the
+    * distributed text read, not the driver staging; a NEW process always
+    * re-stages, so regenerated fixture data is never served stale).
     *
     * Newline-in-text would split one doc into two lines and an empty LAST
     * doc's line would be eaten by the trailing-newline convention —
     * sanitize newlines (mirrored in the oracle) and terminate an empty
     * final line explicitly.
     *
-    * The path is keyed by the SANITIZED FULL dir string (hashCode alone
-    * could collide across dirs and serve the wrong fixture), and the
-    * write is temp-file + atomic move so a concurrent run on the same dir
-    * never reads a torn file.
+    * The path is keyed by the sanitized full dir string PLUS its
+    * hashCode (sanitizing alone maps 'a/b' and 'a_b' to the same name),
+    * and the write is temp-file + atomic move so a concurrent run on the
+    * same dir never reads a torn file.
     */
   private def stagedTextLines(s: SparkSession, dir: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + Integer.toHexString(dir.hashCode)
     val path = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_textlines_$key.txt")
-    if (!Files.exists(path)) {
+    if (stagedDirs.add(dir) || !Files.exists(path)) {
       val texts = ColOps.table(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")).collect().map(_.getString(1).replace('\n', ' '))
@@ -182,10 +203,7 @@ object SparkEntry {
     // against the SAME oracle as q_scan — the streaming path must agree
     // with the batch path bit-for-bit.
     "q_scan_stream" -> ((s, dir) => {
-      import s.implicits._
-      val elems = events(s, dir).select(col("seq"), ivalCol.as("ival"))
-        .as[(Long, Long)].collect().sortBy(_._1)
-        .toSeq.map { case (sq, v) => Elem(sq, v) }
+      val elems = centsElems(s, dir)
       graft.streaming.StreamExec.runStreaming(
         s, elems, graft.streaming.StreamPipes.scanTws(0L)((b: Long, a: Long) => b + a),
         quantum = streamQuantum(elems.size))
@@ -196,10 +214,7 @@ object SparkEntry {
     // with the previous value carried in transformWithState state.
     // Same oracle as q_map_accum.
     "q_delta_stream" -> ((s, dir) => {
-      import s.implicits._
-      val elems = events(s, dir).select(col("seq"), ivalCol.as("ival"))
-        .as[(Long, Long)].collect().sortBy(_._1)
-        .toSeq.map { case (sq, v) => Elem(sq, v) }
+      val elems = centsElems(s, dir)
       graft.streaming.StreamExec.runStreaming(
         s, elems, graft.streaming.StreamPipes.mapAccumTws(0L)(
           (a: Long, prev: Long) => (a, a - prev)),

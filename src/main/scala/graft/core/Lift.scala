@@ -71,7 +71,10 @@ object Lift {
     * shared `Try` pass is materialized ONCE (persist → checkpoint →
     * unpersist, the RowExec lifecycle) and both branches are narrow
     * filtered views over the checkpointed blocks — `f` runs exactly once
-    * per element and no cache outlives the call.
+    * per element and no cache outlives the call. EAGER: the pass runs at
+    * call time (like every RowExec/OrderedExec operator), not at first
+    * branch consumption — callers composing lazily should use
+    * [[runExceptC]], which stays a pure plan.
     */
   def runExcept[A: TypeTag, B: TypeTag](f: A => Either[String, B])(
       in: SStream[A]): (SStream[B], SStream[(A, String)]) = {

@@ -308,6 +308,13 @@ object StreamPipes {
   /** Positional zip of two STREAMING sources (reference zipSource,
     * `Data/Conduino.hs:512-521`): a stream-stream inner equi-join on seq.
     *
+    * PRECONDITION (unlike batch `Compose.zipSources`, which re-ranks
+    * sparse seqs with `dense()` first): both sides' seqs must already BE
+    * the positions — aligned dense counters, as assigned by a Feeder's
+    * `feed` or any unfiltered source. A dense re-rank is a global
+    * ordering pass that has no bounded-state streaming analog, so a
+    * filtered stream must be re-sequenced upstream before zipping.
+    *
     * Scale shape: the join key includes a WATERMARKED synthetic
     * event-time column derived from seq (`timestamp_micros(seq)`), so
     * Spark purges matched join state as the watermark advances instead

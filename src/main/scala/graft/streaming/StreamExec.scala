@@ -34,6 +34,14 @@ object StreamExec {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The previous run's memory-sink table, dropped when the NEXT run
+    * starts: callers consume each result before building the next query
+    * (Verify writes, Bench counts), so at most one finished sink stays
+    * registered — repeated runs can't accumulate full result copies in
+    * driver memory.
+    */
+  @volatile private var lastSinkTable: Option[String] = None
+
   /** Physical plan of the last micro-batch of the most recent
     * [[runStreaming]] call — lets specs assert the stateful operator
     * (TransformWithStateExec / StateStore) actually executed, which a
@@ -53,6 +61,7 @@ object StreamExec {
   def runStreaming[A: TypeTag, B: TypeTag](
       spark: SparkSession, elems: Seq[Elem[A]], pipe: Pipe[A, B],
       quantum: Int = 4096): DataFrame = {
+    lastSinkTable.foreach(spark.catalog.dropTempView)
     val prev = spark.conf.getOption(RocksKey)
     spark.conf.set(RocksKey, RocksProvider)
     try {
@@ -71,6 +80,7 @@ object StreamExec {
         }
         lastStreamingPlan = capturedExplain(query)
       } finally query.stop()
+      lastSinkTable = Some(name)
       spark.table(name)
     } finally prev match {
       case Some(v) => spark.conf.set(RocksKey, v)
@@ -81,7 +91,7 @@ object StreamExec {
   /** `query.explain()` prints to stdout; capture it (public API — avoids
     * reaching into StreamExecution internals for the executed plan).
     */
-  private def capturedExplain(query: org.apache.spark.sql.streaming.StreamingQuery): String = {
+  private[graft] def capturedExplain(query: org.apache.spark.sql.streaming.StreamingQuery): String = {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { query.explain() }
     buf.toString("UTF-8")

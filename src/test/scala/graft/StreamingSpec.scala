@@ -294,11 +294,7 @@ class StreamingSpec extends SparkSpec {
         }.sortBy(_._1).toSeq
       assert(got == Seq(0L -> (10, "a"), 1L -> (11, "b"), 2L -> (12, "c")), s"got $got")
       // the executed plan is a genuine stream-stream join with watermarks
-      val plan = {
-        val buf = new java.io.ByteArrayOutputStream()
-        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
-        buf.toString("UTF-8")
-      }
+      val plan = StreamExec.capturedExplain(q)
       assert(plan.contains("StreamingSymmetricHashJoin"), s"plan:\n$plan")
     } finally q.stop()
   }
