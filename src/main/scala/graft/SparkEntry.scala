@@ -43,6 +43,18 @@ object SparkEntry {
         $IvalSql - COALESCE(lag($IvalSql) OVER (ORDER BY event_id), 0) AS delta
         FROM events"""
 
+  /** Shared by q_zip_with (batch positional join) and q_zip_stream
+    * (stream-stream join on seq with watermark).
+    */
+  private val ZipWithOracleSql =
+    s"""SELECT a.rn AS seq, a.iv + b.ov AS value
+        FROM (SELECT row_number() OVER (ORDER BY event_id) - 1 AS rn, $IvalSql AS iv
+              FROM events) a
+        JOIN (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS ov
+              FROM orders) b
+        USING (rn)"""
+
   /** events as a typed stream of cents (for the typed sink operators). */
   private def centsStream(spark: SparkSession, dir: String): SStream[Long] = {
     implicit val enc: Encoder[Elem[Long]] = Elem.enc[Long]
@@ -220,6 +232,23 @@ object SparkEntry {
           (a: Long, prev: Long) => (a, a - prev)),
         quantum = streamQuantum(elems.size))
         .select(col("seq"), col("value").as("delta"))
+    }),
+
+    // §2.7 zipSource executed through Structured Streaming: the same
+    // positional pairing as q_zip_with, but as a stream-stream inner
+    // equi-join on seq (watermarked synthetic event time bounds the join
+    // state) — sides fed at different rates per quantum round. Same
+    // oracle as q_zip_with.
+    "q_zip_stream" -> ((s, dir) => {
+      import s.implicits._
+      val ev = centsElems(s, dir)
+      val ord = ColOps.table(s, dir, "orders")
+        .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+        .toSeq.zipWithIndex.map { case ((_, v), i) => Elem(i.toLong, v) }
+      graft.streaming.StreamExec.runStreamingZip(s, ev, ord,
+        quantum = streamQuantum(math.min(ev.size, ord.size)))
+        .select(col("seq"), (col("value._1") + col("value._2")).as("value"))
     }),
 
     // §2.4 pairs — consecutive pairs via boundary exchange
@@ -829,14 +858,9 @@ object SparkEntry {
                 (af).e AS asof_v_event_id, (af).v AS asof_v_value
          FROM w WHERE is_l = 1""",
 
-    "q_zip_with" ->
-      s"""SELECT a.rn AS seq, a.iv + b.ov AS value
-          FROM (SELECT row_number() OVER (ORDER BY event_id) - 1 AS rn, $IvalSql AS iv
-                FROM events) a
-          JOIN (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
-                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS ov
-                FROM orders) b
-          USING (rn)""",
+    "q_zip_with" -> ZipWithOracleSql,
+    // streaming-executed twin: SAME oracle by construction
+    "q_zip_stream" -> ZipWithOracleSql,
 
     // ---------- LLM-data-pipeline oracles ----------
 

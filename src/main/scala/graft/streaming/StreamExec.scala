@@ -88,6 +88,40 @@ object StreamExec {
     }
   }
 
+  /** Run the streaming zipSource end-to-end: two MemoryStreams fed in
+    * quanta (sides may advance at different rates within a quantum round)
+    * through [[StreamPipes.zipSourcesStream]]'s stream-stream join, landed
+    * in the memory sink. Both sides' seqs must be dense positions (the
+    * zip's documented precondition); quanta are ordered prefix chunks.
+    */
+  def runStreamingZip[A: TypeTag, B: TypeTag](
+      spark: SparkSession, as: Seq[Elem[A]], bs: Seq[Elem[B]],
+      quantum: Int = 4096): DataFrame = {
+    lastSinkTable.foreach(spark.catalog.dropTempView)
+    implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+    implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+    implicit val sq: SQLContext = spark.sqlContext
+    val ia = MemoryStream[Elem[A]]
+    val ib = MemoryStream[Elem[B]]
+    val out = StreamPipes.zipSourcesStream(SStream(ia.toDS()), SStream(ib.toDS())).ds
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val query = out.writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append())
+      .start()
+    try {
+      val ca = as.grouped(quantum).toSeq
+      val cb = bs.grouped(quantum).toSeq
+      (0 until math.max(ca.size, cb.size)).foreach { i =>
+        if (i < ca.size) ia.addData(ca(i))
+        if (i < cb.size) ib.addData(cb(i))
+        query.processAllAvailable()
+      }
+      lastStreamingPlan = capturedExplain(query)
+    } finally query.stop()
+    lastSinkTable = Some(name)
+    spark.table(name)
+  }
+
   /** `query.explain()` prints to stdout; capture it (public API — avoids
     * reaching into StreamExecution internals for the executed plan).
     */
