@@ -43,8 +43,15 @@ object SparkEntry {
         $IvalSql - COALESCE(lag($IvalSql) OVER (ORDER BY event_id), 0) AS delta
         FROM events"""
 
+  /** Position bound for q_zip_stream: stream-stream join state cost is
+    * per row, and two micro-batch rounds already prove cross-batch
+    * pairing — the bound keeps the bench on the operator. At sf0.01 and
+    * below it is a no-op (events < 25k).
+    */
+  private val ZipStreamN = 25000
+
   /** Shared by q_zip_with (batch positional join) and q_zip_stream
-    * (stream-stream join on seq with watermark).
+    * (stream-stream join on seq with watermark, bounded to ZipStreamN).
     */
   private val ZipWithOracleSql =
     s"""SELECT a.rn AS seq, a.iv + b.ov AS value
@@ -237,17 +244,20 @@ object SparkEntry {
     // §2.7 zipSource executed through Structured Streaming: the same
     // positional pairing as q_zip_with, but as a stream-stream inner
     // equi-join on seq (watermarked synthetic event time bounds the join
-    // state) — sides fed at different rates per quantum round. Same
-    // oracle as q_zip_with.
+    // state) — sides fed at different rates per quantum round. Bounded to
+    // the first ZipStreamN positions (mirrored in the oracle): the thing
+    // under proof is the join's cross-batch execution, and state-store
+    // insert cost is per-row, so the bound keeps the bench measuring the
+    // operator, not fixture volume.
     "q_zip_stream" -> ((s, dir) => {
       import s.implicits._
-      val ev = centsElems(s, dir)
+      val ev = centsElems(s, dir).take(ZipStreamN)
       val ord = ColOps.table(s, dir, "orders")
         .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long"))
         .as[(Long, Long)].collect().sortBy(_._1)
-        .toSeq.zipWithIndex.map { case ((_, v), i) => Elem(i.toLong, v) }
-      graft.streaming.StreamExec.runStreamingZip(s, ev, ord,
-        quantum = streamQuantum(math.min(ev.size, ord.size)))
+        .toSeq.zipWithIndex.take(ZipStreamN)
+        .map { case ((_, v), i) => Elem(i.toLong, v) }
+      graft.streaming.StreamExec.runStreamingZip(s, ev, ord)
         .select(col("seq"), (col("value._1") + col("value._2")).as("value"))
     }),
 
@@ -859,8 +869,8 @@ object SparkEntry {
          FROM w WHERE is_l = 1""",
 
     "q_zip_with" -> ZipWithOracleSql,
-    // streaming-executed twin: SAME oracle by construction
-    "q_zip_stream" -> ZipWithOracleSql,
+    // streaming-executed twin: same pairing, bounded to ZipStreamN
+    "q_zip_stream" -> s"SELECT * FROM ($ZipWithOracleSql) z WHERE seq < $ZipStreamN",
 
     // ---------- LLM-data-pipeline oracles ----------
 

@@ -53,6 +53,30 @@ object StreamExec {
   private val RocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** State-partition count for the proof queries, fixed at query start
+    * from the session conf: every micro-batch commits one store (four for
+    * a stream-stream join) PER PARTITION, so at fixture state sizes the
+    * partition count IS the cost — 32 partitions of near-empty stores
+    * spend ~8× longer committing than 4. A real deployment sizes this to
+    * its state volume; here it is scoped to the streaming query and
+    * restored after.
+    */
+  private val StreamShufflePartitions = "4"
+  private val ShuffleKey = "spark.sql.shuffle.partitions"
+
+  /** Set session confs for the duration of `body`, restoring previous
+    * values after (the streaming query reads them at start).
+    */
+  private def withConfs[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Run `pipe` over `elems` via Structured Streaming (quantum rows per
     * micro-batch) and return the memory-sink table. The RocksDB state
     * store provider is set for the run and restored after (required by
@@ -62,9 +86,8 @@ object StreamExec {
       spark: SparkSession, elems: Seq[Elem[A]], pipe: Pipe[A, B],
       quantum: Int = 4096): DataFrame = {
     lastSinkTable.foreach(spark.catalog.dropTempView)
-    val prev = spark.conf.getOption(RocksKey)
-    spark.conf.set(RocksKey, RocksProvider)
-    try {
+    withConfs(spark, RocksKey -> RocksProvider,
+                     ShuffleKey -> StreamShufflePartitions) {
       implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
       implicit val sq: SQLContext = spark.sqlContext
       val input = MemoryStream[Elem[A]]
@@ -82,44 +105,48 @@ object StreamExec {
       } finally query.stop()
       lastSinkTable = Some(name)
       spark.table(name)
-    } finally prev match {
-      case Some(v) => spark.conf.set(RocksKey, v)
-      case None    => spark.conf.unset(RocksKey)
     }
   }
 
   /** Run the streaming zipSource end-to-end: two MemoryStreams fed in
-    * quanta (sides may advance at different rates within a quantum round)
+    * quanta (sides advance at different rates within a quantum round)
     * through [[StreamPipes.zipSourcesStream]]'s stream-stream join, landed
     * in the memory sink. Both sides' seqs must be dense positions (the
     * zip's documented precondition); quanta are ordered prefix chunks.
+    *
+    * `rounds` bounds the micro-batch count, not the rows: a stream-stream
+    * join batch costs ~4 s of dual state-store commits across the shuffle
+    * partitions regardless of row count, so the batch count — two proves
+    * cross-batch pairing — is the whole cost model.
     */
   def runStreamingZip[A: TypeTag, B: TypeTag](
       spark: SparkSession, as: Seq[Elem[A]], bs: Seq[Elem[B]],
-      quantum: Int = 4096): DataFrame = {
+      rounds: Int = 2): DataFrame = {
     lastSinkTable.foreach(spark.catalog.dropTempView)
-    implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
-    implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
-    implicit val sq: SQLContext = spark.sqlContext
-    val ia = MemoryStream[Elem[A]]
-    val ib = MemoryStream[Elem[B]]
-    val out = StreamPipes.zipSourcesStream(SStream(ia.toDS()), SStream(ib.toDS())).ds
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val query = out.writeStream
-      .format("memory").queryName(name).outputMode(OutputMode.Append())
-      .start()
-    try {
-      val ca = as.grouped(quantum).toSeq
-      val cb = bs.grouped(quantum).toSeq
-      (0 until math.max(ca.size, cb.size)).foreach { i =>
-        if (i < ca.size) ia.addData(ca(i))
-        if (i < cb.size) ib.addData(cb(i))
-        query.processAllAvailable()
-      }
-      lastStreamingPlan = capturedExplain(query)
-    } finally query.stop()
-    lastSinkTable = Some(name)
-    spark.table(name)
+    withConfs(spark, ShuffleKey -> StreamShufflePartitions) {
+      implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+      implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+      implicit val sq: SQLContext = spark.sqlContext
+      val ia = MemoryStream[Elem[A]]
+      val ib = MemoryStream[Elem[B]]
+      val out = StreamPipes.zipSourcesStream(SStream(ia.toDS()), SStream(ib.toDS())).ds
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val query = out.writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      try {
+        val ca = as.grouped(math.max(1, (as.size + rounds - 1) / rounds)).toSeq
+        val cb = bs.grouped(math.max(1, (bs.size + rounds - 1) / rounds)).toSeq
+        (0 until math.max(ca.size, cb.size)).foreach { i =>
+          if (i < ca.size) ia.addData(ca(i))
+          if (i < cb.size) ib.addData(cb(i))
+          query.processAllAvailable()
+        }
+        lastStreamingPlan = capturedExplain(query)
+      } finally query.stop()
+      lastSinkTable = Some(name)
+      spark.table(name)
+    }
   }
 
   /** `query.explain()` prints to stdout; capture it (public API — avoids
