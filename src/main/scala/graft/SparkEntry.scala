@@ -532,6 +532,24 @@ object SparkEntry {
 
     // ---------- LLM-data-pipeline operators ----------
 
+    // deterministic stratified sampling — 20 docs per language, ranked by
+    // a portable affine scatter (per-class cap; one shuffle on the
+    // stratum, partitioned window)
+    "q_sample_strat" -> ((s, dir) =>
+      Sampling.stratifiedTake(
+        ColOps.table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 20)),
+
+    // weighted corpus interleave — en:zh docs on a 3:1 schedule (the
+    // training-mix shape); sides dense-ranked by doc_id first (two-phase
+    // ordinal, no global window), then pure position arithmetic + union
+    "q_corpus_mix" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      def side(l: String) =
+        RowExec.withDenseSeq(docs.filter(col("lang") === l), Seq(col("doc_id")))
+      Sampling.interleave(side("en"), side("zh"), 3, 1)
+    }),
+
     // exact dedup: hash-groupBy (one shuffle on the 32-byte digest)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(ColOps.table(s, dir, "documents"), "doc_id", "text")),
@@ -873,6 +891,19 @@ object SparkEntry {
     "q_zip_stream" -> s"SELECT * FROM ($ZipWithOracleSql) z WHERE seq < $ZipStreamN",
 
     // ---------- LLM-data-pipeline oracles ----------
+
+    "q_sample_strat" ->
+      s"""SELECT doc_id, lang FROM documents
+          ${Sampling.stratifiedTakeQualifySql("lang", "doc_id", 20)}""",
+
+    "q_corpus_mix" ->
+      """SELECT (rn // 3) * 4 + (rn % 3) AS seq, doc_id, lang FROM
+           (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn, doc_id, lang
+            FROM documents WHERE lang = 'en') a
+         UNION ALL
+         SELECT rn * 4 + 3 AS seq, doc_id, lang FROM
+           (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn, doc_id, lang
+            FROM documents WHERE lang = 'zh') b""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies

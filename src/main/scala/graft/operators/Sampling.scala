@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * stratified sampling (per-class caps / balanced class mixes) and
+  * weighted interleave (mixture schedules). Extends the LLM-data family
+  * beyond the reference's own operator set (SURVEY.md §2 LLM-data
+  * section); no conduino counterpart.
+  *
+  * Both are pure Spark plans over portable integer arithmetic — no RNG
+  * state anywhere — so the DuckDB oracle reproduces them bit-for-bit and
+  * a re-run on different cluster topology returns the same sample.
+  */
+object Sampling {
+
+  /** Multiplier of the sample-ranking scatter (Knuth's 2^32 golden-ratio
+    * constant); modulus shared with the text hashes ([[TextOps.HashMod]]).
+    * id·ScatterA must stay within Long: ids < ~3.4·10^9 — far above any
+    * fixture id; for wider ids scatter twice over (id >> 32, id & 0xffffffff).
+    */
+  val ScatterA = 2654435761L
+
+  /** Pseudo-random but DETERMINISTIC per-id sort key in [0, HashMod). */
+  def scatter(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (id * ScatterA) % TextOps.HashMod
+
+  /** Deterministic stratified k-sample: keep the k rows of each stratum
+    * with the smallest scatter(id) — uniform-without-replacement per
+    * stratum, reproducible on any engine. The per-class-cap primitive of
+    * training-mix construction.
+    *
+    * Scale shape: ONE shuffle on the stratum key; the ranking window is
+    * PARTITIONED (never a global sort), so heavy strata sort locally
+    * after the exchange. A stratum hot enough to skew its task is the
+    * `saltedJoin`/AQE case, same as any hot key.
+    */
+  def stratifiedTake(df: DataFrame, stratum: String, id: String, k: Int): DataFrame = {
+    require(k > 0, "stratifiedTake: k must be positive")
+    val w = Window.partitionBy(col(stratum)).orderBy(scatter(col(id)), col(id))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** The oracle-side mirror of [[stratifiedTake]] (DuckDB QUALIFY
+    * fragment, same constants).
+    */
+  def stratifiedTakeQualifySql(stratum: String, id: String, k: Int): String =
+    s"QUALIFY row_number() OVER (PARTITION BY $stratum ORDER BY ($id * $ScatterA) % ${TextOps.HashMod}, $id) <= $k"
+
+  /** Weighted deterministic interleave of two corpora — the training
+    * mixture schedule: every cycle of wa+wb output positions takes wa
+    * elements of A then wb of B (e.g. 3:1 web:code). Inputs must carry
+    * DENSE `seq` columns (use `RowExec.withDenseSeq`) and matching
+    * schemas; the output `seq` is the schedule position — collision-free
+    * and monotone per side, sparse after the shorter side exhausts.
+    *
+    * Scale shape: two per-side projections + union — ZERO shuffle beyond
+    * whatever produced the dense seqs. The schedule is pure arithmetic,
+    * so it composes with any downstream repartitioning.
+    */
+  def interleave(a: DataFrame, b: DataFrame, wa: Int, wb: Int): DataFrame = {
+    require(wa > 0 && wb > 0, "interleave: weights must be positive")
+    val cyc = wa + wb
+    val pa = a.withColumn("seq",
+      expr(s"(seq div $wa) * $cyc + (seq % $wa)"))
+    val pb = b.withColumn("seq",
+      expr(s"(seq div $wb) * $cyc + $wa + (seq % $wb)"))
+    pa.unionByName(pb)
+  }
+}

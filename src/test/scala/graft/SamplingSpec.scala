@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RowExec, Sampling}
+
+/** Corpus-assembly operators: deterministic stratified sampling and
+  * weighted interleave (training-mix primitives).
+  */
+class SamplingSpec extends SparkSpec {
+
+  test("stratifiedTake: k per stratum, deterministic, a subset of the input") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
+    val once = Sampling.stratifiedTake(df, "s", "id", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // exactly k per stratum (both strata have > k members)
+    assert(once.count(_._2 == "a") == 5 && once.count(_._2 == "b") == 5)
+    // rows come from the input
+    assert(once.forall { case (i, s) => (i % 3 == 0) == (s == "a") })
+    // bit-deterministic: same sample on a re-run
+    val again = Sampling.stratifiedTake(df, "s", "id", 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(once.toSeq == again.toSeq)
+    // k larger than a stratum keeps the whole stratum
+    val all = Sampling.stratifiedTake(df, "s", "id", 1000).count()
+    assert(all == 100L)
+  }
+
+  test("interleave 3:1: schedule positions collision-free, per-side order kept") {
+    import spark.implicits._
+    val a = RowExec.withDenseSeq((0L until 9L).map(i => (i * 10, "A")).toDF("v", "tag"),
+      Seq(col("v")))
+    val b = RowExec.withDenseSeq((0L until 3L).map(i => (i * 10 + 5, "B")).toDF("v", "tag"),
+      Seq(col("v")))
+    val got = Sampling.interleave(a, b, 3, 1).collect()
+      .map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    // cycle of 4: positions 0,1,2 from A; 3 from B
+    assert(got.map(_._2).toSeq ==
+      Seq("A", "A", "A", "B", "A", "A", "A", "B", "A", "A", "A", "B"))
+    // seqs are unique and per-side order equals input order
+    assert(got.map(_._1).distinct.length == got.length)
+    val aOrder = got.filter(_._2 == "A").map(_._1)
+    assert(aOrder.sameElements(aOrder.sorted))
+  }
+}
