@@ -97,48 +97,75 @@ object SparkEntry {
       .toSeq.map { case (sq, v) => Elem(sq, v) }
   }
 
-  /** Dirs staged by [[stagedTextLines]] in THIS JVM — staging runs once
-    * per process, so repeated query invocations (bench, forceHash) reuse
-    * the file, while a fresh JVM re-stages and can never serve a stale
+  /** (dir, kind) pairs staged in THIS JVM — staging runs once per
+    * process, so repeated query invocations (bench, forceHash) reuse the
+    * file, while a fresh JVM re-stages and can never serve a stale
     * fixture from a previous run's regenerated testdata.
     */
-  private val stagedDirs =
+  private val stagedKeys =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Stage the documents table as a one-doc-per-line text file for
-    * q_text_lines — once per JVM per data dir (a later call in the same
-    * process reuses it, so the measured query charges only the
-    * distributed text read, not the driver staging; a NEW process always
-    * re-stages, so regenerated fixture data is never served stale).
-    *
-    * Newline-in-text would split one doc into two lines and an empty LAST
-    * doc's line would be eaten by the trailing-newline convention —
-    * sanitize newlines (mirrored in the oracle) and terminate an empty
-    * final line explicitly.
-    *
-    * The path is keyed by the sanitized full dir string PLUS its
-    * hashCode (sanitizing alone maps 'a/b' and 'a_b' to the same name),
-    * and the write is temp-file + atomic move so a concurrent run on the
-    * same dir never reads a torn file.
+  /** Stage `content` as a driver-side fixture file, once per JVM per
+    * (data dir, kind). The path is keyed by the sanitized full dir
+    * string PLUS its hashCode (sanitizing alone maps 'a/b' and 'a_b' to
+    * the same name), and the write is temp-file + atomic move so a
+    * concurrent run on the same dir never reads a torn file. The format
+    * SOURCES under test (text/CSV/JSONL scans) read these; the staging
+    * itself is fixture plumbing, charged once.
     */
-  private def stagedTextLines(s: SparkSession, dir: String): java.nio.file.Path = {
+  private def stageOnce(dir: String, kind: String)(content: => String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
       "_" + Integer.toHexString(dir.hashCode)
-    val path = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_textlines_$key.txt")
-    if (stagedDirs.add(dir) || !Files.exists(path)) {
-      val texts = ColOps.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).collect().map(_.getString(1).replace('\n', ' '))
-      val content = texts.mkString("\n") +
-        (if (texts.nonEmpty && texts.last.isEmpty) "\n" else "")
-      val tmp = Files.createTempFile(path.getParent, s"graft_textlines_$key", ".tmp")
+    val path = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_${kind}_$key.txt")
+    if (stagedKeys.add(s"$kind|$dir") || !Files.exists(path)) {
+      val tmp = Files.createTempFile(path.getParent, s"graft_${kind}_$key", ".tmp")
       Files.write(tmp, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
     path
   }
+
+  /** The documents table as a one-doc-per-line text file for
+    * q_text_lines. Newline-in-text would split one doc into two lines
+    * and an empty LAST doc's line would be eaten by the trailing-newline
+    * convention — sanitize newlines (mirrored in the oracle) and
+    * terminate an empty final line explicitly.
+    */
+  private def stagedTextLines(s: SparkSession, dir: String): java.nio.file.Path =
+    stageOnce(dir, "textlines") {
+      val texts = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect().map(_.getString(1).replace('\n', ' '))
+      texts.mkString("\n") +
+        (if (texts.nonEmpty && texts.last.isEmpty) "\n" else "")
+    }
+
+  /** documents metadata as CSV with header (doc_id,lang,n_chars) — the
+    * fixture for the CSV-source query. Values are numeric or 2-letter
+    * codes: no quoting needed.
+    */
+  private def stagedCsv(s: SparkSession, dir: String): java.nio.file.Path =
+    stageOnce(dir, "csv") {
+      val rows = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => s"${r.getLong(0)},${r.getString(1)},${r.get(2)}")
+      "doc_id,lang,n_chars\n" + rows.mkString("\n")
+    }
+
+  /** documents metadata as JSONL — the fixture for the JSONL-source
+    * query (lang codes are [a-z]{2}: no JSON escaping needed).
+    */
+  private def stagedJsonl(s: SparkSession, dir: String): java.nio.file.Path =
+    stageOnce(dir, "jsonl") {
+      ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.get(2)}}""")
+        .mkString("\n")
+    }
 
   private def oneRow(spark: SparkSession, names: Seq[String], values: Seq[Any]): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -530,6 +557,25 @@ object SparkEntry {
         .select(col("seq"), col("value").as("line"))
     }),
 
+    // CSV source — explicit schema (never inferSchema: that is a second
+    // full read), header, and a filter that reaches the scan; the oracle
+    // checks the round-trip against the originating table
+    "q_csv_source" -> ((s, dir) =>
+      s.read.option("header", "true")
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .csv(stagedCsv(s, dir).toString)
+        .filter(col("n_chars") > 300)
+        .select(col("doc_id").as("seq"), col("lang"), col("n_chars"))),
+
+    // JSONL source — the lingua franca of corpus interchange; explicit
+    // schema (schema inference on JSON is a full extra pass), filter on a
+    // string field, typed projection
+    "q_jsonl_source" -> ((s, dir) =>
+      s.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+        .json(stagedJsonl(s, dir).toString)
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("seq"), col("n_chars"))),
+
     // ---------- LLM-data-pipeline operators ----------
 
     // deterministic stratified sampling — 20 docs per language, ranked by
@@ -861,6 +907,14 @@ object SparkEntry {
     "q_text_lines" ->
       """SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq,
                 replace(text, chr(10), ' ') AS line FROM documents""",
+
+    "q_csv_source" ->
+      """SELECT doc_id AS seq, lang, n_chars::BIGINT AS n_chars
+         FROM documents WHERE n_chars > 300""",
+
+    "q_jsonl_source" ->
+      """SELECT doc_id AS seq, n_chars::BIGINT AS n_chars
+         FROM documents WHERE lang = 'en'""",
 
     // epoch_us = the µs-truncated time the engine mirrors with
     // `ts div 1000`; the fill is ONE whole-row struct (not per-column
