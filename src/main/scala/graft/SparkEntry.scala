@@ -692,6 +692,12 @@ object SparkEntry {
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.assets(s, dir), 64)),
 
+    // multimodal: REAL feature extraction over the binary payload (no
+    // codec: byte length, magic fold, high-nibble histogram) — the
+    // pre-decode triage signature, integer-only so the oracle matches
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.byteFeatures(Multimodal.assets(s, dir))),
+
     // event-time tumbling window aggregation (EventTime.tumbling — the
     // streaming windowed-agg operator, run in batch mode here; ts is
     // TIMESTAMP(NANOS) surfaced as Long)
@@ -1075,6 +1081,11 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  UNNEST([{'i': j} for j in range(0, (strlen(text) - 1) // 64 + 1)]) AS u
                FROM documents) x""",
+
+    "q_media_features" ->
+      s"""SELECT doc_id AS asset_id,
+          ${Multimodal.byteFeaturesSql("lower(hex(encode(text)))").mkString(",\n          ")}
+          FROM documents""",
 
     "q_event_window" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start_s,

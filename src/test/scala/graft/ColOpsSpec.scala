@@ -133,4 +133,19 @@ class ColOpsSpec extends SparkSpec {
     assert(out.getAs[String]("thumb_digest") == expectedThumb)
     assert(out.getAs[Long]("n_bytes") == bytes.length.toLong)
   }
+
+  test("byteFeatures: magic fold and nibble histogram match a hand computation (non-ASCII)") {
+    import spark.implicits._
+    val s = "Aé!" // bytes: 0x41, 0xc3, 0xa9, 0x21 — exercises high nibbles
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val assets = Seq((7L, s)).toDF("asset_id", "text")
+      .select(col("asset_id"), encode(col("text"), "UTF-8").as("media"))
+    val r = Multimodal.byteFeatures(assets).head()
+    assert(r.getAs[Long]("n_bytes") == bytes.length.toLong)
+    val expMagic = bytes.take(4).foldLeft(0L)((a, b) => a * 256 + (b & 0xff))
+    assert(r.getAs[Long]("magic") == expMagic)
+    val expHist = new Array[Long](16)
+    bytes.foreach(b => expHist((b & 0xf0) >> 4) += 1)
+    (0 until 16).foreach(b => assert(r.getAs[Long](f"h$b%02d") == expHist(b)))
+  }
 }
