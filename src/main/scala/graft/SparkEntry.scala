@@ -640,6 +640,12 @@ object SparkEntry {
       ColOps.table(s, dir, "documents")
         .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))),
 
+    // Gopher-style repetition signals: explode → (doc, word) count →
+    // per-doc agg (two narrow shuffles, map-side partials; never a
+    // per-doc loop)
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
     // document fingerprinting
     "q_fingerprint" -> ((s, dir) =>
       ColOps.table(s, dir, "documents")
@@ -998,6 +1004,13 @@ object SparkEntry {
 
     "q_token_count" ->
       "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens FROM documents",
+
+    "q_repetition" ->
+      """SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+                CAST(list_aggregate([len(list_filter(ws, w -> w = u))
+                                     for u in list_distinct(ws)], 'max') AS BIGINT) AS top_word_cnt
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""",
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""",

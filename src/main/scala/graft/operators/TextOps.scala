@@ -90,6 +90,26 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Gopher-style repetition signals, integer-only: per document, the
+    * word count, distinct-word count, and the top word's occurrence
+    * count — the raw ingredients of the duplicate-word and top-word
+    * fractions that corpus quality filters threshold on (fractions left
+    * to the consumer: integer outputs are trivially hash-stable).
+    *
+    * Distributed shape: explode → (doc, word) count → per-doc aggregate.
+    * Two shuffles on narrow keys, map-side partial aggregation on both —
+    * never a per-doc loop or a doc-sized array in an aggregation buffer,
+    * so a 100-GB document set with million-word outliers still balances.
+    */
+  def repetitionStats(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = df.select(col(id), explode(words(col(text))).as("__w"))
+    w.groupBy(col(id), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id)).agg(
+        sum(col("__c")).cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max(col("__c")).cast("long").as("top_word_cnt"))
+  }
+
   // --- PII redaction (training-data scrubbing) ---
 
   /** Redaction patterns, applied in order: email first (so the phone
