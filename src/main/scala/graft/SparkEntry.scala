@@ -278,12 +278,18 @@ object SparkEntry {
     // operator, not fixture volume.
     "q_zip_stream" -> ((s, dir) => {
       import s.implicits._
-      val ev = centsElems(s, dir).take(ZipStreamN)
+      // bound BEFORE collect: the seq filter pushes to the events scan,
+      // and the orders side stages only its first ZipStreamN keys
+      // (TakeOrdered) — the driver never holds discarded rows
+      val ev = events(s, dir).select(col("seq"), ivalCol.as("ival"))
+        .filter(col("seq") < ZipStreamN)
+        .as[(Long, Long)].collect().sortBy(_._1)
+        .toSeq.map { case (sq, v) => Elem(sq, v) }
       val ord = ColOps.table(s, dir, "orders")
         .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .orderBy(col("o_orderkey")).limit(ZipStreamN)
         .as[(Long, Long)].collect().sortBy(_._1)
-        .toSeq.zipWithIndex.take(ZipStreamN)
-        .map { case ((_, v), i) => Elem(i.toLong, v) }
+        .toSeq.zipWithIndex.map { case ((_, v), i) => Elem(i.toLong, v) }
       graft.streaming.StreamExec.runStreamingZip(s, ev, ord)
         .select(col("seq"), (col("value._1") + col("value._2")).as("value"))
     }),

@@ -96,6 +96,9 @@ object StreamExec {
       val query = out.writeStream
         .format("memory").queryName(name).outputMode(OutputMode.Append())
         .start()
+      // track the sink BEFORE feeding: a run that throws mid-feed must
+      // still have its view dropped by the next run
+      lastSinkTable = Some(name)
       try {
         elems.grouped(quantum).foreach { chunk =>
           input.addData(chunk)
@@ -103,7 +106,6 @@ object StreamExec {
         }
         lastStreamingPlan = capturedExplain(query)
       } finally query.stop()
-      lastSinkTable = Some(name)
       spark.table(name)
     }
   }
@@ -123,7 +125,11 @@ object StreamExec {
       spark: SparkSession, as: Seq[Elem[A]], bs: Seq[Elem[B]],
       rounds: Int = 2): DataFrame = {
     lastSinkTable.foreach(spark.catalog.dropTempView)
-    withConfs(spark, ShuffleKey -> StreamShufflePartitions) {
+    // RocksDB here too: the join itself doesn't require it, but all
+    // streaming proof queries should exercise ONE state-store backend so
+    // the recorded cost model (per-partition store commits) is uniform
+    withConfs(spark, RocksKey -> RocksProvider,
+                     ShuffleKey -> StreamShufflePartitions) {
       implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
       implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
       implicit val sq: SQLContext = spark.sqlContext
@@ -134,6 +140,7 @@ object StreamExec {
       val query = out.writeStream
         .format("memory").queryName(name).outputMode(OutputMode.Append())
         .start()
+      lastSinkTable = Some(name) // track before feeding (see runStreaming)
       try {
         val ca = as.grouped(math.max(1, (as.size + rounds - 1) / rounds)).toSeq
         val cb = bs.grouped(math.max(1, (bs.size + rounds - 1) / rounds)).toSeq
@@ -144,7 +151,6 @@ object StreamExec {
         }
         lastStreamingPlan = capturedExplain(query)
       } finally query.stop()
-      lastSinkTable = Some(name)
       spark.table(name)
     }
   }
