@@ -1094,12 +1094,15 @@ object SparkEntry {
          (strlen(text) // 100 + 1)::BIGINT AS n_frames
          FROM documents""",
 
+    // BYTE-based on both sides (hx = hex of the UTF-8 bytes): frame j is
+    // hex chars [2·64·j+1, +2]; frame count from the BYTE length — agrees
+    // with the engine for multibyte text, not just the ASCII fixture
     "q_frame_sample" ->
       """SELECT doc_id AS asset_id, x.u.i::BIGINT AS frame_no,
-                md5(substr(text, x.u.i * 64 + 1, 1)) AS frame_digest
-         FROM (SELECT doc_id, text,
-                 UNNEST([{'i': j} for j in range(0, (strlen(text) - 1) // 64 + 1)]) AS u
-               FROM documents) x""",
+                md5(substr(x.hx, x.u.i * 128 + 1, 2)) AS frame_digest
+         FROM (SELECT doc_id, hx,
+                 UNNEST([{'i': j} for j in range(0, (len(hx) // 2 - 1) // 64 + 1)]) AS u
+               FROM (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents)) x""",
 
     "q_media_features" ->
       s"""SELECT doc_id AS asset_id,

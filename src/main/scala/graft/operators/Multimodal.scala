@@ -129,17 +129,24 @@ object Multimodal {
     nBytes +: magic +: hist
   }
 
-  /** Frame sampling stub: every `stride`-th byte of the media payload as
+  /** Frame sampling stub: every `stride`-th BYTE of the media payload as
     * a "frame", with its offset — the partitioning/fan-out shape of real
     * video frame extraction (explode to one row per frame).
+    *
+    * The digest is md5 of the frame byte's lowercase-HEX string (not of
+    * the raw byte): DuckDB's md5 takes VARCHAR only, and a raw
+    * multi-byte fragment would not round-trip through a string — same
+    * byte-based contract as [[stubDecode]]'s thumb_digest, so the oracle
+    * (`md5(substr(lower(hex(encode(text))), 2·offset+1, 2))`) agrees for
+    * non-ASCII payloads too (pinned in ColOpsSpec).
     */
   def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
     assets.select(
       col("asset_id"),
       posexplode(transform(
         sequence(lit(0), ((length(col("media")) - 1) / stride).cast("int")),
-        i => substring(col("media"), (i * stride + 1).cast("int"), lit(1))))
-        .as(Seq("frame_no", "frame_bytes")))
+        i => lower(hex(substring(col("media"), (i * stride + 1).cast("int"), lit(1))))))
+        .as(Seq("frame_no", "frame_hex")))
       .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
-        md5(col("frame_bytes")).as("frame_digest"))
+        md5(col("frame_hex")).as("frame_digest"))
 }

@@ -134,6 +134,24 @@ class ColOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_bytes") == bytes.length.toLong)
   }
 
+  test("sampleFrames digests BYTES: multibyte payload agrees with the hex-pair oracle formula") {
+    import spark.implicits._
+    val s = "é" * 40 // 80 UTF-8 bytes (0xc3 0xa9 …): char- and byte-indexing diverge
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val assets = Seq((1L, s)).toDF("asset_id", "text")
+      .select(col("asset_id"), encode(col("text"), "UTF-8").as("media"))
+    val got = Multimodal.sampleFrames(assets, 64).collect()
+      .map(r => (r.getAs[Long]("frame_no"), r.getAs[String]("frame_digest"))).sortBy(_._1)
+    // oracle formula: frame j = md5 of hex chars [2*64*j+1, +2] of the bytes
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val hx = bytes.map("%02x".format(_)).mkString
+    val expected = (0 until (bytes.length - 1) / 64 + 1)
+      .map(j => (j.toLong, md5hex(hx.substring(j * 128, j * 128 + 2))))
+    assert(got.toSeq == expected, s"got ${got.toList}")
+  }
+
   test("byteFeatures: magic fold and nibble histogram match a hand computation (non-ASCII)") {
     import spark.implicits._
     val s = "Aé!" // bytes: 0x41, 0xc3, 0xa9, 0x21 — exercises high nibbles
