@@ -1084,15 +1084,19 @@ object SparkEntry {
     // thumb_digest is byte-based on both sides: md5 of the lowercase-hex
     // string of the first 16 BYTES (32 hex chars) — agrees with the Spark
     // stub for non-ASCII payloads (see Multimodal.stubDecode)
+    // nb = BYTE length (octet_length of the UTF-8 encoding), matching the
+    // engine's bytes.length — strlen (chars) would diverge on multibyte
+    // text; md5(text) is already byte-based (DuckDB hashes the UTF-8)
     "q_multimodal_decode" ->
       """SELECT doc_id AS asset_id,
-         strlen(text)::BIGINT AS n_bytes,
+         nb AS n_bytes,
          md5(text) AS digest,
          md5(substring(lower(hex(encode(text))), 1, 32)) AS thumb_digest,
-         (strlen(text) % 640 + 1)::BIGINT AS width,
-         (strlen(text) % 480 + 1)::BIGINT AS height,
-         (strlen(text) // 100 + 1)::BIGINT AS n_frames
-         FROM documents""",
+         (nb % 640 + 1)::BIGINT AS width,
+         (nb % 480 + 1)::BIGINT AS height,
+         (nb // 100 + 1)::BIGINT AS n_frames
+         FROM (SELECT doc_id, text, octet_length(encode(text))::BIGINT AS nb
+               FROM documents)""",
 
     // BYTE-based on both sides (hx = hex of the UTF-8 bytes): frame j is
     // hex chars [2·64·j+1, +2]; frame count from the BYTE length — agrees
