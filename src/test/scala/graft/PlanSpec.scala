@@ -130,6 +130,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample ranks in a PARTITIONED window, no global sort") {
+    val df = SparkEntry.queries("q_sample_strat")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("windowspecdefinition(lang"),
+      s"sample window not partitioned by the stratum:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort in the sampling plan:\n$p")
+  }
+
+  test("corpus interleave adds no exchange beyond the dense ranking") {
+    val df = SparkEntry.queries("q_corpus_mix")(spark, dir)
+    val p = plan(df)
+    // the schedule arithmetic itself must be exchange-free: the only
+    // exchanges allowed are the two range-partitionings inside the
+    // dense-seq ranking of the sides
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-ranking exchange in interleave plan:\n$exchanges")
+    assert(p.contains("Union"), s"interleave lost its union shape:\n$p")
+  }
+
+  test("repetition stats aggregate with map-side partials, no per-doc loop") {
+    val df = SparkEntry.queries("q_repetition")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"repetition plan degenerated:\n$p")
+  }
+
+  test("CSV/JSONL sources prune and push down") {
+    val csv = SparkEntry.queries("q_csv_source")(spark, dir)
+    val csvScan = csv.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(csvScan.contains("PushedFilters") || csvScan.contains("GreaterThan(n_chars"),
+      s"CSV filter not pushed:\n$csvScan")
+    val jsonl = SparkEntry.queries("q_jsonl_source")(spark, dir)
+    val jScan = jsonl.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(jScan.contains("ReadSchema") && !jScan.contains("text"),
+      s"JSONL read schema not pruned:\n$jScan")
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
