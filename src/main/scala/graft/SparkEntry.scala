@@ -606,6 +606,27 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // incremental dedup — keep incoming docs (doc_id >= 400) whose text
+    // digest is NOT in the existing corpus (doc_id < 400): digest-only
+    // anti-join, the ingestion shape
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents")
+      Dedup.newAgainstCorpus(
+        docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") < 400), "text")
+        .select(col("doc_id"))
+    }),
+
+    // benchmark decontamination — docs sharing ANY word-3-gram shingle
+    // with the "benchmark" subset (doc_id % 50 == 0 stands in for an
+    // eval set): broadcast semi-join on shingle hashes
+    "q_contamination" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.contaminatedBy(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+    }),
+
     // MinHash signatures: k portable min-hashes per doc, zero shuffle.
     // One scalar BIGINT column per hash (mh_00..mh_15) — the driver's
     // comparator can't sort array cells (see q_consecutive).
@@ -980,6 +1001,18 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+
+    "q_dedup_incremental" ->
+      """SELECT n.doc_id FROM documents n
+         WHERE n.doc_id >= 400 AND NOT EXISTS (
+           SELECT 1 FROM documents c
+           WHERE c.doc_id < 400 AND md5(c.text) = md5(n.text))""",
+
+    "q_contamination" ->
+      s"""WITH s AS (SELECT doc_id, UNNEST(${Dedup.shinglesSql}) AS h FROM documents)
+          SELECT DISTINCT d.doc_id FROM s d
+          JOIN (SELECT DISTINCT h FROM s WHERE doc_id % 50 = 0) b USING (h)
+          WHERE d.doc_id % 50 <> 0""",
 
     "q_minhash_sig" -> {
       val cols = Dedup.minhashSql("sh").zipWithIndex

@@ -69,21 +69,61 @@ object Dedup {
     * INLINE it at every element_at — Catalyst does not CSE across lambda
     * boundaries, and the recompute is quadratic (measured 10× slower).
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (doc_id, sh: array<long>) — the distinct word-3-gram shingle hashes
+    * of each document (stages 1-2 of [[minhashSignatures]]; also the
+    * overlap unit of [[contaminatedBy]]).
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withHw = df.select(col(idCol).as("doc_id"),
       graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
     val hw = col("hw")
-    val withSh = withHw.select(col("doc_id"),
+    withHw.select(col("doc_id"),
       array_distinct(
         when(size(hw) >= 3,
           transform(sequence(lit(0), size(hw) - 3), i =>
             (((element_at(hw, i + 1) * 31 + element_at(hw, i + 2)) % P) * 31
               + element_at(hw, i + 3)) % P))
           .otherwise(array())).as("sh"))
+  }
+
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withSh = shingleHashes(df, idCol, textCol)
     val mins = (0 until NumHashes).map { i =>
       array_min(transform(col("sh"), h => (lit(HashA(i)) * h + lit(HashB(i))) % P))
     }
     withSh.select(col("doc_id"), col("sh"), array(mins: _*).as("minhash"))
+  }
+
+  /** Incremental (new-vs-corpus) exact dedup — the ingestion shape: keep
+    * the incoming rows whose text digest does NOT appear in the existing
+    * corpus. The corpus side is projected to distinct 32-byte digests
+    * BEFORE the join, so the anti-join carries digests, not documents;
+    * at 100 TB the corpus digest set lives as its own compacted table
+    * and the join shuffles on the digest (or broadcasts, when the
+    * incoming batch is the small side).
+    */
+  def newAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+                       textCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("__corpus_h")).distinct()
+    incoming.join(seen, md5(incoming(textCol)) === col("__corpus_h"), "left_anti")
+  }
+
+  /** Benchmark decontamination — the train/eval overlap check: flag
+    * documents sharing ANY word-3-gram shingle with the benchmark set.
+    * Both sides explode their shingle hashes (never shingle STRINGS —
+    * the arithmetic composition stays in whole-stage codegen); the
+    * benchmark side is distinct-projected and BROADCAST (eval sets are
+    * tiny next to a training corpus), so the semi-join adds no shuffle
+    * to the corpus scan.
+    */
+  def contaminatedBy(docs: DataFrame, bench: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val d = shingleHashes(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("sh")).as("__sh"))
+    val b = shingleHashes(bench, idCol, textCol)
+      .select(explode(col("sh")).as("__sh")).distinct()
+    d.join(broadcast(b), Seq("__sh"), "left_semi")
+      .select(col("doc_id")).distinct()
   }
 
   /** (band, bucket-string, doc_id) — one row per band per doc. Docs with
