@@ -58,20 +58,18 @@ object Dedup {
                      keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
 
-  /** doc → (id, sh: array<long>, minhash: array<long>[k]).
-    *
-    * Staged as three Projects so each intermediate array is computed
-    * exactly once per row: (1) `hw` = per-word char hashes; (2) `sh` =
-    * word-3-gram shingle hashes composed arithmetically from `hw`
-    * ((((h1*31 + h2) mod P)*31 + h3) mod P — shingle strings never
-    * materialize); (3) the k min-hashes over `sh`. Referencing a
-    * `transform(...)` Column from inside another lambda would instead
-    * INLINE it at every element_at — Catalyst does not CSE across lambda
-    * boundaries, and the recompute is quadratic (measured 10× slower).
-    */
   /** (doc_id, sh: array<long>) — the distinct word-3-gram shingle hashes
-    * of each document (stages 1-2 of [[minhashSignatures]]; also the
-    * overlap unit of [[contaminatedBy]]).
+    * of each document (the first two stages of [[minhashSignatures]];
+    * also the overlap unit of [[contaminatedBy]]).
+    *
+    * Staged as separate Projects so each intermediate array is computed
+    * exactly once per row: (1) `hw` = per-word char hashes; (2) `sh` =
+    * shingle hashes composed arithmetically from `hw`
+    * ((((h1*31 + h2) mod P)*31 + h3) mod P — shingle strings never
+    * materialize). Referencing a `transform(...)` Column from inside
+    * another lambda would instead INLINE it at every element_at —
+    * Catalyst does not CSE across lambda boundaries, and the recompute
+    * is quadratic (measured 10× slower).
     */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withHw = df.select(col(idCol).as("doc_id"),
@@ -86,6 +84,10 @@ object Dedup {
           .otherwise(array())).as("sh"))
   }
 
+  /** doc → (id, sh: array<long>, minhash: array<long>[k]): the shingle
+    * hashes plus the k affine min-hashes over them — one more staged
+    * Project on top of [[shingleHashes]] (same lambda-inlining caveat).
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withSh = shingleHashes(df, idCol, textCol)
     val mins = (0 until NumHashes).map { i =>

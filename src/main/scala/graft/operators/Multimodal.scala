@@ -143,9 +143,14 @@ object Multimodal {
   def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
     assets.select(
       col("asset_id"),
-      posexplode(transform(
-        sequence(lit(0), ((length(col("media")) - 1) / stride).cast("int")),
-        i => lower(hex(substring(col("media"), (i * stride + 1).cast("int"), lit(1))))))
+      // an EMPTY payload yields no frames (the oracle's floor division
+      // agrees; the truncating (-1)/stride would instead emit one frame
+      // of md5 of nothing)
+      posexplode(when(length(col("media")) > 0,
+        transform(
+          sequence(lit(0), ((length(col("media")) - 1) / stride).cast("int")),
+          i => lower(hex(substring(col("media"), (i * stride + 1).cast("int"), lit(1))))))
+        .otherwise(array().cast("array<string>")))
         .as(Seq("frame_no", "frame_hex")))
       .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
         md5(col("frame_hex")).as("frame_digest"))

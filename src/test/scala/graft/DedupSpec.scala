@@ -53,4 +53,32 @@ class DedupSpec extends SparkSpec {
     // default cap keeps the cluster: all C(30,2) pairs plus the small one
     assert(Dedup.candidatePairs(sig).count() == 30L * 29 / 2 + 1)
   }
+
+  test("newAgainstCorpus: exact-duplicate incoming rows are dropped, fresh ones kept") {
+    import spark.implicits._
+    val corpus = Seq((1L, "the quick brown fox"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "hello world"),          // exact dup of corpus doc 2 → dropped
+      (11L, "hello  world"),         // different text (two spaces) → kept
+      (12L, "completely new doc")    // fresh → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.newAgainstCorpus(incoming, corpus, "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(11L, 12L), s"kept ${kept.toList}")
+  }
+
+  test("contaminatedBy: only docs sharing a word-3-gram with the benchmark are flagged") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "x y alpha beta gamma z"),   // shares (alpha,beta,gamma) → flagged
+      (2L, "alpha beta x gamma delta"), // no shared 3-gram → clean
+      (3L, "beta gamma delta w"),       // shares (beta,gamma,delta) → flagged
+      (4L, "totally unrelated text here")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contaminatedBy(docs, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(flagged.toSeq == Seq(1L, 3L), s"flagged ${flagged.toList}")
+  }
 }
