@@ -50,6 +50,15 @@ object SparkEntry {
     */
   private val ZipStreamN = 25000
 
+  /** Shared by q_event_window (batch) and q_event_window_stream
+    * (Complete-mode Structured Streaming — the final snapshot equals the
+    * batch aggregation).
+    */
+  private val EventWindowOracleSql =
+    s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start_s,
+        CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
+        FROM events GROUP BY 1"""
+
   /** Shared by q_zip_with (batch positional join) and q_zip_stream
     * (stream-stream join on seq with watermark, bounded to ZipStreamN).
     */
@@ -741,6 +750,25 @@ object SparkEntry {
           col("total").cast("long").as("total"), col("cnt"))
     }),
 
+    // the tumbling-window agg executed THROUGH Structured Streaming:
+    // events fed via MemoryStream quanta into the same EventTime.tumbling
+    // plan with a watermark, Complete-mode memory sink — the final
+    // snapshot is hash-checked against the SAME oracle as q_event_window
+    "q_event_window_stream" -> ((s, dir) => {
+      import s.implicits._
+      val rows = eventsWithTs(s, dir)
+        .select(col("ts2"), col("ival"))
+        .as[(java.sql.Timestamp, Long)].collect().toSeq
+      graft.streaming.StreamExec.runStreamingComplete[(java.sql.Timestamp, Long)](
+        s, rows,
+        ds => graft.streaming.EventTime.tumbling(ds.toDF("ts2", "ival"),
+            "ts2", "5 seconds", "1 hour",
+            Seq(sum(col("ival")).as("total"), count(lit(1)).as("cnt")))
+          .select(unix_timestamp(col("w_start")).as("w_start_s"),
+            col("total").cast("long").as("total"), col("cnt")),
+        quantum = streamQuantum(rows.size))
+    }),
+
     // band (range) join — near-value event pairs via the binned
     // equi-join (one shuffle on the bin key; a bare |Δ|≤tol join would
     // plan as an O(n²) nested-loop product)
@@ -1146,10 +1174,9 @@ object SparkEntry {
           ${Multimodal.byteFeaturesSql("lower(hex(encode(text)))").mkString(",\n          ")}
           FROM documents""",
 
-    "q_event_window" ->
-      s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w_start_s,
-          CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
-          FROM events GROUP BY 1""",
+    "q_event_window" -> EventWindowOracleSql,
+    // streaming-executed twin (Complete-mode snapshot ≡ batch agg)
+    "q_event_window_stream" -> EventWindowOracleSql,
 
     // the BETWEEN slack band (0.0501 > tol) is redundant with the exact
     // abs filter but gives DuckDB a range condition for its IEJoin —

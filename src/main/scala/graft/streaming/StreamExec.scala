@@ -155,6 +155,39 @@ object StreamExec {
     }
   }
 
+  /** Run a streaming AGGREGATION end-to-end in Complete output mode:
+    * the memory sink's final snapshot equals the batch aggregation over
+    * the same rows, so a batch oracle checks the streaming-executed
+    * windowed agg directly (append mode would only show windows the
+    * watermark has closed — a data-dependent subset).
+    */
+  def runStreamingComplete[T <: Product : TypeTag](
+      spark: SparkSession, elems: Seq[T],
+      build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame = {
+    lastSinkTable.foreach(spark.catalog.dropTempView)
+    withConfs(spark, RocksKey -> RocksProvider,
+                     ShuffleKey -> StreamShufflePartitions) {
+      implicit val encT: Encoder[T] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
+      implicit val sq: SQLContext = spark.sqlContext
+      val input = MemoryStream[T]
+      val out = build(input.toDS())
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val query = out.writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Complete())
+        .start()
+      lastSinkTable = Some(name)
+      try {
+        elems.grouped(quantum).foreach { chunk =>
+          input.addData(chunk)
+          query.processAllAvailable()
+        }
+        lastStreamingPlan = capturedExplain(query)
+      } finally query.stop()
+      spark.table(name)
+    }
+  }
+
   /** `query.explain()` prints to stdout; capture it (public API — avoids
     * reaching into StreamExecution internals for the executed plan).
     */
