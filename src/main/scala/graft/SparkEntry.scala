@@ -164,6 +164,23 @@ object SparkEntry {
       "doc_id,lang,n_chars\n" + rows.mkString("\n")
     }
 
+  /** documents written as lang-partitioned parquet — the SINK under test
+    * for q_partitioned_write (the read-back proves partition pruning).
+    * Written once per JVM per dir, distributed write (no driver collect).
+    */
+  private def stagedPartitionedParquet(s: SparkSession, dir: String): java.nio.file.Path = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_partwrite_$key")
+    if (stagedKeys.add(s"partwrite|$dir") || !java.nio.file.Files.exists(path)) {
+      ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.partitionBy("lang").mode("overwrite").parquet(path.toString)
+    }
+    path
+  }
+
   /** documents metadata as JSONL — the fixture for the JSONL-source
     * query (lang codes are [a-z]{2}: no JSON escaping needed).
     */
@@ -591,6 +608,17 @@ object SparkEntry {
         .filter(col("lang") === "en")
         .select(col("doc_id").as("seq"), col("n_chars"))),
 
+    // partitioned parquet SINK + partition-pruned read-back: the corpus
+    // layout shape (partitionBy the shard key so downstream per-language
+    // jobs scan only their partition — the read-back filter must show up
+    // as a PartitionFilter, not a data filter; asserted in PlanSpec)
+    "q_partitioned_write" -> ((s, dir) => {
+      val out = stagedPartitionedParquet(s, dir)
+      s.read.parquet(out.toString)
+        .filter(col("lang") === "fr")
+        .select(col("doc_id").as("seq"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // ---------- LLM-data-pipeline operators ----------
 
     // deterministic stratified sampling — 20 docs per language, ranked by
@@ -982,6 +1010,10 @@ object SparkEntry {
     "q_jsonl_source" ->
       """SELECT doc_id AS seq, n_chars::BIGINT AS n_chars
          FROM documents WHERE lang = 'en'""",
+
+    "q_partitioned_write" ->
+      """SELECT doc_id AS seq, n_chars::BIGINT AS n_chars
+         FROM documents WHERE lang = 'fr'""",
 
     // epoch_us = the µs-truncated time the engine mirrors with
     // `ts div 1000`; the fill is ONE whole-row struct (not per-column

@@ -172,6 +172,15 @@ class PlanSpec extends SparkSpec {
       s"JSONL read schema not pruned:\n$jScan")
   }
 
+  test("partitioned write read-back prunes by PARTITION filter, not data filter") {
+    val df = SparkEntry.queries("q_partitioned_write")(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // attribute rendering carries expression ids (lang#12 = fr)
+    val pruned = "(?s).*PartitionFilters: \\[[^\\]]*lang#\\d+ = fr[^\\]]*\\].*"
+    assert(scan.matches(pruned),
+      s"lang filter did not become a partition filter:\n$scan")
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
