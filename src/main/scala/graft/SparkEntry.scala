@@ -320,6 +320,17 @@ object SparkEntry {
         .select(col("seq"), (col("value._1") + col("value._2")).as("value"))
     }),
 
+    // skew-salted join, oracle-checked: events joined to a per-user dim
+    // through ColOps.saltedJoin — salting must be semantically invisible
+    // (hot keys spread over `salt` tasks; the oracle is the plain join)
+    "q_salted_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("seq"), col("user_id"))
+      val dim = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_cnt"))
+      ColOps.saltedJoin(ev, dim, "user_id", 8)
+        .select(col("seq"), col("user_id"), col("user_cnt"))
+    }),
+
     // §2.4 pairs — consecutive pairs via boundary exchange
     "q_pairs" -> ((s, dir) =>
       RowExec.pairsDf(events(s, dir).select(col("seq"), col("value")), Seq("value"))
@@ -907,6 +918,10 @@ object SparkEntry {
     "q_pairs" ->
       """SELECT event_id AS seq, lag(value) OVER (ORDER BY event_id) AS prev_value, value
          FROM events QUALIFY prev_value IS NOT NULL""",
+    "q_salted_join" ->
+      """SELECT event_id AS seq, user_id,
+                count(*) OVER (PARTITION BY user_id) AS user_cnt
+         FROM events""",
     // COALESCE to '': DuckDB array_to_string([]) is NULL, Spark array_join
     // of an empty array is ''
     "q_consecutive" ->
