@@ -600,6 +600,15 @@ object SparkEntry {
         .select(col("seq"), col("value").as("line"))
     }),
 
+    // §2.2 sourceHandle in fixed-size chunks: the staged corpus file read
+    // as 4096-byte chunks (binaryFile source + columnar fan-out); each
+    // chunk identified by md5 of its hex so the oracle (which reconstructs
+    // the same bytes from the documents table) can compare byte-exactly
+    "q_binary_chunks" -> ((s, dir) => {
+      Sources.fileChunks(s, stagedTextLines(s, dir).toString, 4096).ds.toDF()
+        .select(col("seq"), md5(lower(hex(col("value")))).as("chunk_md5"))
+    }),
+
     // CSV source — explicit schema (never inferSchema: that is a second
     // full read), header, and a filter that reaches the scan; the oracle
     // checks the round-trip against the originating table
@@ -1021,6 +1030,21 @@ object SparkEntry {
     "q_csv_source" ->
       """SELECT doc_id AS seq, lang, n_chars::BIGINT AS n_chars
          FROM documents WHERE n_chars > 300""",
+
+    // hx reconstructs the staged corpus file's bytes (one doc per line,
+    // newlines sanitized — the q_text_lines staging convention) as hex;
+    // 4096-byte chunks = 8192 hex chars
+    "q_binary_chunks" ->
+      """WITH c AS (SELECT lower(hex(encode(
+             string_agg(replace(text, chr(10), ' '), chr(10) ORDER BY doc_id)
+             || CASE WHEN (SELECT replace(text, chr(10), ' ') FROM documents
+                           ORDER BY doc_id DESC LIMIT 1) = ''
+                     THEN chr(10) ELSE '' END))) AS hx
+          FROM documents)
+         SELECT CAST(x.u.j AS BIGINT) AS seq,
+                md5(substr(x.hx, x.u.j * 8192 + 1, 8192)) AS chunk_md5
+         FROM (SELECT hx, UNNEST([{'j': j} for j in range(0, (len(hx) + 8191) // 8192)]) AS u
+               FROM c) x""",
 
     "q_jsonl_source" ->
       """SELECT doc_id AS seq, n_chars::BIGINT AS n_chars

@@ -261,6 +261,28 @@ object Sources {
     fromSeq(spark, buf.result())
   }
 
+  /** sourceHandle with a FIXED chunk size (reference
+    * `Combinators.hs:280-288` reads a handle in fixed-size chunks): the
+    * file's bytes as consecutive `chunkSize`-byte chunks, one row per
+    * chunk, seq = chunk index. A columnar fan-out (posexplode over
+    * binary substrings) on top of the binaryFile source — the chunking
+    * itself never touches the driver. An empty file yields no chunks.
+    */
+  def fileChunks(spark: SparkSession, path: String, chunkSize: Int): SStream[Array[Byte]] = {
+    require(chunkSize > 0, "fileChunks: chunkSize must be positive")
+    implicit val e: Encoder[Elem[Array[Byte]]] = Elem.enc[Array[Byte]]
+    val df = spark.read.format("binaryFile").load(path).select(col("content"))
+    SStream(df.select(posexplode(
+        when(length(col("content")) > 0,
+          transform(
+            sequence(lit(0), ((length(col("content")) - 1) / chunkSize).cast("int")),
+            i => substring(col("content"), (i * chunkSize + 1).cast("int"), lit(chunkSize))))
+          .otherwise(array().cast("array<binary>")))
+        .as(Seq("seq", "value")))
+      .select(col("seq").cast("long").as("seq"), col("value"))
+      .as[Elem[Array[Byte]]])
+  }
+
   /** sourceHandle (reference `Combinators.hs:280-288`): a binary stream as
     * chunks. One chunk per file via the binaryFile source; seq = file order.
     */
