@@ -167,19 +167,25 @@ object SparkEntry {
   /** documents written as lang-partitioned parquet — the SINK under test
     * for q_partitioned_write (the read-back proves partition pruning).
     * Written once per JVM per dir, distributed write (no driver collect).
+    * Unlike the single-FILE fixtures above (temp-file + atomic move), a
+    * parquet DIRECTORY cannot be swapped atomically under concurrent
+    * readers, so this one is per-JVM-unique (createTempDirectory) and
+    * never shared across processes; the mapping is recorded only after
+    * the write job succeeds, so a failed write is retried into a fresh
+    * directory instead of serving a partial one.
     */
-  private def stagedPartitionedParquet(s: SparkSession, dir: String): java.nio.file.Path = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_partwrite_$key")
-    if (stagedKeys.add(s"partwrite|$dir") || !java.nio.file.Files.exists(path)) {
-      ColOps.table(s, dir, "documents")
+  private val partwriteDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedPartitionedParquet(s: SparkSession, dir: String): java.nio.file.Path =
+    partwriteDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_partwrite_")
+      ColOps.table(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .write.partitionBy("lang").mode("overwrite").parquet(path.toString)
-    }
-    path
-  }
+        .write.partitionBy("lang").mode("overwrite").parquet(tmp.toString)
+      tmp
+    })
 
   /** documents metadata as JSONL — the fixture for the JSONL-source
     * query (lang codes are [a-z]{2}: no JSON escaping needed).
@@ -927,10 +933,16 @@ object SparkEntry {
     "q_pairs" ->
       """SELECT event_id AS seq, lag(value) OVER (ORDER BY event_id) AS prev_value, value
          FROM events QUALIFY prev_value IS NOT NULL""",
+    // expressed as the literal inner join (not a window count) so NULL
+    // join keys drop on BOTH sides by construction — an inner equi-join
+    // never matches NULL = NULL, while count(*) OVER (PARTITION BY
+    // user_id) would group and keep NULL-keyed rows
     "q_salted_join" ->
-      """SELECT event_id AS seq, user_id,
-                count(*) OVER (PARTITION BY user_id) AS user_cnt
-         FROM events""",
+      """SELECT e.event_id AS seq, e.user_id, d.user_cnt
+         FROM events e
+         JOIN (SELECT user_id, count(*) AS user_cnt
+               FROM events GROUP BY user_id) d
+           ON e.user_id = d.user_id""",
     // COALESCE to '': DuckDB array_to_string([]) is NULL, Spark array_join
     // of an empty array is ''
     "q_consecutive" ->

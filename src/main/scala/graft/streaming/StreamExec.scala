@@ -77,6 +77,36 @@ object StreamExec {
     }
   }
 
+  /** The start/track/feed/stop protocol shared by every runner: drop the
+    * previous sink, scope the state-store + partition confs, start the
+    * query in `mode` on the plan `mk` builds, record the sink table
+    * BEFORE feeding (a run that throws mid-feed must still have its view
+    * dropped by the next run), drive the feed callback `mk` returned,
+    * capture the executed plan, stop the query, return the sink table.
+    * `mk` runs inside the scoped confs and receives the SQLContext the
+    * MemoryStream constructor needs; it returns the output plan plus the
+    * callback that feeds its input stream(s).
+    */
+  private def runProtocol(spark: SparkSession, mode: OutputMode)(
+      mk: SQLContext => (DataFrame,
+        org.apache.spark.sql.streaming.StreamingQuery => Unit)): DataFrame = {
+    lastSinkTable.foreach(spark.catalog.dropTempView)
+    withConfs(spark, RocksKey -> RocksProvider,
+                     ShuffleKey -> StreamShufflePartitions) {
+      val (out, feed) = mk(spark.sqlContext)
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val query = out.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .start()
+      lastSinkTable = Some(name)
+      try {
+        feed(query)
+        lastStreamingPlan = capturedExplain(query)
+      } finally query.stop()
+      spark.table(name)
+    }
+  }
+
   /** Run `pipe` over `elems` via Structured Streaming (quantum rows per
     * micro-batch) and return the memory-sink table. The RocksDB state
     * store provider is set for the run and restored after (required by
@@ -84,31 +114,16 @@ object StreamExec {
     */
   def runStreaming[A: TypeTag, B: TypeTag](
       spark: SparkSession, elems: Seq[Elem[A]], pipe: Pipe[A, B],
-      quantum: Int = 4096): DataFrame = {
-    lastSinkTable.foreach(spark.catalog.dropTempView)
-    withConfs(spark, RocksKey -> RocksProvider,
-                     ShuffleKey -> StreamShufflePartitions) {
+      quantum: Int = 4096): DataFrame =
+    runProtocol(spark, OutputMode.Append()) { implicit sq =>
       implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
-      implicit val sq: SQLContext = spark.sqlContext
       val input = MemoryStream[Elem[A]]
-      val out = pipe(SStream(input.toDS())).ds
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val query = out.writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Append())
-        .start()
-      // track the sink BEFORE feeding: a run that throws mid-feed must
-      // still have its view dropped by the next run
-      lastSinkTable = Some(name)
-      try {
-        elems.grouped(quantum).foreach { chunk =>
-          input.addData(chunk)
-          query.processAllAvailable()
-        }
-        lastStreamingPlan = capturedExplain(query)
-      } finally query.stop()
-      spark.table(name)
+      val out = pipe(SStream(input.toDS())).ds.toDF()
+      (out, query => elems.grouped(quantum).foreach { chunk =>
+        input.addData(chunk)
+        query.processAllAvailable()
+      })
     }
-  }
 
   /** Run the streaming zipSource end-to-end: two MemoryStreams fed in
     * quanta (sides advance at different rates within a quantum round)
@@ -123,25 +138,18 @@ object StreamExec {
     */
   def runStreamingZip[A: TypeTag, B: TypeTag](
       spark: SparkSession, as: Seq[Elem[A]], bs: Seq[Elem[B]],
-      rounds: Int = 2): DataFrame = {
-    lastSinkTable.foreach(spark.catalog.dropTempView)
-    // RocksDB here too: the join itself doesn't require it, but all
-    // streaming proof queries should exercise ONE state-store backend so
-    // the recorded cost model (per-partition store commits) is uniform
-    withConfs(spark, RocksKey -> RocksProvider,
-                     ShuffleKey -> StreamShufflePartitions) {
+      rounds: Int = 2): DataFrame =
+    // RocksDB here too (via runProtocol): the join itself doesn't require
+    // it, but all streaming proof queries should exercise ONE state-store
+    // backend so the recorded cost model (per-partition store commits) is
+    // uniform
+    runProtocol(spark, OutputMode.Append()) { implicit sq =>
       implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
       implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
-      implicit val sq: SQLContext = spark.sqlContext
       val ia = MemoryStream[Elem[A]]
       val ib = MemoryStream[Elem[B]]
-      val out = StreamPipes.zipSourcesStream(SStream(ia.toDS()), SStream(ib.toDS())).ds
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val query = out.writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Append())
-        .start()
-      lastSinkTable = Some(name) // track before feeding (see runStreaming)
-      try {
+      val out = StreamPipes.zipSourcesStream(SStream(ia.toDS()), SStream(ib.toDS())).ds.toDF()
+      (out, { query =>
         val ca = as.grouped(math.max(1, (as.size + rounds - 1) / rounds)).toSeq
         val cb = bs.grouped(math.max(1, (bs.size + rounds - 1) / rounds)).toSeq
         (0 until math.max(ca.size, cb.size)).foreach { i =>
@@ -149,11 +157,8 @@ object StreamExec {
           if (i < cb.size) ib.addData(cb(i))
           query.processAllAvailable()
         }
-        lastStreamingPlan = capturedExplain(query)
-      } finally query.stop()
-      spark.table(name)
+      })
     }
-  }
 
   /** Run a streaming AGGREGATION end-to-end in Complete output mode:
     * the memory sink's final snapshot equals the batch aggregation over
@@ -163,30 +168,17 @@ object StreamExec {
     */
   def runStreamingComplete[T <: Product : TypeTag](
       spark: SparkSession, elems: Seq[T],
-      build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame = {
-    lastSinkTable.foreach(spark.catalog.dropTempView)
-    withConfs(spark, RocksKey -> RocksProvider,
-                     ShuffleKey -> StreamShufflePartitions) {
+      build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
+    runProtocol(spark, OutputMode.Complete()) { implicit sq =>
       implicit val encT: Encoder[T] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
-      implicit val sq: SQLContext = spark.sqlContext
       val input = MemoryStream[T]
       val out = build(input.toDS())
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val query = out.writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Complete())
-        .start()
-      lastSinkTable = Some(name)
-      try {
-        elems.grouped(quantum).foreach { chunk =>
-          input.addData(chunk)
-          query.processAllAvailable()
-        }
-        lastStreamingPlan = capturedExplain(query)
-      } finally query.stop()
-      spark.table(name)
+      (out, query => elems.grouped(quantum).foreach { chunk =>
+        input.addData(chunk)
+        query.processAllAvailable()
+      })
     }
-  }
 
   /** `query.explain()` prints to stdout; capture it (public API — avoids
     * reaching into StreamExecution internals for the executed plan).

@@ -248,4 +248,27 @@ class OperatorSpec extends SparkSpec {
       (s: Int) => if (s <= 2) Right((s, s + 1)) else Left(s * 100), 1)
     assert(run(st) == List(1, 2) && res == 300)
   }
+
+  test("fileChunks: fixed-size chunking covers the length boundaries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunks")
+    def stage(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    def chunks(path: String, size: Int): List[List[Byte]] =
+      Sources.fileChunks(spark, path, size).into(Sinks.sinkList[Array[Byte]])
+        .map(_.toList)
+    // partial last chunk: 10 bytes / 4 → 4,4,2
+    val ten = Array.tabulate(10)(_.toByte)
+    assert(chunks(stage("ten.bin", ten), 4) ==
+      List(ten.slice(0, 4).toList, ten.slice(4, 8).toList, ten.slice(8, 10).toList))
+    // exact multiple: 8 bytes / 4 → 4,4 (no trailing empty chunk)
+    assert(chunks(stage("eight.bin", ten.take(8)), 4) ==
+      List(ten.slice(0, 4).toList, ten.slice(4, 8).toList))
+    // single byte, chunk larger than file → one 1-byte chunk
+    assert(chunks(stage("one.bin", Array(7.toByte)), 4) == List(List(7.toByte)))
+    // empty file → no rows
+    assert(chunks(stage("empty.bin", Array.empty[Byte]), 4) == Nil)
+  }
 }

@@ -326,6 +326,23 @@ class StreamingSpec extends SparkSpec {
       s"expected a TransformWithState operator in:\n${StreamExec.lastStreamingPlan}")
   }
 
+  test("StreamExec.runStreamingComplete: final snapshot equals the batch agg") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 20).map(i => (i % 3, i.toLong))
+    // quantum=7 → three micro-batches: the Complete-mode snapshot must
+    // reflect ALL quanta, not just the last
+    val df = StreamExec.runStreamingComplete[(Int, Long)](spark, rows,
+      ds => ds.toDF("k", "v").groupBy(col("k")).agg(sum(col("v")).as("total")),
+      quantum = 7)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val want = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    assert(got == want, s"got $got, want $want")
+    // the snapshot came from a stateful streaming agg, not a batch rerun
+    assert(StreamExec.lastStreamingPlan.contains("StateStore"),
+      s"expected a StateStore operator in:\n${StreamExec.lastStreamingPlan}")
+  }
+
   test("squeeze drains by seq: exactly-once even under a permuted collect order") {
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.types._
