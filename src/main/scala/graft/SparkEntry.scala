@@ -756,6 +756,21 @@ object SparkEntry {
     "q_chunk_text" -> ((s, dir) =>
       TextOps.chunkWords(ColOps.table(s, dir, "documents"), "doc_id", "text", 50)),
 
+    // corpus TF-IDF — term-count shuffle + vocab-side df join + 1-row
+    // broadcast stats; scores micro-scaled (see Relevance determinism
+    // contract)
+    "q_tfidf" -> ((s, dir) =>
+      Relevance.tfIdf(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
+    // Okapi BM25 — same shape plus per-doc length normalization
+    "q_bm25" -> ((s, dir) =>
+      Relevance.bm25(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
+    // top-3 terms per doc by TF-IDF — rank over the micro-scaled BIGINT
+    // (engine-independent cut), planned as WindowGroupLimit
+    "q_top_terms" -> ((s, dir) =>
+      Relevance.topTerms(ColOps.table(s, dir, "documents"), "doc_id", "text", 3)),
+
     // KMV distinct-count sketch over corpus words (deterministic — the
     // oracle-matchable stand-in for approx_count_distinct)
     "q_kmv_sketch" -> ((s, dir) =>
@@ -1174,6 +1189,10 @@ object SparkEntry {
          GROUP BY w""",
 
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
+
+    "q_tfidf" -> Relevance.tfIdfSql,
+    "q_bm25" -> Relevance.bm25Sql,
+    "q_top_terms" -> Relevance.topTermsSql(3),
 
     "q_chunk_text" ->
       """SELECT doc_id, x.u.i::BIGINT AS chunk_no,

@@ -181,6 +181,19 @@ class PlanSpec extends SparkSpec {
       s"lang filter did not become a partition filter:\n$scan")
   }
 
+  test("top-terms rank is a WindowGroupLimit (partial top-k), no cartesian in relevance plans") {
+    val top = plan(SparkEntry.queries("q_top_terms")(spark, dir))
+    assert(top.contains("WindowGroupLimit"),
+      s"rank<=k did not plan as WindowGroupLimit:\n$top")
+    Seq("q_tfidf", "q_bm25", "q_top_terms").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      // corpus-level stats ride a broadcast, not a shuffle
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q stats join is not broadcast:\n$p")
+    }
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
