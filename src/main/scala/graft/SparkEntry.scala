@@ -710,6 +710,17 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // near-dup clustering: connected components over the verified pairs —
+    // iterative min-label propagation to the component's smallest doc_id
+    // (keep = the doc is its cluster's canonical representative)
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
+    // representative selection: the token-richest doc survives per
+    // cluster (integer score → engine-independent rank cut)
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
     // SimHash fingerprints
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDf(ColOps.table(s, dir, "documents"), "doc_id", "text")),
@@ -788,6 +799,11 @@ object SparkEntry {
     // search nProbe/nCells of the collection)
     "q_embed_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Similarity.embeddings(s, dir), 20, 3)),
+
+    // int8 scalar quantization (the ANN index memory-compression step) —
+    // zero shuffle, all-IEEE-exact arithmetic
+    "q_embed_quant" -> ((s, dir) =>
+      Similarity.quantizeInt8(Similarity.embeddings(s, dir))),
 
     // embedding-cosine near-dup pairs within LSH buckets (0.35 ≈ the
     // 99.9th percentile of pairwise cosine on these random embeddings —
@@ -1149,6 +1165,18 @@ object SparkEntry {
 
     "q_dedup_minhash" -> (jaccardPairsSql + " WHERE jaccard >= 0.5"),
 
+    // reachability closure over the same pair list (UNION dedups → the
+    // recursion terminates); component min == min reachable label
+    "q_dedup_clusters" -> dedupClustersSql,
+
+    // representative selection: token-richest doc per cluster
+    "q_dedup_keep_best" ->
+      s"""SELECT c.cluster, c.doc_id AS best_doc,
+                 len(regexp_extract_all(d.text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens
+          FROM ($dedupClustersSql) c JOIN documents d ON d.doc_id = c.doc_id
+          QUALIFY row_number() OVER (PARTITION BY c.cluster
+                                     ORDER BY n_tokens DESC, c.doc_id) = 1""",
+
     "q_ngram_jaccard" -> jaccardPairsSql,
 
     "q_dedup_simhash" ->
@@ -1232,6 +1260,7 @@ object SparkEntry {
           WHERE rnk <= 3""",
 
     "q_embed_ivf" -> Similarity.ivfTopKSql(20, 3),
+    "q_embed_quant" -> Similarity.quantizeInt8Sql,
 
     "q_embed_neardup" ->
       s"""WITH ${Similarity.cappedBucketsSql()},
@@ -1377,6 +1406,22 @@ object SparkEntry {
         JOIN sig sa ON sa.doc_id = p.doc_a
         JOIN sig sb ON sb.doc_id = p.doc_b"""
   }
+
+  /** Recursive-CTE mirror of Dedup.nearDupClusters: reachability closure
+    * over the verified pair list; component min = min reachable label.
+    */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE scored AS ($jaccardPairsSql),
+        p AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS lab FROM documents
+          UNION
+          SELECT e.dst AS id, r.lab FROM edges e JOIN reach r ON r.id = e.src
+        )
+        SELECT id AS doc_id, MIN(lab) AS cluster, MIN(lab) = id AS keep
+        FROM reach GROUP BY id"""
 
   private def allStopsSql: String =
     TextOps.StopWords.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")

@@ -182,6 +182,87 @@ object Dedup {
          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  /** Connected components over the verified near-dup pairs: every doc
+    * labeled with the SMALLEST doc id reachable through near-duplicate
+    * links (jaccard ≥ threshold) — the canonical-representative step of a
+    * dedup pipeline (`keep` = the doc IS its cluster's representative).
+    * Output: doc_id, cluster, keep.
+    *
+    * Iterative synchronous min-label propagation: each round every node
+    * takes min(own label, min over neighbors' labels); converges in
+    * rounds = max component diameter. Near-dup components are shallow by
+    * construction (bucket-capped candidate generation bounds how viral a
+    * cluster can get), so the loop fails loud rather than returning
+    * non-minima if `maxRounds` is ever hit. Each round: one shuffle join
+    * of the edge list against the labels + one min-agg; label state is
+    * persisted per round and the previous round unpersisted once the new
+    * one is materialized (the RowExec persist-lifecycle pattern); only a
+    * convergence COUNT crosses the driver per round.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, maxRounds: Int = 50): DataFrame =
+    clustersFromPairs(df, idCol,
+      jaccardPairs(df, idCol, textCol).filter(col("jaccard") >= threshold),
+      "doc_a", "doc_b", maxRounds)
+
+  /** The closure step of [[nearDupClusters]] over an EXPLICIT undirected
+    * pair list — separated so the propagation loop is testable on a
+    * synthetic chain independent of LSH pair generation.
+    */
+  def clustersFromPairs(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                        aCol: String, bCol: String, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var cached: DataFrame = null
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr"), col("cluster")) < col("cluster")).as("chg"))
+        .persist()
+      changed = next.filter(col("chg")).count() // materializes `next`
+      if (cached != null) cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("cluster"))
+      round += 1
+    }
+    require(changed == 0,
+      s"clustersFromPairs: not converged after $maxRounds rounds (component deeper than bound)")
+    val out = graft.core.Materialize.checkpoint(
+      labels.select(col("id").as("doc_id"), col("cluster"),
+        (col("cluster") === col("id")).as("keep")))
+    if (cached != null) cached.unpersist()
+    edges.unpersist()
+    out
+  }
+
+  /** Cluster-representative selection on top of [[nearDupClusters]]:
+    * keep the doc with the most regex tokens per near-dup cluster
+    * (ties → smallest doc id) — real pipelines keep the best copy, not
+    * the first one. The score is an integer (token count), so the rank
+    * cut is engine-independent; the rank filter plans as
+    * WindowGroupLimit (partial top-1 below the cluster exchange).
+    * Output: cluster, best_doc, n_tokens.
+    */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+               threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, threshold)
+      .select(col("doc_id"), col("cluster"))
+    val scored = df.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    clusters.join(scored, "doc_id")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("best_doc"), col("n_tokens"))
+  }
+
   // --- SimHash ---
 
   val SimBits = 30

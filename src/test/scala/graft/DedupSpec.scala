@@ -81,4 +81,45 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(flagged.toSeq == Seq(1L, 3L), s"flagged ${flagged.toList}")
   }
+
+  test("clustersFromPairs: a 5-chain collapses transitively (4 propagation rounds), singleton keeps itself") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("doc_id")
+    // chain 1-2-3-4-5: label 1 reaches node 5 only through 4 rounds of
+    // propagation; 6 is connected to nothing
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Dedup.clustersFromPairs(nodes, "doc_id", pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (5L, 1L, false), (6L, 6L, true)), s"got $got")
+    // fail-loud when the round bound is tighter than the diameter
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clustersFromPairs(nodes, "doc_id", pairs, "a", "b", maxRounds = 2)
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
+  test("nearDupClusters: identical docs cluster end-to-end through the LSH pair list") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1 → J=1.0
+      (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)), s"got $got")
+  }
+
+  test("keepBest: token-richest doc represents the cluster; exact ties fall to the smallest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // dup of 1, equal tokens → tie → 1
+      (3L, "lone unrelated document stands here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.keepBest(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 5L), (3L, 3L, 5L)), s"got $got")
+  }
 }

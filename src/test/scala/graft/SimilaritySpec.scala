@@ -117,6 +117,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.75, f"IVF recall@3 $ivfRecall%.3f < 0.75")
   }
 
+  test("quantizeInt8: values land in [-127,127], round-trip error bounded, zero vector safe") {
+    val vecs = Seq(
+      (0L, randVec()),
+      (1L, randVec().map(_ * 1e-3)),          // small-magnitude vector
+      (2L, Seq.fill(Similarity.Dim)(0.0)))    // all-zero vector
+    val got = Similarity.quantizeInt8(embDf(vecs)).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getSeq[Int](2)))).toMap
+    vecs.foreach { case (id, v) =>
+      val (scale, q) = got(id)
+      val maxAbs = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+      if (maxAbs == 0.0) {
+        assert(scale == 0.0 && q.forall(_ == 0))
+      } else {
+        assert(scale == 127.0 / maxAbs)
+        assert(q.forall(x => x >= -127 && x <= 127))
+        // dequantized round-trip within half a quantization step
+        v.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(qi / scale - x) <= 0.5 / scale + 1e-12,
+            s"vec $id: $x -> $qi (scale $scale)")
+        }
+        // the max-magnitude element hits ±127 exactly
+        assert(q.map(math.abs).max == 127)
+      }
+    }
+  }
+
   test("planes are parameterized: 32 planes as 4x8-bit bands") {
     val df = embDf(Seq((0L, randVec())))
     val cols = Similarity.bandBucketCols(col("emb"), numPlanes = 32, bandBits = 8)
