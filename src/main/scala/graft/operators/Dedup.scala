@@ -216,30 +216,32 @@ object Dedup {
       .persist()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var cached: DataFrame = null
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr"))
-      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
-          (coalesce(col("nbr"), col("cluster")) < col("cluster")).as("chg"))
-        .persist()
-      changed = next.filter(col("chg")).count() // materializes `next`
+    try {
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < maxRounds) {
+        val nbrMin = edges.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("cluster")).as("nbr"))
+        val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
+            (coalesce(col("nbr"), col("cluster")) < col("cluster")).as("chg"))
+          .persist()
+        changed = next.filter(col("chg")).count() // materializes `next`
+        if (cached != null) cached.unpersist()
+        cached = next
+        labels = next.select(col("id"), col("cluster"))
+        round += 1
+      }
+      require(changed == 0,
+        s"clustersFromPairs: not converged after $maxRounds rounds (component deeper than bound)")
+      graft.core.Materialize.checkpoint(
+        labels.select(col("id").as("doc_id"), col("cluster"),
+          (col("cluster") === col("id")).as("keep")))
+    } finally {
       if (cached != null) cached.unpersist()
-      cached = next
-      labels = next.select(col("id"), col("cluster"))
-      round += 1
+      edges.unpersist()
     }
-    require(changed == 0,
-      s"clustersFromPairs: not converged after $maxRounds rounds (component deeper than bound)")
-    val out = graft.core.Materialize.checkpoint(
-      labels.select(col("id").as("doc_id"), col("cluster"),
-        (col("cluster") === col("id")).as("keep")))
-    if (cached != null) cached.unpersist()
-    edges.unpersist()
-    out
   }
 
   /** Cluster-representative selection on top of [[nearDupClusters]]:

@@ -76,8 +76,11 @@ object Relevance {
   def bm25(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = termCounts(docs, idCol, textCol)
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(TextOps.words(col(textCol))).cast("long")).as("total_tokens"))
+    // total tokens == sum of tf (every token, empties included, lands in
+    // exactly one term-count row) — read the small checkpointed table
+    // instead of re-splitting the full text column a second time
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).cast("long").as("total_tokens")))
     val joined = tf.join(dfreq, "word")
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
       .crossJoin(broadcast(stats))
@@ -133,7 +136,7 @@ object Relevance {
                   FROM tf JOIN dfreq ON tf.word = dfreq.word)
         SELECT doc_id, word, tf, df, dl,
                CAST(FLOOR((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                      * (tf * ($K1 + 1.0))
+                      * (tf * (($K1 + 1.0)::DOUBLE))
                       / (tf + $K1 * (1.0 - $B + $B * (dl / (total_tokens / n_docs)))))
                     * 1000000.0 + 0.5) AS BIGINT) AS bm25_micro
         FROM j CROSS JOIN stats"""
