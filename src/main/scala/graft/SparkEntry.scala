@@ -50,6 +50,39 @@ object SparkEntry {
     */
   private val ZipStreamN = 25000
 
+  /** Token budget per training sequence and doc-id group size for the
+    * packing queries (fixture-scale; both are plain parameters). The
+    * greedy oracle replays the same first-fit fold as a recursive CTE —
+    * recursion depth = PackGroup, the per-group doc count.
+    */
+  private val PackBudget = 256L
+  private val PackGroup = 100L
+
+  /** Shared prefix of both packing oracles: per doc, its whitespace
+    * token count and group ordinal (`rn` ranks docs within a group for
+    * the recursive-CTE walk).
+    */
+  private def packDocsSql: String =
+    s"""d AS (
+          SELECT doc_id, doc_id // $PackGroup AS grp,
+                 len(string_split(text, ' '))::BIGINT AS tok,
+                 row_number() OVER (PARTITION BY doc_id // $PackGroup
+                                    ORDER BY doc_id) AS rn
+          FROM documents)"""
+
+  /** The greedy first-fit fold as a recursive CTE: all groups advance in
+    * lockstep, one doc per iteration (join on rn = rn + 1).
+    */
+  private def packGreedySql: String =
+    s"""WITH RECURSIVE $packDocsSql, r AS (
+          SELECT doc_id, grp, tok, rn, 0::BIGINT AS bin, tok AS fill
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.doc_id, d.grp, d.tok, d.rn,
+                 CASE WHEN r.fill + d.tok <= $PackBudget THEN r.bin ELSE r.bin + 1 END,
+                 CASE WHEN r.fill + d.tok <= $PackBudget THEN r.fill + d.tok ELSE d.tok END
+          FROM r JOIN d ON d.grp = r.grp AND d.rn = r.rn + 1)"""
+
   /** Shared by q_event_window (batch) and q_event_window_stream
     * (Complete-mode Structured Streaming — the final snapshot equals the
     * batch aggregation).
@@ -767,6 +800,23 @@ object SparkEntry {
     "q_chunk_text" -> ((s, dir) =>
       TextOps.chunkWords(ColOps.table(s, dir, "documents"), "doc_id", "text", 50)),
 
+    // concat-and-split sequence packing: distributed exclusive prefix
+    // sum (RowExec carries, never a single-task global window)
+    "q_pack_seqs" -> ((s, dir) =>
+      Packing.concatSplit(ColOps.table(s, dir, "documents"), "doc_id", "text", PackBudget)),
+
+    // first-fit greedy packing within fixed doc-id groups (the
+    // embarrassingly-parallel form of the inherently sequential fold)
+    "q_pack_greedy" -> ((s, dir) =>
+      Packing.greedyPack(ColOps.table(s, dir, "documents"), "doc_id", "text",
+        PackBudget, PackGroup)),
+
+    // pack-level fill/waste report over the greedy assignment
+    "q_pack_stats" -> ((s, dir) =>
+      Packing.packStats(
+        Packing.greedyPack(ColOps.table(s, dir, "documents"), "doc_id", "text",
+          PackBudget, PackGroup), PackBudget)),
+
     // corpus TF-IDF — term-count shuffle + vocab-side df join + 1-row
     // broadcast stats; scores micro-scaled (see Relevance determinism
     // contract)
@@ -1229,6 +1279,27 @@ object SparkEntry {
                  UNNEST([{'i': j} for j in
                          range(0, (len(string_split(text, ' ')) - 1) // 50 + 1)]) AS u
                FROM documents) x""",
+
+    "q_pack_seqs" ->
+      s"""WITH $packDocsSql,
+          s AS (SELECT doc_id, tok,
+                  CAST(SUM(tok) OVER (ORDER BY doc_id) - tok AS BIGINT) AS start_off
+                FROM d)
+          SELECT doc_id, tok, start_off,
+                 start_off // $PackBudget AS pack_first,
+                 (start_off + tok - 1) // $PackBudget AS pack_last,
+                 start_off % $PackBudget AS off_in_pack
+          FROM s""",
+
+    "q_pack_greedy" ->
+      s"$packGreedySql SELECT doc_id, grp, tok, bin, fill FROM r",
+
+    "q_pack_stats" ->
+      s"""$packGreedySql
+          SELECT grp, bin, COUNT(*) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS fill_total,
+                 $PackBudget - CAST(SUM(tok) AS BIGINT) AS waste
+          FROM r GROUP BY grp, bin""",
 
     "q_embed_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
