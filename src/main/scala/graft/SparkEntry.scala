@@ -837,6 +837,16 @@ object SparkEntry {
     "q_kmv_sketch" -> ((s, dir) =>
       Sketches.kmvWordSketch(ColOps.table(s, dir, "documents"), "text")),
 
+    // Count-Min sketch cells: fixed d×w counter matrix, shuffle bounded
+    // by the sketch size (not the corpus) after map-side combine
+    "q_cms_sketch" -> ((s, dir) =>
+      Sketches.cmsWordSketch(ColOps.table(s, dir, "documents"), "text")),
+
+    // Bloom filter slots over distinct corpus words — same fixed-size
+    // aggregation shape, OR-combine instead of counts
+    "q_bloom" -> ((s, dir) =>
+      Sketches.bloomWordFilter(ColOps.table(s, dir, "documents"), "text")),
+
     // brute-force cosine top-3 (broadcast queries, partitioned ranking)
     "q_embed_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, dir), 20, 3)),
@@ -1267,6 +1277,8 @@ object SparkEntry {
          GROUP BY w""",
 
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
+    "q_cms_sketch" -> Sketches.cmsWordSketchSql,
+    "q_bloom" -> Sketches.bloomWordFilterSql,
 
     "q_tfidf" -> Relevance.tfIdfSql,
     "q_bm25" -> Relevance.bm25Sql,

@@ -66,4 +66,108 @@ object Sketches {
                     ELSE ${(K - 1).toLong * TextOps.HashMod} // max(hv) END AS est
         FROM tk"""
   }
+
+  // ----- Count-Min sketch (frequency estimation) -----
+
+  /** Count-Min dimensions: depth (independent hash rows) × width
+    * (buckets per row). Estimate of a word's count = min over rows of
+    * its bucket's counter; overestimates by at most ε·N with
+    * ε = e/width at confidence 1 − e^−depth. The sketch is a FIXED
+    * d×w counter matrix no matter the corpus size — the entire shuffle
+    * is ≤ d·w rows after map-side partial aggregation, which is the
+    * point at 100 TB: frequency structure of an unbounded vocabulary in
+    * O(1) memory.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  /** Per-row affine scatter constants (row j hashes
+    * `((a_j·h + b_j) mod P) mod width` over the portable word hash h).
+    * All a < 2^32 so a·h < 2^62 stays in Long in both engines.
+    */
+  val RowConsts: Seq[(Long, Long)] = Seq(
+    2654435761L -> 104729L,
+    2246822519L -> 12582917L,
+    3266489917L -> 786433L,
+    668265263L  -> 201326611L)
+
+  private def bucketCol(h: Column, j: Int, width: Int): Column = {
+    val (a, b) = RowConsts(j)
+    ((lit(a) * h + lit(b)) % TextOps.HashMod) % width
+  }
+
+  private def bucketSql(h: String, j: Int, width: Int): String = {
+    val (a, b) = RowConsts(j)
+    s"((($a * $h + $b) % ${TextOps.HashMod}) % $width)"
+  }
+
+  /** The populated cells of a Count-Min sketch over the words of
+    * `textCol`: (row, bucket, cnt), cnt = total word occurrences
+    * hashing into that cell. One narrow shuffle of ≤ depth·width rows.
+    */
+  def cmsWordSketch(df: DataFrame, textCol: String): DataFrame = {
+    val hs = df.select(
+      explode(graft.functions.WordHashes.word_hashes(col(textCol))).as("wh"))
+    val cells = (0 until CmsDepth).map { j =>
+      struct(lit(j.toLong).as("row"), bucketCol(col("wh"), j, CmsWidth).as("bucket"))
+    }
+    hs.select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The same Count-Min cells as DuckDB SQL over the documents table. */
+  def cmsWordSketchSql: String = {
+    val rows = (0 until CmsDepth)
+      .map(j => s"SELECT ${j}::BIGINT AS row, ${bucketSql("h", j, CmsWidth)} AS bucket FROM wh")
+      .mkString(" UNION ALL ")
+    s"""WITH wh AS (SELECT ${TextOps.charHashSql("w")} AS h
+                    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t),
+             cells AS ($rows)
+        SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket"""
+  }
+
+  // ----- Bloom filter (set membership) -----
+
+  /** Bloom geometry: `BloomBits` bit positions stored as 32-bit slots
+    * (bit index < 32 so the mask `1<<bit` is overflow-safe BIGINT in
+    * both engines), `BloomK` probes per element. Like the CMS, the
+    * filter is fixed-size: the shuffle after map-side OR-combine is
+    * ≤ BloomBits/32 rows regardless of corpus size.
+    */
+  val BloomBits = 4096
+  val BloomK = 3
+
+  /** Bit positions of one element hash `h` (reuses the CMS row
+    * constants — BloomK ≤ RowConsts.size).
+    */
+  private def bloomPositions(h: Column): Seq[Column] =
+    (0 until BloomK).map(j => bucketCol(h, j, BloomBits))
+
+  /** The non-empty 32-bit slots of a Bloom filter over the DISTINCT
+    * words of `textCol`: (slot, bits). Distinct first — membership is
+    * a set property, and distinct-ing the narrow hash column keeps the
+    * explode fan-out off repeated words.
+    */
+  def bloomWordFilter(df: DataFrame, textCol: String): DataFrame = {
+    val hs = df.select(
+        explode(graft.functions.WordHashes.word_hashes(col(textCol))).as("wh"))
+      .distinct()
+    hs.select(explode(array(bloomPositions(col("wh")): _*)).as("p"))
+      .select((col("p") / 32).cast("long").as("slot"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
+      .groupBy(col("slot")).agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** The same Bloom slots as DuckDB SQL over the documents table. */
+  def bloomWordFilterSql: String = {
+    val probes = (0 until BloomK)
+      .map(j => s"SELECT ${bucketSql("h", j, BloomBits)} AS p FROM wh")
+      .mkString(" UNION ALL ")
+    s"""WITH wh AS (SELECT DISTINCT ${TextOps.charHashSql("w")} AS h
+                    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t),
+             ps AS ($probes)
+        SELECT p // 32 AS slot, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        FROM ps GROUP BY p // 32"""
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ColOps, Sketches, TextOps}
+
+/** Semantic guarantees of the frequency/membership sketches — the
+  * properties a user relies on, independent of the oracle hash-match:
+  * Count-Min never underestimates (and overestimates within ε·N for the
+  * words that matter), the Bloom filter has no false negatives, and
+  * both sketches stay at their fixed size.
+  */
+class SketchesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = ColOps.table(spark, dir, "documents")
+
+  /** Exact word counts (driver-side truth). */
+  private lazy val trueCounts: Map[String, Long] = docs
+    .select(explode(TextOps.words(col("text"))).as("w"))
+    .groupBy("w").count()
+    .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def portableHash(w: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      acc = (acc * 31 + cp) % TextOps.HashMod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  test("Count-Min: estimate >= true count for every word; <= true + eps*N for the top 50") {
+    val cells = Sketches.cmsWordSketch(docs, "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.size <= Sketches.CmsDepth * Sketches.CmsWidth)
+    val n = trueCounts.values.sum
+    def estimate(w: String): Long = {
+      val h = portableHash(w)
+      (0 until Sketches.CmsDepth).map { j =>
+        val (a, b) = Sketches.RowConsts(j)
+        val bucket = ((a * h + b) % TextOps.HashMod) % Sketches.CmsWidth
+        cells.getOrElse((j.toLong, bucket), 0L)
+      }.min
+    }
+    trueCounts.foreach { case (w, c) =>
+      assert(estimate(w) >= c, s"CMS underestimated '$w'")
+    }
+    // ε = e/width; the classic bound holds w.h.p., so check the heavy
+    // hitters (where a user actually reads the sketch), not the tail
+    val eps = math.E / Sketches.CmsWidth
+    val bound = (eps * n).ceil.toLong
+    trueCounts.toSeq.sortBy(-_._2).take(50).foreach { case (w, c) =>
+      assert(estimate(w) <= c + bound,
+        s"CMS estimate for '$w' (${estimate(w)}) exceeds $c + $bound")
+    }
+  }
+
+  test("Bloom: no false negatives; false-positive rate within 3x the geometry's bound") {
+    val slots = Sketches.bloomWordFilter(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slots.size <= Sketches.BloomBits / 32)
+    def member(w: String): Boolean = {
+      val h = portableHash(w)
+      (0 until Sketches.BloomK).forall { j =>
+        val (a, b) = Sketches.RowConsts(j)
+        val p = ((a * h + b) % TextOps.HashMod) % Sketches.BloomBits
+        (slots.getOrElse(p / 32, 0L) & (1L << (p % 32))) != 0
+      }
+    }
+    trueCounts.keys.foreach { w =>
+      assert(member(w), s"Bloom false negative for '$w'")
+    }
+    val probes = (0 until 2000).map(i => s"__absent_token_$i")
+      .filterNot(trueCounts.contains)
+    val fpRate = probes.count(member).toDouble / probes.size
+    val nDistinct = trueCounts.size
+    val theoretical = math.pow(
+      1 - math.exp(-Sketches.BloomK.toDouble * nDistinct / Sketches.BloomBits),
+      Sketches.BloomK)
+    assert(fpRate <= theoretical * 3 + 0.01,
+      f"Bloom FP rate $fpRate%.4f vs theoretical $theoretical%.4f")
+  }
+}
