@@ -865,6 +865,14 @@ object SparkEntry {
     "q_embed_quant" -> ((s, dir) =>
       Similarity.quantizeInt8(Similarity.embeddings(s, dir))),
 
+    // per-label centroid accumulators over quantized vectors (cluster
+    // summary / IVF retrain): |labels|·d integer rows out, one combine
+    "q_embed_centroid" -> ((s, dir) =>
+      Similarity.labelCentroids(
+        ColOps.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("emb")))),
+
     // embedding-cosine near-dup pairs within LSH buckets (0.35 ≈ the
     // 99.9th percentile of pairwise cosine on these random embeddings —
     // high enough to be selective, low enough to produce verifiable rows)
@@ -1343,7 +1351,8 @@ object SparkEntry {
           WHERE rnk <= 3""",
 
     "q_embed_ivf" -> Similarity.ivfTopKSql(20, 3),
-    "q_embed_quant" -> Similarity.quantizeInt8Sql,
+    "q_embed_quant" -> Similarity.quantizeInt8Sql(),
+    "q_embed_centroid" -> Similarity.labelCentroidsSql,
 
     "q_embed_neardup" ->
       s"""WITH ${Similarity.cappedBucketsSql()},

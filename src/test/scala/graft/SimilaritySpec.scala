@@ -143,6 +143,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("labelCentroids: per-label dim sums equal the fold over quantized vectors") {
+    import org.apache.spark.sql.functions.lit
+    val vecs = (0L until 12L).map(i => (i, randVec()))
+    val df = embDf(vecs).withColumn("label", (col("vec_id") % 3).cast("int"))
+    val quant = Similarity.quantizeInt8(df.select(col("vec_id"), col("emb"))).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val got = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    (0L until 3L).foreach { lbl =>
+      val members = vecs.map(_._1).filter(_ % 3 == lbl)
+      (0 until Similarity.Dim).foreach { d =>
+        val expected = (members.map(quant(_)(d).toLong).sum, members.size.toLong)
+        assert(got((lbl, d.toLong)) === expected, s"label $lbl dim $d")
+      }
+    }
+    assert(got.size === 3 * Similarity.Dim)
+  }
+
   test("planes are parameterized: 32 planes as 4x8-bit bands") {
     val df = embDf(Seq((0L, randVec())))
     val cols = Similarity.bandBucketCols(col("emb"), numPlanes = 32, bandBits = 8)
