@@ -58,6 +58,9 @@ object SparkEntry {
   private val PackBudget = 256L
   private val PackGroup = 100L
 
+  /** train/val/test cumulative per-mille cuts for q_split. */
+  private val SplitCuts = Seq("train" -> 800, "val" -> 900, "test" -> 1000)
+
   /** Shared prefix of both packing oracles: per doc, its whitespace
     * token count and group ordinal (`rn` ranks docs within a group for
     * the recursive-CTE walk).
@@ -688,6 +691,13 @@ object SparkEntry {
         ColOps.table(s, dir, "documents").select(col("doc_id"), col("lang")),
         "lang", "doc_id", 20)),
 
+    // deterministic train/val/test split by id hash — zero shuffle,
+    // membership a pure function of doc_id (stable under corpus growth)
+    "q_split" -> ((s, dir) =>
+      Sampling.hashSplit(
+        ColOps.table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", SplitCuts)),
+
     // weighted corpus interleave — en:zh docs on a 3:1 schedule (the
     // training-mix shape); sides dense-ranked by doc_id first (two-phase
     // ordinal, no global window), then pure position arithmetic + union
@@ -1198,6 +1208,11 @@ object SparkEntry {
     "q_sample_strat" ->
       s"""SELECT doc_id, lang FROM documents
           ${Sampling.stratifiedTakeQualifySql("lang", "doc_id", 20)}""",
+
+    "q_split" ->
+      s"""SELECT doc_id, lang,
+          ${Sampling.hashSplitSql("doc_id", SplitCuts)} AS split
+          FROM documents""",
 
     "q_corpus_mix" ->
       """SELECT (rn // 3) * 4 + (rn % 3) AS seq, doc_id, lang FROM

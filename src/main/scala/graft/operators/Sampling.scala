@@ -70,4 +70,39 @@ object Sampling {
       expr(s"(seq div $wb) * $cyc + $wa + (seq % $wb)"))
     pa.unionByName(pb)
   }
+
+  /** Deterministic train/val/test assignment by id hash: the scatter
+    * value mod `denom` falls in [0, denom); cut points are cumulative
+    * per-mille (or any granularity) thresholds. Per-row arithmetic only
+    * — ZERO shuffle, no RNG, stable under re-runs, appends, and
+    * repartitioning (membership depends on the id alone, never on row
+    * order or sample size) — the property that keeps eval sets leakage-
+    * free when the corpus grows.
+    *
+    * `cuts` maps split name → upper bound (exclusive) in [0, denom];
+    * bounds must be strictly increasing; ids above the last cut get the
+    * final split name. E.g. train/val/test 80/10/10 with denom 1000:
+    * `Seq("train" -> 800, "val" -> 900, "test" -> 1000)`.
+    */
+  def hashSplit(df: DataFrame, id: String,
+                cuts: Seq[(String, Int)], denom: Int = 1000): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == denom,
+      s"hashSplit: last cut must equal denom=$denom")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted.distinct,
+      "hashSplit: cuts must be strictly increasing")
+    val bucket = scatter(col(id)) % denom
+    val split = cuts.init.reverse.foldLeft(lit(cuts.last._1)) {
+      case (els, (name, ub)) => when(bucket < ub, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** The oracle-side mirror of [[hashSplit]] (same constants/CASE). */
+  def hashSplitSql(id: String, cuts: Seq[(String, Int)], denom: Int = 1000): String = {
+    val bucket = s"((($id * $ScatterA) % ${TextOps.HashMod}) % $denom)"
+    val whens = cuts.init.map { case (name, ub) =>
+      s"WHEN $bucket < $ub THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${cuts.last._1}' END"
+  }
 }

@@ -27,6 +27,28 @@ class SamplingSpec extends SparkSpec {
     assert(all == 100L)
   }
 
+  test("hashSplit: ratios near the cuts, membership a pure function of the id") {
+    import spark.implicits._
+    val cuts = Seq("train" -> 800, "val" -> 900, "test" -> 1000)
+    val ids = (0L until 5000L).toDF("id")
+    val got = Sampling.hashSplit(ids, "id", cuts).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shares = got.values.groupBy(identity).view.mapValues(_.size / 5000.0).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.03, s"train share ${shares("train")}")
+    assert(math.abs(shares("val") - 0.1) < 0.02)
+    assert(math.abs(shares("test") - 0.1) < 0.02)
+    // growing the corpus never reassigns an existing id (leakage safety)
+    val grown = Sampling.hashSplit((0L until 10000L).toDF("id"), "id", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, s) => assert(grown(id) == s, s"id $id reassigned") }
+    // and the assignment replays as plain arithmetic
+    got.foreach { case (id, s) =>
+      val b = ((id * Sampling.ScatterA) % graft.operators.TextOps.HashMod) % 1000
+      val expect = if (b < 800) "train" else if (b < 900) "val" else "test"
+      assert(s == expect)
+    }
+  }
+
   test("interleave 3:1: schedule positions collision-free, per-side order kept") {
     import spark.implicits._
     val a = RowExec.withDenseSeq((0L until 9L).map(i => (i * 10, "A")).toDF("v", "tag"),
