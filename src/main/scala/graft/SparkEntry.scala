@@ -95,6 +95,15 @@ object SparkEntry {
         CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
         FROM events GROUP BY 1"""
 
+  /** Shared by q_event_sliding (batch) and q_event_sliding_stream
+    * (Complete-mode Structured Streaming).
+    */
+  private val EventSlidingOracleSql =
+    s"""SELECT (epoch_ns(ts) // 3600000000000 - u.j) * 3600 AS w_start_s,
+        CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
+        FROM events, (SELECT UNNEST([0, 1]) AS j) u
+        GROUP BY 1"""
+
   /** Shared by q_zip_with (batch positional join) and q_zip_stream
     * (stream-stream join on seq with watermark, bounded to ZipStreamN).
     */
@@ -981,6 +990,29 @@ object SparkEntry {
         pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
     }),
 
+    // exact dedup executed THROUGH Structured Streaming:
+    // dropDuplicatesWithinWatermark over the text digest, every doc fed
+    // TWICE (the duplicate 1 s after its original, well inside the 10 s
+    // horizon) so the state store genuinely drops rows; the surviving
+    // digest SET is deterministic even though which physical row
+    // survives first-arrival is not — the projection to the key is what
+    // makes a streaming dedup oracle-checkable
+    "q_dedup_stream" -> ((s, dir) => {
+      import s.implicits._
+      val docs = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val rows = docs.flatMap { case (id, dg) =>
+        Seq((new java.sql.Timestamp(id * 10000L), dg),
+            (new java.sql.Timestamp(id * 10000L + 1000L), dg))
+      }
+      graft.streaming.StreamExec.runStreamingAppend[(java.sql.Timestamp, String)](
+        s, rows,
+        ds => operators.Dedup.streamingExact(ds.toDF("ts", "digest"),
+          "ts", "10 seconds", Seq("digest")).select(col("digest")),
+        quantum = streamQuantum(rows.size))
+    }),
+
     // event-time SLIDING windows (2h window, 1h slide — each event in 2
     // windows; the fan-out is inside Spark's window() generator)
     "q_event_sliding" -> ((s, dir) => {
@@ -989,6 +1021,24 @@ object SparkEntry {
         Seq(sum(col("ival")).as("total"), count(lit(1)).as("cnt")))
         .select(unix_timestamp(col("w_start")).as("w_start_s"),
           col("total").cast("long").as("total"), col("cnt"))
+    }),
+
+    // the sliding-window agg executed THROUGH Structured Streaming
+    // (same plan, Complete-mode snapshot ≡ the batch aggregation —
+    // the q_event_window_stream pattern on the overlapping-window shape)
+    "q_event_sliding_stream" -> ((s, dir) => {
+      import s.implicits._
+      val rows = eventsWithTs(s, dir)
+        .select(col("ts2"), col("ival"))
+        .as[(java.sql.Timestamp, Long)].collect().toSeq
+      graft.streaming.StreamExec.runStreamingComplete[(java.sql.Timestamp, Long)](
+        s, rows,
+        ds => graft.streaming.EventTime.sliding(ds.toDF("ts2", "ival"),
+            "ts2", "5 seconds", "2 hours", "1 hour",
+            Seq(sum(col("ival")).as("total"), count(lit(1)).as("cnt")))
+          .select(unix_timestamp(col("w_start")).as("w_start_s"),
+            col("total").cast("long").as("total"), col("cnt")),
+        quantum = streamQuantum(rows.size))
     }),
 
     // event-time SESSION windows per user (2h inactivity gap; session end
@@ -1452,11 +1502,15 @@ object SparkEntry {
                 max(CASE WHEN rn = floor((n-1) * 0.99) + 1 THEN value END) AS p99
          FROM r GROUP BY event_type""",
 
-    "q_event_sliding" ->
-      s"""SELECT (epoch_ns(ts) // 3600000000000 - u.j) * 3600 AS w_start_s,
-          CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
-          FROM events, (SELECT UNNEST([0, 1]) AS j) u
-          GROUP BY 1""",
+    "q_event_sliding" -> EventSlidingOracleSql,
+    // streaming-executed twin (Complete-mode snapshot ≡ batch agg)
+    "q_event_sliding_stream" -> EventSlidingOracleSql,
+
+    // streaming dedup: the surviving digest set = the distinct digests
+    // (every duplicate arrives inside the watermark horizon by
+    // construction, so none re-emits)
+    "q_dedup_stream" ->
+      "SELECT DISTINCT md5(text) AS digest FROM documents",
 
     // gaps-and-islands mirror of session_window: a new session starts
     // when the gap to the previous event is >= 2h (Spark's window is

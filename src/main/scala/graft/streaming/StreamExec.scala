@@ -160,6 +160,24 @@ object StreamExec {
       })
     }
 
+  /** Run an arbitrary streaming plan end-to-end in Append output mode
+    * (the [[runStreaming]] shape for DataFrame-level builders that are
+    * not `Pipe`s — e.g. watermark-bounded dedup).
+    */
+  def runStreamingAppend[T <: Product : TypeTag](
+      spark: SparkSession, elems: Seq[T],
+      build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
+    runProtocol(spark, OutputMode.Append()) { implicit sq =>
+      implicit val encT: Encoder[T] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
+      val input = MemoryStream[T]
+      val out = build(input.toDS())
+      (out, query => elems.grouped(quantum).foreach { chunk =>
+        input.addData(chunk)
+        query.processAllAvailable()
+      })
+    }
+
   /** Run a streaming AGGREGATION end-to-end in Complete output mode:
     * the memory sink's final snapshot equals the batch aggregation over
     * the same rows, so a batch oracle checks the streaming-executed

@@ -343,6 +343,25 @@ class StreamingSpec extends SparkSpec {
       s"expected a StateStore operator in:\n${StreamExec.lastStreamingPlan}")
   }
 
+  test("StreamExec.runStreamingAppend: watermark dedup drops in-horizon duplicates via a stateful plan") {
+    import org.apache.spark.sql.functions.col
+    // each value arrives twice, 1 s apart — inside the 10 s horizon, so
+    // exactly one survives; values are spread 100 s apart so the
+    // watermark advances far past older keys between quanta
+    val rows = (0L until 12L).flatMap { i =>
+      Seq((new java.sql.Timestamp(i * 100000L), s"k$i"),
+          (new java.sql.Timestamp(i * 100000L + 1000L), s"k$i"))
+    }
+    val df = StreamExec.runStreamingAppend[(java.sql.Timestamp, String)](spark, rows,
+      ds => graft.operators.Dedup.streamingExact(ds.toDF("ts", "k"),
+        "ts", "10 seconds", Seq("k")).select(col("k")),
+      quantum = 8)
+    val got = df.collect().map(_.getString(0)).sorted.toSeq
+    assert(got == (0L until 12L).map(i => s"k$i").sorted.toSeq, s"got $got")
+    assert(StreamExec.lastStreamingPlan.contains("StreamingDeduplicateWithinWatermark"),
+      s"expected the streaming dedup state operator in:\n${StreamExec.lastStreamingPlan}")
+  }
+
   test("squeeze drains by seq: exactly-once even under a permuted collect order") {
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.types._
