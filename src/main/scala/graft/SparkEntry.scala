@@ -910,10 +910,7 @@ object SparkEntry {
     // per-label centroid accumulators over quantized vectors (cluster
     // summary / IVF retrain): |labels|·d integer rows out, one combine
     "q_embed_centroid" -> ((s, dir) =>
-      Similarity.labelCentroids(
-        ColOps.table(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"),
-            transform(col("embedding"), x => x.cast("double")).as("emb")))),
+      Similarity.labelCentroids(Similarity.embeddings(s, dir, Seq("label")))),
 
     // embedding-cosine near-dup pairs within LSH buckets (0.35 ≈ the
     // 99.9th percentile of pairwise cosine on these random embeddings —
@@ -1015,19 +1012,26 @@ object SparkEntry {
 
     // exact dedup executed THROUGH Structured Streaming:
     // dropDuplicatesWithinWatermark over the text digest, every doc fed
-    // TWICE (the duplicate 1 s after its original, well inside the 10 s
-    // horizon) so the state store genuinely drops rows; the surviving
-    // digest SET is deterministic even though which physical row
-    // survives first-arrival is not — the projection to the key is what
-    // makes a streaming dedup oracle-checkable
+    // TWICE (the duplicate 1 ms after its original) so the state store
+    // genuinely drops rows; the surviving digest SET is deterministic
+    // even though which physical row survives first-arrival is not —
+    // the projection to the key is what makes a streaming dedup
+    // oracle-checkable. Timestamps are doc_id MOD 5 seconds, so the
+    // ENTIRE feed sits inside the 10 s horizon and the oracle is plain
+    // DISTINCT at every SF — with a 10 s/doc schedule, a corpus
+    // duplicate pair whose id gap exceeds the horizon (8 such pairs at
+    // sf0.1) would expire the first copy's state and re-emit its
+    // digest. Horizon EXPIRY semantics are pinned separately by
+    // StreamingSpec; this query proves the streaming execution path
+    // against the batch oracle.
     "q_dedup_stream" -> ((s, dir) => {
       import s.implicits._
       val docs = ColOps.table(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("digest"))
         .as[(Long, String)].collect().toSeq.sortBy(_._1)
       val rows = docs.flatMap { case (id, dg) =>
-        Seq((new java.sql.Timestamp(id * 10000L), dg),
-            (new java.sql.Timestamp(id * 10000L + 1000L), dg))
+        Seq((new java.sql.Timestamp((id % 5) * 1000L), dg),
+            (new java.sql.Timestamp((id % 5) * 1000L + 1L), dg))
       }
       graft.streaming.StreamExec.runStreamingAppend[(java.sql.Timestamp, String)](
         s, rows,

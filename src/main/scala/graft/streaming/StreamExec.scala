@@ -160,14 +160,14 @@ object StreamExec {
       })
     }
 
-  /** Run an arbitrary streaming plan end-to-end in Append output mode
-    * (the [[runStreaming]] shape for DataFrame-level builders that are
-    * not `Pipe`s — e.g. watermark-bounded dedup).
+  /** The shared build-from-rows runner behind [[runStreamingAppend]] /
+    * [[runStreamingComplete]]: one MemoryStream fed in fixed quanta
+    * through an arbitrary DataFrame-level builder.
     */
-  def runStreamingAppend[T <: Product : TypeTag](
-      spark: SparkSession, elems: Seq[T],
-      build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
-    runProtocol(spark, OutputMode.Append()) { implicit sq =>
+  private def runBuilt[T <: Product : TypeTag](
+      spark: SparkSession, mode: OutputMode, elems: Seq[T],
+      build: Dataset[T] => DataFrame, quantum: Int): DataFrame =
+    runProtocol(spark, mode) { implicit sq =>
       implicit val encT: Encoder[T] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
       val input = MemoryStream[T]
@@ -178,6 +178,15 @@ object StreamExec {
       })
     }
 
+  /** Run an arbitrary streaming plan end-to-end in Append output mode
+    * (the [[runStreaming]] shape for DataFrame-level builders that are
+    * not `Pipe`s — e.g. watermark-bounded dedup).
+    */
+  def runStreamingAppend[T <: Product : TypeTag](
+      spark: SparkSession, elems: Seq[T],
+      build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
+    runBuilt(spark, OutputMode.Append(), elems, build, quantum)
+
   /** Run a streaming AGGREGATION end-to-end in Complete output mode:
     * the memory sink's final snapshot equals the batch aggregation over
     * the same rows, so a batch oracle checks the streaming-executed
@@ -187,16 +196,7 @@ object StreamExec {
   def runStreamingComplete[T <: Product : TypeTag](
       spark: SparkSession, elems: Seq[T],
       build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
-    runProtocol(spark, OutputMode.Complete()) { implicit sq =>
-      implicit val encT: Encoder[T] =
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
-      val input = MemoryStream[T]
-      val out = build(input.toDS())
-      (out, query => elems.grouped(quantum).foreach { chunk =>
-        input.addData(chunk)
-        query.processAllAvailable()
-      })
-    }
+    runBuilt(spark, OutputMode.Complete(), elems, build, quantum)
 
   /** `query.explain()` prints to stdout; capture it (public API — avoids
     * reaching into StreamExecution internals for the executed plan).
