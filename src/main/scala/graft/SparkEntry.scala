@@ -832,6 +832,12 @@ object SparkEntry {
       ColOps.table(s, dir, "documents")
         .select(col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))),
 
+    // vocabulary construction with a relative cutoff + the OOV rate it
+    // induces (tokenizer prep): wordcount shuffle + 1-row broadcast
+    // total, never a driver-side vocabulary
+    "q_vocab" -> ((s, dir) =>
+      TextOps.vocabSummary(ColOps.table(s, dir, "documents"), "text", 50L)),
+
     // corpus word frequencies — the classic one-shuffle wordcount
     "q_word_freq" -> ((s, dir) =>
       ColOps.table(s, dir, "documents")
@@ -1382,6 +1388,8 @@ object SparkEntry {
       """SELECT w AS word, COUNT(*) AS n
          FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
          GROUP BY w""",
+
+    "q_vocab" -> TextOps.vocabSummarySql(50L),
 
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
     "q_cms_sketch" -> Sketches.cmsWordSketchSql,

@@ -141,6 +141,43 @@ object TextOps {
       s"regexp_replace($e, '${pat.replace("'", "''")}', '$tag', 'g')"
     }
 
+  /** Vocabulary construction with a relative frequency cutoff plus the
+    * out-of-vocabulary rate it induces — the tokenizer-prep step: words
+    * with count ≥ total_words div `cutoffDenom` enter the vocabulary;
+    * the summary row reports vocab size, kept/OOV token totals (the
+    * coverage a tokenizer built on this vocab would achieve). The
+    * relative cutoff makes the operator scale-invariant — the same
+    * denominator means the same vocabulary share at any corpus size.
+    *
+    * Distributed shape: one wordcount shuffle (map-side combined), a
+    * 1-row broadcast of total_words onto the (small) count table, then
+    * a single global summary — never a driver-side vocabulary.
+    */
+  def vocabSummary(df: DataFrame, textCol: String, cutoffDenom: Long): DataFrame = {
+    val counts = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("long").as("total_words"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("in_vocab", col("c") >= expr(s"total_words div $cutoffDenom"))
+      .agg(
+        sum(when(col("in_vocab"), 1L).otherwise(0L)).cast("long").as("n_vocab"),
+        sum(when(col("in_vocab"), col("c")).otherwise(0L)).cast("long").as("kept_tokens"),
+        sum(when(!col("in_vocab"), col("c")).otherwise(0L)).cast("long").as("oov_tokens"),
+        max(col("total_words")).as("total_words"))
+  }
+
+  /** The same summary as DuckDB SQL over the documents table. */
+  def vocabSummarySql(cutoffDenom: Long): String =
+    s"""WITH wc AS (SELECT w, COUNT(*) AS c
+                    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
+                    GROUP BY w),
+             tw AS (SELECT CAST(SUM(c) AS BIGINT) AS total_words FROM wc)
+        SELECT CAST(SUM(CASE WHEN c >= total_words // $cutoffDenom THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab,
+               CAST(SUM(CASE WHEN c >= total_words // $cutoffDenom THEN c ELSE 0 END) AS BIGINT) AS kept_tokens,
+               CAST(SUM(CASE WHEN c < total_words // $cutoffDenom THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
+               MAX(total_words) AS total_words
+        FROM wc, tw"""
+
   /** Fixed-size word chunking for training-sample preparation: one row
     * per chunk of up to `chunkWords` words, with the chunk index — the
     * fan-out shape of context-window packing. Pure explode, no shuffle;

@@ -68,4 +68,17 @@ class TextOpsSpec extends SparkSpec {
       (8L, 0L, "solo"),
       (9L, 0L, "")))
   }
+
+  test("vocabSummary: relative cutoff splits vocab/OOV, token totals conserved") {
+    import spark.implicits._
+    // 20 "common" ×10 + 5 "rare" ×1 = 205 tokens; denom 40 → cutoff
+    // 205 div 40 = 5: common words (10 ≥ 5) in-vocab, rare (1 < 5) out
+    val docs = (0 until 10).map(i => (i.toLong, (1 to 20).map(j => s"c$j").mkString(" "))) ++
+      Seq((10L, (1 to 5).map(j => s"r$j").mkString(" ")))
+    val got = TextOps.vocabSummary(docs.toDF("doc_id", "text"), "text", 40L).head()
+    assert(got.getLong(0) == 20, s"n_vocab ${got.getLong(0)}")
+    assert(got.getLong(1) == 200 && got.getLong(2) == 5)
+    assert(got.getLong(3) == 205)
+    assert(got.getLong(1) + got.getLong(2) == got.getLong(3))
+  }
 }
