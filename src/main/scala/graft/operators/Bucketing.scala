@@ -20,10 +20,17 @@ object Bucketing {
 
   private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Deterministic catalog-safe table name for (dir, base). */
+  /** Catalog-safe table name for (dir, base), unique PER JVM: the
+    * catalog is per-JVM anyway, and baking the pid into the backing
+    * path means two concurrent processes (driver Verify + a manual
+    * bench) can never race an overwrite of the same table directory —
+    * the torn-read class of bug the text-fixture staging already
+    * guards against with atomic moves.
+    */
   private def tableName(dir: String, base: String): String =
     s"graft_bkt_${base}_" + dir.replaceAll("[^A-Za-z0-9_]", "_") +
-      "_" + Integer.toHexString(dir.hashCode)
+      "_" + Integer.toHexString(dir.hashCode) +
+      "_p" + ProcessHandle.current().pid()
 
   /** Write `df` as a bucketed+sorted external parquet table (once per
     * JVM per dir) and return the catalog-backed DataFrame carrying the
