@@ -59,18 +59,62 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("Count-Min under load: 2000-word zipf-ish vocabulary still one-sided within eps*N") {
+    import spark.implicits._
+    // fixture docs carry only ~31 distinct words — far below the sketch
+    // width, so collisions barely occur there. This corpus saturates the
+    // 512-bucket rows (2000 distinct words, skewed counts: word i
+    // appears 1 + 4000/(i+1) times) and checks the bounds where the
+    // sketch actually works for a living.
+    val docs = (0 until 2000).map { i =>
+      (i.toLong, Seq.fill(1 + 4000 / (i + 1))(s"tok$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val cells = Sketches.cmsWordSketch(docs, "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.size > Sketches.CmsWidth,
+      s"load test failed to populate the sketch (${cells.size} cells)")
+    val truth = (0 until 2000).map(i => s"tok$i" -> (1L + 4000 / (i + 1))).toMap
+    val n = truth.values.sum
+    def estimate(w: String): Long = {
+      val h = portableHash(w)
+      (0 until Sketches.CmsDepth).map { j =>
+        val (a, b) = Sketches.RowConsts(j)
+        cells.getOrElse((j.toLong, ((a * h + b) % TextOps.HashMod) % Sketches.CmsWidth), 0L)
+      }.min
+    }
+    val bound = (math.E / Sketches.CmsWidth * n).ceil.toLong
+    truth.foreach { case (w, c) =>
+      val e = estimate(w)
+      assert(e >= c, s"CMS underestimated '$w' under load")
+      assert(e <= c + bound, s"CMS estimate for '$w' ($e) exceeds $c + $bound")
+    }
+  }
+
+  private def bloomMember(slots: Map[Long, Long])(w: String): Boolean = {
+    val h = portableHash(w)
+    (0 until Sketches.BloomK).forall { j =>
+      val (a, b) = Sketches.RowConsts(j)
+      val p = ((a * h + b) % TextOps.HashMod) % Sketches.BloomBits
+      (slots.getOrElse(p / 32, 0L) & (1L << (p % 32))) != 0
+    }
+  }
+
+  test("Bloom under load: 2000 distinct words, still zero false negatives") {
+    import spark.implicits._
+    val docs = (0 until 2000).map(i => (i.toLong, s"tok$i")).toDF("doc_id", "text")
+    val slots = Sketches.bloomWordFilter(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slots.size <= Sketches.BloomBits / 32)
+    (0 until 2000).foreach { i =>
+      assert(bloomMember(slots)(s"tok$i"), s"false negative for tok$i under load")
+    }
+  }
+
   test("Bloom: no false negatives; false-positive rate within 3x the geometry's bound") {
     val slots = Sketches.bloomWordFilter(docs, "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(slots.size <= Sketches.BloomBits / 32)
-    def member(w: String): Boolean = {
-      val h = portableHash(w)
-      (0 until Sketches.BloomK).forall { j =>
-        val (a, b) = Sketches.RowConsts(j)
-        val p = ((a * h + b) % TextOps.HashMod) % Sketches.BloomBits
-        (slots.getOrElse(p / 32, 0L) & (1L << (p % 32))) != 0
-      }
-    }
+    def member(w: String): Boolean = bloomMember(slots)(w)
     trueCounts.keys.foreach { w =>
       assert(member(w), s"Bloom false negative for '$w'")
     }
