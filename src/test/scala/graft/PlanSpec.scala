@@ -139,6 +139,35 @@ class PlanSpec extends SparkSpec {
       s"bucketed join/agg still exchanges:\n$p")
   }
 
+  test("greedy packing shuffles three long columns, never document text") {
+    val df = SparkEntry.queries("q_pack_greedy")(spark, dir)
+    val p = plan(df)
+    // token counts are computed BELOW the exchange; nothing above it may
+    // reference the text column (only 3 longs cross the wire)
+    assert(p.contains("Exchange hashpartitioning"), s"no group exchange:\n$p")
+    val aboveExchange = p.substring(0, p.indexOf("Exchange hashpartitioning"))
+    assert(!aboveExchange.contains("text#"), s"document text crosses the shuffle:\n$p")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema") && !scan.contains("lang"),
+      s"scan not pruned to (doc_id, text):\n$scan")
+  }
+
+  test("concat-split packing runs on the RowExec prefix-sum, no global window/sort") {
+    val df = SparkEntry.queries("q_pack_seqs")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"q_pack_seqs fell back to a global window/sort plan:\n$p")
+  }
+
+  test("vocab summary broadcasts the 1-row total and partially aggregates the wordcount") {
+    val df = SparkEntry.queries("q_vocab")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"total not broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
   test("stratified sample ranks in a PARTITIONED window, no global sort") {
     val df = SparkEntry.queries("q_sample_strat")(spark, dir)
     val p = plan(df)
