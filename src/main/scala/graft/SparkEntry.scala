@@ -104,6 +104,25 @@ object SparkEntry {
         FROM events, (SELECT UNNEST([0, 1]) AS j) u
         GROUP BY 1"""
 
+  /** Shared by q_event_session (batch) and q_event_session_stream
+    * (append-mode Structured Streaming, sentinel-closed sessions) —
+    * gaps-and-islands mirror of session_window (new session at gap ≥ 2h,
+    * session end = last event + gap, half-open).
+    */
+  private val EventSessionOracleSql =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, $IvalSql AS iv FROM events),
+            m AS (SELECT user_id, t, iv,
+                    CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w >= 7200000000000
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+            s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        SELECT user_id, min(t) // 1000 AS s_start_us,
+               max(t) // 1000 + 7200000000 AS s_end_us,
+               CAST(SUM(iv) AS BIGINT) AS total, COUNT(*) AS cnt
+        FROM s GROUP BY user_id, sid"""
+
   /** Shared by q_zip_with (batch positional join) and q_zip_stream
     * (stream-stream join on seq with watermark, bounded to ZipStreamN).
     */
@@ -1086,6 +1105,43 @@ object SparkEntry {
           col("total").cast("long").as("total"), col("cnt"))
     }),
 
+    // the session-window agg executed THROUGH Structured Streaming in
+    // APPEND mode — the strictest streaming proof: sessions emit only
+    // when the watermark closes them, so two far-future sentinel rows
+    // are fed one micro-batch each — the first advances the watermark
+    // past every real session's end, the second flushes them. The
+    // sentinels are excluded from the aggregation by a filter ON THE
+    // EVENT-TIME COLUMN: Catalyst cannot push a predicate referencing
+    // the watermark attribute below the EventTimeWatermark node, so the
+    // sentinels still advance the watermark (a user_id filter WOULD be
+    // pushed below it and silently never flush the final sessions —
+    // measured 40 rows short). Rows feed in ts order (collect sorted)
+    // so nothing is late-dropped. Same oracle as batch q_event_session.
+    "q_event_session_stream" -> ((s, dir) => {
+      import s.implicits._
+      val rows = eventsWithTs(s, dir)
+        .select(col("ts2"), col("user_id"), col("ival"))
+        .as[(java.sql.Timestamp, Long, Long)].collect().toSeq.sortBy(_._1.getTime)
+      // the cutoff must be the FULL-precision max timestamp — getTime is
+      // milliseconds only, and a ms-truncated cutoff filters out the very
+      // event with the largest microsecond part (measured: 1 session short)
+      val maxT = rows.map(_._1).maxBy(t => (t.getTime, t.getNanos))
+      val sentinels = (1 to 2).map(k =>
+        (new java.sql.Timestamp(maxT.getTime + k * 86400000L), -1L, 0L))
+      graft.streaming.StreamExec.runStreamingAppend[(java.sql.Timestamp, Long, Long)](
+        s, rows,
+        ds => ds.toDF("ts2", "user_id", "ival")
+          .withWatermark("ts2", "1 hour")
+          .filter(col("ts2") <= lit(maxT))
+          .groupBy(col("user_id"), session_window(col("ts2"), "2 hours"))
+          .agg(sum(col("ival")).as("total"), count(lit(1)).as("cnt"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("s_start_us"),
+            unix_micros(col("session_window.end")).as("s_end_us"),
+            col("total").cast("long").as("total"), col("cnt")),
+        quantum = streamQuantum(rows.size), tail = sentinels)
+    }),
+
     // Lift/exceptP: per-element failures → dead-letter side output; the
     // result is the union (good rows + dead rows, tagged). Columnar form
     // (Lift.runExceptC): the parse is try_cast, the domain check a CASE —
@@ -1557,19 +1613,9 @@ object SparkEntry {
     // gaps-and-islands mirror of session_window: a new session starts
     // when the gap to the previous event is >= 2h (Spark's window is
     // half-open, so an event exactly at prev_last+gap is OUTSIDE)
-    "q_event_session" ->
-      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, $IvalSql AS iv FROM events),
-              m AS (SELECT user_id, t, iv,
-                      CASE WHEN lag(t) OVER w IS NULL
-                                OR t - lag(t) OVER w >= 7200000000000
-                           THEN 1 ELSE 0 END AS new_s
-                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-              s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
-                            ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-          SELECT user_id, min(t) // 1000 AS s_start_us,
-                 max(t) // 1000 + 7200000000 AS s_end_us,
-                 CAST(SUM(iv) AS BIGINT) AS total, COUNT(*) AS cnt
-          FROM s GROUP BY user_id, sid""",
+    "q_event_session" -> EventSessionOracleSql,
+    // streaming-executed twin (append mode, sentinel-closed sessions)
+    "q_event_session_stream" -> EventSessionOracleSql,
 
     // TRY_CAST + three-way CASE, mirroring runExceptC's branches exactly:
     // NULL k (digit-free or >18-digit props) → 'unparseable', k % 7 = 0 →

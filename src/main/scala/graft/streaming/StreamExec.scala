@@ -166,26 +166,40 @@ object StreamExec {
     */
   private def runBuilt[T <: Product : TypeTag](
       spark: SparkSession, mode: OutputMode, elems: Seq[T],
-      build: Dataset[T] => DataFrame, quantum: Int): DataFrame =
+      build: Dataset[T] => DataFrame, quantum: Int,
+      tail: Seq[T] = Nil): DataFrame =
     runProtocol(spark, mode) { implicit sq =>
       implicit val encT: Encoder[T] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
       val input = MemoryStream[T]
       val out = build(input.toDS())
-      (out, query => elems.grouped(quantum).foreach { chunk =>
-        input.addData(chunk)
-        query.processAllAvailable()
+      (out, { query =>
+        elems.grouped(quantum).foreach { chunk =>
+          input.addData(chunk)
+          query.processAllAvailable()
+        }
+        // tail rows each get their OWN micro-batch: a watermark computed
+        // at the end of batch N only gates emission during batch N+1, so
+        // closing windows deterministically takes one batch to advance
+        // the watermark and another to flush
+        tail.foreach { t =>
+          input.addData(t)
+          query.processAllAvailable()
+        }
       })
     }
 
   /** Run an arbitrary streaming plan end-to-end in Append output mode
     * (the [[runStreaming]] shape for DataFrame-level builders that are
-    * not `Pipe`s — e.g. watermark-bounded dedup).
+    * not `Pipe`s — e.g. watermark-bounded dedup). `tail` rows are fed
+    * one micro-batch each AFTER the main quanta — sentinel rows that
+    * advance the watermark and then flush the windows it closed.
     */
   def runStreamingAppend[T <: Product : TypeTag](
       spark: SparkSession, elems: Seq[T],
-      build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
-    runBuilt(spark, OutputMode.Append(), elems, build, quantum)
+      build: Dataset[T] => DataFrame, quantum: Int = 4096,
+      tail: Seq[T] = Nil): DataFrame =
+    runBuilt(spark, OutputMode.Append(), elems, build, quantum, tail)
 
   /** Run a streaming AGGREGATION end-to-end in Complete output mode:
     * the memory sink's final snapshot equals the batch aggregation over
