@@ -1130,14 +1130,13 @@ object SparkEntry {
         (new java.sql.Timestamp(maxT.getTime + k * 86400000L), -1L, 0L))
       graft.streaming.StreamExec.runStreamingAppend[(java.sql.Timestamp, Long, Long)](
         s, rows,
-        ds => ds.toDF("ts2", "user_id", "ival")
-          .withWatermark("ts2", "1 hour")
-          .filter(col("ts2") <= lit(maxT))
-          .groupBy(col("user_id"), session_window(col("ts2"), "2 hours"))
-          .agg(sum(col("ival")).as("total"), count(lit(1)).as("cnt"))
+        ds => graft.streaming.EventTime.session(ds.toDF("ts2", "user_id", "ival"),
+            "ts2", "user_id", "1 hour", "2 hours",
+            Seq(sum(col("ival")).as("total"), count(lit(1)).as("cnt")),
+            preAggFilter = Some(col("ts2") <= lit(maxT)))
           .select(col("user_id"),
-            unix_micros(col("session_window.start")).as("s_start_us"),
-            unix_micros(col("session_window.end")).as("s_end_us"),
+            unix_micros(col("s_start")).as("s_start_us"),
+            unix_micros(col("s_end")).as("s_end_us"),
             col("total").cast("long").as("total"), col("cnt")),
         quantum = streamQuantum(rows.size), tail = sentinels)
     }),

@@ -37,15 +37,36 @@ object Bucketing {
     * bucket metadata (a path read would lose it — bucket info lives in
     * the catalog entry).
     */
+  /** Paths this JVM staged, deleted on exit: per-pid paths fix the
+    * cross-process overwrite race but nothing else can ever name them,
+    * so without cleanup every Verify/Bench JVM would orphan a full
+    * bucketed copy in tmpdir (observed: 5+ copies per table after a
+    * bench session).
+    */
+  private val stagedPaths = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[java.nio.file.Path]())
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedPaths.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () } // best effort on exit
+      }))
+
   def stagedBucketed(spark: SparkSession, dir: String, base: String,
                      df: => DataFrame, key: String, nBuckets: Int): DataFrame = {
     val tbl = tableName(dir, base)
     if (staged.add(tbl) || !spark.catalog.tableExists(tbl)) {
       val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), tbl).toString
+        System.getProperty("java.io.tmpdir"), tbl)
+      cleanupHook
+      stagedPaths.add(path)
       df.write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, key).sortBy(key)
-        .option("path", path).saveAsTable(tbl)
+        .option("path", path.toString).saveAsTable(tbl)
     }
     spark.table(tbl)
   }

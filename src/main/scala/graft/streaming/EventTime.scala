@@ -41,11 +41,21 @@ object EventTime {
     * of inactivity (Spark's native `session_window` — state bounded by
     * the watermark in streaming mode; in batch mode the same plan runs as
     * a merge of overlapping candidate sessions).
+    *
+    * `preAggFilter` (applied AFTER the watermark, before the grouping)
+    * exists for sentinel-closure of append-mode streams: rows excluded
+    * from the aggregation whose event times still advance the watermark.
+    * It must reference the event-time column — Catalyst pushes any
+    * predicate NOT referencing the watermark attribute below the
+    * EventTimeWatermark node, where it would stop advancing the
+    * watermark (see q_event_session_stream).
     */
   def session(events: DataFrame, tsCol: String, keyCol: String,
-              watermarkDelay: String, gapDur: String, aggExprs: Seq[Column]): DataFrame = {
+              watermarkDelay: String, gapDur: String, aggExprs: Seq[Column],
+              preAggFilter: Option[Column] = None): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay) else events
-    src.groupBy(col(keyCol), session_window(col(tsCol), gapDur))
+    val kept = preAggFilter.fold(src)(src.filter)
+    kept.groupBy(col(keyCol), session_window(col(tsCol), gapDur))
       .agg(aggExprs.head, aggExprs.tail: _*)
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("*"))

@@ -142,11 +142,15 @@ class PlanSpec extends SparkSpec {
   test("greedy packing shuffles three long columns, never document text") {
     val df = SparkEntry.queries("q_pack_greedy")(spark, dir)
     val p = plan(df)
-    // token counts are computed BELOW the exchange; nothing above it may
-    // reference the text column (only 3 longs cross the wire)
-    assert(p.contains("Exchange hashpartitioning"), s"no group exchange:\n$p")
-    val aboveExchange = p.substring(0, p.indexOf("Exchange hashpartitioning"))
-    assert(!aboveExchange.contains("text#"), s"document text crosses the shuffle:\n$p")
+    // token counts are computed BELOW the lowest exchange; text may only
+    // appear in the bottom-most segment (only 3 longs cross ANY wire) —
+    // checking every segment, not just above the first exchange, so a
+    // regression adding a lower text-carrying exchange cannot hide
+    val segments = p.split("Exchange hashpartitioning")
+    assert(segments.length >= 2, s"no group exchange:\n$p")
+    segments.init.foreach { seg =>
+      assert(!seg.contains("text#"), s"document text crosses a shuffle:\n$p")
+    }
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
     assert(scan.contains("ReadSchema") && !scan.contains("lang"),
       s"scan not pruned to (doc_id, text):\n$scan")
