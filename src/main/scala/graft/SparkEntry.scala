@@ -104,13 +104,21 @@ object SparkEntry {
         FROM events, (SELECT UNNEST([0, 1]) AS j) u
         GROUP BY 1"""
 
-  /** Shared by q_event_session (batch) and q_event_session_stream
-    * (append-mode Structured Streaming, sentinel-closed sessions) —
+  /** Event bound for q_event_session_stream (same rationale as
+    * [[ZipStreamN]]): session-store commit volume is per row per batch,
+    * and the sentinel-closure proof needs batches, not rows — the bound
+    * keeps the bench on the operator. No-op at sf0.01 and below.
+    */
+  private val SessionStreamN = 25000
+
+  /** Shared by q_event_session (batch, no bound) and
+    * q_event_session_stream (append-mode Structured Streaming,
+    * sentinel-closed sessions, bounded to [[SessionStreamN]]) —
     * gaps-and-islands mirror of session_window (new session at gap ≥ 2h,
     * session end = last event + gap, half-open).
     */
-  private val EventSessionOracleSql =
-    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, $IvalSql AS iv FROM events),
+  private def eventSessionOracleSql(where: String): String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, $IvalSql AS iv FROM events $where),
             m AS (SELECT user_id, t, iv,
                     CASE WHEN lag(t) OVER w IS NULL
                               OR t - lag(t) OVER w >= 7200000000000
@@ -1120,6 +1128,7 @@ object SparkEntry {
     "q_event_session_stream" -> ((s, dir) => {
       import s.implicits._
       val rows = eventsWithTs(s, dir)
+        .filter(col("event_id") < SessionStreamN)
         .select(col("ts2"), col("user_id"), col("ival"))
         .as[(java.sql.Timestamp, Long, Long)].collect().toSeq.sortBy(_._1.getTime)
       // the cutoff must be the FULL-precision max timestamp — getTime is
@@ -1612,9 +1621,11 @@ object SparkEntry {
     // gaps-and-islands mirror of session_window: a new session starts
     // when the gap to the previous event is >= 2h (Spark's window is
     // half-open, so an event exactly at prev_last+gap is OUTSIDE)
-    "q_event_session" -> EventSessionOracleSql,
-    // streaming-executed twin (append mode, sentinel-closed sessions)
-    "q_event_session_stream" -> EventSessionOracleSql,
+    "q_event_session" -> eventSessionOracleSql(""),
+    // streaming-executed twin (append mode, sentinel-closed sessions,
+    // bounded to SessionStreamN positions — mirrored in the engine feed)
+    "q_event_session_stream" ->
+      eventSessionOracleSql(s"WHERE event_id < $SessionStreamN"),
 
     // TRY_CAST + three-way CASE, mirroring runExceptC's branches exactly:
     // NULL k (digit-free or >18-digit props) → 'unparseable', k % 7 = 0 →
