@@ -100,6 +100,18 @@ object DevSmoke {
     println(s"ANDTHEN RESULT: $seqGot")
     assert(seqGot == List(2, 4, 6, -4, -5, -6, -7, -8), s"andThen: $seqGot")
 
+    // feedPipe leftover-inputs branch (Conduino.hs:253-256): feeding a
+    // cut pipe past its termination reports the unconsumed remainder
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val cutF = graft.streaming.Incremental.open(spark,
+      graft.streaming.StreamPipes.takeTwsCut[Int](spark, 3), "devsmoke_cut")
+    try {
+      val branch = cutF.feedEither(1 to 10)
+      println(s"LEFTOVER RESULT: $branch")
+      assert(branch == Right((4 to 10, Seq(1, 2, 3))), s"leftover: $branch")
+    } finally cutF.stop()
+
     println("DEVSMOKE OK")
     spark.stop()
   }

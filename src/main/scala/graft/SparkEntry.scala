@@ -937,8 +937,13 @@ object SparkEntry {
 
     // int8 scalar quantization (the ANN index memory-compression step) —
     // zero shuffle, all-IEEE-exact arithmetic
+    // qvec is emitted comma-joined: the driver's hash comparator can't
+    // sort array-typed cells (same convention as q_consecutive); the
+    // operator itself stays array-valued.
     "q_embed_quant" -> ((s, dir) =>
-      Similarity.quantizeInt8(Similarity.embeddings(s, dir))),
+      Similarity.quantizeInt8(Similarity.embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec"))),
 
     // per-label centroid accumulators over quantized vectors (cluster
     // summary / IVF retrain): |labels|·d integer rows out, one combine
@@ -1478,7 +1483,7 @@ object SparkEntry {
                 FROM d)
           SELECT doc_id, tok, start_off,
                  start_off // $PackBudget AS pack_first,
-                 (start_off + tok - 1) // $PackBudget AS pack_last,
+                 greatest(start_off, start_off + tok - 1) // $PackBudget AS pack_last,
                  start_off % $PackBudget AS off_in_pack
           FROM s""",
 
@@ -1522,7 +1527,9 @@ object SparkEntry {
           WHERE rnk <= 3""",
 
     "q_embed_ivf" -> Similarity.ivfTopKSql(20, 3),
-    "q_embed_quant" -> Similarity.quantizeInt8Sql(),
+    "q_embed_quant" ->
+      s"""SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
+          FROM (${Similarity.quantizeInt8Sql()}) qq""",
     "q_embed_centroid" -> Similarity.labelCentroidsSql,
 
     "q_embed_neardup" ->

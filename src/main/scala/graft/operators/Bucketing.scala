@@ -20,6 +20,13 @@ object Bucketing {
 
   private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-table staging locks: a thread that loses the staged.add race
+    * must BLOCK until the winner's write completes, not fall through to
+    * a tableExists check that can observe an in-progress write.
+    */
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Catalog-safe table name for (dir, base), unique PER JVM: the
     * catalog is per-JVM anyway, and baking the pid into the backing
     * path means two concurrent processes (driver Verify + a manual
@@ -59,14 +66,16 @@ object Bucketing {
   def stagedBucketed(spark: SparkSession, dir: String, base: String,
                      df: => DataFrame, key: String, nBuckets: Int): DataFrame = {
     val tbl = tableName(dir, base)
-    if (staged.add(tbl) || !spark.catalog.tableExists(tbl)) {
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), tbl)
-      cleanupHook
-      stagedPaths.add(path)
-      df.write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, key).sortBy(key)
-        .option("path", path.toString).saveAsTable(tbl)
+    stageLocks.computeIfAbsent(tbl, _ => new Object).synchronized {
+      if (staged.add(tbl) || !spark.catalog.tableExists(tbl)) {
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), tbl)
+        cleanupHook
+        stagedPaths.add(path)
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, key).sortBy(key)
+          .option("path", path.toString).saveAsTable(tbl)
+      }
     }
     spark.table(tbl)
   }

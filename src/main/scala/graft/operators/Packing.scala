@@ -52,7 +52,13 @@ object Packing {
         col("tok"),
         col("start_off"),
         expr(s"start_off div $budget").as("pack_first"),
-        expr(s"(start_off + tok - 1) div $budget").as("pack_last"),
+        // greatest(start_off, ·) pins tok = 0 to pack_first: Spark `div`
+        // truncates toward zero while the DuckDB oracle's `//` floors,
+        // and they diverge exactly when start_off + tok - 1 < start_off.
+        // Whitespace split always yields tok >= 1 today, but a tokenizer
+        // swap (TextOps.tokens CAN return 0) must not break the match.
+        expr(s"greatest(start_off, start_off + tok - 1) div $budget")
+          .as("pack_last"),
         expr(s"start_off % $budget").as("off_in_pack"))
   }
 

@@ -154,7 +154,7 @@ object Sketches {
         explode(graft.functions.WordHashes.word_hashes(col(textCol))).as("wh"))
       .distinct()
     hs.select(explode(array(bloomPositions(col("wh")): _*)).as("p"))
-      .select((col("p") / 32).cast("long").as("slot"),
+      .select(expr("p div 32").cast("long").as("slot"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
       .groupBy(col("slot")).agg(expr("bit_or(mask)").as("bits"))
   }

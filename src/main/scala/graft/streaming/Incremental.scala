@@ -44,7 +44,8 @@ object Incremental {
       input: MemoryStream[Elem[A]],
       query: StreamingQuery,
       sinkTable: String,
-      rowsToElems: Seq[Row] => Seq[Elem[B]]) {
+      rowsToElems: Seq[Row] => Seq[Elem[B]],
+      cut: Option[StreamPipes.CutPipe[_, _]]) {
 
     private var fed = 0L
     private var lastDrainedSeq = Long.MinValue
@@ -56,6 +57,30 @@ object Incremental {
       input.addData(xs.map { a => val e = Elem(fed, a); fed += 1; e })
       query.processAllAvailable()
       squeeze()
+    }
+
+    /** The full `feedPipe` contract (reference `Data/Conduino.hs:253-256`):
+      * feed a quantum, then report which branch the pipe is on.
+      * `Left(outputs)` — the pipe is still awaiting input.
+      * `Right((leftovers, outputs))` — the pipe TERMINATED during (or
+      * before) this feed; `leftovers` are the inputs of THIS quantum it
+      * never consumed, in feed order — the reference's leftover-inputs
+      * branch. Requires the pipe to have been opened as a
+      * [[StreamPipes.CutPipe]] (take/takeWhile streaming twins); a
+      * non-cut pipe never terminates on an open stream, so it is always
+      * `Left`.
+      */
+    def feedEither(xs: Seq[A]): Either[Seq[B], (Seq[A], Seq[B])] = {
+      val startSeq = fed
+      val outs = feed(xs)
+      cut.flatMap(_.terminalSeq) match {
+        case Some(t) =>
+          val leftover = xs.zipWithIndex.collect {
+            case (a, i) if startSeq + i > t => a
+          }
+          Right((leftover, outs))
+        case None => Left(outs)
+      }
     }
 
     /** Rows collected by the most recent squeeze — exposed so the spec
@@ -104,7 +129,12 @@ object Incremental {
     val query = out.writeStream
       .format("memory").queryName(name).outputMode(OutputMode.Append())
       .start()
-    new Feeder[A, B](spark, input, query, name, rowFromMemory[B](spark, out.schema))
+    val cut = pipe match {
+      case c: StreamPipes.CutPipe[_, _] => Some(c)
+      case _ => None
+    }
+    new Feeder[A, B](spark, input, query, name,
+      rowFromMemory[B](spark, out.schema), cut)
   }
 
   /** Rows strictly after the last drained seq — the squeeze selection,
@@ -134,6 +164,81 @@ object Incremental {
   * `flatMapGroupsWithState` side of SURVEY.md §2.4).
   */
 object StreamPipes {
+
+  /** Min-over-updates accumulator holding a cut pipe's termination
+    * boundary: the seq of the LAST input the pipe consumed before
+    * terminating (`-1` if it consumed nothing). Min-merge makes it safe
+    * under task retries and speculative duplicates — every update for a
+    * given stream reports the same deterministic boundary or a later
+    * over-approximation, and min keeps the true one.
+    */
+  final class MinSeqAcc
+    extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var v: Long = Long.MaxValue
+    def isZero: Boolean = v == Long.MaxValue
+    def copy(): MinSeqAcc = { val c = new MinSeqAcc; c.v = v; c }
+    def reset(): Unit = v = Long.MaxValue
+    def add(x: Long): Unit = v = math.min(v, x)
+    def merge(o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      if (!o.isZero) add(o.value)
+    def value: Long = v
+  }
+
+  /** A pipe that can TERMINATE mid-stream (take/takeWhile cuts) and
+    * reports where: `terminalSeq` is the seq of the last consumed input
+    * once the pipe has terminated, `None` while it still awaits input —
+    * the observable needed for `feedPipe`'s leftover-inputs branch
+    * (reference `Data/Conduino.hs:253-256`). Composing downstream with
+    * `|>` preserves the cut boundary: a downstream transform consumes
+    * everything the cut lets through, so the leftover set is unchanged.
+    */
+  final class CutPipe[A, B] private[streaming] (
+      inner: Pipe[A, B], private[streaming] val acc: MinSeqAcc)
+    extends Pipe[A, B] {
+    def apply(in: SStream[A]): SStream[B] = inner(in)
+    def terminalSeq: Option[Long] = if (acc.isZero) None else Some(acc.value)
+    override def |>[C](q: Pipe[B, C]): Pipe[A, C] =
+      new CutPipe[A, C](super.|>(q), acc)
+  }
+
+  private def newCutAcc(spark: SparkSession, name: String): MinSeqAcc = {
+    val acc = new MinSeqAcc
+    spark.sparkContext.register(acc, name)
+    acc
+  }
+
+  /** [[takeTws]] with the termination boundary reported: consuming the
+    * n-th element records its seq as terminal (the reference's take
+    * returns right after the n-th await); any element dropped after the
+    * cut records `seq - 1` (it was never consumed) — min of both views
+    * is the exact boundary, so feeding EXACTLY n elements already
+    * reports termination with zero leftovers.
+    */
+  def takeTwsCut[A: TypeTag](spark: SparkSession, n: Long): CutPipe[A, A] = {
+    val acc = newCutAcc(spark, s"graft_cut_take_$n")
+    val p = twsPipe[A, Long, A](0L) { (cnt, e) =>
+      if (cnt < n) {
+        if (cnt + 1 == n) acc.add(e.seq)
+        (cnt + 1, Seq(e))
+      } else { acc.add(e.seq - 1); (cnt, Nil) }
+    }
+    new CutPipe(p, acc)
+  }
+
+  /** [[takeWhileTws]] with the termination boundary reported: the first
+    * failing element is CONSUMED (the reference awaits it to test it —
+    * same convention as [[dropWhileTws]]) and records its seq as
+    * terminal; later drops record `seq - 1`.
+    */
+  def takeWhileTwsCut[A: TypeTag](spark: SparkSession, p: A => Boolean): CutPipe[A, A] = {
+    val acc = newCutAcc(spark, "graft_cut_takewhile")
+    val inner = twsPipe[A, Boolean, A](false) { (cutSeen, e) =>
+      if (cutSeen) { acc.add(e.seq - 1); (true, Nil) }
+      else if (!p(e.value)) { acc.add(e.seq); (true, Nil) }
+      else (false, Seq(e))
+    }
+    new CutPipe(inner, acc)
+  }
 
   /** scan over a streaming Dataset: flatMapGroupsWithState holds the
     * accumulator; within each micro-batch rows are folded in seq order.

@@ -383,4 +383,86 @@ class StreamingSpec extends SparkSpec {
     // nothing new → empty
     assert(Incremental.freshBySeq(rnd.shuffle(rows), 19L).isEmpty)
   }
+
+  test("feedPipe leftover-inputs branch: take(3) fed 10 → 7 leftovers (Conduino.hs:253-256)") { withRocksDb {
+      val f = Incremental.open(spark,
+        StreamPipes.takeTwsCut[Int](spark, 3), "inc_cut_take")
+      try {
+        f.feedEither(1 to 10) match {
+          case Right((leftover, outs)) =>
+            assert(outs == Seq(1, 2, 3))
+            assert(leftover == (4 to 10))
+          case Left(outs) => fail(s"pipe should have terminated, got Left($outs)")
+        }
+        // already terminated: every later quantum is all-leftover, no output
+        f.feedEither(Seq(11, 12)) match {
+          case Right((leftover, outs)) =>
+            assert(leftover == Seq(11, 12) && outs.isEmpty)
+          case Left(outs) => fail(s"expected Right, got Left($outs)")
+        }
+      } finally f.stop()
+  }
+  }
+
+  test("feedPipe exact-fill: take(3) fed exactly 3 terminates with ZERO leftovers") { withRocksDb {
+      val f = Incremental.open(spark,
+        StreamPipes.takeTwsCut[Int](spark, 3), "inc_cut_exact")
+      try {
+        // under-fill: still awaiting input → Left
+        assert(f.feedEither(Seq(1, 2)) == Left(Seq(1, 2)))
+        // the n-th element itself flips the branch — no over-feed needed
+        f.feedEither(Seq(3)) match {
+          case Right((leftover, outs)) =>
+            assert(outs == Seq(3) && leftover.isEmpty)
+          case Left(outs) => fail(s"expected Right, got Left($outs)")
+        }
+      } finally f.stop()
+  }
+  }
+
+  test("feedPipe takeWhile cut: failing element is consumed, remainder is leftover") { withRocksDb {
+      val f = Incremental.open(spark,
+        StreamPipes.takeWhileTwsCut[Int](spark, _ < 4), "inc_cut_tw")
+      try {
+        f.feedEither(Seq(1, 2, 3, 4, 5, 6)) match {
+          case Right((leftover, outs)) =>
+            assert(outs == Seq(1, 2, 3))
+            // 4 was awaited and tested (consumed) — only 5, 6 are leftover
+            assert(leftover == Seq(5, 6))
+          case Left(outs) => fail(s"expected Right, got Left($outs)")
+        }
+      } finally f.stop()
+  }
+  }
+
+  test("feedPipe leftover boundary survives downstream |> composition") { withRocksDb {
+      val pipe = StreamPipes.takeTwsCut[Int](spark, 2) |> Pipes.map[Int, Int](_ * 10)
+      val f = Incremental.open(spark, pipe, "inc_cut_composed")
+      try {
+        f.feedEither(Seq(1, 2, 3, 4)) match {
+          case Right((leftover, outs)) =>
+            assert(outs == Seq(10, 20))
+            assert(leftover == Seq(3, 4))
+          case Left(outs) => fail(s"expected Right, got Left($outs)")
+        }
+      } finally f.stop()
+  }
+  }
+
+  test("feedPipe parity: streaming cut leftovers agree with the batch take cut") { withRocksDb {
+      val inputs = 1 to 10
+      val n = 3L
+      // batch: takeN passes the first n in seq order; everything after is
+      // exactly the streaming feeder's leftover set
+      val batchOut = (Sources.fromSeq(spark, inputs)
+        |> graft.core.Pipes.take[Int](n)).into(Sinks.sinkList)
+      val f = Incremental.open(spark,
+        StreamPipes.takeTwsCut[Int](spark, n), "inc_cut_parity")
+      try {
+        val Right((leftover, outs)) = f.feedEither(inputs): @unchecked
+        assert(outs == batchOut)
+        assert(leftover == inputs.filterNot(batchOut.contains))
+      } finally f.stop()
+  }
+  }
 }
