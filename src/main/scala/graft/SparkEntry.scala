@@ -50,6 +50,14 @@ object SparkEntry {
     */
   private val ZipStreamN = 25000
 
+  /** Bounded prefix of the unbounded rate-source counter checked by
+    * q_rate_stream: small because the source is real-time (the prefix
+    * takes `RateStreamN / rowsPerSecond` wall-clock seconds to even
+    * exist) and the thing under proof is the infinite upstream, not
+    * throughput.
+    */
+  private val RateStreamN = 500L
+
   /** Token budget per training sequence and doc-id group size for the
     * packing queries (fixture-scale; both are plain parameters). The
     * greedy oracle replays the same first-fit fold as a recursive CTE —
@@ -359,6 +367,21 @@ object SparkEntry {
         quantum = streamQuantum(elems.size))
         .select(col("seq"), col("value").as("run_sum"))
     }),
+
+    // §2.2 repeatM/iterate over a TRUE unbounded upstream (the u = Void
+    // cell of the reference's type table, Combinators.hs:313-320): the
+    // rate source's counter never ends; a map ∘ filter pipe runs over it
+    // live, the query is stopped from outside once the first RateStreamN
+    // positions have landed, and that prefix is hash-checked. Unlike the
+    // q_*_stream proofs there is NO driver-fed input at all — offsets
+    // grow with wall-clock.
+    "q_rate_stream" -> ((s, _) =>
+      graft.streaming.StreamExec.runRateStream(
+        s,
+        graft.core.Pipes.map[Long, Long](x => 2 * x + 1)
+          |> graft.core.Pipes.filter[Long](_ % 3 != 0),
+        RateStreamN)
+        .select(col("seq"), col("value"))),
 
     // §2.8 + §2.4 mapAccum through Structured Streaming: delta encoding
     // with the previous value carried in transformWithState state.
@@ -1268,6 +1291,10 @@ object SparkEntry {
 
     "q_iterate" ->
       "SELECT CAST(t.i AS BIGINT) AS seq, CAST(t.i + 1 AS BIGINT) AS value FROM range(50) t(i)",
+    // the bounded prefix of the unbounded rate counter through map ∘ filter
+    "q_rate_stream" ->
+      s"""SELECT CAST(t.i AS BIGINT) AS seq, CAST(2 * t.i + 1 AS BIGINT) AS value
+          FROM range($RateStreamN) t(i) WHERE (2 * t.i + 1) % 3 <> 0""",
     "q_iterate_jump" ->
       """WITH RECURSIVE t(seq, value) AS (
            SELECT CAST(-1 AS BIGINT), CAST(42 AS BIGINT)

@@ -177,6 +177,31 @@ object Sources {
   def repeatM[A: TypeTag](spark: SparkSession, eff: () => A, n: Long): SStream[A] =
     replicateM(spark, n, eff)
 
+  /** The TRUE unbounded monadic source (the `u = Void` infinite-upstream
+    * cell of the reference's type table — `repeatM`/`iterate` run forever,
+    * `Combinators.hs:313-320,126-131`): Structured Streaming's rate
+    * source emits the counter 0, 1, 2, … indefinitely; seq = value = the
+    * iterate position. Nothing downstream of this source ever sees an
+    * end-of-stream — only a cut pipe or stopping the query terminates,
+    * exactly the reference's semantics. Run it via
+    * `StreamExec.runRateStream` (bounded prefix under the oracle) or any
+    * `writeStream` sink.
+    *
+    * `numPartitions` defaults to 1 because the counter IS the seq — the
+    * ordered-stream contract. A production unbounded ingest shards by key
+    * first and uses per-key seqs (see StreamPipes scaladoc).
+    */
+  def rateCounter(spark: SparkSession, rowsPerSecond: Long = 50000,
+                  numPartitions: Int = 1): SStream[Long] = {
+    implicit val e: Encoder[Elem[Long]] = Elem.enc[Long]
+    SStream(spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", numPartitions)
+      .load()
+      .select(col("value").as("seq"), col("value").as("value"))
+      .as[Elem[Long]])
+  }
+
   /** repeatMaybeM (reference `Combinators.hs:206-211`): repeat a
     * driver-side effect, yielding results, until it returns None. The
     * effect is inherently sequential (each call decides whether to

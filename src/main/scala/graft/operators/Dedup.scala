@@ -124,9 +124,60 @@ object Dedup {
       .select(col("doc_id"), explode(col("sh")).as("__sh"))
     val b = shingleHashes(bench, idCol, textCol)
       .select(explode(col("sh")).as("__sh")).distinct()
-    d.join(broadcast(b), Seq("__sh"), "left_semi")
+    // Bloom prefilter BELOW the join: a fixed-size bitset over the bench
+    // shingles (≤ ContamBloomBits/64 longs no matter how large the eval
+    // suite grows) is inlined as a plan literal, so the membership test
+    // runs inside the corpus scan's codegen stage and non-candidate
+    // shingle rows never reach the join probe. No false negatives by
+    // Bloom's contract — the exact semi-join then removes the false
+    // positives, so the result is UNCHANGED and the oracle stays the
+    // same. At 100 TB this is the difference between shipping every
+    // exploded corpus shingle into a join and shipping ~the matches.
+    val pre = d.withColumn("__bloom", typedLit(shingleBloom(b).toSeq))
+      .filter(expr(bloomTestSql("__sh", "__bloom")))
+      .drop("__bloom")
+    pre.join(broadcast(b), Seq("__sh"), "left_semi")
       .select(col("doc_id")).distinct()
   }
+
+  /** Bloom geometry for the decontamination prefilter: 2^17 bits packed
+    * into 64-bit slots (16 KiB — trivially a broadcast literal), 3
+    * probes. Sized for eval-suite shingle sets (tens of thousands of
+    * distinct shingles at ~0.2 load); a saturated filter degrades to
+    * pass-through, never to a wrong answer.
+    */
+  val ContamBloomBits = 1 << 17
+  val ContamBloomK = 3
+
+  /** Collect the bench-side shingle Bloom as packed 64-bit slots. The
+    * aggregation is slot-wise bit_or (map-side combined), so at most
+    * ContamBloomBits/64 narrow rows cross to the driver regardless of
+    * bench size — the same O(sketch) collection contract as the KMV/CMS
+    * sketches.
+    */
+  private def shingleBloom(b: DataFrame): Array[Long] = {
+    val probes = (0 until ContamBloomK)
+      .map(j => Sketches.bucketCol(col("__sh"), j, ContamBloomBits))
+    val slots = b.select(explode(array(probes: _*)).as("p"))
+      .select(shiftright(col("p"), 6).as("slot"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("mask"))
+      .groupBy(col("slot")).agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val arr = new Array[Long](ContamBloomBits / 64)
+    slots.foreach(r => arr(r.getAs[Long]("slot").toInt) = r.getAs[Long]("bits"))
+    arr
+  }
+
+  /** SQL predicate testing `hCol`'s ContamBloomK probe bits against the
+    * packed-slot array column `bloomCol` — pure arithmetic + element_at,
+    * stays in whole-stage codegen.
+    */
+  private def bloomTestSql(hCol: String, bloomCol: String): String =
+    (0 until ContamBloomK).map { j =>
+      val p = Sketches.bucketSql(hCol, j, ContamBloomBits)
+      s"(element_at($bloomCol, CAST(($p) div 64 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST(($p) % 64 AS INT))) != 0"
+    }.mkString(" AND ")
 
   /** (band, bucket-string, doc_id) — one row per band per doc. Docs with
     * NO shingles (< 3 words) are excluded: their min-hashes are all null

@@ -91,12 +91,12 @@ object Sketches {
     3266489917L -> 786433L,
     668265263L  -> 201326611L)
 
-  private def bucketCol(h: Column, j: Int, width: Int): Column = {
+  private[operators] def bucketCol(h: Column, j: Int, width: Int): Column = {
     val (a, b) = RowConsts(j)
     ((lit(a) * h + lit(b)) % TextOps.HashMod) % width
   }
 
-  private def bucketSql(h: String, j: Int, width: Int): String = {
+  private[operators] def bucketSql(h: String, j: Int, width: Int): String = {
     val (a, b) = RowConsts(j)
     s"((($a * $h + $b) % ${TextOps.HashMod}) % $width)"
   }

@@ -160,6 +160,39 @@ object StreamExec {
       })
     }
 
+  /** Run `pipe` over the TRUE unbounded rate source
+    * ([[graft.core.Sources.rateCounter]]) for a bounded wall-clock window
+    * and return the first `n` positions of the output — the executable
+    * form of the reference's infinite `repeatM`/`iterate` upstream
+    * (`Combinators.hs:313-320`): the source genuinely never ends (offsets
+    * grow with wall-clock, not with a driver-fed list), the query is
+    * stopped from OUTSIDE once the bounded prefix has landed, and the
+    * prefix is deterministic by seq so a batch oracle can hash-check it.
+    *
+    * The wait polls total processed input rows (rate values are emitted
+    * in counter order, so `processed >= n` implies positions 0..n-1 have
+    * all landed) with a hard deadline — a fail-loud bound, never an
+    * unbounded spin.
+    */
+  def runRateStream[B: TypeTag](
+      spark: SparkSession, pipe: Pipe[Long, B], n: Long,
+      rowsPerSecond: Long = 50000,
+      timeoutMs: Long = 60000): DataFrame =
+    runProtocol(spark, OutputMode.Append()) { _ =>
+      val src = graft.core.Sources.rateCounter(spark, rowsPerSecond)
+      val out = pipe(src).ds.toDF().filter(org.apache.spark.sql.functions.col("seq") < n)
+      (out, { query =>
+        val deadline = System.nanoTime + timeoutMs * 1000000L
+        def processed: Long = query.recentProgress.map(_.numInputRows).sum
+        while (processed < n && System.nanoTime < deadline) {
+          query.processAllAvailable()
+          if (processed < n) Thread.sleep(20)
+        }
+        require(processed >= n,
+          s"rate stream produced $processed/$n rows within ${timeoutMs}ms")
+      })
+    }
+
   /** The shared build-from-rows runner behind [[runStreamingAppend]] /
     * [[runStreamingComplete]]: one MemoryStream fed in fixed quanta
     * through an arbitrary DataFrame-level builder.

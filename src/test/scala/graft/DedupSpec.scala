@@ -122,4 +122,43 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 5L), (3L, 3L, 5L)), s"got $got")
   }
+
+  test("LSH candidate-pair recall vs exact Jaccard pairs stays above the floor (seeded near-dups)") {
+    import spark.implicits._
+    // 15 groups × 3 variants: each variant replaces ONE word of a 40-word
+    // base, so intra-group shingle Jaccard sits in the band the 4×4 LSH
+    // S-curve is built for (j ≥ ~0.7 → candidate probability ≥ ~0.66).
+    // Deterministic seed — the measured recall is a fixed number; the
+    // floor is asserted with headroom so a NumHashes/BandSize change that
+    // genuinely destroys recall fails loudly while benign jitter cannot.
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 400).map(i => s"w$i")
+    val docs = (0 until 15).flatMap { g =>
+      val base = Vector.fill(40)(vocab(rnd.nextInt(vocab.size)))
+      (0 until 3).map { v =>
+        val words =
+          if (v == 0) base
+          else base.updated(rnd.nextInt(base.size), vocab(rnd.nextInt(vocab.size)))
+        ((g * 3 + v).toLong, words.mkString(" "))
+      }
+    }
+    val df = docs.toDF("doc_id", "text")
+    // exact ground truth: every pair with shingle-set Jaccard ≥ 0.5
+    // (brute force is fine at 45 docs — this is what LSH approximates)
+    val sh = Dedup.shingleHashes(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val ids = sh.keys.toSeq.sorted
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      uni = sh(a).union(sh(b)).size if uni > 0
+      j = sh(a).intersect(sh(b)).size.toDouble / uni if j >= 0.5
+    } yield (a, b)).toSet
+    assert(truth.size >= 20, s"fixture too sparse: ${truth.size} true pairs")
+    val cand = Dedup.candidatePairs(Dedup.minhashSignatures(df, "doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val recall = truth.intersect(cand).size.toDouble / truth.size
+    info(f"pair recall $recall%.3f over ${truth.size} true pairs, ${cand.size} candidates")
+    assert(recall >= 0.8,
+      f"LSH pair recall $recall%.3f < 0.8 — a NumHashes/BandSize change destroyed recall")
+  }
 }

@@ -384,6 +384,16 @@ class StreamingSpec extends SparkSpec {
     assert(Incremental.freshBySeq(rnd.shuffle(rows), 19L).isEmpty)
   }
 
+  test("unbounded rate source: bounded prefix through map∘filter matches the closed form") {
+    val df = StreamExec.runRateStream(spark,
+      Pipes.map[Long, Long](x => 2 * x + 1) |> Pipes.filter[Long](_ % 3 != 0),
+      100L)
+    val got = df.orderBy("seq").collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[Long]("value"))).toList
+    val want = (0L until 100L).map(i => (i, 2 * i + 1)).filter(_._2 % 3 != 0).toList
+    assert(got == want, s"got ${got.take(8)}…")
+  }
+
   test("feedPipe leftover-inputs branch: take(3) fed 10 → 7 leftovers (Conduino.hs:253-256)") { withRocksDb {
       val f = Incremental.open(spark,
         StreamPipes.takeTwsCut[Int](spark, 3), "inc_cut_take")
