@@ -18,6 +18,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_RELIABLE_CKPT=1 benches the 100-TB-safe materialization
+    // path (Materialize scaladoc): reliable checkpoint() to a FS dir
+    // instead of localCheckpoint(). Quantifies the cost delta recorded
+    // in BASELINE.md.
+    if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("1")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      spark.conf.set(graft.core.Materialize.ReliableKey, "true")
+    }
     // Warm the JVM/codegen/shuffle paths once so the first measured query
     // isn't charged session startup (~1.5-5 s of JIT + codegen compile).
     spark.range(100000).selectExpr("sum(id)").collect()

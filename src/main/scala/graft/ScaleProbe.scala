@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: time a query at 1× and N× the given SF by unioning the
+  * events table with key-space-shifted copies (each copy gets a disjoint
+  * user_id range, so session/group cardinality scales with the data —
+  * the realistic growth axis). Answers "does cost grow ~linearly?"
+  * without needing a larger generated fixture on disk.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe [sfDir] [N]"
+  * Results are recorded in BASELINE.md, not machine-parsed.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val n = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100000).selectExpr("sum(id)").collect() // warm
+
+    val events = graft.operators.ColOps.table(spark, dir, "events")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ival", expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+    val maxUid = events.agg(max("user_id")).head().getLong(0) + 1
+
+    def sessionAgg(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(col("user_id"), session_window(col("ts2"), "1 hour"))
+        .agg(sum(col("ival")).as("total"), count(lit(1)).as("cnt"))
+        .count()
+
+    def timed(label: String, df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val rows = sessionAgg(df)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE $label: $sec%.2f s, $rows rows")
+      sec
+    }
+
+    val big = (0 until n).map { i =>
+      events.withColumn("user_id", col("user_id") + lit(i * maxUid))
+    }.reduce(_ union _)
+
+    timed("1x warm", events) // first run also warms the parquet footer cache
+    val t1 = timed("1x", events)
+    val tn = timed(s"${n}x", big)
+    println(f"SCALEPROBE ratio: ${tn / t1}%.2f (linear would be ~$n)")
+    spark.stop()
+  }
+}

@@ -120,20 +120,40 @@ object Dedup {
     */
   def contaminatedBy(docs: DataFrame, bench: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val d = shingleHashes(docs, idCol, textCol)
       .select(col("doc_id"), explode(col("sh")).as("__sh"))
-    val b = shingleHashes(bench, idCol, textCol)
+    // ONE bench-side job: the distinct shingle hashes of the eval suite,
+    // collected to the driver. This is not a new scale commitment — the
+    // exact semi-join below broadcasts this same set, so it must be
+    // driver-memory-sized by the operator's own contract; collecting it
+    // lets both the Bloom AND the join's build side come from one pass
+    // over the benchmark docs instead of two.
+    val benchHashes = shingleHashes(bench, idCol, textCol)
       .select(explode(col("sh")).as("__sh")).distinct()
+      .as[Long].collect()
     // Bloom prefilter BELOW the join: a fixed-size bitset over the bench
-    // shingles (≤ ContamBloomBits/64 longs no matter how large the eval
-    // suite grows) is inlined as a plan literal, so the membership test
-    // runs inside the corpus scan's codegen stage and non-candidate
-    // shingle rows never reach the join probe. No false negatives by
-    // Bloom's contract — the exact semi-join then removes the false
-    // positives, so the result is UNCHANGED and the oracle stays the
-    // same. At 100 TB this is the difference between shipping every
-    // exploded corpus shingle into a join and shipping ~the matches.
-    val pre = d.withColumn("__bloom", typedLit(shingleBloom(b).toSeq))
+    // shingles (ContamBloomBits/64 longs no matter how large the eval
+    // suite grows), built driver-side for free from the collected set
+    // and inlined as a plan literal — the membership test runs inside
+    // the corpus scan's codegen stage, so non-candidate shingle rows
+    // never reach the join probe (and, in a shuffled-join deployment,
+    // never ship). No false negatives by Bloom's contract — the exact
+    // semi-join then removes the false positives, so the result is
+    // UNCHANGED and the oracle stays the same.
+    val bits = new Array[Long](ContamBloomBits / 64)
+    benchHashes.foreach { h =>
+      var j = 0
+      while (j < ContamBloomK) {
+        val (a, c) = Sketches.RowConsts(j)
+        val p = (((a * h + c) % TextOps.HashMod) % ContamBloomBits).toInt
+        bits(p >> 6) |= 1L << (p & 63)
+        j += 1
+      }
+    }
+    val b = benchHashes.toSeq.toDF("__sh")
+    val pre = d.withColumn("__bloom", typedLit(bits.toSeq))
       .filter(expr(bloomTestSql("__sh", "__bloom")))
       .drop("__bloom")
     pre.join(broadcast(b), Seq("__sh"), "left_semi")
@@ -148,25 +168,6 @@ object Dedup {
     */
   val ContamBloomBits = 1 << 17
   val ContamBloomK = 3
-
-  /** Collect the bench-side shingle Bloom as packed 64-bit slots. The
-    * aggregation is slot-wise bit_or (map-side combined), so at most
-    * ContamBloomBits/64 narrow rows cross to the driver regardless of
-    * bench size — the same O(sketch) collection contract as the KMV/CMS
-    * sketches.
-    */
-  private def shingleBloom(b: DataFrame): Array[Long] = {
-    val probes = (0 until ContamBloomK)
-      .map(j => Sketches.bucketCol(col("__sh"), j, ContamBloomBits))
-    val slots = b.select(explode(array(probes: _*)).as("p"))
-      .select(shiftright(col("p"), 6).as("slot"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("mask"))
-      .groupBy(col("slot")).agg(expr("bit_or(mask)").as("bits"))
-      .collect()
-    val arr = new Array[Long](ContamBloomBits / 64)
-    slots.foreach(r => arr(r.getAs[Long]("slot").toInt) = r.getAs[Long]("bits"))
-    arr
-  }
 
   /** SQL predicate testing `hCol`'s ContamBloomK probe bits against the
     * packed-slot array column `bloomCol` — pure arithmetic + element_at,
