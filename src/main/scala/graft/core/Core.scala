@@ -96,6 +96,24 @@ trait Sink[A, R] extends Serializable { self =>
   }
 }
 
+/** The reference's named runners (`src/Data/Conduino.hs:210-221`).
+  * `runPipe` is sink application — the Spark action that compiles and
+  * executes the accumulated plan. `runPipePure` is the identity-effect
+  * runner (`runPipePure = runIdentity . runPipe`): in this engine the
+  * effect distinction is erased at COMPILE time — a pipeline built only
+  * from the pure core Pipes/Sinks simply contains no effectful closures
+  * — so the pure runner is the same entry point under the reference's
+  * name, not a second execution path.
+  */
+object Runner {
+  def runPipe[A, R](src: SStream[A], sink: Sink[A, R]): R = sink(src)
+  def runPipe[A, B, R](src: SStream[A], p: Pipe[A, B], sink: Sink[B, R]): R =
+    sink(p(src))
+  def runPipePure[A, R](src: SStream[A], sink: Sink[A, R]): R = sink(src)
+  def runPipePure[A, B, R](src: SStream[A], p: Pipe[A, B], sink: Sink[B, R]): R =
+    sink(p(src))
+}
+
 /** Scalable ordinal assignment: turn an unordered Dataset plus a total
   * order into a stream with dense ordinals `0..n-1`.
   *

@@ -191,6 +191,10 @@ object StreamPipes {
     * (reference `Data/Conduino.hs:253-256`). Composing downstream with
     * `|>` preserves the cut boundary: a downstream transform consumes
     * everything the cut lets through, so the leftover set is unchanged.
+    * UPSTREAM composition (`somePipe |> cutPipe`) is NOT tracked — the
+    * cut's seq boundary then counts the upstream's outputs, not the
+    * original inputs (a concatMap upstream makes the two differ);
+    * construct the cut first and compose downstream of it.
     */
   final class CutPipe[A, B] private[streaming] (
       inner: Pipe[A, B], private[streaming] val acc: MinSeqAcc)

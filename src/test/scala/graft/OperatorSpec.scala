@@ -271,4 +271,14 @@ class OperatorSpec extends SparkSpec {
     // empty file → no rows
     assert(chunks(stage("empty.bin", Array.empty[Byte]), 4) == Nil)
   }
+
+  test("runPipe / runPipePure named runners agree with sink application (Conduino.hs:210-221)") {
+    val src = Sources.fromSeq(spark, (1 to 5))
+    val doubled = Pipes.map[Int, Int](_ * 2)
+    assert(Runner.runPipe(src, Sinks.sinkList[Int]) == List(1, 2, 3, 4, 5))
+    assert(Runner.runPipe(src, doubled, Sinks.sinkList[Int]) == List(2, 4, 6, 8, 10))
+    assert(Runner.runPipePure(src, doubled, Sinks.sinkList[Int]) ==
+      Runner.runPipe(src, doubled, Sinks.sinkList[Int]))
+    assert(Runner.runPipePure(src, Sinks.foldl(0)((b: Int, a: Int) => b + a)) == 15)
+  }
 }
