@@ -993,6 +993,11 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) =>
       Multimodal.byteFeatures(Multimodal.assets(s, dir))),
 
+    // multimodal: stub resize/downsample (every 7th byte) — the batch
+    // thumbnailing/decimation stage; zero shuffle, codegen'd end-to-end
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resizeBytes(Multimodal.assets(s, dir), 7)),
+
     // event-time tumbling window aggregation (EventTime.tumbling — the
     // streaming windowed-agg operator, run in batch mode here; ts is
     // TIMESTAMP(NANOS) surfaced as Long)
@@ -1601,6 +1606,8 @@ object SparkEntry {
       s"""SELECT doc_id AS asset_id,
           ${Multimodal.byteFeaturesSql("lower(hex(encode(text)))").mkString(",\n          ")}
           FROM documents""",
+
+    "q_media_resize" -> Multimodal.resizeBytesSql(7),
 
     "q_event_window" -> EventWindowOracleSql,
     // streaming-executed twin (Complete-mode snapshot ≡ batch agg)

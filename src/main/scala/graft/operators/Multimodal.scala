@@ -140,6 +140,46 @@ object Multimodal {
     * (`md5(substr(lower(hex(encode(text))), 2·offset+1, 2))`) agrees for
     * non-ASCII payloads too (pinned in ColOpsSpec).
     */
+  /** STUB RESIZE — deterministic fake of the batch resize / downsample
+    * step (image thumbnailing, audio decimation): keep every
+    * `stride`-th byte of the payload, emit the new length and the
+    * digest of the kept bytes. Same hex-string digest contract as
+    * [[stubDecode]]/[[sampleFrames]] so the DuckDB oracle agrees on
+    * non-ASCII payloads. Pure column expressions — the whole transform
+    * (per-byte slice, hex, concat, md5) runs in whole-stage codegen
+    * with zero shuffle, the plumbing shape a real resize kernel slots
+    * into (swap the byte-decimation lambda for the codec call).
+    * An empty payload resizes to out_len 0 with md5("") — kept, not
+    * dropped, so asset counts are preserved through the stage.
+    */
+  def resizeBytes(assets: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    assets.select(
+      col("asset_id"),
+      when(length(col("media")) > 0,
+        transform(
+          sequence(lit(0), ((length(col("media")) - 1) / stride).cast("int")),
+          i => lower(hex(substring(col("media"), (i * stride + 1).cast("int"), lit(1))))))
+        .otherwise(array().cast("array<string>")).as("parts"))
+      .select(col("asset_id"),
+        size(col("parts")).cast("long").as("out_len"),
+        md5(array_join(col("parts"), "")).as("out_digest"))
+  }
+
+  /** DuckDB mirror of [[resizeBytes]] over the documents-backed assets
+    * (list comprehension over byte positions; COALESCE because DuckDB's
+    * array_to_string([]) is NULL where Spark's array_join is '').
+    */
+  def resizeBytesSql(stride: Int): String =
+    s"""WITH b AS (SELECT doc_id AS asset_id, lower(hex(encode(text))) AS hx
+                   FROM documents)
+        SELECT asset_id, CAST(len(l) AS BIGINT) AS out_len,
+               md5(COALESCE(array_to_string(l, ''), '')) AS out_digest
+        FROM (SELECT asset_id,
+                     [substring(hx, 2*(p*$stride)+1, 2)
+                      for p in range(0, (length(hx)//2 + $stride - 1)//$stride)] AS l
+              FROM b) t"""
+
   def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
     assets.select(
       col("asset_id"),

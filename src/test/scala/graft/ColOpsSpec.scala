@@ -166,4 +166,22 @@ class ColOpsSpec extends SparkSpec {
     bytes.foreach(b => expHist((b & 0xf0) >> 4) += 1)
     (0 until 16).foreach(b => assert(r.getAs[Long](f"h$b%02d") == expHist(b)))
   }
+
+  test("resizeBytes: every stride-th byte kept (non-ASCII), empty payload kept at length 0") {
+    import spark.implicits._
+    val s = "é" * 10 + "x" // 21 UTF-8 bytes — stride 4 keeps bytes 0,4,8,12,16,20
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val assets = Seq((1L, s), (2L, "")).toDF("asset_id", "text")
+      .select(col("asset_id"), encode(col("text"), "UTF-8").as("media"))
+    val rows = Multimodal.resizeBytes(assets, 4).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Long]("out_len"), r.getAs[String]("out_digest"))).toMap
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val keptHex = bytes.indices.by(4).map(i => f"${bytes(i) & 0xff}%02x").mkString
+    assert(rows(1L) == ((bytes.length + 3) / 4, md5hex(keptHex)), s"got ${rows(1L)}")
+    // empty payload: row preserved, md5 of the empty string
+    assert(rows(2L) == (0L, md5hex("")), s"got ${rows(2L)}")
+  }
 }
