@@ -757,6 +757,15 @@ object SparkEntry {
         ColOps.table(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", SplitCuts)),
 
+    // deterministic training-order shuffle (epoch 3): dense new ordinals
+    // in seeded-affine-permutation order via the distributed Ordinals
+    // machinery — range-partition + per-partition offsets, never a
+    // single-partition global window
+    "q_shuffle_order" -> ((s, dir) =>
+      Sampling.shuffleOrder(
+        ColOps.table(s, dir, "documents").select(col("doc_id")),
+        "doc_id", seed = 3L)),
+
     // bucketed co-located join + same-key aggregation: both sides staged
     // bucketBy(8, custkey).sortBy once per JVM, then join AND groupBy run
     // with ZERO Exchange (PlanSpec asserts) — the write-once/join-daily
@@ -1396,6 +1405,16 @@ object SparkEntry {
     "q_split" ->
       s"""SELECT doc_id, lang,
           ${Sampling.hashSplitSql("doc_id", SplitCuts)} AS split
+          FROM documents""",
+
+    // strict order (the affine key is injective mod the prime), so
+    // row_number needs no tiebreak — but doc_id is appended anyway to
+    // keep the oracle deterministic under any future key change
+    "q_shuffle_order" ->
+      s"""SELECT CAST(row_number() OVER (
+                   ORDER BY ${Sampling.epochKeySql("doc_id", 3L)}, doc_id) - 1
+                 AS BIGINT) AS new_seq,
+                 doc_id
           FROM documents""",
 
     "q_bucket_join" ->

@@ -105,4 +105,45 @@ object Sampling {
     }.mkString(" ")
     s"CASE $whens ELSE '${cuts.last._1}' END"
   }
+
+  /** Seeded affine permutation key over ids: `(A·(2·seed+1)·id + B·(seed+1))
+    * mod P` with P prime ([[TextOps.HashMod]]) — injective on id for any
+    * seed (the multiplier is never ≡ 0 mod P for seeds < ~10^8), so the
+    * induced order is a strict, reproducible pseudo-random permutation;
+    * a different seed per epoch gives a different order.
+    */
+  def epochKey(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column = {
+    val a = (ScatterA * (2 * seed + 1)) % TextOps.HashMod
+    val b = (104729L * (seed + 1))      % TextOps.HashMod
+    ((id % TextOps.HashMod) * a + b) % TextOps.HashMod
+  }
+
+  /** SQL mirror of [[epochKey]]. */
+  def epochKeySql(id: String, seed: Long): String = {
+    val a = (ScatterA * (2 * seed + 1)) % TextOps.HashMod
+    val b = (104729L * (seed + 1))      % TextOps.HashMod
+    s"((($id % ${TextOps.HashMod}) * $a + $b) % ${TextOps.HashMod})"
+  }
+
+  /** Deterministic training-order shuffle — the last stage before
+    * sharding a corpus to training files: assign every doc a dense new
+    * ordinal 0..n-1 in [[epochKey]] order. Ranking runs on the
+    * distributed `Ordinals` machinery (range-partition by key, sort
+    * within partitions, per-partition offsets prefix-summed on the
+    * driver — O(numPartitions) driver data, never a single-partition
+    * global window), so the plan survives a corpus that does not fit
+    * one task. Output: (new_seq, id).
+    */
+  def shuffleOrder(df: DataFrame, id: String, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    implicit val enc: org.apache.spark.sql.Encoder[graft.core.Elem[(Long, Long)]] =
+      graft.core.Elem.enc[(Long, Long)]
+    import spark.implicits._
+    val keyed = df.select(col(id).cast("long").as("_1"),
+        epochKey(col(id), seed).cast("long").as("_2"))
+      .as[(Long, Long)]
+    graft.core.Ordinals.zipWithOrdinal(keyed, Seq(col("_2")))
+      .toDF()
+      .select(col("seq").as("new_seq"), col("value._1").as(id))
+  }
 }

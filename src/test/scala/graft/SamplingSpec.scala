@@ -65,4 +65,28 @@ class SamplingSpec extends SparkSpec {
     val aOrder = got.filter(_._2 == "A").map(_._1)
     assert(aOrder.sameElements(aOrder.sorted))
   }
+
+  test("shuffleOrder: dense permutation matching the local sort; seed changes the order") {
+    import spark.implicits._
+    val ids = (0L until 257L) // odd size exercises partition-boundary offsets
+    val df = ids.toDF("doc_id")
+    def run(seed: Long): Seq[(Long, Long)] =
+      Sampling.shuffleOrder(df, "doc_id", seed).collect()
+        .map(r => (r.getAs[Long]("new_seq"), r.getAs[Long]("doc_id"))).toSeq.sortBy(_._1)
+    val s3 = run(3L)
+    // dense 0..n-1 ordinals over exactly the input ids
+    assert(s3.map(_._1) == (0L until 257L))
+    assert(s3.map(_._2).sorted == ids)
+    // agrees with the local reference sort by the same key
+    def key(seed: Long)(id: Long): Long = {
+      val p = graft.operators.TextOps.HashMod
+      val a = (Sampling.ScatterA * (2 * seed + 1)) % p
+      val b = (104729L * (seed + 1)) % p
+      ((id % p) * a + b) % p
+    }
+    assert(s3.map(_._2) == ids.sortBy(key(3L)))
+    // reproducible; a different seed produces a different permutation
+    assert(run(3L) == s3)
+    assert(run(4L).map(_._2) != s3.map(_._2))
+  }
 }
