@@ -907,6 +907,11 @@ object SparkEntry {
     "q_chunk_text" -> ((s, dir) =>
       TextOps.chunkWords(ColOps.table(s, dir, "documents"), "doc_id", "text", 50)),
 
+    // global top-k bigrams (corpus n-gram profile): one map-side-combined
+    // pair-count shuffle + TakeOrderedAndProject — never a global sort
+    "q_bigrams" -> ((s, dir) =>
+      TextOps.topBigrams(ColOps.table(s, dir, "documents"), "text", 50)),
+
     // concat-and-split sequence packing: distributed exclusive prefix
     // sum (RowExec carries, never a single-task global window)
     "q_pack_seqs" -> ((s, dir) =>
@@ -1510,6 +1515,7 @@ object SparkEntry {
          GROUP BY w""",
 
     "q_vocab" -> TextOps.vocabSummarySql(50L),
+    "q_bigrams" -> TextOps.topBigramsSql(50),
 
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
     "q_cms_sketch" -> Sketches.cmsWordSketchSql,

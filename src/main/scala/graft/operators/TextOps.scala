@@ -178,6 +178,36 @@ object TextOps {
                MAX(total_words) AS total_words
         FROM wc, tw"""
 
+  /** Global top-k bigram statistics — the corpus n-gram profile used for
+    * boilerplate discovery and contamination screens. One shuffle (the
+    * pair count, map-side combined); the top-k is `orderBy.limit`, which
+    * Spark plans as TakeOrderedAndProject — a per-partition heap + k-row
+    * merge on the driver, NEVER a global sort, so the plan survives a
+    * bigram vocabulary that dwarfs one task. The (cnt desc, w1, w2)
+    * order is total, making the cut deterministic for the oracle.
+    */
+  def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val ws = df.select(words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    ws.select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[topBigrams]] over the documents table. */
+  def topBigramsSql(k: Int): String =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            bg AS (SELECT UNNEST([{'w1': ws[i+1], 'w2': ws[i+2]}
+                                  for i in range(0, len(ws) - 1)]) AS u
+                   FROM w WHERE len(ws) >= 2)
+        SELECT u.w1 AS w1, u.w2 AS w2, COUNT(*) AS cnt
+        FROM bg GROUP BY 1, 2
+        ORDER BY cnt DESC, w1, w2 LIMIT $k"""
+
   /** Fixed-size word chunking for training-sample preparation: one row
     * per chunk of up to `chunkWords` words, with the chunk index — the
     * fan-out shape of context-window packing. Pure explode, no shuffle;

@@ -81,4 +81,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got.getLong(3) == 205)
     assert(got.getLong(1) + got.getLong(2) == got.getLong(3))
   }
+
+  test("topBigrams: counts overlapping pairs, deterministic tie order, short docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b a b a",   // (a,b)x2, (b,a)x2
+      "a b c",       // (a,b), (b,c)
+      "solo",        // no bigrams
+      ""             // no bigrams
+    ).toDF("text")
+    val got = TextOps.topBigrams(docs, "text", 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    // (a,b):3 first; then cnt-2 (b,a); then the cnt-1 tie (b,c)
+    assert(got == List(("a", "b", 3L), ("b", "a", 2L), ("b", "c", 1L)), s"got $got")
+    // k cuts deterministically on the total order
+    val top2 = TextOps.topBigrams(docs, "text", 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toList
+    assert(top2 == List(("a", "b"), ("b", "a")))
+  }
 }
