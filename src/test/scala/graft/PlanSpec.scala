@@ -236,6 +236,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bigrams: top-k is TakeOrderedAndProject over a partial-combined count, no global sort") {
+    val p = plan(SparkEntry.queries("q_bigrams")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+    // a Sort node would mean the k-cut fell back to a global sort
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith(":- Sort")),
+      s"q_bigrams plans a global sort:\n$p")
+  }
+
+  test("q_shuffle_order: distributed ordinal ranking, never a single-partition global window") {
+    val df = SparkEntry.queries("q_shuffle_order")(spark, dir)
+    assert(!plan(df).contains("Window"), "shuffleOrder compiled to a window plan")
+    // parallelism preserved through the ranking
+    assert(df.rdd.getNumPartitions > 1,
+      s"shuffleOrder collapsed to ${df.rdd.getNumPartitions} partition(s)")
+  }
+
+  test("q_contamination: Bloom prefilter sits BELOW the broadcast semi-join") {
+    val p = plan(SparkEntry.queries("q_contamination")(spark, dir))
+    val lines = p.linesIterator.toList
+    val joinIdx = lines.indexWhere(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(joinIdx >= 0, s"no broadcast semi-join:\n$p")
+    // the literal-bitset membership test (element_at over the packed
+    // slots) must appear in a Filter deeper in the tree than the join
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("element_at"))
+    assert(filterIdx > joinIdx, s"bloom filter not below the join:\n$p")
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
