@@ -47,10 +47,41 @@ object ScaleProbe {
       events.withColumn("user_id", col("user_id") + lit(i * maxUid))
     }.reduce(_ union _)
 
-    timed("1x warm", events) // first run also warms the parquet footer cache
-    val t1 = timed("1x", events)
-    val tn = timed(s"${n}x", big)
-    println(f"SCALEPROBE ratio: ${tn / t1}%.2f (linear would be ~$n)")
+    timed("session 1x warm", events) // also warms the parquet footer cache
+    val t1 = timed("session 1x", events)
+    val tn = timed(s"session ${n}x", big)
+    println(f"SCALEPROBE session ratio: ${tn / t1}%.2f (linear would be ~$n)")
+
+    // --- documents-keyed probes: contamination (explode-heavy),
+    //     shuffleOrder (distributed ordinal machinery), bigrams (top-k) ---
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val bigDocs = (0 until n).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+    }.reduce(_ union _)
+
+    def probe(label: String, f: org.apache.spark.sql.DataFrame => Long): Unit = {
+      def one(tag: String, d: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val rows = f(d)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALEPROBE $label $tag: $sec%.2f s, $rows rows")
+        sec
+      }
+      one("1x warm", docs)
+      val a = one("1x", docs); val b = one(s"${n}x", bigDocs)
+      println(f"SCALEPROBE $label ratio: ${b / a}%.2f (linear would be ~$n)")
+    }
+
+    probe("contamination", d =>
+      graft.operators.Dedup.contaminatedBy(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text").count())
+    probe("shuffleOrder", d =>
+      graft.operators.Sampling.shuffleOrder(d.select(col("doc_id")), "doc_id", 3L).count())
+    probe("bigrams", d =>
+      graft.operators.TextOps.topBigrams(d, "text", 50).count())
     spark.stop()
   }
 }

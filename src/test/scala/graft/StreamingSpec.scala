@@ -394,6 +394,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got ${got.take(8)}…")
   }
 
+  test("production file sink: pipe output lands in parquet via writeStream + checkpoint, batch-identical") {
+    // the deployment shape the memory-sink proofs stand in for: a real
+    // FileStreamSink with a checkpoint dir (exactly-once via the sink's
+    // _spark_metadata log), driven by the same Pipe
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[Elem[Long]] = Elem.enc[Long]
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ckpt").toString
+    val input = MemoryStream[Elem[Long]]
+    val pipe = Pipes.map[Long, Long](_ * 3) |> Pipes.filter[Long](_ % 2 == 1)
+    val q = pipe(SStream(input.toDS())).ds.toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      (0L until 20L).grouped(7).foreach { chunk =>
+        input.addData(chunk.map(i => Elem(i, i)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val landed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[Long]("value")))
+      .sortBy(_._1).toList
+    val batch = (Sources.fromSeq(spark, (0L until 20L)) |> pipe)
+      .into(Sinks.sinkList)
+    assert(landed.map(_._2) == batch, s"file sink ${landed.take(6)}… vs batch ${batch.take(6)}…")
+    // the sink's transaction log exists — the exactly-once machinery ran
+    assert(new java.io.File(outDir, "_spark_metadata").exists(),
+      "no _spark_metadata transaction log in the file sink output")
+  }
+
   test("feedPipe leftover-inputs branch: take(3) fed 10 → 7 leftovers (Conduino.hs:253-256)") { withRocksDb {
       val f = Incremental.open(spark,
         StreamPipes.takeTwsCut[Int](spark, 3), "inc_cut_take")
