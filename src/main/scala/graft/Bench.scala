@@ -26,6 +26,16 @@ object Bench {
       val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
       spark.sparkContext.setCheckpointDir(dir.toString)
       spark.conf.set(graft.core.Materialize.ReliableKey, "true")
+      // reliable checkpoint files survive spark.stop() (cleanCheckpoints
+      // defaults to false) — delete the dir on JVM exit or every bench
+      // run leaks a full set of materialized intermediates into tmpdir
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }))
     }
     // Warm the JVM/codegen/shuffle paths once so the first measured query
     // isn't charged session startup (~1.5-5 s of JIT + codegen compile).

@@ -102,8 +102,7 @@ object DevSmoke {
 
     // feedPipe leftover-inputs branch (Conduino.hs:253-256): feeding a
     // cut pipe past its termination reports the unconsumed remainder
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // (Incremental.open scopes the RocksDB provider itself)
     val cutF = graft.streaming.Incremental.open(spark,
       graft.streaming.StreamPipes.takeTwsCut[Int](spark, 3), "devsmoke_cut")
     try {

@@ -25,14 +25,17 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect() // warm
 
+    // same prep + operator as q_event_session (SparkEntry.ivalCol +
+    // EventTime.session) so the probe measures the headline query's
+    // actual shape, not a hand-copied twin that could drift
     val events = graft.operators.ColOps.table(spark, dir, "events")
       .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-      .withColumn("ival", expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("ival", SparkEntry.ivalCol)
     val maxUid = events.agg(max("user_id")).head().getLong(0) + 1
 
     def sessionAgg(df: org.apache.spark.sql.DataFrame): Long =
-      df.groupBy(col("user_id"), session_window(col("ts2"), "1 hour"))
-        .agg(sum(col("ival")).as("total"), count(lit(1)).as("cnt"))
+      graft.streaming.EventTime.session(df, "ts2", "user_id", "1 hour", "2 hours",
+        Seq(sum(col("ival")).as("total"), count(lit(1)).as("cnt")))
         .count()
 
     def timed(label: String, df: org.apache.spark.sql.DataFrame): Double = {

@@ -26,7 +26,7 @@ object SparkEntry {
   private def events(spark: SparkSession, dir: String): DataFrame =
     ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
 
-  private def ivalCol: Column = floor(col("value") * 100 + 0.5).cast("long")
+  private[graft] def ivalCol: Column = floor(col("value") * 100 + 0.5).cast("long")
 
   private val IvalSql = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
 

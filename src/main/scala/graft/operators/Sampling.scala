@@ -142,7 +142,11 @@ object Sampling {
     val keyed = df.select(col(id).cast("long").as("_1"),
         epochKey(col(id), seed).cast("long").as("_2"))
       .as[(Long, Long)]
-    graft.core.Ordinals.zipWithOrdinal(keyed, Seq(col("_2")))
+    // id appended as tiebreak: epochKey is injective only for unique ids
+    // below the modulus — duplicate or >= P ids collide, and without the
+    // tiebreak their relative order would be shuffle-arrival-dependent
+    // (the oracle orders by (key, id) for the same reason)
+    graft.core.Ordinals.zipWithOrdinal(keyed, Seq(col("_2"), col("_1")))
       .toDF()
       .select(col("seq").as("new_seq"), col("value._1").as(id))
   }

@@ -119,6 +119,10 @@ object Incremental {
     * [[StreamPipes]] stateful ones are; cut/iterative pipes are batch
     * constructs).
     */
+  private val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def open[A: TypeTag, B: TypeTag](spark: SparkSession, pipe: Pipe[A, B],
                                    name: String): Feeder[A, B] = {
     implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
@@ -126,11 +130,26 @@ object Incremental {
     implicit val sq: SQLContext = spark.sqlContext
     val input = MemoryStream[Elem[A]]
     val out = pipe(SStream(input.toDS())).ds
-    val query = out.writeStream
-      .format("memory").queryName(name).outputMode(OutputMode.Append())
-      .start()
+    // scope the RocksDB provider around query START (the query captures
+    // the conf then) — the same uniform-backend contract as
+    // StreamExec.runProtocol, so no caller has to hand-set it
+    val prev = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey, RocksProvider)
+    val query =
+      try out.writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      finally prev match {
+        case Some(v) => spark.conf.set(RocksKey, v)
+        case None    => spark.conf.unset(RocksKey)
+      }
     val cut = pipe match {
-      case c: StreamPipes.CutPipe[_, _] => Some(c)
+      case c: StreamPipes.CutPipe[_, _] =>
+        // a reused CutPipe instance would otherwise report the PREVIOUS
+        // stream's termination boundary against this Feeder's restarted
+        // seq counter — stale-state, silently wrong feedEither branch
+        c.acc.reset()
+        Some(c)
       case _ => None
     }
     new Feeder[A, B](spark, input, query, name,

@@ -183,7 +183,16 @@ object StreamExec {
       val out = pipe(src).ds.toDF().filter(org.apache.spark.sql.functions.col("seq") < n)
       (out, { query =>
         val deadline = System.nanoTime + timeoutMs * 1000000L
-        def processed: Long = query.recentProgress.map(_.numInputRows).sum
+        // recentProgress is a bounded ring buffer (default 100 entries):
+        // summing it directly undercounts once a slow rate drives >100
+        // micro-batches. Fold entries into a batchId-keyed map every poll
+        // (polls are far more frequent than batches) so the count stays
+        // monotonic and complete.
+        val seen = scala.collection.mutable.Map.empty[Long, Long]
+        def processed: Long = {
+          query.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+          seen.values.sum
+        }
         while (processed < n && System.nanoTime < deadline) {
           query.processAllAvailable()
           if (processed < n) Thread.sleep(20)

@@ -491,6 +491,23 @@ class StreamingSpec extends SparkSpec {
   }
   }
 
+  test("feedPipe: reopening a used CutPipe resets the boundary (no stale termination)") { withRocksDb {
+    val p = StreamPipes.takeTwsCut[Int](spark, 3)
+    val f1 = Incremental.open(spark, p, "inc_cut_reuse_a")
+    try assert(f1.feedEither(1 to 5).isRight) // terminate in the first feeder
+    finally f1.stop()
+    // same pipe INSTANCE, fresh feeder: seq counter restarts, and so must
+    // the cut boundary — under-fill must be Left again, not a stale Right
+    val f2 = Incremental.open(spark, p, "inc_cut_reuse_b")
+    try {
+      assert(f2.feedEither(Seq(1, 2)) == Left(Seq(1, 2)))
+      f2.feedEither(Seq(3, 4)) match {
+        case Right((leftover, outs)) => assert(outs == Seq(3) && leftover == Seq(4))
+        case Left(outs) => fail(s"expected Right, got Left($outs)")
+      }
+    } finally f2.stop()
+  } }
+
   test("feedPipe parity: streaming cut leftovers agree with the batch take cut") { withRocksDb {
       val inputs = 1 to 10
       val n = 3L
