@@ -814,6 +814,16 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // incremental NEAR-dup — verified LSH links from an incoming batch
+    // (doc_id % 5 == 0) against the existing corpus index: only the
+    // batch is re-hashed; the corpus buckets are the maintained index
+    "q_dedup_incr_near" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    }),
+
     // benchmark decontamination — docs sharing ANY word-3-gram shingle
     // with the "benchmark" subset (doc_id % 50 == 0 stands in for an
     // eval set): broadcast semi-join on shingle hashes
@@ -1462,6 +1472,7 @@ object SparkEntry {
     },
 
     "q_dedup_minhash" -> (jaccardPairsSql + " WHERE jaccard >= 0.5"),
+    "q_dedup_incr_near" -> incNearDupSql("doc_id % 5 = 0", 0.5),
 
     // reachability closure over the same pair list (UNION dedups → the
     // recursion terminates); component min == min reachable label
@@ -1710,17 +1721,26 @@ object SparkEntry {
   /** Shared DuckDB CTE pipeline: minhash sigs → band buckets → candidate
     * pairs → exact shingle Jaccard (mirrors Dedup.jaccardPairs).
     */
-  private def jaccardPairsSql: String = {
-    val bands = (0 until Dedup.NumBands).map { b =>
+  /** The NumBands band-bucket string expressions over a `minhash` array
+    * column (shared by every LSH oracle).
+    */
+  private def bandExprsSql: Seq[String] =
+    (0 until Dedup.NumBands).map { b =>
       val parts = (0 until Dedup.BandSize).map(r => s"minhash[${b * Dedup.BandSize + r + 1}]")
       s"concat_ws('|', '$b', ${parts.mkString(", ")})"
     }
+
+  /** Capped band buckets of the sig CTE rows matching `pred`. */
+  private def cappedBucketsSqlFor(pred: String): String =
+    s"""SELECT doc_id, bucket FROM
+          (SELECT doc_id, UNNEST([${bandExprsSql.mkString(", ")}]) AS bucket
+           FROM sig WHERE len(sh) > 0 AND ($pred)) b0
+        ${ColOps.capBucketsQualifySql(Dedup.MaxBucket)}"""
+
+  private def jaccardPairsSql: String = {
     s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
                      FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
-        bk AS (SELECT doc_id, bucket FROM
-                 (SELECT doc_id, UNNEST([${bands.mkString(", ")}]) AS bucket
-                  FROM sig WHERE len(sh) > 0) b0
-               ${ColOps.capBucketsQualifySql(Dedup.MaxBucket)}),
+        bk AS (${cappedBucketsSqlFor("TRUE")}),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
         SELECT p.doc_a, p.doc_b,
@@ -1731,6 +1751,27 @@ object SparkEntry {
         JOIN sig sa ON sa.doc_id = p.doc_a
         JOIN sig sb ON sb.doc_id = p.doc_b"""
   }
+
+  /** Mirror of Dedup.incrementalNearDup with incoming = `incPred` docs,
+    * corpus = the rest: per-side capped buckets, cross-side candidate
+    * join, exact-Jaccard verify.
+    */
+  private def incNearDupSql(incPred: String, minJ: Double): String =
+    s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
+                     FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
+        bki AS (${cappedBucketsSqlFor(incPred)}),
+        bkc AS (${cappedBucketsSqlFor(s"NOT ($incPred)")}),
+        cand AS (SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS match_id
+                 FROM bki i JOIN bkc c ON i.bucket = c.bucket)
+        SELECT * FROM
+          (SELECT cand.doc_id, cand.match_id,
+                  CAST(len(list_filter(si.sh, x -> list_contains(sc.sh, x))) AS DOUBLE) /
+                  CAST(len(si.sh) + len(sc.sh)
+                       - len(list_filter(si.sh, x -> list_contains(sc.sh, x))) AS DOUBLE) AS jaccard
+           FROM cand
+           JOIN sig si ON si.doc_id = cand.doc_id
+           JOIN sig sc ON sc.doc_id = cand.match_id) v
+        WHERE jaccard >= $minJ"""
 
   /** Recursive-CTE mirror of Dedup.nearDupClusters: reachability closure
     * over the verified pair list; component min = min reachable label.

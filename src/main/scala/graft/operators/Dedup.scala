@@ -234,6 +234,38 @@ object Dedup {
          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  /** Incremental near-dup: which INCOMING docs are near-duplicates of
+    * the existing corpus — the arriving-batch flow at 100 TB. The corpus
+    * side ([[minhashSignatures]] + [[cappedBandBuckets]]) is in
+    * production a MAINTAINED index table updated as batches commit, so a
+    * new batch never re-hashes the corpus: only the (small) incoming
+    * side is signed per run, the candidate join is bucket-keyed against
+    * the index, and the exact-Jaccard verify touches only candidate
+    * pairs. Both sides cap viral buckets independently (the index is
+    * capped at build time; capping the batch too keeps a pathological
+    * batch from resurrecting the all-pairs blowup). Output: one row per
+    * verified (doc_id, match_id, jaccard ≥ minJ) link.
+    */
+  def incrementalNearDup(incoming: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         minJ: Double = 0.5, cap: Int = MaxBucket): DataFrame = {
+    val sigI = graft.core.Materialize.checkpoint(
+      minhashSignatures(incoming, idCol, textCol))
+    val sigC = graft.core.Materialize.checkpoint(
+      minhashSignatures(corpus, idCol, textCol))
+    val cand = cappedBandBuckets(sigI, cap)
+      .join(cappedBandBuckets(sigC, cap)
+        .select(col("bucket"), col("doc_id").as("match_id")), "bucket")
+      .select(col("doc_id"), col("match_id")).distinct()
+    cand
+      .join(sigI.select(col("doc_id"), col("sh").as("sh_i")), "doc_id")
+      .join(sigC.select(col("doc_id").as("match_id"), col("sh").as("sh_c")), "match_id")
+      .select(col("doc_id"), col("match_id"),
+        (size(array_intersect(col("sh_i"), col("sh_c"))).cast("double") /
+         size(array_union(col("sh_i"), col("sh_c"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+  }
+
   /** Connected components over the verified near-dup pairs: every doc
     * labeled with the SMALLEST doc id reachable through near-duplicate
     * links (jaccard ≥ threshold) — the canonical-representative step of a

@@ -123,6 +123,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 5L), (3L, 3L, 5L)), s"got $got")
   }
 
+  test("incrementalNearDup: batch links only against the corpus index, never intra-batch") {
+    import spark.implicits._
+    val mk = (id: Long, words: String) => (id, words)
+    val corpus = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      mk(10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of corpus 1
+      mk(11L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of corpus 1 AND of 10
+      mk(12L, "totally unrelated words appear in this doc here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(incoming, corpus, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("match_id"))).toSet
+    // both incoming dups link to corpus doc 1; the 10-11 intra-batch pair
+    // is NOT reported (the batch joins the index, not itself) and the
+    // unrelated doc matches nothing
+    assert(got == Set((10L, 1L), (11L, 1L)), s"got $got")
+  }
+
   test("LSH candidate-pair recall vs exact Jaccard pairs stays above the floor (seeded near-dups)") {
     import spark.implicits._
     // 15 groups × 3 variants: each variant replaces ONE word of a 40-word
