@@ -814,6 +814,31 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // decontamination THROUGH Structured Streaming — the stateless
+    // enrichment pattern (no state store at all): corpus docs arrive as
+    // a stream; each is flagged by arrays_overlap of its shingle set
+    // against the benchmark shingles inlined as a broadcast literal
+    // (ArraysOverlap probes a hash set, so per-row cost is O(|doc
+    // shingles|)). One row in, at most one row out — no distinct, no
+    // watermark, no state. Same oracle as q_contamination.
+    "q_contamination_stream" -> ((s, dir) => {
+      import s.implicits._
+      val docs = ColOps.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val benchSh = Dedup.shingleHashes(
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+        .select(explode(col("sh")).as("h")).distinct().as[Long].collect().sorted
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      graft.streaming.StreamExec.runStreamingAppend[(Long, String)](
+        s, corpus,
+        ds => Dedup.shingleHashes(
+            ds.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+            "doc_id", "text")
+          .filter(arrays_overlap(col("sh"), typedLit(benchSh.toSeq)))
+          .select(col("doc_id")),
+        quantum = streamQuantum(corpus.size))
+    }),
+
     // incremental NEAR-dup — verified LSH links from an incoming batch
     // (doc_id % 5 == 0) against the existing corpus index: only the
     // batch is re-hashed; the corpus buckets are the maintained index
@@ -1459,6 +1484,12 @@ object SparkEntry {
            WHERE c.doc_id < 400 AND md5(c.text) = md5(n.text))""",
 
     "q_contamination" ->
+      s"""WITH s AS (SELECT doc_id, UNNEST(${Dedup.shinglesSql}) AS h FROM documents)
+          SELECT DISTINCT d.doc_id FROM s d
+          JOIN (SELECT DISTINCT h FROM s WHERE doc_id % 50 = 0) b USING (h)
+          WHERE d.doc_id % 50 <> 0""",
+    // streaming-executed twin: stateless per-doc flag ≡ the batch join
+    "q_contamination_stream" ->
       s"""WITH s AS (SELECT doc_id, UNNEST(${Dedup.shinglesSql}) AS h FROM documents)
           SELECT DISTINCT d.doc_id FROM s d
           JOIN (SELECT DISTINCT h FROM s WHERE doc_id % 50 = 0) b USING (h)
