@@ -994,6 +994,11 @@ object SparkEntry {
     "q_bloom" -> ((s, dir) =>
       Sketches.bloomWordFilter(ColOps.table(s, dir, "documents"), "text")),
 
+    // fixed-bin value histogram: ≤ bins+2 rows out regardless of input
+    // (the distribution sketch member of the family)
+    "q_histogram" -> ((s, dir) =>
+      Sketches.histogram(ColOps.table(s, dir, "events"), "value", 0.0, 500.0, 25)),
+
     // brute-force cosine top-3 (broadcast queries, partitioned ranking)
     "q_embed_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, dir), 20, 3)),
@@ -1561,6 +1566,7 @@ object SparkEntry {
 
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
     "q_cms_sketch" -> Sketches.cmsWordSketchSql,
+    "q_histogram" -> Sketches.histogramSql("value", 0.0, 500.0, 25),
     "q_bloom" -> Sketches.bloomWordFilterSql,
 
     "q_tfidf" -> Relevance.tfIdfSql,

@@ -170,4 +170,37 @@ object Sketches {
         SELECT p // 32 AS slot, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
         FROM ps GROUP BY p // 32"""
   }
+
+  // ----- Fixed-bin histogram (distribution sketch) -----
+
+  /** Fixed-bin histogram over a numeric column: (bin, cnt) with bin =
+    * floor((v - lo) · bins / (hi - lo)), clamped to -1 (underflow) and
+    * `bins` (overflow). Output is ≤ bins + 2 rows REGARDLESS of input
+    * size — like the CMS/KMV/Bloom, the whole shuffle is the sketch
+    * geometry after map-side combine, which is the point at 100 TB:
+    * the value distribution of an unbounded column in O(bins) memory.
+    *
+    * The bin expression is written multiply-then-divide and mirrored
+    * token-for-token in [[histogramSql]]: both engines execute the same
+    * IEEE double ops in the same order, so bin boundaries can never
+    * disagree on a hash compare.
+    */
+  def histogram(df: DataFrame, valueCol: String,
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo; got $bins, [$lo, $hi)")
+    val v = col(valueCol).cast("double")
+    val bin = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(bins.toLong))
+      .otherwise(floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("long"))
+    df.select(bin.as("bin")).groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DuckDB mirror of [[histogram]] over expression `v`. */
+  def histogramSql(v: String, lo: Double, hi: Double, bins: Int): String =
+    s"""SELECT CASE WHEN $v < $lo THEN -1
+                    WHEN $v >= $hi THEN $bins
+                    ELSE CAST(FLOOR(($v - $lo) * ${bins.toDouble} / ${hi - lo}) AS BIGINT)
+               END AS bin,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1"""
 }

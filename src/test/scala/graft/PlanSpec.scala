@@ -264,6 +264,12 @@ class PlanSpec extends SparkSpec {
     assert(filterIdx > joinIdx, s"bloom filter not below the join:\n$p")
   }
 
+  test("q_dedup_incr_near: candidate generation is a bucket equi-join, never cartesian") {
+    val p = plan(SparkEntry.queries("q_dedup_incr_near")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"incremental near-dup plans a cartesian:\n$p")
+    assert(p.contains("bucket"), s"no bucket-keyed join in:\n$p")
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))

@@ -128,4 +128,15 @@ class SketchesSpec extends SparkSpec {
     assert(fpRate <= theoretical * 3 + 0.01,
       f"Bloom FP rate $fpRate%.4f vs theoretical $theoretical%.4f")
   }
+
+  test("histogram: counts conserved, boundaries exact, under/overflow clamped") {
+    import spark.implicits._
+    // [0, 10) in 5 bins of width 2; -3 underflows, 10 and 11 overflow,
+    // 2.0 sits EXACTLY on a boundary and must land in bin 1, not bin 0
+    val vals = Seq(-3.0, 0.0, 1.999, 2.0, 3.5, 9.999, 10.0, 11.0)
+    val got = Sketches.histogram(vals.toDF("value"), "value", 0.0, 10.0, 5)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+    assert(got == Map(-1L -> 1L, 0L -> 2L, 1L -> 2L, 4L -> 1L, 5L -> 2L), s"got $got")
+    assert(got.values.sum == vals.size) // every row lands in exactly one bin
+  }
 }
