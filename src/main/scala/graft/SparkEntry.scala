@@ -30,6 +30,11 @@ object SparkEntry {
 
   private val IvalSql = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
 
+  /** The events table's closed category set (generator-fixed), shared by
+    * the pivot query and its oracle.
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   /** Shared by q_scan (batch) and q_scan_stream (Structured Streaming):
     * one oracle text, two engine paths — they must agree bit-for-bit.
     */
@@ -1113,6 +1118,12 @@ object SparkEntry {
         .rollup(col("event_type"), col("ub"))
         .agg(sum(col("ival")).cast("long").as("total"), count(lit(1)).as("cnt"))),
 
+    // pivot — cross-tabulation (user bucket × event type) as ONE hash
+    // aggregate; explicit value list so no distinct-discovery scan
+    "q_pivot" -> ((s, dir) =>
+      ColOps.pivotSum(events(s, dir), col("user_id") % 10, "ub",
+        "event_type", EventTypes, ivalCol)),
+
     // discrete quantiles per group via order statistics (row_number over
     // a PARTITIONED window — parallel by group; exact and deterministic,
     // unlike interpolated percentile/approx sketches whose float
@@ -1710,6 +1721,9 @@ object SparkEntry {
       s"""SELECT event_type, user_id % 10 AS ub,
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY ROLLUP (event_type, ub)""",
+
+    "q_pivot" -> ColOps.pivotSumSql(
+      "user_id % 10", "ub", "event_type", EventTypes, IvalSql, "events"),
 
     "q_quantiles" ->
       """WITH r AS (SELECT event_type, value,

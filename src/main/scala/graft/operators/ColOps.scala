@@ -172,6 +172,45 @@ object ColOps {
   def capBucketsQualifySql(cap: Int): String =
     s"QUALIFY count(*) OVER (PARTITION BY bucket) <= $cap"
 
+  /** Wide conditional aggregation (pivot): one output column per pivot
+    * value, each the SUM of `valueExpr` over that slice — the
+    * cross-tabulation shape (rows = group key, columns = category).
+    *
+    * Deliberately NOT `Dataset.pivot`: with a known value list, Spark's
+    * pivot still plans TWO exchanges (a pre-aggregate keyed on (group,
+    * category), then a `pivotfirst` aggregate keyed on group), and a
+    * value-less `pivot(col)` additionally runs a distinct-values
+    * discovery job — a whole extra scan at 100 TB. One `sum(when(cat =
+    * v, x))` per category compiles to a SINGLE hash aggregate on the
+    * group key: map-side partials for every cell, one shuffle of
+    * `|groups| × |values|` cells, never a row explosion (ColOpsSpec
+    * pins the one-exchange plan and checks equality against
+    * `Dataset.pivot` as the semantic ground truth). Absent (group,
+    * value) cells are NULL (sum over an empty slice), matching SQL's
+    * `SUM(..) FILTER` convention, so cross-engine hash-compare holds
+    * without a fill-zero pass.
+    */
+  def pivotSum(df: DataFrame, groupExpr: Column, groupName: String,
+               pivotCol: String, values: Seq[String], valueExpr: Column): DataFrame = {
+    val cells = values.map(v =>
+      sum(when(col("__p") === v, col("__v"))).as(v))
+    df.select(groupExpr.as(groupName), col(pivotCol).as("__p"), valueExpr.as("__v"))
+      .groupBy(col(groupName)).agg(cells.head, cells.tail: _*)
+  }
+
+  /** DuckDB mirror of [[pivotSum]]: conditional aggregates, one
+    * `SUM(..) FILTER` per pivot value.
+    */
+  def pivotSumSql(groupSql: String, groupName: String, pivotCol: String,
+                  values: Seq[String], valueSql: String, from: String): String = {
+    val cells = values.map { v =>
+      s"""CAST(SUM($valueSql) FILTER (WHERE $pivotCol = '$v') AS BIGINT) AS "$v""""
+    }.mkString(",\n          ")
+    s"""SELECT $groupSql AS $groupName,
+          $cells
+          FROM $from GROUP BY 1"""
+  }
+
   /** Skew-resistant equi-join (the salting pattern for hot keys at
     * 100 TB): the large/skewed left side gets a deterministic salt in
     * [0, salt), the small-side rows are replicated once per salt value,

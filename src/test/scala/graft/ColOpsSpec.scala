@@ -184,4 +184,31 @@ class ColOpsSpec extends SparkSpec {
     // empty payload: row preserved, md5 of the empty string
     assert(rows(2L) == (0L, md5hex("")), s"got ${rows(2L)}")
   }
+
+  test("pivotSum == Dataset.pivot semantics, in ONE shuffle instead of two") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (2L, "a", 5L), (2L, "a", 7L), (3L, "c", 1L))
+      .toDF("k", "cat", "v")
+    val piv = ColOps.pivotSum(df, col("k"), "k", "cat", Seq("a", "b", "c"), col("v"))
+    // ground truth: Spark's own pivot (same values list)
+    val expected = df.groupBy(col("k")).pivot("cat", Seq("a", "b", "c")).sum("v")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    val got = toMap(piv.collect())
+    assert(got == toMap(expected.collect()), s"pivot=$got")
+    // absent cell is NULL (k=3 has no 'a'), matching SUM..FILTER semantics
+    assert(got(3L)._1.isEmpty && got(3L)._3.contains(1L))
+    // plan shape: conditional agg = ONE exchange in the final plan;
+    // Dataset.pivot plans two (pre-agg on (k,cat) + pivotfirst on k)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toList
+      fin.count(_.contains("Exchange hashpartitioning"))
+    }
+    assert(exchanges(piv) == 1, "pivotSum must be a single-shuffle aggregate")
+    assert(exchanges(expected) == 2, "Dataset.pivot baseline plans two shuffles")
+  }
 }
