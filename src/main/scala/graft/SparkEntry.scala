@@ -910,6 +910,11 @@ object SparkEntry {
       d.select(col("doc_id") +: TextOps.qualityCols(col("text")): _*)
     }),
 
+    // composite C4/Gopher-style quality filter: per-rule flags + keep +
+    // first-fail reason, single map-only pass, integer-only comparisons
+    "q_quality_filter" -> ((s, dir) =>
+      TextOps.qualityFilter(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
     // token counting (BPE-ish regex tokens)
     "q_token_count" -> ((s, dir) =>
       ColOps.table(s, dir, "documents")
@@ -1550,6 +1555,8 @@ object SparkEntry {
           CAST(len(list_filter(string_split(text, ' '), w -> w IN ($allStopsSql))) AS DOUBLE)
             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
           FROM documents""",
+
+    "q_quality_filter" -> TextOps.qualityFilterSql(allStopsSql),
 
     "q_token_count" ->
       "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens FROM documents",

@@ -90,6 +90,90 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  // --- composite quality filter (C4/Gopher-style rule battery) ---
+
+  /** Rule thresholds, written as integer cross-multiplications below so
+    * no floating-point comparison exists anywhere in the filter:
+    * min words ≥ 5; mean word length in [2, 12]; stopword ratio ≥ 1/20;
+    * distinct-word ratio ≥ 3/10; digit ratio ≤ 3/10.
+    */
+  val MinWords = 5
+  val WordLenLo = 2
+  val WordLenHi = 12
+
+  /** Rule names in evaluation order (first failure = the reject reason). */
+  val QualityRules: Seq[String] =
+    Seq("too_short", "word_len", "stop_ratio", "repetition", "digit_ratio")
+
+  /** Composite document quality filter: per-rule pass flags, the overall
+    * `keep` decision, and the FIRST failed rule as `reason` (NULL for
+    * kept docs) — the C4/Gopher-shaped rule battery of a corpus
+    * cleaning pipeline, kept auditable (a rejected doc says why, a
+    * dashboard can aggregate reasons) rather than a bare boolean.
+    *
+    * Pure per-row column expressions over one text scan — no UDF, no
+    * shuffle, whole-stage-codegen'd; at 100 TB this is a map-only pass
+    * whose cost is the scan itself. All five rules compare integers
+    * (counts cross-multiplied by the ratio denominators), so engine
+    * agreement is exact, never within-epsilon.
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val nW = size(w).cast("long")
+    val nC = length(t).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val nStops = {
+      val allStops = StopWords.values.flatten.toSeq.distinct
+      size(filter(w, x => x.isin(allStops: _*))).cast("long")
+    }
+    val nDigits = nC - length(regexp_replace(t, "[0-9]", "")).cast("long")
+    // mean word length = (nC - (nW - 1)) / nW, bounds via cross-multiply
+    val sumWordChars = nC - nW + lit(1L)
+    val okLen = nW >= MinWords
+    val okWordLen = (sumWordChars >= nW * WordLenLo) && (sumWordChars <= nW * WordLenHi)
+    val okStop = nStops * 20L >= nW
+    val okDistinct = nDistinct * 10L >= nW * 3L
+    val okDigit = nDigits * 10L <= nC * 3L
+    val flags = Seq(okLen, okWordLen, okStop, okDistinct, okDigit)
+    val reason = QualityRules.zip(flags).reverse
+      .foldLeft(lit(null).cast("string")) { case (els, (name, ok)) =>
+        when(!ok, lit(name)).otherwise(els)
+      }
+    df.select(col(idCol) +:
+      flags.zip(Seq("ok_len", "ok_word_len", "ok_stop", "ok_distinct", "ok_digit"))
+        .map { case (c, n) => c.as(n) } :+
+      flags.reduce(_ && _).as("keep") :+ reason.as("reason"): _*)
+  }
+
+  /** DuckDB mirror of [[qualityFilter]] (same constants, same integer
+    * comparisons; `sq` = quoted stopword list).
+    */
+  def qualityFilterSql(sq: String): String = {
+    val nW = "len(string_split(text, ' '))::BIGINT"
+    val nC = "length(text)::BIGINT"
+    val nDistinct = "len(list_distinct(string_split(text, ' ')))::BIGINT"
+    val nStops = s"len(list_filter(string_split(text, ' '), w -> w IN ($sq)))::BIGINT"
+    val nDigits = s"($nC - length(regexp_replace(text, '[0-9]', '', 'g'))::BIGINT)"
+    val swc = s"($nC - $nW + 1)"
+    val rules = Seq(
+      "ok_len" -> s"$nW >= $MinWords",
+      "ok_word_len" -> s"($swc >= $nW * $WordLenLo AND $swc <= $nW * $WordLenHi)",
+      "ok_stop" -> s"$nStops * 20 >= $nW",
+      "ok_distinct" -> s"$nDistinct * 10 >= $nW * 3",
+      "ok_digit" -> s"$nDigits * 10 <= $nC * 3")
+    val flagCols = rules.map { case (n, e) => s"($e) AS $n" }.mkString(",\n          ")
+    val keep = rules.map(r => s"(${r._2})").mkString(" AND ")
+    val reason = "CASE " + QualityRules.zip(rules).map { case (name, (_, e)) =>
+      s"WHEN NOT ($e) THEN '$name'"
+    }.mkString(" ") + " ELSE NULL END"
+    s"""SELECT doc_id,
+          $flagCols,
+          ($keep) AS keep,
+          $reason AS reason
+          FROM documents"""
+  }
+
   /** Gopher-style repetition signals, integer-only: per document, the
     * word count, distinct-word count, and the top word's occurrence
     * count — the raw ingredients of the duplicate-word and top-word

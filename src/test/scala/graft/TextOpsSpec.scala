@@ -99,4 +99,31 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toList
     assert(top2 == List(("a", "b"), ("b", "a")))
   }
+
+  test("qualityFilter: every rule fires on its crafted doc; reason = FIRST failure") {
+    import spark.implicits._
+    val docs = Seq(
+      // keeps: ≥5 words, sane word length, has stopwords, diverse, few digits
+      (0L, "the quick brown fox and the lazy dog again"),
+      (1L, "one two"),                               // too_short (2 words)
+      (2L, "a b c d e f g h"),                       // word_len (mean 1 < 2)
+      (3L, "quick brown foxes jump over lazy dogs"), // stop_ratio (0 stopwords)
+      (4L, "the the the the the the the the the the"), // repetition (1 distinct of 10) — stops OK
+      (5L, "the 12345678901 12345678901 and cat")) // digit_ratio (22 of 35 chars)
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityFilter(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), Option(r.getAs[String]("reason")))).toMap
+    assert(out(0L) == ((true, None)), s"got ${out(0L)}")
+    assert(out(1L) == ((false, Some("too_short"))), s"got ${out(1L)}")
+    assert(out(2L) == ((false, Some("word_len"))), s"got ${out(2L)}")
+    assert(out(3L) == ((false, Some("stop_ratio"))), s"got ${out(3L)}")
+    assert(out(4L) == ((false, Some("repetition"))), s"got ${out(4L)}")
+    assert(out(5L) == ((false, Some("digit_ratio"))), s"got ${out(5L)}")
+    // first-failure ordering: doc 1 also has zero stopwords, but the
+    // earlier too_short rule names the reason
+    val flags1 = TextOps.qualityFilter(docs.filter($"doc_id" === 1L), "doc_id", "text")
+      .collect().head
+    assert(!flags1.getAs[Boolean]("ok_len") && !flags1.getAs[Boolean]("ok_stop"))
+  }
 }
