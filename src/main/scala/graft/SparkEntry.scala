@@ -1022,6 +1022,21 @@ object SparkEntry {
     "q_embed_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Similarity.embeddings(s, dir), 20, 3)),
 
+    // PQ code assignment (the 16×-compression step of a PQ ANN index):
+    // broadcast m×k codebook, map-side distances, per-(vec,sub) argmin
+    "q_embed_pq" -> ((s, dir) =>
+      Similarity.pqCodes(Similarity.embeddings(s, dir))),
+
+    // PQ ADC search: approximate top-3 from SUMMED integer table lookups
+    // over the codes — candidate vectors are never read
+    "q_embed_pq_topk" -> ((s, dir) =>
+      Similarity.pqAdcTopK(Similarity.embeddings(s, dir), 20, 3)),
+
+    // two-stage PQ: ADC shortlist → exact cosine re-rank (the production
+    // PQ search; reads shortlist/n of the collection per query)
+    "q_embed_pq_rerank" -> ((s, dir) =>
+      Similarity.pqRerankTopK(Similarity.embeddings(s, dir), 20, 3)),
+
     // int8 scalar quantization (the ANN index memory-compression step) —
     // zero shuffle, all-IEEE-exact arithmetic
     // qvec is emitted comma-joined: the driver's hash comparator can't
@@ -1650,6 +1665,9 @@ object SparkEntry {
           WHERE rnk <= 3""",
 
     "q_embed_ivf" -> Similarity.ivfTopKSql(20, 3),
+    "q_embed_pq" -> Similarity.pqCodesSql(),
+    "q_embed_pq_topk" -> Similarity.pqAdcTopKSql(20, 3),
+    "q_embed_pq_rerank" -> Similarity.pqRerankTopKSql(20, 3),
     "q_embed_quant" ->
       s"""SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
           FROM (${Similarity.quantizeInt8Sql()}) qq""",

@@ -109,12 +109,37 @@ class SimilaritySpec extends SparkSpec {
         .sum / bf.size
     val lshRecall = recall(topSets(Similarity.lshTopK(df, nQ, k).collect()))
     val ivfRecall = recall(topSets(Similarity.ivfTopK(df, nQ, k).collect()))
-    info(f"recall@3: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f")
-    // floors: measured lsh=0.833, ivf=1.000 on this seed (deterministic);
-    // asserted with headroom so a constants change that genuinely destroys
-    // recall fails loudly while benign jitter does not
+    val pqRerank = recall(topSets(Similarity.pqRerankTopK(df, nQ, k).collect()))
+    // PQ's actual guarantee is the SHORTLIST, not direct ADC ranking:
+    // same-cluster candidates share all m codes and tie on adist (direct
+    // ADC top-3 recall here measures 0.125) — so assert (a) truth lands
+    // in the ADC shortlist, (b) the two-stage re-rank recovers it
+    val shortlist = topSets(Similarity.pqAdcTopK(df, nQ, 32).collect())
+    val shortRecall = recall(shortlist)
+    info(f"recall@3: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f " +
+      f"pq_short=$shortRecall%.3f pq_rerank=$pqRerank%.3f")
+    // floors: measured lsh=0.833, ivf=1.000, pq_short=1.000,
+    // pq_rerank=1.000 on this seed (deterministic); asserted with
+    // headroom so a constants change that genuinely destroys recall
+    // fails loudly while benign jitter does not
     assert(lshRecall >= 0.75, f"LSH recall@3 $lshRecall%.3f < 0.75")
     assert(ivfRecall >= 0.75, f"IVF recall@3 $ivfRecall%.3f < 0.75")
+    assert(shortRecall >= 0.9, f"PQ shortlist recall@3 $shortRecall%.3f < 0.9")
+    assert(pqRerank >= 0.75, f"PQ rerank recall@3 $pqRerank%.3f < 0.75")
+  }
+
+  test("pqCodes: m codes per vector in [0,k); seed vectors encode to themselves") {
+    val vecs = (0L until 40L).map(i => (i, randVec()))
+    val rows = Similarity.pqCodes(embDf(vecs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = Similarity.PqM; val k = Similarity.PqK
+    assert(rows.length == vecs.length * m)
+    assert(rows.forall { case (_, sub, code) =>
+      sub >= 0 && sub < m && code >= 0 && code < k })
+    // each (vec, sub) appears exactly once
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    // a codebook seed's sub-slice is distance 0 from its own codeword
+    rows.filter(_._1 < k).foreach { case (v, _, code) => assert(code == v) }
   }
 
   test("quantizeInt8: values land in [-127,127], round-trip error bounded, zero vector safe") {
