@@ -915,6 +915,24 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       TextOps.qualityFilter(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // the quality filter executed THROUGH Structured Streaming — the
+    // NINTH streaming-executed query: stateless per-row rule battery
+    // (one row in, one row out, no state store), same oracle as the
+    // batch q_quality_filter because a pipe's semantics must not depend
+    // on which engine path ran it
+    "q_quality_filter_stream" -> ((s, dir) => {
+      import s.implicits._
+      val docs = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      graft.streaming.StreamExec.runStreamingAppend[(Long, String)](
+        s, docs,
+        ds => TextOps.qualityFilter(
+          ds.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+          "doc_id", "text"),
+        quantum = streamQuantum(docs.size))
+    }),
+
     // token counting (BPE-ish regex tokens)
     "q_token_count" -> ((s, dir) =>
       ColOps.table(s, dir, "documents")
@@ -1572,6 +1590,8 @@ object SparkEntry {
           FROM documents""",
 
     "q_quality_filter" -> TextOps.qualityFilterSql(allStopsSql),
+    // streaming-executed twin: stateless map ≡ the batch rule battery
+    "q_quality_filter_stream" -> TextOps.qualityFilterSql(allStopsSql),
 
     "q_token_count" ->
       "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens FROM documents",
