@@ -1156,6 +1156,21 @@ object SparkEntry {
         .rollup(col("event_type"), col("ub"))
         .agg(sum(col("ival")).cast("long").as("total"), count(lit(1)).as("cnt"))),
 
+    // schema'd JSON extraction (from_json with an explicit schema — no
+    // schema-inference scan) feeding a one-shuffle aggregate; malformed
+    // rows parse to NULL and are counted, not dropped silently
+    "q_json_props" -> ((s, dir) => {
+      val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k")
+      ColOps.table(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).cast("long").as("k_sum"),
+          count(col("k")).as("k_n"),
+          count(lit(1)).as("n"))
+    }),
+
     // pivot — cross-tabulation (user bucket × event type) as ONE hash
     // aggregate; explicit value list so no distinct-discovery scan
     "q_pivot" -> ((s, dir) =>
@@ -1766,6 +1781,13 @@ object SparkEntry {
       s"""SELECT event_type, user_id % 10 AS ub,
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY ROLLUP (event_type, ub)""",
+
+    "q_json_props" ->
+      """SELECT event_type,
+          CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
+          COUNT(json_extract(props, '$.k')) AS k_n,
+          COUNT(*) AS n
+          FROM events GROUP BY event_type""",
 
     "q_pivot" -> ColOps.pivotSumSql(
       "user_id % 10", "ub", "event_type", EventTypes, IvalSql, "events"),
