@@ -1027,6 +1027,22 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) =>
       Sketches.histogram(ColOps.table(s, dir, "events"), "value", 0.0, 500.0, 25)),
 
+    // the histogram sketch executed THROUGH Structured Streaming — the
+    // TENTH streaming-executed query and the only NON-WINDOWED stateful
+    // aggregation in the set: a global groupBy(bin) in Complete output
+    // mode, final snapshot ≡ the batch sketch (same oracle); state is
+    // bounded by sketch geometry (≤ bins+2 rows) no matter the stream
+    // length — the state-store analogue of the sketch's fixed size
+    "q_histogram_stream" -> ((s, dir) => {
+      import s.implicits._
+      val vals = ColOps.table(s, dir, "events")
+        .select(col("value")).as[Double].collect().sorted.toSeq
+      graft.streaming.StreamExec.runStreamingComplete[Tuple1[Double]](
+        s, vals.map(Tuple1(_)),
+        ds => Sketches.histogram(ds.toDF("value"), "value", 0.0, 500.0, 25),
+        quantum = streamQuantum(vals.size))
+    }),
+
     // brute-force cosine top-3 (broadcast queries, partitioned ranking)
     "q_embed_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, dir), 20, 3)),
@@ -1635,6 +1651,8 @@ object SparkEntry {
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
     "q_cms_sketch" -> Sketches.cmsWordSketchSql,
     "q_histogram" -> Sketches.histogramSql("value", 0.0, 500.0, 25),
+    // streaming-executed twin: Complete-mode final snapshot ≡ batch sketch
+    "q_histogram_stream" -> Sketches.histogramSql("value", 0.0, 500.0, 25),
     "q_bloom" -> Sketches.bloomWordFilterSql,
 
     "q_tfidf" -> Relevance.tfIdfSql,
