@@ -915,6 +915,12 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       TextOps.qualityFilter(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // corpus-LM quality scoring: add-one-smoothed bigram model trained
+    // ON the corpus (two count aggregates), every doc scored by summed
+    // micro-scaled log-probability — the KenLM-filter shape
+    "q_lm_score" -> ((s, dir) =>
+      TextOps.bigramLmScore(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
     // the quality filter executed THROUGH Structured Streaming — the
     // NINTH streaming-executed query: stateless per-row rule battery
     // (one row in, one row out, no state store), same oracle as the
@@ -1623,6 +1629,7 @@ object SparkEntry {
     "q_quality_filter" -> TextOps.qualityFilterSql(allStopsSql),
     // streaming-executed twin: stateless map ≡ the batch rule battery
     "q_quality_filter_stream" -> TextOps.qualityFilterSql(allStopsSql),
+    "q_lm_score" -> TextOps.bigramLmScoreSql,
 
     "q_token_count" ->
       "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens FROM documents",

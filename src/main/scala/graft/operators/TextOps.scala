@@ -282,6 +282,72 @@ object TextOps {
       .limit(k)
   }
 
+  /** KenLM-style corpus-LM quality scoring: train an add-one-smoothed
+    * bigram model ON the corpus, then score every document by its summed
+    * log-probability — the "does this doc read like the corpus" filter
+    * (gibberish, boilerplate, and wrong-language docs score low).
+    * `P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`; output per doc:
+    * `n_bigrams` and `lp_micro = Σ floor(ln(P)·1e6 + 0.5)` — the
+    * micro-scaled-BIGINT convention of [[Relevance]] (ln() is the one
+    * non-correctly-rounded op, so sums run over integers: order-free,
+    * engine-exact). Consumers threshold on `lp_micro / n_bigrams`.
+    *
+    * Distributed shape: train = two map-side-combined count aggregates
+    * (bigram and unigram — the model IS a pair of count tables, no
+    * driver state); score = the bigram stream joins its two count
+    * tables on narrow string keys and re-aggregates per doc. Every
+    * shuffle is on (w1[,w2]) or doc id; at 100 TB the count tables
+    * partition-join (or broadcast, if the vocab is capped) and AQE
+    * handles hot-bigram skew. Docs with < 2 words keep a (0, 0) row —
+    * total output, no silent drops.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = df.select(explode(words(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val lp = floor(log((col("c12") + lit(1L)).cast("double") /
+      (col("c1") + col("v")).cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    val perDoc = bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), lp.as("lp"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_micro"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_micro"), lit(0L)).as("lp_micro"))
+  }
+
+  /** DuckDB mirror of [[bigramLmScore]] over the documents table. */
+  def bigramLmScoreSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        bgf AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+                FROM (SELECT doc_id, UNNEST([{'w1': ws[i+1], 'w2': ws[i+2]}
+                                             for i in range(0, len(ws) - 1)]) AS u
+                      FROM w WHERE len(ws) >= 2) t),
+        uc AS (SELECT w1, COUNT(*) AS c1
+               FROM (SELECT UNNEST(string_split(text, ' ')) AS w1 FROM documents) t
+               GROUP BY 1),
+        v AS (SELECT COUNT(*) AS v FROM uc),
+        big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY 1, 2),
+        sc AS (SELECT doc_id,
+                 CAST(FLOOR(ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS lp
+               FROM bgf JOIN big USING (w1, w2) JOIN uc USING (w1), v),
+        agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                  CAST(SUM(lp) AS BIGINT) AS lp_micro
+                FROM sc GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+               COALESCE(agg.lp_micro, 0)::BIGINT AS lp_micro
+        FROM documents d LEFT JOIN agg USING (doc_id)"""
+
   /** DuckDB mirror of [[topBigrams]] over the documents table. */
   def topBigramsSql(k: Int): String =
     s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

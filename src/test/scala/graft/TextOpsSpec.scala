@@ -126,4 +126,20 @@ class TextOpsSpec extends SparkSpec {
       .collect().head
     assert(!flags1.getAs[Boolean]("ok_len") && !flags1.getAs[Boolean]("ok_stop"))
   }
+
+  test("bigramLmScore: add-one bigram LM agrees with the hand computation; short docs keep a zero row") {
+    import spark.implicits._
+    // unigrams a:3 b:2 x:1 (V=3); bigrams (a,b):2 (b,a):1
+    val docs = Seq((0L, "a b a"), (1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    def lp(c12: Long, c1: Long, v: Long): Long =
+      math.floor(math.log((c12 + 1).toDouble / (c1 + v)) * 1e6 + 0.5).toLong
+    val got = TextOps.bigramLmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc0: a->b uses c12=2,c1(a)=3; b->a uses c12=1,c1(b)=2
+    assert(got(0L) == ((2L, lp(2, 3, 3) + lp(1, 2, 3))), s"got ${got(0L)}")
+    assert(got(1L) == ((1L, lp(2, 3, 3))), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 0L)), s"got ${got(2L)}")
+    // the frequent-bigram doc outscores the rare-bigram path per bigram
+    assert(got(1L)._2 > got(0L)._2 / 2)
+  }
 }
