@@ -85,6 +85,31 @@ object ScaleProbe {
       graft.operators.Sampling.shuffleOrder(d.select(col("doc_id")), "doc_id", 3L).count())
     probe("bigrams", d =>
       graft.operators.TextOps.topBigrams(d, "text", 50).count())
+    probe("lmScore", d =>
+      graft.operators.TextOps.bigramLmScore(d, "doc_id", "text").count())
+
+    // --- embeddings probe: PQ two-stage search (codes + ADC + re-rank);
+    //     collection grows N×, query set stays fixed — the serving axis ---
+    val emb = graft.operators.Similarity.embeddings(spark, dir)
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val bigEmb = (0 until n).map { i =>
+      // shift NON-query ids only, so codebook seeds and the query set
+      // stay the original vectors and the candidate pool grows
+      emb.withColumn("vec_id",
+        when(col("vec_id") < 64, col("vec_id"))
+          .otherwise(col("vec_id") + lit(i * maxVec)))
+        .filter(col("vec_id") >= 64 || lit(i) === 0)
+    }.reduce(_ union _)
+    def onePq(tag: String, d: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Similarity.pqRerankTopK(d, 20, 3).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE pqRerank $tag: $sec%.2f s, $rows rows")
+      sec
+    }
+    onePq("1x warm", emb)
+    val p1 = onePq("1x", emb); val pn = onePq(s"${n}x", bigEmb)
+    println(f"SCALEPROBE pqRerank ratio: ${pn / p1}%.2f (linear would be ~$n)")
     spark.stop()
   }
 }

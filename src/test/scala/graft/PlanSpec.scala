@@ -270,6 +270,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket"), s"no bucket-keyed join in:\n$p")
   }
 
+  test("q_lm_score: count-table joins are key-equi (broadcast at this size), 1-row vocab attach is the only nested-loop") {
+    val p = plan(SparkEntry.queries("q_lm_score")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"LM scoring plans a cartesian:\n$p")
+    // the scalar vocab-size attach may compile to a 1-row broadcast
+    // nested loop; anything beyond that count means a real cross-product
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"unexpected nested-loop joins ($bnl):\n$p")
+    // model tables join on their word keys
+    assert(p.contains("BroadcastHashJoin [w1") || p.contains("SortMergeJoin [w1") ||
+      p.contains("ShuffledHashJoin [w1"), s"no keyed count-table join:\n$p")
+  }
+
+  test("q_embed_pq_topk: codebook and query distance table are BROADCAST; top-k is WindowGroupLimit") {
+    val p = plan(SparkEntry.queries("q_embed_pq_topk")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"PQ ADC plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"PQ ADC plans a nested loop:\n$p")
+    assert(p.contains("BroadcastExchange"), s"codebook/dtab not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"ranking lacks partial top-k pruning:\n$p")
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
