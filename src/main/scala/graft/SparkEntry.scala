@@ -804,6 +804,14 @@ object SparkEntry {
       Sampling.interleave(side("en"), side("zh"), 3, 1)
     }),
 
+    // temperature-scaled mixing weights (alpha = 0.7): per-source token
+    // counts -> share^alpha -> normalized schedule weights; |sources|
+    // rows out regardless of corpus size, pow() micro-scaled to ints
+    // before the normalizing sum
+    "q_mix_weights" -> ((s, dir) =>
+      Sampling.mixWeights(ColOps.table(s, dir, "documents"), "source",
+        size(split(col("text"), " ")).cast("long"), 0.7)),
+
     // exact dedup: hash-groupBy (one shuffle on the 32-byte digest)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(ColOps.table(s, dir, "documents"), "doc_id", "text")),
@@ -1554,6 +1562,9 @@ object SparkEntry {
                 CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
          GROUP BY 1""",
+
+    "q_mix_weights" ->
+      Sampling.mixWeightsSql("len(string_split(text, ' '))", 0.7),
 
     "q_corpus_mix" ->
       """SELECT (rn // 3) * 4 + (rn % 3) AS seq, doc_id, lang FROM

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,48 @@ object Sampling {
     * whatever produced the dense seqs. The schedule is pure arithmetic,
     * so it composes with any downstream repartitioning.
     */
+  /** Temperature-scaled corpus mixing weights (the multi-source
+    * sampling schedule of a training-data pipeline): per source,
+    * `share = n/N`, `score = share^alpha` (alpha < 1 upsamples small
+    * sources — the standard temperature trick), and the normalized
+    * weight. One count aggregate over the corpus plus two 1-row
+    * broadcast attaches — output is `|sources|` rows regardless of n.
+    *
+    * Determinism: `pow` is the one non-correctly-rounded op, so scores
+    * are micro-scaled to BIGINT (floor(x·1e6 + 0.5), the Relevance
+    * convention) BEFORE the normalizing sum and integer division —
+    * aggregation order and engine ulps cannot flip the output.
+    * `w_micro` sums to ≤ 1e6 (integer-division remainders are left
+    * with the consumer, who re-normalizes or assigns them by rank).
+    */
+  def mixWeights(df: DataFrame, srcCol: String, weighCol: Column,
+                 alpha: Double): DataFrame = {
+    val counts = df.select(col(srcCol).as("source"), weighCol.as("__w"))
+      .groupBy(col("source")).agg(sum(col("__w")).cast("long").as("n_tokens"))
+    val total = counts.agg(sum(col("n_tokens")).cast("long").as("__tot"))
+    val scored = counts.crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .select(col("source"), col("n_tokens"),
+        floor(pow(col("n_tokens").cast("double") / col("__tot").cast("double"),
+          lit(alpha)) * lit(1e6) + lit(0.5)).cast("long").as("s_micro"))
+    val sTot = scored.agg(sum(col("s_micro")).cast("long").as("__stot"))
+    scored.crossJoin(org.apache.spark.sql.functions.broadcast(sTot))
+      .select(col("source"), col("n_tokens"), col("s_micro"),
+        expr("s_micro * 1000000 div __stot").as("w_micro"))
+  }
+
+  /** DuckDB mirror of [[mixWeights]] over the documents table. */
+  def mixWeightsSql(weighSql: String, alpha: Double): String =
+    s"""WITH c AS (SELECT source, CAST(SUM($weighSql) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM c),
+        s AS (SELECT source, n_tokens,
+                CAST(FLOOR(pow(n_tokens::DOUBLE / tot::DOUBLE, $alpha) * 1000000 + 0.5) AS BIGINT) AS s_micro
+              FROM c, t),
+        st AS (SELECT CAST(SUM(s_micro) AS BIGINT) AS stot FROM s)
+        SELECT source, n_tokens, s_micro,
+               s_micro * 1000000 // stot AS w_micro
+        FROM s, st"""
+
   def interleave(a: DataFrame, b: DataFrame, wa: Int, wb: Int): DataFrame = {
     require(wa > 0 && wb > 0, "interleave: weights must be positive")
     val cyc = wa + wb

@@ -89,4 +89,21 @@ class SamplingSpec extends SparkSpec {
     assert(run(3L) == s3)
     assert(run(4L).map(_._2) != s3.map(_._2))
   }
+
+  test("mixWeights: hand computation; alpha < 1 upsamples the small source") {
+    import spark.implicits._
+    // source a: 90 tokens, b: 10 → shares 0.9/0.1
+    val docs = Seq(("a", 90L), ("b", 10L)).toDF("source", "tok")
+    val got = Sampling.mixWeights(docs, "source", $"tok", 0.5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def sMicro(share: Double) = math.floor(math.pow(share, 0.5) * 1e6 + 0.5).toLong
+    val (sa, sb) = (sMicro(0.9), sMicro(0.1))
+    assert(got("a") == ((90L, sa, sa * 1000000L / (sa + sb))), s"got ${got("a")}")
+    assert(got("b") == ((10L, sb, sb * 1000000L / (sa + sb))), s"got ${got("b")}")
+    // temperature property: the 10 %-share source gets > 10 % weight,
+    // the big source < 90 %, order preserved
+    assert(got("b")._3 > 100000L && got("a")._3 < 900000L && got("a")._3 > got("b")._3)
+    // weights sum to ≤ 1e6 (integer-division remainder documented)
+    assert(got.values.map(_._3).sum <= 1000000L)
+  }
 }
