@@ -1224,6 +1224,26 @@ object SparkEntry {
         pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
     }),
 
+    // robust (trimmed) per-group aggregation: keep ranks inside the
+    // [5 %, 95 %] order-statistic band, sum integer cents — outlier-
+    // resistant stats with NO floating-point aggregation (the window
+    // partitions by group, so ranking is parallel per key; ties at the
+    // cut carry equal values, so the sum is tie-invariant)
+    "q_trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_type"), ivalCol.as("ival"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ival"))
+      val wn = Window.partitionBy(col("event_type"))
+      val lo = floor((col("n") - 1) * 0.05) + 1
+      val hi = floor((col("n") - 1) * 0.95) + 1
+      ev.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") >= lo && col("rn") <= hi)
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("kept"),
+          sum(col("ival")).cast("long").as("trimmed_sum"))
+    }),
+
     // exact dedup executed THROUGH Structured Streaming:
     // dropDuplicatesWithinWatermark over the text digest, every doc fed
     // TWICE (the duplicate 1 ms after its original) so the state store
@@ -1827,6 +1847,17 @@ object SparkEntry {
 
     "q_pivot" -> ColOps.pivotSumSql(
       "user_id % 10", "ub", "event_type", EventTypes, IvalSql, "events"),
+
+    "q_trimmed_mean" ->
+      s"""WITH r AS (SELECT event_type, $IvalSql AS ival,
+                      row_number() OVER (PARTITION BY event_type ORDER BY $IvalSql) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+                    FROM events)
+         SELECT event_type, COUNT(*) AS kept,
+                CAST(SUM(ival) AS BIGINT) AS trimmed_sum
+         FROM r
+         WHERE rn >= floor((n-1) * 0.05) + 1 AND rn <= floor((n-1) * 0.95) + 1
+         GROUP BY event_type""",
 
     "q_quantiles" ->
       """WITH r AS (SELECT event_type, value,
