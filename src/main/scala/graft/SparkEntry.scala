@@ -1351,6 +1351,30 @@ object SparkEntry {
         quantum = streamQuantum(rows.size), tail = sentinels)
     }),
 
+    // stream–static enrichment join: each micro-batch of the event
+    // stream inner-joins the STATIC customer⋈nation dimension,
+    // broadcast — the canonical streaming enrichment shape (stateless,
+    // so Append mode, no watermark, no state store; per-batch cost is a
+    // map-side hash lookup). Same oracle as the batch three-way join.
+    "q_enrich_stream" -> ((s, dir) => {
+      import s.implicits._
+      val dim = ColOps.table(s, dir, "customer")
+        .join(ColOps.table(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"),
+          col("c_mktsegment").as("segment"))
+      val rows = events(s, dir)
+        .select(col("event_id"), col("user_id"), ivalCol.as("cents"))
+        .as[(Long, Long, Long)].collect().toSeq
+      graft.streaming.StreamExec.runStreamingAppend[(Long, Long, Long)](
+        s, rows,
+        ds => graft.streaming.Enrich.joinStatic(
+            ds.toDF("event_id", "user_id", "cents"), dim,
+            col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("nation"), col("segment"), col("cents")),
+        quantum = streamQuantum(rows.size))
+    }),
+
     // Lift/exceptP: per-element failures → dead-letter side output; the
     // result is the union (good rows + dead rows, tagged). Columnar form
     // (Lift.runExceptC): the parse is try_cast, the domain check a CASE —
@@ -1888,6 +1912,14 @@ object SparkEntry {
     // bounded to SessionStreamN positions — mirrored in the engine feed)
     "q_event_session_stream" ->
       eventSessionOracleSql(s"WHERE event_id < $SessionStreamN"),
+
+    // batch mirror of the stream–static broadcast enrichment join
+    "q_enrich_stream" ->
+      s"""SELECT e.event_id, n.n_name AS nation, c.c_mktsegment AS segment,
+                 $IvalSql AS cents
+          FROM events e
+          JOIN customer c ON e.user_id = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey""",
 
     // TRY_CAST + three-way CASE, mirroring runExceptC's branches exactly:
     // NULL k (digit-free or >18-digit props) → 'unparseable', k % 7 = 0 →

@@ -524,4 +524,28 @@ class StreamingSpec extends SparkSpec {
       } finally f.stop()
   }
   }
+
+  test("Enrich.joinStatic: stream-static join is broadcast, stateless, append-final") {
+    import org.apache.spark.sql.functions.col
+    val dim = spark.createDataFrame(Seq((0L, "a"), (1L, "b"), (2L, "c")))
+      .toDF("k", "name")
+    // 7 rows over quantum 3 → three micro-batches; keys 0..2 cycle so
+    // every batch joins against the full dimension
+    val rows = (0L until 7L).map(i => (i, i % 3))
+    val df = StreamExec.runStreamingAppend[(Long, Long)](spark, rows,
+      ds => graft.streaming.Enrich.joinStatic(
+        ds.toDF("id", "key"), dim, col("key") === col("k"))
+        .select(col("id"), col("name")),
+      quantum = 3)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val want = rows.map { case (i, k) => (i, Seq("a", "b", "c")(k.toInt)) }
+    assert(got == want, s"got $got")
+    // plan proof: map-side broadcast hash join, and NO state store — the
+    // whole point of the stateless enrichment shape (a state-backed or
+    // shuffled per-batch join would not survive a high-rate stream)
+    assert(StreamExec.lastStreamingPlan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin in:\n${StreamExec.lastStreamingPlan}")
+    assert(!StreamExec.lastStreamingPlan.contains("StateStore"),
+      s"expected no state store in:\n${StreamExec.lastStreamingPlan}")
+  }
 }
