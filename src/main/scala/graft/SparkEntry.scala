@@ -1244,6 +1244,23 @@ object SparkEntry {
           sum(col("ival")).cast("long").as("trimmed_sum"))
     }),
 
+    // ordered funnel conversion (view → click → purchase) per user:
+    // stage k = a type-k event STRICTLY after the user's stage-(k-1)
+    // time, first-touch attribution — min-chain aggregations over
+    // pushed-filter scans, each join side ≤ |users| rows (no per-user
+    // sort or event buffering; see Behavior scaladoc for the scale
+    // argument)
+    "q_funnel" -> ((s, dir) =>
+      operators.Behavior.funnel(eventsWithTs(s, dir),
+        "user_id", "event_type", "ts2", Seq("view", "click", "purchase"))),
+
+    // weekly cohort retention matrix: cohort = first-activity epoch
+    // week; the event log collapses to DISTINCT (user, week) in one
+    // shuffle before the cohort join — join input bounded by
+    // |users|·|weeks| regardless of event volume
+    "q_retention" -> ((s, dir) =>
+      operators.Behavior.retention(eventsWithTs(s, dir), "user_id", "ts2")),
+
     // exact dedup executed THROUGH Structured Streaming:
     // dropDuplicatesWithinWatermark over the text digest, every doc fed
     // TWICE (the duplicate 1 ms after its original) so the state store
@@ -1912,6 +1929,10 @@ object SparkEntry {
     // bounded to SessionStreamN positions — mirrored in the engine feed)
     "q_event_session_stream" ->
       eventSessionOracleSql(s"WHERE event_id < $SessionStreamN"),
+
+    "q_funnel" -> operators.Behavior.funnelSql("events",
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+    "q_retention" -> operators.Behavior.retentionSql("events", "user_id", "ts"),
 
     // batch mirror of the stream–static broadcast enrichment join
     "q_enrich_stream" ->

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** Behavioral / cohort analytics over an event stream — the query
+  * family every event-log deployment of a streaming library ends up
+  * hand-writing (the reference's issue tracker calls this shape out as
+  * the motivating use of `scan`+`filter` chains over event sources,
+  * `/root/reference/src/Data/Conduino/Combinators.hs:1-60` module
+  * intro). Re-expressed Spark-first: ordered per-user semantics become
+  * min-chain aggregations and cohort joins that Catalyst can plan as
+  * pushed-filter scans feeding ever-shrinking shuffles — no per-user
+  * sort, no window over the raw event log.
+  *
+  * Scale notes (the design constraints, not incidental choices):
+  *  - Funnel does ONE pushed-predicate scan per stage, each aggregated
+  *    to at most |users| rows BEFORE any join; the joins are equi-joins
+  *    on the user key whose right side only ever shrinks (stage k+1 ⊆
+  *    stage k). No global sort, no per-user event buffering — the
+  *    100 TB failure mode of sessionize-then-iterate funnels.
+  *  - Retention reduces the event log to DISTINCT (user, week) pairs in
+  *    a single shuffle before the cohort join, so the join input is
+  *    bounded by |users|·|weeks| regardless of event volume.
+  *  - All time arithmetic is integer microseconds / epoch-week numbers
+  *    (never calendar functions), so results hash-match any engine.
+  */
+object Behavior {
+
+  /** Per-user conversion depth through an ORDERED funnel of event
+    * types: stage k is reached iff an event of type `stages(k-1)`
+    * exists strictly after the user's stage-(k-1) time (first-touch
+    * attribution: each stage time is the MINIMUM qualifying event
+    * time). Returns one row per distinct user: (userCol, stage,
+    * t_first_us, t_conv_us) — t_first_us the stage-1 time, t_conv_us
+    * the final-stage time, NULL where unreached.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val us = unix_micros(col(tsCol))
+    // stage tables: (user, t_k) with t_k = min qualifying time; built
+    // left-to-right so each join's right side is the previous stage's
+    // aggregate (already ≤ |users| rows)
+    val stageTimes: Seq[DataFrame] = stages.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (st, i)) =>
+        val evs = events.filter(col(typeCol) === st)
+          .select(col(userCol), us.as("t"))
+        val qualified = acc.lastOption match {
+          case None       => evs
+          case Some(prev) =>
+            evs.join(prev.select(col(userCol), col(s"t$i").as("t_prev")), userCol)
+              .filter(col("t") > col("t_prev"))
+        }
+        acc :+ qualified.groupBy(col(userCol)).agg(min(col("t")).as(s"t${i + 1}"))
+      }
+    val users = events.select(col(userCol)).distinct()
+    val joined = stageTimes.foldLeft(users)((d, st) => d.join(st, Seq(userCol), "left"))
+    // fold LOW→HIGH so the highest reached stage is the OUTERMOST test
+    // (each later `when` wraps the accumulated expression as its else)
+    val stageExpr = stages.indices
+      .foldLeft(lit(0)) { (e, i) => when(col(s"t${i + 1}").isNotNull, i + 1).otherwise(e) }
+    joined.select(col(userCol), stageExpr.as("stage"),
+      col("t1").as("t_first_us"), col(s"t${stages.size}").as("t_conv_us"))
+  }
+
+  /** The same funnel as engine-neutral SQL (DuckDB oracle mirror). */
+  def funnelSql(table: String, userCol: String, typeCol: String,
+                tsCol: String, stages: Seq[String]): String = {
+    val cte = stages.zipWithIndex.map { case (st, i) =>
+      val k = i + 1
+      if (i == 0)
+        s"s1 AS (SELECT $userCol, min(epoch_ns($tsCol) // 1000) AS t1 FROM $table WHERE $typeCol = '$st' GROUP BY 1)"
+      else
+        s"""s$k AS (SELECT e.$userCol, min(epoch_ns(e.$tsCol) // 1000) AS t$k
+             FROM $table e JOIN s$i USING ($userCol)
+             WHERE e.$typeCol = '$st' AND epoch_ns(e.$tsCol) // 1000 > s$i.t$i
+             GROUP BY 1)"""
+    }.mkString(",\n")
+    val caseArms = stages.indices.reverse
+      .map(i => s"WHEN t${i + 1} IS NOT NULL THEN ${i + 1}").mkString(" ")
+    val joins = stages.indices.map(i => s"LEFT JOIN s${i + 1} USING ($userCol)").mkString(" ")
+    s"""WITH $cte,
+        u AS (SELECT DISTINCT $userCol FROM $table)
+        SELECT u.$userCol, CASE $caseArms ELSE 0 END AS stage,
+               t1 AS t_first_us, t${stages.size} AS t_conv_us
+        FROM u $joins"""
+  }
+
+  /** Weekly cohort retention: cohort = the user's first-activity epoch
+    * week (floor(micros / week)), and for every (cohort, offset) the
+    * number of DISTINCT cohort users active `offset` weeks later.
+    * Returns (cohort_week, week_offset, users). The event log collapses
+    * to distinct (user, week) in one shuffle before anything joins.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val WeekUs = 7L * 86400L * 1000000L
+    // integer `div` (not `/` + cast): floors like the oracle's `//`
+    val wk = expr(s"unix_micros($tsCol) div ${WeekUs}L")
+    val active = events.select(col(userCol), wk.as("week")).distinct()
+    val cohorts = active.groupBy(col(userCol)).agg(min(col("week")).as("cohort_week"))
+    active.join(cohorts, userCol)
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("users")) // distinct (user, week) already — count is exact
+  }
+
+  /** The same retention matrix as engine-neutral SQL. */
+  def retentionSql(table: String, userCol: String, tsCol: String): String = {
+    val weekUs = 7L * 86400L * 1000000L
+    s"""WITH active AS (SELECT DISTINCT $userCol,
+                          (epoch_ns($tsCol) // 1000) // $weekUs AS week
+                        FROM $table),
+        cohorts AS (SELECT $userCol, min(week) AS cohort_week
+                    FROM active GROUP BY 1)
+        SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+               COUNT(*) AS users
+        FROM active a JOIN cohorts c USING ($userCol)
+        GROUP BY 1, 2"""
+  }
+}

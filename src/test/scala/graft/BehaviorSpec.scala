@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("funnel: stage order is enforced, first-touch attribution, ties excluded") {
+    val events = Seq(
+      // u1: full ordered funnel
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // u2: purchase BEFORE click — stage stops at 2 (order matters)
+      (2L, "view", ts(10)), (2L, "purchase", ts(15)), (2L, "click", ts(20)),
+      // u3: click at EXACTLY the view time — strict > excludes it, stage 1
+      (3L, "view", ts(10)), (3L, "click", ts(10)),
+      // u4: no view at all — clicks/purchases can't count, stage 0
+      (4L, "click", ts(5)), (4L, "purchase", ts(6)),
+      // u5: two views; attribution is FIRST view (t=10), so the click at
+      // 12 (after view#1, before view#2) counts — stage 2
+      (5L, "view", ts(10)), (5L, "view", ts(50)), (5L, "click", ts(12))
+    ).toDF("user_id", "event_type", "ts2")
+    val got = Behavior.funnel(events, "user_id", "event_type", "ts2",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("stage"), col("t_first_us"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3, 10000000L), (2L, 2, 10000000L), (3L, 1, 10000000L),
+      (4L, 0, -1L), (5L, 2, 10000000L)), s"got $got")
+  }
+
+  test("retention: cohort = first epoch week, duplicate activity collapses") {
+    val wk = 7L * 86400L
+    val events = Seq(
+      // u1 active weeks 0,1,2 (two events in week 1 — counted once)
+      (1L, ts(100)), (1L, ts(wk + 100)), (1L, ts(wk + 200)), (1L, ts(2 * wk + 5)),
+      // u2 active weeks 0,2
+      (2L, ts(500)), (2L, ts(2 * wk + 1)),
+      // u3 first seen week 1, active week 2 — a DIFFERENT cohort
+      (3L, ts(wk + 50)), (3L, ts(2 * wk + 50))
+    ).toDF("user_id", "ts2")
+    val got = Behavior.retention(events, "user_id", "ts2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 1L), (1L, 1L, 1L)), s"got $got")
+  }
+
+  test("funnel plan: stage scans carry pushed filters, no window/sort over events") {
+    val events = Seq((1L, "view", ts(1))).toDF("user_id", "event_type", "ts2")
+    val plan = Behavior.funnel(events, "user_id", "event_type", "ts2",
+      Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"funnel must not window over raw events:\n$plan")
+  }
+}
