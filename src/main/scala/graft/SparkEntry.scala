@@ -1186,6 +1186,29 @@ object SparkEntry {
         .rollup(col("event_type"), col("ub"))
         .agg(sum(col("ival")).cast("long").as("total"), count(lit(1)).as("cnt"))),
 
+    // cube — the FULL subtotal lattice over (event_type, user bucket):
+    // per-pair, per-type, per-bucket, grand total in one pass (Spark
+    // expands the grouping sets inside a single hash aggregate — no
+    // self-union of four scans, which is the naive form's cost)
+    "q_cube" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), (col("user_id") % 10).as("ub"), ivalCol.as("ival"))
+        .cube(col("event_type"), col("ub"))
+        .agg(sum(col("ival")).cast("long").as("total"), count(lit(1)).as("cnt"))),
+
+    // per-group z-score outliers in EXACT integer arithmetic: flag rows
+    // with |cents - mean| > 2·stddev_pop without ever computing a float
+    // — the test is squared and multiplied through by n²:
+    //   (n·c - S)² > 4·(n·SS - S²)   [S = Σc, SS = Σc², all BIGINT]
+    // evaluated in DECIMAL(38,0) (fits: n·SS ≤ ~1e20 at sf0.1; the
+    // oracle uses HUGEINT). Group stats are one hash aggregate (5 rows)
+    // broadcast back onto the scan — two passes over events, no window.
+    "q_outliers" -> ((s, dir) =>
+      ColOps.zOutliers(
+          events(s, dir).select(col("event_id"), col("event_type"), ivalCol.as("c")),
+          "event_type", "c", 2)
+        .select(col("event_id"), col("event_type"), col("c").as("cents"))),
+
     // schema'd JSON extraction (from_json with an explicit schema — no
     // schema-inference scan) feeding a one-shuffle aggregate; malformed
     // rows parse to NULL and are counted, not dropped silently
@@ -1878,6 +1901,22 @@ object SparkEntry {
       s"""SELECT event_type, user_id % 10 AS ub,
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY ROLLUP (event_type, ub)""",
+
+    "q_cube" ->
+      s"""SELECT event_type, user_id % 10 AS ub,
+          CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
+          FROM events GROUP BY CUBE (event_type, ub)""",
+
+    // exact-integer z-score mirror: HUGEINT is DuckDB's INT128 — same
+    // squared-and-scaled test as the engine's DECIMAL(38,0) form
+    "q_outliers" ->
+      s"""WITH ev AS (SELECT event_id, event_type, $IvalSql AS c FROM events),
+          st AS (SELECT event_type, COUNT(*)::HUGEINT AS n,
+                        SUM(c)::HUGEINT AS s, SUM(c*c)::HUGEINT AS ss
+                 FROM ev GROUP BY 1)
+          SELECT ev.event_id, ev.event_type, ev.c AS cents
+          FROM ev JOIN st USING (event_type)
+          WHERE (n * ev.c - s) * (n * ev.c - s) > 4 * (n * ss - s * s)""",
 
     "q_json_props" ->
       """SELECT event_type,

@@ -305,6 +305,30 @@ object ColOps {
       .drop("__is_left", "__asof_row", "__asof")
   }
 
+  /** Per-group z-score outlier flags in EXACT integer arithmetic: rows
+    * where |v − mean(v)| > k·stddev_pop(v) within their group, decided
+    * without ever computing a float. The test is squared and multiplied
+    * through by n² so both sides stay integral:
+    *   (n·v − S)² > k²·(n·SS − S²)      [S = Σv, SS = Σv², per group]
+    * evaluated in DECIMAL(38,0) — headroom to |v| ≲ 1e9 at n ≈ 1e10
+    * rows/group, far past any per-group cardinality a 100 TB corpus
+    * yields. Plan: one hash aggregate to |groups| rows, broadcast back
+    * onto a second scan — no window, no sort, two passes total (the
+    * one-pass alternative buffers the group in memory, which is the
+    * non-scalable shape). `v` must be integral (cents-style micro-scaled).
+    */
+  def zOutliers(df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
+      sum(col(valueCol) * col(valueCol)).as("__ss"))
+    val d = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val lhs = d(col("__n")) * d(col(valueCol)) - d(col("__s"))
+    val rhs = lit(k.toLong * k) * (d(col("__n")) * d(col("__ss")) - d(col("__s")) * d(col("__s")))
+    df.join(broadcast(stats), groupCol)
+      .filter(lhs * lhs > rhs)
+      .drop("__n", "__s", "__ss")
+  }
+
   /** In-plan density assertion for [[zipBySeq]]'s `assumeDense` fast
     * path: crossJoin a broadcast 1-row boolean (cheap: the aggregate scans
     * only the seq column) and re-emit seq through a guard that raises on

@@ -211,4 +211,28 @@ class ColOpsSpec extends SparkSpec {
     assert(exchanges(piv) == 1, "pivotSum must be a single-shuffle aggregate")
     assert(exchanges(expected) == 2, "Dataset.pivot baseline plans two shuffles")
   }
+
+  test("zOutliers: integer-exact test agrees with the float z-score definition") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+        // long-tailed: mostly small, a few large — both groups get outliers
+        (if (rng.nextInt(20) == 0) 500L + rng.nextInt(500) else rng.nextInt(100).toLong)))
+    val df = rows.toDF("id", "g", "v")
+    val got = ColOps.zOutliers(df, "g", "v", 2)
+      .select("id").as[Long].collect().toSet
+    // float reference: per-group population stddev, |v - mean| > 2*sigma
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val vs = rs.map(_._3.toDouble)
+      val mean = vs.sum / vs.size
+      val sigma = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.size)
+      rs.filter(r => math.abs(r._3 - mean) > 2 * sigma).map(_._1)
+    }.toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(want.nonEmpty, "fixture must actually contain outliers")
+    // plan: no window, no sort — stats aggregate broadcast back on the scan
+    val plan = ColOps.zOutliers(df, "g", "v", 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("BroadcastHashJoin"), plan)
+  }
 }
