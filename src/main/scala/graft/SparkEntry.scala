@@ -426,6 +426,28 @@ object SparkEntry {
         .select(col("seq"), (col("value._1") + col("value._2")).as("value"))
     }),
 
+    // stream-stream LEFT OUTER join — the strictest streaming join
+    // proof: unmatched left positions (odd seqs — the right side feeds
+    // evens only) must emit with NULL once BOTH watermarks prove no
+    // match can arrive, which only sentinel-driven watermark advancement
+    // can flush. Bounded to ZipStreamN like q_zip_stream.
+    "q_zip_outer_stream" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select(col("seq"), ivalCol.as("ival"))
+        .filter(col("seq") < ZipStreamN)
+        .as[(Long, Long)].collect().sortBy(_._1)
+        .toSeq.map { case (sq, v) => Elem(sq, v) }
+      val ordEven = ColOps.table(s, dir, "orders")
+        .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .orderBy(col("o_orderkey")).limit(ZipStreamN)
+        .as[(Long, Long)].collect().sortBy(_._1)
+        .toSeq.zipWithIndex.collect { case ((_, v), i) if i % 2 == 0 => Elem(i.toLong, v) }
+      graft.streaming.StreamExec.runStreamingZipLeft(
+          s, ev, ordEven, maxSeq = ZipStreamN,
+          sentinelA = sq => Elem(sq, 0L), sentinelB = sq => Elem(sq, 0L))
+        .select(col("seq"), col("value._1").as("iv"), col("value._2").as("ov"))
+    }),
+
     // skew-salted join, oracle-checked: events joined to a per-user dim
     // through ColOps.saltedJoin — salting must be semantically invisible
     // (hot keys spread over `salt` tasks; the oracle is the plain join)
@@ -1618,6 +1640,16 @@ object SparkEntry {
     "q_zip_with" -> ZipWithOracleSql,
     // streaming-executed twin: same pairing, bounded to ZipStreamN
     "q_zip_stream" -> s"SELECT * FROM ($ZipWithOracleSql) z WHERE seq < $ZipStreamN",
+    // left-outer positional join: odd positions carry NULL (the right
+    // side only feeds even seqs in the engine run)
+    "q_zip_outer_stream" ->
+      s"""SELECT a.rn AS seq, a.iv, b.ov
+          FROM (SELECT row_number() OVER (ORDER BY event_id) - 1 AS rn, $IvalSql AS iv
+                FROM events) a
+          LEFT JOIN (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+                            CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS ov
+                     FROM orders) b ON a.rn = b.rn AND b.rn % 2 = 0
+          WHERE a.rn < $ZipStreamN""",
 
     // ---------- LLM-data-pipeline oracles ----------
 

@@ -476,4 +476,44 @@ object StreamPipes {
         struct(col("value").as("_1"), col("__bvalue").as("_2")).as("value"))
       .as[Elem[(A, B)]])
   }
+
+  /** LEFT-OUTER streaming zip: every left position is kept, paired with
+    * `None` once the watermark PROVES the right position cannot arrive —
+    * the streaming form of zipping against a sparser side without
+    * truncating at it (the inner [[zipSourcesStream]] is the reference's
+    * shorter-side-truncating zip, `Data/Conduino.hs:331-339`; the outer
+    * form answers "which positions were missing", which a truncating zip
+    * erases).
+    *
+    * Structured Streaming's outer-join contract drives the shape:
+    * unmatched preserved-side rows emit only after BOTH watermarks pass
+    * their event time, so a bounded feed must push sentinel rows through
+    * both sides to flush the tail (see StreamExec.runStreamingZipLeft).
+    * `maxSeq` bounds the REAL positions: rows at seq ≥ maxSeq are
+    * watermark-advancing sentinels, excluded from the output by a
+    * predicate on the left EVENT-TIME attribute — Catalyst cannot push
+    * that below the EventTimeWatermark node, so sentinels still advance
+    * the watermark before being dropped (a predicate on `seq` WOULD be
+    * pushed below it and the tail would silently never flush).
+    */
+  def zipSourcesStreamLeft[A: TypeTag, B: TypeTag](
+      a: SStream[A], b: SStream[B], maxSeq: Long,
+      delayThreshold: String = "1 hour"): SStream[(A, Option[B])] = {
+    implicit val encAB: Encoder[Elem[(A, Option[B])]] = Elem.enc[(A, Option[B])]
+    import org.apache.spark.sql.functions._
+    val da = a.ds.toDF()
+      .withColumn("__ts", timestamp_micros(col("seq") + lit(ZipEpochOffsetUs)))
+      .withWatermark("__ts", delayThreshold)
+    val db = b.ds.toDF()
+      .select(col("seq").as("__bseq"), col("value").as("__bvalue"))
+      .withColumn("__bts", timestamp_micros(col("__bseq") + lit(ZipEpochOffsetUs)))
+      .withWatermark("__bts", delayThreshold)
+    val joined = da.join(db,
+      col("__ts") === col("__bts") && col("seq") === col("__bseq"), "left_outer")
+    SStream(joined
+      .filter(col("__ts") < timestamp_micros(lit(maxSeq + ZipEpochOffsetUs)))
+      .select(col("seq"),
+        struct(col("value").as("_1"), col("__bvalue").as("_2")).as("value"))
+      .as[Elem[(A, Option[B])]])
+  }
 }

@@ -160,6 +160,44 @@ object StreamExec {
       })
     }
 
+  /** Run the LEFT-OUTER streaming zip ([[StreamPipes.zipSourcesStreamLeft]])
+    * end-to-end: both sides fed in `rounds` prefix chunks, then
+    * `sentinelRounds` far-future rows pushed through BOTH streams, one
+    * micro-batch each — the first advances both watermarks past every
+    * real position, the second flushes the unmatched left rows the
+    * advanced watermark released (watermarks computed in batch N gate
+    * emission in batch N+1).
+    */
+  def runStreamingZipLeft[A: TypeTag, B: TypeTag](
+      spark: SparkSession, as: Seq[Elem[A]], bs: Seq[Elem[B]],
+      maxSeq: Long, sentinelA: Long => Elem[A], sentinelB: Long => Elem[B],
+      rounds: Int = 2, sentinelRounds: Int = 2): DataFrame =
+    runProtocol(spark, OutputMode.Append()) { implicit sq =>
+      implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
+      implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+      val ia = MemoryStream[Elem[A]]
+      val ib = MemoryStream[Elem[B]]
+      val out = StreamPipes.zipSourcesStreamLeft(
+        SStream(ia.toDS()), SStream(ib.toDS()), maxSeq).ds.toDF()
+      (out, { query =>
+        val ca = as.grouped(math.max(1, (as.size + rounds - 1) / rounds)).toSeq
+        val cb = bs.grouped(math.max(1, (bs.size + rounds - 1) / rounds)).toSeq
+        (0 until math.max(ca.size, cb.size)).foreach { i =>
+          if (i < ca.size) ia.addData(ca(i))
+          if (i < cb.size) ib.addData(cb(i))
+          query.processAllAvailable()
+        }
+        // sentinel seqs step by two DAYS of µs per round, far past any
+        // delayThreshold — each round is its own micro-batch
+        (1 to sentinelRounds).foreach { k =>
+          val sq = maxSeq + k * 172800000000L
+          ia.addData(sentinelA(sq))
+          ib.addData(sentinelB(sq))
+          query.processAllAvailable()
+        }
+      })
+    }
+
   /** Run `pipe` over the TRUE unbounded rate source
     * ([[graft.core.Sources.rateCounter]]) for a bounded wall-clock window
     * and return the first `n` positions of the output — the executable

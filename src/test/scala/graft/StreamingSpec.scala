@@ -525,6 +525,42 @@ class StreamingSpec extends SparkSpec {
   }
   }
 
+  test("zipSourcesStreamLeft: unmatched left positions flush as None after sentinel rounds") {
+    val lefts  = (0L until 6L).map(i => Elem(i, i * 10))
+    val rights = Seq(0L, 2L, 4L).map(i => Elem(i, i * 100))
+    val df = StreamExec.runStreamingZipLeft[Long, Long](spark, lefts, rights,
+      maxSeq = 6L, sentinelA = sq => Elem(sq, -1L), sentinelB = sq => Elem(sq, -1L))
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("seq"),
+        r.getAs[org.apache.spark.sql.Row]("value") match {
+          case v => (v.getLong(0), if (v.isNullAt(1)) None else Some(v.getLong(1)))
+        }))
+      .sortBy(_._1).toSeq
+    val want = (0L until 6L).map(i =>
+      (i, (i * 10, if (i % 2 == 0) Some(i * 100) else None)))
+    assert(got == want, s"got $got")
+    // the executed join is the stateful symmetric hash join in LeftOuter
+    // mode — not a batch rewrite
+    assert(StreamExec.lastStreamingPlan.contains("StreamingSymmetricHashJoin"),
+      s"expected StreamingSymmetricHashJoin in:\n${StreamExec.lastStreamingPlan}")
+    assert(StreamExec.lastStreamingPlan.contains("LeftOuter"),
+      s"expected LeftOuter in:\n${StreamExec.lastStreamingPlan}")
+  }
+
+  test("zipSourcesStreamLeft: WITHOUT sentinel rounds the unmatched tail never emits") {
+    val lefts  = (0L until 6L).map(i => Elem(i, i * 10))
+    val rights = Seq(0L, 2L, 4L).map(i => Elem(i, i * 100))
+    val df = StreamExec.runStreamingZipLeft[Long, Long](spark, lefts, rights,
+      maxSeq = 6L, sentinelA = sq => Elem(sq, -1L), sentinelB = sq => Elem(sq, -1L),
+      sentinelRounds = 0)
+    val seqs = df.collect().map(_.getAs[Long]("seq")).sorted.toSeq
+    // matched rows emit immediately; the None rows are gated on a
+    // watermark that never advanced — this is the behavior the sentinel
+    // protocol exists to fix, pinned so a runner change can't silently
+    // start dropping it
+    assert(seqs == Seq(0L, 2L, 4L), s"got $seqs")
+  }
+
   test("Enrich.joinStatic: stream-static join is broadcast, stateless, append-final") {
     import org.apache.spark.sql.functions.col
     val dim = spark.createDataFrame(Seq((0L, "a"), (1L, "b"), (2L, "c")))
