@@ -272,6 +272,24 @@ object SparkEntry {
       tmp
     })
 
+  /** documents metadata as an ORC directory — the fixture for the
+    * ORC-source query (same per-JVM-unique, register-after-success
+    * discipline as [[stagedPartitionedParquet]]: an ORC directory can't
+    * be atomically swapped under concurrent readers).
+    */
+  private val orcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedOrc(s: SparkSession, dir: String): java.nio.file.Path =
+    orcDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_orc_")
+      ColOps.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").orc(tmp.toString)
+      tmp
+    })
+
   /** documents metadata as JSONL — the fixture for the JSONL-source
     * query (lang codes are [a-z]{2}: no JSON escaping needed).
     */
@@ -756,6 +774,14 @@ object SparkEntry {
         .filter(col("lang") === "en")
         .select(col("doc_id").as("seq"), col("n_chars"))),
 
+    // ORC source — the columnar alternate to parquet (warehouse
+    // interchange); predicate + projection must push into the ORC scan
+    // exactly as they do for parquet (pinned in PlanSpec)
+    "q_orc_source" -> ((s, dir) =>
+      s.read.orc(stagedOrc(s, dir).toString)
+        .filter(col("lang") === "en" && col("n_chars") > 300)
+        .select(col("doc_id").as("seq"), col("n_chars"))),
+
     // partitioned parquet SINK + partition-pruned read-back: the corpus
     // layout shape (partitionBy the shard key so downstream per-language
     // jobs scan only their partition — the read-back filter must show up
@@ -765,6 +791,23 @@ object SparkEntry {
       s.read.parquet(out.toString)
         .filter(col("lang") === "fr")
         .select(col("doc_id").as("seq"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
+    // latest-wins merge (upsert + tombstone): base corpus at version 0,
+    // every doc_id % 3 == 0 upserted at version 1 (text revised —
+    // marker prefix, byte-stable across engines unlike e.g. upper()),
+    // every upserted doc_id % 7 == 1 tombstoned INSTEAD — the winning
+    // version decides survival. One shuffle, WindowGroupLimit top-1.
+    "q_upsert" -> ((s, dir) => {
+      val base = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), lit(0L).as("version"),
+          lit(false).as("deleted"))
+      val updates = ColOps.table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(lit("v1:"), col("text")).as("text"),
+          lit(1L).as("version"), (col("doc_id") % 7 === 1).as("deleted"))
+      ColOps.mergeLatest(base, updates, "doc_id", "version", Some("deleted"))
+        .select(col("doc_id"), md5(col("text")).as("digest"), col("version"))
     }),
 
     // ---------- LLM-data-pipeline operators ----------
@@ -1609,6 +1652,10 @@ object SparkEntry {
       """SELECT doc_id AS seq, n_chars::BIGINT AS n_chars
          FROM documents WHERE lang = 'en'""",
 
+    "q_orc_source" ->
+      """SELECT doc_id AS seq, n_chars::BIGINT AS n_chars
+         FROM documents WHERE lang = 'en' AND n_chars > 300""",
+
     "q_partitioned_write" ->
       """SELECT doc_id AS seq, n_chars::BIGINT AS n_chars
          FROM documents WHERE lang = 'fr'""",
@@ -1933,6 +1980,20 @@ object SparkEntry {
       s"""SELECT event_type, user_id % 10 AS ub,
           CAST(SUM($IvalSql) AS BIGINT) AS total, COUNT(*) AS cnt
           FROM events GROUP BY ROLLUP (event_type, ub)""",
+
+    // latest-wins merge mirror: union + per-key top-1 by version, then
+    // tombstone filter on the WINNING row
+    "q_upsert" ->
+      """WITH all_rows AS (
+           SELECT doc_id, text, 0 AS version, FALSE AS deleted FROM documents
+           UNION ALL
+           SELECT doc_id, 'v1:' || text AS text, 1 AS version,
+                  doc_id % 7 = 1 AS deleted
+           FROM documents WHERE doc_id % 3 = 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY version DESC) AS rk FROM all_rows)
+         SELECT doc_id, md5(text) AS digest, CAST(version AS BIGINT) AS version
+         FROM r WHERE rk = 1 AND NOT deleted""",
 
     "q_cube" ->
       s"""SELECT event_type, user_id % 10 AS ub,

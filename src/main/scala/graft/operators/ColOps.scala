@@ -305,6 +305,34 @@ object ColOps {
       .drop("__is_left", "__asof_row", "__asof")
   }
 
+  /** Latest-wins merge (upsert + tombstone delete) — snapshot
+    * maintenance for a corpus table: `base ∪ updates`, keep each key's
+    * highest-`version` row, then drop rows whose winning version is a
+    * tombstone. The maintenance primitive behind refreshing a training
+    * corpus in place (new crawls upsert, takedowns tombstone) without
+    * rewriting unrelated rows' lineage.
+    *
+    * Versions must be unique per key (the caller's snapshot discipline;
+    * ties would make "latest" order-dependent). Tombstones win like any
+    * other version — a delete at version v hides all rows below v, and a
+    * later upsert resurrects the key.
+    *
+    * Scale shape: ONE shuffle on the key; the per-key top-1 is a
+    * row_number window that Spark executes as WindowGroupLimit (partial
+    * top-1 BEFORE the exchange on every map side), so the shuffle
+    * carries at most one candidate per key per mapper — never the full
+    * update history. No global sort.
+    */
+  def mergeLatest(base: DataFrame, updates: DataFrame, key: String,
+                  version: String, tombstone: Option[String] = None): DataFrame = {
+    val all = base.unionByName(updates)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(version).desc)
+    val latest = all.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    tombstone.fold(latest)(t => latest.filter(!col(t)).drop(t))
+  }
+
   /** Per-group z-score outlier flags in EXACT integer arithmetic: rows
     * where |v − mean(v)| > k·stddev_pop(v) within their group, decided
     * without ever computing a float. The test is squared and multiplied

@@ -212,6 +212,25 @@ class ColOpsSpec extends SparkSpec {
     assert(exchanges(expected) == 2, "Dataset.pivot baseline plans two shuffles")
   }
 
+  test("mergeLatest: upsert wins, tombstone hides, later upsert resurrects") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 0L, false), (2L, "b", 0L, false),
+      (3L, "c", 0L, false)).toDF("k", "v", "version", "dead")
+    val updates = Seq(
+      (1L, "a2", 1L, false),              // plain upsert
+      (2L, "",   1L, true),               // tombstone at v1 hides k=2
+      (3L, "",   1L, true), (3L, "c3", 2L, false) // delete then resurrect
+    ).toDF("k", "v", "version", "dead")
+    val got = ColOps.mergeLatest(base, updates, "k", "version", Some("dead"))
+      .select("k", "v", "version").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a2", 1L), (3L, "c3", 2L)), s"got $got")
+    // no tombstone arg: the raw latest rows, delete flags visible
+    val raw = ColOps.mergeLatest(base, updates, "k", "version")
+      .select("k", "dead").as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(raw == Seq((1L, false), (2L, true), (3L, false)), s"raw $raw")
+  }
+
   test("zOutliers: integer-exact test agrees with the float z-score definition") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

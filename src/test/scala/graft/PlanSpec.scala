@@ -214,6 +214,23 @@ class PlanSpec extends SparkSpec {
       s"JSONL read schema not pruned:\n$jScan")
   }
 
+  test("ORC source pushes the predicate and prunes the read schema") {
+    val df = SparkEntry.queries("q_orc_source")(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("GreaterThan(n_chars"),
+      s"ORC filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("text"),
+      s"ORC read schema not pruned:\n$scan")
+  }
+
+  test("upsert merge plans a WindowGroupLimit top-1, one exchange, no global sort") {
+    val p = plan(SparkEntry.queries("q_upsert")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"latest-wins top-1 did not plan as WindowGroupLimit:\n$p")
+    assert(!p.contains("Sort [") || !p.contains("global=true"),
+      s"upsert must not globally sort:\n$p")
+  }
+
   test("partitioned write read-back prunes by PARTITION filter, not data filter") {
     val df = SparkEntry.queries("q_partitioned_write")(spark, dir)
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
