@@ -1045,6 +1045,26 @@ object SparkEntry {
         .select(explode(TextOps.words(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))),
 
+    // BPE-trainer inner-loop statistic: adjacent char-pair counts over
+    // alnum tokens, one generator + one ≤62²-key hash aggregate
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextOps.charPairCounts(ColOps.table(s, dir, "documents"), "text", 5L)),
+
+    // per-language corpus profile — the one-scan health report a corpus
+    // build gates on: volume, token mass, source diversity, exact-dup
+    // mass. Two COUNT(DISTINCT)s in one aggregate = Spark's expand
+    // strategy (rows ×2 pre-shuffle), the price of single-pass exactness;
+    // sketch the cardinalities (KMV, q_kmv_sketch) when approximate is
+    // acceptable at 100 TB.
+    "q_corpus_profile" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars_sum"),
+          sum(size(TextOps.tokens(col("text")))).cast("long").as("tok_sum"),
+          countDistinct(col("source")).as("n_sources"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup"))),
+
     // fixed-size word chunking (context-window packing fan-out)
     "q_chunk_text" -> ((s, dir) =>
       TextOps.chunkWords(ColOps.table(s, dir, "documents"), "doc_id", "text", 50)),
@@ -1828,6 +1848,15 @@ object SparkEntry {
 
     "q_vocab" -> TextOps.vocabSummarySql(50L),
     "q_bigrams" -> TextOps.topBigramsSql(50),
+    "q_bpe_pairs" -> TextOps.charPairCountsSql("documents", "text", 5L),
+
+    "q_corpus_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+                CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS tok_sum,
+                COUNT(DISTINCT source) AS n_sources,
+                COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup
+         FROM documents GROUP BY lang""",
 
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
     "q_cms_sketch" -> Sketches.cmsWordSketchSql,

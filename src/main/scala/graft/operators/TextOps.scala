@@ -374,4 +374,34 @@ object TextOps {
           .as(Seq("chunk_no", "chunk")))
       .select(col(idCol), col("chunk_no").cast("long").as("chunk_no"), col("chunk"))
   }
+
+  /** Adjacent character-pair frequencies over alnum tokens — the BPE
+    * trainer's inner-loop statistic (which symbol pair to merge next is
+    * argmax of exactly this table). Tokens are `[A-Za-z0-9]+` runs
+    * ([[tokens]]), so pairs are pure ASCII and the count is
+    * engine-portable byte-for-byte.
+    *
+    * Plan: explode tokens → explode each token's `len-1` adjacent pairs
+    * (a `transform(sequence(...))` — one generator, no join, no UDF) →
+    * ONE hash aggregate on the pair. The fan-out is ~chars-proportional,
+    * the shuffle carries only (2-char key, partial count) pairs with
+    * map-side combine — the aggregate's key space is ≤ 62², so the
+    * reduce side is trivially small at any corpus size. `minCount`
+    * filters AFTER the aggregate (a HAVING, not a WHERE).
+    */
+  def charPairCounts(df: DataFrame, textCol: String, minCount: Long): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(char_length(col("w")) > 1)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
+  /** The same pair table as engine-neutral SQL. */
+  def charPairCountsSql(table: String, textCol: String, minCount: Long): String =
+    s"""SELECT substr(w, CAST(u.j AS INT), 2) AS pair, COUNT(*) AS n
+        FROM (SELECT UNNEST(regexp_extract_all($textCol, '[A-Za-z0-9]+')) AS w
+              FROM $table) t,
+             UNNEST(range(1, len(w))) AS u(j)
+        GROUP BY 1 HAVING COUNT(*) >= $minCount"""
 }

@@ -142,4 +142,17 @@ class TextOpsSpec extends SparkSpec {
     // the frequent-bigram doc outscores the rare-bigram path per bigram
     assert(got(1L)._2 > got(0L)._2 / 2)
   }
+
+  test("charPairCounts: adjacent pairs within alnum tokens, punctuation splits, minCount gates") {
+    import spark.implicits._
+    // "ab!abc" → tokens ab, abc → pairs ab, ab, bc; "x y" → 1-char
+    // tokens contribute nothing; "abab" → ab, ba, ab
+    val df = Seq("ab!abc", "x y", "abab").toDF("text")
+    val got = TextOps.charPairCounts(df, "text", 1L)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("ab", 4L), ("ba", 1L), ("bc", 1L)), s"got $got")
+    val gated = TextOps.charPairCounts(df, "text", 2L)
+      .as[(String, Long)].collect().toSeq
+    assert(gated == Seq(("ab", 4L)), s"gated $gated")
+  }
 }
