@@ -994,6 +994,11 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       TextOps.bigramLmScore(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // PMI collocations over corpus bigrams (count-thresholded, micro-
+    // scaled ln) — three count aggregates + narrow-key joins, no sort
+    "q_pmi" -> ((s, dir) =>
+      TextOps.pmiCollocations(ColOps.table(s, dir, "documents"), "text", 5L)),
+
     // the quality filter executed THROUGH Structured Streaming — the
     // NINTH streaming-executed query: stateless per-row rule battery
     // (one row in, one row out, no state store), same oracle as the
@@ -1849,6 +1854,7 @@ object SparkEntry {
     "q_vocab" -> TextOps.vocabSummarySql(50L),
     "q_bigrams" -> TextOps.topBigramsSql(50),
     "q_bpe_pairs" -> TextOps.charPairCountsSql("documents", "text", 5L),
+    "q_pmi" -> TextOps.pmiCollocationsSql(5L),
 
     "q_corpus_profile" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -282,6 +282,59 @@ object TextOps {
       .limit(k)
   }
 
+  /** PMI collocation mining: score every bigram that occurs ≥ `minCount`
+    * times by pointwise mutual information against the corpus bigram
+    * distribution —
+    *   pmi = ln( N · c(w1,w2) / (cL(w1) · cR(w2)) )
+    * with cL/cR the word's occurrence counts as LEFT/RIGHT bigram member
+    * and N the total bigram count (the standard collocation statistic:
+    * high PMI = the pair co-occurs far above chance — named entities,
+    * idioms, boilerplate templates). The count threshold comes FIRST:
+    * rare pairs have unboundedly noisy PMI, and it also bounds the join
+    * fan-in. Scores are micro-scaled BIGINTs per the [[Relevance]]
+    * convention (ln is the one non-correctly-rounded op).
+    *
+    * Distributed shape: three map-side-combined count aggregates over
+    * the same bigram stream (pair, left-marginal, right-marginal), the
+    * scalar N a broadcast 1-row attach; the scoring join keys are narrow
+    * strings and the pair side is already `minCount`-pruned. No window,
+    * no sort, no driver state.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val bg = df.select(words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pair  = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val left  = bg.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+    val right = bg.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+    val total = bg.agg(count(lit(1)).as("n"))
+    val pmi = floor(log((col("c12") * col("n")).cast("double") /
+      (col("cl") * col("cr")).cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    pair.join(left, "w1").join(right, "w2").crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), pmi.as("pmi_micro"))
+  }
+
+  /** DuckDB mirror of [[pmiCollocations]] over the documents table. */
+  def pmiCollocationsSql(minCount: Long): String =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        bgf AS (SELECT u.w1 AS w1, u.w2 AS w2
+                FROM (SELECT UNNEST([{'w1': ws[i+1], 'w2': ws[i+2]}
+                                     for i in range(0, len(ws) - 1)]) AS u
+                      FROM w WHERE len(ws) >= 2) t),
+        pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY 1, 2
+                 HAVING COUNT(*) >= $minCount),
+        lc AS (SELECT w1, COUNT(*) AS cl FROM bgf GROUP BY 1),
+        rc AS (SELECT w2, COUNT(*) AS cr FROM bgf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM bgf)
+        SELECT w1, w2, c12,
+               CAST(FLOOR(ln((c12 * n)::DOUBLE / (cl * cr)::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                 AS pmi_micro
+        FROM pair JOIN lc USING (w1) JOIN rc USING (w2), n"""
+
   /** KenLM-style corpus-LM quality scoring: train an add-one-smoothed
     * bigram model ON the corpus, then score every document by its summed
     * log-probability — the "does this doc read like the corpus" filter

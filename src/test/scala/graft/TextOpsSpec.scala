@@ -143,6 +143,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(0L)._2 / 2)
   }
 
+  test("pmiCollocations: hand-computed PMI, left/right marginals distinct, threshold gates") {
+    import spark.implicits._
+    // "a b a b a c": bigrams (a,b)×2, (b,a)×2, (a,c)×1; N=5
+    // cL: a→3, b→2 ; cR: b→2, a→2, c→1
+    val df = Seq("a b a b a c").toDF("text")
+    val got = TextOps.pmiCollocations(df, "text", 1L)
+      .as[(String, String, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    // pmi(a,b) = ln(5·2/(3·2)) = ln(5/3)  → 510826 µ
+    // pmi(b,a) = ln(5·2/(2·2)) = ln(5/2)  → 916291 µ
+    // pmi(a,c) = ln(5·1/(3·1)) = ln(5/3)  → 510826 µ
+    assert(got == Seq(("a", "b", 2L, 510826L), ("a", "c", 1L, 510826L),
+      ("b", "a", 2L, 916291L)), s"got $got")
+    val gated = TextOps.pmiCollocations(df, "text", 2L)
+      .as[(String, String, Long, Long)].collect().map(t => (t._1, t._2)).sorted.toSeq
+    assert(gated == Seq(("a", "b"), ("b", "a")), s"gated $gated")
+  }
+
   test("charPairCounts: adjacent pairs within alnum tokens, punctuation splits, minCount gates") {
     import spark.implicits._
     // "ab!abc" → tokens ab, abc → pairs ab, ab, bc; "x y" → 1-char
