@@ -55,6 +55,27 @@ object ScaleProbe {
     val tn = timed(s"session ${n}x", big)
     println(f"SCALEPROBE session ratio: ${tn / t1}%.2f (linear would be ~$n)")
 
+    // events-keyed behavioral probes: user cardinality scales with the
+    // copies, so the funnel's per-stage aggregates and the retention
+    // cohort join grow on their real axis
+    def probeEv(label: String, f: org.apache.spark.sql.DataFrame => Long): Unit = {
+      def one(tag: String, d: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val rows = f(d)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALEPROBE $label $tag: $sec%.2f s, $rows rows")
+        sec
+      }
+      one("1x warm", events)
+      val a = one("1x", events); val b = one(s"${n}x", big)
+      println(f"SCALEPROBE $label ratio: ${b / a}%.2f (linear would be ~$n)")
+    }
+    probeEv("funnel", d =>
+      graft.operators.Behavior.funnel(d, "user_id", "event_type", "ts2",
+        Seq("view", "click", "purchase")).count())
+    probeEv("retention", d =>
+      graft.operators.Behavior.retention(d, "user_id", "ts2").count())
+
     // --- documents-keyed probes: contamination (explode-heavy),
     //     shuffleOrder (distributed ordinal machinery), bigrams (top-k) ---
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -87,6 +108,10 @@ object ScaleProbe {
       graft.operators.TextOps.topBigrams(d, "text", 50).count())
     probe("lmScore", d =>
       graft.operators.TextOps.bigramLmScore(d, "doc_id", "text").count())
+    probe("pmi", d =>
+      graft.operators.TextOps.pmiCollocations(d, "text", 5L).count())
+    probe("bpePairs", d =>
+      graft.operators.TextOps.charPairCounts(d, "text", 5L).count())
 
     // --- embeddings probe: PQ two-stage search (codes + ADC + re-rank);
     //     collection grows N×, query set stays fixed — the serving axis ---
