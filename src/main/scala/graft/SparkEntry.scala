@@ -957,6 +957,12 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // asymmetric containment on the same LSH candidates — catches a doc
+    // EMBEDDED in a longer one (J ≈ 0 but C(a→b) ≈ 1); identical
+    // candidate/cap machinery, only the verify arithmetic differs
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
     // near-dup clustering: connected components over the verified pairs —
     // iterative min-label propagation to the component's smallest doc_id
     // (keep = the doc is its cluster's canonical representative)
@@ -1073,6 +1079,13 @@ object SparkEntry {
     // fixed-size word chunking (context-window packing fan-out)
     "q_chunk_text" -> ((s, dir) =>
       TextOps.chunkWords(ColOps.table(s, dir, "documents"), "doc_id", "text", 50)),
+
+    // OVERLAPPING chunking: 50-word windows every 30 words (20-word
+    // overlap) — long-doc training prep where context must not be cut
+    // at hard boundaries; same zero-shuffle generator, denser starts
+    "q_chunk_stride" -> ((s, dir) =>
+      TextOps.chunkWordsStride(ColOps.table(s, dir, "documents"),
+        "doc_id", "text", 50, 30)),
 
     // global top-k bigrams (corpus n-gram profile): one map-side-combined
     // pair-count shuffle + TakeOrderedAndProject — never a global sort
@@ -1808,6 +1821,7 @@ object SparkEntry {
                                      ORDER BY n_tokens DESC, c.doc_id) = 1""",
 
     "q_ngram_jaccard" -> jaccardPairsSql,
+    "q_containment" -> containmentPairsSql,
 
     "q_dedup_simhash" ->
       s"SELECT doc_id, ${Dedup.simhashSql} AS simhash FROM documents",
@@ -1881,6 +1895,14 @@ object SparkEntry {
          FROM (SELECT doc_id, string_split(text, ' ') AS w,
                  UNNEST([{'i': j} for j in
                          range(0, (len(string_split(text, ' ')) - 1) // 50 + 1)]) AS u
+               FROM documents) x""",
+
+    "q_chunk_stride" ->
+      """SELECT doc_id, x.u.i::BIGINT AS chunk_no,
+                array_to_string(x.w[x.u.i * 30 + 1 : x.u.i * 30 + 50], ' ') AS chunk
+         FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                 UNNEST([{'i': j} for j in
+                         range(0, (len(string_split(text, ' ')) - 1) // 30 + 1)]) AS u
                FROM documents) x""",
 
     "q_pack_seqs" ->
@@ -2156,6 +2178,24 @@ object SparkEntry {
         JOIN sig sa ON sa.doc_id = p.doc_a
         JOIN sig sb ON sb.doc_id = p.doc_b"""
   }
+
+  /** Mirror of Dedup.containmentPairs: same candidate CTEs as
+    * [[jaccardPairsSql]], asymmetric |A∩B|/|A| verify.
+    */
+  private def containmentPairsSql: String =
+    s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
+                     FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
+        bk AS (${cappedBucketsSqlFor("TRUE")}),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+               CAST(len(sa.sh) AS DOUBLE) AS cont_ab,
+               CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+               CAST(len(sb.sh) AS DOUBLE) AS cont_ba
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b"""
 
   /** Mirror of Dedup.incrementalNearDup with incoming = `incPred` docs,
     * corpus = the rest: per-side capped buckets, cross-side candidate

@@ -234,6 +234,39 @@ object Dedup {
          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT over the LSH candidate pairs:
+    * C(a→b) = |A∩B| / |A| (and the mirror C(b→a)) on the shingle sets —
+    * the near-dup statistic symmetric Jaccard understates: a doc pasted
+    * inside a 2× longer one has J ≈ 0.5 (under any dedup threshold) but
+    * C(a→b) ≈ 1 (quote farms, boilerplate wrappers, doc-in-doc
+    * contamination). Candidate generation, caps, and scale shape are
+    * EXACTLY [[jaccardPairs]] — one signature pass, banded buckets,
+    * per-bucket population caps — only the verify arithmetic differs,
+    * so the all-pairs blowup analysis carries over unchanged.
+    *
+    * Honest recall bound: the candidates come from SYMMETRIC minhash
+    * bands, whose collision probability is J^BandSize per band — so a
+    * containment pair is surfaced only while J = |A|/|B| stays
+    * moderate (length ratio ≲ 3× at the 4×4 default). Extreme
+    * containment (a paragraph in a book, J → 0) needs an
+    * asymmetric index — e.g. bucketing B's shingle WINDOWS of |A|'s
+    * size, or a seeded shingle-sample inverted index — which is a
+    * different candidate generator, not a different verifier; this
+    * operator's verify stage composes with either unchanged.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       cap: Int = MaxBucket): DataFrame = {
+    val sig = graft.core.Materialize.checkpoint(minhashSignatures(df, idCol, textCol))
+    val pairs = candidatePairs(sig, cap)
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter / size(col("sh_a")).cast("double")).as("cont_ab"),
+        (inter / size(col("sh_b")).cast("double")).as("cont_ba"))
+  }
+
   /** Incremental near-dup: which INCOMING docs are near-duplicates of
     * the existing corpus — the arriving-batch flow at 100 TB. The corpus
     * side ([[minhashSignatures]] + [[cappedBandBuckets]]) is in

@@ -428,6 +428,29 @@ object TextOps {
       .select(col(idCol), col("chunk_no").cast("long").as("chunk_no"), col("chunk"))
   }
 
+  /** Overlapping sliding-window chunking: chunks of `chunkWords` words
+    * starting every `stride` words (stride < chunkWords ⇒ consecutive
+    * chunks overlap by `chunkWords - stride` — the long-document
+    * training shape where context must not be cut at hard boundaries;
+    * stride = chunkWords degenerates to [[chunkWords]]' disjoint form).
+    * Start count per doc is ceil(n_words / stride), so the fan-out is
+    * `chunkWords / stride`× the input — same zero-shuffle generator
+    * plan as the disjoint chunker, just denser starts.
+    */
+  def chunkWordsStride(df: DataFrame, idCol: String, textCol: String,
+                       chunkWords: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= chunkWords,
+      s"stride must be in [1, chunkWords]; got stride=$stride chunk=$chunkWords")
+    val w = words(col(textCol))
+    df.select(col(idCol), w.as("__w"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("__w")) - 1) / stride).cast("int")),
+          i => concat_ws(" ", slice(col("__w"), i * stride + 1, lit(chunkWords)))))
+          .as(Seq("chunk_no", "chunk")))
+      .select(col(idCol), col("chunk_no").cast("long").as("chunk_no"), col("chunk"))
+  }
+
   /** Adjacent character-pair frequencies over alnum tokens — the BPE
     * trainer's inner-loop statistic (which symbol pair to merge next is
     * argmax of exactly this table). Tokens are `[A-Za-z0-9]+` runs

@@ -181,4 +181,28 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8,
       f"LSH pair recall $recall%.3f < 0.8 — a NumHashes/BandSize change destroyed recall")
   }
+
+  test("containmentPairs: embedded doc scores C(a→b)=1 while Jaccard understates") {
+    import spark.implicits._
+    // the long doc extends the short one by ~1/3 — inside the symmetric
+    // LSH recall envelope (see scaladoc: J^4 per band), yet asymmetric
+    // enough that J sits below a 0.8 dedup cut while C(a→b) = 1
+    val short = (1 to 30).map(i => s"w$i").mkString(" ")
+    val long  = short + " " + (100 to 110).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("cont_ab"), r.getAs[Double]("cont_ba")))
+    assert(got.length == 1, s"expected the embedded pair as an LSH candidate, got ${got.toSeq}")
+    val (a, b, cab, cba) = got.head
+    assert((a, b) == ((1L, 2L)))
+    // every shingle of the short doc appears in the long one
+    assert(cab == 1.0, s"cont_ab=$cab")
+    assert(cba < 0.8, s"cont_ba=$cba must reflect the uncovered suffix")
+    // A ⊆ B makes Jaccard = |A|/|B| = C(b→a): the symmetric score
+    // equals the WEAK direction and misses the strong one
+    val j = Dedup.jaccardPairs(df, "doc_id", "text")
+      .collect().head.getAs[Double]("jaccard")
+    assert(j == cba && j < 0.8, s"jaccard=$j cont_ba=$cba")
+  }
 }

@@ -143,6 +143,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(0L)._2 / 2)
   }
 
+  test("chunkWordsStride: overlapping windows, tail kept, stride=chunk equals disjoint form") {
+    import spark.implicits._
+    val df = Seq((1L, (0 to 7).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.chunkWordsStride(df, "doc_id", "text", 4, 2)
+      .select("chunk_no", "chunk").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "w0 w1 w2 w3"), (1L, "w2 w3 w4 w5"),
+      (2L, "w4 w5 w6 w7"), (3L, "w6 w7")), s"got $got")
+    val disjoint = TextOps.chunkWords(df, "doc_id", "text", 4)
+      .select("chunk_no", "chunk").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val strideEq = TextOps.chunkWordsStride(df, "doc_id", "text", 4, 4)
+      .select("chunk_no", "chunk").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(strideEq == disjoint, s"stride=chunk must equal chunkWords: $strideEq vs $disjoint")
+  }
+
   test("pmiCollocations: hand-computed PMI, left/right marginals distinct, threshold gates") {
     import spark.implicits._
     // "a b a b a c": bigrams (a,b)×2, (b,a)×2, (a,c)×1; N=5
