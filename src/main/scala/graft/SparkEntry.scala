@@ -321,12 +321,12 @@ object SparkEntry {
   /** Flagship (README.md:17-20): sourceList .| scan (+) 0 .| sinkList —
     * the running sum of event cents, distributed prefix-combine.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    RowExec.runningSumLong(
-      events(spark, dir).select(col("seq"), ivalCol.as("ival")),
-      col("ival"), "run_sum")
-  }
+  /** Flagship: the composed corpus pipeline (quality filter |> exact
+    * dedup |> sequence packing) — the reference's `.|` chain as operator
+    * composition; oracle-checked as q_pipeline.
+    */
+  def entry(spark: SparkSession): DataFrame =
+    queries("q_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 sourceList — table scan with key-derived ordinals (zero shuffle)
@@ -1096,6 +1096,25 @@ object SparkEntry {
     // sum (RowExec carries, never a single-task global window)
     "q_pack_seqs" -> ((s, dir) =>
       Packing.concatSplit(ColOps.table(s, dir, "documents"), "doc_id", "text", PackBudget)),
+
+    // the COMPOSED corpus pipeline — quality filter |> exact dedup |>
+    // sequence packing, the reference's `.|` chain re-expressed as
+    // operator composition over DataFrames (each stage is the already-
+    // verified operator, unchanged; the oracle chains the same three
+    // mirrors as CTEs). Stage costs: rule battery is a stateless map;
+    // dedup one digest shuffle keeping min doc_id; packing the
+    // distributed prefix-sum — nothing here is new machinery, which is
+    // the point: operators compose without rewrites.
+    "q_pipeline" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents")
+      val keepIds = TextOps.qualityFilter(docs, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val kept = docs.join(keepIds, "doc_id")
+      val canonical = Dedup.exact(kept, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = kept.join(canonical, "doc_id")
+      Packing.concatSplit(survivors, "doc_id", "text", PackBudget)
+    }),
 
     // first-fit greedy packing within fixed doc-id groups (the
     // embarrassingly-parallel form of the inherently sequential fold)
@@ -1904,6 +1923,23 @@ object SparkEntry {
                  UNNEST([{'i': j} for j in
                          range(0, (len(string_split(text, ' ')) - 1) // 30 + 1)]) AS u
                FROM documents) x""",
+
+    // the composed pipeline: the SAME three mirrors, chained as CTEs
+    "q_pipeline" ->
+      s"""WITH qf AS (${TextOps.qualityFilterSql(allStopsSql)}),
+          kept AS (SELECT d.doc_id, d.text
+                   FROM documents d JOIN qf USING (doc_id) WHERE qf.keep),
+          canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+          surv AS (SELECT k.doc_id, k.text FROM kept k JOIN canon USING (doc_id)),
+          d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM surv),
+          s AS (SELECT doc_id, tok,
+                  CAST(SUM(tok) OVER (ORDER BY doc_id) - tok AS BIGINT) AS start_off
+                FROM d)
+          SELECT doc_id, tok, start_off,
+                 start_off // $PackBudget AS pack_first,
+                 greatest(start_off, start_off + tok - 1) // $PackBudget AS pack_last,
+                 start_off % $PackBudget AS off_in_pack
+          FROM s""",
 
     "q_pack_seqs" ->
       s"""WITH $packDocsSql,
