@@ -957,6 +957,11 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // character-level edit distance on the same LSH candidates — the
+    // strictest verifier; O(|a|·|b|) bounded to candidate pairs only
+    "q_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
     // asymmetric containment on the same LSH candidates — catches a doc
     // EMBEDDED in a longer one (J ≈ 0 but C(a→b) ≈ 1); identical
     // candidate/cap machinery, only the verify arithmetic differs
@@ -1841,6 +1846,17 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> jaccardPairsSql,
     "q_containment" -> containmentPairsSql,
+    "q_edit_distance" ->
+      s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
+                       FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
+          bk AS (${cappedBucketsSqlFor("TRUE")}),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          SELECT p.doc_a, p.doc_b,
+                 levenshtein(ta.text, tb.text)::BIGINT AS edit_dist
+          FROM pairs p
+          JOIN documents ta ON ta.doc_id = p.doc_a
+          JOIN documents tb ON tb.doc_id = p.doc_b""",
 
     "q_dedup_simhash" ->
       s"SELECT doc_id, ${Dedup.simhashSql} AS simhash FROM documents",

@@ -267,6 +267,27 @@ object Dedup {
         (inter / size(col("sh_b")).cast("double")).as("cont_ba"))
   }
 
+  /** Character-level edit distance over the LSH candidate pairs — the
+    * strictest near-dup verifier (catches small in-place edits that
+    * shingle-set measures smear out, and quantifies HOW different two
+    * near-dups are). Levenshtein is O(|a|·|b|) PER PAIR, which is
+    * exactly why it runs on LSH candidates and never all-pairs: the
+    * banded buckets + caps bound the quadratic work to genuinely
+    * similar pairs, the same containment argument as [[jaccardPairs]].
+    * Uses the engine's built-in codegen'd levenshtein (classic
+    * single-threaded DP per pair; pairs parallelize across tasks).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        cap: Int = MaxBucket): DataFrame = {
+    val sig = graft.core.Materialize.checkpoint(minhashSignatures(df, idCol, textCol))
+    val pairs = candidatePairs(sig, cap)
+    val ta = df.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
+    val tb = df.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
+    pairs.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+  }
+
   /** Incremental near-dup: which INCOMING docs are near-duplicates of
     * the existing corpus — the arriving-batch flow at 100 TB. The corpus
     * side ([[minhashSignatures]] + [[cappedBandBuckets]]) is in

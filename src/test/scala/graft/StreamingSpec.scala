@@ -561,6 +561,41 @@ class StreamingSpec extends SparkSpec {
     assert(seqs == Seq(0L, 2L, 4L), s"got $seqs")
   }
 
+  test("UpsertSnapshot: foreachBatch latest-wins maintenance equals the batch merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // updates across three batches: k=1 upserted twice (v2 wins), k=2
+    // tombstoned at v1, k=3 deleted then resurrected at v2; a later
+    // batch carries an OLDER version for k=4 (out-of-order delivery —
+    // the v2 row must still win)
+    val batches = Seq(
+      Seq((1L, "a0", 0L, false), (2L, "b0", 0L, false), (4L, "d2", 2L, false)),
+      Seq((1L, "a1", 1L, false), (2L, "", 1L, true), (3L, "c0", 0L, false)),
+      Seq((1L, "a2", 2L, false), (3L, "", 1L, true), (3L, "c2", 2L, false),
+          (4L, "d0", 0L, false)))
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val snap = new graft.streaming.UpsertSnapshot("k", "version")
+    val q = input.toDS().toDF("k", "v", "version", "dead")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => snap.merge(b))
+      .start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = snap.snapshot.get.filter(!org.apache.spark.sql.functions.col("dead"))
+      .select("k", "v", "version").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    // batch ground truth: mergeLatest over ALL updates at once
+    val all = batches.flatten.toDF("k", "v", "version", "dead")
+    val want = operators.ColOps.mergeLatest(
+        all.limit(0), all, "k", "version", Some("dead"))
+      .select("k", "v", "version").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want, s"streamed $got vs batch $want")
+    assert(got == Seq((1L, "a2", 2L), (3L, "c2", 2L), (4L, "d2", 2L)), s"got $got")
+  }
+
   test("Enrich.joinStatic: stream-static join is broadcast, stateless, append-final") {
     import org.apache.spark.sql.functions.col
     val dim = spark.createDataFrame(Seq((0L, "a"), (1L, "b"), (2L, "c")))
