@@ -214,6 +214,16 @@ class PlanSpec extends SparkSpec {
       s"JSONL read schema not pruned:\n$jScan")
   }
 
+  test("composed pipeline: no cartesian, no global sort, single digest shuffle for dedup") {
+    val p = plan(SparkEntry.queries("q_pipeline")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"pipeline plans a cartesian:\n$p")
+    // the quality filter must stay a stateless map over the scan — its
+    // rule battery adds zero exchanges of its own; dedup and packing
+    // each shuffle once (digest agg; range partition for the prefix sum)
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*\\] true.*") || p.contains("rangepartitioning"),
+      s"unexpected global sort in pipeline:\n$p")
+  }
+
   test("ORC source pushes the predicate and prunes the read schema") {
     val df = SparkEntry.queries("q_orc_source")(spark, dir)
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
