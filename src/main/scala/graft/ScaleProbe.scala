@@ -55,10 +55,11 @@ object ScaleProbe {
     val tn = timed(s"session ${n}x", big)
     println(f"SCALEPROBE session ratio: ${tn / t1}%.2f (linear would be ~$n)")
 
-    // events-keyed behavioral probes: user cardinality scales with the
-    // copies, so the funnel's per-stage aggregates and the retention
-    // cohort join grow on their real axis
-    def probeEv(label: String, f: org.apache.spark.sql.DataFrame => Long): Unit = {
+    // shared probe protocol: warm run on the base, then timed 1x / Nx
+    // (base/big pairs differ per data axis — events-keyed or docs-keyed)
+    def probePair(label: String, base: org.apache.spark.sql.DataFrame,
+                  big2: org.apache.spark.sql.DataFrame,
+                  f: org.apache.spark.sql.DataFrame => Long): Unit = {
       def one(tag: String, d: org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()
         val rows = f(d)
@@ -66,14 +67,18 @@ object ScaleProbe {
         println(f"SCALEPROBE $label $tag: $sec%.2f s, $rows rows")
         sec
       }
-      one("1x warm", events)
-      val a = one("1x", events); val b = one(s"${n}x", big)
+      one("1x warm", base)
+      val a = one("1x", base); val b = one(s"${n}x", big2)
       println(f"SCALEPROBE $label ratio: ${b / a}%.2f (linear would be ~$n)")
     }
-    probeEv("funnel", d =>
+
+    // events-keyed behavioral probes: user cardinality scales with the
+    // copies, so the funnel's per-stage aggregates and the retention
+    // cohort join grow on their real axis
+    probePair("funnel", events, big, d =>
       graft.operators.Behavior.funnel(d, "user_id", "event_type", "ts2",
         Seq("view", "click", "purchase")).count())
-    probeEv("retention", d =>
+    probePair("retention", events, big, d =>
       graft.operators.Behavior.retention(d, "user_id", "ts2").count())
 
     // --- documents-keyed probes: contamination (explode-heavy),
@@ -85,32 +90,19 @@ object ScaleProbe {
       docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
     }.reduce(_ union _)
 
-    def probe(label: String, f: org.apache.spark.sql.DataFrame => Long): Unit = {
-      def one(tag: String, d: org.apache.spark.sql.DataFrame): Double = {
-        val t0 = System.nanoTime()
-        val rows = f(d)
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"SCALEPROBE $label $tag: $sec%.2f s, $rows rows")
-        sec
-      }
-      one("1x warm", docs)
-      val a = one("1x", docs); val b = one(s"${n}x", bigDocs)
-      println(f"SCALEPROBE $label ratio: ${b / a}%.2f (linear would be ~$n)")
-    }
-
-    probe("contamination", d =>
+    probePair("contamination", docs, bigDocs, d =>
       graft.operators.Dedup.contaminatedBy(
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         "doc_id", "text").count())
-    probe("shuffleOrder", d =>
+    probePair("shuffleOrder", docs, bigDocs, d =>
       graft.operators.Sampling.shuffleOrder(d.select(col("doc_id")), "doc_id", 3L).count())
-    probe("bigrams", d =>
+    probePair("bigrams", docs, bigDocs, d =>
       graft.operators.TextOps.topBigrams(d, "text", 50).count())
-    probe("lmScore", d =>
+    probePair("lmScore", docs, bigDocs, d =>
       graft.operators.TextOps.bigramLmScore(d, "doc_id", "text").count())
-    probe("pmi", d =>
+    probePair("pmi", docs, bigDocs, d =>
       graft.operators.TextOps.pmiCollocations(d, "text", 5L).count())
-    probe("bpePairs", d =>
+    probePair("bpePairs", docs, bigDocs, d =>
       graft.operators.TextOps.charPairCounts(d, "text", 5L).count())
 
     // --- embeddings probe: PQ two-stage search (codes + ADC + re-rank);

@@ -191,6 +191,29 @@ object SparkEntry {
       .toSeq.map { case (sq, v) => Elem(sq, v) }
   }
 
+  /** The two driver-staged dense position streams shared by the
+    * stream-stream zip proofs (q_zip_stream inner, q_zip_outer_stream
+    * left-outer): events cents at positions < n, orders cents re-ranked
+    * to positions 0..n-1. Bounding happens BEFORE collect — the seq
+    * filter pushes to the events scan, and the orders side stages only
+    * its first n keys (TakeOrdered) — so the driver never holds
+    * discarded rows.
+    */
+  private def zipSideElems(s: SparkSession, dir: String,
+                           n: Int): (Seq[Elem[Long]], Seq[Elem[Long]]) = {
+    import s.implicits._
+    val ev = events(s, dir).select(col("seq"), ivalCol.as("ival"))
+      .filter(col("seq") < n)
+      .as[(Long, Long)].collect().sortBy(_._1)
+      .toSeq.map { case (sq, v) => Elem(sq, v) }
+    val ord = ColOps.table(s, dir, "orders")
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .orderBy(col("o_orderkey")).limit(n)
+      .as[(Long, Long)].collect().sortBy(_._1)
+      .toSeq.zipWithIndex.map { case ((_, v), i) => Elem(i.toLong, v) }
+    (ev, ord)
+  }
+
   /** (dir, kind) pairs staged in THIS JVM — staging runs once per
     * process, so repeated query invocations (bench, forceHash) reuse the
     * file, while a fresh JVM re-stages and can never serve a stale
@@ -427,19 +450,7 @@ object SparkEntry {
     // insert cost is per-row, so the bound keeps the bench measuring the
     // operator, not fixture volume.
     "q_zip_stream" -> ((s, dir) => {
-      import s.implicits._
-      // bound BEFORE collect: the seq filter pushes to the events scan,
-      // and the orders side stages only its first ZipStreamN keys
-      // (TakeOrdered) — the driver never holds discarded rows
-      val ev = events(s, dir).select(col("seq"), ivalCol.as("ival"))
-        .filter(col("seq") < ZipStreamN)
-        .as[(Long, Long)].collect().sortBy(_._1)
-        .toSeq.map { case (sq, v) => Elem(sq, v) }
-      val ord = ColOps.table(s, dir, "orders")
-        .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-        .orderBy(col("o_orderkey")).limit(ZipStreamN)
-        .as[(Long, Long)].collect().sortBy(_._1)
-        .toSeq.zipWithIndex.map { case ((_, v), i) => Elem(i.toLong, v) }
+      val (ev, ord) = zipSideElems(s, dir, ZipStreamN)
       graft.streaming.StreamExec.runStreamingZip(s, ev, ord)
         .select(col("seq"), (col("value._1") + col("value._2")).as("value"))
     }),
@@ -450,16 +461,8 @@ object SparkEntry {
     // match can arrive, which only sentinel-driven watermark advancement
     // can flush. Bounded to ZipStreamN like q_zip_stream.
     "q_zip_outer_stream" -> ((s, dir) => {
-      import s.implicits._
-      val ev = events(s, dir).select(col("seq"), ivalCol.as("ival"))
-        .filter(col("seq") < ZipStreamN)
-        .as[(Long, Long)].collect().sortBy(_._1)
-        .toSeq.map { case (sq, v) => Elem(sq, v) }
-      val ordEven = ColOps.table(s, dir, "orders")
-        .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-        .orderBy(col("o_orderkey")).limit(ZipStreamN)
-        .as[(Long, Long)].collect().sortBy(_._1)
-        .toSeq.zipWithIndex.collect { case ((_, v), i) if i % 2 == 0 => Elem(i.toLong, v) }
+      val (ev, ord) = zipSideElems(s, dir, ZipStreamN)
+      val ordEven = ord.filter(_.seq % 2 == 0)
       graft.streaming.StreamExec.runStreamingZipLeft(
           s, ev, ordEven, maxSeq = ZipStreamN,
           sentinelA = sq => Elem(sq, 0L), sentinelB = sq => Elem(sq, 0L))
@@ -1847,11 +1850,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> jaccardPairsSql,
     "q_containment" -> containmentPairsSql,
     "q_edit_distance" ->
-      s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
-                       FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
-          bk AS (${cappedBucketsSqlFor("TRUE")}),
-          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      s"""WITH $candidatePairsCtes
           SELECT p.doc_a, p.doc_b,
                  levenshtein(ta.text, tb.text)::BIGINT AS edit_dist
           FROM pairs p
@@ -2216,12 +2215,21 @@ object SparkEntry {
            FROM sig WHERE len(sh) > 0 AND ($pred)) b0
         ${ColOps.capBucketsQualifySql(Dedup.MaxBucket)}"""
 
-  private def jaccardPairsSql: String = {
-    s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
-                     FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
+  /** The LSH candidate-pair CTE prefix shared by every pairwise near-dup
+    * oracle (jaccard, containment, edit distance): signatures → capped
+    * banded buckets → deduped (doc_a < doc_b) bucket-join pairs. ONE
+    * definition so a NumHashes/BandSize/cap change cannot drift the
+    * three oracles' candidate sets apart.
+    */
+  private def candidatePairsCtes: String =
+    s"""sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
+                FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
         bk AS (${cappedBucketsSqlFor("TRUE")}),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+                  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+  private def jaccardPairsSql: String = {
+    s"""WITH $candidatePairsCtes
         SELECT p.doc_a, p.doc_b,
                CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
                CAST(len(sa.sh) + len(sb.sh)
@@ -2235,11 +2243,7 @@ object SparkEntry {
     * [[jaccardPairsSql]], asymmetric |A∩B|/|A| verify.
     */
   private def containmentPairsSql: String =
-    s"""WITH sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
-                     FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
-        bk AS (${cappedBucketsSqlFor("TRUE")}),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    s"""WITH $candidatePairsCtes
         SELECT p.doc_a, p.doc_b,
                CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
                CAST(len(sa.sh) AS DOUBLE) AS cont_ab,

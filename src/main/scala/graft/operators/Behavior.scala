@@ -95,8 +95,14 @@ object Behavior {
     */
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val WeekUs = 7L * 86400L * 1000000L
-    // integer `div` (not `/` + cast): floors like the oracle's `//`
-    val wk = expr(s"unix_micros($tsCol) div ${WeekUs}L")
+    // FLOOR division: Spark `div` truncates toward zero while the
+    // oracle's `//` floors — they differ exactly on pre-epoch
+    // timestamps (negative micros), so correct the truncation by 1
+    // whenever the remainder is negative (same discipline as
+    // Packing.scala's div/floor note)
+    val wk = expr(
+      s"unix_micros($tsCol) div ${WeekUs}L" +
+        s" - CASE WHEN unix_micros($tsCol) % ${WeekUs}L < 0 THEN 1 ELSE 0 END")
     val active = events.select(col(userCol), wk.as("week")).distinct()
     val cohorts = active.groupBy(col(userCol)).agg(min(col("week")).as("cohort_week"))
     active.join(cohorts, userCol)

@@ -338,20 +338,25 @@ object ColOps {
     * without ever computing a float. The test is squared and multiplied
     * through by n² so both sides stay integral:
     *   (n·v − S)² > k²·(n·SS − S²)      [S = Σv, SS = Σv², per group]
-    * evaluated in DECIMAL(38,0) — headroom to |v| ≲ 1e9 at n ≈ 1e10
-    * rows/group, far past any per-group cardinality a 100 TB corpus
-    * yields. Plan: one hash aggregate to |groups| rows, broadcast back
+    * with every term aggregated AND compared in DECIMAL(38,0) — the
+    * binding constraint is S² < 10³⁸, i.e. n·|v|ₘₐₓ ≲ 10¹⁹ per group
+    * (|v| ≲ 1e9 cents at n ≈ 1e9 rows/group holds comfortably; past it,
+    * Spark's decimal overflow yields NULL → the row is silently
+    * unflagged, so size the micro-scaling to the group cardinality). Plan: one hash aggregate to |groups| rows, broadcast back
     * onto a second scan — no window, no sort, two passes total (the
     * one-pass alternative buffers the group in memory, which is the
     * non-scalable shape). `v` must be integral (cents-style micro-scaled).
     */
   def zOutliers(df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
-    val stats = df.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
-      sum(col(valueCol) * col(valueCol)).as("__ss"))
     val d = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    val lhs = d(col("__n")) * d(col(valueCol)) - d(col("__s"))
-    val rhs = lit(k.toLong * k) * (d(col("__n")) * d(col("__ss")) - d(col("__s")) * d(col("__s")))
+    // the casts must sit INSIDE the sums: a LongType Σv² wraps silently
+    // around 9.2e18 (non-ANSI), ~10 orders below the documented
+    // envelope — summing DECIMAL(38,0) is what delivers it
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"), sum(d(col(valueCol))).as("__s"),
+      sum(d(col(valueCol)) * d(col(valueCol))).as("__ss"))
+    val lhs = d(col("__n")) * d(col(valueCol)) - col("__s")
+    val rhs = lit(k.toLong * k) * (d(col("__n")) * col("__ss") - col("__s") * col("__s"))
     df.join(broadcast(stats), groupCol)
       .filter(lhs * lhs > rhs)
       .drop("__n", "__s", "__ss")

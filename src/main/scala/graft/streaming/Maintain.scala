@@ -32,9 +32,12 @@ final class UpsertSnapshot(key: String, version: String) {
     * in the library.
     */
   def merge(batch: DataFrame): Unit = synchronized {
-    val merged = snap.fold(batch.toDF())(s =>
-      ColOps.mergeLatest(s, batch.toDF(), key, version))
-    snap = Some(graft.core.Materialize.checkpoint(merged))
+    // the FIRST batch must run through mergeLatest too (against an empty
+    // base): a raw batch can carry several versions of one key, and
+    // storing it unresolved would violate the batch-equivalence contract
+    val base = snap.getOrElse(batch.toDF().limit(0))
+    snap = Some(graft.core.Materialize.checkpoint(
+      ColOps.mergeLatest(base, batch.toDF(), key, version)))
   }
 
   /** The current maintained table (None before the first batch). */

@@ -41,12 +41,16 @@ class BehaviorSpec extends SparkSpec {
       // u2 active weeks 0,2
       (2L, ts(500)), (2L, ts(2 * wk + 1)),
       // u3 first seen week 1, active week 2 — a DIFFERENT cohort
-      (3L, ts(wk + 50)), (3L, ts(2 * wk + 50))
+      (3L, ts(wk + 50)), (3L, ts(2 * wk + 50)),
+      // u4 straddles the epoch: pre-epoch micros must FLOOR to week -1
+      // (a truncating div would collapse them into week 0)
+      (4L, ts(-100)), (4L, ts(100))
     ).toDF("user_id", "ts2")
     val got = Behavior.retention(events, "user_id", "ts2")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2)).toSeq
     assert(got == Seq(
+      (-1L, 0L, 1L), (-1L, 1L, 1L),
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L),
       (1L, 0L, 1L), (1L, 1L, 1L)), s"got $got")
   }

@@ -569,8 +569,11 @@ class StreamingSpec extends SparkSpec {
     // tombstoned at v1, k=3 deleted then resurrected at v2; a later
     // batch carries an OLDER version for k=4 (out-of-order delivery —
     // the v2 row must still win)
+    // k=5's two versions arrive in the FIRST batch: the first merge must
+    // resolve within-batch duplicates too, not store the raw batch
     val batches = Seq(
-      Seq((1L, "a0", 0L, false), (2L, "b0", 0L, false), (4L, "d2", 2L, false)),
+      Seq((1L, "a0", 0L, false), (2L, "b0", 0L, false), (4L, "d2", 2L, false),
+          (5L, "e0", 0L, false), (5L, "e1", 1L, false)),
       Seq((1L, "a1", 1L, false), (2L, "", 1L, true), (3L, "c0", 0L, false)),
       Seq((1L, "a2", 2L, false), (3L, "", 1L, true), (3L, "c2", 2L, false),
           (4L, "d0", 0L, false)))
@@ -593,7 +596,8 @@ class StreamingSpec extends SparkSpec {
       .select("k", "v", "version").as[(Long, String, Long)]
       .collect().sortBy(_._1).toSeq
     assert(got == want, s"streamed $got vs batch $want")
-    assert(got == Seq((1L, "a2", 2L), (3L, "c2", 2L), (4L, "d2", 2L)), s"got $got")
+    assert(got == Seq((1L, "a2", 2L), (3L, "c2", 2L), (4L, "d2", 2L),
+      (5L, "e1", 1L)), s"got $got")
   }
 
   test("Enrich.joinStatic: stream-static join is broadcast, stateless, append-final") {
