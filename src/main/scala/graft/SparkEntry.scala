@@ -1521,6 +1521,25 @@ object SparkEntry {
         quantum = streamQuantum(rows.size), tail = sentinels)
     }),
 
+    // the funnel executed THROUGH Structured Streaming with KEYED state:
+    // per-user stage machines on transformWithState (state sharded by
+    // user — the 100 TB deployment shape), fed in event-time order; the
+    // sink holds stage ADVANCEMENTS, and the final depth is the max per
+    // user (aggregated on the landed table, outside the stream). Same
+    // semantics as batch q_funnel for users who advance at all.
+    "q_funnel_stream" -> ((s, dir) => {
+      import s.implicits._
+      val rows = eventsWithTs(s, dir)
+        .select(unix_micros(col("ts2")).as("t_us"), col("user_id"), col("event_type"))
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+        .toSeq.map { case (t, u, ty) => (u, ty, t) }
+      graft.streaming.StreamExec.runStreamingAppend[(Long, String, Long)](
+          s, rows,
+          ds => graft.streaming.KeyedFunnel.advance(ds, Seq("view", "click", "purchase")),
+          quantum = streamQuantum(rows.size))
+        .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+    }),
+
     // stream–static enrichment join: each micro-batch of the event
     // stream inner-joins the STATIC customer⋈nation dimension,
     // broadcast — the canonical streaming enrichment shape (stateless,
@@ -2173,6 +2192,13 @@ object SparkEntry {
     "q_funnel" -> operators.Behavior.funnelSql("events",
       "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
     "q_retention" -> operators.Behavior.retentionSql("events", "user_id", "ts"),
+
+    // keyed streaming funnel ≡ batch funnel for users who advanced
+    "q_funnel_stream" ->
+      s"""SELECT user_id, stage
+          FROM (${operators.Behavior.funnelSql("events",
+            "user_id", "event_type", "ts", Seq("view", "click", "purchase"))}) f
+          WHERE stage > 0""",
 
     // batch mirror of the stream–static broadcast enrichment join
     "q_enrich_stream" ->

@@ -561,6 +561,29 @@ class StreamingSpec extends SparkSpec {
     assert(seqs == Seq(0L, 2L, 4L), s"got $seqs")
   }
 
+  test("KeyedFunnel: per-user stage machines carry state across batches independently") {
+    // quantum=3 splits each user's funnel across micro-batches; u1
+    // completes view→click→purchase, u2's purchase arrives BEFORE its
+    // click (order matters — must stall at click), u3 never views.
+    // Within-batch disorder (u1's click fed before its view in batch 1)
+    // is restored by the per-key event-time sort.
+    val rows = Seq(
+      (1L, "click", 20L), (1L, "view", 10L), (2L, "view", 10L),
+      (2L, "purchase", 15L), (1L, "purchase", 30L), (3L, "click", 5L),
+      (2L, "click", 20L), (3L, "purchase", 6L))
+    val df = StreamExec.runStreamingAppend[(Long, String, Long)](spark, rows,
+      ds => graft.streaming.KeyedFunnel.advance(ds, Seq("view", "click", "purchase")),
+      quantum = 3)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"), r.getAs[Long]("t_us")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
+      (2L, 1, 10L), (2L, 2, 20L)), s"got $got")
+    assert(StreamExec.lastStreamingPlan.contains("TransformWithState"),
+      s"expected TransformWithState in:\n${StreamExec.lastStreamingPlan}")
+  }
+
   test("UpsertSnapshot: foreachBatch latest-wins maintenance equals the batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
