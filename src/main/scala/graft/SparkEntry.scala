@@ -469,6 +469,63 @@ object SparkEntry {
         .select(col("seq"), col("value._1").as("iv"), col("value._2").as("ov"))
     }),
 
+    // TPC-H Q3-shaped shipping priority: filtered dim (BUILDING
+    // customers) BROADCAST onto orders, then the one genuinely big
+    // shuffle — lineitem ⋈ orders on the order key — into a grouped
+    // integer-cents revenue. The canonical warehouse join plan: every
+    // dim rides a broadcast, the fact-fact join shuffles on the join
+    // key (bucketing/bucketedJoin co-locates it at 100 TB), revenue is
+    // per-row FLOOR-cents so the sum is order-free and engine-exact.
+    "q_ship_priority" -> ((s, dir) => {
+      val cut = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val cust = ColOps.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      // the parquet dates are TIMESTAMP_NTZ; the UTC session makes the
+      // cast to TIMESTAMP value-preserving (same micros as the oracle's
+      // naive epoch_ns)
+      val ord = ColOps.table(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .filter(col("o_orderdate") < lit(cut))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val li = ColOps.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") > lit(cut))
+        .select(col("l_orderkey"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+            .as("rev_c"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev_c")).as("revenue_c"))
+        .select(col("o_orderkey"), unix_micros(col("o_orderdate")).as("odate_us"),
+          col("o_orderpriority"), col("revenue_c"))
+    }),
+
+    // TPC-H Q5-shaped regional revenue: the dim CHAIN region → nation →
+    // customer collapses to one broadcast (5 → 25 → |customers| rows,
+    // each step itself broadcast), so the only shuffles are the two
+    // fact joins — orders tags with the nation via the broadcast,
+    // lineitem ⋈ orders on the order key, then a 5-row aggregate.
+    "q_region_revenue" -> ((s, dir) => {
+      val dim = ColOps.table(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(ColOps.table(s, dir, "nation"),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(ColOps.table(s, dir, "customer"),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val ord = ColOps.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("n_name"))
+      ColOps.table(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+            .as("rev_c"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_items"))
+    }),
+
     // skew-salted join, oracle-checked: events joined to a per-user dim
     // through ColOps.saltedJoin — salting must be semantically invisible
     // (hot keys spread over `salt` tasks; the oracle is the plain join)
@@ -2192,6 +2249,32 @@ object SparkEntry {
     "q_funnel" -> operators.Behavior.funnelSql("events",
       "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
     "q_retention" -> operators.Behavior.retentionSql("events", "user_id", "ts"),
+
+    "q_ship_priority" ->
+      """SELECT o.o_orderkey, epoch_ns(o.o_orderdate) // 1000 AS odate_us,
+                o.o_orderpriority,
+                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01'
+           AND l.l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3""",
+
+    "q_region_revenue" ->
+      """SELECT n.n_name,
+                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS revenue_c,
+                COUNT(*) AS n_items
+         FROM region r
+         JOIN nation n ON r.r_regionkey = n.n_regionkey
+         JOIN customer c ON n.n_nationkey = c.c_nationkey
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY 1""",
 
     // keyed streaming funnel ≡ batch funnel for users who advanced
     "q_funnel_stream" ->

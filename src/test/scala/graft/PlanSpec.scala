@@ -214,6 +214,30 @@ class PlanSpec extends SparkSpec {
       s"JSONL read schema not pruned:\n$jScan")
   }
 
+  test("warehouse joins: dims broadcast, fact-fact join shuffles on the key, no cartesian") {
+    Seq("q_ship_priority", "q_region_revenue").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q dim join is not broadcast:\n$p")
+      // at sf0.001 Catalyst rightly auto-broadcasts the filtered fact
+      // side too; the AT-SCALE shape is what must be pinned — with
+      // auto-broadcast off, the explicit broadcast() dims must STILL
+      // broadcast while the fact-fact join degrades to a
+      // key-partitioned join (sort-merge / shuffled-hash), proving no
+      // fact side depends on fitting in memory
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val pb = plan(SparkEntry.queries(q)(spark, dir))
+        assert(pb.contains("BroadcastHashJoin"),
+          s"$q explicit dim broadcast lost without auto-broadcast:\n$pb")
+        assert(pb.contains("SortMergeJoin") || pb.contains("ShuffledHashJoin"),
+          s"$q fact-fact join must key-partition when not broadcastable:\n$pb")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("composed pipeline: no cartesian, only the prefix-sum's range exchange") {
     val p = plan(SparkEntry.queries("q_pipeline")(spark, dir))
     assert(!p.contains("CartesianProduct"), s"pipeline plans a cartesian:\n$p")
