@@ -501,6 +501,28 @@ object SparkEntry {
           col("o_orderpriority"), col("revenue_c"))
     }),
 
+    // TPC-H Q1-shaped pricing summary: ONE scan, one ≤|flag×status|-key
+    // hash aggregate with map-side partials — the canonical "wide
+    // aggregate over the biggest table" plan. All money terms are
+    // per-row FLOOR-cents (the float products are IEEE-exact given the
+    // inputs; flooring BEFORE the sum keeps the aggregate order-free).
+    "q_pricing_summary" -> ((s, dir) => {
+      val cut = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      ColOps.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") <= lit(cut))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)").as("qty_c"),
+          expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_c"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+            .as("disc_c"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)")
+            .as("charge_c"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("qty_c")).as("sum_qty_c"), sum(col("price_c")).as("sum_price_c"),
+          sum(col("disc_c")).as("sum_disc_c"), sum(col("charge_c")).as("sum_charge_c"),
+          count(lit(1)).as("n"))
+    }),
+
     // TPC-H Q5-shaped regional revenue: the dim CHAIN region → nation →
     // customer collapses to one broadcast (5 → 25 → |customers| rows,
     // each step itself broadcast), so the only shuffles are the two
@@ -2249,6 +2271,17 @@ object SparkEntry {
     "q_funnel" -> operators.Behavior.funnelSql("events",
       "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
     "q_retention" -> operators.Behavior.retentionSql("events", "user_id", "ts"),
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+                COUNT(*) AS n
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         GROUP BY 1, 2""",
 
     "q_ship_priority" ->
       """SELECT o.o_orderkey, epoch_ns(o.o_orderdate) // 1000 AS odate_us,
