@@ -548,6 +548,88 @@ object SparkEntry {
         .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q4-shaped priority check: the EXISTS subquery is a LEFT SEMI
+    // join — lineitem pruned to the join key + pushed returnflag filter
+    // BEFORE the shuffle, so the semi side ships one bigint per matching
+    // row and short-circuits per key. Never rewrite EXISTS as
+    // join+distinct (that pays a dedup shuffle the semi join avoids).
+    "q_order_priority" -> ((s, dir) => {
+      val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val ord = ColOps.table(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val ret = ColOps.table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      ord.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // TPC-H Q10-shaped returned-revenue ranking: fact join shuffles on
+    // the order key, aggregates to ≤|customers| rows BEFORE touching the
+    // customer dim (broadcast nation rides along), and the global top-20
+    // is TakeOrderedAndProject — per-partition partial top-k, never a
+    // global sort. custkey tiebreak keeps LIMIT deterministic under ties.
+    "q_top_customers" -> ((s, dir) => {
+      val li = ColOps.table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+            .as("rev_c"))
+      val ord = ColOps.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("rev_c")).as("revenue_c"))
+      val cust = ColOps.table(s, dir, "customer")
+        .join(broadcast(ColOps.table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+      rev.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("c_custkey")).limit(20)
+    }),
+
+    // Anti-join dead-stock rollup: parts with NO shipment after the cut.
+    // NOT EXISTS is a LEFT ANTI join on the part key — the probe side is
+    // the pruned (key-only, date-filtered) lineitem, and the survivors
+    // aggregate per brand. The anti join is the only correct distributed
+    // shape here: a NOT IN would be null-hostile and a left-join+IS NULL
+    // carries the full payload through the shuffle.
+    "q_cold_parts" -> ((s, dir) => {
+      val cut = java.sql.Timestamp.valueOf("2001-06-01 00:00:00")
+      val recent = ColOps.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") > lit(cut))
+        .select(col("l_partkey"))
+      ColOps.table(s, dir, "part")
+        .join(recent, col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_cold"),
+          sum(expr("CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)"))
+            .as("shelf_value_c"))
+    }),
+
+    // per-source quality cap (the per-domain cap of web-corpus curation):
+    // keep the 25 longest docs of each source; rank window rewrites to
+    // WindowGroupLimit (PlanSpec asserts) so heavy sources never ship
+    // their full population through the exchange
+    "q_source_cap" -> ((s, dir) =>
+      Sampling.qualityCap(
+        ColOps.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", col("n_chars"), 25)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("rk").cast("long").as("rk"))),
+
+    // cumulative distinct-user growth via the first-touch trick — see
+    // Behavior.userGrowth for why this never runs distinct-over-window.
+    // Hour buckets: the fixture's event log spans 30 days, so hours give
+    // a real growth curve (weeks would collapse to one bucket)
+    "q_user_growth" -> ((s, dir) =>
+      operators.Behavior.userGrowth(eventsWithTs(s, dir), "user_id", "ts2",
+        bucketUs = 3600L * 1000000L)),
+
     // skew-salted join, oracle-checked: events joined to a per-user dim
     // through ColOps.saltedJoin — salting must be semantically invisible
     // (hot keys spread over `salt` tasks; the oracle is the plain join)
@@ -2308,6 +2390,49 @@ object SparkEntry {
          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
          WHERE r.r_name = 'ASIA'
          GROUP BY 1""",
+
+    "q_order_priority" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n_orders
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_returnflag = 'R')
+         GROUP BY 1""",
+
+    "q_top_customers" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM lineitem l
+         JOIN orders o   ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n   ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_c DESC, c.c_custkey
+         LIMIT 20""",
+
+    "q_cold_parts" ->
+      """SELECT p.p_brand, COUNT(*) AS n_cold,
+                CAST(SUM(CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS shelf_value_c
+         FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_partkey = p.p_partkey
+                             AND l.l_shipdate > TIMESTAMP '2001-06-01')
+         GROUP BY 1""",
+
+    "q_source_cap" ->
+      """SELECT source, doc_id, n_chars, rk FROM (
+           SELECT source, doc_id, n_chars,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+           FROM documents) WHERE rk <= 25""",
+
+    "q_user_growth" -> operators.Behavior.userGrowthSql("events", "user_id", "ts",
+      bucketUs = 3600L * 1000000L),
 
     // keyed streaming funnel ≡ batch funnel for users who advanced
     "q_funnel_stream" ->

@@ -123,4 +123,48 @@ object Behavior {
         FROM active a JOIN cohorts c USING ($userCol)
         GROUP BY 1, 2"""
   }
+
+  /** Cumulative audience growth: per epoch week, how many users were
+    * seen for the FIRST time that week, and the running total of
+    * distinct users ever seen. The "cumulative distinct count over
+    * time" query — answered WITHOUT any distinct-over-window state by
+    * the first-touch trick: a user contributes exactly at min(week), so
+    * cumulative-distinct = prefix-sum of first-seen counts.
+    *
+    * Scale shape: the event log collapses to (user, min week) in one
+    * shuffle (|users| rows), then to |weeks| rows; only THEN does the
+    * ordered prefix-sum window run — over the |weeks|-row aggregate,
+    * never the log. The naive `COUNT(DISTINCT user) OVER (ORDER BY
+    * week)` would buffer the full user set per week; this never holds
+    * more than a count.
+    */
+  def userGrowth(events: DataFrame, userCol: String, tsCol: String,
+                 bucketUs: Long = 7L * 86400L * 1000000L): DataFrame = {
+    // same floor-division discipline as `retention` (Spark div truncates,
+    // the oracle's // floors; they differ on pre-epoch micros)
+    val bkt = expr(
+      s"unix_micros($tsCol) div ${bucketUs}L" +
+        s" - CASE WHEN unix_micros($tsCol) % ${bucketUs}L < 0 THEN 1 ELSE 0 END")
+    val firstSeen = events.select(col(userCol), bkt.as("bucket"))
+      .groupBy(col(userCol)).agg(min(col("bucket")).as("bucket"))
+    val perBucket = firstSeen.groupBy(col("bucket")).agg(count(lit(1)).as("new_users"))
+    // |buckets| rows by now — the unpartitioned ordered window is a
+    // deliberate single-task step over a tiny aggregate, not a smell
+    val w = expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(expressions.Window.unboundedPreceding,
+        expressions.Window.currentRow)
+    perBucket.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
+  /** The same growth curve as engine-neutral SQL. */
+  def userGrowthSql(table: String, userCol: String, tsCol: String,
+                    bucketUs: Long = 7L * 86400L * 1000000L): String =
+    s"""WITH fw AS (SELECT $userCol,
+                      MIN((epoch_ns($tsCol) // 1000) // $bucketUs) AS bucket
+                    FROM $table GROUP BY 1)
+        SELECT bucket, COUNT(*) AS new_users,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_users
+        FROM fw GROUP BY bucket"""
 }

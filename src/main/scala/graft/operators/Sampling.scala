@@ -50,6 +50,26 @@ object Sampling {
   def stratifiedTakeQualifySql(stratum: String, id: String, k: Int): String =
     s"QUALIFY row_number() OVER (PARTITION BY $stratum ORDER BY ($id * $ScatterA) % ${TextOps.HashMod}, $id) <= $k"
 
+  /** Per-source quality cap: keep the k HIGHEST-quality rows of each
+    * stratum (ties broken by id — fully deterministic). The per-domain /
+    * per-host cap of web-corpus curation: no single source may
+    * contribute more than k documents, and the k kept are the best ones,
+    * not a random sample ([[stratifiedTake]] is the uniform variant).
+    *
+    * Scale shape: identical to stratifiedTake — ONE shuffle on the
+    * stratum key and a PARTITIONED rank window that Spark rewrites to
+    * WindowGroupLimit (partial per-partition top-k BEFORE the exchange,
+    * PlanSpec-asserted), so a 100 TB corpus moves at most
+    * k·|partitions| rows per source, never a source's full population.
+    */
+  def qualityCap(df: DataFrame, stratum: String, id: String,
+                 quality: Column, k: Int): DataFrame = {
+    require(k > 0, "qualityCap: k must be positive")
+    val w = Window.partitionBy(col(stratum)).orderBy(quality.desc, col(id))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Weighted deterministic interleave of two corpora — the training
     * mixture schedule: every cycle of wa+wb output positions takes wa
     * elements of A then wb of B (e.g. 3:1 web:code). Inputs must carry

@@ -61,4 +61,36 @@ class BehaviorSpec extends SparkSpec {
       Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"funnel must not window over raw events:\n$plan")
   }
+
+  test("userGrowth: first-touch buckets, prefix sum, pre-epoch floors down") {
+    val wk = 7L * 86400L
+    val events = Seq(
+      // u1 first seen week 0 (the week-2 repeat must NOT re-count)
+      (1L, ts(100)), (1L, ts(2 * wk + 100)),
+      // u2 also first seen week 0
+      (2L, ts(500)),
+      // u3 first seen week 2 (nothing new in week 1)
+      (3L, ts(2 * wk + 50)),
+      // u4 pre-epoch: -100 s must floor to week -1, not truncate to 0
+      (4L, ts(-100))
+    ).toDF("user_id", "ts2")
+    val got = Behavior.userGrowth(events, "user_id", "ts2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((-1L, 1L, 1L), (0L, 2L, 3L), (2L, 1L, 4L)), s"got $got")
+    // final cumulative = total distinct users, by construction
+    assert(got.last._3 == 4L)
+  }
+
+  test("userGrowth plan: the ordered window runs over the bucket aggregate, not the log") {
+    val events = Seq((1L, ts(1))).toDF("user_id", "ts2")
+    val df = Behavior.userGrowth(events, "user_id", "ts2")
+    val plan = df.queryExecution.optimizedPlan.toString
+    // two aggregates (per-user min, per-bucket count) BELOW the window —
+    // the window input is |buckets| rows, never raw events
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("Aggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window is not above the aggregates:\n$plan")
+  }
 }

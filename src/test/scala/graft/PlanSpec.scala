@@ -345,6 +345,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"ranking lacks partial top-k pruning:\n$p")
   }
 
+  test("q_order_priority: EXISTS plans as a LEFT SEMI join, no dedup shuffle") {
+    val p = plan(SparkEntry.queries("q_order_priority")(spark, dir))
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    // semi join subsumes the dedup — an Aggregate on the lineitem side
+    // before the join would mean the EXISTS was rewritten as
+    // join+distinct (the shape the scaladoc forbids)
+    assert(!p.contains("CartesianProduct"), s"semi join degenerated:\n$p")
+  }
+
+  test("q_cold_parts: NOT EXISTS plans as a LEFT ANTI join on the pruned key") {
+    val df = SparkEntry.queries("q_cold_parts")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti join:\n$p")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    // the lineitem probe side must read only the join key + filter column
+    assert(!scan.contains("l_extendedprice"),
+      s"anti-join probe side reads payload columns:\n$scan")
+  }
+
+  test("q_top_customers: global top-20 is TakeOrderedAndProject, never a global sort") {
+    val p = plan(SparkEntry.queries("q_top_customers")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 did not plan as partial top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim not broadcast:\n$p")
+  }
+
+  test("q_source_cap: per-source cap is WindowGroupLimit (partial top-k before the exchange)") {
+    val p = plan(SparkEntry.queries("q_source_cap")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not plan as WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("GlobalLimit"),
+      s"unexpected global operator in cap plan:\n$p")
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))

@@ -27,6 +27,22 @@ class SamplingSpec extends SparkSpec {
     assert(all == 100L)
   }
 
+  test("qualityCap: keeps the k BEST per stratum, id tiebreak, dense ranks") {
+    import spark.implicits._
+    // stratum a: quality = id (best are the largest ids); stratum b: all
+    // ties at quality 7 (the id tiebreak must pick the SMALLEST ids)
+    val df = ((0L until 10L).map(i => (i, "a", i)) ++
+      (10L until 20L).map(i => (i, "b", 7L))).toDF("id", "s", "q")
+    val got = Sampling.qualityCap(df, "s", "id", col("q"), 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3))).sortBy(_._1).toSeq
+    assert(got == Seq((7L, "a", 3), (8L, "a", 2), (9L, "a", 1),
+      (10L, "b", 1), (11L, "b", 2), (12L, "b", 3)), s"got $got")
+    // deterministic on re-run (ties broken by id, never arrival order)
+    val again = Sampling.qualityCap(df, "s", "id", col("q"), 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3))).sortBy(_._1).toSeq
+    assert(got == again)
+  }
+
   test("hashSplit: ratios near the cuts, membership a pure function of the id") {
     import spark.implicits._
     val cuts = Seq("train" -> 800, "val" -> 900, "test" -> 1000)
