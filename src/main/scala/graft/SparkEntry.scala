@@ -313,6 +313,49 @@ object SparkEntry {
       tmp
     })
 
+  /** events rewritten as 64 deliberately tiny parquet files, then
+    * size-targeted compacted ([[Layout.compactParquet]]) — the fixture
+    * for q_compact. The query reads the COMPACTED directory; content
+    * identity with the raw table is exactly what the oracle checks.
+    * LayoutSpec separately asserts the file count collapsed.
+    */
+  private val compactDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private[graft] def stagedCompacted(s: SparkSession, dir: String): java.nio.file.Path =
+    compactDirs.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_compact_")
+      val small = base.resolve("small").toString
+      ColOps.table(s, d, "events")
+        .select(col("event_id"), ivalCol.as("cents"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(small)
+      // quarter of the input bytes per file → ~4 compacted files
+      Layout.compactParquet(s, small, base.resolve("compacted").toString,
+        targetBytes = math.max(1L, Layout.dataBytes(s, small) / 4))
+      base
+    })
+
+  /** documents range-laid-out by n_chars ([[Layout.rangeLayout]]): 8
+    * parquet files with disjoint n_chars ranges — the fixture for
+    * q_range_layout (content identity under a range predicate; the
+    * disjointness itself is LayoutSpec's assertion).
+    */
+  private val rangeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private[graft] def stagedRangeLayout(s: SparkSession, dir: String): java.nio.file.Path =
+    rangeDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_rangelayout_")
+      Layout.rangeLayout(
+        ColOps.table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        tmp.toString, 8, "n_chars", "doc_id")
+      tmp
+    })
+
   /** documents metadata as JSONL — the fixture for the JSONL-source
     * query (lang codes are [a-z]{2}: no JSON escaping needed).
     */
@@ -629,6 +672,43 @@ object SparkEntry {
     "q_user_growth" -> ((s, dir) =>
       operators.Behavior.userGrowth(eventsWithTs(s, dir), "user_id", "ts2",
         bucketUs = 3600L * 1000000L)),
+
+    // per-key TIME-RANGE rolling sum: each event's trailing-hour spend.
+    // RANGE frame on integer micros — peers at the same timestamp are
+    // all included, so the result is set-deterministic; the window is
+    // PARTITIONED by user (never global) and integer-summed (cents)
+    "q_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = eventsWithTs(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts2")).as("t_us"), col("ival"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.select(col("event_id"), col("user_id"), col("t_us"),
+        sum(col("ival")).over(w).as("roll_c"))
+    }),
+
+    // exact global deciles WITHOUT ntile's single-partition global sort —
+    // see ColOps.quantileBins (distributed ordinal + broadcast count)
+    "q_decile" -> ((s, dir) =>
+      ColOps.quantileBins(
+        ColOps.table(s, dir, "documents").select(col("n_chars"), col("doc_id")),
+        "n_chars", "doc_id", 10)),
+
+    // small-file compaction round trip: 64 tiny files → ~4 size-targeted
+    // files, content IDENTICAL to the raw table (the oracle is the raw
+    // table — any row lost or duplicated by the rewrite breaks the hash)
+    "q_compact" -> ((s, dir) =>
+      s.read.parquet(stagedCompacted(s, dir).resolve("compacted").toString)),
+
+    // range-layout round trip: read the clustered rewrite back through a
+    // range predicate on the layout key (the predicate pushes into
+    // row-group stats that the sort made tight); oracle = same predicate
+    // on the raw table
+    "q_range_layout" -> ((s, dir) =>
+      s.read.parquet(stagedRangeLayout(s, dir).toString)
+        .filter(col("n_chars").between(150, 350))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
 
     // skew-salted join, oracle-checked: events joined to a per-user dim
     // through ColOps.saltedJoin — salting must be semantically invisible
@@ -2433,6 +2513,32 @@ object SparkEntry {
 
     "q_user_growth" -> operators.Behavior.userGrowthSql("events", "user_id", "ts",
       bucketUs = 3600L * 1000000L),
+
+    "q_rolling" ->
+      s"""SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us,
+                 CAST(SUM($IvalSql) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS roll_c
+          FROM events""",
+
+    "q_decile" ->
+      """WITH r AS (SELECT n_chars,
+                      row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+                      COUNT(*) OVER () AS n
+                    FROM documents)
+         SELECT rk * 10 // n AS bin, COUNT(*) AS n_rows,
+                MIN(n_chars) AS lo, MAX(n_chars) AS hi
+         FROM r GROUP BY 1""",
+
+    // compaction moves file boundaries, never rows — the raw table IS
+    // the oracle
+    "q_compact" ->
+      "SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events",
+
+    "q_range_layout" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE n_chars BETWEEN 150 AND 350""",
 
     // keyed streaming funnel ≡ batch funnel for users who advanced
     "q_funnel_stream" ->

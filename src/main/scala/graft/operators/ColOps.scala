@@ -362,6 +362,39 @@ object ColOps {
       .drop("__n", "__s", "__ss")
   }
 
+  /** Exact equal-population quantile bins (deciles for bins = 10) over
+    * the WHOLE table — without the global window that makes
+    * `ntile(bins) OVER (ORDER BY v)` a single-partition sort at scale.
+    * Distributed ordinal rank instead ([[graft.core.Ordinals]]: range
+    * partition + in-partition sort + O(partitions) prefix sum), then
+    * `bin = rank·bins div n` with the row count attached as a broadcast
+    * 1-row aggregate. Ties broken by `id`, so binning is deterministic.
+    * Returns one row per non-empty bin: (bin, n_rows, lo, hi).
+    *
+    * Oracle equivalent: `(row_number() OVER (ORDER BY v, id) - 1) *
+    * bins // count(*)` — same floor arithmetic, engine-neutral.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, idCol: String,
+                   bins: Int): DataFrame = {
+    require(bins > 0, "quantileBins: bins must be positive")
+    val spark = df.sparkSession
+    implicit val enc: Encoder[graft.core.Elem[(Long, Long)]] =
+      graft.core.Elem.enc[(Long, Long)]
+    import spark.implicits._
+    val keyed = df.select(col(valueCol).cast("long").as("_1"),
+        col(idCol).cast("long").as("_2"))
+      .as[(Long, Long)]
+    val ranked = graft.core.Ordinals
+      .zipWithOrdinal(keyed, Seq(col("_1"), col("_2")))
+      .toDF()
+      .select(col("seq"), col("value._1").as("v"))
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(expr("seq * " + bins + " div __n").as("bin"), col("v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
   /** In-plan density assertion for [[zipBySeq]]'s `assumeDense` fast
     * path: crossJoin a broadcast 1-row boolean (cheap: the aggregate scans
     * only the seq column) and re-emit seq through a guard that raises on

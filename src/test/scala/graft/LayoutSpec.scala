@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ColOps, Layout}
+
+/** Physical-layout maintenance: the properties the oracle can't see.
+  * q_compact / q_range_layout prove CONTENT identity; these assert the
+  * layout itself — file counts actually collapse, range files are
+  * actually disjoint — i.e. the maintenance did its job, not just
+  * preserved rows.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("compactParquet: 64 tiny files collapse to the size-targeted count, rows preserved") {
+    val base = SparkEntry.stagedCompacted(spark, dir)
+    val small = base.resolve("small").toString
+    val compacted = base.resolve("compacted").toString
+    val before = Layout.dataFiles(spark, small)
+    val after = Layout.dataFiles(spark, compacted)
+    assert(before == 64, s"fixture should stage 64 small files, got $before")
+    // bytes/target sizing: quarter-of-input target → single-digit files
+    assert(after >= 1 && after <= 8, s"compaction left $after files")
+    assert(spark.read.parquet(compacted).count() ==
+      spark.read.parquet(small).count())
+  }
+
+  test("compactParquet: file count tracks the byte target (half target -> about twice the files)") {
+    val base = SparkEntry.stagedCompacted(spark, dir)
+    val small = base.resolve("small").toString
+    val bytes = Layout.dataBytes(spark, small)
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_half_").toString
+    Layout.compactParquet(spark, small, out, targetBytes = math.max(1L, bytes / 8))
+    val n = Layout.dataFiles(spark, out)
+    assert(n >= 6 && n <= 12, s"bytes/8 target should give ~8 files, got $n")
+  }
+
+  test("rangeLayout: every output file owns a DISJOINT n_chars range") {
+    val laid = SparkEntry.stagedRangeLayout(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(laid.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(laid.toString)))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+    assert(files.length >= 2, s"range layout produced ${files.length} files")
+    // per-file (min, max) of the layout key, read file-by-file
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("n_chars")), max(col("n_chars"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2,
+          s"file ranges overlap: [..,$hi1] vs [$lo2,..] in $ranges")
+      case _ => ()
+    }
+  }
+
+  test("quantileBins: equal-population bins, exact boundaries, no Window in the plan") {
+    import spark.implicits._
+    // 40 rows, values 0..39 with id = value → 4 bins of exactly 10
+    val df = (0L until 40L).map(i => (i, i)).toDF("v", "id")
+    val got = ColOps.quantileBins(df, "v", "id", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0L, 10L, 0L, 9L), (1L, 10L, 10L, 19L),
+      (2L, 10L, 20L, 29L), (3L, 10L, 30L, 39L)), s"got $got")
+    // the scale property: no Window operator anywhere (ntile's global
+    // sort is exactly what this op exists to avoid)
+    val plan = ColOps.quantileBins(df, "v", "id", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"quantileBins planned a window:\n$plan")
+  }
+
+  test("quantileBins: ragged split (n not divisible by bins) floors like the oracle") {
+    import spark.implicits._
+    // 7 rows into 3 bins: rank*3 div 7 → sizes 3,2,2 (floor arithmetic)
+    val df = (0L until 7L).map(i => (i * 5, i)).toDF("v", "id")
+    val got = ColOps.quantileBins(df, "v", "id", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, 3L), (1L, 2L), (2L, 2L)), s"got $got")
+  }
+}
