@@ -710,6 +710,47 @@ object SparkEntry {
         .filter(col("n_chars").between(150, 350))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // TPC-H Q14-shaped promo share: lineitem ⋈ part on the part key
+    // (fact-to-midsize-dim equi-join — broadcast at this SF, bucketed or
+    // sort-merge at 100 TB; either way keyed, never nested-loop),
+    // conditional cents split per ship month. The share is left as two
+    // exact integer sums — the consumer divides, the hash stays stable.
+    "q_promo_share" -> ((s, dir) => {
+      val li = ColOps.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          unix_micros(date_trunc("month", col("l_shipdate").cast("timestamp")))
+            .as("month_us"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+            .as("rev_c"))
+      val pt = ColOps.table(s, dir, "part")
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("month_us"))
+        .agg(sum(when(col("is_promo"), col("rev_c")).otherwise(0L)).as("promo_c"),
+          sum(col("rev_c")).as("total_c"))
+    }),
+
+    // per-user FIRST-TOUCH attribution executed THROUGH Structured
+    // Streaming: groupBy(user).min(hour-bucket) in Complete mode — state
+    // is ONE long per user (bounded by |users|, the scale bar for
+    // streaming attribution; the userGrowth curve is a tiny batch rollup
+    // of exactly this output). Feed is ts-ordered, but min() makes the
+    // result batch-equal under ANY micro-batch split — that invariance
+    // is what the oracle checks.
+    "q_first_touch_stream" -> ((s, dir) => {
+      import s.implicits._
+      val rows = ColOps.table(s, dir, "events")
+        .select(expr("ts div 1000").as("t_us"), col("user_id"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      graft.streaming.StreamExec.runStreamingComplete[(Long, Long)](
+        s, rows,
+        ds => ds.toDF("t_us", "user_id")
+          .groupBy(col("user_id"))
+          // fixture micros are all post-epoch, so div == floor here
+          .agg(min(expr(s"t_us div ${3600L * 1000000L}L")).as("first_bucket")),
+        quantum = streamQuantum(rows.size))
+    }),
+
     // skew-salted join, oracle-checked: events joined to a per-user dim
     // through ColOps.saltedJoin — salting must be semantically invisible
     // (hot keys spread over `salt` tasks; the oracle is the plain join)
@@ -2539,6 +2580,22 @@ object SparkEntry {
     "q_range_layout" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE n_chars BETWEEN 150 AND 350""",
+
+    "q_promo_share" ->
+      """SELECT epoch_ns(date_trunc('month', l.l_shipdate)) // 1000 AS month_us,
+                CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_c,
+                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS total_c
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1""",
+
+    // streaming first-touch ≡ batch per-user min bucket
+    "q_first_touch_stream" ->
+      """SELECT user_id,
+                MIN((epoch_ns(ts) // 1000) // 3600000000) AS first_bucket
+         FROM events GROUP BY 1""",
 
     // keyed streaming funnel ≡ batch funnel for users who advanced
     "q_funnel_stream" ->

@@ -623,6 +623,24 @@ class StreamingSpec extends SparkSpec {
       (5L, "e1", 1L)), s"got $got")
   }
 
+  test("first-touch min-bucket is invariant to the micro-batch split") {
+    import org.apache.spark.sql.functions.{col, min}
+    // 3 users, later events carry EARLIER buckets for u2 — a split that
+    // processed u2's rows in different batches must still converge on
+    // the global min (Complete-mode agg state, one long per user)
+    val rows = Seq((10L, 1L), (20L, 2L), (5L, 2L), (7L, 3L), (3L, 1L))
+    def run(q: Int) =
+      StreamExec.runStreamingComplete[(Long, Long)](spark, rows,
+        ds => ds.toDF("bkt", "user").groupBy(col("user"))
+          .agg(min(col("bkt")).as("first")),
+        quantum = q)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val perRow = run(1)      // every row its own micro-batch
+    val oneShot = run(100)   // single batch
+    assert(perRow == Seq((1L, 3L), (2L, 5L), (3L, 7L)), s"got $perRow")
+    assert(perRow == oneShot, s"split-dependent result: $perRow vs $oneShot")
+  }
+
   test("Enrich.joinStatic: stream-static join is broadcast, stateless, append-final") {
     import org.apache.spark.sql.functions.col
     val dim = spark.createDataFrame(Seq((0L, "a"), (1L, "b"), (2L, "c")))
