@@ -710,6 +710,36 @@ object SparkEntry {
         .filter(col("n_chars").between(150, 350))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // event-type transition matrix (first-order Markov counts): each
+    // user's events in (time, id) order, consecutive pairs via a
+    // PARTITIONED lag — the shuffle is one exchange on user_id and the
+    // output is |types|² rows regardless of log size. The session-flow /
+    // next-action model every event-log product ships.
+    "q_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = eventsWithTs(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts2")).as("t_us"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ordered group concatenation (listagg): collect_list is
+    // arrival-ordered, so sort INSIDE the aggregate (array_sort) before
+    // joining — the only engine-portable way to make string aggregation
+    // deterministic. Output is |groups| rows; the op is for bounded
+    // groups by contract (a group too big to hold its member list is a
+    // modeling error, not a shuffle problem).
+    "q_listagg" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string")), ",").as("doc_ids"))),
+
     // TPC-H Q14-shaped promo share: lineitem ⋈ part on the part key
     // (fact-to-midsize-dim equi-join — broadcast at this SF, bucketed or
     // sort-merge at 100 TB; either way keyed, never nested-loop),
@@ -2580,6 +2610,20 @@ object SparkEntry {
     "q_range_layout" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE n_chars BETWEEN 150 AND 350""",
+
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_type
+                    FROM events)
+         SELECT prev_type, event_type, COUNT(*) AS n
+         FROM e WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2""",
+
+    "q_listagg" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+         FROM documents GROUP BY 1""",
 
     "q_promo_share" ->
       """SELECT epoch_ns(date_trunc('month', l.l_shipdate)) // 1000 AS month_us,

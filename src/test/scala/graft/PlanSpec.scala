@@ -379,6 +379,12 @@ class PlanSpec extends SparkSpec {
       s"unexpected global operator in cap plan:\n$p")
   }
 
+  test("q_transitions: the lag window is PARTITIONED by user, never global") {
+    val p = plan(SparkEntry.queries("q_transitions")(spark, dir))
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"transition lag is not partitioned by user:\n$p")
+  }
+
   test("ordered ops keep the configured parallelism (partition count)") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
