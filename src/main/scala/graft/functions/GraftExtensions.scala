@@ -19,5 +19,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "word_hashes(text) takes one argument")
         WordHashes(children.head)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[DotF64].getName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vector_dot(a, b) takes two arguments")
+        DotF64(children(0), children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("vector_sqdist"),
+      new ExpressionInfo(classOf[SqDistF64].getName, "vector_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vector_sqdist(a, b) takes two arguments")
+        SqDistF64(children(0), children(1))
+      }))
   }
 }

@@ -29,6 +29,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("vector_dot / vector_sqdist are callable from SQL via GraftExtensions") {
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                  vector_sqdist(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS s""")
+        .collect()(0)
+      assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("saltedJoin == plain join, with the hot key spread over salts") {
     import spark.implicits._
     // skewed left: one hot key with 10k rows, others tiny

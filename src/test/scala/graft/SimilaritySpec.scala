@@ -35,6 +35,55 @@ class SimilaritySpec extends SparkSpec {
     assert(got == dot(a, b) / (nrm(a) * nrm(b)))
   }
 
+  test("native vector_dot / vector_sqdist are bit-identical to the HOF left-fold forms") {
+    import spark.implicits._
+    val rows = (0 until 200).map(_ => (randVec(), randVec())).toDF("a", "b")
+    // the exact expressions the natives replaced (Similarity round-6 form)
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val hofSq = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val got = rows.select(
+      graft.functions.VectorOps.vector_dot(col("a"), col("b")).as("nd"), hofDot.as("hd"),
+      graft.functions.VectorOps.vector_sqdist(col("a"), col("b")).as("ns"), hofSq.as("hs"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"dot bits differ: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"sqdist bits differ: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
+  test("vector_dot null contract: length mismatch and null element -> NULL, empty -> 0") {
+    val r = spark.range(1).select(
+      graft.functions.VectorOps.vector_dot(
+        expr("array(1.0D, 2.0D)"), expr("array(1.0D)")).as("mismatch"),
+      graft.functions.VectorOps.vector_dot(
+        expr("array(1.0D, cast(null as double))"), expr("array(1.0D, 2.0D)")).as("nullelem"),
+      graft.functions.VectorOps.vector_dot(
+        expr("cast(array() as array<double>)"),
+        expr("cast(array() as array<double>)")).as("empty"))
+      .collect()(0)
+    assert(r.isNullAt(0), "length mismatch must be NULL (zip_with parity)")
+    assert(r.isNullAt(1), "null element must poison the fold (HOF parity)")
+    assert(r.getDouble(2) == 0.0, "empty fold is the zero accumulator")
+  }
+
+  test("vector_dot participates in whole-stage codegen (the HOF forms could not)") {
+    // parquet-backed input: a local relation would be constant-folded to
+    // a LocalTableScan and show no codegen either way
+    val df = Similarity.embeddings(spark, "/root/testdata/sf0.001")
+      .select(graft.functions.VectorOps.vector_dot(col("emb"), col("emb")).as("d"))
+      .filter(col("d") > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("vector_dot"))
+    assert(line.exists(_.trim.startsWith("*")),
+      s"vector_dot did not stay inside WholeStageCodegen:\n$plan")
+  }
+
   test("banded lshTopK scores match independently computed cosines; results non-empty") {
     val vecs = (0L until 40L).map(i => (i, randVec()))
     val byId = vecs.toMap
