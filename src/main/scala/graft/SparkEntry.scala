@@ -710,6 +710,55 @@ object SparkEntry {
         .filter(col("n_chars").between(150, 350))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // per-key rate throttle, batch form: first 3 events per (user, DAY)
+    // by (t, id) — see Sampling.throttle (WindowGroupLimit shape, same
+    // as q_source_cap). The replayed-log form of ingestion admission
+    // control; q_throttle_stream executes the SAME contract in-stream.
+    // Day buckets because the fixture peaks at 10 events/user/day — the
+    // cap must actually BIND (hour buckets admit everything).
+    "q_throttle" -> ((s, dir) =>
+      Sampling.throttle(
+        eventsWithTs(s, dir).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts2")).as("t_us")),
+        "user_id", "t_us", "event_id", 86400L * 1000000L, 3)
+        .select(col("event_id"), col("user_id"), col("bucket"),
+          col("rk").cast("long").as("rk"))),
+
+    // the throttle executed THROUGH Structured Streaming with KEYED
+    // state: one admitted-count int per (user, hour-bucket) on
+    // transformWithState — admission happens IN the stream, so a flood
+    // never reaches downstream state. Feed is (t, id)-ordered; the
+    // within-batch sort in Throttle makes "first k admitted" equal the
+    // batch rank under any micro-batch split. Same oracle as q_throttle.
+    "q_throttle_stream" -> ((s, dir) => {
+      import s.implicits._
+      val BucketUs = 86400L * 1000000L
+      val rows = eventsWithTs(s, dir)
+        .select(col("user_id"), unix_micros(col("ts2")).as("t_us"),
+          col("event_id"))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+        // fixture micros are post-epoch, so div == floor for the bucket
+        .toSeq.map { case (u, t, id) => (u, t / BucketUs, t, id) }
+      graft.streaming.StreamExec.runStreamingAppend[(Long, Long, Long, Long)](
+        s, rows,
+        ds => graft.streaming.Throttle.admit(ds, 3),
+        quantum = streamQuantum(rows.size))
+    }),
+
+    // SCD-2 validity intervals over the same versioned changelog as
+    // q_upsert: audit/time-travel view (what was true at version v)
+    // versus mergeLatest's current-state view — see ColOps.scd2
+    "q_scd2" -> ((s, dir) => {
+      val base = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), lit(0L).as("version"))
+      val updates = ColOps.table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit(1L).as("version"))
+      ColOps.scd2(base.unionByName(updates), "doc_id", "version")
+        .select(col("doc_id"), col("version"), col("valid_to"),
+          col("is_current"))
+    }),
+
     // event-type transition matrix (first-order Markov counts): each
     // user's events in (time, id) order, consecutive pairs via a
     // PARTITIONED lag — the shuffle is one exchange on user_id and the
@@ -2610,6 +2659,38 @@ object SparkEntry {
     "q_range_layout" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE n_chars BETWEEN 150 AND 350""",
+
+    "q_throttle" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us,
+                      (epoch_ns(ts) // 1000) // 86400000000 AS bucket
+                    FROM events)
+         SELECT event_id, user_id, bucket, CAST(rk AS BIGINT) AS rk FROM (
+           SELECT event_id, user_id, bucket,
+                  row_number() OVER (PARTITION BY user_id, bucket
+                    ORDER BY t_us, event_id) AS rk
+           FROM e) WHERE rk <= 3""",
+
+    // streaming admission ≡ batch rank ≤ k (same window, same tiebreak)
+    "q_throttle_stream" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us,
+                      (epoch_ns(ts) // 1000) // 86400000000 AS bucket
+                    FROM events)
+         SELECT event_id, user_id, bucket, CAST(rk AS BIGINT) AS rk FROM (
+           SELECT event_id, user_id, bucket,
+                  row_number() OVER (PARTITION BY user_id, bucket
+                    ORDER BY t_us, event_id) AS rk
+           FROM e) WHERE rk <= 3""",
+
+    "q_scd2" ->
+      """WITH chg AS (SELECT doc_id, 0::BIGINT AS version FROM documents
+                      UNION ALL
+                      SELECT doc_id, 1::BIGINT AS version FROM documents
+                      WHERE doc_id % 3 = 0)
+         SELECT doc_id, version,
+                lead(version) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to,
+                lead(version) OVER (PARTITION BY doc_id ORDER BY version) IS NULL
+                  AS is_current
+         FROM chg""",
 
     "q_transitions" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -333,6 +333,23 @@ object ColOps {
     tombstone.fold(latest)(t => latest.filter(!col(t)).drop(t))
   }
 
+  /** SCD-2 validity intervals from a versioned changelog: each key's
+    * rows become [version, next-version) intervals, the newest row open
+    * (`valid_to` NULL, `is_current` true) — the other consumer of the
+    * changelog [[mergeLatest]] snapshots: mergeLatest answers "what is
+    * current", scd2 answers "what was true at version v" (time travel /
+    * audit). One shuffle on the key; the `lead` window is PARTITIONED
+    * per key and each partition's sort is bounded by that key's version
+    * count — never a global sort.
+    */
+  def scd2(changes: DataFrame, key: String, version: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(version))
+    changes
+      .withColumn("valid_to", lead(col(version), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Per-group z-score outlier flags in EXACT integer arithmetic: rows
     * where |v − mean(v)| > k·stddev_pop(v) within their group, decided
     * without ever computing a float. The test is squared and multiplied

@@ -70,6 +70,31 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Per-key rate throttle, batch form: at most k rows per (key,
+    * time-bucket), the FIRST k by (t, id) — ingestion admission control
+    * replayed over a log (the streaming form is
+    * [[graft.streaming.Throttle]]; this is its oracle semantics).
+    * Emits the admitted rows + their `bucket` and admission `rk`.
+    *
+    * Scale shape: same as [[qualityCap]] — one shuffle on (key,
+    * bucket), a WindowGroupLimit-rewritten rank, so a flooding key
+    * ships at most k·|partitions| rows per bucket through the exchange.
+    * Bucket uses the floor-division discipline of Behavior (Spark `div`
+    * truncates; correct by 1 on negative remainders).
+    */
+  def throttle(df: DataFrame, key: String, tsUsCol: String, id: String,
+               bucketUs: Long, k: Int): DataFrame = {
+    require(k > 0 && bucketUs > 0, "throttle: k and bucketUs must be positive")
+    val bkt = expr(
+      s"$tsUsCol div ${bucketUs}L" +
+        s" - CASE WHEN $tsUsCol % ${bucketUs}L < 0 THEN 1 ELSE 0 END")
+    val w = Window.partitionBy(col(key), col("bucket"))
+      .orderBy(col(tsUsCol), col(id))
+    df.withColumn("bucket", bkt)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Weighted deterministic interleave of two corpora — the training
     * mixture schedule: every cycle of wa+wb output positions takes wa
     * elements of A then wb of B (e.g. 3:1 web:code). Inputs must carry

@@ -254,4 +254,17 @@ class ColOpsSpec extends SparkSpec {
     val plan = ColOps.zOutliers(df, "g", "v", 2).queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("scd2: [version, next) intervals per key, newest open and current") {
+    import spark.implicits._
+    val chg = Seq((1L, 0L), (1L, 3L), (1L, 7L), (2L, 5L)).toDF("k", "version")
+    val got = ColOps.scd2(chg, "k", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // intervals chain with NO gaps/overlaps: valid_to = next version;
+    // exactly one open (current) row per key
+    assert(got == Seq((1L, 0L, 3L, false), (1L, 3L, 7L, false),
+      (1L, 7L, -1L, true), (2L, 5L, -1L, true)), s"got $got")
+  }
 }

@@ -379,6 +379,12 @@ class PlanSpec extends SparkSpec {
       s"unexpected global operator in cap plan:\n$p")
   }
 
+  test("q_throttle: admission rank is WindowGroupLimit on (user, bucket)") {
+    val p = plan(SparkEntry.queries("q_throttle")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not plan as WindowGroupLimit:\n$p")
+  }
+
   test("q_transitions: the lag window is PARTITIONED by user, never global") {
     val p = plan(SparkEntry.queries("q_transitions")(spark, dir))
     assert(p.contains("windowspecdefinition(user_id"),

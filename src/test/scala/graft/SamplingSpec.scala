@@ -43,6 +43,25 @@ class SamplingSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("throttle: first k by (t, id) per (key, bucket); pre-epoch buckets floor down") {
+    import spark.implicits._
+    val df = Seq(
+      // key 1, bucket 0 (t in [0, 10)): four rows, ties on t broken by id
+      (1L, 0L, 10L), (1L, 1L, 11L), (1L, 1L, 12L), (1L, 5L, 13L),
+      // key 1, bucket 1: fresh counter
+      (1L, 10L, 14L),
+      // key 2: independent
+      (2L, 0L, 20L),
+      // pre-epoch t = -1 must land in bucket -1, not bucket 0
+      (3L, -1L, 30L)
+    ).toDF("k", "t", "id")
+    val got = Sampling.throttle(df, "k", "t", "id", bucketUs = 10L, k = 2)
+      .select(col("id"), col("bucket"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got == Seq((10L, 0L, 1), (11L, 0L, 2), (14L, 1L, 1),
+      (20L, 0L, 1), (30L, -1L, 1)), s"got $got")
+  }
+
   test("hashSplit: ratios near the cuts, membership a pure function of the id") {
     import spark.implicits._
     val cuts = Seq("train" -> 800, "val" -> 900, "test" -> 1000)

@@ -641,6 +641,27 @@ class StreamingSpec extends SparkSpec {
     assert(perRow == oneShot, s"split-dependent result: $perRow vs $oneShot")
   }
 
+  test("Throttle.admit: k per (key, bucket) across batch boundaries, count survives the split") {
+    // one (user, bucket) whose 5 rows straddle micro-batches: quantum 2
+    // puts rows 3..5 in later batches, where ONLY carried state can know
+    // two were already admitted
+    val rows = Seq(
+      (1L, 0L, 10L, 100L), (1L, 0L, 11L, 101L), (1L, 0L, 12L, 102L),
+      (1L, 0L, 13L, 103L), (1L, 0L, 14L, 104L),
+      (2L, 0L, 10L, 200L), // other key: untouched by u1's flood
+      (1L, 1L, 20L, 105L)) // next bucket: counter starts fresh
+    def run(q: Int) =
+      StreamExec.runStreamingAppend[(Long, Long, Long, Long)](spark, rows,
+        ds => graft.streaming.Throttle.admit(ds, 3), quantum = q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val split = run(2)
+    val oneShot = run(100)
+    assert(split == Seq((100L, 1L, 0L, 1L), (101L, 1L, 0L, 2L), (102L, 1L, 0L, 3L),
+      (105L, 1L, 1L, 1L), (200L, 2L, 0L, 1L)), s"got $split")
+    assert(split == oneShot, s"split-dependent admission: $split vs $oneShot")
+  }
+
   test("Enrich.joinStatic: stream-static join is broadcast, stateless, append-final") {
     import org.apache.spark.sql.functions.col
     val dim = spark.createDataFrame(Seq((0L, "a"), (1L, "b"), (2L, "c")))
