@@ -745,6 +745,37 @@ object SparkEntry {
         quantum = streamQuantum(rows.size))
     }),
 
+    // corpus snapshot reconciliation: FULL OUTER join of two versions on
+    // the key, digests compared → added / removed / changed (same rows
+    // suppressed — the diff is the deliverable and is usually tiny
+    // relative to the corpus). The only join type that sees BOTH
+    // dangling sides; full outer can't broadcast, so it sort-merges on
+    // the key — the correct (and only) 100 TB shape. Digests, never
+    // payloads, cross the shuffle.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val v0 = ColOps.table(s, dir, "documents")
+        .select(col("doc_id").as("id0"), md5(col("text")).as("d0"))
+      // v1: every 11th doc removed, every remaining 3rd revised, and a
+      // batch of new docs appended (shifted ids)
+      val v1base = ColOps.table(s, dir, "documents")
+        .filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id").as("id1"),
+          when(col("doc_id") % 3 === 0, md5(concat(lit("v1:"), col("text"))))
+            .otherwise(md5(col("text"))).as("d1"))
+      val v1new = ColOps.table(s, dir, "documents")
+        .filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("id1"),
+          md5(col("text")).as("d1"))
+      val v1 = v1base.unionByName(v1new)
+      v0.join(v1, col("id0") === col("id1"), "full_outer")
+        .select(coalesce(col("id0"), col("id1")).as("doc_id"),
+          when(col("id0").isNull, "added")
+            .when(col("id1").isNull, "removed")
+            .when(col("d0") =!= col("d1"), "changed")
+            .otherwise("same").as("status"))
+        .filter(col("status") =!= "same")
+    }),
+
     // SCD-2 validity intervals over the same versioned changelog as
     // q_upsert: audit/time-travel view (what was true at version v)
     // versus mergeLatest's current-state view — see ColOps.scd2
@@ -2680,6 +2711,23 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY user_id, bucket
                     ORDER BY t_us, event_id) AS rk
            FROM e) WHERE rk <= 3""",
+
+    "q_snapshot_diff" ->
+      """WITH v0 AS (SELECT doc_id AS id0, md5(text) AS d0 FROM documents),
+            v1 AS (SELECT doc_id AS id1,
+                          CASE WHEN doc_id % 3 = 0 THEN md5('v1:' || text)
+                               ELSE md5(text) END AS d1
+                   FROM documents WHERE doc_id % 11 <> 0
+                   UNION ALL
+                   SELECT doc_id + 1000000 AS id1, md5(text) AS d1
+                   FROM documents WHERE doc_id % 13 = 0)
+         SELECT COALESCE(id0, id1) AS doc_id,
+                CASE WHEN id0 IS NULL THEN 'added'
+                     WHEN id1 IS NULL THEN 'removed'
+                     WHEN d0 <> d1 THEN 'changed'
+                     ELSE 'same' END AS status
+         FROM v0 FULL OUTER JOIN v1 ON id0 = id1
+         WHERE NOT (id0 IS NOT NULL AND id1 IS NOT NULL AND d0 = d1)""",
 
     "q_scd2" ->
       """WITH chg AS (SELECT doc_id, 0::BIGINT AS version FROM documents

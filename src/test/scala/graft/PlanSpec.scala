@@ -379,6 +379,19 @@ class PlanSpec extends SparkSpec {
       s"unexpected global operator in cap plan:\n$p")
   }
 
+  test("q_snapshot_diff: version reconciliation is a keyed FULL OUTER sort-merge over digests") {
+    val df = SparkEntry.queries("q_snapshot_diff")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("FullOuter"), s"diff did not plan as a full outer join:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"full outer must sort-merge (it cannot broadcast):\n$p")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    // digests cross the shuffle; text is read (for md5) but only doc_id +
+    // text — no other payload columns
+    assert(!scan.contains("lang") && !scan.contains("source"),
+      s"diff reads payload columns it never uses:\n$scan")
+  }
+
   test("q_throttle: admission rank is WindowGroupLimit on (user, bucket)") {
     val p = plan(SparkEntry.queries("q_throttle")(spark, dir))
     assert(p.contains("WindowGroupLimit"),
