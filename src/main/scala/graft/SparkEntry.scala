@@ -1378,6 +1378,18 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDf(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // per-doc boilerplate ratio: shingles appearing in >= 3 docs, exact
+    // ppm integer score — two passes over one checkpointed shingle table
+    "q_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateRatio(ColOps.table(s, dir, "documents"),
+        "doc_id", "text", 3L)),
+
+    // capped-postings inverted index: stats from the full aggregation,
+    // posting-list head via WindowGroupLimit (per-key top-k heap)
+    "q_inverted_index" -> ((s, dir) =>
+      Relevance.invertedIndex(ColOps.table(s, dir, "documents"),
+        "doc_id", "text", 16)),
+
     // language ID (stopword heuristic)
     "q_lang_id" -> ((s, dir) =>
       ColOps.table(s, dir, "documents")
@@ -1627,6 +1639,17 @@ object SparkEntry {
     // high enough to be selective, low enough to produce verifiable rows)
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Similarity.embeddings(s, dir), 0.35)),
+
+    // one k-means (Lloyd) refinement step of the IVF coarse quantizer:
+    // broadcast seed assignment + integer centroid accumulators —
+    // nCells·d rows out regardless of collection size
+    "q_kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(Similarity.embeddings(s, dir))),
+
+    // SemDeDup: within-coarse-cell semantic dedup, keep-first — pairwise
+    // cosine only inside a cell (n²/nCells candidate pairs, not n²)
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Similarity.embeddings(s, dir), 0.35)),
 
     // multimodal: binary columns + batch decode stub (real plumbing)
     "q_multimodal_decode" -> ((s, dir) =>
@@ -2260,6 +2283,8 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> jaccardPairsSql,
     "q_containment" -> containmentPairsSql,
+    "q_boilerplate" -> Dedup.boilerplateRatioSql(3L),
+    "q_inverted_index" -> Relevance.invertedIndexSql(16),
     "q_edit_distance" ->
       s"""WITH $candidatePairsCtes
           SELECT p.doc_a, p.doc_b,
@@ -2425,6 +2450,8 @@ object SparkEntry {
       s"""SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
           FROM (${Similarity.quantizeInt8Sql()}) qq""",
     "q_embed_centroid" -> Similarity.labelCentroidsSql,
+    "q_kmeans_step" -> Similarity.kmeansStepSql(),
+    "q_semdedup" -> Similarity.semDedupSql(0.35),
 
     "q_embed_neardup" ->
       s"""WITH ${Similarity.cappedBucketsSql()},

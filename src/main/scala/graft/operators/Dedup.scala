@@ -403,6 +403,56 @@ object Dedup {
       .select(col("cluster"), col("doc_id").as("best_doc"), col("n_tokens"))
   }
 
+  // --- boilerplate mining: cross-doc repeated shingles as a quality signal ---
+
+  /** Per-document boilerplate ratio — the headers/footers/licence-block
+    * signal a corpus-cleaning pipeline scores before training: a shingle
+    * is "boilerplate" when it appears in ≥ `minDocs` DISTINCT documents,
+    * and a document's score is the fraction of its distinct shingles
+    * that are boilerplate, as an exact parts-per-million integer
+    * (`n_boiler * 1e6 div n_sh` — no float division, hash-stable).
+    *
+    * Two-pass shape over the ONE checkpointed shingle table: pass 1
+    * aggregates document frequency per shingle hash (map-side combine;
+    * rows are (hash, df) — vocabulary-sized, never document-sized);
+    * pass 2 joins the doc's exploded shingles back to the boilerplate
+    * subset (AQE broadcasts it when small) and counts per doc. Documents
+    * with no shingles (< 3 words) score 0 ppm by definition. Output:
+    * (doc_id, n_sh, n_boiler, boiler_ppm).
+    */
+  def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Long): DataFrame = {
+    val sh = graft.core.Materialize.checkpoint(
+      shingleHashes(df, idCol, textCol))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs).select(col("s"))
+    val boiler = ex.join(hot, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+      .join(boiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_sh") > 0,
+          expr("(coalesce(n_boiler, 0) * 1000000) div n_sh"))
+          .otherwise(lit(0L)).as("boiler_ppm"))
+  }
+
+  /** DuckDB mirror of [[boilerplateRatio]] (same two-pass CTEs). */
+  def boilerplateRatioSql(minDocs: Long): String =
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+        hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) >= $minDocs),
+        boiler AS (SELECT ex.doc_id, COUNT(*) AS n_boiler
+                   FROM ex JOIN hot USING (s) GROUP BY ex.doc_id),
+        tot AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh)
+        SELECT t.doc_id, t.n_sh,
+               CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+               CAST(CASE WHEN t.n_sh > 0
+                    THEN (COALESCE(b.n_boiler, 0) * 1000000) // t.n_sh
+                    ELSE 0 END AS BIGINT) AS boiler_ppm
+        FROM tot t LEFT JOIN boiler b ON b.doc_id = t.doc_id"""
+
   // --- SimHash ---
 
   val SimBits = 30

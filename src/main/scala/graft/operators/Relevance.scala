@@ -147,4 +147,50 @@ object Relevance {
                                   ORDER BY tfidf_micro DESC, word)::INT AS rk
         FROM ($tfIdfSql) s
         QUALIFY rk <= $k"""
+
+  /** Capped-postings inverted index — the retrieval structure a corpus
+    * search/decontamination service materializes: per word, its document
+    * frequency, collection frequency, and the FIRST `cap` posting
+    * doc_ids (ascending, comma-joined — the head of the posting list; a
+    * production index shards the full list, but the stats + head are
+    * what corpus analytics reads). The cap runs as a row_number window
+    * BELOW the final aggregation, which Spark plans as WindowGroupLimit
+    * (a per-key top-k heap under the exchange — no full per-word
+    * materialization, so a viral stopword costs the same as a rare
+    * term). Stats come from the full, uncapped aggregation; both
+    * consumers read the one checkpointed term-count table.
+    * Output: (word, df, cf, postings).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    cap: Int): DataFrame = {
+    val tc = termCounts(docs, idCol, textCol)
+    val stats = tc.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val capped = tc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("word")).orderBy(col(idCol).asc)))
+      .filter(col("rn") <= cap)
+      .groupBy(col("word"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col(idCol))), _.cast("string")),
+        ",").as("postings"))
+    stats.join(capped, "word")
+      .select(col("word"), col("df"), col("cf"), col("postings"))
+  }
+
+  /** DuckDB mirror of [[invertedIndex]]. */
+  def invertedIndexSql(cap: Int): String =
+    s"""WITH $TfSql,
+        stats AS (SELECT word, COUNT(*)::BIGINT AS df,
+                         CAST(SUM(tf) AS BIGINT) AS cf
+                  FROM tf GROUP BY word),
+        capped AS (SELECT word, doc_id FROM
+                     (SELECT word, doc_id, row_number() OVER
+                        (PARTITION BY word ORDER BY doc_id) AS rn FROM tf) r
+                   WHERE rn <= $cap),
+        post AS (SELECT word,
+                        string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+                 FROM capped GROUP BY word)
+        SELECT s.word, s.df, s.cf, p.postings
+        FROM stats s JOIN post p ON p.word = s.word"""
 }

@@ -205,4 +205,22 @@ class DedupSpec extends SparkSpec {
       .collect().head.getAs[Double]("jaccard")
     assert(j == cba && j < 0.8, s"jaccard=$j cont_ba=$cba")
   }
+  test("boilerplateRatio: shared 3-gram scores, unique doc 0, short doc 0/0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown cat sleeps"),
+      (3L, "the quick brown dog barks"),
+      (4L, "completely different words here now"),
+      (5L, "hi there") // < 3 words: no shingles, scores 0 by definition
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRatio(docs, "doc_id", "text", 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 1-3 have 3 shingles each; only (the,quick,brown) reaches df>=3
+    // -> 1 of 3 boilerplate = 333333 ppm exactly (integer div)
+    Seq(1L, 2L, 3L).foreach(d => assert(got(d) == ((3L, 1L, 333333L)), s"doc $d: ${got(d)}"))
+    assert(got(4L) == ((3L, 0L, 0L)))
+    assert(got(5L) == ((0L, 0L, 0L)))
+  }
 }

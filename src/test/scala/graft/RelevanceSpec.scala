@@ -79,4 +79,15 @@ class RelevanceSpec extends SparkSpec {
     val d1 = got.filter(_._1 == 1L).sortBy(_._4).map(_._2).toSeq
     assert(d1 == Seq("cat", "sat"), s"got $d1")
   }
+  test("invertedIndex: df/cf from the full aggregation, postings capped at 16 ascending") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha beta" else "alpha")).toDF("doc_id", "text")
+    val got = Relevance.invertedIndex(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // stats count ALL postings; the list keeps only the first 16 doc_ids
+    assert(got("alpha") == ((40L, 40L, (1 to 16).mkString(","))))
+    assert(got("beta") == ((20L, 20L, (2 to 32 by 2).mkString(","))))
+  }
 }

@@ -246,4 +246,46 @@ class SimilaritySpec extends SparkSpec {
     // and the SQL builder emits the same number of band expressions
     assert(Similarity.bandBucketSqls("emb", numPlanes = 32, bandBits = 8).length == 4)
   }
+
+  test("kmeansStep: every vector in exactly one cell per dim; accumulators bounded") {
+    val n = 120
+    val vecs = (0L until n.toLong).map(i => (i, randVec()))
+    val rows = Similarity.kmeansStep(embDf(vecs), nCells = 8).collect()
+    // (cell, dim) keys unique; per-dim member counts partition the collection
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    rows.groupBy(_.getLong(1)).foreach { case (dim, rs) =>
+      assert(rs.map(_.getLong(3)).sum == n, s"dim $dim counts must sum to $n")
+    }
+    // int8 accumulator bound: |qsum| <= 127 * cnt
+    rows.foreach(r => assert(math.abs(r.getLong(2)) <= 127L * r.getLong(3)))
+    // all 8 cells live (each seed assigns to itself at cosine 1)
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == (0L until 8L))
+  }
+
+  test("semDedup: keep-first contract — dropped iff a lower-id same-cell neighbor is near") {
+    val tau = 0.95
+    // 30 base vectors, each followed by a near-copy (tiny perturbation):
+    // cos(base, copy) ~ 1 >> tau, cos between distinct bases ~ 0 << tau
+    val pairs = (0 until 30).map { i =>
+      val v = randVec()
+      (2L * i, v, 2L * i + 1, v.map(x => x + 0.02 * rnd.nextDouble()))
+    }
+    val vecs = pairs.flatMap(p => Seq((p._1, p._2), (p._3, p._4)))
+    val emb = embDf(vecs)
+    val survivors = Similarity.semDedup(emb, tau, nCells = 4)
+      .collect().map(_.getLong(0)).toSet
+    val cells = Similarity.cellAssign(Similarity.withNorm(emb), nCells = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vmap = vecs.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = dot(a, b) / (nrm(a) * nrm(b))
+    def hasLowerNear(v: Long): Boolean = vecs.map(_._1).exists(u =>
+      u < v && cells(u) == cells(v) && cos(vmap(u), vmap(v)) >= tau)
+    val ids = vecs.map(_._1)
+    val dropped = ids.filterNot(survivors)
+    assert(dropped.nonEmpty, "planted near-copies must cause drops")
+    dropped.foreach(v => assert(hasLowerNear(v),
+      s"$v dropped without a lower-id near neighbor in cell ${cells(v)}"))
+    survivors.foreach(v => assert(!hasLowerNear(v),
+      s"$v survived despite a lower-id near neighbor in cell ${cells(v)}"))
+  }
 }
