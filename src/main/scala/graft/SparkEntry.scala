@@ -1560,6 +1560,18 @@ object SparkEntry {
     "q_kmv_sketch" -> ((s, dir) =>
       Sketches.kmvWordSketch(ColOps.table(s, dir, "documents"), "text")),
 
+    // per-slice KMV: approximate distinct-word cardinality per language
+    // (WindowGroupLimit keeps the per-group top-k cut map-side)
+    "q_kmv_groups" -> ((s, dir) =>
+      Sketches.kmvGroupSketch(ColOps.table(s, dir, "documents"), "lang", "text")),
+
+    // k-anonymity audit: quasi-identifier groups with population < k —
+    // the privacy gate before releasing a keyed extract
+    "q_k_anonymity" -> ((s, dir) =>
+      ColOps.kAnonymityAudit(ColOps.table(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), 8L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     // Count-Min sketch cells: fixed d×w counter matrix, shuffle bounded
     // by the sketch size (not the corpus) after map-side combine
     "q_cms_sketch" -> ((s, dir) =>
@@ -1669,6 +1681,13 @@ object SparkEntry {
     // thumbnailing/decimation stage; zero shuffle, codegen'd end-to-end
     "q_media_resize" -> ((s, dir) =>
       Multimodal.resizeBytes(Multimodal.assets(s, dir), 7)),
+
+    // multimodal: near-dup pairs by byte-level minwise fingerprint
+    // (native byte_gram_hashes expression → 48 minwise components →
+    // banded capped buckets → signature-agreement verify) — the
+    // perceptual-hash dedup stage for the modality without word shingles
+    "q_media_neardup" -> ((s, dir) =>
+      Multimodal.mediaNearDups(Multimodal.assets(s, dir))),
 
     // event-time tumbling window aggregation (EventTime.tumbling — the
     // streaming windowed-agg operator, run in batch mode here; ts is
@@ -2349,6 +2368,13 @@ object SparkEntry {
          FROM documents GROUP BY lang""",
 
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
+
+    "q_kmv_groups" -> Sketches.kmvGroupSketchSql("lang"),
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+         FROM customer GROUP BY c_nationkey, c_mktsegment
+         HAVING COUNT(*) < 8""",
     "q_cms_sketch" -> Sketches.cmsWordSketchSql,
     "q_histogram" -> Sketches.histogramSql("value", 0.0, 500.0, 25),
     // streaming-executed twin: Complete-mode final snapshot ≡ batch sketch
@@ -2497,6 +2523,8 @@ object SparkEntry {
           FROM documents""",
 
     "q_media_resize" -> Multimodal.resizeBytesSql(7),
+
+    "q_media_neardup" -> Multimodal.mediaNearDupsSql(36, Dedup.MaxBucket),
 
     "q_event_window" -> EventWindowOracleSql,
     // streaming-executed twin (Complete-mode snapshot ≡ batch agg)

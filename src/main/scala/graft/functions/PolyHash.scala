@@ -80,3 +80,65 @@ object WordHashes {
     GraftColumnBridge.column(WordHashes(GraftColumnBridge.expression(c)))
   }
 }
+
+/** Native Catalyst expression for byte-level shingling of BINARY media
+  * payloads: `byte_gram_hashes(media)` = array of polynomial hashes of
+  * every 4-byte gram, `H(i) = fold (acc*31 + byte) mod P` over bytes
+  * i..i+3 — the content unit of media near-dup fingerprinting
+  * ([[graft.operators.Multimodal.mediaNearDups]]), where text shingles
+  * don't exist. Same rationale as [[WordHashes]]: one tight loop over
+  * the payload inside whole-stage codegen instead of nested
+  * transform/aggregate lambdas per gram. A payload shorter than 4 bytes
+  * yields an empty array (no gram exists).
+  */
+case class ByteGramHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"byte_gram_hashes needs a binary column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ByteGramHashes.hashGrams(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ByteGramHashes.hashGrams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteGramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "byte_gram_hashes"
+}
+
+object ByteGramHashes {
+  val P: Long = WordHashes.P
+  val Gram = 4
+
+  /** With `Gram = 4` the fold's intermediate never reaches P
+    * (max 255·(31³+31²+31+1) ≈ 7.9e6), so the per-step mod is a no-op
+    * the oracle can skip: DuckDB computes the plain integer polynomial.
+    */
+  def hashGrams(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length - Gram + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      while (j < Gram) { acc = (acc * 31 + (bytes(i + j) & 0xff)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point (Spark 4 Column↔Expression bridge). */
+  def byte_gram_hashes(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(ByteGramHashes(GraftColumnBridge.expression(c)))
+  }
+}

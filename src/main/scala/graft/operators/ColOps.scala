@@ -17,13 +17,12 @@ import graft.core.Pipes
   */
 object ColOps {
 
-  /** Schema of the events table with ts surfaced as Long. The parquet
-    * column is TIMESTAMP(NANOS), which Spark 4's schema INFERENCE rejects
-    * by default; supplying the schema explicitly skips inference, and the
-    * vectorized reader then reads the INT64 values as-is — no
-    * session-global `nanosAsLong` flag, so the session is genuinely
-    * untouched (verified by ColOpsSpec: a read in a fresh session leaves
-    * the conf unset and later reads keep working).
+  /** Schema of the events table with ts surfaced as Long. Supplying the
+    * schema explicitly skips inference, and the vectorized reader then
+    * reads the INT64 values as-is — whatever unit the file stores, and
+    * with no session-global `nanosAsLong` flag, so the session is
+    * genuinely untouched (verified by ColOpsSpec: a read in a fresh
+    * session leaves the conf unset and later reads keep working).
     */
   private val EventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -33,11 +32,38 @@ object ColOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Read a harness table (events gets the explicit nanos-as-long schema). */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val reader = if (name == "events") spark.read.schema(EventsSchema) else spark.read
-    reader.parquet(s"$dir/$name.parquet")
+  /** The engine-wide contract is `ts` in NANOseconds-as-Long; the
+    * harness has shipped the column both as TIMESTAMP(NANOS) and as
+    * TIMESTAMP(MICROS) across data drops, so the unit is sniffed from
+    * the file footer ONCE per path — Spark 4's schema inference accepts
+    * µs (plain timestamp type) and rejects ns, which is exactly the
+    * distinction needed — and µs values are rescaled ×1000 on read.
+    * The rescale is lossless both ways: every consumer truncates to µs
+    * (`ts div 1000`), so ns-file and µs-file runs produce identical
+    * results. Footer-only probe, memoized per path.
+    */
+  private val eventsUnitIsMicros =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  private def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val isMicros = eventsUnitIsMicros.computeIfAbsent(path, { p =>
+      try {
+        spark.read.parquet(p).schema("ts").dataType match {
+          case TimestampType | TimestampNTZType => java.lang.Boolean.TRUE
+          case _ => java.lang.Boolean.FALSE // already integer-typed: raw ns
+        }
+      } catch {
+        // inference rejects TIMESTAMP(NANOS) → the ns-file drop
+        case _: Throwable => java.lang.Boolean.FALSE
+      }
+    })
+    val raw = spark.read.schema(EventsSchema).parquet(path)
+    if (isMicros) raw.withColumn("ts", col("ts") * 1000L) else raw
   }
+
+  /** Read a harness table (events gets the explicit nanos-as-long schema). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") readEvents(spark, s"$dir/events.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   /** sourceList over a keyed table (reference `Combinators.hs:175-177`):
     * seq from an existing unique key expression — zero shuffle.
@@ -364,6 +390,20 @@ object ColOps {
     * one-pass alternative buffers the group in memory, which is the
     * non-scalable shape). `v` must be integral (cents-style micro-scaled).
     */
+  /** k-anonymity audit: the quasi-identifier groups whose population is
+    * below `k` — the privacy gate a pipeline runs before releasing an
+    * extract keyed on demographic-ish attributes (a row in a group of
+    * < k is re-identifiable by its quasi-identifiers alone). One hash
+    * aggregate on the quasi-identifier tuple, map-side combined; output
+    * is the at-risk tail only, ≤ |groups| rows regardless of input
+    * size. Suppress/generalize policy for flagged groups is the
+    * caller's decision — the audit is the part that has to scale.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+
   def zOutliers(df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
     val d = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     // the casts must sit INSIDE the sums: a LongType Σv² wraps silently

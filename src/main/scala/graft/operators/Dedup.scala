@@ -358,14 +358,27 @@ object Dedup {
       var changed = 1L
       var round = 0
       while (changed > 0 && round < maxRounds) {
+        // edge relaxation: pull the smallest label across each edge
         val nbrMin = edges.join(labels, col("src") === col("id"))
           .groupBy(col("dst")).agg(min(col("cluster")).as("nbr"))
-        val next = labels.join(nbrMin, col("id") === col("dst"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
-            (coalesce(col("nbr"), col("cluster")) < col("cluster")).as("chg"))
+        val prop = labels.join(nbrMin, col("id") === col("dst"), "left")
+          .select(col("id"), col("cluster").as("old"),
+            least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("mid"))
+          .persist()
+        // path-halving hop: cluster := label(cluster). Labels are
+        // monotone (cluster ≤ id, only ever decreasing) and always name
+        // an in-component node, so the hop stays in-component and can
+        // only shrink the label — edge relaxation alone needs
+        // diameter-many rounds on a chain, relaxation + halving
+        // converges in O(log diameter): each round both extends by one
+        // hop AND doubles the resolved pointer depth.
+        val parent = prop.select(col("id").as("p_id"), col("mid").as("p_mid"))
+        val hopped = least(col("mid"), coalesce(col("p_mid"), col("mid")))
+        val next = prop.join(parent, col("mid") === col("p_id"), "left")
+          .select(col("id"), hopped.as("cluster"), (hopped < col("old")).as("chg"))
           .persist()
         changed = next.filter(col("chg")).count() // materializes `next`
+        prop.unpersist()
         if (cached != null) cached.unpersist()
         cached = next
         labels = next.select(col("id"), col("cluster"))

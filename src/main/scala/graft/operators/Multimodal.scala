@@ -180,6 +180,120 @@ object Multimodal {
                       for p in range(0, (length(hx)//2 + $stride - 1)//$stride)] AS l
               FROM b) t"""
 
+  // --- media near-dup fingerprinting (byte-level minwise signatures) ---
+
+  /** Fingerprint geometry: `FpHashes` minwise permutations over the
+    * byte-4-gram set, banded `FpBands` × `FpBandSize` for candidate
+    * generation — the media-payload analog of the text MinHash+LSH
+    * pipeline ([[Dedup]]), for the modality where word shingles don't
+    * exist (images, audio, video containers). Affine constants are a
+    * pure function of the permutation index so the oracle regenerates
+    * them from the same formula.
+    */
+  val FpHashes = 48
+  val FpBandSize = 4
+  val FpBands: Int = FpHashes / FpBandSize
+  private val FpP: Long = graft.functions.ByteGramHashes.P
+  private[graft] def fpA(j: Int): Long = 100003L + 17L * j
+  private[graft] def fpB(j: Int): Long = 7L + 31L * j
+
+  /** (asset_id, mh: array<long>[FpHashes]) — minwise signatures over
+    * the payload's byte-4-gram hashes. Two staged Projects (the gram
+    * array must materialize ONCE; referencing it from the 48 min
+    * lambdas is safe because CollapseProject refuses to inline a
+    * non-trivial expression used 48 times — same staging discipline as
+    * [[Dedup.minhashSignatures]]). Payloads shorter than 4 bytes have
+    * no gram and are excluded — they cannot carry near-dup signal.
+    */
+  def mediaSignatures(assets: DataFrame): DataFrame = {
+    val withG = assets
+      .filter(length(col("media")) >= Gram4)
+      .select(col("asset_id"),
+        graft.functions.ByteGramHashes.byte_gram_hashes(col("media")).as("g"))
+    val mins = (0 until FpHashes).map { j =>
+      array_min(transform(col("g"), h => (lit(fpA(j)) * h + lit(fpB(j))) % FpP))
+    }
+    withG.select(col("asset_id"), array(mins: _*).as("mh"))
+  }
+  private val Gram4 = graft.functions.ByteGramHashes.Gram
+
+  /** Media near-duplicate pairs: candidates from banded signature
+    * buckets (population-capped, per the [[Dedup.MaxBucket]] viral-
+    * bucket argument), verified by signature agreement — `n_agree` of
+    * the FpHashes components equal, an unbiased estimate of
+    * `J(grams_a, grams_b) ≈ n_agree / FpHashes`. One signature pass,
+    * candidate join on the band key only, verify arithmetic on the
+    * 48-long signatures (never the payloads) — the exact scale shape
+    * of the text pipeline, so the O(docs × bands) analysis carries
+    * over. This is the dedup stage a real media pipeline runs on
+    * perceptual hashes; the byte-gram signature is the codec-free
+    * stand-in with identical plumbing.
+    */
+  def mediaNearDups(assets: DataFrame, minAgree: Int = 36,
+                    cap: Int = Dedup.MaxBucket): DataFrame = {
+    val sig = graft.core.Materialize.checkpoint(mediaSignatures(assets))
+    val bands = (0 until FpBands).map { k =>
+      concat_ws("|", lit(k.toString),
+        aggregate(slice(col("mh"), k * FpBandSize + 1, FpBandSize),
+          lit(0L), (a, v) => (a * 31 + v) % FpP))
+    }
+    val bk = ColOps.capBuckets(
+      sig.select(col("asset_id"), explode(array(bands: _*)).as("bucket")), cap)
+    val a = bk.select(col("bucket"), col("asset_id").as("asset_a"))
+    val b = bk.select(col("bucket").as("bucket_b"), col("asset_id").as("asset_b"))
+    val cand = a.join(b, col("bucket") === col("bucket_b") && col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b")).distinct()
+    val sa = sig.select(col("asset_id").as("asset_a"), col("mh").as("mh_a"))
+    val sb = sig.select(col("asset_id").as("asset_b"), col("mh").as("mh_b"))
+    cand.join(sa, "asset_a").join(sb, "asset_b")
+      .select(col("asset_a"), col("asset_b"),
+        aggregate(zip_with(col("mh_a"), col("mh_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+  }
+
+  /** DuckDB mirror of [[mediaNearDups]] over the documents-backed
+    * assets. Gram hashes skip the per-step mod (see
+    * [[graft.functions.ByteGramHashes.hashGrams]]: with 4-byte grams
+    * the fold never reaches P).
+    */
+  def mediaNearDupsSql(minAgree: Int, cap: Int): String = {
+    val mh = s"""[list_min([((${fpAExpr("j")}) * gg + (${fpBExpr("j")})) % $FpP for gg in gs])
+                 for j in range(0, $FpHashes)]"""
+    s"""WITH b AS (SELECT doc_id AS asset_id, lower(hex(encode(text))) AS hx FROM documents),
+        bs AS (SELECT asset_id,
+                 [(strpos('0123456789abcdef', hx[2*i+1])-1)*16
+                  + (strpos('0123456789abcdef', hx[2*i+2])-1)
+                  for i in range(0, len(hx)//2)] AS bts
+               FROM b WHERE len(hx) >= 8),
+        g AS (SELECT asset_id,
+                [((bts[i+1]*31 + bts[i+2])*31 + bts[i+3])*31 + bts[i+4]
+                 for i in range(0, len(bts)-3)] AS gs
+              FROM bs),
+        sig AS (SELECT asset_id, $mh AS mh FROM g),
+        bk0 AS (SELECT asset_id,
+                  UNNEST([CAST(k AS VARCHAR) || '|' || CAST(
+                            list_reduce(list_prepend(0::BIGINT, mh[4*k+1:4*k+4]),
+                                        (a,v) -> (a*31 + v) % $FpP) AS VARCHAR)
+                          for k in range(0, $FpBands)]) AS bucket
+                FROM sig),
+        bk AS (SELECT asset_id, bucket FROM bk0
+               ${ColOps.capBucketsQualifySql(cap)}),
+        pairs AS (SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+                  FROM bk a JOIN bk b ON a.bucket = b.bucket
+                                     AND a.asset_id < b.asset_id)
+        SELECT p.asset_a, p.asset_b,
+               CAST(len([i for i in range(1, ${FpHashes + 1})
+                         if sa.mh[i] = sb.mh[i]]) AS BIGINT) AS n_agree
+        FROM pairs p
+        JOIN sig sa ON sa.asset_id = p.asset_a
+        JOIN sig sb ON sb.asset_id = p.asset_b
+        WHERE len([i for i in range(1, ${FpHashes + 1})
+                   if sa.mh[i] = sb.mh[i]]) >= $minAgree"""
+  }
+  private def fpAExpr(j: String): String = s"100003 + 17*$j"
+  private def fpBExpr(j: String): String = s"7 + 31*$j"
+
   def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
     assets.select(
       col("asset_id"),

@@ -67,6 +67,49 @@ object Sketches {
         FROM tk"""
   }
 
+  /** Per-group KMV: one (group, k, kth_min, n_in_sketch, est) row per
+    * group — approximate distinct-word cardinality PER CORPUS SLICE
+    * (domain, language, source), the shape a 100-TB profile actually
+    * needs. The k smallest hashes per group are cut with a row_number
+    * window that Spark plans as WindowGroupLimit: every map task keeps
+    * only its local top-k per group BEFORE the exchange, so the shuffle
+    * carries ≤ k·|groups| rows per task, not the corpus vocabulary.
+    */
+  def kmvGroupSketch(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val hashes = df
+      .select(col(groupCol).as("grp"),
+        explode(graft.functions.WordHashes.word_hashes(col(textCol))).as("wh"))
+      .select(col("grp"),
+        ((lit(KmvA) * col("wh") + lit(KmvB)) % TextOps.HashMod).as("hv"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("hv"))
+    hashes.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= K)
+      .groupBy(col("grp"))
+      .agg(max(col("hv")).as("kth_min"), count(lit(1)).as("n_in_sketch"))
+      .select(col("grp"), lit(K.toLong).as("k"),
+        col("kth_min"), col("n_in_sketch"),
+        when(col("n_in_sketch") < K, col("n_in_sketch"))
+          .otherwise(expr(s"${(K - 1).toLong * TextOps.HashMod} div kth_min"))
+          .as("est"))
+  }
+
+  /** DuckDB mirror of [[kmvGroupSketch]] over the documents table. */
+  def kmvGroupSketchSql(groupCol: String): String = {
+    val h = s"(($KmvA * (${TextOps.charHashSql("w")}) + $KmvB) % ${TextOps.HashMod})"
+    s"""WITH hs AS (SELECT DISTINCT $groupCol AS grp, $h AS hv
+                    FROM (SELECT $groupCol, UNNEST(string_split(text, ' ')) AS w
+                          FROM documents) t),
+             rk AS (SELECT grp, hv,
+                           row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+                    FROM hs)
+        SELECT grp, ${K}::BIGINT AS k, max(hv) AS kth_min,
+               count(*) AS n_in_sketch,
+               CASE WHEN count(*) < $K THEN count(*)
+                    ELSE ${(K - 1).toLong * TextOps.HashMod} // max(hv) END AS est
+        FROM rk WHERE rn <= $K GROUP BY grp"""
+  }
+
   // ----- Count-Min sketch (frequency estimation) -----
 
   /** Count-Min dimensions: depth (independent hash rows) × width

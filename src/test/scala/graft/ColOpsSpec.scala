@@ -18,6 +18,18 @@ class ColOpsSpec extends SparkSpec {
     assert(ColOps.table(spark, dir, "events").count() > 0)  // later read fine
   }
 
+  test("kAnonymityAudit: flags exactly the groups below k, with their sizes") {
+    import spark.implicits._
+    val df = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"),          // size 3
+      ("US", "B"),                                     // size 1 — at risk
+      ("DE", "A"), ("DE", "A")).toDF("nation", "seg")  // size 2 — at risk
+    val got = ColOps.kAnonymityAudit(df, Seq("nation", "seg"), 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("group_size"))
+      .toMap
+    assert(got == Map(("US", "B") -> 1L, ("DE", "A") -> 2L), s"got $got")
+  }
+
   test("zipBySeq assumeDense: dense keys pass, sparse keys fail loudly") {
     import spark.implicits._
     val a = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("seq", "va")
@@ -183,6 +195,37 @@ class ColOpsSpec extends SparkSpec {
     assert(rows(1L) == ((bytes.length + 3) / 4, md5hex(keptHex)), s"got ${rows(1L)}")
     // empty payload: row preserved, md5 of the empty string
     assert(rows(2L) == (0L, md5hex("")), s"got ${rows(2L)}")
+  }
+
+  test("byte_gram_hashes: rolling 4-byte polynomial matches a hand fold; short payload empty") {
+    import spark.implicits._
+    val bytes = Array[Byte](0x41, 0xc3.toByte, 0xa9.toByte, 0x21, 0x00, 0x7f)
+    val df = Seq((1L, bytes), (2L, Array[Byte](1, 2, 3))).toDF("asset_id", "media")
+    val got = df.select(col("asset_id"),
+        graft.functions.ByteGramHashes.byte_gram_hashes(col("media")).as("g"))
+      .collect().map(r => r.getAs[Long]("asset_id") -> r.getSeq[Long](1)).toMap
+    val P = graft.functions.ByteGramHashes.P
+    def gram(i: Int) = (i until i + 4).foldLeft(0L)((a, j) => (a * 31 + (bytes(j) & 0xff)) % P)
+    assert(got(1L) == (0 to 2).map(gram), s"got ${got(1L)}")
+    assert(got(2L).isEmpty) // 3 bytes: no 4-gram
+  }
+
+  test("mediaNearDups: identical payloads agree on all components, distinct payloads surface no pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 6
+    val near = base.replace("lazy", "hazy") // small in-place edit
+    val far = "completely different content with no shared byte grams at all " * 5
+    val assets = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("asset_id", "text")
+      .select(col("asset_id"), encode(col("text"), "UTF-8").as("media"))
+    val pairs = Multimodal.mediaNearDups(assets)
+      .collect().map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("n_agree")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == Multimodal.FpHashes.toLong, s"exact dup: $pairs")
+    // the small edit keeps most byte grams: the near pair must surface
+    assert(byPair.contains((1L, 3L)) && byPair((1L, 3L)) >= 36, s"near pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"far doc paired: $pairs")
   }
 
   test("pivotSum == Dataset.pivot semantics, in ONE shuffle instead of two") {

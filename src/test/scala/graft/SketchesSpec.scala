@@ -33,6 +33,23 @@ class SketchesSpec extends SparkSpec {
     acc
   }
 
+  test("kmvGroupSketch: exact fallback below K distinct; groups independent; estimate sane above K") {
+    import spark.implicits._
+    // group "small": 3 distinct words (< K=256) → est must be EXACT;
+    // group "big": 400 distinct words (> K) → KMV estimate within 25%
+    val small = Seq(("small", "alpha beta gamma"), ("small", "alpha beta gamma"))
+    val big = (0 until 40).map(i =>
+      ("big", (0 until 10).map(j => s"w${i * 10 + j}").mkString(" ")))
+    val df = (small ++ big).toDF("lang", "text")
+    val out = Sketches.kmvGroupSketch(df, "lang", "text")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_in_sketch"), r.getAs[Long]("est"))).toMap
+    assert(out("small") == ((3L, 3L)), s"got ${out("small")}")
+    val (nBig, estBig) = out("big")
+    assert(nBig == Sketches.K.toLong)
+    assert(math.abs(estBig - 400L) <= 100L, s"big est=$estBig")
+  }
+
   test("Count-Min: estimate >= true count for every word; <= true + eps*N for the top 50") {
     val cells = Sketches.cmsWordSketch(docs, "text").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
