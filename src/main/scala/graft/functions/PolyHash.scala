@@ -142,3 +142,85 @@ object ByteGramHashes {
     GraftColumnBridge.column(ByteGramHashes(GraftColumnBridge.expression(c)))
   }
 }
+
+/** Native Catalyst expression computing k affine minwise hashes over an
+  * array<long> of element hashes in ONE pass:
+  * `out[j] = min over h of (a[j]*h + b[j]) mod P`.
+  *
+  * The HOF formulation (`array_min(transform(g, ...))` × k) materializes
+  * k intermediate arrays per row and walks the input k times through
+  * lambda-evaluation plumbing; this expression is a single loop over the
+  * input with k running minima in a local array — the signature pass of
+  * both the text MinHash pipeline ([[graft.operators.Dedup]]) and the
+  * media fingerprint ([[graft.operators.Multimodal]]), which at 100 TB
+  * is a per-row cost paid once per document. Values are IDENTICAL to
+  * the HOF form (same affine constants, same mod), so oracles are
+  * unchanged. An empty input yields NULL (no minimum exists), matching
+  * `array_min`'s null-on-empty — callers exclude empty inputs upstream.
+  */
+case class MinwiseHashes(child: Expression, as: Seq[Long], bs: Seq[Long])
+    extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty, "need matching a/b constant vectors")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minwise_hashes needs array<bigint>, got ${other.catalogString}")
+    }
+
+  private lazy val aArr: Array[Long] = as.toArray
+  private lazy val bArr: Array[Long] = bs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    MinwiseHashes.minwise(input.asInstanceOf[ArrayData], aArr, bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minwiseA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minwiseB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinwiseHashes.minwise($c, $aRef, $bRef);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinwiseHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "minwise_hashes"
+}
+
+object MinwiseHashes {
+  val P: Long = WordHashes.P
+
+  /** One pass, k running minima. Returns null for an empty input (no
+    * minimum exists), mirroring array_min.
+    */
+  def minwise(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
+  /** Column-API entry point (Spark 4 Column↔Expression bridge). */
+  def minwise_hashes(c: Column, as: Seq[Long], bs: Seq[Long]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(MinwiseHashes(GraftColumnBridge.expression(c), as, bs))
+  }
+}

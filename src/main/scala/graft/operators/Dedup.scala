@@ -90,10 +90,15 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withSh = shingleHashes(df, idCol, textCol)
-    val mins = (0 until NumHashes).map { i =>
-      array_min(transform(col("sh"), h => (lit(HashA(i)) * h + lit(HashB(i))) % P))
-    }
-    withSh.select(col("doc_id"), col("sh"), array(mins: _*).as("minhash"))
+    // one-pass native minwise (functions.MinwiseHashes): k running minima
+    // in a single loop over the shingle array. Values identical to the
+    // former array_min(transform(...)) × k form; a shingle-less doc gets
+    // a NULL signature (vs an array of NULLs) — equivalent downstream:
+    // element_at(NULL, i) is NULL, and bucket generation filters
+    // size(sh) > 0 before banding either way.
+    withSh.select(col("doc_id"), col("sh"),
+      graft.functions.MinwiseHashes.minwise_hashes(col("sh"), HashA, HashB)
+        .as("minhash"))
   }
 
   /** Incremental (new-vs-corpus) exact dedup — the ingestion shape: keep

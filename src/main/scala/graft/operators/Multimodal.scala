@@ -210,10 +210,11 @@ object Multimodal {
       .filter(length(col("media")) >= Gram4)
       .select(col("asset_id"),
         graft.functions.ByteGramHashes.byte_gram_hashes(col("media")).as("g"))
-    val mins = (0 until FpHashes).map { j =>
-      array_min(transform(col("g"), h => (lit(fpA(j)) * h + lit(fpB(j))) % FpP))
-    }
-    withG.select(col("asset_id"), array(mins: _*).as("mh"))
+    // one-pass native expression: 48 running minima in a single loop
+    // over the gram array (vs 48 transform+array_min walks)
+    withG.select(col("asset_id"),
+      graft.functions.MinwiseHashes.minwise_hashes(col("g"),
+        (0 until FpHashes).map(fpA), (0 until FpHashes).map(fpB)).as("mh"))
   }
   private val Gram4 = graft.functions.ByteGramHashes.Gram
 
