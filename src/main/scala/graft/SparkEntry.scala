@@ -1565,6 +1565,15 @@ object SparkEntry {
     "q_kmv_groups" -> ((s, dir) =>
       Sketches.kmvGroupSketch(ColOps.table(s, dir, "documents"), "lang", "text")),
 
+    // KMV mergeability: sketches of two corpus halves merged by
+    // union + re-cut — identical to the whole-corpus sketch, no rescan
+    "q_kmv_merge" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents")
+      Sketches.kmvMergeSketch(
+        Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0)),
+        "text")
+    }),
+
     // k-anonymity audit: quasi-identifier groups with population < k —
     // the privacy gate before releasing a keyed extract
     "q_k_anonymity" -> ((s, dir) =>
@@ -2370,6 +2379,8 @@ object SparkEntry {
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
 
     "q_kmv_groups" -> Sketches.kmvGroupSketchSql("lang"),
+
+    "q_kmv_merge" -> Sketches.kmvMergeSketchSql("doc_id % 2 = 0"),
 
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size

@@ -94,6 +94,56 @@ object Sketches {
           .as("est"))
   }
 
+  /** KMV MERGE — the property that makes the sketch a 100-TB tool: the
+    * union of two corpus parts is summarized by unioning their k-minimum
+    * hash SETS and re-cutting to the k smallest, never rescanning either
+    * part. The global k smallest hashes are necessarily contained in the
+    * union of each side's k smallest, so the merged sketch is IDENTICAL
+    * to the sketch of the union (SketchesSpec pins this equality; the
+    * oracle checks the merged row itself). Per-part cuts are
+    * `ORDER BY hv LIMIT k` — TakeOrderedAndProject, a top-k, not a
+    * global sort. This is how per-shard / per-day sketches roll up into
+    * corpus-wide cardinality without a second pass over the data.
+    */
+  def kmvMergeSketch(parts: Seq[DataFrame], textCol: String): DataFrame = {
+    val partMins = parts.map { df =>
+      df.select(explode(graft.functions.WordHashes.word_hashes(col(textCol))).as("wh"))
+        .select(((lit(KmvA) * col("wh") + lit(KmvB)) % TextOps.HashMod).as("hv"))
+        .distinct()
+        .orderBy(col("hv")).limit(K)
+    }
+    // distinct again: a value can be in several parts' sketches
+    val merged = partMins.reduce(_ union _).distinct().orderBy(col("hv")).limit(K)
+    merged
+      .agg(max(col("hv")).as("kth_min"), count(lit(1)).as("n_in_sketch"))
+      .select(
+        lit(K.toLong).as("k"),
+        col("kth_min"), col("n_in_sketch"),
+        when(col("n_in_sketch") < K, col("n_in_sketch"))
+          .otherwise(expr(s"${(K - 1).toLong * TextOps.HashMod} div kth_min"))
+          .as("est"))
+  }
+
+  /** DuckDB mirror of [[kmvMergeSketch]] for a two-way split of the
+    * documents table on `partPred` vs NOT `partPred`.
+    */
+  def kmvMergeSketchSql(partPred: String): String = {
+    val h = s"(($KmvA * (${TextOps.charHashSql("w")}) + $KmvB) % ${TextOps.HashMod})"
+    def side(pred: String) =
+      s"""(SELECT DISTINCT $h AS hv
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+                 FROM documents WHERE $pred) t
+           ORDER BY hv LIMIT $K)"""
+    s"""WITH merged AS (SELECT DISTINCT hv FROM
+                          (SELECT hv FROM ${side(partPred)} a
+                           UNION ALL SELECT hv FROM ${side(s"NOT ($partPred)")} b) u
+                        ORDER BY hv LIMIT $K)
+        SELECT ${K}::BIGINT AS k, max(hv) AS kth_min, count(*) AS n_in_sketch,
+               CASE WHEN count(*) < $K THEN count(*)
+                    ELSE ${(K - 1).toLong * TextOps.HashMod} // max(hv) END AS est
+        FROM merged"""
+  }
+
   /** DuckDB mirror of [[kmvGroupSketch]] over the documents table. */
   def kmvGroupSketchSql(groupCol: String): String = {
     val h = s"(($KmvA * (${TextOps.charHashSql("w")}) + $KmvB) % ${TextOps.HashMod})"

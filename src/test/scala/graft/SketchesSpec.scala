@@ -50,6 +50,18 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(estBig - 400L) <= 100L, s"big est=$estBig")
   }
 
+  test("kmvMergeSketch: merged part-sketches EQUAL the whole-corpus sketch") {
+    val whole = Sketches.kmvWordSketch(docs, "text").head()
+    val merged = Sketches.kmvMergeSketch(
+      Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0)),
+      "text").head()
+    assert(merged == whole, s"merged=$merged whole=$whole")
+    // and a 3-way split merges to the same row too
+    val merged3 = Sketches.kmvMergeSketch(
+      (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r)), "text").head()
+    assert(merged3 == whole, s"merged3=$merged3 whole=$whole")
+  }
+
   test("Count-Min: estimate >= true count for every word; <= true + eps*N for the top 50") {
     val cells = Sketches.cmsWordSketch(docs, "text").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
