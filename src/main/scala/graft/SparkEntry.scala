@@ -1395,6 +1395,19 @@ object SparkEntry {
       ColOps.table(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
+    // language-ID confusion matrix: declared lang × predicted lang —
+    // the classifier-eval aggregate (one hash aggregate, |langs|² rows)
+    "q_lang_confusion" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))),
+
+    // cross-split near-dup leakage audit: near-dup pairs spanning
+    // train/val/test boundaries (empty output = leakage-free split)
+    "q_split_leakage" -> ((s, dir) =>
+      Sampling.splitLeakage(ColOps.table(s, dir, "documents"),
+        "doc_id", "text", SplitCuts, 0.5)),
+
     // quality scoring
     "q_text_quality" -> ((s, dir) => {
       val d = ColOps.table(s, dir, "documents")
@@ -2325,6 +2338,27 @@ object SparkEntry {
       s"SELECT doc_id, ${Dedup.simhashSql} AS simhash FROM documents",
 
     "q_lang_id" -> langIdSql,
+
+    "q_lang_confusion" ->
+      s"""SELECT d.lang, p.lang_pred, COUNT(*) AS n
+          FROM documents d JOIN ($langIdSql) p USING (doc_id)
+          GROUP BY d.lang, p.lang_pred""",
+
+    "q_split_leakage" ->
+      s"""WITH $candidatePairsCtes,
+          jp AS (SELECT p.doc_a, p.doc_b,
+                   CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+                   CAST(len(sa.sh) + len(sb.sh)
+                        - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) AS jaccard
+                 FROM pairs p
+                 JOIN sig sa ON sa.doc_id = p.doc_a
+                 JOIN sig sb ON sb.doc_id = p.doc_b)
+          SELECT * FROM
+            (SELECT doc_a, doc_b,
+                    ${Sampling.hashSplitSql("doc_a", SplitCuts)} AS split_a,
+                    ${Sampling.hashSplitSql("doc_b", SplitCuts)} AS split_b
+             FROM jp WHERE jaccard >= 0.5) t
+          WHERE split_a <> split_b""",
 
     "q_text_quality" ->
       s"""SELECT doc_id,

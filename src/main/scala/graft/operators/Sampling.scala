@@ -205,6 +205,26 @@ object Sampling {
     ((id % TextOps.HashMod) * a + b) % TextOps.HashMod
   }
 
+  /** Cross-split LEAKAGE audit — the check a training pipeline runs
+    * after [[hashSplit]]: near-duplicate pairs whose members landed in
+    * DIFFERENT splits (a val/test doc with a train-side near-copy
+    * silently inflates eval). Candidate generation and verify are the
+    * scale-shaped [[Dedup.jaccardPairs]] (banded MinHash buckets, caps,
+    * never all-pairs); split membership is recomputed from the id hash,
+    * so the audit needs no split materialization. Output: one row per
+    * offending pair with both split labels — empty means leakage-free.
+    */
+  def splitLeakage(df: DataFrame, id: String, textCol: String,
+                   cuts: Seq[(String, Int)], minJ: Double): DataFrame = {
+    val splits = hashSplit(df.select(col(id)), id, cuts)
+    val pairs = Dedup.jaccardPairs(df, id, textCol).filter(col("jaccard") >= minJ)
+    pairs
+      .join(splits.select(col(id).as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col(id).as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+  }
+
   /** SQL mirror of [[epochKey]]. */
   def epochKeySql(id: String, seed: Long): String = {
     val a = (ScatterA * (2 * seed + 1)) % TextOps.HashMod

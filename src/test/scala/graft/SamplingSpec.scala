@@ -84,6 +84,38 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakage: flags exactly the near-dup pairs that span splits") {
+    import spark.implicits._
+    val cuts = Seq("train" -> 500, "test" -> 1000)
+    // find ids on both sides of the split boundary (membership is a pure
+    // function of the id, so probe first)
+    val probe = Sampling.hashSplit(
+        spark.range(1, 51).toDF("doc_id"), "doc_id", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = probe.keys.min
+    val b = probe.collect { case (id, s) if s != probe(a) => id }.min
+    val c = probe.collect { case (id, s) if s == probe(a) && id != a => id }.min
+    val famX = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val famY = "one two three four five six seven eight nine ten eleven " * 3
+    val docs = Seq(
+      a -> famX, b -> (famX + "tail"),             // near-dups ACROSS splits
+      c -> famY, (c + 100) -> (famY + "tail"))     // near-dups, c+100 split unknown
+      .toDF("doc_id", "text")
+    val flagged = Sampling.splitLeakage(docs, "doc_id", "text", cuts, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // (a, b) must be flagged with its two distinct labels
+    val ab = flagged.find(p => Set(p._1, p._2) == Set(a, b))
+    assert(ab.isDefined, s"cross-split pair not flagged: ${flagged.toList}")
+    assert(ab.get._3 != ab.get._4)
+    // the famY pair is flagged IFF its members' splits differ — cross-check
+    val fam2Cross = Sampling.hashSplit(Seq(c, c + 100).toDF("doc_id"), "doc_id", cuts)
+      .collect().map(_.getString(1)).distinct.length == 2
+    assert(flagged.exists(p => Set(p._1, p._2) == Set(c, c + 100)) == fam2Cross,
+      s"fam2 flag mismatch: ${flagged.toList}")
+    // and never a same-family same-split false positive beyond those two pairs
+    assert(flagged.forall(p => Set(p._1, p._2) == Set(a, b) || Set(p._1, p._2) == Set(c, c + 100)))
+  }
+
   test("interleave 3:1: schedule positions collision-free, per-side order kept") {
     import spark.implicits._
     val a = RowExec.withDenseSeq((0L until 9L).map(i => (i * 10, "A")).toDF("v", "tag"),
