@@ -1668,6 +1668,11 @@ object SparkEntry {
     "q_embed_centroid" -> ((s, dir) =>
       Similarity.labelCentroids(Similarity.embeddings(s, dir, Seq("label")))),
 
+    // embedding outliers: top-3 farthest from own-label centroid, in
+    // cnt²-scaled exact-integer distance (mislabeled-vector triage)
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.embedOutliers(Similarity.embeddings(s, dir, Seq("label")))),
+
     // embedding-cosine near-dup pairs within LSH buckets (0.35 ≈ the
     // 99.9th percentile of pairwise cosine on these random embeddings —
     // high enough to be selective, low enough to produce verifiable rows)
@@ -2521,6 +2526,8 @@ object SparkEntry {
       s"""SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
           FROM (${Similarity.quantizeInt8Sql()}) qq""",
     "q_embed_centroid" -> Similarity.labelCentroidsSql,
+
+    "q_embed_outliers" -> Similarity.embedOutliersSql(3),
     "q_kmeans_step" -> Similarity.kmeansStepSql(),
     "q_semdedup" -> Similarity.semDedupSql(0.35),
 

@@ -191,6 +191,22 @@ class SimilaritySpec extends SparkSpec {
     rows.filter(_._1 < k).foreach { case (v, _, code) => assert(code == v) }
   }
 
+  test("embedOutliers: planted far vectors rank first in their labels; rank cut respected") {
+    import spark.implicits._
+    val base = Seq(1.0, 0.5, -0.5, 0.25)
+    def near(i: Int): Seq[Double] = base.map(_ + i * 0.01)
+    val a = (0L until 9L).map(i => (i, 0L, near(i.toInt)))
+    val plantedA = Seq((9L, 0L, Seq(-1.0, -0.5, 0.5, -0.25)))   // opposite direction
+    val b = (10L until 19L).map(i => (i, 1L, near(i.toInt)))
+    val plantedB = Seq((19L, 1L, Seq(5.0, 5.0, 5.0, 5.0)))      // different direction
+    val df = (a ++ plantedA ++ b ++ plantedB).toDF("vec_id", "label", "emb")
+    val out = Similarity.embedOutliers(df, 1).collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Long]("vec_id")).toMap
+    assert(out == Map(0L -> 9L, 1L -> 19L), s"got $out")
+    val top3 = Similarity.embedOutliers(df, 3).collect()
+    assert(top3.length == 6 && top3.forall(_.getAs[Long]("rnk") <= 3L))
+  }
+
   test("quantizeInt8: values land in [-127,127], round-trip error bounded, zero vector safe") {
     val vecs = Seq(
       (0L, randVec()),
