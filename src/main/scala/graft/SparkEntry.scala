@@ -1625,6 +1625,23 @@ object SparkEntry {
         quantum = streamQuantum(vals.size))
     }),
 
+    // trending terms IN-stream: Complete-mode word-count aggregation fed
+    // document-by-document, then the deterministic top-k snapshot cut
+    // (total order (n desc, word) → TakeOrderedAndProject) on the final
+    // micro-batch's table — the live "what is the corpus saying" panel
+    "q_trending_stream" -> ((s, dir) => {
+      import s.implicits._
+      val texts = ColOps.table(s, dir, "documents")
+        .select(col("text")).as[String].collect().toSeq
+      val counts = graft.streaming.StreamExec.runStreamingComplete[Tuple1[String]](
+        s, texts.map(Tuple1(_)),
+        ds => ds.toDF("text")
+          .select(explode(TextOps.words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n")),
+        quantum = streamQuantum(texts.size))
+      counts.orderBy(col("n").desc, col("word")).limit(25)
+    }),
+
     // brute-force cosine top-3 (broadcast queries, partitioned ranking)
     "q_embed_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, dir), 20, 3)),
@@ -2429,6 +2446,11 @@ object SparkEntry {
     "q_histogram" -> Sketches.histogramSql("value", 0.0, 500.0, 25),
     // streaming-executed twin: Complete-mode final snapshot ≡ batch sketch
     "q_histogram_stream" -> Sketches.histogramSql("value", 0.0, 500.0, 25),
+
+    "q_trending_stream" ->
+      """SELECT w AS word, COUNT(*) AS n
+         FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
+         GROUP BY w ORDER BY n DESC, word LIMIT 25""",
     "q_bloom" -> Sketches.bloomWordFilterSql,
 
     "q_tfidf" -> Relevance.tfIdfSql,
