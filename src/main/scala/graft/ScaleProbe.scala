@@ -104,6 +104,16 @@ object ScaleProbe {
       graft.operators.TextOps.pmiCollocations(d, "text", 5L).count())
     probePair("bpePairs", docs, bigDocs, d =>
       graft.operators.TextOps.charPairCounts(d, "text", 5L).count())
+    // media fingerprint SIGNATURE pass (the dominant cost of
+    // q_media_neardup): per-row work, linear axis. The pair stage is
+    // deliberately not probed on copied fixtures — exact copies are
+    // near-dups of each other by construction, so output pairs grow
+    // ~copies² per family, measuring the fixture, not the operator.
+    def assetsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("media"))
+    probePair("mediaSignatures", assetsOf(docs), assetsOf(bigDocs), d =>
+      graft.operators.Multimodal.mediaSignatures(d).count())
 
     // --- embeddings probe: PQ two-stage search (codes + ADC + re-rank);
     //     collection grows N×, query set stays fixed — the serving axis ---
