@@ -82,8 +82,10 @@ object Bench {
       // vs the same code in a fresh JVM. Explicit cleanup makes each
       // measurement heap-size-independent.
       spark.sharedState.cacheManager.clearCache()
+      // blocking: the removal work must finish BEFORE the next query's
+      // timed window opens, or cleanup cost bleeds into its measurement
       spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       timed
     }
     val qs = results.map {

@@ -2367,14 +2367,7 @@ object SparkEntry {
           GROUP BY d.lang, p.lang_pred""",
 
     "q_split_leakage" ->
-      s"""WITH $candidatePairsCtes,
-          jp AS (SELECT p.doc_a, p.doc_b,
-                   CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
-                   CAST(len(sa.sh) + len(sb.sh)
-                        - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) AS jaccard
-                 FROM pairs p
-                 JOIN sig sa ON sa.doc_id = p.doc_a
-                 JOIN sig sb ON sb.doc_id = p.doc_b)
+      s"""WITH jp AS ($jaccardPairsSql)
           SELECT * FROM
             (SELECT doc_a, doc_b,
                     ${Sampling.hashSplitSql("doc_a", SplitCuts)} AS split_a,

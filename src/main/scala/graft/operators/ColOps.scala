@@ -43,11 +43,17 @@ object ColOps {
     * results. Footer-only probe, memoized per path.
     */
   private val eventsUnitIsMicros =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]
   private def readEvents(spark: SparkSession, path: String): DataFrame = {
-    val isMicros = eventsUnitIsMicros.computeIfAbsent(path, { p =>
+    // memo key includes the file mtime: a long-lived JVM that sees the
+    // fixture regenerated in place re-probes instead of silently reading
+    // the new drop with the old unit (1000× wrong everywhere downstream)
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+      catch { case _: Throwable => 0L }
+    val isMicros = eventsUnitIsMicros.computeIfAbsent((path, mtime), { _ =>
       try {
-        spark.read.parquet(p).schema("ts").dataType match {
+        spark.read.parquet(path).schema("ts").dataType match {
           case TimestampType | TimestampNTZType => java.lang.Boolean.TRUE
           case _ => java.lang.Boolean.FALSE // already integer-typed: raw ns
         }
@@ -376,20 +382,6 @@ object ColOps {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
-  /** Per-group z-score outlier flags in EXACT integer arithmetic: rows
-    * where |v − mean(v)| > k·stddev_pop(v) within their group, decided
-    * without ever computing a float. The test is squared and multiplied
-    * through by n² so both sides stay integral:
-    *   (n·v − S)² > k²·(n·SS − S²)      [S = Σv, SS = Σv², per group]
-    * with every term aggregated AND compared in DECIMAL(38,0) — the
-    * binding constraint is S² < 10³⁸, i.e. n·|v|ₘₐₓ ≲ 10¹⁹ per group
-    * (|v| ≲ 1e9 cents at n ≈ 1e9 rows/group holds comfortably; past it,
-    * Spark's decimal overflow yields NULL → the row is silently
-    * unflagged, so size the micro-scaling to the group cardinality). Plan: one hash aggregate to |groups| rows, broadcast back
-    * onto a second scan — no window, no sort, two passes total (the
-    * one-pass alternative buffers the group in memory, which is the
-    * non-scalable shape). `v` must be integral (cents-style micro-scaled).
-    */
   /** k-anonymity audit: the quasi-identifier groups whose population is
     * below `k` — the privacy gate a pipeline runs before releasing an
     * extract keyed on demographic-ish attributes (a row in a group of
@@ -404,6 +396,20 @@ object ColOps {
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
 
+  /** Per-group z-score outlier flags in EXACT integer arithmetic: rows
+    * where |v − mean(v)| > k·stddev_pop(v) within their group, decided
+    * without ever computing a float. The test is squared and multiplied
+    * through by n² so both sides stay integral:
+    *   (n·v − S)² > k²·(n·SS − S²)      [S = Σv, SS = Σv², per group]
+    * with every term aggregated AND compared in DECIMAL(38,0) — the
+    * binding constraint is S² < 10³⁸, i.e. n·|v|ₘₐₓ ≲ 10¹⁹ per group
+    * (|v| ≲ 1e9 cents at n ≈ 1e9 rows/group holds comfortably; past it,
+    * Spark's decimal overflow yields NULL → the row is silently
+    * unflagged, so size the micro-scaling to the group cardinality). Plan: one hash aggregate to |groups| rows, broadcast back
+    * onto a second scan — no window, no sort, two passes total (the
+    * one-pass alternative buffers the group in memory, which is the
+    * non-scalable shape). `v` must be integral (cents-style micro-scaled).
+    */
   def zOutliers(df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
     val d = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     // the casts must sit INSIDE the sums: a LongType Σv² wraps silently

@@ -198,12 +198,12 @@ object Multimodal {
   private[graft] def fpB(j: Int): Long = 7L + 31L * j
 
   /** (asset_id, mh: array<long>[FpHashes]) — minwise signatures over
-    * the payload's byte-4-gram hashes. Two staged Projects (the gram
-    * array must materialize ONCE; referencing it from the 48 min
-    * lambdas is safe because CollapseProject refuses to inline a
-    * non-trivial expression used 48 times — same staging discipline as
-    * [[Dedup.minhashSignatures]]). Payloads shorter than 4 bytes have
-    * no gram and are excluded — they cannot carry near-dup signal.
+    * the payload's byte-4-gram hashes, via the two native expressions:
+    * `byte_gram_hashes` (one loop over the payload) feeding
+    * `minwise_hashes` (one loop over the grams, FpHashes running
+    * minima) — the gram array is consumed exactly once, so no staging
+    * discipline is needed here. Payloads shorter than 4 bytes have no
+    * gram and are excluded — they cannot carry near-dup signal.
     */
   def mediaSignatures(assets: DataFrame): DataFrame = {
     val withG = assets

@@ -171,18 +171,25 @@ object Sampling {
     * final split name. E.g. train/val/test 80/10/10 with denom 1000:
     * `Seq("train" -> 800, "val" -> 900, "test" -> 1000)`.
     */
-  def hashSplit(df: DataFrame, id: String,
-                cuts: Seq[(String, Int)], denom: Int = 1000): DataFrame = {
+  /** Split label of an id as a PURE per-row expression — the form that
+    * composes with no join and no extra scan ([[splitLeakage]] applies
+    * it directly to a pair list's two id columns).
+    */
+  def splitExpr(id: org.apache.spark.sql.Column,
+                cuts: Seq[(String, Int)], denom: Int = 1000): org.apache.spark.sql.Column = {
     require(cuts.nonEmpty && cuts.last._2 == denom,
       s"hashSplit: last cut must equal denom=$denom")
     require(cuts.map(_._2) == cuts.map(_._2).sorted.distinct,
       "hashSplit: cuts must be strictly increasing")
-    val bucket = scatter(col(id)) % denom
-    val split = cuts.init.reverse.foldLeft(lit(cuts.last._1)) {
+    val bucket = scatter(id) % denom
+    cuts.init.reverse.foldLeft(lit(cuts.last._1)) {
       case (els, (name, ub)) => when(bucket < ub, lit(name)).otherwise(els)
     }
-    df.withColumn("split", split)
   }
+
+  def hashSplit(df: DataFrame, id: String,
+                cuts: Seq[(String, Int)], denom: Int = 1000): DataFrame =
+    df.withColumn("split", splitExpr(col(id), cuts, denom))
 
   /** The oracle-side mirror of [[hashSplit]] (same constants/CASE). */
   def hashSplitSql(id: String, cuts: Seq[(String, Int)], denom: Int = 1000): String = {
@@ -216,13 +223,14 @@ object Sampling {
     */
   def splitLeakage(df: DataFrame, id: String, textCol: String,
                    cuts: Seq[(String, Int)], minJ: Double): DataFrame = {
-    val splits = hashSplit(df.select(col(id)), id, cuts)
     val pairs = Dedup.jaccardPairs(df, id, textCol).filter(col("jaccard") >= minJ)
-    pairs
-      .join(splits.select(col(id).as("doc_a"), col("split").as("split_a")), "doc_a")
-      .join(splits.select(col(id).as("doc_b"), col("split").as("split_b")), "doc_b")
+    // membership is a pure function of the id ([[splitExpr]]), so both
+    // labels attach as per-row expressions on the pair list — zero
+    // extra scans, zero joins
+    pairs.select(col("doc_a"), col("doc_b"),
+        splitExpr(col("doc_a"), cuts).as("split_a"),
+        splitExpr(col("doc_b"), cuts).as("split_b"))
       .filter(col("split_a") =!= col("split_b"))
-      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
   }
 
   /** SQL mirror of [[epochKey]]. */
