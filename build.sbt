@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g is the benched operating point (BASELINE.md methodology): small
+  // enough that G1 mixed collections stay short, large enough that the
+  // 32-thread shuffle working set never spills pathologically. 8g showed
+  // GC-contaminated outliers; 48g stalls AND starves the GC-triggered
+  // ContextCleaner. Pin G1 explicitly so a JDK default change can't
+  // silently swap collectors under the recorded numbers.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+UseG1GC",
 )

@@ -45,6 +45,13 @@ object Bench {
     // for isolating one query's cost in a fresh JVM (cross-query JVM
     // state, GC, and listener accumulation excluded by construction).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a typo'd name must fail loudly, not silently produce a partial run
+    // whose JSON looks like a valid result
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
@@ -81,11 +88,16 @@ object Bench {
       // q_pack_seqs/q_consecutive/q_bucket_join late in a 157-query run
       // vs the same code in a fresh JVM. Explicit cleanup makes each
       // measurement heap-size-independent.
-      spark.sharedState.cacheManager.clearCache()
-      // blocking: the removal work must finish BEFORE the next query's
-      // timed window opens, or cleanup cost bleeds into its measurement
+      // Order matters: clearCache() unpersists cached plans with
+      // blocking=false and drops them from persistentRdds immediately, so
+      // a loop run AFTER it would never see them and async block removal
+      // could bleed into the next query's timed window. Unpersist every
+      // live persistent RDD (cached plans + checkpoints) blocking FIRST,
+      // then clearCache() to reset the cacheManager bookkeeping (its own
+      // unpersist is then a no-op on already-released RDDs).
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
       timed
     }
     val qs = results.map {

@@ -58,8 +58,17 @@ object ColOps {
           case _ => java.lang.Boolean.FALSE // already integer-typed: raw ns
         }
       } catch {
-        // inference rejects TIMESTAMP(NANOS) → the ns-file drop
-        case _: Throwable => java.lang.Boolean.FALSE
+        // ONLY the schema-inference rejection means "ns drop" (Spark 4's
+        // footer reader refuses TIMESTAMP(NANOS) with an analysis /
+        // unsupported-type error). Anything else — transient IO, OOM —
+        // must propagate so computeIfAbsent does NOT memoize a wrong unit
+        // for this mtime while the main read later succeeds (1000x skew).
+        case _: org.apache.spark.sql.AnalysisException => java.lang.Boolean.FALSE
+        case e: Throwable
+            if Option(e.getMessage).exists(m =>
+              m.toLowerCase.contains("unsupported") ||
+              m.toLowerCase.contains("illegal parquet type")) =>
+          java.lang.Boolean.FALSE
       }
     })
     val raw = spark.read.schema(EventsSchema).parquet(path)

@@ -79,8 +79,11 @@ object Relevance {
     // total tokens == sum of tf (every token, empties included, lands in
     // exactly one term-count row) — read the small checkpointed table
     // instead of re-splitting the full text column a second time
+    // broadcast() on the 1-row aggregate for uniformity with the outer
+    // stats attach: statless aggregates can otherwise plan as
+    // CartesianProduct (PlanSpec pins the BroadcastNestedLoopJoin shape)
     val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tf.agg(sum(col("tf")).cast("long").as("total_tokens")))
+      .crossJoin(broadcast(tf.agg(sum(col("tf")).cast("long").as("total_tokens"))))
     val joined = tf.join(dfreq, "word")
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
       .crossJoin(broadcast(stats))

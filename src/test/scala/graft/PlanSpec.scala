@@ -289,6 +289,18 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
         s"$q stats join is not broadcast:\n$p")
     }
+    // with auto-broadcast OFF, the explicit broadcast() hints must still
+    // carry every 1-row stats attach as BroadcastNestedLoopJoin — an
+    // unhinted statless aggregate would degrade to CartesianProduct here
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pb = plan(SparkEntry.queries("q_bm25")(spark, dir))
+      assert(!pb.contains("CartesianProduct"),
+        s"bm25 stats attach degrades to cartesian without auto-broadcast:\n$pb")
+      assert(pb.contains("BroadcastNestedLoopJoin"),
+        s"bm25 stats attach is not a broadcast nested loop:\n$pb")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q_bigrams: top-k is TakeOrderedAndProject over a partial-combined count, no global sort") {
