@@ -90,6 +90,21 @@ object ScaleProbe {
       docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
     }.reduce(_ union _)
 
+    // the composed flagship end-to-end (quality filter → exact-dedup
+    // keep-best → prefix-sum concat-split packing): the chain most like
+    // a real corpus build — same operator calls as q_pipeline, probed
+    // whole so the stage handoffs (join after filter, materialized
+    // canonical set, packing's range exchange) are in the measurement
+    probePair("pipeline", docs, bigDocs, { d =>
+      val keepIds = graft.operators.TextOps.qualityFilter(d, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val kept = d.join(keepIds, "doc_id")
+      val canonical = graft.operators.Dedup.exact(kept, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = kept.join(canonical, "doc_id")
+      graft.operators.Packing.concatSplit(survivors, "doc_id", "text",
+        SparkEntry.PackBudget).count()
+    })
     probePair("contamination", docs, bigDocs, d =>
       graft.operators.Dedup.contaminatedBy(
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),

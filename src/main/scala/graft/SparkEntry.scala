@@ -68,7 +68,7 @@ object SparkEntry {
     * greedy oracle replays the same first-fit fold as a recursive CTE —
     * recursion depth = PackGroup, the per-group doc count.
     */
-  private val PackBudget = 256L
+  private[graft] val PackBudget = 256L
   private val PackGroup = 100L
 
   /** train/val/test cumulative per-mille cuts for q_split. */
@@ -313,6 +313,36 @@ object SparkEntry {
       tmp
     })
 
+  /** documents staged as a shard DIRECTORY for the file-SOURCE streaming
+    * query: 4 text files, each line `doc_id<TAB>text` with newlines
+    * sanitized (the q_text_lines convention — mirrored in the oracle),
+    * doc_id % 4 picking the shard. This is a real ingestion directory:
+    * the streaming reader discovers the files itself (one per
+    * micro-batch via maxFilesPerTrigger), so NO driver-fed rows enter
+    * the query. Per-JVM-unique dir, registered only after a successful
+    * write (same discipline as [[stagedPartitionedParquet]]).
+    */
+  private val textShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedTextShards(s: SparkSession, dir: String): java.nio.file.Path =
+    textShardDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_textshards_")
+      val rows = ColOps.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      (0 until 4).foreach { i =>
+        val lines = rows.iterator
+          .filter(_.getLong(0) % 4 == i)
+          .map(r => s"${r.getLong(0)}\t${r.getString(1).replace('\n', ' ')}")
+          .mkString("\n")
+        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.txt"),
+          lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      tmp
+    })
+
   /** events rewritten as 64 deliberately tiny parquet files, then
     * size-targeted compacted ([[Layout.compactParquet]]) — the fixture
     * for q_compact. The query reads the COMPACTED directory; content
@@ -480,6 +510,24 @@ object SparkEntry {
       graft.streaming.StreamExec.runStreaming(
         s, elems, graft.streaming.StreamPipes.mapAccumTws(0L)(
           (a: Long, prev: Long) => (a, a - prev)),
+        quantum = streamQuantum(elems.size))
+        .select(col("seq"), col("value").as("delta"))
+    }),
+
+    // the parquet FILE SINK executed end-to-end: the same stateful delta
+    // pipe as q_delta_stream, but landing in a REAL parquet sink with a
+    // checkpointLocation — per-micro-batch atomic file commits in the
+    // sink's _spark_metadata log, offsets in the checkpoint — and the
+    // query result is the READ-BACK of the sink files, i.e. exactly what
+    // a downstream job would consume. Same oracle as q_map_accum: sink
+    // choice must not change a pipe's semantics.
+    "q_parquet_sink_stream" -> ((s, dir) => {
+      val elems = centsElems(s, dir)
+      graft.streaming.StreamExec.runStreamingToParquetSink[Elem[Long]](
+        s, elems,
+        ds => graft.streaming.StreamPipes.mapAccumTws(0L)(
+            (a: Long, prev: Long) => (a, a - prev))
+          .apply(graft.core.SStream(ds)).ds.toDF(),
         quantum = streamQuantum(elems.size))
         .select(col("seq"), col("value").as("delta"))
     }),
@@ -1047,6 +1095,16 @@ object SparkEntry {
         Sources.affineJump(a, c, m)).ds.toDF()
     }),
 
+    // §2.1 unfold, DISTRIBUTED (Sources.unfoldSegmented): Fibonacci mod
+    // 1e9+7 — a genuinely 2-dimensional recurrence state, NO leapfrog
+    // and no closed form used. Partition i replays the cheap state step
+    // past its prefix, then materializes only its own segment; the
+    // oracle is the same recurrence as a DuckDB recursive CTE.
+    "q_unfold_fib" -> ((s, _) =>
+      Sources.unfoldSegmented[Long, (Long, Long)](s,
+        { case (a, b) => (a, (b, (a + b) % 1000000007L)) },
+        (0L, 1L), 5000L).ds.toDF()),
+
     // §2.1 replicate
     "q_replicate" -> ((s, _) => {
       implicit val enc: Encoder[Elem[String]] = Elem.enc[String]
@@ -1446,6 +1504,28 @@ object SparkEntry {
           ds.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
           "doc_id", "text"),
         quantum = streamQuantum(docs.size))
+    }),
+
+    // §2.2 sourceHandleLines as a PRODUCTION INGESTION SOURCE — the
+    // streaming query whose input is a real `readStream.text` over a
+    // staged shard directory: the reader discovers the 4 shard files
+    // itself (maxFilesPerTrigger=1 → one genuine micro-batch per file),
+    // no driver-fed rows anywhere, and the stateless quality rule
+    // battery runs in-stream. Lines carry "doc_id<TAB>text" (first-tab
+    // split is exact — doc_id digits contain no tab); the oracle is the
+    // batch rule battery over the same newline-sanitized text (a CTE
+    // shadows the documents table with the staging convention).
+    "q_file_stream" -> ((s, dir) => {
+      val shards = stagedTextShards(s, dir)
+      graft.streaming.StreamExec.runSourceStream(s) {
+        val lines = s.readStream
+          .option("maxFilesPerTrigger", "1").text(shards.toString)
+        val parsed = lines.select(
+          expr("CAST(substring(value, 1, instr(value, '\t') - 1) AS BIGINT)")
+            .as("doc_id"),
+          expr("substring(value, instr(value, '\t') + 1)").as("text"))
+        TextOps.qualityFilter(parsed, "doc_id", "text")
+      }
     }),
 
     // token counting (BPE-ish regex tokens)
@@ -2078,6 +2158,9 @@ object SparkEntry {
     // streaming-executed twins: SAME oracle text by construction
     "q_scan_stream" -> ScanOracleSql,
     "q_delta_stream" -> MapAccumOracleSql,
+    // same pipe, real parquet sink: the read-back must equal the batch
+    // delta encoding — sink machinery cannot change semantics
+    "q_parquet_sink_stream" -> MapAccumOracleSql,
     "q_pairs" ->
       """SELECT event_id AS seq, lag(value) OVER (ORDER BY event_id) AS prev_value, value
          FROM events QUALIFY prev_value IS NOT NULL""",
@@ -2165,6 +2248,12 @@ object SparkEntry {
            UNION ALL
            SELECT seq + 1, (1103515245 * value + 12345) % 2147483648 FROM t WHERE seq < 9999)
          SELECT seq, value FROM t WHERE seq >= 0""",
+    "q_unfold_fib" ->
+      """WITH RECURSIVE t(seq, a, b) AS (
+           SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+           UNION ALL
+           SELECT seq + 1, b, (a + b) % 1000000007 FROM t WHERE seq < 4999)
+         SELECT seq, a AS value FROM t""",
     "q_replicate" ->
       "SELECT CAST(t.i AS BIGINT) AS seq, 'x' AS value FROM range(200) t(i)",
     "q_passthrough" ->
@@ -2389,6 +2478,13 @@ object SparkEntry {
     "q_quality_filter" -> TextOps.qualityFilterSql(allStopsSql),
     // streaming-executed twin: stateless map ≡ the batch rule battery
     "q_quality_filter_stream" -> TextOps.qualityFilterSql(allStopsSql),
+    // file-SOURCE streaming twin: the staged shard lines sanitize
+    // newlines (one doc per line), so the oracle shadows `documents`
+    // with the same sanitization before running the identical battery
+    "q_file_stream" ->
+      s"""WITH documents AS (SELECT doc_id, replace(text, chr(10), ' ') AS text
+                             FROM documents)
+          ${TextOps.qualityFilterSql(allStopsSql)}""",
     "q_lm_score" -> TextOps.bigramLmScoreSql,
 
     "q_token_count" ->

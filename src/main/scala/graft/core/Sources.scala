@@ -124,6 +124,49 @@ object Sources {
     fromSeq(spark, it.take(n.toInt).toSeq)
   }
 
+  /** unfold, DISTRIBUTED for bounded general recurrences (reference
+    * `Combinators.hs:121-130`): partition i of `segments` REPLAYS the
+    * pure state transition past its first i·segLen steps WITHOUT
+    * materializing elements, then generates exactly its own segment.
+    * A general s → (a, s) recurrence is inherently sequential, so the
+    * total step-call count is O(n·segments/2) — but each task makes at
+    * most n calls and they run in PARALLEL, and element construction,
+    * encoding, and everything downstream is fully distributed. The
+    * right trade when the step is cheap arithmetic and the element /
+    * downstream work dominates; [[unfold]] stays the driver-side form
+    * for expensive steps, [[iterateJump]] the O(log k) form when a
+    * skip-ahead exists. `f` and `s0` ship to tasks — they must be
+    * serializable and PURE (each partition replays the same prefix).
+    */
+  def unfoldSegmented[A: TypeTag, S](spark: SparkSession, f: S => (A, S),
+                                     s0: S, n: Long,
+                                     segments: Int = 32): SStream[A] = {
+    require(segments > 0, s"unfoldSegmented: segments=$segments")
+    require(n >= 0, s"unfoldSegmented: n=$n")
+    implicit val e: Encoder[Elem[A]] = Elem.enc[A]
+    val segLen = (n + segments - 1) / math.max(1, segments)
+    val ds = spark.range(0, segments.toLong, 1, segments).flatMap { i =>
+      val start = i * segLen
+      val end = math.min(n, start + segLen)
+      if (start >= end) Iterator.empty[Elem[A]]
+      else {
+        var s = s0
+        var k = 0L
+        while (k < start) { s = f(s)._2; k += 1 }
+        new Iterator[Elem[A]] {
+          private var st = s
+          private var pos = start
+          def hasNext: Boolean = pos < end
+          def next(): Elem[A] = {
+            val (a, s2) = f(st); st = s2
+            val el = Elem(pos, a); pos += 1; el
+          }
+        }
+      }
+    }
+    SStream(ds)
+  }
+
   /** unfoldMaybe (reference `Combinators.hs:110-115`): unfold until None. */
   def unfoldMaybe[A: TypeTag, S](spark: SparkSession, f: S => Option[(A, S)], s0: S): SStream[A] = {
     val buf = Seq.newBuilder[A]

@@ -292,6 +292,77 @@ object StreamExec {
       build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
     runBuilt(spark, OutputMode.Complete(), elems, build, quantum)
 
+  /** Run a plan whose SOURCE is a real unbounded stream reader (file
+    * discovery here; the same contract covers Kafka/rate readers) to the
+    * memory sink — the production-ingestion twin of the MemoryStream
+    * proofs: NO driver-fed rows anywhere. The reader discovers its input
+    * itself, `maxFilesPerTrigger` on the reader decides the micro-batch
+    * granularity, and one processAllAvailable drains every discovered
+    * file as its own genuine micro-batch. Reference `sourceHandleLines`
+    * (`Combinators.hs:245-257`) executed as an unbounded tailing source.
+    * `mkOut` is by-name so the readStream plan is built inside the
+    * scoped confs, like every other runner.
+    */
+  def runSourceStream(spark: SparkSession)(mkOut: => DataFrame): DataFrame =
+    runProtocol(spark, OutputMode.Append()) { _ =>
+      (mkOut, _.processAllAvailable())
+    }
+
+  /** Run `build` over MemoryStream-fed rows into a REAL parquet file
+    * sink with a checkpointLocation — the deployable sink shape: each
+    * micro-batch's files are committed atomically to the sink's
+    * `_spark_metadata` log, and offsets live in the checkpoint, so a
+    * restarted query resumes instead of re-emitting (exactly-once
+    * between source and sink). Returns the READ-BACK of the sink
+    * directory: the oracle checks the files a downstream job would
+    * actually consume, not an in-memory table. Sink + checkpoint are
+    * per-call temp dirs, removed on JVM exit.
+    */
+  def runStreamingToParquetSink[T <: Product : TypeTag](
+      spark: SparkSession, elems: Seq[T],
+      build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
+    withConfs(spark, RocksKey -> RocksProvider,
+                     ShuffleKey -> StreamShufflePartitions) {
+      implicit val sq: SQLContext = spark.sqlContext
+      implicit val encT: Encoder[T] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
+      val input = MemoryStream[T]
+      val out = build(input.toDS())
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_psink_")
+      deleteRecursivelyOnExit(base)
+      val data = base.resolve("data")
+      val ckpt = base.resolve("ckpt")
+      val query = out.writeStream
+        .format("parquet")
+        .option("path", data.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        elems.grouped(quantum).foreach { chunk =>
+          input.addData(chunk)
+          query.processAllAvailable()
+        }
+        lastStreamingPlan = capturedExplain(query)
+      } finally query.stop()
+      spark.read.parquet(data.toString)
+    }
+
+  /** Best-effort recursive temp-dir cleanup at JVM exit (same pattern as
+    * Bench's reliable-checkpoint dir): streamed sink output is read back
+    * within the run, so nothing needs the files after the process ends.
+    */
+  private def deleteRecursivelyOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }))
+
   /** `query.explain()` prints to stdout; capture it (public API — avoids
     * reaching into StreamExecution internals for the executed plan).
     */

@@ -249,6 +249,32 @@ class OperatorSpec extends SparkSpec {
     assert(run(st) == List(1, 2) && res == 300)
   }
 
+  test("unfoldSegmented: distributed general recurrence equals the driver-side unfold") {
+    // logistic-map-ish NONLINEAR integer recurrence: no closed form, no
+    // affine jump — only segment replay can distribute it
+    val f = (s: Long) => { val n = (s * s + 7L) % 1000003L; (n, n) }
+    val expected = run(Sources.unfold(spark, f, 2L, 257))
+    // segment counts that do and don't divide n, incl. degenerate 1 and
+    // more segments than elements
+    Seq(1, 4, 32, 300).foreach { segs =>
+      val got = Sources.unfoldSegmented(spark, f, 2L, 257, segments = segs)
+      assert(run(got) == expected, s"segments=$segs diverged")
+      // seqs are the dense 0..n-1 ordinals regardless of segmentation
+      val seqs = got.ds.collect().map(_.seq).sorted.toList
+      assert(seqs == (0L until 257L).toList, s"segments=$segs seqs not dense")
+    }
+    // n smaller than one segment's length and n=0
+    assert(run(Sources.unfoldSegmented(spark, f, 2L, 3, segments = 32)) ==
+      run(Sources.unfold(spark, f, 2L, 3)))
+    assert(run(Sources.unfoldSegmented(spark, f, 2L, 0, segments = 8)) == Nil)
+    // the generation is genuinely distributed: more than one partition
+    // holds rows when segments > 1
+    val parts = Sources.unfoldSegmented(spark, f, 2L, 1000, segments = 8)
+      .ds.rdd.mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .collect().sum
+    assert(parts > 1, s"only $parts non-empty partitions — not distributed")
+  }
+
   test("fileChunks: fixed-size chunking covers the length boundaries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_chunks")
     def stage(name: String, bytes: Array[Byte]): String = {

@@ -561,6 +561,48 @@ class StreamingSpec extends SparkSpec {
     assert(seqs == Seq(0L, 2L, 4L), s"got $seqs")
   }
 
+  test("parquet sink runner: read-back equals batch, _spark_metadata commit log present") {
+    val elems = (1L to 10L).map(i => Elem(i - 1, i * 10))
+    val got = StreamExec.runStreamingToParquetSink[Elem[Long]](
+      spark, elems,
+      ds => StreamPipes.mapAccumTws(0L)((a: Long, prev: Long) => (a, a - prev))
+        .apply(SStream(ds)).ds.toDF(),
+      quantum = 3)
+    // the read-back path is the sink directory — its _spark_metadata log
+    // (the atomic per-batch commit record) must exist, or this was not
+    // the streaming file-sink protocol
+    val files = got.inputFiles
+    assert(files.nonEmpty)
+    val sinkDir = new java.io.File(new java.net.URI(files.head)).getParentFile
+    assert(new java.io.File(sinkDir, "_spark_metadata").exists(),
+      s"no _spark_metadata commit log under $sinkDir")
+    // delta encoding with state carried ACROSS micro-batches (quantum 3
+    // splits mid-stream): first value of batch 2 still deltas against
+    // the last value of batch 1
+    val out = got.orderBy("seq").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(out == (0L to 9L).map(s => (s, 10L)).toList, s"got $out")
+  }
+
+  test("file-source runner: readStream.text discovery runs one micro-batch per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsrc")
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"s$i.txt"),
+        s"${i * 2}\tline a$i\n${i * 2 + 1}\tline b$i".getBytes("UTF-8"))
+    }
+    val got = StreamExec.runSourceStream(spark) {
+      val lines = spark.readStream.option("maxFilesPerTrigger", "1").text(dir.toString)
+      lines.select(
+        org.apache.spark.sql.functions.expr(
+          "CAST(substring(value, 1, instr(value, '\t') - 1) AS BIGINT)").as("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "substring(value, instr(value, '\t') + 1)").as("text"))
+    }
+    val out = got.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(out == List((0L, "line a0"), (1L, "line b0"), (2L, "line a1"),
+      (3L, "line b1"), (4L, "line a2"), (5L, "line b2")), s"got $out")
+  }
+
   test("KeyedFunnel: per-user stage machines carry state across batches independently") {
     // quantum=3 splits each user's funnel across micro-batches; u1
     // completes view→click→purchase, u2's purchase arrives BEFORE its
