@@ -2483,7 +2483,7 @@ object SparkEntry {
     // with the same sanitization before running the identical battery
     "q_file_stream" ->
       s"""WITH documents AS (SELECT doc_id, replace(text, chr(10), ' ') AS text
-                             FROM documents)
+                             FROM main.documents)
           ${TextOps.qualityFilterSql(allStopsSql)}""",
     "q_lm_score" -> TextOps.bigramLmScoreSql,
 
