@@ -888,6 +888,235 @@ object SparkEntry {
           sum(col("rev_c")).as("total_c"))
     }),
 
+    // TPC-H Q6-shaped forecast revenue: the purest pushdown probe — one
+    // lineitem scan, ALL three predicates reach the parquet reader
+    // (PushedFilters shows the date band; the discount test is
+    // micro-scaled to integers so the band can't wobble on float ulps),
+    // and the aggregate is a single 1-row map-side-combined sum. Zero
+    // shuffle beyond the final 1-row exchange.
+    "q_forecast_revenue" -> ((s, dir) => {
+      val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      ColOps.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") >= lit(lo) &&
+          col("l_shipdate").cast("timestamp") < lit(hi) &&
+          expr("CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)"))
+          .as("forecast_c"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q7-shaped volume shipping: the nation-pair trade matrix.
+    // Supplier (100 rows) and the customer→nation dim both BROADCAST
+    // onto the facts, so the only shuffle is lineitem ⋈ orders on the
+    // order key; the (supp_nation, cust_nation) pair filter prunes to
+    // the two directions BEFORE the aggregate. Grouped by pair × ship
+    // year — ≤ 2·|years| rows out.
+    "q_volume_shipping" -> ((s, dir) => {
+      val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val nat = ColOps.table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = ColOps.table(s, dir, "supplier")
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = ColOps.table(s, dir, "customer")
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = ColOps.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      ColOps.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") >= lit(lo) &&
+          col("l_shipdate").cast("timestamp") < lit(hi))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate").cast("timestamp")).cast("long").as("ship_year"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+            .as("rev_c"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+        .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q8-shaped market share: NATION_3 suppliers' slice of ASIA's
+    // PROMO-part revenue per order year. Every dim (filtered part,
+    // supplier flag, region→nation→customer chain) BROADCASTS; the one
+    // real shuffle is lineitem ⋈ orders. The share ships as exact
+    // integer ppm (num·10⁶ div den) — no float division in the hash.
+    "q_market_share" -> ((s, dir) => {
+      val part = ColOps.table(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val supFlag = ColOps.table(s, dir, "supplier")
+        .join(ColOps.table(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), (col("n_name") === "NATION_3").as("is_target"))
+      val cust = ColOps.table(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(ColOps.table(s, dir, "nation"),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(ColOps.table(s, dir, "customer"),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"))
+      val ord = ColOps.table(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate").cast("timestamp")).cast("long").as("o_year"))
+      ColOps.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+            .as("rev_c"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("is_target"), col("rev_c")).otherwise(0L)).as("target_c"),
+          sum(col("rev_c")).as("total_c"))
+        .select(col("o_year"), col("target_c"), col("total_c"),
+          expr("target_c * 1000000 div total_c").as("share_ppm"))
+    }),
+
+    // TPC-H Q9-shaped product profit: per supplier-nation × ship year,
+    // profit = revenue − a 10%-of-retail unit-cost proxy (the fixture has
+    // no partsupp table; the cost term keeps Q9's part-join shape).
+    // Both money terms floor to cents PER ROW, so the grouped sum is
+    // order-free. Parts prune on the name predicate BEFORE broadcast.
+    "q_product_profit" -> ((s, dir) => {
+      val part = ColOps.table(s, dir, "part")
+        .filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = ColOps.table(s, dir, "supplier")
+        .join(ColOps.table(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      ColOps.table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate").cast("timestamp")).cast("long").as("ship_year"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("n_name"), col("ship_year"),
+          (expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)") -
+            expr("CAST(FLOOR(p_retailprice * l_quantity * 10 + 0.5) AS BIGINT)"))
+            .as("profit_c"))
+        .groupBy(col("n_name"), col("ship_year"))
+        .agg(sum(col("profit_c")).as("profit_c"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q13-shaped order-count distribution: orders-per-customer
+    // histogram INCLUDING the zero bucket — the LEFT OUTER join is the
+    // semantics (an inner join silently drops never-ordered customers).
+    // Two aggregates: per-customer count (shuffle on custkey), then the
+    // ≤|distinct counts|-row distribution — canonical double-group-by.
+    "q_order_count_dist" -> ((s, dir) => {
+      val ord = ColOps.table(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      ColOps.table(s, dir, "customer").select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q15-shaped top supplier: quarterly revenue per supplier, the
+    // max attached as a BROADCAST 1-row aggregate and matched exactly —
+    // ties all surface (the reference semantics), never an ORDER BY
+    // LIMIT 1 that picks one of them arbitrarily. Revenue aggregate
+    // shuffles on suppkey (≤|suppliers| rows), dim join broadcasts.
+    "q_top_supplier" -> ((s, dir) => {
+      val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+      val rev = ColOps.table(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") >= lit(lo) &&
+          col("l_shipdate").cast("timestamp") < lit(hi))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"))
+          .as("total_rev_c"))
+      val top = rev.agg(max(col("total_rev_c")).as("__max"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev_c") === col("__max")).drop("__max")
+        .join(broadcast(ColOps.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+    }),
+
+    // TPC-H Q17-shaped small-quantity revenue: lineitems below 20% of
+    // their part's average quantity, for one brand. The per-part stats
+    // aggregate over the SAME brand-pruned join, re-attached as a
+    // broadcast (≤|brand parts| rows); the threshold compares
+    // cross-multiplied integers (qty·5·n < Σqty — scaled ×100) so no
+    // float average exists anywhere. Total ships as cents div 7
+    // (TPC-H's yearly average), still exact integer.
+    "q_small_qty_revenue" -> ((s, dir) => {
+      val part = ColOps.table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#11").select(col("p_partkey"))
+      val li = ColOps.table(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"),
+          expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)").as("qty_c"),
+          expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_c"))
+      val stats = li.groupBy(col("p_partkey").as("__pk"))
+        .agg(count(lit(1)).as("__n"), sum(col("qty_c")).as("__sumq"))
+      li.join(broadcast(stats), col("p_partkey") === col("__pk"))
+        .filter(col("qty_c") * 5 * col("__n") < col("__sumq"))
+        .agg(expr("CAST(SUM(price_c) AS BIGINT) div 7").as("avg_yearly_c"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q19-shaped discounted revenue: the OR-of-ANDs predicate
+    // (three brand × size × quantity envelopes) evaluated AFTER the
+    // part broadcast join — one fact scan, one broadcast, predicate
+    // fully codegen'd; never three unions of the fact table.
+    "q_discount_revenue" -> ((s, dir) => {
+      val part = ColOps.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val qc = expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)")
+      val hit =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          qc.between(100L, 1100L)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          qc.between(1000L, 2000L)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+          qc.between(2000L, 3000L))
+      ColOps.table(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(hit)
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"))
+          .as("revenue_c"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q22-shaped idle customers: above-average-balance customers
+    // who never ordered, rolled up per nation. The positive-balance
+    // average attaches as a broadcast 1-row (Σ, n) pair and the
+    // threshold cross-multiplies (bal·n > Σ — integer cents), so no
+    // float average; the "gone idle" test is a LEFT ANTI join on the
+    // key-only, date-pruned orders projection (the date filter pushes
+    // to the scan BEFORE the anti side ships).
+    "q_idle_customers" -> ((s, dir) => {
+      val cust = ColOps.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal_c"))
+      val avg = cust.filter(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("__sum"), count(lit(1)).as("__n"))
+      val ordKeys = ColOps.table(s, dir, "orders")
+        .filter(col("o_orderdate").cast("timestamp") >=
+          lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avg))
+        .filter(col("bal_c") * col("__n") > col("__sum"))
+        .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(ColOps.table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_c"))
+    }),
+
     // per-user FIRST-TOUCH attribution executed THROUGH Structured
     // Streaming: groupBy(user).min(hour-bucket) in Complete mode — state
     // is ONE long per user (bounded by |users|, the scale bar for
@@ -2871,6 +3100,139 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                            WHERE l.l_partkey = p.p_partkey
                              AND l.l_shipdate > TIMESTAMP '2001-06-01')
+         GROUP BY 1""",
+
+    "q_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS forecast_c,
+                COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+           AND l_quantity < 24""",
+
+    "q_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS revenue_c,
+                COUNT(*) AS n_items
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+         JOIN orders o   ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+           AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
+
+    "q_market_share" ->
+      """SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS target_c,
+                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS total_c,
+                CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                              ELSE 0 END) * 1000000
+                     // SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS share_ppm
+         FROM lineitem l
+         JOIN part p     ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+         JOIN orders o   ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+         JOIN region r   ON cn.n_regionkey = r.r_regionkey
+         WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+         GROUP BY 1""",
+
+    "q_product_profit" ->
+      """SELECT n.n_name,
+                CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                       - CAST(FLOOR(p.p_retailprice * l.l_quantity * 10 + 0.5) AS BIGINT))
+                     AS BIGINT) AS profit_c,
+                COUNT(*) AS n_items
+         FROM lineitem l
+         JOIN part p     ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n   ON s.s_nationkey = n.n_nationkey
+         WHERE p.p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+
+    "q_order_count_dist" ->
+      """WITH pc AS (
+           SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+           FROM customer c
+           LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                             AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         SELECT c_count, COUNT(*) AS custdist
+         FROM pc GROUP BY 1""",
+
+    "q_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS total_rev_c
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, rev.total_rev_c
+         FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+         WHERE rev.total_rev_c = (SELECT MAX(total_rev_c) FROM rev)""",
+
+    "q_small_qty_revenue" ->
+      """WITH li AS (
+           SELECT l.l_partkey,
+                  CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+                  CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_brand = 'Brand#11'),
+         st AS (SELECT l_partkey, COUNT(*) AS n, CAST(SUM(qty_c) AS BIGINT) AS sumq
+                FROM li GROUP BY 1)
+         SELECT CAST(SUM(li.price_c) // 7 AS BIGINT) AS avg_yearly_c,
+                COUNT(*) AS n_items
+         FROM li JOIN st ON li.l_partkey = st.l_partkey
+         WHERE li.qty_c * 5 * st.n < st.sumq""",
+
+    "q_discount_revenue" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS revenue_c,
+                COUNT(*) AS n_items
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                AND CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) BETWEEN 100 AND 1100)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                AND CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) BETWEEN 1000 AND 2000)
+            OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+                AND CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) BETWEEN 2000 AND 3000)""",
+
+    "q_idle_customers" ->
+      """WITH bal AS (
+           SELECT c_custkey, c_nationkey,
+                  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+           FROM customer),
+         a AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS s, COUNT(*) AS n
+               FROM bal WHERE bal_c > 0)
+         SELECT n.n_name, COUNT(*) AS n_cust,
+                CAST(SUM(b.bal_c) AS BIGINT) AS total_bal_c
+         FROM bal b, a
+         JOIN nation n ON b.c_nationkey = n.n_nationkey
+         WHERE b.bal_c * a.n > a.s
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = b.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY 1""",
 
     "q_source_cap" ->
