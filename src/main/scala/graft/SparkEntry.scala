@@ -74,6 +74,11 @@ object SparkEntry {
   /** train/val/test cumulative per-mille cuts for q_split. */
   private val SplitCuts = Seq("train" -> 800, "val" -> 900, "test" -> 1000)
 
+  /** Blocklist terms for q_blocklist (fixture-tuned: leaves ~1/5 of the
+    * docs — non-trivial in both directions).
+    */
+  private val BlocklistTerms = Seq("slow", "dup")
+
   /** Shared prefix of both packing oracles: per doc, its whitespace
     * token count and group ordinal (`rn` ranks docs within a group for
     * the recursive-CTE walk).
@@ -1116,6 +1121,47 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("total_bal_c"))
     }),
+
+    // C4-style sub-document dedup: repeated 20-word chunks keep only
+    // their corpus-first occurrence, docs reassemble from survivors —
+    // see TextOps.chunkDedup for the two-shuffle scale shape.
+    "q_chunk_dedup" -> ((s, dir) =>
+      TextOps.chunkDedup(
+        ColOps.table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", 20)),
+
+    // tokenized blocklist gate: a PURE per-row predicate (no join, no
+    // shuffle) — the first filter a crawl pipeline runs, at scan speed
+    "q_blocklist" -> ((s, dir) =>
+      ColOps.table(s, dir, "documents")
+        .filter(TextOps.blocklistClean(col("text"), BlocklistTerms))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // sequential Poisson weighted sample: length-proportional doc draw,
+    // pure integer priorities, TakeOrdered top-k — never a global sort
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        ColOps.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", col("n_chars"), 100)),
+
+    // Zipf slope of the token rank/frequency line in exact micro units
+    // — corpus-health one-liner (natural text ≈ −1e6)
+    "q_zipf_fit" -> ((s, dir) =>
+      TextOps.zipfFit(ColOps.table(s, dir, "documents"), "text", 30)),
+
+    // contrastive hard negatives: top-3 most-similar DIFFERENT-label
+    // vectors per query — the label-mismatch predicate fused into the
+    // broadcast join so same-label pairs never materialize
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(
+        Similarity.embeddings(s, dir, carry = Seq("label")), nQ = 20, k = 3)),
+
+    // kNN majority-vote label audit: 5 nearest vote, rank-1 cut is
+    // WindowGroupLimit, one row per query with the verdict
+    "q_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(
+        Similarity.embeddings(s, dir, carry = Seq("label")), nQ = 50, k = 5)),
 
     // per-user FIRST-TOUCH attribution executed THROUGH Structured
     // Streaming: groupBy(user).min(hour-bucket) in Complete mode — state
@@ -3234,6 +3280,21 @@ object SparkEntry {
                            WHERE o.o_custkey = b.c_custkey
                              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY 1""",
+
+    "q_chunk_dedup" -> TextOps.chunkDedupSql(20),
+
+    "q_blocklist" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+          WHERE ${TextOps.blocklistCleanSql("text", BlocklistTerms)}""",
+
+    "q_weighted_sample" -> Sampling.weightedSampleSql(
+      "(SELECT doc_id, source, n_chars FROM documents)", "doc_id", "n_chars", 100),
+
+    "q_zipf_fit" -> TextOps.zipfFitSql(30),
+
+    "q_hard_negatives" -> Similarity.hardNegativesSql(20, 3),
+
+    "q_knn_classify" -> Similarity.knnClassifySql(50, 5),
 
     "q_source_cap" ->
       """SELECT source, doc_id, n_chars, rk FROM (

@@ -200,6 +200,36 @@ object Sampling {
     s"CASE $whens ELSE '${cuts.last._1}' END"
   }
 
+  /** Deterministic weighted k-sample — sequential Poisson sampling
+    * (Ohlsson 1998): every row gets priority ξ = u/w with u the
+    * [[scatter]] pseudo-uniform and w its weight, and the k SMALLEST
+    * priorities win — inclusion probability ≈ proportional to weight,
+    * the "longer docs more likely" sampler of corpus curation. Pure
+    * integer arithmetic (ξ scaled ×10⁶, ties by id), so the draw is
+    * engine-portable and stable under re-runs and repartitioning.
+    *
+    * Scale shape: a per-row expression + global top-k — Spark executes
+    * the ORDER BY LIMIT as TakeOrderedAndProject (per-partition partial
+    * top-k, driver merges k·|partitions| rows), never a global sort.
+    * Weights must be positive.
+    */
+  def weightedSample(df: DataFrame, id: String, weight: Column, k: Int): DataFrame = {
+    require(k > 0, "weightedSample: k must be positive")
+    df.withColumn("__w", weight.cast("long"))
+      .withColumn("priority",
+        expr(s"CASE WHEN __w > 0 THEN (($id * $ScatterA) % ${TextOps.HashMod}) * 1000000 div __w " +
+          "ELSE CAST(raise_error('weightedSample: non-positive weight') AS BIGINT) END"))
+      .drop("__w")
+      .orderBy(col("priority"), col(id))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[weightedSample]] (same constants). */
+  def weightedSampleSql(table: String, id: String, weightSql: String, k: Int): String =
+    s"""SELECT *, (($id * $ScatterA) % ${TextOps.HashMod}) * 1000000 // ($weightSql) AS priority
+        FROM $table
+        ORDER BY priority, $id LIMIT $k"""
+
   /** Seeded affine permutation key over ids: `(A·(2·seed+1)·id + B·(seed+1))
     * mod P` with P prime ([[TextOps.HashMod]]) — injective on id for any
     * seed (the multiplier is never ≡ 0 mod P for seeds < ~10^8), so the

@@ -480,4 +480,124 @@ object TextOps {
               FROM $table) t,
              UNNEST(range(1, len(w))) AS u(j)
         GROUP BY 1 HAVING COUNT(*) >= $minCount"""
+
+  /** Corpus-wide sub-document (chunk-level) exact dedup — the C4-style
+    * "drop repeated passages, keep the first occurrence" pass that
+    * doc-level dedup can't express: a boilerplate paragraph shared by
+    * thousands of pages disappears from all but its first sighting
+    * while the surrounding novel text survives. Documents are split
+    * into fixed `chunkW`-word chunks ([[chunkWords]] — zero-shuffle
+    * generator); a chunk survives iff it is the corpus-FIRST occurrence
+    * of its text, first = min (doc, position). Surviving chunks
+    * re-assemble per doc in position order; docs whose every chunk was
+    * seen earlier drop out entirely.
+    *
+    * Scale shape: two shuffles — the first-occurrence window partitions
+    * by CHUNK TEXT (each partition holds one chunk's occurrence list;
+    * Spark rewrites the rank-1 filter to WindowGroupLimit so every map
+    * side forwards one candidate per chunk, never the occurrence list),
+    * the reassembly groups by doc. No driver state, no all-pairs
+    * anything; a viral chunk costs one hot key in the first exchange —
+    * the standard skew remedies apply.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkW: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunkWords(df, idCol, textCol, chunkW)
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("chunk_no"))
+    chunks.withColumn("__rk", row_number().over(w))
+      .withColumn("__keep", col("__rk") === 1).drop("__rk")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("chunk_no"), col("chunk"))))),
+          s => s.getField("chunk"))).as("dedup_text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_chunks"))
+      .filter(col("n_kept") > 0)
+  }
+
+  /** DuckDB mirror of [[chunkDedup]] over the documents table. */
+  def chunkDedupSql(chunkW: Int): String =
+    s"""WITH ch AS (
+          SELECT doc_id, u.j AS chunk_no,
+                 array_to_string(ws[u.j * $chunkW + 1 : (u.j + 1) * $chunkW], ' ') AS chunk
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+               UNNEST(range(0, (len(ws) - 1) // $chunkW + 1)) AS u(j)),
+        k AS (
+          SELECT doc_id, chunk_no, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, chunk_no) = 1 AS keep
+          FROM ch)
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_no) FILTER (WHERE keep) AS dedup_text,
+               CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+               COUNT(*) AS n_chunks
+        FROM k GROUP BY 1
+        HAVING COUNT(*) FILTER (WHERE keep) > 0"""
+
+  /** Blocklist gate: true iff the text contains NONE of `terms` as a
+    * whitespace token. A PURE per-row predicate (array overlap against
+    * a plan literal) — zero joins, zero shuffles, fully pushed into the
+    * scan's codegen stage; the shape that filters a 100 TB crawl at
+    * read speed. Substring/regex blocklists are a different (more
+    * expensive) contract — this is the tokenized form curation
+    * pipelines run first.
+    */
+  def blocklistClean(text: Column, terms: Seq[String]): Column =
+    !arrays_overlap(words(text), array(terms.map(lit): _*))
+
+  /** DuckDB mirror of [[blocklistClean]]. */
+  def blocklistCleanSql(textSql: String, terms: Seq[String]): String =
+    s"NOT list_has_any(string_split($textSql, ' '), [${terms.map("'" + _ + "'").mkString(", ")}])"
+
+  /** Zipf coefficient of the corpus token distribution — the one-number
+    * corpus-health statistic (natural text sits near slope −1 on the
+    * log-log rank/frequency line; a flat slope flags synthetic or
+    * template-heavy data). Least-squares slope over the top `topN`
+    * tokens, computed ENTIRELY in integer arithmetic: x = ⌊ln(rank)·10³⌋,
+    * y = ⌊ln(freq)·10³⌋ (milli-scaled logs — products ≈ 10⁸ and their
+    * ≤ topN·n² sums stay far inside exact-Long range), slope =
+    * (n·Σxy − Σx·Σy)·10⁶ div (n·Σxx − Σx·Σx) in micro units. Rounding
+    * the logs BEFORE the sums is what makes the result reproducible on
+    * any engine — float regr_slope would differ in ulps.
+    *
+    * Scale shape: one hash aggregate to |vocab| rows (map-side
+    * combined), a TakeOrdered top-`topN` (per-partition partial top-k,
+    * never a global sort), then the regression over ≤ topN rows — a
+    * single-task epilogue by construction, not a bottleneck.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val counts = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(topN)
+    val xy = counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w"))))
+      .select(
+        floor(log(col("rank").cast("double")) * 1000 + 0.5).cast("long").as("x"),
+        floor(log(col("cnt").cast("double")) * 1000 + 0.5).cast("long").as("y"))
+    xy.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"), sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col("__n").as("n_terms"),
+        expr("(__n * __sxy - __sx * __sy) * 1000000 div (__n * __sxx - __sx * __sx)")
+          .as("slope_micro"))
+  }
+
+  /** DuckDB mirror of [[zipfFit]] over the documents table. */
+  def zipfFitSql(topN: Int): String =
+    s"""WITH c AS (SELECT w, COUNT(*) AS cnt
+                   FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+                   GROUP BY 1 ORDER BY cnt DESC, w LIMIT $topN),
+        xy AS (SELECT CAST(FLOOR(ln(row_number() OVER (ORDER BY cnt DESC, w)) * 1000 + 0.5) AS BIGINT) AS x,
+                      CAST(FLOOR(ln(cnt) * 1000 + 0.5) AS BIGINT) AS y
+               FROM c)
+        SELECT COUNT(*) AS n_terms,
+               CAST((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000000
+                 // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS BIGINT) AS slope_micro
+        FROM xy"""
 }

@@ -173,4 +173,29 @@ class SamplingSpec extends SparkSpec {
     // weights sum to ≤ 1e6 (integer-division remainder documented)
     assert(got.values.map(_._3).sum <= 1000000L)
   }
+
+  test("weightedSample: sequential-Poisson priorities are u/w exactly; k smallest win; zero weight raises") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("doc_id", "w")
+    val got = Sampling.weightedSample(df, "doc_id", $"w", 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 20)
+    // replicate the priority arithmetic driver-side
+    def prio(id: Long, w: Long): Long =
+      ((id * Sampling.ScatterA) % operators.TextOps.HashMod) * 1000000L / w
+    val want = (1L to 200L).map(i => (i, 10L + i % 7))
+      .map { case (i, w) => (i, w, prio(i, w)) }
+      .sortBy(t => (t._3, t._1)).take(20)
+    assert(got.sortBy(t => (t._3, t._1)) == want, s"got $got")
+    // weighting property: the selected set's mean weight exceeds the
+    // population mean (heavier rows are preferred)
+    val popMean = (1L to 200L).map(i => 10L + i % 7).sum.toDouble / 200
+    val selMean = got.map(_._2).sum.toDouble / got.size
+    assert(selMean > popMean, s"sel $selMean pop $popMean")
+    val e = intercept[Exception] {
+      Seq((1L, 0L)).toDF("doc_id", "w")
+        .transform(Sampling.weightedSample(_, "doc_id", $"w", 1)).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"))
+  }
 }

@@ -304,4 +304,56 @@ class SimilaritySpec extends SparkSpec {
     survivors.foreach(v => assert(!hasLowerNear(v),
       s"$v survived despite a lower-id near neighbor in cell ${cells(v)}"))
   }
+
+  private def embLDf(vecs: Seq[(Long, Int, Seq[Double])]) = {
+    import spark.implicits._
+    vecs.toDF("vec_id", "label", "emb")
+  }
+
+  test("hardNegatives: never returns a same-label vector; ranks match driver-side brute force") {
+    val vecs = (0L until 12L).map(i => (i, (i % 3).toInt, randVec()))
+    val got = Similarity.hardNegatives(embLDf(vecs), nQ = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(got.forall { case (_, ql, _, nl, _, _) => ql != nl }, "same-label leak")
+    // independent brute force over the same doubles
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val vm = vecs.map(v => v._1 -> v).toMap
+    for (q <- 0L until 3L) {
+      val want = vecs.filter(v => v._1 != q && v._2 != vm(q)._2)
+        .map(v => (v._1, cos(vm(q)._3, v._3)))
+        .sortBy { case (id, c) => (-c, id) }.take(2).map(_._1)
+      val mine = got.filter(_._1 == q).sortBy(_._6).map(_._3).toSeq
+      assert(mine == want, s"q=$q mine=$mine want=$want")
+    }
+  }
+
+  test("knnClassify: clean clusters classify correctly; a planted mislabel is voted down") {
+    // two tight clusters; vec 2 sits in cluster A but carries label 1
+    val base = randVec()
+    val other = randVec()
+    def near(v: Seq[Double], eps: Double, salt: Int) = {
+      val r = new scala.util.Random(salt)
+      v.map(_ + (r.nextDouble() - 0.5) * eps)
+    }
+    val vecs =
+      Seq((0L, 0, near(base, 0.01, 1)), (1L, 0, near(base, 0.01, 2)),
+        (2L, 1, near(base, 0.01, 3)), (3L, 0, near(base, 0.01, 4)),
+        (4L, 0, near(base, 0.01, 5))) ++
+      (10L until 15L).map(i => (i, 1, near(other, 0.01, i.toInt)))
+    val got = Similarity.knnClassify(embLDf(vecs), nQ = 5, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size == 5)
+    // queries 0,1,3,4: all 3 nearest are cluster-A; majority label 0 = true
+    Seq(0L, 1L, 3L, 4L).foreach { q =>
+      val (t, p, _, ok) = got(q)
+      assert(t == 0 && p == 0 && ok, s"q=$q got ${got(q)}")
+    }
+    // the planted mislabel: neighborhood votes 0, its own label is 1
+    val (t2, p2, v2, ok2) = got(2L)
+    assert(t2 == 1 && p2 == 0 && v2 == 3L && !ok2, s"mislabel row ${got(2L)}")
+  }
 }

@@ -187,4 +187,54 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(gated == Seq(("ab", 4L)), s"gated $gated")
   }
+
+  test("chunkDedup: repeated chunk keeps only corpus-first occurrence; fully-duplicated doc drops") {
+    import spark.implicits._
+    // chunkW=2: doc 1 = [a b][c d]; doc 2 = [a b][x y] (first chunk is a
+    // repeat of doc 1's); doc 3 = [a b][c d] (every chunk seen before)
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkDedup(df, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a b c d", 2L, 2L),  // both chunks first sightings
+      (2L, "x y", 1L, 2L)       // "a b" was doc 1's; only the novel tail survives
+      // doc 3 gone: zero surviving chunks
+    ), s"got $got")
+  }
+
+  test("chunkDedup: within-doc repeat also dedups (position order decides first)") {
+    import spark.implicits._
+    val df = Seq((7L, "p q p q r s")).toDF("doc_id", "text")
+    val got = TextOps.chunkDedup(df, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, "p q r s", 2L, 3L)), s"got $got")
+  }
+
+  test("blocklistClean: token match blocks, substring does not") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "clean text here"),
+      (2L, "contains bad token"),
+      (3L, "badge is a substring") // 'bad' ⊄ token 'badge'
+    ).toDF("doc_id", "text")
+    val got = df.filter(TextOps.blocklistClean(col("text"), Seq("bad", "evil")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L), s"got $got")
+  }
+
+  test("zipfFit: exact power-law fixture recovers its slope in micro units") {
+    import spark.implicits._
+    // token t_r appears round(1000 / r) times, r = 1..4: log-log slope
+    // should land near -1e6 (milli-scaled logs introduce ≤ ~1e3 error)
+    val docs = (1 to 4).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"t$r")).mkString(" ")
+    val df = Seq(docs).toDF("text")
+    val got = TextOps.zipfFit(df, "text", 4).as[(Long, Long)].collect().head
+    assert(got._1 == 4L)
+    assert(math.abs(got._2 + 1000000L) < 5000L, s"slope ${got._2}")
+  }
 }
