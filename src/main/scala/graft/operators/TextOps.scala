@@ -493,12 +493,14 @@ object TextOps {
     * seen earlier drop out entirely.
     *
     * Scale shape: two shuffles — the first-occurrence window partitions
-    * by CHUNK TEXT (each partition holds one chunk's occurrence list;
-    * Spark rewrites the rank-1 filter to WindowGroupLimit so every map
-    * side forwards one candidate per chunk, never the occurrence list),
-    * the reassembly groups by doc. No driver state, no all-pairs
-    * anything; a viral chunk costs one hot key in the first exchange —
-    * the standard skew remedies apply.
+    * by CHUNK TEXT, the reassembly groups by doc. Every occurrence needs
+    * its keep/drop verdict (non-kept chunks still count toward
+    * `n_chunks`), so the chunk exchange necessarily co-locates each
+    * chunk's occurrence list — a viral boilerplate chunk is a hot key
+    * there, and the remedy is the standard two-level min (aggregate
+    * `min(doc, pos)` per chunk — map-side combinable — then join the
+    * verdict back) or salting; at fixture scale the single window is
+    * the cheaper plan. No driver state, no all-pairs anything.
     */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkW: Int): DataFrame = {

@@ -427,4 +427,57 @@ class PlanSpec extends SparkSpec {
     assert(paired.rdd.getNumPartitions == parts,
       s"pairs collapsed to ${paired.rdd.getNumPartitions} partitions")
   }
+
+  test("q_forecast_revenue: all predicates push to the scan; single 1-row aggregate exchange") {
+    val df = SparkEntry.queries("q_forecast_revenue")(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters:") && scan.contains("l_shipdate"),
+      s"date band not pushed:\n$scan")
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "Q6 must be a pure scan+aggregate")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"more than the final 1-row exchange:\n$p")
+  }
+
+  test("q_blocklist: pure per-row predicate — zero exchanges, zero joins") {
+    val p = plan(SparkEntry.queries("q_blocklist")(spark, dir))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"blocklist gate must not shuffle or join:\n$p")
+  }
+
+  test("q_weighted_sample: top-k is TakeOrderedAndProject, zero shuffles") {
+    val p = plan(SparkEntry.queries("q_weighted_sample")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"no partial top-k:\n$p")
+    assert(!p.contains("Exchange"), s"weighted sample must not shuffle:\n$p")
+  }
+
+  test("warehouse Q7/Q8: dims broadcast; the only sort-merge join is lineitem-orders") {
+    Seq("q_volume_shipping", "q_market_share").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q dims not broadcast:\n$p")
+      assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+        s"$q has more than the one fact-fact SMJ:\n$p")
+    }
+  }
+
+  test("q_idle_customers: anti join on the date-pruned key; threshold attach is the only nested-loop") {
+    val df = SparkEntry.queries("q_idle_customers")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("o_orderdate"), s"order-date filter not pushed:\n$scan")
+    // the 1-row (Σ, n) attach is the only nested-loop element
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
+
+  test("q_hard_negatives / q_knn_classify: query batch broadcast; rank cut is WindowGroupLimit") {
+    Seq("q_hard_negatives", "q_knn_classify").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q query side not broadcast:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"$q rank not group-limited:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+  }
 }
