@@ -152,6 +152,26 @@ object ScaleProbe {
     onePq("1x warm", emb)
     val p1 = onePq("1x", emb); val pn = onePq(s"${n}x", bigEmb)
     println(f"SCALEPROBE pqRerank ratio: ${pn / p1}%.2f (linear would be ~$n)")
+
+    // chunk dedup: the copied fixture is the WORST case on purpose —
+    // every chunk's occurrence list grows n×, so the probe stresses the
+    // chunk-key exchange (the operator's documented hot path), while
+    // output stays ~constant (only copy-0 survives)
+    probePair("chunkDedup", docs, bigDocs, d =>
+      graft.operators.TextOps.chunkDedup(d, "doc_id", "text", 20).count())
+
+    // kNN label audit: collection grows n×, query set fixed (serving
+    // axis) — brute force should scale ~linearly in candidates
+    val embL = graft.operators.Similarity.embeddings(spark, dir, carry = Seq("label"))
+    val bigEmbL = (0 until n).map { i =>
+      embL.withColumn("vec_id",
+        when(col("vec_id") < 64, col("vec_id"))
+          .otherwise(col("vec_id") + lit(i * maxVec)))
+        .filter(col("vec_id") >= 64 || lit(i) === 0)
+    }.reduce(_ union _)
+    probePair("knnClassify", embL, bigEmbL, d =>
+      graft.operators.Similarity.knnClassify(d, 50, 5).count())
+
     spark.stop()
   }
 }

@@ -1163,6 +1163,30 @@ object SparkEntry {
       Similarity.knnClassify(
         Similarity.embeddings(s, dir, carry = Seq("label")), nQ = 50, k = 5)),
 
+    // pairwise source-overlap matrix from per-source KMV shingle
+    // sketches: after the sketch build, every stage is bounded by
+    // sketch geometry (k·|sources| rows), never corpus size
+    "q_corpus_overlap" -> ((s, dir) =>
+      Sketches.corpusOverlap(
+        ColOps.table(s, dir, "documents").select(col("source"), col("text")),
+        "source", "text")),
+
+    // per-source score percentile (exact integer per-mille): the
+    // cross-domain quality normalizer — one shuffle on the stratum
+    "q_quality_calibrate" -> ((s, dir) =>
+      Sampling.qualityCalibrate(
+        ColOps.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", col("n_chars"))),
+
+    // subsampling schedule realizing the temperature mix target:
+    // binding source keeps ~all rows, the rest downsample — exact
+    // integer rates ready for the Bernoulli/weighted samplers
+    "q_mix_rebalance" -> ((s, dir) =>
+      Sampling.mixRebalance(
+        ColOps.table(s, dir, "documents"),
+        "source", expr("CAST(n_chars AS BIGINT)"), 0.5)),
+
     // per-user FIRST-TOUCH attribution executed THROUGH Structured
     // Streaming: groupBy(user).min(hour-bucket) in Complete mode — state
     // is ONE long per user (bounded by |users|, the scale bar for
@@ -3295,6 +3319,16 @@ object SparkEntry {
     "q_hard_negatives" -> Similarity.hardNegativesSql(20, 3),
 
     "q_knn_classify" -> Similarity.knnClassifySql(50, 5),
+
+    "q_corpus_overlap" -> Sketches.corpusOverlapSql("source"),
+
+    "q_quality_calibrate" ->
+      s"""SELECT doc_id, source, n_chars,
+                 ${Sampling.qualityCalibrateSql("source", "doc_id", "n_chars")} AS pct_mille
+          FROM documents""",
+
+    "q_mix_rebalance" ->
+      Sampling.mixRebalanceSql("CAST(n_chars AS BIGINT)", 0.5),
 
     "q_source_cap" ->
       """SELECT source, doc_id, n_chars, rk FROM (

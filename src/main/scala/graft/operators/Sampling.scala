@@ -200,6 +200,66 @@ object Sampling {
     s"CASE $whens ELSE '${cuts.last._1}' END"
   }
 
+  /** Per-stratum quality calibration: each row's score becomes its
+    * within-stratum percentile (exact integer per-mille) — the
+    * cross-domain score normalizer of corpus curation (a raw quality
+    * score of 0.7 means different things on different domains; the
+    * percentile is comparable, so one global threshold applies). Rank
+    * and population ride ONE shuffle on the stratum; ties break by id
+    * so the per-mille is deterministic. pct_mille = (rank−1)·1000 div
+    * max(n−1, 1) ∈ [0, 1000] (a singleton stratum calibrates to 0).
+    */
+  def qualityCalibrate(df: DataFrame, stratum: String, id: String,
+                       score: Column): DataFrame = {
+    val w = Window.partitionBy(col(stratum)).orderBy(score, col(id))
+    val wn = Window.partitionBy(col(stratum))
+    df.withColumn("__score", score)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("pct_mille",
+        expr("(__rk - 1) * 1000 div greatest(__n - 1, 1)"))
+      .drop("__score", "__rk", "__n")
+  }
+
+  /** DuckDB mirror of [[qualityCalibrate]] (same arithmetic). */
+  def qualityCalibrateSql(stratum: String, id: String, scoreSql: String): String =
+    s"""(row_number() OVER (PARTITION BY $stratum ORDER BY $scoreSql, $id) - 1) * 1000
+        // greatest(COUNT(*) OVER (PARTITION BY $stratum) - 1, 1)"""
+
+  /** Subsampling rates that realize a [[mixWeights]] temperature target:
+    * given per-source populations n_i and target weights w_i (micro),
+    * the largest corpus M every source can serve is
+    * M = min_i (n_i·10⁶ div w_i), each source contributes
+    * take_i = M·w_i div 10⁶, and the Bernoulli/sequential-Poisson rate
+    * to hand the sampler is rate_ppm_i = take_i·10⁶ div n_i — the
+    * binding source runs at ~10⁶ (keep everything), every other source
+    * downsamples. All integer, so the schedule is engine-exact.
+    * Overflow envelope: n_i·10⁶ < Long.Max ⇒ n_i ≲ 9·10¹² tokens per
+    * source — past that, pre-scale the weigh column.
+    *
+    * Scale: one count aggregate to |sources| rows; the min and the
+    * rates are |sources|-sized arithmetic — output is the schedule,
+    * not data.
+    */
+  def mixRebalance(df: DataFrame, srcCol: String, weighCol: Column,
+                   alpha: Double): DataFrame = {
+    val weights = mixWeights(df, srcCol, weighCol, alpha)
+    val m = weights.agg(min(expr("n_tokens * 1000000 div w_micro")).as("__m"))
+    weights.crossJoin(org.apache.spark.sql.functions.broadcast(m))
+      .select(col("source"), col("n_tokens"), col("w_micro"),
+        expr("__m * w_micro div 1000000").as("take_n"),
+        expr("(__m * w_micro div 1000000) * 1000000 div n_tokens").as("rate_ppm"))
+  }
+
+  /** DuckDB mirror of [[mixRebalance]] over the documents table. */
+  def mixRebalanceSql(weighSql: String, alpha: Double): String =
+    s"""WITH mw AS (${mixWeightsSql(weighSql, alpha)}),
+        mm AS (SELECT MIN(n_tokens * 1000000 // w_micro) AS m FROM mw)
+        SELECT source, n_tokens, w_micro,
+               CAST(m * w_micro // 1000000 AS BIGINT) AS take_n,
+               CAST((m * w_micro // 1000000) * 1000000 // n_tokens AS BIGINT) AS rate_ppm
+        FROM mw, mm"""
+
   /** Deterministic weighted k-sample — sequential Poisson sampling
     * (Ohlsson 1998): every row gets priority ξ = u/w with u the
     * [[scatter]] pseudo-uniform and w its weight, and the k SMALLEST

@@ -144,6 +144,84 @@ object Sketches {
         FROM merged"""
   }
 
+  /** Pairwise corpus-overlap matrix from per-source KMV sketches — the
+    * "how much does source A repeat source B" report a multi-source
+    * corpus build runs before mixing (high overlap ⇒ dedup across the
+    * pair or down-weight one side). Universe = word-3-gram shingle
+    * hashes ([[Dedup.shingleHashes]], affine-scattered like every KMV
+    * here); per source the k smallest survive, and each pair's Jaccard
+    * is estimated on the MERGED k-min set U = kmin_k(S_a ∪ S_b):
+    * Ĵ = |U ∩ S_a ∩ S_b| / |U| — the standard KMV union estimator,
+    * reported as exact-integer ppm.
+    *
+    * Scale shape: one corpus-wide explode + distinct (the sketch
+    * build — same cost class as [[kmvGroupSketch]]); everything after
+    * is bounded by SKETCH GEOMETRY, not data size: k·|sources| sketch
+    * rows, |sources|²/2 pairs, and the pair expansion is a broadcast
+    * nested-loop of the tiny pair list against the tiny sketch table
+    * (≤ k·|sources|² rows) — deliberate and bounded, never touching
+    * the corpus again.
+    */
+  def corpusOverlap(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Dedup.shingleHashes(
+        df.select(col(srcCol), col(textCol)), srcCol, textCol)
+      .select(col("doc_id").as("src"), explode(col("sh")).as("h0"))
+      .select(col("src"),
+        ((lit(KmvA) * col("h0") + lit(KmvB)) % TextOps.HashMod).as("hv"))
+      .distinct()
+    val w = Window.partitionBy(col("src")).orderBy(col("hv"))
+    val kmin = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= K).drop("__rn")
+    val srcs = kmin.select(col("src")).distinct()
+    val pairs = srcs.select(col("src").as("src_a"))
+      .crossJoin(srcs.select(col("src").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val members = broadcast(pairs)
+      .join(kmin, col("src") === col("src_a") || col("src") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("hv"))
+      .agg(max(when(col("src") === col("src_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("src") === col("src_b"), 1).otherwise(0)).as("in_b"))
+    val wp = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("hv"))
+    members.withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= K)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col("src_a"), col("src_b"), col("n_union"), col("n_both"),
+        expr("n_both * 1000000 div n_union").as("jaccard_ppm"))
+  }
+
+  /** DuckDB mirror of [[corpusOverlap]] over the documents table. */
+  def corpusOverlapSql(srcCol: String): String =
+    s"""WITH sh AS (SELECT $srcCol AS src, UNNEST(${Dedup.shinglesSql}) AS h0
+                    FROM documents),
+        hs AS (SELECT DISTINCT src, ($KmvA * h0 + $KmvB) % ${TextOps.HashMod} AS hv
+               FROM sh),
+        km AS (SELECT src, hv FROM
+                 (SELECT src, hv,
+                         row_number() OVER (PARTITION BY src ORDER BY hv) AS rn
+                  FROM hs) r
+               WHERE rn <= $K),
+        s AS (SELECT DISTINCT src FROM km),
+        p AS (SELECT a.src AS src_a, b.src AS src_b
+              FROM s a, s b WHERE a.src < b.src),
+        m AS (SELECT p.src_a, p.src_b, km.hv,
+                     MAX(CASE WHEN km.src = p.src_a THEN 1 ELSE 0 END) AS in_a,
+                     MAX(CASE WHEN km.src = p.src_b THEN 1 ELSE 0 END) AS in_b
+              FROM p JOIN km ON km.src = p.src_a OR km.src = p.src_b
+              GROUP BY 1, 2, 3),
+        t AS (SELECT src_a, src_b, hv, in_a, in_b,
+                     row_number() OVER (PARTITION BY src_a, src_b
+                                        ORDER BY hv) AS rn
+              FROM m)
+        SELECT src_a, src_b, COUNT(*) AS n_union,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS jaccard_ppm
+        FROM t WHERE rn <= $K GROUP BY 1, 2"""
+
   /** DuckDB mirror of [[kmvGroupSketch]] over the documents table. */
   def kmvGroupSketchSql(groupCol: String): String = {
     val h = s"(($KmvA * (${TextOps.charHashSql("w")}) + $KmvB) % ${TextOps.HashMod})"

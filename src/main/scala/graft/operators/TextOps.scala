@@ -307,11 +307,17 @@ object TextOps {
         "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
           " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val pair  = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
-    val left  = bg.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
-    val right = bg.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
-    val total = bg.agg(count(lit(1)).as("n"))
+    // the UNFILTERED pair table is a sufficient statistic: marginals and
+    // the grand total are its re-aggregations (cl = Σ_w2 c12 etc.), so
+    // the corpus is exploded and aggregated ONCE and materialized at
+    // ≤ |vocab|² rows — the prior four-consumer form re-scanned the raw
+    // bigram stream per marginal, 4× the dominant cost at any scale
+    val pairAll = graft.core.Materialize.checkpoint(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val pair  = pairAll.filter(col("c12") >= minCount)
+    val left  = pairAll.groupBy(col("w1")).agg(sum(col("c12")).as("cl"))
+    val right = pairAll.groupBy(col("w2")).agg(sum(col("c12")).as("cr"))
+    val total = pairAll.agg(sum(col("c12")).as("n"))
     val pmi = floor(log((col("c12") * col("n")).cast("double") /
       (col("cl") * col("cr")).cast("double")) * lit(1e6) + lit(0.5)).cast("long")
     pair.join(left, "w1").join(right, "w2").crossJoin(broadcast(total))
@@ -364,7 +370,11 @@ object TextOps {
     val uni = df.select(explode(words(col(textCol))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // materialized at ≤ |vocab|² rows: the scoring join below would
+    // otherwise recompute this aggregate's full corpus explode as its
+    // build side — the [[pmiCollocations]] single-scan discipline
+    val big = graft.core.Materialize.checkpoint(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val lp = floor(log((col("c12") + lit(1L)).cast("double") /
       (col("c1") + col("v")).cast("double")) * lit(1e6) + lit(0.5)).cast("long")
     val perDoc = bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))

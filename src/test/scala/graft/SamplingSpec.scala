@@ -198,4 +198,38 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-positive weight"))
   }
+
+  test("qualityCalibrate: within-stratum per-mille percentiles; singleton stratum calibrates to 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L),
+      ("b", 4L, 99L)
+    ).toDF("src", "id", "score")
+    val got = Sampling.qualityCalibrate(df, "src", "id", $"score")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pct_mille")).toMap
+    // stratum a, n=3: ranks 1,2,3 → (rk-1)*1000 div 2 = 0, 500, 1000
+    assert(got == Map(1L -> 0L, 3L -> 500L, 2L -> 1000L, 4L -> 0L), s"got $got")
+  }
+
+  test("mixRebalance: binding source keeps ~everything, others downsample to the temperature target") {
+    import spark.implicits._
+    // two sources 90/10 at alpha=0.5: targets ~ sqrt shares; the SMALL
+    // source is binding (its share must RISE), so its rate ≈ 1e6
+    val docs = Seq(("a", 90L), ("b", 10L)).toDF("source", "tok")
+    val got = Sampling.mixRebalance(docs, "source", $"tok", 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (na, wa, ta, ra) = got("a")
+    val (nb, wb, tb, rb) = got("b")
+    assert(na == 90L && nb == 10L)
+    // replicate the arithmetic
+    val m = math.min(na * 1000000L / wa, nb * 1000000L / wb)
+    assert(ta == m * wa / 1000000L && tb == m * wb / 1000000L, s"got $got")
+    assert(ra == ta * 1000000L / na && rb == tb * 1000000L / nb)
+    // binding source (b) runs at ~full rate; the heavy source downsamples
+    assert(rb > 990000L, s"binding rate $rb")
+    assert(ra < rb, s"got $got")
+    // realized mix matches the target within integer-division slack
+    assert(math.abs(ta * 1000000L / (ta + tb) - wa * 1000000L / (wa + wb)) < 20000L)
+  }
 }

@@ -168,4 +168,33 @@ class SketchesSpec extends SparkSpec {
     assert(got == Map(-1L -> 1L, 0L -> 2L, 1L -> 2L, 4L -> 1L, 5L -> 2L), s"got $got")
     assert(got.values.sum == vals.size) // every row lands in exactly one bin
   }
+
+  test("corpusOverlap: identical sources estimate ~1, disjoint ~0, half-shared in between") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val vocabA = (0 until 300).map(i => s"a$i")
+    val vocabB = (0 until 300).map(i => s"b$i")
+    def docsFrom(v: Seq[String], n: Int) =
+      (0 until n).map(_ => doc(Seq.fill(30)(v(rnd.nextInt(v.size)))))
+    // sx == sy (same docs), sz disjoint vocab, sw = half of sx's docs +
+    // half of sz's (COPIES — the universe is 3-gram shingles, so only
+    // repeated passages overlap; fresh draws from a shared vocab do not)
+    val dx = docsFrom(vocabA, 20)
+    val dz = docsFrom(vocabB, 20)
+    val dw = dx.take(10) ++ dz.take(10)
+    val rows = dx.map(("sx", _)) ++ dx.map(("sy", _)) ++
+      dz.map(("sz", _)) ++ dw.map(("sw", _))
+    val df = rows.toDF("source", "text")
+    val got = Sketches.corpusOverlap(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("jaccard_ppm")).toMap
+    assert(got.size == 6, s"got ${got.keySet}")
+    assert(got(("sx", "sy")) == 1000000L, s"identical: ${got(("sx", "sy"))}")
+    assert(got(("sx", "sz")) == 0L, s"disjoint: ${got(("sx", "sz"))}")
+    // the half-shared source overlaps both pure sources strictly between
+    val xw = got(("sw", "sx")); val zw = got(("sw", "sz"))
+    assert(xw > 50000L && xw < 950000L, s"sw-sx $xw")
+    assert(zw > 50000L && zw < 950000L, s"sw-sz $zw")
+  }
 }
