@@ -391,6 +391,26 @@ object SparkEntry {
       tmp
     })
 
+  /** Staged Z-order rewrite of the events table clustered on
+    * (user_id, day) — built once per sf dir, shared by q_zorder_layout
+    * (content identity + in-plan morton recomputation; per-file
+    * z-range disjointness and locality are LayoutSpec's assertions).
+    */
+  private val zorderDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private[graft] def stagedZorderLayout(s: SparkSession, dir: String): java.nio.file.Path =
+    zorderDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_zorder_")
+      Layout.zorderLayout(
+        ColOps.table(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr(s"(ts div 1000) div ${86400L * 1000000L}L").as("day")),
+        tmp.toString, 8, "user_id", "day")
+      tmp
+    })
+
   /** documents metadata as JSONL — the fixture for the JSONL-source
     * query (lang codes are [a-z]{2}: no JSON escaping needed).
     */
@@ -762,6 +782,16 @@ object SparkEntry {
       s.read.parquet(stagedRangeLayout(s, dir).toString)
         .filter(col("n_chars").between(150, 350))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Z-order (Morton) clustering rewrite: a box predicate on BOTH
+    // dimensions over the rewritten files — content identity + the
+    // portable bit-cascade z-value checked by the oracle; per-file
+    // z-range disjointness is LayoutSpec's assertion
+    "q_zorder_layout" -> ((s, dir) =>
+      s.read.parquet(stagedZorderLayout(s, dir).toString)
+        .filter(col("user_id").between(40, 80) &&
+          col("day").between(19730, 19740))
+        .select(col("event_id"), col("user_id"), col("day"), col("zval"))),
 
     // per-key rate throttle, batch form: first 3 events per (user, DAY)
     // by (t, id) — see Sampling.throttle (WindowGroupLimit shape, same
@@ -3329,6 +3359,15 @@ object SparkEntry {
 
     "q_mix_rebalance" ->
       Sampling.mixRebalanceSql("CAST(n_chars AS BIGINT)", 0.5),
+
+    "q_zorder_layout" ->
+      s"""WITH z AS (SELECT event_id, user_id,
+                            (epoch_ns(ts) // 1000) // 86400000000 AS day
+                     FROM events)
+          SELECT event_id, user_id, CAST(day AS BIGINT) AS day,
+                 CAST(${Layout.mortonSql("user_id", "day")} AS BIGINT) AS zval
+          FROM z
+          WHERE user_id BETWEEN 40 AND 80 AND day BETWEEN 19730 AND 19740""",
 
     "q_source_cap" ->
       """SELECT source, doc_id, n_chars, rk FROM (

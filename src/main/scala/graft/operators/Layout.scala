@@ -81,4 +81,61 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
     df.sparkSession.read.parquet(outDir)
   }
+
+  /** 16→32-bit Morton spread: the bits of the low 16 move to the even
+    * positions (the standard magic-mask cascade — pure integer shifts
+    * and masks, so the SAME arithmetic runs in any engine).
+    */
+  private def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val a = c.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x33333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (Z-order) interleave of two 16-bit keys into one 32-bit
+    * locality key: bit i of `x` lands at position 2i, bit i of `y` at
+    * 2i+1, so rows close in BOTH dimensions get close z-values. Inputs
+    * beyond 16 bits are masked (callers bucket/pmod first — the
+    * clustering key needs locality, not injectivity).
+    */
+  def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+  }
+
+  /** DuckDB mirror of [[morton]] (same mask cascade, engine-neutral). */
+  def mortonSql(x: String, y: String): String = {
+    def spread(v: String): String = {
+      val a = s"(($v) & 65535)"
+      val b = s"(($a | ($a << 8)) & 16711935)"
+      val d = s"(($b | ($b << 4)) & 252645135)"
+      val e = s"(($d | ($d << 2)) & 858993459)"
+      s"(($e | ($e << 1)) & 1431655765)"
+    }
+    s"(${spread(x)} | (${spread(y)} << 1))"
+  }
+
+  /** Z-order clustering rewrite — the TWO-dimensional [[rangeLayout]]:
+    * range-partition + sort on the Morton key of (xCol, yCol), so every
+    * output file owns a DISJOINT z-range and therefore a COMPACT
+    * rectangle-ish region of the (x, y) plane — parquet min/max stats
+    * on BOTH columns become selective and a predicate on EITHER
+    * dimension (or a box on both) skips most files, which 1-D range
+    * layout only delivers for its leading column. The rewrite is the
+    * heart of `OPTIMIZE ... ZORDER BY (x, y)`; same one-shuffle
+    * plan shape as rangeLayout.
+    */
+  def zorderLayout(df: DataFrame, outDir: String, nFiles: Int,
+                   xCol: String, yCol: String): DataFrame = {
+    require(nFiles > 0)
+    import org.apache.spark.sql.functions.col
+    val z = df.withColumn("zval", morton(col(xCol), col(yCol)))
+    z.repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+  }
 }

@@ -59,6 +59,69 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("morton: bit-exact against a reference interleave; preserves 2-D locality") {
+    import spark.implicits._
+    def refMorton(x: Long, y: Long): Long = {
+      def spread(v: Long): Long =
+        (0 until 16).map(i => ((v >> i) & 1L) << (2 * i)).sum
+      spread(x & 0xFFFF) | (spread(y & 0xFFFF) << 1)
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (70000L, 3L)) // >16-bit x masks
+    val got = pts.toDF("x", "y")
+      .select(Layout.morton(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pts.map { case (x, y) => refMorton(x, y) }, s"got $got")
+  }
+
+  test("zorderLayout: every output file owns a DISJOINT z-range (staged events layout)") {
+    val laid = SparkEntry.stagedZorderLayout(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(laid.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(laid.toString)))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+    assert(files.length >= 2, s"zorder layout produced ${files.length} files")
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("zval")), max(col("zval"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    stats.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"z-ranges overlap: $stats")
+      case _ => ()
+    }
+  }
+
+  test("zorderLayout: BOTH dimensions gain per-file locality on a 64x64 grid") {
+    import spark.implicits._
+    // the staged events fixture has too few users at this sf to show
+    // spans; the property is asserted on a full 2-D grid — a contiguous
+    // z-interval of 1/16 of a 64×64 space confines both coordinates
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val out = java.nio.file.Files.createTempDirectory("graft_zgrid_")
+    val laid = Layout.zorderLayout(grid, out.toString, 16, "x", "y")
+    assert(laid.count() == 64L * 64L) // content preserved
+    val fs = new org.apache.hadoop.fs.Path(out.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fs.makeQualified(new org.apache.hadoop.fs.Path(out.toString)))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+    assert(files.length >= 8, s"grid layout produced ${files.length} files")
+    def medianSpan(c: String): Long = {
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(max(col(c)) - min(col(c))).collect()(0)
+        r.getLong(0)
+      }.sorted
+      spans(spans.length / 2)
+    }
+    // a 1-D range layout on x would give y-span 63 in EVERY file; the
+    // z-layout confines the median file to well under half of each axis
+    assert(medianSpan("x") <= 31, s"x span ${medianSpan("x")}")
+    assert(medianSpan("y") <= 31, s"y span ${medianSpan("y")}")
+  }
+
   test("quantileBins: equal-population bins, exact boundaries, no Window in the plan") {
     import spark.implicits._
     // 40 rows, values 0..39 with id = value → 4 bins of exactly 10
