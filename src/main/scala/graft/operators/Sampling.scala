@@ -122,8 +122,12 @@ object Sampling {
     */
   def mixWeights(df: DataFrame, srcCol: String, weighCol: Column,
                  alpha: Double): DataFrame = {
-    val counts = df.select(col(srcCol).as("source"), weighCol.as("__w"))
-      .groupBy(col("source")).agg(sum(col("__w")).cast("long").as("n_tokens"))
+    // materialized at |sources| rows: every downstream 1-row attach
+    // (total, score sum, rebalance min) would otherwise re-run the
+    // corpus count scan — the pmiCollocations single-scan discipline
+    val counts = graft.core.Materialize.checkpoint(
+      df.select(col(srcCol).as("source"), weighCol.as("__w"))
+        .groupBy(col("source")).agg(sum(col("__w")).cast("long").as("n_tokens")))
     val total = counts.agg(sum(col("n_tokens")).cast("long").as("__tot"))
     val scored = counts.crossJoin(org.apache.spark.sql.functions.broadcast(total))
       .select(col("source"), col("n_tokens"),
