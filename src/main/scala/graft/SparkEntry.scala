@@ -1202,6 +1202,32 @@ object SparkEntry {
       Similarity.knnClassify(
         Similarity.embeddings(s, dir, carry = Seq("label")), nQ = 50, k = 5)),
 
+    // SimHash near-dup pairs: 3×10-bit banded bucket join with EXACT
+    // pigeonhole recall for hamming ≤ 2, capped buckets, bit_count verify
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        ColOps.table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", maxHamming = 2)),
+
+    // point-in-interval attribution: events inside the hour BEFORE each
+    // purchase by the same user — binned equi-join on (user, hour bin),
+    // exact BETWEEN decides; never a nested-loop product
+    "q_interval_join" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("t_us"))
+      val pts = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("t_us"))
+      val ivs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          (col("t_us") - hourUs).as("lo"), col("t_us").as("hi"))
+      ColOps.intervalJoin(pts, ivs, "t_us", "lo", "hi", hourUs,
+          keys = Seq("user_id"))
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_before"), min(col("event_id")).as("first_ev"))
+    }),
+
     // pairwise source-overlap matrix from per-source KMV shingle
     // sketches: after the sketch build, every stage is bounded by
     // sketch geometry (k·|sources| rows), never corpus size
@@ -3360,6 +3386,22 @@ object SparkEntry {
     "q_knn_classify" -> Similarity.knnClassifySql(50, 5),
 
     "q_corpus_overlap" -> Sketches.corpusOverlapSql("source"),
+
+    "q_simhash_pairs" -> Dedup.simhashPairsSql(2),
+
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_ns(ts) // 1000 AS t_us
+                    FROM events),
+          p AS (SELECT user_id, event_id AS p_id,
+                       t_us - 3600000000 AS lo, t_us AS hi
+                FROM e WHERE event_type = 'purchase')
+          SELECT p.p_id, COUNT(*) AS n_before,
+                 MIN(e.event_id) AS first_ev
+          FROM e JOIN p ON e.user_id = p.user_id
+                        AND e.t_us BETWEEN p.lo AND p.hi
+          WHERE e.event_type <> 'purchase'
+          GROUP BY 1""",
 
     "q_quality_calibrate" ->
       s"""SELECT doc_id, source, n_chars,

@@ -198,6 +198,45 @@ object ColOps {
     lb.join(rb, "__bin").where(abs(col(lv) - col(rv)) <= tol).drop("__bin")
   }
 
+  /** Point-in-interval join (event ∈ [lo, hi]), optionally co-keyed —
+    * the attribution/containment shape (`which events fall inside this
+    * window`) that Catalyst would otherwise plan as a nested-loop
+    * product. Same binning discipline as [[bandJoin]]: intervals
+    * explode to the bins they cover, points carry their single bin,
+    * the join runs on (keys..., bin) and the exact BETWEEN filter
+    * decides membership. A point's bin is unique, so every true
+    * (point, interval) pair is produced EXACTLY once — no distinct
+    * pass. Cost O(points + intervals·span/binWidth), one shuffle on
+    * (keys, bin); an interval spanning more than `maxBins` bins fails
+    * fast IN-PLAN (raise_error), because unbounded spans silently
+    * degrade to the cross product this operator exists to avoid.
+    * Times must be non-negative (the fixture's epoch micros are; for
+    * signed domains pre-shift — truncating div would misalign bins).
+    *
+    * `keys` are shared column names (equi-joined); all OTHER column
+    * names must be disjoint between the sides.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, pt: String,
+                   lo: String, hi: String, binWidth: Long,
+                   keys: Seq[String] = Nil, maxBins: Int = 1024): DataFrame = {
+    require(binWidth > 0, "intervalJoin: binWidth must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"intervalJoin: non-key columns must be disjoint; overlapping: ${overlap.mkString(", ")}")
+    val loBin = expr(s"$lo div ${binWidth}L")
+    val hiBin = expr(s"$hi div ${binWidth}L")
+    val ib = intervals.withColumn("__bin",
+      explode(
+        when(col(hi) >= col(lo) && hiBin - loBin < maxBins,
+          sequence(loBin, hiBin))
+          .otherwise(raise_error(lit(
+            s"intervalJoin: interval empty or spans > $maxBins bins")))))
+    val pb = points.withColumn("__bin", expr(s"$pt div ${binWidth}L"))
+    pb.join(ib, keys :+ "__bin")
+      .where(col(pt) >= col(lo) && col(pt) <= col(hi))
+      .drop("__bin")
+  }
+
   /** Keep only rows whose `bucket` population is ≤ cap — the shared
     * viral-bucket guard of the dedup and embedding LSH candidate indexes
     * (the window count rides the same bucket shuffle the candidate join

@@ -492,6 +492,63 @@ object Dedup {
     withHw.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash bands for near-dup pairing: 3 bands of 10 bits. By the
+    * pigeonhole principle, any pair at Hamming distance ≤ 2 differs in
+    * at most 2 bands, so it SHARES at least one exact band — banding
+    * has EXACT recall for the distance the verify step accepts (unlike
+    * MinHash banding, which is probabilistic).
+    */
+  val SimBands = 3
+  val SimBandBits: Int = SimBits / SimBands
+
+  /** SimHash near-dup pairs: banded bucket equi-join (one bucket per
+    * band — `"<band>|<band value>"`, same key shape as the MinHash
+    * index), [[graft.operators.ColOps.capBuckets]] viral guard, distinct,
+    * then the EXACT Hamming verify `bit_count(xor) ≤ maxHamming` on the
+    * full hashes. Recall is exact for maxHamming < SimBands (pigeonhole
+    * — see [[SimBands]]); never all-pairs, same scale discipline as
+    * [[candidatePairs]].
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 2, cap: Int = MaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimBands,
+      s"simhashPairs: pigeonhole recall holds only for maxHamming < $SimBands")
+    val sig = graft.core.Materialize.checkpoint(simhashDf(df, idCol, textCol))
+    val mask = (1L << SimBandBits) - 1
+    val bk = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimBands).map { b =>
+        concat_ws("|", lit(b),
+          shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(mask)))
+      }: _*)).as("bucket"))
+    val capped = ColOps.capBuckets(bk, cap)
+    val a = capped.select(col("bucket"), col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"))
+    val b = capped.select(col("bucket"), col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"))
+    a.join(b, Seq("bucket")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB mirror of [[simhashPairs]] over the documents table. */
+  def simhashPairsSql(maxHamming: Int, cap: Int = MaxBucket): String = {
+    val mask = (1L << SimBandBits) - 1
+    val bands = (0 until SimBands).map { b =>
+      s"($b || '|' || (((sh >> ${b * SimBandBits}) & $mask)))"
+    }.mkString("[", ", ", "]")
+    s"""WITH sig AS (SELECT doc_id, ${simhashSql} AS sh FROM documents),
+        bk0 AS (SELECT doc_id, sh, UNNEST($bands) AS bucket FROM sig),
+        bk AS (SELECT * FROM bk0
+               ${ColOps.capBucketsQualifySql(cap)}),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+                  FROM bk a JOIN bk b ON a.bucket = b.bucket
+                                     AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxHamming"""
+  }
+
   // --- oracle SQL builders (same constants, DuckDB dialect) ---
 
   /** DuckDB expression for the distinct shingle-hash list of `text`

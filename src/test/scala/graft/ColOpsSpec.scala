@@ -310,4 +310,32 @@ class ColOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 3L, false), (1L, 3L, 7L, false),
       (1L, 7L, -1L, true), (2L, 5L, -1L, true)), s"got $got")
   }
+
+  test("intervalJoin: boundary inclusion, bin-spanning intervals, keys, exactly-once; span cap raises") {
+    import spark.implicits._
+    val pts = Seq(
+      ("u1", 1L, 10L),  // == lo of i1 → included
+      ("u1", 2L, 25L),  // inside i1, crosses no bin boundary issue
+      ("u1", 3L, 30L),  // == hi of i1 → included
+      ("u1", 4L, 31L),  // past hi → excluded
+      ("u2", 5L, 25L),  // other key → excluded from i1, in i2
+      ("u1", 6L, 95L)   // inside multi-bin i3
+    ).toDF("k", "pid", "t")
+    val ivs = Seq(
+      ("u1", 100L, 10L, 30L), // i1: spans bins 1..3 at width 10
+      ("u2", 200L, 20L, 26L), // i2
+      ("u1", 300L, 60L, 99L)  // i3: bins 6..9
+    ).toDF("k", "iid", "lo", "hi")
+    val got = ColOps.intervalJoin(pts, ivs, "t", "lo", "hi", 10L, keys = Seq("k"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 100L), (2L, 100L), (3L, 100L), (5L, 200L), (6L, 300L)),
+      s"got $got")
+    // exactly-once: no pair may appear twice even though i1 covers 3 bins
+    assert(got.distinct == got)
+    val e = intercept[Exception] {
+      ColOps.intervalJoin(pts, Seq(("u1", 9L, 0L, 1000L)).toDF("k", "iid", "lo", "hi"),
+        "t", "lo", "hi", 10L, keys = Seq("k"), maxBins = 50).collect()
+    }
+    assert(e.getMessage.contains("spans"))
+  }
 }

@@ -182,6 +182,33 @@ class DedupSpec extends SparkSpec {
       f"LSH pair recall $recall%.3f < 0.8 — a NumHashes/BandSize change destroyed recall")
   }
 
+  test("simhashPairs == brute-force hamming pairs (pigeonhole recall is EXACT for <= 2)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 40L).map { i =>
+      // clusters of 4 share a base doc with 0-2 word substitutions →
+      // guaranteed hamming-close pairs exist; across clusters vary
+      val base = new scala.util.Random(i / 4).shuffle(vocab).take(12).toVector
+      val v = (i % 4).toInt
+      val words = (0 until v).foldLeft(base)((w, k) =>
+        w.updated((i + k).toInt % w.size, vocab(rnd.nextInt(vocab.size))))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same simhashes
+    val sims = Dedup.simhashDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sims.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    assert(want.nonEmpty, "fixture produced no close pairs")
+    assert(got == want, s"got ${got.size} want ${want.size}; diff ${(got diff want) ++ (want diff got)}")
+  }
+
   test("containmentPairs: embedded doc scores C(a→b)=1 while Jaccard understates") {
     import spark.implicits._
     // the long doc extends the short one by ~1/3 — inside the symmetric
