@@ -1203,11 +1203,14 @@ object SparkEntry {
         Similarity.embeddings(s, dir, carry = Seq("label")), nQ = 50, k = 5)),
 
     // SimHash near-dup pairs: 3×10-bit banded bucket join with EXACT
-    // pigeonhole recall for hamming ≤ 2, capped buckets, bit_count verify
+    // pigeonhole recall for hamming ≤ 2 (among uncapped buckets),
+    // bit_count verify. Cap 256 here: the synthetic fixture's tiny
+    // vocabulary concentrates simhashes into a few viral buckets —
+    // exactly the distribution the cap exists for.
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(
         ColOps.table(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text", maxHamming = 2)),
+        "doc_id", "text", maxHamming = 2, cap = 256)),
 
     // point-in-interval attribution: events inside the hour BEFORE each
     // purchase by the same user — binned equi-join on (user, hour bin),
@@ -3387,7 +3390,7 @@ object SparkEntry {
 
     "q_corpus_overlap" -> Sketches.corpusOverlapSql("source"),
 
-    "q_simhash_pairs" -> Dedup.simhashPairsSql(2),
+    "q_simhash_pairs" -> Dedup.simhashPairsSql(2, cap = 256),
 
     "q_interval_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -20,6 +20,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordHashes(children.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "simhash_bits(hashes, bits) takes two arguments")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash_bits: bits must be an integer literal, got $other")
+        }
+        SimhashBits(children.head, bits)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotF64].getName, "vector_dot"),
       (children: Seq[Expression]) => {

@@ -224,3 +224,69 @@ object MinwiseHashes {
     GraftColumnBridge.column(MinwiseHashes(GraftColumnBridge.expression(c), as, bs))
   }
 }
+
+/** One-pass SimHash over a word-hash array: bit b of the output is set
+  * iff a STRICT majority of the input hashes have bit b set — the same
+  * value as the 30-lambda HOF formulation it replaces
+  * ([[graft.operators.Dedup.simhashDf]]), which traversed the array once
+  * PER BIT (30 `filter` closures per row). This expression keeps `bits`
+  * running counters over a single traversal and participates in
+  * whole-stage codegen via a static-call `doGenCode` (SURVEY.md §4
+  * preference (b) — same discipline as [[MinwiseHashes]]). An empty
+  * input yields 0 (no majorities), matching the fold's zero.
+  */
+case class SimhashBits(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 62, s"bits=$bits out of range")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_bits needs array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashBits.simhash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimhashBits.simhash($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashBits =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_bits"
+}
+
+object SimhashBits {
+  /** One traversal, `bits` running counters; strict majority sets the bit. */
+  def simhash(hashes: ArrayData, bits: Int): Long = {
+    val n = hashes.numElements()
+    val cnt = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) cnt(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (2 * cnt(b) > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Column-API entry point (Spark 4 Column↔Expression bridge). */
+  def simhash_bits(c: Column, bits: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(SimhashBits(GraftColumnBridge.expression(c), bits))
+  }
+}

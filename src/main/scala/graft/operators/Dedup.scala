@@ -477,20 +477,15 @@ object Dedup {
 
   /** 30-bit SimHash over word hashes: bit b set iff the majority of words
     * have bit b set in their hash (strict majority — deterministic).
-    * Staged projection: `hw` is materialized once, the 30 bit counters
-    * read it (same lambda-inlining trap as in [[minhashSignatures]]).
+    * ONE array traversal via the native `simhash_bits` codegen
+    * expression (the prior HOF form ran 30 filter lambdas per row —
+    * one traversal PER BIT; values are bit-identical, spec-pinned).
     */
-  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withHw = df.select(col(idCol).as("doc_id"),
-      graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
-    val hw = col("hw")
-    val n = size(hw).cast("long")
-    val bits = (0 until SimBits).map { b =>
-      val cnt = size(filter(hw, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L)).cast("long")
-      when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
-    }
-    withHw.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-  }
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.SimhashBits.simhash_bits(
+        graft.functions.WordHashes.word_hashes(col(textCol)), SimBits)
+        .as("simhash"))
 
   /** SimHash bands for near-dup pairing: 3 bands of 10 bits. By the
     * pigeonhole principle, any pair at Hamming distance ≤ 2 differs in

@@ -50,6 +50,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash_bits (one-pass native) is bit-identical to the per-bit HOF formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(9)
+    val docs = ((0 until 40).map(_ =>
+      Seq.fill(1 + rnd.nextInt(20))(s"w${rnd.nextInt(50)}").mkString(" ")) :+ "")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = operators.Dedup.simhashDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the displaced HOF form, reconstructed verbatim
+    val hw = col("hw")
+    val n = size(hw).cast("long")
+    val bits = (0 until operators.Dedup.SimBits).map { b =>
+      val cnt = size(filter(hw, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L)).cast("long")
+      when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }
+    val hof = docs.select(col("doc_id"),
+        graft.functions.WordHashes.word_hashes(col("text")).as("hw"))
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof, s"diff: ${native.toSet diff hof.toSet}")
+    // codegen participation: no CodegenFallback on the path
+    val plan = operators.Dedup.simhashDf(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || !plan.contains("Fallback"), plan)
+  }
+
   test("saltedJoin == plain join, with the hot key spread over salts") {
     import spark.implicits._
     // skewed left: one hot key with 10k rows, others tiny
