@@ -79,6 +79,12 @@ object SparkEntry {
     */
   private val BlocklistTerms = Seq("slow", "dup")
 
+  /** Position bound for q_interval_stream (same rationale as
+    * [[ZipStreamN]]: stream-stream join state is per row; two rounds
+    * already prove cross-batch pairing).
+    */
+  private val IntervalStreamN = 20000
+
   /** Shared prefix of both packing oracles: per doc, its whitespace
     * token count and group ordinal (`rn` ranks docs within a group for
     * the recursive-CTE walk).
@@ -1229,6 +1235,42 @@ object SparkEntry {
           keys = Seq("user_id"))
         .groupBy(col("p_id"))
         .agg(count(lit(1)).as("n_before"), min(col("event_id")).as("first_ev"))
+    }),
+
+    // the interval join executed as a genuine stream-stream EVENT-TIME
+    // join (watermarks on both sides + a time-range condition — the
+    // state-cleanup contract): points and purchases arrive as two
+    // streams in time-ordered rounds, inner matches emit as both sides
+    // land, and the time-range bound lets Spark evict joined state.
+    // Bounded like q_zip_stream: join state cost is per row and two
+    // rounds already prove cross-batch pairing.
+    "q_interval_stream" -> ((s, dir) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000000L
+      val ev = events(s, dir)
+        .filter(col("event_id") < IntervalStreamN)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("t_us"))
+        .as[(Long, Long, String, Long)].collect().sortBy(_._4).toSeq
+      val pts = ev.filter(_._3 != "purchase").map(e => (e._1, e._2, e._4))
+      val ivs = ev.filter(_._3 == "purchase")
+        .map(e => (e._1, e._2, e._4 - hourUs, e._4))
+      graft.streaming.StreamExec.runStreamingJoin2[
+          (Long, Long, Long), (Long, Long, Long, Long)](
+        s, pts, ivs,
+        (dp, di) => {
+          val p = dp.toDF("user_id", "event_id", "t_us")
+            .withColumn("t", timestamp_micros(col("t_us")))
+            .withWatermark("t", "1 hour")
+          val v = di.toDF("p_user", "p_id", "lo_us", "hi_us")
+            .withColumn("hi_t", timestamp_micros(col("hi_us")))
+            .withWatermark("hi_t", "1 hour")
+          p.join(v, col("user_id") === col("p_user") &&
+              col("t") >= timestamp_micros(col("lo_us")) &&
+              col("t") <= col("hi_t"))
+            .select(col("p_id"), col("event_id"))
+        },
+        rounds = 2)
     }),
 
     // pairwise source-overlap matrix from per-source KMV shingle
@@ -3391,6 +3433,18 @@ object SparkEntry {
     "q_corpus_overlap" -> Sketches.corpusOverlapSql("source"),
 
     "q_simhash_pairs" -> Dedup.simhashPairsSql(2, cap = 256),
+
+    "q_interval_stream" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+                            epoch_ns(ts) // 1000 AS t_us
+                     FROM events WHERE event_id < $IntervalStreamN),
+          p AS (SELECT user_id, event_id AS p_id,
+                       t_us - 3600000000 AS lo, t_us AS hi
+                FROM e WHERE event_type = 'purchase')
+          SELECT p.p_id, e.event_id
+          FROM e JOIN p ON e.user_id = p.user_id
+                        AND e.t_us BETWEEN p.lo AND p.hi
+          WHERE e.event_type <> 'purchase'""",
 
     "q_interval_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

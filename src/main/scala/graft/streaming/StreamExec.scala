@@ -281,6 +281,43 @@ object StreamExec {
       tail: Seq[T] = Nil): DataFrame =
     runBuilt(spark, OutputMode.Append(), elems, build, quantum, tail)
 
+  /** Run a TWO-INPUT streaming plan end-to-end in Append mode — the
+    * runner for stream-stream EVENT-TIME joins built directly from two
+    * typed row streams (watermarks + time-range condition are the
+    * builder's responsibility). Both sides feed in `rounds` ordered
+    * prefix chunks (cross-batch join state genuinely exercised), then
+    * `tailA`/`tailB` sentinel rows each get their OWN micro-batch — the
+    * watermark a batch computes only gates state eviction in the next,
+    * so flushing deterministically needs the extra rounds.
+    */
+  def runStreamingJoin2[A <: Product : TypeTag, B <: Product : TypeTag](
+      spark: SparkSession, as: Seq[A], bs: Seq[B],
+      build: (Dataset[A], Dataset[B]) => DataFrame,
+      rounds: Int = 2, tailA: Seq[A] = Nil, tailB: Seq[B] = Nil): DataFrame =
+    runProtocol(spark, OutputMode.Append()) { implicit sq =>
+      implicit val encA: Encoder[A] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[A]()
+      implicit val encB: Encoder[B] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[B]()
+      val ia = MemoryStream[A]
+      val ib = MemoryStream[B]
+      val out = build(ia.toDS(), ib.toDS())
+      (out, { query =>
+        val ca = as.grouped(math.max(1, (as.size + rounds - 1) / rounds)).toSeq
+        val cb = bs.grouped(math.max(1, (bs.size + rounds - 1) / rounds)).toSeq
+        (0 until math.max(ca.size, cb.size)).foreach { i =>
+          if (i < ca.size) ia.addData(ca(i))
+          if (i < cb.size) ib.addData(cb(i))
+          query.processAllAvailable()
+        }
+        (0 until math.max(tailA.size, tailB.size)).foreach { i =>
+          if (i < tailA.size) ia.addData(tailA(i))
+          if (i < tailB.size) ib.addData(tailB(i))
+          query.processAllAvailable()
+        }
+      })
+    }
+
   /** Run a streaming AGGREGATION end-to-end in Complete output mode:
     * the memory sink's final snapshot equals the batch aggregation over
     * the same rows, so a batch oracle checks the streaming-executed

@@ -727,4 +727,35 @@ class StreamingSpec extends SparkSpec {
     assert(!StreamExec.lastStreamingPlan.contains("StateStore"),
       s"expected no state store in:\n${StreamExec.lastStreamingPlan}")
   }
+
+  test("stream-stream interval join: cross-round matches found, result invariant to the round split") {
+    import org.apache.spark.sql.functions._
+    val hour = 3600L * 1000000L
+    // points at t=0.5h,1.5h,2.5h for u1; purchase at 2h covers the
+    // 1.5h point only; u2's purchase at 1h covers its 0.9h point —
+    // with rounds=3 the 1.5h point and the 2h purchase land in
+    // DIFFERENT batches: only retained join state can pair them
+    val pts = Seq((1L, 101L, hour / 2), (1L, 102L, hour * 3 / 2),
+      (1L, 103L, hour * 5 / 2), (2L, 201L, hour * 9 / 10))
+    val ivs = Seq((1L, 900L, hour, 2 * hour), (2L, 901L, 0L, hour))
+    def run(rounds: Int) =
+      StreamExec.runStreamingJoin2[(Long, Long, Long), (Long, Long, Long, Long)](
+        spark, pts, ivs,
+        (dp, di) => {
+          val p = dp.toDF("user_id", "event_id", "t_us")
+            .withColumn("t", timestamp_micros(col("t_us")))
+            .withWatermark("t", "1 hour")
+          val v = di.toDF("p_user", "p_id", "lo_us", "hi_us")
+            .withColumn("hi_t", timestamp_micros(col("hi_us")))
+            .withWatermark("hi_t", "1 hour")
+          p.join(v, col("user_id") === col("p_user") &&
+              col("t") >= timestamp_micros(col("lo_us")) &&
+              col("t") <= col("hi_t"))
+            .select(col("p_id"), col("event_id"))
+        }, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val split = run(3)
+    assert(split == Seq((900L, 102L), (901L, 201L)), s"got $split")
+    assert(split == run(1), "round-split changed the join result")
+  }
 }
