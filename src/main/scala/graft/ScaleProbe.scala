@@ -172,6 +172,22 @@ object ScaleProbe {
     probePair("knnClassify", embL, bigEmbL, d =>
       graft.operators.Similarity.knnClassify(d, 50, 5).count())
 
+    // corpus overlap: the sketch BUILD is the data-proportional part
+    // (explode + distinct); everything after is sketch-geometry-bounded,
+    // so the copied fixture (same 20 sources, 10x docs) isolates it
+    val docsSrc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text"))
+    val bigDocsSrc = (0 until n).map { i =>
+      docsSrc.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+    }.reduce(_ union _)
+    probePair("corpusOverlap", docsSrc, bigDocsSrc, d =>
+      graft.operators.Sketches.corpusOverlap(d, "source", "text").count())
+
+    // simhash pairs: copied fixture is again the worst case (every
+    // bucket's population grows 10x into the cap)
+    probePair("simhashPairs", docs, bigDocs, d =>
+      graft.operators.Dedup.simhashPairs(d, "doc_id", "text", 2, cap = 256).count())
+
     spark.stop()
   }
 }
