@@ -2545,6 +2545,66 @@ object SparkEntry {
         col("error").as("status"))
       g.unionByName(d)
     }),
+
+    // integer-exact PageRank over the bipartite user↔item graph mined
+    // from the event log (item = props.k, offset into its own id space);
+    // 3 damped iterations, each one edge-join + one dst-shuffle — the
+    // Pregel step as plain DataFrames (Graph scaladoc for the scale
+    // argument). Link centrality is the classic quality prior for
+    // web-corpus sampling.
+    "q_pagerank" -> ((s, dir) => {
+      val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k")
+      val edges = ColOps.table(s, dir, "events")
+        .select(col("user_id").as("src"), (lit(1000000L) + k).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+      operators.Graph.pageRank(edges, iters = 3)
+    }),
+
+    // pre-join cardinality/skew audit of the click⋈purchase self-join on
+    // user_id: per-side key counts + implied pair contribution, top-20 —
+    // the dry run a 100-TB funnel join gets before cluster time is spent
+    "q_join_audit" -> ((s, dir) => {
+      val ev = ColOps.table(s, dir, "events")
+      operators.Diagnostics.joinAudit(
+        ev.filter(col("event_type") === "click"), "user_id",
+        ev.filter(col("event_type") === "purchase"), "user_id", topK = 20)
+    }),
+
+    // would events hash-balance across 32 partitions on user_id? per-
+    // bucket rows/bytes + ppm-of-even-share via the portable scatter
+    // hash, so the oracle computes the identical assignment
+    "q_partition_skew" -> ((s, dir) =>
+      operators.Diagnostics.partitionSkew(ColOps.table(s, dir, "events"),
+        col("user_id"), length(col("props")) + length(col("event_type")),
+        buckets = 32)),
+
+    // per-user lag/gap feature vector (event index, µs since previous,
+    // micro-exact value delta) — one user-key shuffle, no global sort
+    "q_lag_features" -> ((s, dir) =>
+      operators.Behavior.lagFeatures(eventsWithTs(s, dir),
+        "user_id", "ts2", "event_id", "value")),
+
+    // right-to-be-forgotten dry run: purge counts for the delete set
+    // (negative-balance customers) across customer/orders plus the
+    // derived orderkey cascade into lineitem — broadcast flags, the fact
+    // tables are never shuffled
+    "q_forget_users" -> ((s, dir) => {
+      val cust = ColOps.table(s, dir, "customer")
+      val ord = ColOps.table(s, dir, "orders")
+      val li = ColOps.table(s, dir, "lineitem")
+      val delCust = cust.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("key"))
+      val delOrd = ord.join(broadcast(delCust),
+          ord("o_custkey") === delCust("key"), "left_semi")
+        .select(col("o_orderkey").as("key"))
+      operators.Diagnostics.purgeAudit(
+          Seq(("customer", cust, "c_custkey"), ("orders", ord, "o_custkey")),
+          delCust)
+        .unionByName(operators.Diagnostics.purgeAudit(
+          Seq(("lineitem", li, "l_orderkey")), delOrd))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3619,6 +3679,44 @@ object SparkEntry {
          FROM (SELECT event_id,
                       TRY_CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
                FROM events) t""",
+
+    "q_pagerank" -> operators.Graph.pageRankSql(
+      """SELECT user_id AS src,
+           1000000 + json_extract(props, '$.k')::BIGINT AS dst
+         FROM events
+         WHERE user_id IS NOT NULL
+           AND json_extract(props, '$.k') IS NOT NULL""", iters = 3),
+
+    "q_join_audit" -> operators.Diagnostics.joinAuditSql(
+      "SELECT * FROM events WHERE event_type = 'click'", "user_id",
+      "SELECT * FROM events WHERE event_type = 'purchase'", "user_id",
+      topK = 20),
+
+    "q_partition_skew" -> operators.Diagnostics.partitionSkewSql(
+      "SELECT * FROM events", "user_id",
+      "length(props) + length(event_type)", buckets = 32),
+
+    "q_lag_features" -> operators.Behavior.lagFeaturesSql(
+      "events", "user_id", "ts", "event_id", "value"),
+
+    "q_forget_users" ->
+      """WITH del AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0),
+         delo AS (SELECT o_orderkey AS key FROM orders
+                  WHERE o_custkey IN (SELECT key FROM del))
+         SELECT 'customer' AS tbl,
+           CAST(COUNT(*) FILTER (WHERE c_custkey IN (SELECT key FROM del)) AS BIGINT) AS purged,
+           CAST(COUNT(*) FILTER (WHERE c_custkey NOT IN (SELECT key FROM del)) AS BIGINT) AS kept
+         FROM customer
+         UNION ALL
+         SELECT 'orders' AS tbl,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IN (SELECT key FROM del)) AS BIGINT) AS purged,
+           CAST(COUNT(*) FILTER (WHERE o_custkey NOT IN (SELECT key FROM del)) AS BIGINT) AS kept
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem' AS tbl,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IN (SELECT key FROM delo)) AS BIGINT) AS purged,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey NOT IN (SELECT key FROM delo)) AS BIGINT) AS kept
+         FROM lineitem""",
   )
 
   /** Shared DuckDB CTE pipeline: minhash sigs → band buckets → candidate

@@ -167,4 +167,43 @@ object Behavior {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                  AS cum_users
         FROM fw GROUP BY bucket"""
+
+  /** Per-user temporal feature engineering — the lag/gap vector every
+    * behavioral model trains on: for each event, its 1-based index in
+    * the user's history, microseconds since the user's previous event
+    * (NULL on the first), and the micro-scaled delta of `valCol` versus
+    * the previous event. Ordering is (event time, id) so ties are
+    * deterministic; `valCol` doubles are fixed to integer micro-units
+    * BEFORE differencing so the delta is engine-exact.
+    *
+    * Scale: ONE shuffle on the user key, then per-user sorted windows
+    * inside each partition — the standard window plan; no global sort.
+    * Skewed power users are bounded by their own history length (window
+    * state is O(1) per row for lag/row_number).
+    */
+  def lagFeatures(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, valCol: String): DataFrame = {
+    val w = expressions.Window.partitionBy(col(userCol))
+      .orderBy(col("__t_us"), col(idCol))
+    events
+      .withColumn("__t_us", unix_micros(col(tsCol)))
+      .withColumn("__v_micro", floor(col(valCol) * 1000000 + 0.5).cast("long"))
+      .select(col(userCol), col(idCol), col("__t_us").as("t_us"),
+        row_number().over(w).cast("long").as("evt_idx"),
+        (col("__t_us") - lag(col("__t_us"), 1).over(w)).as("gap_us"),
+        (col("__v_micro") - lag(col("__v_micro"), 1).over(w)).as("val_delta_micro"))
+  }
+
+  /** DuckDB mirror of [[lagFeatures]] (same ordering and micro-fixing). */
+  def lagFeaturesSql(table: String, userCol: String, tsCol: String,
+                     idCol: String, valCol: String): String =
+    s"""WITH e AS (SELECT $userCol, $idCol,
+           epoch_ns($tsCol) // 1000 AS t_us,
+           CAST(FLOOR($valCol * 1000000 + 0.5) AS BIGINT) AS v_micro
+         FROM $table)
+       SELECT $userCol, $idCol, t_us,
+         CAST(row_number() OVER w AS BIGINT) AS evt_idx,
+         t_us - lag(t_us, 1) OVER w AS gap_us,
+         v_micro - lag(v_micro, 1) OVER w AS val_delta_micro
+       FROM e WINDOW w AS (PARTITION BY $userCol ORDER BY t_us, $idCol)"""
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** Pre-flight diagnostics for 100-TB jobs — the audits an operator
+  * team runs BEFORE committing a cluster to a multi-hour shuffle, plus
+  * the governance purge audit run after a deletion request. No conduino
+  * counterpart (the reference never owns a planner or storage); these
+  * extend the LLM-data/warehouse family with the operational tooling a
+  * deployment of this engine needs around it.
+  *
+  * All outputs are integer-exact (counts, Long products, per-mille
+  * ratios via integer division) so every query here hash-matches its
+  * DuckDB oracle.
+  */
+object Diagnostics {
+
+  /** Join cardinality / skew audit: per-key row counts on BOTH sides of
+    * a prospective equi-join and the implied output contribution
+    * `est_pairs = cnt_l · cnt_r`, top-K keys by contribution. A handful
+    * of keys with huge `est_pairs` is the signature of a join that
+    * needs [[ColOps.saltedJoin]] (or a key blocklist) before it is run
+    * for real; `est_pairs = 0` rows quantify anti-join selectivity.
+    *
+    * Scale: each side collapses to its per-key count table in one
+    * map-side-combined shuffle (≤ |distinct keys| rows — orders of
+    * magnitude under the data), the count tables full-outer-join on the
+    * key, and the top-K is `orderBy.limit` which Spark plans as
+    * TakeOrderedAndProject: per-partition top-K merged on the driver,
+    * never a global sort.
+    */
+  def joinAudit(left: DataFrame, leftKey: String,
+                right: DataFrame, rightKey: String, topK: Int): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("cnt_l"))
+    val r = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("cnt_r"))
+    l.join(r, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("cnt_l"), lit(0L)).as("cnt_l"),
+        coalesce(col("cnt_r"), lit(0L)).as("cnt_r"))
+      .withColumn("est_pairs", col("cnt_l") * col("cnt_r"))
+      .orderBy(col("est_pairs").desc, col("key"))
+      .limit(topK)
+  }
+
+  /** DuckDB mirror of [[joinAudit]]. */
+  def joinAuditSql(leftSql: String, leftKey: String,
+                   rightSql: String, rightKey: String, topK: Int): String =
+    s"""WITH l AS (SELECT $leftKey AS key, COUNT(*) AS cnt_l FROM ($leftSql) GROUP BY 1),
+       r AS (SELECT $rightKey AS key, COUNT(*) AS cnt_r FROM ($rightSql) GROUP BY 1)
+       SELECT COALESCE(l.key, r.key) AS key,
+         CAST(COALESCE(cnt_l, 0) AS BIGINT) AS cnt_l,
+         CAST(COALESCE(cnt_r, 0) AS BIGINT) AS cnt_r,
+         CAST(COALESCE(cnt_l, 0) * COALESCE(cnt_r, 0) AS BIGINT) AS est_pairs
+       FROM l FULL OUTER JOIN r ON l.key = r.key
+       ORDER BY est_pairs DESC, key LIMIT $topK"""
+
+  /** Partition-skew audit: how would `df` distribute if hash-partitioned
+    * on `key` into `buckets` partitions? Buckets come from the engine's
+    * portable scatter hash ([[Sampling.scatter]]) so the oracle computes
+    * the identical assignment. Per bucket: row count, a caller-supplied
+    * integer weight (e.g. payload bytes), and each as parts-per-million
+    * of the EVEN share — 1 000 000 means perfectly balanced; a bucket at
+    * 5 000 000 holds 5× its share and forecasts a straggler task.
+    *
+    * Scale: one map-side-combined shuffle to `buckets` rows, then a
+    * 1-row total attached by broadcast. Output is `buckets` rows
+    * regardless of data volume.
+    */
+  def partitionSkew(df: DataFrame, key: Column, weight: Column,
+                    buckets: Int): DataFrame = {
+    val b = df.select((Sampling.scatter(key) % buckets).as("bucket"),
+        weight.cast("long").as("w"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("w_sum"))
+    val tot = b.agg(sum(col("n_rows")).as("__tn"), sum(col("w_sum")).as("__tw"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"), col("w_sum"),
+        expr(s"n_rows * $buckets * 1000000 div __tn").as("rows_ppm_of_even"),
+        expr(s"w_sum * $buckets * 1000000 div __tw").as("weight_ppm_of_even"))
+  }
+
+  /** DuckDB mirror of [[partitionSkew]] (same scatter constants). */
+  def partitionSkewSql(fromSql: String, keySql: String, weightSql: String,
+                       buckets: Int): String =
+    s"""WITH b AS (SELECT ((($keySql) * ${Sampling.ScatterA}) % ${TextOps.HashMod}) % $buckets AS bucket,
+           COUNT(*) AS n_rows, CAST(SUM($weightSql) AS BIGINT) AS w_sum
+         FROM ($fromSql) GROUP BY 1),
+       t AS (SELECT SUM(n_rows) AS tn, SUM(w_sum) AS tw FROM b)
+       SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, w_sum,
+         CAST(n_rows * $buckets * 1000000 // tn AS BIGINT) AS rows_ppm_of_even,
+         CAST(w_sum * $buckets * 1000000 // tw AS BIGINT) AS weight_ppm_of_even
+       FROM b, t"""
+
+  /** Right-to-be-forgotten purge audit: for each (table, keyColumn)
+    * pair, how many rows match the delete-key set and how many remain.
+    * The audit is the dry run of the actual purge (the purge itself is
+    * the same anti-join written back via [[Layout.compact]]-style
+    * rewrite); cascades are expressed by deriving a second key set from
+    * the first (e.g. orderkeys of purged customers) and passing another
+    * entry.
+    *
+    * Scale: delete sets are tiny versus the corpus (a deletion request
+    * batch), so each table is ONE scan with a broadcast left-semi-style
+    * flag — no shuffle of the fact tables at all.
+    */
+  def purgeAudit(tables: Seq[(String, DataFrame, String)],
+                 keys: DataFrame): DataFrame = {
+    val k = broadcast(keys.select(col(keys.columns.head).as("__key"))
+      .distinct().withColumn("__del", lit(1)))
+    tables.map { case (name, df, keyCol) =>
+      df.select(col(keyCol).as("__k"))
+        .join(k, col("__k") === k("__key"), "left_outer")
+        .agg(sum(when(col("__del").isNotNull, 1L).otherwise(0L)).as("purged"),
+          sum(when(col("__del").isNull, 1L).otherwise(0L)).as("kept"))
+        .select(lit(name).as("tbl"), col("purged"), col("kept"))
+    }.reduce(_ unionByName _)
+  }
+}

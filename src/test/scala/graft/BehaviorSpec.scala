@@ -93,4 +93,30 @@ class BehaviorSpec extends SparkSpec {
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"window is not above the aggregates:\n$plan")
   }
+
+  test("lagFeatures: per-user ordering, NULL firsts, micro-exact value deltas") {
+    val events = Seq(
+      (1L, 100L, ts(10), 1.25), (1L, 101L, ts(30), 1.75), (1L, 102L, ts(30), 0.5),
+      (2L, 200L, ts(5), 3.0)
+    ).toDF("user_id", "event_id", "ts2", "value")
+    val got = Behavior.lagFeatures(events, "user_id", "ts2", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    assert(got == Set(
+      // u1: ties at t=30 break by event_id, so 101 precedes 102
+      (1L, 100L, 1L, None, None),
+      (1L, 101L, 2L, Some(20000000L), Some(500000L)),
+      (1L, 102L, 3L, Some(0L), Some(-1250000L)),
+      (2L, 200L, 1L, None, None)))
+  }
+
+  test("lagFeatures plan: one user-key exchange, no global sort") {
+    val events = Seq((1L, 1L, ts(1), 1.0)).toDF("user_id", "event_id", "ts2", "value")
+    val plan = Behavior.lagFeatures(events, "user_id", "ts2", "event_id", "value")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"))
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort crept into the window plan:\n$plan")
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Diagnostics, Graph, Sampling, TextOps}
+
+/** Semantic guarantees of the pre-flight diagnostics and the graph
+  * family, independent of the oracle hash-match: PageRank matches an
+  * in-test reference of the exact integer recurrence, the join audit's
+  * pair estimate is the true join cardinality, the skew audit conserves
+  * totals and uses the portable scatter assignment, and the purge audit
+  * partitions every table exactly.
+  */
+class DiagnosticsSpec extends SparkSpec {
+
+  // ---------- pageRank ----------
+
+  /** Driver-side reference of the same integer recurrence. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var rank = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to iters) {
+      val in = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }
+      rank = in.map { case (v, s) => v -> (150000L + 850000L * s / 1000000L) }
+    }
+    rank
+  }
+
+  test("pageRank matches the integer reference recurrence exactly (star + chain + cycle)") {
+    import spark.implicits._
+    // star around 1, a chain 10-11-12, a triangle 20-21-22, and a
+    // bridge 1-10 — mixed degrees so div/rounding paths all exercise
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (10L, 11L), (11L, 12L), (20L, 21L), (21L, 22L), (22L, 20L), (1L, 10L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(edges, 3))
+    // hub of the star must outrank its leaves
+    assert(got(1L) > got(2L))
+  }
+
+  test("pageRank is input-order and duplicate-edge invariant") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val a = Graph.pageRank(edges.toDF("src", "dst"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRank((edges.reverse ++ edges).toDF("src", "dst"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  // ---------- joinAudit ----------
+
+  test("joinAudit: est_pairs is the true join cardinality; one-sided keys surface with 0") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 1L, 2L, 4L).toDF("k")
+    val rows = Diagnostics.joinAudit(l, "k", r, "k", topK = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(rows.toSet == Set((1L, 3L, 2L, 6L), (2L, 1L, 1L, 1L),
+      (3L, 1L, 0L, 0L), (4L, 0L, 1L, 0L)))
+    // ranked by contribution, and the estimate equals the real join size
+    assert(rows.head == ((1L, 3L, 2L, 6L)))
+    val trueJoin = l.join(r, "k").count()
+    assert(rows.map(_._4).sum == trueJoin)
+  }
+
+  test("joinAudit plans the top-K as TakeOrderedAndProject, not a global sort") {
+    // input must be large enough that EliminateLimits can't prove the
+    // Limit redundant (maxRows > topK), as at real scale; sparkPlan, not
+    // executedPlan, because AQE wraps the latter before first execution
+    val l = spark.range(100).withColumnRenamed("id", "k")
+    val plan = Diagnostics.joinAudit(l, "k", l, "k", 5)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  // ---------- partitionSkew ----------
+
+  test("partitionSkew conserves totals and assigns buckets by the portable scatter hash") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val out = Diagnostics.partitionSkew(df, col("id"), col("w"), buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(_._2).sum == 500L)
+    assert(out.map(_._3).sum == (1L to 500L).map(_ % 7 + 1).sum)
+    // recompute one bucket's row count from the scatter formula
+    val expected0 = (1L to 500L).count(i =>
+      (i * Sampling.ScatterA % TextOps.HashMod) % 8 == 0).toLong
+    assert(out.find(_._1 == 0L).map(_._2).contains(expected0))
+    // a perfectly even split would put every bucket at 1_000_000 ppm;
+    // totals imply the ppm column averages to ~1e6 (integer-div slack)
+    val ppm = out.map(_._4)
+    assert(ppm.sum / ppm.length <= 1000000L)
+    assert(ppm.sum / ppm.length >= 900000L)
+  }
+
+  // ---------- purgeAudit ----------
+
+  test("purgeAudit partitions each table exactly (purged + kept == rows; cascade composes)") {
+    import spark.implicits._
+    val users = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("uid", "name")
+    val posts = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L)).toDF("pid", "uid")
+    val del = Seq(1L).toDF("key")
+    val audit = Diagnostics.purgeAudit(
+      Seq(("users", users, "uid"), ("posts", posts, "uid")), del)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(audit == Set(("users", 1L, 2L), ("posts", 2L, 2L)))
+    // duplicate keys in the delete set must not double-count
+    val audit2 = Diagnostics.purgeAudit(Seq(("posts", posts, "uid")),
+      Seq(1L, 1L, 1L).toDF("key"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(audit2 == Set(("posts", 2L, 2L)))
+  }
+}
