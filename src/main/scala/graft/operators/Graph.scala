@@ -60,7 +60,10 @@ object Graph {
     val edgeDeg = Materialize.checkpoint(
       sym.join(deg, sym("src") === deg("node"))
         .select(col("src"), col("dst"), col("deg")))
-    var rank = deg.select(col("node"), lit(1000000L).as("rank_micro"))
+    // seed from the checkpoint, not from `deg`: deg's lineage re-derives
+    // the edge table from source, which the checkpoint exists to avoid
+    var rank = edgeDeg.select(col("src").as("node")).distinct()
+      .withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
       rank = edgeDeg.join(rank, edgeDeg("src") === rank("node"))
         .groupBy(col("dst").as("node"))

@@ -480,4 +480,44 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
     }
   }
+
+  test("q_pagerank: per-iteration plan is edge-join + dst aggregate, no sort, no cartesian") {
+    val p = plan(SparkEntry.queries("q_pagerank")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"pagerank cartesian:\n$p")
+    assert(!p.contains("rangepartitioning"), s"pagerank global sort:\n$p")
+    // edge table is checkpointed once and the rank seed reads it too:
+    // NOTHING downstream of the checkpoint re-derives from the source
+    assert(p.contains("Scan ExistingRDD"), s"edge checkpoint missing:\n$p")
+    assert(!p.contains("FileScan"), s"iteration re-scans the source:\n$p")
+  }
+
+  test("q_join_audit: sides collapse to count tables before the join; top-K never global-sorts") {
+    val df = SparkEntry.queries("q_join_audit")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-K is not TakeOrdered:\n$p")
+    // aggregation (partial+final per side) sits BELOW the join
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx > 0 && p.indexOf("HashAggregate", joinIdx) > 0,
+      s"count tables not below the join:\n$p")
+  }
+
+  test("q_partition_skew / q_forget_users: one data scan each side, totals attached by broadcast") {
+    val skew = plan(SparkEntry.queries("q_partition_skew")(spark, dir))
+    assert(skew.contains("BroadcastNestedLoopJoin") || skew.contains("BroadcastExchange"),
+      s"skew totals not broadcast:\n$skew")
+    assert(!skew.contains("CartesianProduct"), s"skew cartesian:\n$skew")
+    val forget = plan(SparkEntry.queries("q_forget_users")(spark, dir))
+    assert(forget.contains("BroadcastHashJoin"), s"purge flags not broadcast:\n$forget")
+    assert(!forget.contains("SortMergeJoin"),
+      s"purge audit shuffles a fact table:\n$forget")
+  }
+
+  test("q_lag_features: window partitioned by user over a pruned scan; no global sort") {
+    val df = SparkEntry.queries("q_lag_features")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("hashpartitioning(user_id"), s"window not user-keyed:\n$p")
+    assert(!p.contains("rangepartitioning"), s"global sort:\n$p")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scan.contains("props"), s"read schema not pruned of props:\n$scan")
+  }
 }
