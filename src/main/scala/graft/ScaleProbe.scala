@@ -188,6 +188,31 @@ object ScaleProbe {
     probePair("simhashPairs", docs, bigDocs, d =>
       graft.operators.Dedup.simhashPairs(d, "doc_id", "text", 2, cap = 256).count())
 
+    // pagerank: users are disjoint per copy but items are SHARED, so the
+    // N× graph has N×-degree item hubs — the realistic popular-item
+    // growth axis (per-iteration cost is the edge join + dst shuffle;
+    // the rank broadcast grows with |V|)
+    def edgesOf(d: org.apache.spark.sql.DataFrame) = {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      d.select(col("user_id").as("src"), (lit(1000000L) + k).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+    }
+    probePair("pagerank", events, big, d =>
+      graft.operators.Graph.pageRank(edgesOf(d), 3).count())
+
+    // join audit: key cardinality grows with the copies; the audit's
+    // cost must stay the two count-table shuffles, never the join itself
+    probePair("joinAudit", events, big, d =>
+      graft.operators.Diagnostics.joinAudit(
+        d.filter(col("event_type") === "click"), "user_id",
+        d.filter(col("event_type") === "purchase"), "user_id", 20).count())
+
+    // lag features: window state is O(1) per row; per-user history
+    // length is constant across copies, so this is the pure-volume axis
+    probePair("lagFeatures", events, big, d =>
+      graft.operators.Behavior.lagFeatures(d, "user_id", "ts2",
+        "event_id", "value").count())
+
     spark.stop()
   }
 }

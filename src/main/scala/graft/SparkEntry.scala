@@ -2605,6 +2605,33 @@ object SparkEntry {
         .unionByName(operators.Diagnostics.purgeAudit(
           Seq(("lineitem", li, "l_orderkey")), delOrd))
     }),
+
+    // Merkle-style replica checksum of lineitem: 64 buckets × (count,
+    // Σdigest, Σdigest²) — two 100-TB replicas compare by exchanging 64
+    // rows; a mismatch localizes to a bucket for finer descent. Doubles
+    // are cent-fixed before digesting so the hash is engine-exact.
+    "q_table_checksum" -> ((s, dir) =>
+      operators.Diagnostics.tableChecksum(ColOps.table(s, dir, "lineitem"),
+        col("l_orderkey") * 8 + col("l_linenumber"),
+        Seq(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity") * 100 + 0.5),
+          floor(col("l_extendedprice") * 100 + 0.5),
+          floor(col("l_discount") * 100 + 0.5),
+          ascii(col("l_returnflag")), ascii(col("l_linestatus"))),
+        buckets = 64)),
+
+    // market-basket co-occurrence over view/purchase items: per-user
+    // sets capped at 40 (deterministic top-by-frequency) BEFORE the
+    // pair join, so the blowup is bounded whatever the power users do
+    "q_cooccurrence" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val ev = ColOps.table(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), k.as("item"))
+        .where(col("item").isNotNull)
+      operators.Behavior.coOccurrence(ev, "user_id", "item",
+        minSupport = 3, capPerUser = 40)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3717,6 +3744,22 @@ object SparkEntry {
            CAST(COUNT(*) FILTER (WHERE l_orderkey IN (SELECT key FROM delo)) AS BIGINT) AS purged,
            CAST(COUNT(*) FILTER (WHERE l_orderkey NOT IN (SELECT key FROM delo)) AS BIGINT) AS kept
          FROM lineitem""",
+
+    "q_table_checksum" -> operators.Diagnostics.tableChecksumSql(
+      "SELECT * FROM lineitem", "l_orderkey * 8 + l_linenumber",
+      Seq("l_orderkey", "l_linenumber",
+        "FLOOR(l_quantity * 100 + 0.5)",
+        "FLOOR(l_extendedprice * 100 + 0.5)",
+        "FLOOR(l_discount * 100 + 0.5)",
+        "ascii(l_returnflag)", "ascii(l_linestatus)"),
+      buckets = 64),
+
+    "q_cooccurrence" -> operators.Behavior.coOccurrenceSql(
+      """SELECT user_id, json_extract(props, '$.k')::BIGINT AS item
+         FROM events
+         WHERE event_type IN ('view', 'purchase')
+           AND json_extract(props, '$.k') IS NOT NULL""",
+      "user_id", "item", minSupport = 3, capPerUser = 40),
   )
 
   /** Shared DuckDB CTE pipeline: minhash sigs → band buckets → candidate

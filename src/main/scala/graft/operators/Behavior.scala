@@ -194,6 +194,48 @@ object Behavior {
         (col("__v_micro") - lag(col("__v_micro"), 1).over(w)).as("val_delta_micro"))
   }
 
+  /** Market-basket co-occurrence: item pairs bought/viewed by the same
+    * user, with support (distinct users holding both). The per-user item
+    * set is CAPPED at `capPerUser` items first (top by the user's own
+    * frequency, ties by item id — deterministic), which bounds the pair
+    * explosion at `cap²/2` per user however degenerate the power users
+    * get; the cap is the operator's contract, mirrored by the oracle.
+    *
+    * Scale: one (user, item) count shuffle; the cap is a WindowGroupLimit
+    * (partial top-k before the exchange); the pair self-join is keyed on
+    * the user so it shuffles the CAPPED per-user sets, never raw events;
+    * the final support count is map-side combined on (item_a, item_b).
+    */
+  def coOccurrence(events: DataFrame, userCol: String, itemCol: String,
+                   minSupport: Long, capPerUser: Int): DataFrame = {
+    val w = expressions.Window.partitionBy(col(userCol))
+      .orderBy(col("freq").desc, col(itemCol))
+    val capped = events.groupBy(col(userCol), col(itemCol))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= capPerUser)
+      .select(col(userCol).as("u"), col(itemCol).as("item"))
+    val a = capped.select(col("u"), col("item").as("item_a"))
+    val b = capped.select(col("u").as("u2"), col("item").as("item_b"))
+    a.join(b, col("u") === col("u2") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** DuckDB mirror of [[coOccurrence]] (same cap and tie-break). */
+  def coOccurrenceSql(fromSql: String, userCol: String, itemSql: String,
+                      minSupport: Long, capPerUser: Int): String =
+    s"""WITH capped AS (
+         SELECT $userCol AS u, $itemSql AS item
+         FROM ($fromSql)
+         GROUP BY 1, 2
+         QUALIFY row_number() OVER (PARTITION BY $userCol
+           ORDER BY COUNT(*) DESC, $itemSql) <= $capPerUser)
+       SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+       FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
+       GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport"""
+
   /** DuckDB mirror of [[lagFeatures]] (same ordering and micro-fixing). */
   def lagFeaturesSql(table: String, userCol: String, tsCol: String,
                      idCol: String, valCol: String): String =

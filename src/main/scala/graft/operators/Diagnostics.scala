@@ -104,6 +104,61 @@ object Diagnostics {
     * batch), so each table is ONE scan with a broadcast left-semi-style
     * flag — no shuffle of the fact tables at all.
     */
+  /** Polynomial row digest over integer fields: fold
+    * `acc = (acc·31 + field mod M) mod M` left-to-right (M =
+    * [[TextOps.HashMod]]). Pure codegen arithmetic — no HOF, no UDF —
+    * and `%` truncates toward zero in both Spark and DuckDB, so negative
+    * fields digest identically. Intermediates stay ≤ 32·M ≪ Long.Max.
+    */
+  def rowDigest(fields: Seq[Column]): Column =
+    fields.foldLeft(lit(0L)) { (acc, f) =>
+      (acc * 31 + f.cast("long") % TextOps.HashMod) % TextOps.HashMod
+    }
+
+  /** DuckDB mirror of [[rowDigest]]. */
+  def rowDigestSql(fields: Seq[String]): String =
+    fields.foldLeft("CAST(0 AS BIGINT)") { (acc, f) =>
+      s"(($acc) * 31 + CAST($f AS BIGINT) % ${TextOps.HashMod}) % ${TextOps.HashMod}"
+    }
+
+  /** Merkle-style content checksum: rows bucket by the portable scatter
+    * hash of `id`, and each bucket reports its row count plus two
+    * order-independent digest moments (Σd mod M and Σd² mod M). Two
+    * replicas of a 100-TB table compare by exchanging `buckets` rows —
+    * no data moves — and a mismatch localizes to the differing buckets,
+    * which re-run at finer granularity (the Merkle descent). The second
+    * moment catches compensating edits the plain sum misses.
+    *
+    * Scale: one scan, map-side-combined shuffle to `buckets` rows.
+    * Envelope: |d| < M ≈ 2³⁰, so the un-modded Long sums overflow only
+    * past ~2³³ rows per bucket — size `buckets` so no bucket exceeds
+    * that (overflow would still be *consistent* across engines that wrap
+    * two's-complement, but DuckDB widens to INT128, so stay inside).
+    */
+  def tableChecksum(df: DataFrame, id: Column, fields: Seq[Column],
+                    buckets: Int): DataFrame = {
+    val M = TextOps.HashMod
+    df.select((Sampling.scatter(id) % buckets).as("bucket"),
+        rowDigest(fields).as("__d"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__d")) % M).as("sum1"),
+        (sum(col("__d") * col("__d") % M) % M).as("sum2"))
+  }
+
+  /** DuckDB mirror of [[tableChecksum]]. */
+  def tableChecksumSql(fromSql: String, idSql: String,
+                       fields: Seq[String], buckets: Int): String = {
+    val M = TextOps.HashMod
+    s"""WITH d AS (SELECT ((($idSql) * ${Sampling.ScatterA}) % $M) % $buckets AS bucket,
+           ${rowDigestSql(fields)} AS d
+         FROM ($fromSql))
+       SELECT bucket, COUNT(*) AS n_rows,
+         CAST(SUM(d) % $M AS BIGINT) AS sum1,
+         CAST(SUM(d * d % $M) % $M AS BIGINT) AS sum2
+       FROM d GROUP BY bucket"""
+  }
+
   def purgeAudit(tables: Seq[(String, DataFrame, String)],
                  keys: DataFrame): DataFrame = {
     val k = broadcast(keys.select(col(keys.columns.head).as("__key"))

@@ -111,6 +111,37 @@ class BehaviorSpec extends SparkSpec {
       (2L, 200L, 1L, None, None)))
   }
 
+  test("coOccurrence: support counts distinct users per pair; cap drops the user's coldest items") {
+    val ev = Seq(
+      // u1 basket {1,2,3} (item 3 twice — still one membership)
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 3L),
+      // u2 basket {1,2}
+      (2L, 1L), (2L, 2L),
+      // u3 basket {2,3}
+      (3L, 2L), (3L, 3L)
+    ).toDF("user_id", "item")
+    val got = Behavior.coOccurrence(ev, "user_id", "item",
+        minSupport = 2, capPerUser = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L), (2L, 3L, 2L)))
+    // cap=2: u1 keeps items by (freq desc, item) = {3, 1} → pair (1,3)
+    // only; (1,2)/(2,3) lose u1's membership and fall under support 2
+    val capped = Behavior.coOccurrence(ev, "user_id", "item",
+        minSupport = 1, capPerUser = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 3L, 1L), (1L, 2L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("coOccurrence plan: cap is WindowGroupLimit; pair join is user-keyed, never cartesian") {
+    // fixture must be big enough that the optimizer can't prove the
+    // rank filter redundant (maxRows > cap), as at real scale
+    val ev = spark.range(1000).selectExpr("id % 20 AS user_id", "id % 37 AS item")
+    val p = Behavior.coOccurrence(ev, "user_id", "item", 1, 5)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"cap not group-limited:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
+  }
+
   test("lagFeatures plan: one user-key exchange, no global sort") {
     val events = Seq((1L, 1L, ts(1), 1.0)).toDF("user_id", "event_id", "ts2", "value")
     val plan = Behavior.lagFeatures(events, "user_id", "ts2", "event_id", "value")

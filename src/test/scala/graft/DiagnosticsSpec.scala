@@ -99,6 +99,43 @@ class DiagnosticsSpec extends SparkSpec {
     assert(ppm.sum / ppm.length >= 900000L)
   }
 
+  // ---------- tableChecksum ----------
+
+  test("tableChecksum: identical content ⇒ identical digests; any single-field edit flips its bucket") {
+    import spark.implicits._
+    val base = (1L to 300L).map(i => (i, i * 7 % 13, i % 5)).toDF("id", "a", "b")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Diagnostics.tableChecksum(df, col("id"), Seq(col("a"), col("b")), 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val s1 = sums(base)
+    // same rows, different physical order → same checksums (order-free)
+    assert(sums(base.orderBy(col("b"), col("id").desc)) == s1)
+    // edit one field of one row → exactly that id's bucket changes
+    val edited = base.withColumn("a",
+      when(col("id") === 42L, col("a") + 1).otherwise(col("a")))
+    val s2 = sums(edited)
+    val changed = (s1 diff s2).map(_._1) ++ (s2 diff s1).map(_._1)
+    val bucket42 = (42L * Sampling.ScatterA % TextOps.HashMod) % 8
+    assert(changed == Set(bucket42), s"changed buckets $changed != $bucket42")
+    // counts are untouched by the edit
+    assert(s2.map(t => t._1 -> t._2) == s1.map(t => t._1 -> t._2))
+  }
+
+  test("tableChecksum second moment catches a compensating edit the sum misses") {
+    import spark.implicits._
+    // rows digest to d and d' with d+d' preserved but d²+d'² changed:
+    // swap a=(x, y) for (x+1, y-31) in the SAME bucket — the fold makes
+    // the two digests shift by +31 and −31 respectively
+    val base = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "a", "b")
+    val comp = Seq((1L, 11L, 20L), (2L, 30L, 9L)).toDF("id", "a", "b")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      Diagnostics.tableChecksum(df, lit(0L), Seq(col("a"), col("b")), 1)
+        .select("sum1", "sum2").head()
+    val (r1, r2) = (row(base), row(comp))
+    assert(r1.getLong(0) == r2.getLong(0), "fixture must collide on sum1")
+    assert(r1.getLong(1) != r2.getLong(1), "sum2 must catch the compensating edit")
+  }
+
   // ---------- purgeAudit ----------
 
   test("purgeAudit partitions each table exactly (purged + kept == rows; cascade composes)") {
