@@ -50,16 +50,32 @@ object ScaleProbe {
       events.withColumn("user_id", col("user_id") + lit(i * maxUid))
     }.reduce(_ union _)
 
-    timed("session 1x warm", events) // also warms the parquet footer cache
-    val t1 = timed("session 1x", events)
-    val tn = timed(s"session ${n}x", big)
-    println(f"SCALEPROBE session ratio: ${tn / t1}%.2f (linear would be ~$n)")
+    // SPARK_GRAFT_PROBE_ONLY=coOccurrence,tableChecksum restricts the
+    // run to the named probes — re-measuring one axis shouldn't cost a
+    // full sweep. Same loud-failure contract as Bench's SPARK_GRAFT_ONLY:
+    // a typo'd name errors at the end instead of silently probing nothing.
+    val onlyProbes: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val seenProbes = scala.collection.mutable.Set[String]()
+    def probeEnabled(label: String): Boolean = {
+      seenProbes += label
+      onlyProbes.forall(_.contains(label))
+    }
+
+    if (probeEnabled("session")) {
+      timed("session 1x warm", events) // also warms the parquet footer cache
+      val t1 = timed("session 1x", events)
+      val tn = timed(s"session ${n}x", big)
+      println(f"SCALEPROBE session ratio: ${tn / t1}%.2f (linear would be ~$n)")
+    }
 
     // shared probe protocol: warm run on the base, then timed 1x / Nx
     // (base/big pairs differ per data axis — events-keyed or docs-keyed)
     def probePair(label: String, base: org.apache.spark.sql.DataFrame,
                   big2: org.apache.spark.sql.DataFrame,
                   f: org.apache.spark.sql.DataFrame => Long): Unit = {
+      if (!probeEnabled(label)) return
       def one(tag: String, d: org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()
         val rows = f(d)
@@ -149,9 +165,11 @@ object ScaleProbe {
       println(f"SCALEPROBE pqRerank $tag: $sec%.2f s, $rows rows")
       sec
     }
-    onePq("1x warm", emb)
-    val p1 = onePq("1x", emb); val pn = onePq(s"${n}x", bigEmb)
-    println(f"SCALEPROBE pqRerank ratio: ${pn / p1}%.2f (linear would be ~$n)")
+    if (probeEnabled("pqRerank")) {
+      onePq("1x warm", emb)
+      val p1 = onePq("1x", emb); val pn = onePq(s"${n}x", bigEmb)
+      println(f"SCALEPROBE pqRerank ratio: ${pn / p1}%.2f (linear would be ~$n)")
+    }
 
     // chunk dedup: the copied fixture is the WORST case on purpose —
     // every chunk's occurrence list grows n×, so the probe stresses the
@@ -213,6 +231,27 @@ object ScaleProbe {
       graft.operators.Behavior.lagFeatures(d, "user_id", "ts2",
         "event_id", "value").count())
 
+    // co-occurrence: user count scales 10x but the per-user cap holds,
+    // so the pair stage must stay linear in users, never quadratic
+    probePair("coOccurrence", events, big, { d =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val ev = d.where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), k.as("item")).where(col("item").isNotNull)
+      graft.operators.Behavior.coOccurrence(ev, "user_id", "item", 3, 40).count()
+    })
+
+    // checksum: pure scan + fixed-width shuffle — the flattest axis here
+    probePair("tableChecksum", events, big, d =>
+      graft.operators.Diagnostics.tableChecksum(d, col("event_id"),
+        Seq(col("event_id"), col("user_id"), SparkEntry.ivalCol), 64).count())
+
+    onlyProbes.foreach { names =>
+      val unknown = names -- seenProbes
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_PROBE_ONLY names not registered by any probe: " +
+          s"${unknown.toSeq.sorted.mkString(",")} " +
+          s"(known: ${seenProbes.toSeq.sorted.mkString(",")})")
+    }
     spark.stop()
   }
 }

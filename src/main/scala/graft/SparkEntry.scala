@@ -1975,6 +1975,15 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextOps.charPairCounts(ColOps.table(s, dir, "documents"), "text", 5L)),
 
+    // the FULL tokenizer-training loop around that statistic: 6 rounds
+    // of argmax-merge-recount over the checkpointed word-TYPE histogram
+    // (vocab-bounded sufficient statistic — rounds are corpus-size-
+    // independent; the one corpus scan is the only data-proportional
+    // part). Driver-loop shape like q_pagerank; oracle unrolls the 6
+    // rounds as a CTE chain with the identical replace() merge rule.
+    "q_bpe_learn" -> ((s, dir) =>
+      TextOps.bpeLearn(ColOps.table(s, dir, "documents"), "text", 6)),
+
     // per-language corpus profile — the one-scan health report a corpus
     // build gates on: volume, token mass, source diversity, exact-dup
     // mass. Two COUNT(DISTINCT)s in one aggregate = Spark's expand
@@ -3007,6 +3016,7 @@ object SparkEntry {
     "q_vocab" -> TextOps.vocabSummarySql(50L),
     "q_bigrams" -> TextOps.topBigramsSql(50),
     "q_bpe_pairs" -> TextOps.charPairCountsSql("documents", "text", 5L),
+    "q_bpe_learn" -> TextOps.bpeLearnSql("documents", "text", 6),
     "q_pmi" -> TextOps.pmiCollocationsSql(5L),
 
     "q_corpus_profile" ->

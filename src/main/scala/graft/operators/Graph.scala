@@ -56,10 +56,19 @@ object Graph {
       .distinct()
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     // (src, dst, deg-of-src), materialized once: the loop below joins
-    // against this k times and must not re-derive sym/deg each round
+    // against this k times and must not re-derive sym/deg each round.
+    // Checkpointed HASH-PARTITIONED ON `src` (LogicalRDD preserves the
+    // captured outputPartitioning): each iteration's rank table arrives
+    // hash-partitioned on `node` from the previous round's dst
+    // aggregate, so when the per-round join plans as a shuffled join
+    // both sides are already co-partitioned and the edge side never
+    // re-exchanges — at broadcastable |V| the point is moot (rank
+    // broadcasts), but at graph scale this is the difference between
+    // k edge shuffles and zero.
     val edgeDeg = Materialize.checkpoint(
       sym.join(deg, sym("src") === deg("node"))
-        .select(col("src"), col("dst"), col("deg")))
+        .select(col("src"), col("dst"), col("deg"))
+        .repartition(col("src")))
     // seed from the checkpoint, not from `deg`: deg's lineage re-derives
     // the edge table from source, which the checkpoint exists to avoid
     var rank = edgeDeg.select(col("src").as("node")).distinct()

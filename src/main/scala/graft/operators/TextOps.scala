@@ -475,6 +475,114 @@ object TextOps {
     * reduce side is trivially small at any corpus size. `minCount`
     * filters AFTER the aggregate (a HAVING, not a WHERE).
     */
+  /** Multi-round BPE merge learning — the tokenizer-training loop the
+    * one-shot [[charPairCounts]] table only approximates. Returns the
+    * learned merge table `(round, lhs, rhs, n)`: per round, the
+    * highest-frequency adjacent token pair over the corpus (ties broken
+    * `n DESC, lhs ASC, rhs ASC` — total order, engine-portable for the
+    * `[A-Za-z0-9]+` token alphabet where UTF-8 and UTF-16 orders agree),
+    * which is then merged everywhere before the next round recounts.
+    *
+    * Scale shape (the 100-TB story): ONE corpus scan builds the
+    * word-TYPE histogram `(seq, freq)` — the classic sufficient
+    * statistic, vocab-bounded (~10⁵·avg-word-len rows regardless of
+    * corpus size), checkpointed once. Every subsequent round is
+    * corpus-size-INDEPENDENT: an adjacent-pair aggregate over the
+    * histogram (map-side combinable, shuffle bounded by |pair vocab|), a
+    * 1-row driver argmax (the merge decision — same driver-loop shape as
+    * [[graft.operators.Graph.pageRank]]'s convergence check), and a
+    * narrow per-row merge rewrite. Re-checkpointed per round so lineage
+    * stays O(1), not O(rounds).
+    *
+    * Merge application contract (pinned so the DuckDB oracle can mirror
+    * it exactly): tokens live space-joined in `seq`; applying merge
+    * `(l, r)` is a SINGLE left-to-right non-overlapping pass of
+    * `replace(' '||seq||' ', ' l r ', ' lr ')` — the identical semantics
+    * of Spark SQL `replace` and DuckDB `replace`. A run like `a a a a`
+    * therefore merges to `aa a a` in the round it is first hit (the
+    * separator consumed by a match hides the immediately following
+    * occurrence) rather than greedy BPE's `aa aa`; the remaining pairs
+    * surface in later rounds, and real tokenizers differ on exactly this
+    * run-handling detail anyway. What matters is that the rule is
+    * deterministic and identical in both engines. Stops early (fewer
+    * than `rounds` rows) if no multi-token word remains.
+    */
+  def bpeLearn(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat_ws(" ", expr(
+        "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
+        .as("seq"), col("freq"))
+    var vocab = graft.core.Materialize.checkpoint(hist)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // sequence(1, n-1) would go DESCENDING for n = 1 (Spark generates
+      // [1, 0]), so single-token words are excluded before the explode
+      val pairs = vocab
+        .filter(size(split(col("seq"), " ")) > 1)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(split(seq, ' ')) - 1),
+             i -> struct(element_at(split(seq, ' '), i) AS lhs,
+                         element_at(split(seq, ' '), i + 1) AS rhs))"""))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("n"))
+      val best = pairs.orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rr, n))
+        vocab = graft.core.Materialize.checkpoint(
+          vocab.withColumn("seq", trim(call_function("replace",
+            concat(lit(" "), col("seq"), lit(" ")),
+            lit(s" $l $rr "), lit(s" $l$rr ")))))
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** DuckDB mirror of [[bpeLearn]]: the driver loop unrolled into a
+    * `rounds`-deep CTE chain — pair table, 1-row argmax, merge rewrite
+    * per round. An exhausted round yields an empty `b_r`, the cross
+    * join empties `v_r`, and every later round stays empty — the same
+    * early-stop row count as the Spark side.
+    */
+  def bpeLearnSql(table: String, textCol: String, rounds: Int): String = {
+    val v0 =
+      s"""v0 AS (
+            SELECT array_to_string(list_transform(range(1, len(w) + 1),
+                     i -> substr(w, CAST(i AS INT), 1)), ' ') AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT UNNEST(regexp_extract_all($textCol, '[A-Za-z0-9]+')) AS w
+                  FROM $table) t
+            GROUP BY 1)"""
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+            SELECT toks[CAST(j AS INT)] AS lhs, toks[CAST(j AS INT) + 1] AS rhs,
+                   CAST(SUM(freq) AS BIGINT) AS n
+            FROM (SELECT str_split(seq, ' ') AS toks, freq FROM v${r - 1}) t,
+                 UNNEST(range(1, len(toks))) AS u(j)
+            GROUP BY 1, 2),
+          b$r AS (
+            SELECT CAST($r AS INT) AS round, lhs, rhs, n
+            FROM p$r ORDER BY n DESC, lhs, rhs LIMIT 1),
+          v$r AS (
+            SELECT trim(replace(' ' || v.seq || ' ',
+                                ' ' || b.lhs || ' ' || b.rhs || ' ',
+                                ' ' || b.lhs || b.rhs || ' ')) AS seq, v.freq
+            FROM v${r - 1} v, b$r b)"""
+    }
+    val union = (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"WITH ${(v0 +: steps).mkString(", ")} SELECT round, lhs, rhs, n FROM ($union)"
+  }
+
   def charPairCounts(df: DataFrame, textCol: String, minCount: Long): DataFrame =
     df.select(explode(tokens(col(textCol))).as("w"))
       .filter(char_length(col("w")) > 1)

@@ -237,4 +237,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got._1 == 4L)
     assert(math.abs(got._2 + 1000000L) < 5000L, s"slope ${got._2}")
   }
+
+  test("bpeLearn: hand-computed merge table, tie-breaks, early stop") {
+    import spark.implicits._
+    // word types: "aaab" ×3 (seq "a a a b"), "ab" ×1 (seq "a b")
+    // round 1: (a,a) weighted 3·2=6 beats (a,b)=3+1=4 → merge (a,a,6);
+    //   single-pass replace under-merges the run: "a a a b" → "aa a b"
+    // round 2: (a,b)=3+1=4 beats (aa,a)=3 → (a,b,4) → "aa ab" / "ab"
+    // round 3: (aa,ab)=3 → "aaab" / "ab" — everything single-token
+    // round 4..6: no pairs left → early stop at 3 rows
+    val docs = Seq("aaab aaab ab", "aaab").toDF("text")
+    val got = TextOps.bpeLearn(docs, "text", 6)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a", "a", 6L), (2, "a", "b", 4L),
+      (3, "aa", "ab", 3L)), got.toSeq.toString)
+  }
+
+  test("bpeLearn merge application is single-pass non-overlapping (the pinned portable rule)") {
+    import spark.implicits._
+    // "aaaa" alone: round 1 best is (a,a,3); the single LTR pass turns
+    // "a a a a" into "aa a a" (the separator consumed by the first match
+    // hides the middle pair), so round 2 counts (aa,a)=1 and (a,a)=1 —
+    // tie on n, lhs "a" < "aa" wins → (a,a) again → "aa aa", then (aa,aa)
+    val got = TextOps.bpeLearn(Seq("aaaa").toDF("text"), "text", 6)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a", "a", 3L), (2, "a", "a", 1L),
+      (3, "aa", "aa", 1L)), got.toSeq.toString)
+  }
 }
