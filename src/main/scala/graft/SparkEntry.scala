@@ -1984,6 +1984,15 @@ object SparkEntry {
     "q_bpe_learn" -> ((s, dir) =>
       TextOps.bpeLearn(ColOps.table(s, dir, "documents"), "text", 6)),
 
+    // the apply half of that loop: per-doc subword counts under the
+    // learned state — word-occurrence explode, broadcast join against
+    // the vocab-bounded segmentation map, one per-doc aggregate
+    "q_bpe_apply" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents")
+      TextOps.bpeApply(docs, "doc_id", "text",
+        TextOps.bpeRun(docs, "text", 6)._2)
+    }),
+
     // per-language corpus profile — the one-scan health report a corpus
     // build gates on: volume, token mass, source diversity, exact-dup
     // mass. Two COUNT(DISTINCT)s in one aggregate = Spark's expand
@@ -3017,6 +3026,7 @@ object SparkEntry {
     "q_bigrams" -> TextOps.topBigramsSql(50),
     "q_bpe_pairs" -> TextOps.charPairCountsSql("documents", "text", 5L),
     "q_bpe_learn" -> TextOps.bpeLearnSql("documents", "text", 6),
+    "q_bpe_apply" -> TextOps.bpeApplySql("documents", "doc_id", "text", 6),
     "q_pmi" -> TextOps.pmiCollocationsSql(5L),
 
     "q_corpus_profile" ->

@@ -507,7 +507,15 @@ object TextOps {
     * deterministic and identical in both engines. Stops early (fewer
     * than `rounds` rows) if no multi-token word remains.
     */
-  def bpeLearn(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeLearn(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeRun(df, textCol, rounds)._1
+
+  /** [[bpeLearn]] plus the post-training word-type state `(seq, freq)`
+    * — the segmentation artifact [[bpeApply]] joins back onto the
+    * corpus. Same single computation; `_1` is the merge table.
+    */
+  def bpeRun(df: DataFrame, textCol: String,
+             rounds: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val hist = df.select(explode(tokens(col(textCol))).as("w"))
@@ -545,7 +553,53 @@ object TextOps {
       }
       r += 1
     }
-    merges.toSeq.toDF("round", "lhs", "rhs", "n")
+    (merges.toSeq.toDF("round", "lhs", "rhs", "n"), vocab)
+  }
+
+  /** Segment the corpus with a trained BPE state: per document, the
+    * subword-token count under the learned merges — the "how many
+    * tokens will this doc cost me" accounting every context-window
+    * budgeter needs, and the apply half of the train→apply loop.
+    *
+    * Plan shape: word-occurrence explode → broadcast equi-join against
+    * the |word types|-row segmentation map (word → subword count,
+    * derived from [[bpeRun]]'s final state by despacing `seq`) → one
+    * per-doc aggregate. The map is vocab-bounded, so the join
+    * broadcasts at any corpus size; unseen words (none when the state
+    * was trained on this same corpus) fall back to their character
+    * count — the merge-free segmentation.
+    */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+               vocabState: DataFrame): DataFrame = {
+    val segMap = vocabState.select(
+      call_function("replace", col("seq"), lit(" "), lit("")).as("w"),
+      size(split(col("seq"), " ")).cast("long").as("n_sub"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(segMap), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("n_sub"), char_length(col("w")).cast("long")))
+        .as("n_subwords"), count(lit(1)).as("n_words"))
+  }
+
+  /** DuckDB mirror of [[bpeApply]] over [[bpeLearnSql]]'s final state.
+    * Valid only when all `rounds` merges are achievable (an exhausted
+    * round empties the oracle's vocab chain, unlike the Spark driver
+    * loop which stops with the state intact) — true for any real
+    * corpus and the harness fixture.
+    */
+  def bpeApplySql(table: String, idCol: String, textCol: String,
+                  rounds: Int): String = {
+    s"""WITH ${bpeChainSql(table, textCol, rounds)},
+        seg AS (SELECT replace(seq, ' ', '') AS w,
+                       CAST(len(str_split(seq, ' ')) AS BIGINT) AS n_sub
+                FROM v$rounds),
+        occ AS (SELECT $idCol, UNNEST(regexp_extract_all($textCol, '[A-Za-z0-9]+')) AS w
+                FROM $table)
+        SELECT occ.$idCol,
+               CAST(SUM(COALESCE(seg.n_sub, len(occ.w))) AS BIGINT) AS n_subwords,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM occ LEFT JOIN seg USING (w)
+        GROUP BY occ.$idCol"""
   }
 
   /** DuckDB mirror of [[bpeLearn]]: the driver loop unrolled into a
@@ -555,6 +609,15 @@ object TextOps {
     * early-stop row count as the Spark side.
     */
   def bpeLearnSql(table: String, textCol: String, rounds: Int): String = {
+    val union = (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"WITH ${bpeChainSql(table, textCol, rounds)} " +
+      s"SELECT round, lhs, rhs, n FROM ($union)"
+  }
+
+  /** The shared learn-chain CTE list (`v0, p1, b1, v1, …, v_rounds`)
+    * behind [[bpeLearnSql]] and [[bpeApplySql]].
+    */
+  private def bpeChainSql(table: String, textCol: String, rounds: Int): String = {
     val v0 =
       s"""v0 AS (
             SELECT array_to_string(list_transform(range(1, len(w) + 1),
@@ -579,8 +642,7 @@ object TextOps {
                                 ' ' || b.lhs || b.rhs || ' ')) AS seq, v.freq
             FROM v${r - 1} v, b$r b)"""
     }
-    val union = (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
-    s"WITH ${(v0 +: steps).mkString(", ")} SELECT round, lhs, rhs, n FROM ($union)"
+    (v0 +: steps).mkString(", ")
   }
 
   def charPairCounts(df: DataFrame, textCol: String, minCount: Long): DataFrame =

@@ -264,4 +264,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a", "a", 3L), (2, "a", "a", 1L),
       (3, "aa", "aa", 1L)), got.toSeq.toString)
   }
+
+  test("bpeApply: per-doc subword counts under the learned state; unseen words fall back to chars") {
+    import spark.implicits._
+    val train = Seq("aaab aaab ab", "aaab").toDF("text")
+    // after 2 rounds: "aaab" segments as "aa ab" (2), "ab" as "ab" (1)
+    val state = TextOps.bpeRun(train, "text", 2)._2
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab"), (3L, "zzz ab"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeApply(docs, "doc_id", "text", state)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 3: "zzz" is unseen -> char-count fallback 3, plus "ab" -> 1
+    assert(got.toSeq == Seq((1L, 5L, 3L), (2L, 2L, 1L), (3L, 4L, 2L)),
+      got.toSeq.toString)
+  }
 }
