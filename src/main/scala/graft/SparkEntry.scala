@@ -741,6 +741,23 @@ object SparkEntry {
             .as("shelf_value_c"))
     }),
 
+    // generic Bloom-pruned fact⋈keys semi-join (the decontamination
+    // prefilter generalized): urgent-order keys build a 16 KiB plan-
+    // literal Bloom DISTRIBUTIVELY (bit_or word aggregate — the driver
+    // never sees keys), the membership test runs inside the lineitem
+    // scan's codegen, the exact semi-join removes false positives
+    "q_bloom_prune" -> ((s, dir) => {
+      val urgent = ColOps.table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      ColOps.bloomPrunedSemiJoin(
+          ColOps.table(s, dir, "lineitem"), urgent, "l_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"))
+            .as("sum_qty_c"))
+    }),
+
     // per-source quality cap (the per-domain cap of web-corpus curation):
     // keep the 25 longest docs of each source; rank window rewrites to
     // WindowGroupLimit (PlanSpec asserts) so heavy sources never ship
@@ -3387,6 +3404,16 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                            WHERE l.l_partkey = p.p_partkey
                              AND l.l_shipdate > TIMESTAMP '2001-06-01')
+         GROUP BY 1""",
+
+    "q_bloom_prune" ->
+      """SELECT l.l_returnflag, COUNT(*) AS n_items,
+                CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS sum_qty_c
+         FROM lineitem l
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey
+                         AND o.o_orderpriority = '1-URGENT')
          GROUP BY 1""",
 
     "q_forecast_revenue" ->

@@ -338,4 +338,19 @@ class ColOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("spans"))
   }
+
+  test("bloomPrunedSemiJoin == plain left_semi (nulls, misses, dup filter keys, empty filter)") {
+    import spark.implicits._
+    val fact = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (3L, "c"), (null, "n"), (2L, "b2"), (9L, "miss"))
+      .toDF("k", "payload")
+    val keys = Seq(2L, 3L, 3L, 7L).toDF("k")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload").as[(Long, String)].collect().sorted.toSeq
+    val got = norm(ColOps.bloomPrunedSemiJoin(fact, keys, "k"))
+    val want = norm(fact.join(keys.distinct(), Seq("k"), "left_semi"))
+    assert(got == want && got == Seq((2L, "b"), (2L, "b2"), (3L, "c")), s"got $got")
+    // empty filter side: every fact row pruned, no crash
+    assert(ColOps.bloomPrunedSemiJoin(fact, keys.limit(0), "k").count() == 0L)
+  }
 }

@@ -501,6 +501,19 @@ class PlanSpec extends SparkSpec {
       s"count tables not below the join:\n$p")
   }
 
+  test("q_bloom_prune: membership test sits in the scan stage BELOW the semi-join") {
+    val df = SparkEntry.queries("q_bloom_prune")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx > 0, s"no join in plan:\n$p")
+    // the Bloom word lookup (element_at on the plan-literal array) must
+    // appear below the join — i.e. AFTER the join node in the tree dump —
+    // so non-candidate fact rows die inside the scan's codegen stage
+    val bloomIdx = p.indexOf("element_at", joinIdx)
+    assert(bloomIdx > 0, s"bloom prune not below the join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("q_partition_skew / q_forget_users: one data scan each side, totals attached by broadcast") {
     val skew = plan(SparkEntry.queries("q_partition_skew")(spark, dir))
     assert(skew.contains("BroadcastNestedLoopJoin") || skew.contains("BroadcastExchange"),
