@@ -1909,6 +1909,15 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       TextOps.bigramLmScore(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // HELD-OUT LM eval: bigram counts from the hash-split train
+    // partition only, every val/test doc scored against them (add-one
+    // smoothing, unseen words/bigrams coalesced — no OOV drops). The
+    // train/eval discipline q_lm_score deliberately skips.
+    "q_lm_perplexity" -> ((s, dir) =>
+      TextOps.heldOutLmScore(ColOps.table(s, dir, "documents"),
+        "doc_id", "text",
+        Sampling.splitExpr(col("doc_id"), SplitCuts) === "train")),
+
     // PMI collocations over corpus bigrams (count-thresholded, micro-
     // scaled ln) — three count aggregates + narrow-key joins, no sort
     "q_pmi" -> ((s, dir) =>
@@ -3017,6 +3026,8 @@ object SparkEntry {
                              FROM main.documents)
           ${TextOps.qualityFilterSql(allStopsSql)}""",
     "q_lm_score" -> TextOps.bigramLmScoreSql,
+    "q_lm_perplexity" -> TextOps.heldOutLmScoreSql(
+      s"${Sampling.hashSplitSql("doc_id", SplitCuts)} = 'train'"),
 
     "q_token_count" ->
       "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens FROM documents",

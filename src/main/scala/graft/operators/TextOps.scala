@@ -388,6 +388,95 @@ object TextOps {
         coalesce(col("lp_micro"), lit(0L)).as("lp_micro"))
   }
 
+  /** HELD-OUT bigram LM evaluation — the train/eval discipline
+    * [[bigramLmScore]] (which trains and scores on the same corpus)
+    * deliberately skips: counts come from the `isTrain` partition only,
+    * and every NON-train doc is scored against them with add-one
+    * smoothing, unseen words and bigrams included (`COALESCE(c,0)` on
+    * both join legs — a backoff-free smoothed LM, so no row is ever
+    * dropped for being out-of-vocabulary). Output per held-out doc:
+    * `(idCol, n_bigrams, lp_micro)`; `lp_micro / n_bigrams` is the
+    * per-bigram log-likelihood whose negation is log-perplexity — the
+    * quality signal a curation pipeline thresholds on. Train side must
+    * be non-empty (an empty vocab makes the smoothing denominator 0).
+    *
+    * Scale shape: identical to [[bigramLmScore]] — the train corpus
+    * collapses to checkpointed count tables (≤|vocab|² rows), the
+    * held-out side joins them on narrow string keys; LEFT joins instead
+    * of inner are the only plan difference, and AQE still handles
+    * hot-bigram skew.
+    */
+  def heldOutLmScore(df: DataFrame, idCol: String, textCol: String,
+                     isTrain: Column): DataFrame = {
+    val train = df.filter(isTrain)
+    val heldOut = df.filter(!isTrain)
+    val uni = train.select(explode(words(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = graft.core.Materialize.checkpoint(
+      train.select(words(col(textCol)).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("c12")))
+    val bgv = heldOut.select(col(idCol), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lp = floor(log(
+      (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) *
+      lit(1e6) + lit(0.5)).cast("long")
+    val perDoc = bgv.join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), lp.as("lp"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_micro"))
+    heldOut.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_micro"), lit(0L)).as("lp_micro"))
+  }
+
+  /** DuckDB mirror of [[heldOutLmScore]]; `trainPred` is the SQL
+    * predicate selecting the train partition of `documents`.
+    */
+  def heldOutLmScoreSql(trainPred: String): String =
+    s"""WITH tr AS (SELECT * FROM documents WHERE $trainPred),
+        ho AS (SELECT * FROM documents WHERE NOT ($trainPred)),
+        uc AS (SELECT w1, COUNT(*) AS c1
+               FROM (SELECT UNNEST(string_split(text, ' ')) AS w1 FROM tr) t
+               GROUP BY 1),
+        v AS (SELECT COUNT(*) AS v FROM uc),
+        big AS (SELECT u.w1 AS w1, u.w2 AS w2, COUNT(*) AS c12
+                FROM (SELECT UNNEST([{'w1': ws[i+1], 'w2': ws[i+2]}
+                                     for i in range(0, len(ws) - 1)]) AS u
+                      FROM (SELECT string_split(text, ' ') AS ws FROM tr)
+                      WHERE len(ws) >= 2) t
+                GROUP BY 1, 2),
+        bgf AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+                FROM (SELECT doc_id, UNNEST([{'w1': ws[i+1], 'w2': ws[i+2]}
+                                             for i in range(0, len(ws) - 1)]) AS u
+                      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ho)
+                      WHERE len(ws) >= 2) t),
+        sc AS (SELECT doc_id,
+                 CAST(FLOOR(ln((COALESCE(c12, 0) + 1)::DOUBLE /
+                               (COALESCE(c1, 0) + v)::DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS lp
+               FROM bgf LEFT JOIN big USING (w1, w2) LEFT JOIN uc USING (w1), v),
+        agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                  CAST(SUM(lp) AS BIGINT) AS lp_micro
+                FROM sc GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+               COALESCE(agg.lp_micro, 0)::BIGINT AS lp_micro
+        FROM ho d LEFT JOIN agg USING (doc_id)"""
+
   /** DuckDB mirror of [[bigramLmScore]] over the documents table. */
   def bigramLmScoreSql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

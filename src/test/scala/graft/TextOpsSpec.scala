@@ -278,4 +278,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 5L, 3L), (2L, 2L, 1L), (3L, 4L, 2L)),
       got.toSeq.toString)
   }
+
+  test("heldOutLmScore: train-only counts, add-one smoothing over unseen words and bigrams") {
+    import spark.implicits._
+    // train "a b a b": c12 (a,b)=2 (b,a)=1; c1 a=2 b=2; v=2
+    val docs = Seq(
+      (1L, "a b a b", "train"),
+      (2L, "a b c", "val"),   // (a,b) seen; (b,c) unseen bigram, seen w1
+      (3L, "z z", "val"),     // unseen w1 entirely
+      (4L, "solo", "val"))    // < 2 words -> (0, 0) row, not dropped
+      .toDF("doc_id", "text", "split")
+    def lp(c12: Long, c1: Long): Long =
+      math.floor(math.log((c12 + 1).toDouble / (c1 + 2).toDouble) * 1e6 + 0.5).toLong
+    val got = TextOps.heldOutLmScore(docs, "doc_id", "text",
+      col("split") === "train")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (2L, 2L, lp(2, 2) + lp(0, 2)),
+      (3L, 1L, lp(0, 0)),
+      (4L, 0L, 0L)), got.toSeq.toString)
+  }
 }
