@@ -741,6 +741,19 @@ object SparkEntry {
             .as("shelf_value_c"))
     }),
 
+    // snapshot distribution drift: o_totalprice binned at width 25k,
+    // pre-1998 orders vs later — per-bin exact ppm-of-own-total compare
+    // (ln-free; Σ|delta_ppm|/2 is the TVD in ppm). Count tables before
+    // any join; totals attach by broadcast.
+    "q_drift" -> ((s, dir) => {
+      val cut = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val orders = ColOps.table(s, dir, "orders")
+      operators.Diagnostics.distributionDrift(
+        orders.filter(col("o_orderdate").cast("timestamp") < lit(cut)),
+        orders.filter(col("o_orderdate").cast("timestamp") >= lit(cut)),
+        expr("CAST(FLOOR(o_totalprice / 25000) AS BIGINT)"))
+    }),
+
     // generic Bloom-pruned fact⋈keys semi-join (the decontamination
     // prefilter generalized): urgent-order keys build a 16 KiB plan-
     // literal Bloom DISTRIBUTIVELY (bit_or word aggregate — the driver
@@ -3416,6 +3429,11 @@ object SparkEntry {
                            WHERE l.l_partkey = p.p_partkey
                              AND l.l_shipdate > TIMESTAMP '2001-06-01')
          GROUP BY 1""",
+
+    "q_drift" -> operators.Diagnostics.distributionDriftSql(
+      "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'",
+      "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'",
+      "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)"),
 
     "q_bloom_prune" ->
       """SELECT l.l_returnflag, COUNT(*) AS n_items,

@@ -171,4 +171,64 @@ object Diagnostics {
         .select(lit(name).as("tbl"), col("purged"), col("kept"))
     }.reduce(_ unionByName _)
   }
+
+  /** Distribution drift between two snapshots of the same column — the
+    * "did this feed shift under me" check a training pipeline runs
+    * before trusting a refreshed source. Each side is binned by the
+    * caller's `bin` expression and reduced to a count table; the bins
+    * full-outer-join (a bin present on one side only is real drift,
+    * not a dropped row) and each side's counts become integer
+    * parts-per-million of its own total, so `delta_ppm` is exact and
+    * `Σ|delta_ppm| / 2` is the total-variation distance in ppm —
+    * deliberately ln-free (PSI's log term is undefined at empty bins
+    * and would be the only float in the operator). Output per bin:
+    * `(bin, n_a, n_b, ppm_a, ppm_b, delta_ppm)`. Both snapshots must
+    * be non-empty — an empty side makes ppm-of-total meaningless and
+    * fails loudly under ANSI division rather than returning zeros.
+    *
+    * Scale shape: each side collapses to its bin-count table BEFORE
+    * any join (map-side combinable aggregate, shuffle bounded by
+    * |bins|); the 1-row totals attach by broadcast. Nothing
+    * row-proportional ever joins.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, bin: Column): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      df.select(bin.as("bin")).where(col("bin").isNotNull)
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val ca = counts(a, "n_a")
+    val cb = counts(b, "n_b")
+    val ta = ca.agg(sum(col("n_a")).as("tot_a"))
+    val tb = cb.agg(sum(col("n_b")).as("tot_b"))
+    ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr("n_a * 1000000L div tot_a").as("ppm_a"),
+        expr("n_b * 1000000L div tot_b").as("ppm_b"),
+        (expr("n_a * 1000000L div tot_a") - expr("n_b * 1000000L div tot_b"))
+          .as("delta_ppm"))
+  }
+
+  /** DuckDB mirror of [[distributionDrift]]: `aSql`/`bSql` are the two
+    * snapshot SELECTs, `binSql` the bin expression over their rows.
+    * (`//` floors where Spark's `div` truncates — identical on the
+    * non-negative counts involved.)
+    */
+  def distributionDriftSql(aSql: String, bSql: String, binSql: String): String =
+    s"""WITH ca AS (SELECT bin, COUNT(*) AS n_a FROM
+                      (SELECT $binSql AS bin FROM ($aSql)) WHERE bin IS NOT NULL
+                    GROUP BY 1),
+        cb AS (SELECT bin, COUNT(*) AS n_b FROM
+                 (SELECT $binSql AS bin FROM ($bSql)) WHERE bin IS NOT NULL
+               GROUP BY 1),
+        ta AS (SELECT SUM(n_a) AS tot_a FROM ca),
+        tb AS (SELECT SUM(n_b) AS tot_b FROM cb)
+        SELECT bin, COALESCE(n_a, 0)::BIGINT AS n_a,
+               COALESCE(n_b, 0)::BIGINT AS n_b,
+               CAST(COALESCE(n_a, 0) * 1000000 // tot_a AS BIGINT) AS ppm_a,
+               CAST(COALESCE(n_b, 0) * 1000000 // tot_b AS BIGINT) AS ppm_b,
+               CAST(COALESCE(n_a, 0) * 1000000 // tot_a
+                    - COALESCE(n_b, 0) * 1000000 // tot_b AS BIGINT) AS delta_ppm
+        FROM ca FULL OUTER JOIN cb USING (bin), ta, tb"""
 }

@@ -153,4 +153,19 @@ class DiagnosticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(audit2 == Set(("posts", 2L, 2L)))
   }
+
+  test("distributionDrift: exact ppm deltas, one-sided bins, null bins dropped") {
+    import spark.implicits._
+    val a = Seq[java.lang.Long](1L, 1L, 2L, 3L, null).toDF("v")
+    val b = Seq[java.lang.Long](1L, 2L, 2L, 9L).toDF("v")
+    val got = Diagnostics.distributionDrift(a, b, col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 500000L, 250000L, 250000L),
+      (2L, 1L, 2L, 250000L, 500000L, -250000L),
+      (3L, 1L, 0L, 250000L, 0L, 250000L),
+      (9L, 0L, 1L, 0L, 250000L, -250000L)), got.toSeq.toString)
+    // Σ|delta|/2 = the TVD in ppm
+    assert(got.map(_._6).map(math.abs).sum / 2 == 500000L)
+  }
 }
