@@ -2689,6 +2689,21 @@ object SparkEntry {
       operators.Behavior.coOccurrence(ev, "user_id", "item",
         minSupport = 3, capPerUser = 40)
     }),
+
+    // triangle count on that co-occurrence projection — degree-oriented
+    // wedge closure (out-degrees bounded O(√m), each triangle counted
+    // once at its lowest-rank apex), the clique-ishness motif statistic
+    "q_triangles" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val ev = ColOps.table(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), k.as("item"))
+        .where(col("item").isNotNull)
+      operators.Graph.triangleCount(
+        operators.Behavior.coOccurrence(ev, "user_id", "item",
+            minSupport = 3, capPerUser = 40)
+          .select(col("item_a").as("src"), col("item_b").as("dst")))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3836,6 +3851,15 @@ object SparkEntry {
          WHERE event_type IN ('view', 'purchase')
            AND json_extract(props, '$.k') IS NOT NULL""",
       "user_id", "item", minSupport = 3, capPerUser = 40),
+
+    "q_triangles" -> operators.Graph.triangleCountSql(
+      "SELECT item_a AS src, item_b AS dst FROM (" +
+        operators.Behavior.coOccurrenceSql(
+          """SELECT user_id, json_extract(props, '$.k')::BIGINT AS item
+             FROM events
+             WHERE event_type IN ('view', 'purchase')
+               AND json_extract(props, '$.k') IS NOT NULL""",
+          "user_id", "item", minSupport = 3, capPerUser = 40) + ")"),
   )
 
   /** Shared DuckDB CTE pipeline: minhash sigs → band buckets → candidate

@@ -99,4 +99,72 @@ object Graph {
     }
     s"WITH $base,\n${iterCtes.mkString(",\n")}\nSELECT node, rank_micro FROM r$iters"
   }
+
+  /** Global triangle count over an undirected edge set — the motif
+    * statistic behind clustering-coefficient quality signals (how
+    * clique-ish is this link neighborhood) on co-occurrence / link
+    * graphs. Input `(src, dst)` in either orientation, duplicates and
+    * self-loops tolerated (canonicalized away); output one row,
+    * `n_triangles`.
+    *
+    * The 100-TB shape is DEGREE ORIENTATION (the classic
+    * wedge-counting bound): every canonical edge is directed from its
+    * (degree, node)-smaller endpoint to the larger, so a node's
+    * out-neighborhood is at most O(√m) even for celebrity hubs, wedge
+    * generation is Σ out-deg² instead of Σ deg², and each triangle is
+    * counted exactly once at its lowest-rank apex — no ×6 overcount to
+    * divide away, no hub explosion. Plan: canonical-edge distinct +
+    * degree aggregate + two equi-joins (wedge build, wedge close) —
+    * all key-partitioned, checkpointed oriented edges reused by both
+    * joins.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") < col("b")).distinct()
+    val deg = canon.select(col("a").as("n"))
+      .union(canon.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = Materialize.checkpoint(withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("s"),
+      when(aFirst, col("b")).otherwise(col("a")).as("t"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dt")))
+    val e1 = o.select(col("s"), col("t").as("v"), col("dt").as("dv"))
+    val e2 = o.select(col("s").as("s2"), col("t").as("w"), col("dt").as("dw"))
+    val wedges = e1.join(e2, col("s") === col("s2") &&
+        (col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w"))))
+      .select(col("v"), col("w"))
+    wedges.join(o.select(col("s").as("v"), col("t").as("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** DuckDB mirror of [[triangleCount]]; `edgesSql` yields (src, dst). */
+  def triangleCountSql(edgesSql: String): String =
+    s"""WITH e0 AS ($edgesSql),
+        canon AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        deg AS (SELECT n, COUNT(*) AS d
+                FROM (SELECT a AS n FROM canon
+                      UNION ALL SELECT b FROM canon) t GROUP BY 1),
+        o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                          THEN c.a ELSE c.b END AS s,
+                     CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                          THEN c.b ELSE c.a END AS t,
+                     CASE WHEN da.d < db.d OR (da.d = db.d AND c.a < c.b)
+                          THEN db.d ELSE da.d END AS dt
+              FROM canon c
+              JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b),
+        w AS (SELECT e1.t AS v, e2.t AS w
+              FROM o e1 JOIN o e2 ON e1.s = e2.s
+                AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)))
+        SELECT COUNT(*)::BIGINT AS n_triangles
+        FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.v AND o.t = w.w)"""
 }

@@ -168,4 +168,22 @@ class DiagnosticsSpec extends SparkSpec {
     // Σ|delta|/2 = the TVD in ppm
     assert(got.map(_._6).map(math.abs).sum / 2 == 500000L)
   }
+
+  test("triangleCount: two disjoint triangles + K4, reversed dups and self-loops ignored") {
+    import spark.implicits._
+    val k4 = for (x <- 10L to 13L; y <- 10L to 13L if x < y) yield (x, y)
+    val edges = (Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),   // triangle
+      (2L, 1L),                       // reversed duplicate
+      (3L, 4L), (4L, 5L), (5L, 3L),   // second triangle sharing node 3
+      (5L, 6L),                       // dangling edge
+      (7L, 7L)                        // self-loop
+    ) ++ k4).toDF("src", "dst")
+    val n = Graph.triangleCount(edges).as[Long].collect().head
+    assert(n == 2L + 4L, s"got $n") // K4 contains 4 triangles
+    // empty edge set still yields the single (0) row
+    val z = Graph.triangleCount(Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .as[Long].collect().toSeq
+    assert(z == Seq(0L))
+  }
 }
