@@ -2116,6 +2116,24 @@ object SparkEntry {
 
     // KMV distinct-count sketch over corpus words (deterministic — the
     // oracle-matchable stand-in for approx_count_distinct)
+    // KMV IN-stream — the bounded-state cardinality monitor
+    // (TWENTY-FIRST streaming-executed query): k smallest hashes as
+    // transformWithState state (fixed K longs regardless of volume),
+    // documents fed in quanta, final state = the corpus sketch. KMV's
+    // merge algebra is order-independent, so this shares the batch
+    // q_kmv_sketch oracle verbatim.
+    "q_kmv_stream" -> ((s, dir) => {
+      import s.implicits._
+      val texts = ColOps.table(s, dir, "documents").orderBy(col("doc_id"))
+        .select(col("text")).as[String].collect().toSeq
+      val elems = texts.zipWithIndex.map { case (t, i) =>
+        graft.core.Elem(i.toLong, t)
+      }
+      Sketches.kmvStreamSummary(
+        graft.streaming.StreamExec.runStreaming(s, elems,
+          Sketches.kmvStreamPipe, quantum = streamQuantum(texts.size)))
+    }),
+
     "q_kmv_sketch" -> ((s, dir) =>
       Sketches.kmvWordSketch(ColOps.table(s, dir, "documents"), "text")),
 
@@ -3094,6 +3112,7 @@ object SparkEntry {
          FROM documents GROUP BY lang""",
 
     "q_kmv_sketch" -> Sketches.kmvWordSketchSql,
+    "q_kmv_stream" -> Sketches.kmvWordSketchSql,
 
     "q_kmv_groups" -> Sketches.kmvGroupSketchSql("lang"),
 

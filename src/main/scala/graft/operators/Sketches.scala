@@ -124,6 +124,71 @@ object Sketches {
           .as("est"))
   }
 
+  /** KMV as a STREAMING sketch: the k smallest distinct scattered word
+    * hashes live as keyed `transformWithState` state — a fixed K longs
+    * per key no matter how much data streams past, the textbook
+    * bounded-state cardinality monitor. Each arriving document folds
+    * its words in (same code-point hash + scatter as the batch
+    * [[kmvWordSketch]], so the Scala fold is bit-identical to the
+    * `word_hashes` expression) and the running state is emitted; the
+    * final element's state IS the corpus sketch. KMV's merge algebra
+    * makes the result arrival-order-independent, so the streaming
+    * query shares the batch sketch's oracle verbatim.
+    */
+  def kmvStreamPipe: graft.core.Pipe[String, Vector[Long]] =
+    graft.streaming.StreamPipes.scanTws(Vector.empty[Long]) {
+      (st: Vector[Long], text: String) =>
+        var v = st
+        // mirror WordHashes.hashWords: split on ' ' code points, empty
+        // words hash to 0, then the KmvA/KmvB scatter
+        var acc = 0L
+        var i = 0
+        val n = text.length
+        while (i < n) {
+          val cp = text.codePointAt(i)
+          if (cp == ' ') {
+            v = kmvInsert(v, (KmvA * acc + KmvB) % TextOps.HashMod)
+            acc = 0L
+          } else acc = (acc * 31 + cp) % TextOps.HashMod
+          i += Character.charCount(cp)
+        }
+        kmvInsert(v, (KmvA * acc + KmvB) % TextOps.HashMod)
+    }
+
+  /** Sorted bounded-insert into the k-min set: no-op when the sketch is
+    * full and `hv` ≥ its max or already present; otherwise insert in
+    * place and drop the new maximum.
+    */
+  private def kmvInsert(v: Vector[Long], hv: Long): Vector[Long] =
+    if (v.length == K && hv >= v.last) v
+    else {
+      var lo = 0
+      var hi = v.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (v(m) < hv) lo = m + 1 else hi = m
+      }
+      if (lo < v.length && v(lo) == hv) v
+      else {
+        val ins = (v.take(lo) :+ hv) ++ v.drop(lo)
+        if (ins.length > K) ins.init else ins
+      }
+    }
+
+  /** Reduce [[kmvStreamPipe]]'s emitted running states to the final
+    * summary row — same columns as [[kmvWordSketch]].
+    */
+  def kmvStreamSummary(out: DataFrame): DataFrame =
+    out.orderBy(col("seq").desc).limit(1)
+      .select(
+        lit(K.toLong).as("k"),
+        element_at(col("value"), size(col("value"))).as("kth_min"),
+        size(col("value")).cast("long").as("n_in_sketch"),
+        when(size(col("value")) < K, size(col("value")).cast("long"))
+          .otherwise(expr(
+            s"${(K - 1).toLong * TextOps.HashMod} div element_at(value, size(value))"))
+          .as("est"))
+
   /** DuckDB mirror of [[kmvMergeSketch]] for a two-way split of the
     * documents table on `partPred` vs NOT `partPred`.
     */

@@ -758,4 +758,27 @@ class StreamingSpec extends SparkSpec {
     assert(split == Seq((900L, 102L), (901L, 201L)), s"got $split")
     assert(split == run(1), "round-split changed the join result")
   }
+
+  test("streaming KMV == batch kmvWordSketch, invariant to quantum and arrival order") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.col
+    // > K distinct words so the sketch genuinely cuts at k, plus dups
+    val texts = (0 until 40).map(d =>
+      (0 until 20).map(w => s"w${(d * 7 + w * 13) % 300}").mkString(" "))
+    def run(ts: Seq[String], quantum: Int): (Long, Long, Long, Long) = {
+      val elems = ts.zipWithIndex.map { case (t, i) => Elem(i.toLong, t) }
+      val r = Sketches.kmvStreamSummary(
+        StreamExec.runStreaming(spark, elems, Sketches.kmvStreamPipe,
+          quantum = quantum)).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    import spark.implicits._
+    val b = Sketches.kmvWordSketch(texts.toDF("text"), "text").collect().head
+    val batch = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val got = run(texts, 13) // 4 micro-batches: cross-batch state carry
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(run(texts.reverse, 40) == batch, "arrival order changed the sketch")
+    assert(StreamExec.lastStreamingPlan.contains("TransformWithState"),
+      s"expected TransformWithState in:\n${StreamExec.lastStreamingPlan}")
+  }
 }
