@@ -192,9 +192,12 @@ object Diagnostics {
     * row-proportional ever joins.
     */
   def distributionDrift(a: DataFrame, b: DataFrame, bin: Column): DataFrame = {
+    // count tables are checkpointed: the totals below otherwise re-derive
+    // them from source, turning 2 snapshot scans into 4
     def counts(df: DataFrame, n: String) =
-      df.select(bin.as("bin")).where(col("bin").isNotNull)
-        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+      graft.core.Materialize.checkpoint(
+        df.select(bin.as("bin")).where(col("bin").isNotNull)
+          .groupBy(col("bin")).agg(count(lit(1)).as(n)))
     val ca = counts(a, "n_a")
     val cb = counts(b, "n_b")
     val ta = ca.agg(sum(col("n_a")).as("tot_a"))

@@ -410,8 +410,11 @@ object TextOps {
                      isTrain: Column): DataFrame = {
     val train = df.filter(isTrain)
     val heldOut = df.filter(!isTrain)
-    val uni = train.select(explode(words(col(textCol))).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // checkpointed: both the vocab total and the scoring join consume
+    // this table — without it each consumer re-explodes the train corpus
+    val uni = graft.core.Materialize.checkpoint(
+      train.select(explode(words(col(textCol))).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = graft.core.Materialize.checkpoint(
       train.select(words(col(textCol)).as("ws"))
