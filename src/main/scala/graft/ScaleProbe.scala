@@ -245,6 +245,24 @@ object ScaleProbe {
       graft.operators.Diagnostics.tableChecksum(d, col("event_id"),
         Seq(col("event_id"), col("user_id"), SparkEntry.ivalCol), 64).count())
 
+    // BPE learn: copied docs don't grow the word-TYPE histogram (same
+    // words, 10x freq), so the merge rounds must cost the SAME and only
+    // the one corpus scan scales — the sufficient-statistic claim
+    probePair("bpeLearn", docs, bigDocs, d =>
+      graft.operators.TextOps.bpeLearn(d, "text", 4).count())
+
+    // triangles: 10x users over a FIXED item vocabulary — the
+    // co-occurrence edge set saturates toward the item-pair ceiling, so
+    // wedge build + closure must be item-bounded, never user-linear
+    probePair("triangles", events, big, { d =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val ev = d.where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), k.as("item")).where(col("item").isNotNull)
+      graft.operators.Graph.triangleCount(
+        graft.operators.Behavior.coOccurrence(ev, "user_id", "item", 3, 40)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))).count()
+    })
+
     onlyProbes.foreach { names =>
       val unknown = names -- seenProbes
       require(unknown.isEmpty,

@@ -406,6 +406,25 @@ object SparkEntry {
       tmp
     })
 
+  /** Staged Hive-partitioned rewrite of the documents table on `lang` —
+    * built once per sf dir for q_hive_layout (per-partition manifest
+    * with content-identity oracle; directory-pruning is LayoutSpec's
+    * assertion).
+    */
+  private val hiveDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private[graft] def stagedHiveLayout(s: SparkSession, dir: String): java.nio.file.Path =
+    hiveDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_hivelayout_")
+      Layout.partitionedLayout(
+        ColOps.table(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), col("lang")),
+        tmp.toString, "lang")
+      tmp
+    })
+
   /** Staged Z-order rewrite of the events table clustered on
     * (user_id, day) — built once per sf dir, shared by q_zorder_layout
     * (content identity + in-plan morton recomputation; per-file
@@ -741,6 +760,27 @@ object SparkEntry {
             .as("shelf_value_c"))
     }),
 
+    // TPC-H Q18 shape (large-quantity orders): the fact table collapses
+    // to per-order quantity totals FIRST (map-side-combinable agg), the
+    // rare survivors join orders, the customer dim broadcasts, top-100
+    // is a TakeOrdered partial sort — never a global sort
+    "q_large_orders" -> ((s, dir) => {
+      val big = ColOps.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"))
+          .as("qty_c"))
+        .filter(col("qty_c") > lit(25000L))
+      ColOps.table(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(ColOps.table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("total_c"),
+          col("qty_c"))
+        .orderBy(col("total_c").desc, col("o_orderkey")).limit(100)
+    }),
+
     // snapshot distribution drift: o_totalprice binned at width 25k,
     // pre-1998 orders vs later — per-bin exact ppm-of-own-total compare
     // (ln-free; Σ|delta_ppm|/2 is the TVD in ppm). Count tables before
@@ -827,6 +867,17 @@ object SparkEntry {
       s.read.parquet(stagedRangeLayout(s, dir).toString)
         .filter(col("n_chars").between(150, 350))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Hive-partitioned layout (directory-per-lang): the per-partition
+    // manifest through the round-trip — content identity is the oracle,
+    // directory pruning is LayoutSpec's assert
+    "q_hive_layout" -> ((s, dir) =>
+      s.read.parquet(stagedHiveLayout(s, dir).toString)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))),
 
     // Z-order (Morton) clustering rewrite: a box predicate on BOTH
     // dimensions over the rewritten files — content identity + the
@@ -2722,6 +2773,20 @@ object SparkEntry {
             minSupport = 3, capPerUser = 40)
           .select(col("item_a").as("src"), col("item_b").as("dst")))
     }),
+
+    // local clustering coefficient per item — same oriented-triple
+    // machinery, each triangle credits its three corners, exact ppm
+    "q_clustering_coef" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val ev = ColOps.table(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), k.as("item"))
+        .where(col("item").isNotNull)
+      operators.Graph.clusteringCoef(
+        operators.Behavior.coOccurrence(ev, "user_id", "item",
+            minSupport = 3, capPerUser = 40)
+          .select(col("item_a").as("src"), col("item_b").as("dst")))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3464,6 +3529,20 @@ object SparkEntry {
                              AND l.l_shipdate > TIMESTAMP '2001-06-01')
          GROUP BY 1""",
 
+    "q_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+                        CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                             AS BIGINT) AS qty_c
+                      FROM lineitem GROUP BY 1
+                      HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 25000)
+         SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+                big.qty_c
+         FROM orders o
+         JOIN big ON o.o_orderkey = big.l_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY total_c DESC, o.o_orderkey LIMIT 100""",
+
     "q_drift" -> operators.Diagnostics.distributionDriftSql(
       "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'",
       "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'",
@@ -3710,6 +3789,12 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE n_chars BETWEEN 150 AND 350""",
 
+    "q_hive_layout" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1""",
+
     "q_throttle" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us,
                       (epoch_ns(ts) // 1000) // 86400000000 AS bucket
@@ -3871,15 +3956,21 @@ object SparkEntry {
            AND json_extract(props, '$.k') IS NOT NULL""",
       "user_id", "item", minSupport = 3, capPerUser = 40),
 
-    "q_triangles" -> operators.Graph.triangleCountSql(
-      "SELECT item_a AS src, item_b AS dst FROM (" +
-        operators.Behavior.coOccurrenceSql(
-          """SELECT user_id, json_extract(props, '$.k')::BIGINT AS item
-             FROM events
-             WHERE event_type IN ('view', 'purchase')
-               AND json_extract(props, '$.k') IS NOT NULL""",
-          "user_id", "item", minSupport = 3, capPerUser = 40) + ")"),
+    "q_triangles" -> operators.Graph.triangleCountSql(CoOccurEdgesSql),
+    "q_clustering_coef" -> operators.Graph.clusteringCoefSql(CoOccurEdgesSql),
   )
+
+  /** The co-occurrence projection edge set shared by the graph-motif
+    * oracles (mirrors the q_cooccurrence pipeline).
+    */
+  private val CoOccurEdgesSql: String =
+    "SELECT item_a AS src, item_b AS dst FROM (" +
+      operators.Behavior.coOccurrenceSql(
+        """SELECT user_id, json_extract(props, '$.k')::BIGINT AS item
+           FROM events
+           WHERE event_type IN ('view', 'purchase')
+             AND json_extract(props, '$.k') IS NOT NULL""",
+        "user_id", "item", minSupport = 3, capPerUser = 40) + ")"
 
   /** Shared DuckDB CTE pipeline: minhash sigs → band buckets → candidate
     * pairs → exact shingle Jaccard (mirrors Dedup.jaccardPairs).

@@ -118,7 +118,33 @@ object Graph {
     * all key-partitioned, checkpointed oriented edges reused by both
     * joins.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame): DataFrame =
+    closedTriples(edges)._1.agg(count(lit(1)).as("n_triangles"))
+
+  /** Per-node triangle participation and local clustering coefficient —
+    * how clique-ish each node's neighborhood is, in exact ppm:
+    * `coef_ppm = 2·tri·10⁶ div (d·(d−1))` (0 for degree < 2). Same
+    * degree-oriented machinery as [[triangleCount]]; each closed
+    * triple credits all three corners via one explode + count.
+    */
+  def clusteringCoef(edges: DataFrame): DataFrame = {
+    val (triples, deg) = closedTriples(edges)
+    val perNode = triples
+      .select(explode(array(col("s"), col("v"), col("w"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        when(col("d") < 2, lit(0L))
+          .otherwise(expr("2 * coalesce(tri, 0L) * 1000000L div (d * (d - 1))"))
+          .as("coef_ppm"))
+  }
+
+  /** Shared plumbing: canonicalize, degree-orient, build wedges at each
+    * lowest-rank apex, close them. Returns (closed (s,v,w) triples —
+    * one row per triangle — and the degree table).
+    */
+  private def closedTriples(edges: DataFrame): (DataFrame, DataFrame) = {
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -140,15 +166,19 @@ object Graph {
     val wedges = e1.join(e2, col("s") === col("s2") &&
         (col("dv") < col("dw") ||
           (col("dv") === col("dw") && col("v") < col("w"))))
-      .select(col("v"), col("w"))
-    wedges.join(o.select(col("s").as("v"), col("t").as("w")),
-        Seq("v", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("s"), col("v"), col("w"))
+    // o's (s, t) pairs are distinct by construction, so the inner join
+    // keeps each closed wedge exactly once — one row per triangle
+    val triples = wedges.join(o.select(col("s").as("v"), col("t").as("w")),
+      Seq("v", "w"))
+    (triples, deg)
   }
 
-  /** DuckDB mirror of [[triangleCount]]; `edgesSql` yields (src, dst). */
-  def triangleCountSql(edgesSql: String): String =
-    s"""WITH e0 AS ($edgesSql),
+  /** Shared CTE chain for the triangle family (ends at the closed
+    * `tri3 (s, v, w)` triple table + `deg`).
+    */
+  private def triangleChainSql(edgesSql: String): String =
+    s"""e0 AS ($edgesSql),
         canon AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                   FROM e0 WHERE src <> dst GROUP BY 1, 2),
         deg AS (SELECT n, COUNT(*) AS d
@@ -162,9 +192,27 @@ object Graph {
                           THEN db.d ELSE da.d END AS dt
               FROM canon c
               JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b),
-        w AS (SELECT e1.t AS v, e2.t AS w
-              FROM o e1 JOIN o e2 ON e1.s = e2.s
-                AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)))
-        SELECT COUNT(*)::BIGINT AS n_triangles
-        FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.v AND o.t = w.w)"""
+        wdg AS (SELECT e1.s AS s, e1.t AS v, e2.t AS w
+                FROM o e1 JOIN o e2 ON e1.s = e2.s
+                  AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+        tri3 AS (SELECT wdg.s, wdg.v, wdg.w
+                 FROM wdg JOIN o ON o.s = wdg.v AND o.t = wdg.w)"""
+
+  /** DuckDB mirror of [[triangleCount]]; `edgesSql` yields (src, dst). */
+  def triangleCountSql(edgesSql: String): String =
+    s"""WITH ${triangleChainSql(edgesSql)}
+        SELECT COUNT(*)::BIGINT AS n_triangles FROM tri3"""
+
+  /** DuckDB mirror of [[clusteringCoef]]. */
+  def clusteringCoefSql(edgesSql: String): String =
+    s"""WITH ${triangleChainSql(edgesSql)},
+        pernode AS (SELECT n, COUNT(*) AS tri
+                    FROM (SELECT UNNEST([s, v, w]) AS n FROM tri3) t
+                    GROUP BY 1)
+        SELECT deg.n AS node, deg.d AS deg,
+               COALESCE(pernode.tri, 0)::BIGINT AS n_tri,
+               CASE WHEN deg.d < 2 THEN 0
+                    ELSE 2 * COALESCE(pernode.tri, 0) * 1000000
+                         // (deg.d * (deg.d - 1)) END::BIGINT AS coef_ppm
+        FROM deg LEFT JOIN pernode ON pernode.n = deg.n"""
 }

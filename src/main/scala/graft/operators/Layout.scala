@@ -82,6 +82,25 @@ object Layout {
     df.sparkSession.read.parquet(outDir)
   }
 
+  /** Hive-style STATIC partitioning — the third layout scheme after
+    * size compaction and range/Z clustering: rows land under one
+    * directory per `partCol` value (`.write.partitionBy`), so a
+    * predicate on the partition column is answered by DIRECTORY
+    * elimination before any file is opened — coarser but cheaper than
+    * min/max skipping, and the standard layout for low-cardinality
+    * pipeline axes (language, source, date). The partition column's
+    * values come back from the directory names on read; content is
+    * otherwise identical (LayoutSpec asserts the pruned-scan file set,
+    * the oracle checks content identity through the round-trip).
+    * `partCol` must be low-cardinality — every distinct value is a
+    * directory and at least one file.
+    */
+  def partitionedLayout(df: DataFrame, outDir: String,
+                        partCol: String): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partCol).parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+  }
+
   /** 16→32-bit Morton spread: the bits of the low 16 move to the even
     * positions (the standard magic-mask cascade — pure integer shifts
     * and masks, so the SAME arithmetic runs in any engine).

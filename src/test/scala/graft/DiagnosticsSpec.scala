@@ -186,4 +186,18 @@ class DiagnosticsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(z == Seq(0L))
   }
+
+  test("clusteringCoef: per-node triangles and exact ppm coefficients") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoef(edges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L), // 2·1·10⁶ div (3·2) floors
+      (4L, 1L, 0L, 0L)),     // degree < 2 → defined as 0
+      got.toString)
+  }
 }

@@ -146,4 +146,29 @@ class LayoutSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(got == Seq((0L, 3L), (1L, 2L), (2L, 2L)), s"got $got")
   }
+
+  test("partitionedLayout: content round-trips and a partition predicate prunes to its directory") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hive_test_").toString
+    val df = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L),
+      (4L, "fr", 40L), (5L, "de", 50L)).toDF("id", "lang", "n")
+    val back = Layout.partitionedLayout(df, tmp, "lang")
+    // content identity (partition col values come back from dir names)
+    val got = back.select("id", "lang", "n").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L),
+      (4L, "fr", 40L), (5L, "de", 50L)), s"got $got")
+    // one directory per value
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("lang=de", "lang=en", "lang=fr"), s"dirs $dirs")
+    // directory elimination: the lang predicate must plan as a
+    // PartitionFilter on the scan (pruned before any file is opened),
+    // not a post-scan data filter — inputFiles can't show this (it
+    // lists the unpruned relation), the scan node can
+    val p = back.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]* = en\\)\\].*"),
+      s"lang predicate did not become a partition filter:\n$p")
+  }
 }
