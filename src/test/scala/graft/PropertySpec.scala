@@ -129,4 +129,43 @@ class PropertySpec extends SparkSpec {
         bOrder.sameElements((0 until nb).map(i => s"b$i"))
     })
   }
+
+  test("triangle law: degree-oriented count == brute-force triple enumeration, any graph") {
+    import spark.implicits._
+    val graphGen: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(0, 20).flatMap(n =>
+        Gen.listOfN(n, for {
+          a <- Gen.chooseNum(0L, 8L); b <- Gen.chooseNum(0L, 8L)
+        } yield (a, b)))
+    check("triangles", Prop.forAll(graphGen) { es =>
+      val undirected = es.filter { case (a, b) => a != b }
+        .map { case (a, b) => (a min b, a max b) }.distinct.toSet
+      val nodes = undirected.flatMap(e => Seq(e._1, e._2)).toList.sorted
+      val brute = nodes.combinations(3).count {
+        case List(x, y, z) =>
+          undirected((x, y)) && undirected((y, z)) && undirected((x, z))
+        case _ => false
+      }
+      val got = graft.operators.Graph.triangleCount(es.toDF("src", "dst"))
+        .as[Long].collect().head
+      got == brute.toLong
+    })
+  }
+
+  test("drift law: ppm columns each sum to ~1e6 (floor slack < |bins|) and deltas to ~0") {
+    import spark.implicits._
+    val sideGen = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 6L)))
+    check("drift", Prop.forAll(sideGen, sideGen) { (as, bs) =>
+      val rows = graft.operators.Diagnostics
+        .distributionDrift(as.toDF("v"), bs.toDF("v"), col("v"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      val bins = rows.length
+      val sa = rows.map(_._4).sum; val sb = rows.map(_._5).sum
+      val sd = rows.map(_._6).sum
+      sa > 1000000L - bins && sa <= 1000000L &&
+        sb > 1000000L - bins && sb <= 1000000L &&
+        math.abs(sd) < bins
+    })
+  }
 }
