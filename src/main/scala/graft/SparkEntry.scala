@@ -781,6 +781,23 @@ object SparkEntry {
         .orderBy(col("total_c").desc, col("o_orderkey")).limit(100)
     }),
 
+    // ANALYZE-style one-pass column profile of the events table: 5
+    // statistics × 5 integer-unit columns from ONE global aggregate
+    // (map-side partials; the shuffle is 25 longs), then an in-plan
+    // unpivot. The nullable json k column exercises the null accounting;
+    // the ts column profiles as a DAY bucket, not epoch-µs (sum-overflow
+    // discipline per the scaladoc)
+    "q_table_profile" -> ((s, dir) =>
+      operators.Diagnostics.columnProfile(
+        ColOps.table(s, dir, "events")
+          .withColumn("ts2", timestamp_micros(expr("ts div 1000"))),
+        Seq(
+          "event_id" -> col("event_id"),
+          "user_id" -> col("user_id"),
+          "day" -> expr("unix_micros(ts2) div 86400000000"),
+          "ival" -> ivalCol,
+          "k" -> get_json_object(col("props"), "$.k").cast("long")))),
+
     // snapshot distribution drift: o_totalprice binned at width 25k,
     // pre-1998 orders vs later — per-bin exact ppm-of-own-total compare
     // (ln-free; Σ|delta_ppm|/2 is the TVD in ppm). Count tables before
@@ -3542,6 +3559,15 @@ object SparkEntry {
          JOIN big ON o.o_orderkey = big.l_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY total_c DESC, o.o_orderkey LIMIT 100""",
+
+    "q_table_profile" -> operators.Diagnostics.columnProfileSql(
+      "SELECT * FROM events",
+      Seq(
+        "event_id" -> "event_id",
+        "user_id" -> "user_id",
+        "day" -> "(epoch_ns(ts) // 1000) // 86400000000",
+        "ival" -> IvalSql,
+        "k" -> "json_extract(props, '$.k')::BIGINT")),
 
     "q_drift" -> operators.Diagnostics.distributionDriftSql(
       "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'",

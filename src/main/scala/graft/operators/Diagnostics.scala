@@ -172,6 +172,55 @@ object Diagnostics {
     }.reduce(_ unionByName _)
   }
 
+  /** ANALYZE-style column statistics in ONE pass — the stats collection
+    * a cost-based planner (and every data-quality dashboard) runs
+    * before trusting a table: per requested column, non-null count,
+    * null count, min, max, sum. Callers pre-convert to integer units
+    * (micro-fixing, epoch-µs, day buckets) so every statistic is
+    * engine-exact and overflow-analyzable — e.g. profile a day bucket,
+    * not raw epoch-µs, when `rows × value` would pass ~9.2e18. Output
+    * one row per column: `(col_name, n, n_null, min_v, max_v, sum_v)`
+    * (min/max/sum NULL for an all-null column, like the engines'
+    * aggregates themselves).
+    *
+    * Plan: a single global aggregate computes all 5·|cols| statistics
+    * in one scan (partial aggregation does the work map-side; the
+    * "shuffle" is |cols|·5 longs), then one in-plan unpivot explodes
+    * the 1-row result — nothing row-proportional ever moves.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { case (nm, c) => Seq(
+      count(c).as(s"${nm}__cnt"),
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"${nm}__nulls"),
+      min(c).as(s"${nm}__min"),
+      max(c).as(s"${nm}__max"),
+      sum(c).as(s"${nm}__sum"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { case (nm, _) =>
+      s"""struct('$nm' AS col_name, ${nm}__cnt AS n,
+            coalesce(${nm}__nulls, 0L) AS n_null,
+            cast(${nm}__min AS bigint) AS min_v,
+            cast(${nm}__max AS bigint) AS max_v,
+            cast(${nm}__sum AS bigint) AS sum_v)"""
+    }.mkString(", ")
+    one.select(explode(expr(s"array($stacked)")).as("p")).select(col("p.*"))
+  }
+
+  /** DuckDB mirror of [[columnProfile]]: one aggregate per column,
+    * UNION ALL'd (`cols` maps name → SQL expression over `fromSql`).
+    */
+  def columnProfileSql(fromSql: String, cols: Seq[(String, String)]): String =
+    cols.map { case (nm, e) =>
+      s"""SELECT '$nm' AS col_name, COUNT(x)::BIGINT AS n,
+            CAST(COALESCE(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_null,
+            CAST(MIN(x) AS BIGINT) AS min_v, CAST(MAX(x) AS BIGINT) AS max_v,
+            CAST(SUM(x) AS BIGINT) AS sum_v
+          FROM (SELECT $e AS x FROM ($fromSql))"""
+    }.mkString(" UNION ALL ")
+
   /** Distribution drift between two snapshots of the same column — the
     * "did this feed shift under me" check a training pipeline runs
     * before trusting a refreshed source. Each side is binned by the

@@ -187,6 +187,24 @@ class DiagnosticsSpec extends SparkSpec {
     assert(z == Seq(0L))
   }
 
+  test("columnProfile: one-pass stats, null accounting, all-null column yields NULL min/max/sum") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L), Option.empty[Long]),
+      (2L, None, None),
+      (3L, Some(-5L), None)).toDF("a", "b", "c")
+    val got = Diagnostics.columnProfile(df,
+      Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 3L, 0L, Some(1L), Some(3L), Some(6L)),
+      ("b", 2L, 1L, Some(-5L), Some(10L), Some(5L)),
+      ("c", 0L, 3L, None, None, None)), got.toString)
+  }
+
   test("clusteringCoef: per-node triangles and exact ppm coefficients") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant edge 3-4
