@@ -759,6 +759,42 @@ class StreamingSpec extends SparkSpec {
     assert(split == run(1), "round-split changed the join result")
   }
 
+  test("checkpoint restart: stopped file-source query resumes EXACTLY-ONCE from its offsets") {
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    // the deployable recovery contract: offsets in the checkpoint, sink
+    // files committed via _spark_metadata — a restarted query must pick
+    // up only files it has not yet processed, and an idle restart must
+    // emit nothing. MemoryStream can't prove this (it dies with the
+    // query); a real file source + file sink + checkpointLocation can.
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_")
+    val src = java.nio.file.Files.createDirectory(base.resolve("src"))
+    val data = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    def put(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(src.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.text(src.toString)
+        .select(col("value"), length(col("value")).as("n"))
+        .writeStream.format("parquet")
+        .option("path", data).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def sink(): Seq[(String, Int)] =
+      spark.read.parquet(data).as[(String, Int)].collect().sortBy(_._1).toSeq
+    put("a.txt", "alpha", "bravo")
+    runOnce()
+    assert(sink() == Seq(("alpha", 5), ("bravo", 5)))
+    put("b.txt", "charlie")
+    runOnce() // restart #1: must process ONLY b.txt
+    assert(sink() == Seq(("alpha", 5), ("bravo", 5), ("charlie", 7)))
+    runOnce() // restart #2, no new files: must emit NOTHING
+    assert(sink() == Seq(("alpha", 5), ("bravo", 5), ("charlie", 7)),
+      "idle restart re-emitted rows — exactly-once broken")
+  }
+
   test("streaming KMV == batch kmvWordSketch, invariant to quantum and arrival order") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.col
