@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input contracts: every major operator family on an EMPTY
+  * corpus (and a couple of singletons) must return a well-formed empty
+  * (or defined-degenerate) result, never throw. A library dies in the
+  * field on exactly these shapes — a filter upstream matched nothing,
+  * a new tenant has no data yet — and an oracle harness never exercises
+  * them, so they get pinned here.
+  */
+class DegenerateSpec extends SparkSpec {
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  private def emptyEvents = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_id", "event_type", "ts2")
+  }
+
+  test("dedup family: empty corpus → empty results, no throw") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0L)
+    val sig = Dedup.minhashSignatures(emptyDocs, "doc_id", "text")
+    assert(sig.count() == 0L)
+    assert(Dedup.candidatePairs(sig).count() == 0L)
+  }
+
+  test("bpeLearn/bpeApply: empty corpus → zero merges, empty accounting") {
+    val (merges, vocab) = TextOps.bpeRun(emptyDocs, "text", 4)
+    assert(merges.count() == 0L)
+    assert(TextOps.bpeApply(emptyDocs, "doc_id", "text", vocab).count() == 0L)
+  }
+
+  test("graph family: empty edges → empty ranks/coefficients, 0-count triangles") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(e, 2).count() == 0L)
+    assert(Graph.clusteringCoef(e).count() == 0L)
+    // triangleCount's 1-row zero is pinned in DiagnosticsSpec
+  }
+
+  test("behavioral: funnel and co-occurrence over no events") {
+    import spark.implicits._
+    val f = Behavior.funnel(emptyEvents, "user_id", "event_type", "ts2",
+      Seq("view", "click"))
+    // per-stage counts still come back (one row per stage), all zero
+    assert(f.collect().forall(_.getLong(1) == 0L))
+    val ev = Seq.empty[(Long, Long)].toDF("u", "item")
+    assert(Behavior.coOccurrence(ev, "u", "item", 1, 10).count() == 0L)
+  }
+
+  test("diagnostics: audits over empty tables are empty or all-zero, never errors") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(Diagnostics.joinAudit(e, "k", e, "k", 5).count() == 0L)
+    val prof = Diagnostics.columnProfile(e, Seq("k" -> col("k")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(prof.toSeq == Seq(("k", 0L, 0L)))
+  }
+
+  test("sampling/packing: empty inputs flow through ordinal machinery") {
+    assert(Sampling.stratifiedTake(
+      emptyDocs.withColumnRenamed("text", "lang"), "lang", "doc_id", 5)
+      .count() == 0L)
+    assert(Packing.concatSplit(emptyDocs, "doc_id", "text", 100L).count() == 0L)
+  }
+
+  test("sketches: empty corpus sketch row is the defined degenerate (n=0, est=0)") {
+    val r = Sketches.kmvWordSketch(emptyDocs, "text").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(2) == 0L) // n_in_sketch
+    // est falls back to the exact count branch (n < k) → 0
+    assert(r.head.getLong(3) == 0L)
+  }
+
+  test("singleton corpus: dedup keeps it, bpe learns from it, profile counts it") {
+    import spark.implicits._
+    val one = Seq((7L, "aa bb aa")).toDF("doc_id", "text")
+    assert(Dedup.exact(one, "doc_id", "text").count() == 1L)
+    assert(TextOps.bpeLearn(one, "text", 1).count() == 1L)
+    val p = Diagnostics.columnProfile(one, Seq("doc_id" -> col("doc_id")))
+      .collect().head
+    assert(p.getLong(1) == 1L && p.getLong(3) == 7L && p.getLong(4) == 7L)
+  }
+}
