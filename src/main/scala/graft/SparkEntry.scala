@@ -2322,6 +2322,11 @@ object SparkEntry {
     "q_embed_outliers" -> ((s, dir) =>
       Similarity.embedOutliers(Similarity.embeddings(s, dir, Seq("label")))),
 
+    // per-dimension moment/extent statistics over the raw embeddings
+    // (micro-scaled integer sums — the standardization/whitening pre-pass)
+    "q_embed_dimstats" -> ((s, dir) =>
+      Similarity.dimStats(Similarity.embeddings(s, dir))),
+
     // embedding-cosine near-dup pairs within LSH buckets (0.35 ≈ the
     // 99.9th percentile of pairwise cosine on these random embeddings —
     // high enough to be selective, low enough to produce verifiable rows)
@@ -3312,6 +3317,7 @@ object SparkEntry {
     "q_embed_centroid" -> Similarity.labelCentroidsSql,
 
     "q_embed_outliers" -> Similarity.embedOutliersSql(3),
+    "q_embed_dimstats" -> Similarity.dimStatsSql,
     "q_kmeans_step" -> Similarity.kmeansStepSql(),
     "q_semdedup" -> Similarity.semDedupSql(0.35),
 

@@ -35,6 +35,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == dot(a, b) / (nrm(a) * nrm(b)))
   }
 
+  test("dimStats: d rows out, exact integer moments vs a local fold, variance nonneg") {
+    val vecs = (0L until 50L).map(id => (id, randVec()))
+    val got = Similarity.dimStats(embDf(vecs)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.size == Similarity.Dim, s"expected ${Similarity.Dim} dims, got ${got.size}")
+    def q(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    (0 until Similarity.Dim).foreach { d =>
+      val xs = vecs.map(_._2(d)).map(q)
+      val (cnt, s1, s2, mn, mx) = got(d.toLong)
+      assert(cnt == xs.size && s1 == xs.sum && s2 == xs.map(x => x * x).sum &&
+        mn == xs.min && mx == xs.max, s"dim $d moments differ")
+      // Σx² ≥ (Σx)²/n — the variance the consumer derives is nonnegative
+      assert(s2 * cnt >= s1 * s1, s"dim $d negative variance")
+    }
+  }
+
   test("native vector_dot / vector_sqdist are bit-identical to the HOF left-fold forms") {
     import spark.implicits._
     val rows = (0 until 200).map(_ => (randVec(), randVec())).toDF("a", "b")
