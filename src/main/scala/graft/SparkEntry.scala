@@ -2327,6 +2327,11 @@ object SparkEntry {
     "q_embed_dimstats" -> ((s, dir) =>
       Similarity.dimStats(Similarity.embeddings(s, dir))),
 
+    // whitening apply: z-score every vector against the broadcast
+    // per-dimension stats (bit-exact doubles, same discipline as cosine)
+    "q_embed_standardize" -> ((s, dir) =>
+      Similarity.standardize(Similarity.embeddings(s, dir))),
+
     // embedding-cosine near-dup pairs within LSH buckets (0.35 ≈ the
     // 99.9th percentile of pairwise cosine on these random embeddings —
     // high enough to be selective, low enough to produce verifiable rows)
@@ -3318,6 +3323,7 @@ object SparkEntry {
 
     "q_embed_outliers" -> Similarity.embedOutliersSql(3),
     "q_embed_dimstats" -> Similarity.dimStatsSql,
+    "q_embed_standardize" -> Similarity.standardizeSql,
     "q_kmeans_step" -> Similarity.kmeansStepSql(),
     "q_semdedup" -> Similarity.semDedupSql(0.35),
 

@@ -52,6 +52,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("standardize: z-scores match a local fold bit-exact; moments of zvec are ~(0,1)") {
+    val vecs = (0L until 40L).map(id => (id, randVec()))
+    val got = Similarity.standardize(embDf(vecs)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(got.size == vecs.size)
+    // local replica with the SAME op order/rounding as the engine+oracle
+    def q(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    val d = Similarity.Dim
+    val stats = (0 until d).map { dim =>
+      val xs = vecs.map(v => q(v._2(dim)))
+      val cnt = xs.size.toDouble
+      val mean = xs.sum.toDouble / cnt / 1000000.0
+      val sd = math.sqrt(math.max(
+        xs.map(x => x * x).sum.toDouble / cnt / 1.0e12 - mean * mean, 0.0))
+      (mean, sd)
+    }
+    vecs.foreach { case (id, v) =>
+      val want = v.indices.map { i =>
+        val (m, sd) = stats(i)
+        if (sd > 0.0) (v(i) - m) / sd else 0.0
+      }
+      want.zip(got(id)).zipWithIndex.foreach { case ((w, g), i) =>
+        assert(java.lang.Double.doubleToLongBits(w) ==
+          java.lang.Double.doubleToLongBits(g), s"vec $id dim $i: $w vs $g")
+      }
+    }
+    // sanity: standardized corpus has ~zero mean, ~unit variance per dim
+    val zs = got.values.toSeq
+    (0 until d).foreach { i =>
+      val col0 = zs.map(_(i))
+      val m = col0.sum / col0.size
+      val va = col0.map(x => x * x).sum / col0.size - m * m
+      // stats are micro-QUANTIZED (floor(x·10⁶+0.5)) while z uses raw x,
+      // so the corpus moments carry a ~1e-6-scale quantization residual
+      assert(math.abs(m) < 1e-5 && math.abs(va - 1.0) < 1e-4,
+        s"dim $i standardized moments off: mean $m var $va")
+    }
+  }
+
   test("native vector_dot / vector_sqdist are bit-identical to the HOF left-fold forms") {
     import spark.implicits._
     val rows = (0 until 200).map(_ => (randVec(), randVec())).toDF("a", "b")
