@@ -171,6 +171,20 @@ object ScaleProbe {
       println(f"SCALEPROBE pqRerank ratio: ${pn / p1}%.2f (linear would be ~$n)")
     }
 
+    // per-dimension moments + whitening apply: the collection grows N×
+    // on its real axis (simple copies — dimStats' d-row reduction is
+    // blind to vec_id, and standardize touches every vector once). The
+    // stats aggregate is fixed-width (d keys) so both should be
+    // scan-bound ~linear at worst; the broadcast stats row is
+    // scale-constant by construction.
+    val bigEmbAll = (0 until n).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+    }.reduce(_ union _)
+    probePair("dimStats", emb, bigEmbAll, d =>
+      graft.operators.Similarity.dimStats(d).count())
+    probePair("standardize", emb, bigEmbAll, d =>
+      graft.operators.Similarity.standardize(d).count())
+
     // chunk dedup: the copied fixture is the WORST case on purpose —
     // every chunk's occurrence list grows n×, so the probe stresses the
     // chunk-key exchange (the operator's documented hot path), while
