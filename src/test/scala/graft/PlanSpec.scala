@@ -172,6 +172,22 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("q_embed_standardize: stats attach is a broadcast, moments partially combined, scans pruned") {
+    val df = SparkEntry.queries("q_embed_standardize")(spark, dir)
+    val p = plan(df)
+    // the 1-row packed stats attach must broadcast, never CartesianProduct
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian stats attach:\n$p")
+    // the d-key moment aggregate must combine map-side
+    assert(p.contains("partial_sum"), s"no map-side partial moments:\n$p")
+    // the stats-side scan reads ONLY the embedding column
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("ReadSchema") &&
+      s.contains("embedding") && !s.contains("label")),
+      s"stats scan not pruned:\n${scans.mkString("\n")}")
+  }
+
   test("stratified sample ranks in a PARTITIONED window, no global sort") {
     val df = SparkEntry.queries("q_sample_strat")(spark, dir)
     val p = plan(df)
