@@ -78,6 +78,18 @@ class DegenerateSpec extends SparkSpec {
     assert(r.head.getLong(3) == 0L)
   }
 
+  test("embedding stats: empty collection → 0 stats rows and 0 standardized rows; singleton → zvec all zero") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "emb")
+    assert(Similarity.dimStats(empty).count() == 0L)
+    assert(Similarity.standardize(empty).count() == 0L)
+    // a single vector has zero variance in every dimension — the defined
+    // degenerate is z = 0.0 everywhere, never a divide-by-zero Inf/NaN
+    val one = Seq((7L, Seq(0.25, -0.5, 0.125))).toDF("vec_id", "emb")
+    val z = Similarity.standardize(one).head()
+    assert(z.getLong(0) == 7L && z.getSeq[Double](1).forall(_ == 0.0))
+  }
+
   test("singleton corpus: dedup keeps it, bpe learns from it, profile counts it") {
     import spark.implicits._
     val one = Seq((7L, "aa bb aa")).toDF("doc_id", "text")
