@@ -2328,9 +2328,15 @@ object SparkEntry {
       Similarity.dimStats(Similarity.embeddings(s, dir))),
 
     // whitening apply: z-score every vector against the broadcast
-    // per-dimension stats (bit-exact doubles, same discipline as cosine)
+    // per-dimension stats (bit-exact doubles, same discipline as cosine).
+    // Emitted as exploded (vec_id, dim, z) DOUBLE scalars: the driver's
+    // hash comparator can't sort array-typed cells, and string-joining
+    // doubles is not hash-stable cross-engine — exploded scalar doubles
+    // reuse the bit-exact discipline the cosine family proves.
     "q_embed_standardize" -> ((s, dir) =>
-      Similarity.standardize(Similarity.embeddings(s, dir))),
+      Similarity.standardize(Similarity.embeddings(s, dir))
+        .select(col("vec_id"), posexplode(col("zvec")).as(Seq("dim", "z")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("z"))),
 
     // embedding-cosine near-dup pairs within LSH buckets (0.35 ≈ the
     // 99.9th percentile of pairwise cosine on these random embeddings —
@@ -3323,7 +3329,9 @@ object SparkEntry {
 
     "q_embed_outliers" -> Similarity.embedOutliersSql(3),
     "q_embed_dimstats" -> Similarity.dimStatsSql,
-    "q_embed_standardize" -> Similarity.standardizeSql,
+    "q_embed_standardize" ->
+      s"""SELECT vec_id, UNNEST(range(len(zvec))) AS dim, UNNEST(zvec) AS z
+          FROM (${Similarity.standardizeSql}) t""",
     "q_kmeans_step" -> Similarity.kmeansStepSql(),
     "q_semdedup" -> Similarity.semDedupSql(0.35),
 

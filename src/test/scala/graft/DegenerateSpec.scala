@@ -84,10 +84,24 @@ class DegenerateSpec extends SparkSpec {
     assert(Similarity.dimStats(empty).count() == 0L)
     assert(Similarity.standardize(empty).count() == 0L)
     // a single vector has zero variance in every dimension — the defined
-    // degenerate is z = 0.0 everywhere, never a divide-by-zero Inf/NaN
-    val one = Seq((7L, Seq(0.25, -0.5, 0.125))).toDF("vec_id", "emb")
+    // degenerate is z = 0.0 everywhere, never a divide-by-zero Inf/NaN.
+    // 0.1 is deliberately NON-dyadic: the FP variance expression leaves
+    // a tiny positive residual for it, so this row only passes through
+    // the exact integer-domain (minq == maxq) zero-variance gate
+    val one = Seq((7L, Seq(0.25, -0.5, 0.1))).toDF("vec_id", "emb")
     val z = Similarity.standardize(one).head()
     assert(z.getLong(0) == 7L && z.getSeq[Double](1).forall(_ == 0.0))
+    // multi-row corpus with a constant non-dyadic dimension: dim 0 must
+    // standardize to exactly 0.0 for every row (no 1e8-scale junk from a
+    // ~1e-8 sd residual), while the varying dim 1 standardizes normally
+    val const = Seq((1L, Seq(0.1, 0.2)), (2L, Seq(0.1, 0.4)),
+      (3L, Seq(0.1, 0.9))).toDF("vec_id", "emb")
+    val zc = Similarity.standardize(const).collect()
+    assert(zc.length == 3)
+    assert(zc.forall(_.getSeq[Double](1).head == 0.0),
+      "constant non-dyadic dimension leaked a nonzero z-score")
+    assert(zc.exists(r => math.abs(r.getSeq[Double](1)(1)) > 0.1),
+      "varying dimension unexpectedly zeroed")
   }
 
   test("singleton corpus: dedup keeps it, bpe learns from it, profile counts it") {

@@ -181,11 +181,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian stats attach:\n$p")
     // the d-key moment aggregate must combine map-side
     assert(p.contains("partial_sum"), s"no map-side partial moments:\n$p")
-    // the stats-side scan reads ONLY the embedding column
-    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
-    assert(scans.exists(s => s.contains("ReadSchema") &&
-      s.contains("embedding") && !s.contains("label")),
-      s"stats scan not pruned:\n${scans.mkString("\n")}")
+    // the stats-side scan reads ONLY the embedding column — require a
+    // FileScan line whose ReadSchema starts at embedding and carries no
+    // vec_id (the apply-side scan reads [vec_id, embedding] and would
+    // trivially satisfy a mere contains("embedding") check; under AQE
+    // collectLeaves() folds the whole plan into one node, so the check
+    // must be per-FileScan-line, not per-leaf)
+    val scanLines = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).toList
+    assert(scanLines.exists(s => s.contains("ReadSchema: struct<embedding") &&
+      !s.contains("vec_id")),
+      s"stats scan not pruned to embedding-only:\n${scanLines.mkString("\n")}")
   }
 
   test("stratified sample ranks in a PARTITIONED window, no global sort") {
