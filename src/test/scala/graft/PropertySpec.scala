@@ -59,6 +59,44 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("ZipSink Alternative laws: empty is identity, race is first-to-finish, ties left") {
+    // reference Data/Conduino.hs:675-687: `empty` (the never-finishing
+    // sink) is the identity of `<|>` — it cannot win a race from EITHER
+    // side — and a race of two finite prefixes returns whichever
+    // terminates on the earlier seq, left-biased when both terminate on
+    // the same element (the n1 == n2 draw hits the tie branch).
+    val gen = for {
+      ys <- smallInts
+      n1 <- Gen.chooseNum(0, 70)
+      n2 <- Gen.chooseNum(0, 70)
+    } yield (ys, n1, n2)
+    check("altLaws", Prop.forAll(gen) { case (ys, n1, n2) =>
+      val s1 = Sinks.takeList[Int](n1)
+      val s2 = Sinks.takeList[Int](n2)
+      // collections oracle: take-n finishes on element n (never, if the
+      // stream is shorter — then the race is a tie and goes left)
+      def fin(n: Int): Long =
+        if (n <= 0) Long.MinValue
+        else if (ys.length >= n) n.toLong else Long.MaxValue
+      val expected = if (fin(n1) <= fin(n2)) ys.take(n1) else ys.take(n2)
+      src(ys).into(Sinks.alt(s1, s2)) == expected &&
+        src(ys).into(Sinks.alt(Sinks.never[Int, List[Int]], s2)) == ys.take(n2) &&
+        src(ys).into(Sinks.alt(s1, Sinks.never[Int, List[Int]])) == ys.take(n1)
+    })
+  }
+
+  test("ZipSink Applicative law: one-scan product == pair of independent folds") {
+    // reference Data/Conduino.hs:654-660: zipSink feeds ONE stream to
+    // both folds; its result must equal running each fold alone.
+    check("zipSink", Prop.forAll(smallInts) { ys =>
+      val sum = Sinks.foldl[Int, Long](0L)(_ + _)
+      val cnt = Sinks.foldl[Int, Long](0L)((b, _) => b + 1)
+      src(ys).into(sum.zip(cnt)) == ((ys.map(_.toLong).sum, ys.length.toLong)) &&
+        src(ys).into(sum.zipWith(cnt)((a, b) => a * 1000 + b)) ==
+          ys.map(_.toLong).sum * 1000 + ys.length
+    })
+  }
+
   test("takeWhile/dropWhile cut law: first failure consumed, suffix disjoint") {
     check("whileCut", Prop.forAll(smallInts) { ys =>
       val p = (x: Int) => x >= 0
