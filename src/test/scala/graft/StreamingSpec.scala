@@ -795,6 +795,84 @@ class StreamingSpec extends SparkSpec {
       "idle restart re-emitted rows — exactly-once broken")
   }
 
+  test("keyed checkpoint restart: transformWithState funnel recovers its per-user state store") {
+    import org.apache.spark.sql.functions.{col, split}
+    import spark.implicits._
+    // The restart a production STATEFUL pipeline performs — beyond the
+    // stateless proof above (source offsets + sink commit log), stopping
+    // a keyed transformWithState query and restarting from its
+    // checkpointLocation must recover the per-key STATE STORE: u1's
+    // post-restart `buy` only advances (stage 3) if its pre-stop
+    // (stage=2, t=20) state survived, and u2's `cart` likewise — a fresh
+    // store would emit nothing for either. RocksDB provider scoped to
+    // the query, as in every transformWithState runner (StreamExec).
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stages = Seq("view", "cart", "buy")
+      def runOnce(srcDir: String, dataDir: String, ckptDir: String): Unit = {
+        val parsed = spark.readStream.text(srcDir)
+          .select(split(col("value"), ",").as("f"))
+          .select(col("f").getItem(0).cast("long"),
+            col("f").getItem(1), col("f").getItem(2).cast("long"))
+          .as[(Long, String, Long)]
+        val q = KeyedFunnel.advance(parsed, stages)
+          .writeStream.format("parquet")
+          .option("path", dataDir).option("checkpointLocation", ckptDir)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def sink(dataDir: String): Seq[(Long, Int, Long)] =
+        spark.read.parquet(dataDir).as[(Long, Int, Long)].collect().sorted.toSeq
+      def put(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(dir.resolve(name),
+          lines.mkString("\n").getBytes("UTF-8"))
+      val batch1 = Seq("1,view,10", "2,view,10", "1,cart,20")
+      // u1 advances to buy and u2 to cart ONLY with recovered state;
+      // u3 is a new key; u2's trailing view must NOT re-advance
+      val batch2 = Seq("1,buy,30", "2,cart,25", "3,view,30", "2,view,40")
+
+      val base = java.nio.file.Files.createTempDirectory("graft_keyed_restart_")
+      val src = java.nio.file.Files.createDirectory(base.resolve("src"))
+      val data = base.resolve("data").toString
+      val ckpt = base.resolve("ckpt").toString
+      put(src, "a.txt", batch1)
+      runOnce(src.toString, data, ckpt)
+      assert(sink(data) == Seq((1L, 1, 10L), (1L, 2, 20L), (2L, 1, 10L)),
+        s"pre-stop advancements wrong: ${sink(data)}")
+      put(src, "b.txt", batch2)
+      runOnce(src.toString, data, ckpt) // RESTART: state store must recover
+      val got = sink(data)
+      // the two advancements that REQUIRE recovered (stage, time) state
+      assert(got.contains((1L, 3, 30L)) && got.contains((2L, 2, 25L)),
+        s"state store not recovered across restart: $got")
+      // unbroken control: both batches visible to ONE query from a fresh
+      // checkpoint — the split-with-restart run must equal it exactly
+      val base2 = java.nio.file.Files.createTempDirectory("graft_keyed_ctrl_")
+      val src2 = java.nio.file.Files.createDirectory(base2.resolve("src"))
+      put(src2, "a.txt", batch1); put(src2, "b.txt", batch2)
+      runOnce(src2.toString, base2.resolve("data").toString,
+        base2.resolve("ckpt").toString)
+      assert(got == sink(base2.resolve("data").toString),
+        "restarted run diverged from the unbroken run")
+      // idle restart: recovered state + no new files ⇒ no output
+      runOnce(src.toString, data, ckpt)
+      assert(sink(data) == got, "idle keyed restart re-emitted rows")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("streaming KMV == batch kmvWordSketch, invariant to quantum and arrival order") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.col
