@@ -2374,6 +2374,36 @@ object SparkEntry {
     "q_media_resize" -> ((s, dir) =>
       Multimodal.resizeBytes(Multimodal.assets(s, dir), 7)),
 
+    // multimodal: REAL audio codec decode — genuine RIFF/WAVE PCM-16
+    // containers (per-asset sample rate, so the header must be parsed),
+    // native wav_decode expression → header fields + integer signal
+    // moments; the oracle computes the expected features from the source
+    // signal, so any mis-parse breaks the hash match
+    "q_wav_decode" -> ((s, dir) =>
+      Multimodal.wavAssets(s, dir)
+        .select(col("asset_id"),
+          graft.functions.WavDecode.wav_decode(col("media")).as("d"))
+        .select(col("asset_id"),
+          col("d.sample_rate").as("sample_rate"), col("d.channels").as("channels"),
+          col("d.n_samples").as("n_samples"), col("d.min_s").as("min_s"),
+          col("d.max_s").as("max_s"), col("d.sum_abs").as("sum_abs"),
+          col("d.sum_sq").as("sum_sq"))),
+
+    // multimodal: REAL audio downsample — wav_resample decodes, keeps
+    // every 4th sample, divides the declared rate by 4 and RE-ENCODES a
+    // valid container; wav_decode round-trips the result (the encoder
+    // and parser each run twice in-plan, both verified by the oracle)
+    "q_wav_resample" -> ((s, dir) =>
+      Multimodal.wavAssets(s, dir)
+        .select(col("asset_id"),
+          graft.functions.WavDecode.wav_decode(
+            graft.functions.WavResample.wav_resample(col("media"), 4)).as("d"))
+        .select(col("asset_id"),
+          col("d.sample_rate").as("sample_rate"), col("d.channels").as("channels"),
+          col("d.n_samples").as("n_samples"), col("d.min_s").as("min_s"),
+          col("d.max_s").as("max_s"), col("d.sum_abs").as("sum_abs"),
+          col("d.sum_sq").as("sum_sq"))),
+
     // multimodal: near-dup pairs by byte-level minwise fingerprint
     // (native byte_gram_hashes expression → 48 minwise components →
     // banded capped buckets → signature-agreement verify) — the
@@ -3379,6 +3409,9 @@ object SparkEntry {
           FROM documents""",
 
     "q_media_resize" -> Multimodal.resizeBytesSql(7),
+
+    "q_wav_decode" -> Multimodal.wavDecodeSql,
+    "q_wav_resample" -> Multimodal.wavResampleSql(4),
 
     "q_media_neardup" -> Multimodal.mediaNearDupsSql(36, Dedup.MaxBucket),
 

@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
   * typed metadata, batch decode / feature-extract / frame-sample over
   * `mapPartitions`.
   *
-  * The image/audio codecs are NOT in this container, so the decoder is a
-  * clearly-marked DETERMINISTIC STUB (see [[stubDecode]]) — but the
-  * Spark-side plumbing is real and tested: the binary+metadata schema,
-  * the partition-batched decode signature (bytes in, fixed-width features
-  * out, no driver involvement), and the parallel execution shape are
-  * exactly what a real codec would plug into (swap `stubDecode` for the
-  * JNI/library call; everything else stands).
+  * The image/audio LIBRARY codecs are not in this container, so the
+  * generic decoder is a clearly-marked DETERMINISTIC STUB (see
+  * [[stubDecode]]) — but the Spark-side plumbing is real and tested:
+  * the binary+metadata schema, the partition-batched decode signature
+  * (bytes in, fixed-width features out, no driver involvement), and the
+  * parallel execution shape are exactly what a real codec would plug
+  * into (swap `stubDecode` for the JNI/library call; everything else
+  * stands). For AUDIO there is now a REAL, no-external-library codec
+  * path: [[wavAssets]] stages genuine RIFF/WAVE PCM-16 containers and
+  * [[graft.functions.WavCodec]] provides native validating
+  * decode / sample-extract / decimating-resample expressions,
+  * oracle-checked byte-exactly (q_wav_decode / q_wav_resample).
   */
 object Multimodal {
 
@@ -294,6 +299,79 @@ object Multimodal {
   }
   private def fpAExpr(j: String): String = s"100003 + 17*$j"
   private def fpBExpr(j: String): String = s"7 + 31*$j"
+
+  // --- REAL WAV PCM codec path (graft.functions.WavCodec) ---
+
+  /** WAV assets staged from the documents table: each document's UTF-8
+    * bytes become a mono 16-bit PCM signal (`s_i = (b_i − 128)·256`,
+    * spans the full s16 range, exact) inside a genuine RIFF/WAVE
+    * container at a per-asset sample rate `8000 + (doc_id % 3)·4000` —
+    * VARYING per row, so the decoder must actually parse the header (a
+    * constant rate could be guessed without reading the container).
+    * Built per-partition with no driver involvement. decode∘encode is
+    * the identity on samples, which is what lets the DuckDB oracle
+    * verify the real parser byte-exactly from the text alone: any
+    * mis-parse (offset, endianness, field width) breaks the hash match.
+    */
+  def wavAssets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = ColOps.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val rdd = docs.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val samples = new Array[Int](bytes.length)
+        var i = 0
+        while (i < bytes.length) { samples(i) = ((bytes(i) & 0xff) - 128) * 256; i += 1 }
+        Row(id, graft.functions.WavCodec.encodePcm16(samples,
+          (8000 + (id % 3) * 4000).toInt))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Shared oracle prefix: per-doc expected PCM sample list from the
+    * UTF-8 hex (same byte→sample mapping as [[wavAssets]]).
+    */
+  private def wavSamplesCte: String =
+    s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+        s AS (SELECT doc_id,
+                [((strpos('0123456789abcdef', hx[2*i+1])-1)*16
+                  + (strpos('0123456789abcdef', hx[2*i+2])-1) - 128) * 256
+                 for i in range(0, len(hx)//2)] AS sm
+              FROM b)"""
+
+  private def wavFeatureSelect(rateExpr: String, from: String): String =
+    s"""SELECT doc_id AS asset_id,
+               CAST($rateExpr AS INT) AS sample_rate,
+               CAST(1 AS INT) AS channels,
+               CAST(len(sm) AS BIGINT) AS n_samples,
+               CAST(COALESCE(list_min(sm), 0) AS BIGINT) AS min_s,
+               CAST(COALESCE(list_max(sm), 0) AS BIGINT) AS max_s,
+               CAST(COALESCE(list_sum(list_transform(sm, x -> abs(x))), 0) AS BIGINT) AS sum_abs,
+               CAST(COALESCE(list_sum(list_transform(sm, x -> x*x)), 0) AS BIGINT) AS sum_sq
+        FROM $from"""
+
+  /** DuckDB mirror of wav_decode over [[wavAssets]]: expected features
+    * computed directly from the source signal — the Spark side must
+    * recover the SAME numbers through the real container parse.
+    */
+  def wavDecodeSql: String =
+    s"""$wavSamplesCte
+        ${wavFeatureSelect("8000 + (doc_id % 3) * 4000", "s")}"""
+
+  /** DuckDB mirror of wav_decode(wav_resample(media, k)): decimation
+    * applied directly to the expected signal, rate divided by k (the
+    * fixture rates 8000/12000/16000 are all divisible by 4).
+    */
+  def wavResampleSql(k: Int): String =
+    s"""$wavSamplesCte,
+        d AS (SELECT doc_id,
+                [sm[$k*i+1] for i in range(0, (len(sm) + $k - 1)//$k)] AS sm
+              FROM s)
+        ${wavFeatureSelect(s"(8000 + (doc_id % 3) * 4000) // $k", "d")}"""
 
   def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
     assets.select(

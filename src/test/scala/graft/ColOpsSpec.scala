@@ -197,6 +197,50 @@ class ColOpsSpec extends SparkSpec {
     assert(rows(2L) == (0L, md5hex("")), s"got ${rows(2L)}")
   }
 
+  test("WAV codec: encode-decode identity, fail-closed parse, real decimation round-trip") {
+    import spark.implicits._
+    import graft.functions.{WavCodec, WavDecode, WavSamples, WavResample}
+    // hand-built signal spanning the s16 range including both extremes
+    val sig = Array(0, 1, -1, 32512, -32768, 123, -4096, 257)
+    val wav = WavCodec.encodePcm16(sig, 12000)
+    assert(wav.length == 44 + 2 * sig.length)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val df = Seq((1L, wav)).toDF("asset_id", "media")
+    // decode recovers the PARSED header fields + exact integer moments
+    val d = df.select(WavDecode.wav_decode(col("media")).as("d"))
+      .select(col("d.*")).head()
+    assert(d.getInt(0) == 12000 && d.getInt(1) == 1 && d.getLong(2) == sig.length)
+    assert(d.getLong(3) == -32768 && d.getLong(4) == 32512)
+    assert(d.getLong(5) == sig.map(s => math.abs(s).toLong).sum)
+    assert(d.getLong(6) == sig.map(s => s.toLong * s).sum)
+    // PCM samples round-trip byte-exactly through the container
+    assert(df.select(WavSamples.wav_samples(col("media"))).head()
+      .getSeq[Int](0) == sig.toSeq)
+    // resample: every 4th sample kept, declared rate divided, and the
+    // re-encoded output is itself a VALID container (parses again)
+    assert(df.select(WavSamples.wav_samples(
+      WavResample.wav_resample(col("media"), 4))).head()
+      .getSeq[Int](0) == Seq(sig(0), sig(4)))
+    assert(df.select(WavDecode.wav_decode(
+      WavResample.wav_resample(col("media"), 4)).as("d"))
+      .select(col("d.sample_rate")).head().getInt(0) == 3000)
+    // fail-closed: bad magic, truncation, lying data-size field → NULL,
+    // never garbage features
+    val badMagic = wav.clone(); badMagic(0) = 'X'.toByte
+    val lyingSize = wav.clone(); lyingSize(40) = (lyingSize(40) + 2).toByte
+    val bads = Seq((1L, badMagic), (2L, wav.dropRight(1)), (3L, lyingSize))
+      .toDF("asset_id", "media")
+      .select(WavDecode.wav_decode(col("media")).as("d"))
+    assert(bads.collect().forall(_.isNullAt(0)), "malformed container decoded non-null")
+    // empty (valid) container: zero samples, all moments defined 0
+    val empty = Seq((1L, WavCodec.encodePcm16(Array.empty[Int], 8000)))
+      .toDF("asset_id", "media")
+      .select(WavDecode.wav_decode(col("media")).as("d")).select(col("d.*")).head()
+    assert(empty.getInt(0) == 8000 && empty.getLong(2) == 0L &&
+      empty.getLong(3) == 0L && empty.getLong(6) == 0L)
+  }
+
   test("byte_gram_hashes: rolling 4-byte polynomial matches a hand fold; short payload empty") {
     import spark.implicits._
     val bytes = Array[Byte](0x41, 0xc3.toByte, 0xa9.toByte, 0x21, 0x00, 0x7f)
