@@ -2287,6 +2287,14 @@ object SparkEntry {
     "q_embed_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Similarity.embeddings(s, dir), 20, 3)),
 
+    // IVF served from a PERSISTED inverted file (write-once Hive layout
+    // partitioned by cell, staged once per JVM): dynamic partition
+    // pruning narrows the index scan to the probed cell directories —
+    // the index is read at nprobe/ncells however large it grows. Same
+    // assignment/window formulation as q_embed_ivf ⇒ same oracle.
+    "q_embed_ivf_persist" -> ((s, dir) =>
+      Similarity.ivfPersistTopK(s, dir, 20, 3)),
+
     // PQ code assignment (the 16×-compression step of a PQ ANN index):
     // broadcast m×k codebook, map-side distances, per-(vec,sub) argmin
     "q_embed_pq" -> ((s, dir) =>
@@ -3349,6 +3357,7 @@ object SparkEntry {
           WHERE rnk <= 3""",
 
     "q_embed_ivf" -> Similarity.ivfTopKSql(20, 3),
+    "q_embed_ivf_persist" -> Similarity.ivfTopKSql(20, 3),
     "q_embed_pq" -> Similarity.pqCodesSql(),
     "q_embed_pq_topk" -> Similarity.pqAdcTopKSql(20, 3),
     "q_embed_pq_rerank" -> Similarity.pqRerankTopKSql(20, 3),

@@ -80,6 +80,43 @@ object Bucketing {
     spark.table(tbl)
   }
 
+  /** [[stagedBucketed]]'s sibling for DIRECTORY elimination: write `df`
+    * ONCE per JVM as a Hive-partitioned parquet layout
+    * (`key=<value>/part-*.parquet`) under tmpdir and return the
+    * path-backed read. An equality / IN / dynamic-partition-pruning
+    * predicate on `key` then eliminates whole directories before any
+    * file opens — the write-once / query-many serving layout (the
+    * persisted IVF inverted file reads `nprobe/ncells` of its data this
+    * way). Same per-JVM lock + exit-cleanup discipline as the bucketed
+    * staging. Incremental adds: append with the same `partitionBy(key)`
+    * via [[appendPartitioned]] — new rows land in their key's directory
+    * without rewriting existing ones.
+    */
+  def stagedPartitioned(spark: SparkSession, dir: String, base: String,
+                        df: => DataFrame, key: String): DataFrame = {
+    val tbl = tableName(dir, base)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), tbl)
+    stageLocks.computeIfAbsent(tbl, _ => new Object).synchronized {
+      if (staged.add(tbl) || !java.nio.file.Files.exists(path)) {
+        cleanupHook
+        stagedPaths.add(path)
+        df.write.mode("overwrite").partitionBy(key).parquet(path.toString)
+      }
+    }
+    spark.read.parquet(path.toString)
+  }
+
+  /** Incremental add to a [[stagedPartitioned]] layout: appended rows
+    * are routed to their partition directory; existing directories are
+    * untouched (no rewrite, no read) — the arrival-batch maintenance
+    * path of a persisted index.
+    */
+  def appendPartitioned(spark: SparkSession, path: String, df: DataFrame,
+                        key: String): DataFrame = {
+    df.write.mode("append").partitionBy(key).parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Equi-join two same-bucket-count staged tables on their bucket key.
     * The merge hint keeps the planner on sort-merge (a broadcast would
     * trivially also avoid the shuffle but proves nothing about layout);

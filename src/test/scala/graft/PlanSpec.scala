@@ -194,6 +194,21 @@ class PlanSpec extends SparkSpec {
       s"stats scan not pruned to embedding-only:\n${scanLines.mkString("\n")}")
   }
 
+  test("q_embed_ivf_persist: index scan is partition-pruned to the probed cells") {
+    val df = SparkEntry.queries("q_embed_ivf_persist")(spark, dir)
+    val p = plan(df)
+    // the persisted inverted file's scan must carry a DYNAMIC partition
+    // filter on cell (directory elimination driven by the broadcast
+    // probe set) — a plain unpruned scan would read all nCells
+    // partitions, i.e. the whole collection, defeating the index
+    val idxScan = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("PartitionFilters"))
+      .toList
+    assert(idxScan.nonEmpty, s"no partitioned scan in plan:\n$p")
+    assert(idxScan.exists(_.contains("dynamicpruning")),
+      s"index scan not dynamically pruned to probe cells:\n${idxScan.mkString("\n")}")
+  }
+
   test("stratified sample ranks in a PARTITIONED window, no global sort") {
     val df = SparkEntry.queries("q_sample_strat")(spark, dir)
     val p = plan(df)

@@ -194,6 +194,31 @@ class SimilaritySpec extends SparkSpec {
     best1.foreach { case (q, c1) => assert(best4(q) >= c1) }
   }
 
+  test("persisted IVF: incremental append == full rebuild; serve equals in-memory ivfTopK") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 60L).map(i => (i, randVec()))
+    val sigAll = Similarity.withNorm(embDf(vecs))
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    // write-once: first 48 vectors; incremental batch: the last 12,
+    // assigned against the SAME seeds and appended into their cell dirs
+    Similarity.ivfIndexRows(sigAll.filter(col("vec_id") < 48))
+      .write.mode("overwrite").partitionBy("cell").parquet(base)
+    val idx = graft.operators.Bucketing.appendPartitioned(spark, base,
+      Similarity.ivfIndexRows(sigAll).filter(col("vec_id") >= 48), "cell")
+    // appended index content == one-shot full build (assignment is
+    // per-vector against fixed seeds, so append is exact, not approximate)
+    val full = Similarity.ivfIndexRows(sigAll).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq
+    val inc = idx.collect().map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq
+    assert(inc == full, "incremental append diverged from full rebuild")
+    // serving from the appended index == the in-memory build's results
+    val served = Similarity.ivfServe(idx, sigAll, 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val mem = Similarity.ivfTopK(embDf(vecs), 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(served == mem, "persisted serve diverged from in-memory ivfTopK")
+  }
+
   test("ANN recall@3 vs brute force stays above the documented floor (clustered fixture)") {
     // clustered data — the workload ANN exists for; on uniform-random
     // vectors neither LSH nor IVF carries signal and recall is undefined
