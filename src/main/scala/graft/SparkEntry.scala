@@ -200,6 +200,22 @@ object SparkEntry {
     */
   private def streamQuantum(n: Int): Int = math.max(1, (n + 2) / 3)
 
+  /** Two-batch quantum for streaming queries whose state-machinery
+    * SHAPE is already pinned at three batches by a canonical
+    * representative (the round-9 floor diet; shape → pin table in
+    * BASELINE.md): TWS value-state carry → q_scan_stream, keyed TWS →
+    * q_funnel_stream, Complete-mode snapshot → q_event_sliding_stream,
+    * stream-stream joins → q_zip_stream / q_zip_outer_stream /
+    * q_interval_stream, watermark Append agg → q_event_window_stream,
+    * session+sentinel → q_event_session_stream. Two batches still
+    * execute a genuine multi-batch stream (state restored and re-saved
+    * across a boundary; the stateless queries prove per-batch
+    * processing); the three-batch middle-batch proof lives with the
+    * shape's pin, and split-INVARIANCE is separately pinned by
+    * StreamingSpec across several quantum choices.
+    */
+  private def streamQuantum2(n: Int): Int = math.max(1, (n + 1) / 2)
+
   /** Shared driver-side staging of the events stream as ordered
     * Elem(seq, ival) quanta — the input of both streaming-executed
     * queries (fixture-scale by design; see StreamExec scaladoc).
@@ -569,7 +585,7 @@ object SparkEntry {
       graft.streaming.StreamExec.runStreaming(
         s, elems, graft.streaming.StreamPipes.mapAccumTws(0L)(
           (a: Long, prev: Long) => (a, a - prev)),
-        quantum = streamQuantum(elems.size))
+        quantum = streamQuantum2(elems.size))
         .select(col("seq"), col("value").as("delta"))
     }),
 
@@ -587,7 +603,7 @@ object SparkEntry {
         ds => graft.streaming.StreamPipes.mapAccumTws(0L)(
             (a: Long, prev: Long) => (a, a - prev))
           .apply(graft.core.SStream(ds)).ds.toDF(),
-        quantum = streamQuantum(elems.size))
+        quantum = streamQuantum2(elems.size))
         .select(col("seq"), col("value").as("delta"))
     }),
 
@@ -938,7 +954,7 @@ object SparkEntry {
       graft.streaming.StreamExec.runStreamingAppend[(Long, Long, Long, Long)](
         s, rows,
         ds => graft.streaming.Throttle.admit(ds, 3),
-        quantum = streamQuantum(rows.size))
+        quantum = streamQuantum2(rows.size))
     }),
 
     // corpus snapshot reconciliation: FULL OUTER join of two versions on
@@ -1413,7 +1429,7 @@ object SparkEntry {
           .groupBy(col("user_id"))
           // fixture micros are all post-epoch, so div == floor here
           .agg(min(expr(s"t_us div ${3600L * 1000000L}L")).as("first_bucket")),
-        quantum = streamQuantum(rows.size))
+        quantum = streamQuantum2(rows.size))
     }),
 
     // skew-salted join, oracle-checked: events joined to a per-user dim
@@ -1874,7 +1890,7 @@ object SparkEntry {
             "doc_id", "text")
           .filter(arrays_overlap(col("sh"), typedLit(benchSh.toSeq)))
           .select(col("doc_id")),
-        quantum = streamQuantum(corpus.size))
+        quantum = streamQuantum2(corpus.size))
     }),
 
     // incremental NEAR-dup — verified LSH links from an incoming batch
@@ -2019,7 +2035,7 @@ object SparkEntry {
         ds => TextOps.qualityFilter(
           ds.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
           "doc_id", "text"),
-        quantum = streamQuantum(docs.size))
+        quantum = streamQuantum2(docs.size))
     }),
 
     // §2.2 sourceHandleLines as a PRODUCTION INGESTION SOURCE — the
@@ -2199,7 +2215,7 @@ object SparkEntry {
       }
       Sketches.kmvStreamSummary(
         graft.streaming.StreamExec.runStreaming(s, elems,
-          Sketches.kmvStreamPipe, quantum = streamQuantum(texts.size)))
+          Sketches.kmvStreamPipe, quantum = streamQuantum2(texts.size)))
     }),
 
     "q_kmv_sketch" -> ((s, dir) =>
@@ -2254,7 +2270,7 @@ object SparkEntry {
       graft.streaming.StreamExec.runStreamingComplete[Tuple1[Double]](
         s, vals.map(Tuple1(_)),
         ds => Sketches.histogram(ds.toDF("value"), "value", 0.0, 500.0, 25),
-        quantum = streamQuantum(vals.size))
+        quantum = streamQuantum2(vals.size))
     }),
 
     // trending terms IN-stream: Complete-mode word-count aggregation fed
@@ -2270,7 +2286,7 @@ object SparkEntry {
         ds => ds.toDF("text")
           .select(explode(TextOps.words(col("text"))).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("n")),
-        quantum = streamQuantum(texts.size))
+        quantum = streamQuantum2(texts.size))
       counts.orderBy(col("n").desc, col("word")).limit(25)
     }),
 
@@ -2605,7 +2621,7 @@ object SparkEntry {
         s, rows,
         ds => operators.Dedup.streamingExact(ds.toDF("ts", "digest"),
           "ts", "10 seconds", Seq("digest")).select(col("digest")),
-        quantum = streamQuantum(rows.size))
+        quantum = streamQuantum2(rows.size))
     }),
 
     // event-time SLIDING windows (2h window, 1h slide — each event in 2
@@ -2725,7 +2741,7 @@ object SparkEntry {
             ds.toDF("event_id", "user_id", "cents"), dim,
             col("user_id") === col("c_custkey"))
           .select(col("event_id"), col("nation"), col("segment"), col("cents")),
-        quantum = streamQuantum(rows.size))
+        quantum = streamQuantum2(rows.size))
     }),
 
     // Lift/exceptP: per-element failures → dead-letter side output; the
