@@ -2428,6 +2428,33 @@ object SparkEntry {
           col("d.max_s").as("max_s"), col("d.sum_abs").as("sum_abs"),
           col("d.sum_sq").as("sum_sq"))),
 
+    // multimodal: REAL image codec decode — genuine bottom-up padded
+    // 24-bit BI_RGB BMP containers (widths 4-7 cover every row-padding
+    // case); native bmp_decode parses geometry + exact channel sums
+    "q_bmp_decode" -> ((s, dir) =>
+      Multimodal.bmpAssets(s, dir)
+        .select(col("asset_id"),
+          graft.functions.BmpDecode.bmp_decode(col("media")).as("d"))
+        .select(col("asset_id"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
+          col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"))),
+
+    // multimodal: REAL image downsample — 2-D decimation (every 2nd
+    // column of every 2nd LOGICAL row) re-encoded with new
+    // width/height/padding, then re-decoded; orientation-sensitive, so
+    // the oracle catches a forgotten bottom-up flip the channel sums
+    // alone cannot
+    "q_bmp_resize" -> ((s, dir) =>
+      Multimodal.bmpAssets(s, dir)
+        .select(col("asset_id"),
+          graft.functions.BmpDecode.bmp_decode(
+            graft.functions.BmpResample.bmp_resample(col("media"), 2)).as("d"))
+        .select(col("asset_id"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
+          col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"))),
+
     // multimodal: near-dup pairs by byte-level minwise fingerprint
     // (native byte_gram_hashes expression → 48 minwise components →
     // banded capped buckets → signature-agreement verify) — the
@@ -3437,6 +3464,8 @@ object SparkEntry {
 
     "q_wav_decode" -> Multimodal.wavDecodeSql,
     "q_wav_resample" -> Multimodal.wavResampleSql(4),
+    "q_bmp_decode" -> Multimodal.bmpDecodeSql,
+    "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
 
     "q_media_neardup" -> Multimodal.mediaNearDupsSql(36, Dedup.MaxBucket),
 

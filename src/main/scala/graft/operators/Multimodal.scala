@@ -373,6 +373,97 @@ object Multimodal {
               FROM s)
         ${wavFeatureSelect(s"(8000 + (doc_id % 3) * 4000) // $k", "d")}"""
 
+  // --- REAL BMP image codec path (graft.functions.BmpCodec) ---
+
+  /** BMP assets staged from the documents table: each document's UTF-8
+    * byte `b_i` becomes LOGICAL top-down pixel i (row-major) with
+    * channels `(r, g, b) = (b_i, (7·b_i + 13) mod 256, 255 − b_i)`;
+    * width is `4 + (doc_id mod 4)` (4–7 — covers all four row-padding
+    * cases 0/1/2/3 bytes), height is ⌈n / width⌉, and trailing pixels
+    * of the last row are (0,0,0). The encoder writes genuine bottom-up
+    * padded 24-bit BI_RGB; the oracle computes expected features from
+    * the text alone, and the RESIZE query's 2-D decimation is
+    * orientation-sensitive, so a decoder that forgot the bottom-up flip
+    * or mis-stepped the padding breaks the hash match.
+    */
+  def bmpAssets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = ColOps.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val rdd = docs.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 4 + (id % 4).toInt
+        val h = (bytes.length + w - 1) / w
+        val px = new Array[Int](w * h)
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          px(i) = (b << 16) | (((7 * b + 13) % 256) << 8) | (255 - b)
+          i += 1
+        }
+        Row(id, graft.functions.BmpCodec.encodeRgb24(px, w, h))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Oracle CTE shared by the BMP queries: per-doc byte list + geometry. */
+  private def bmpBytesCte: String =
+    s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+        g AS (SELECT doc_id,
+                [(strpos('0123456789abcdef', hx[2*i+1])-1)*16
+                 + (strpos('0123456789abcdef', hx[2*i+2])-1)
+                 for i in range(0, len(hx)//2)] AS bts,
+                4 + (doc_id % 4) AS w
+              FROM b),
+        geo AS (SELECT doc_id, bts, w,
+                  (len(bts) + w - 1) // w AS h
+                FROM g)"""
+
+  /** DuckDB mirror of bmp_decode over [[bmpAssets]] (padded trailing
+    * pixels are (0,0,0) — they add n_px but nothing to the sums).
+    */
+  def bmpDecodeSql: String =
+    s"""$bmpBytesCte
+        SELECT doc_id AS asset_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(bts), 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(bts, x -> (7*x + 13) % 256)), 0)
+                    AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(bts, x -> 255 - x)), 0)
+                    AS BIGINT) AS sum_b
+        FROM geo"""
+
+  /** DuckDB mirror of bmp_decode(bmp_resample(media, k)): decimation
+    * done in the LOGICAL top-down index space (pixel i kept iff its
+    * column i mod w and row i div w are both ≡ 0 mod k) — this is the
+    * row-set a bottom-up-confused decoder gets wrong.
+    */
+  def bmpResampleSql(k: Int): String =
+    s"""$bmpBytesCte,
+        kept AS (SELECT doc_id, bts, w, h,
+                   [i for i in range(0, w * h)
+                    if (i % w) % $k = 0 AND (i // w) % $k = 0] AS ks
+                 FROM geo)
+        SELECT doc_id AS asset_id,
+               CAST((w + $k - 1) // $k AS INT) AS width,
+               CAST((h + $k - 1) // $k AS INT) AS height,
+               CAST(((w + $k - 1) // $k) * ((h + $k - 1) // $k) AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(list_transform(ks,
+                      i -> CASE WHEN i < len(bts) THEN bts[i+1] ELSE 0 END)), 0)
+                    AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(ks,
+                      i -> CASE WHEN i < len(bts) THEN (7*bts[i+1] + 13) % 256 ELSE 0 END)), 0)
+                    AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(ks,
+                      i -> CASE WHEN i < len(bts) THEN 255 - bts[i+1] ELSE 0 END)), 0)
+                    AS BIGINT) AS sum_b
+        FROM kept"""
+
   def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
     assets.select(
       col("asset_id"),

@@ -241,6 +241,53 @@ class ColOpsSpec extends SparkSpec {
       empty.getLong(3) == 0L && empty.getLong(6) == 0L)
   }
 
+  test("BMP codec: bottom-up+padding round-trip, orientation-true decimation, fail-closed") {
+    import spark.implicits._
+    import graft.functions.{BmpCodec, BmpDecode, BmpResample}
+    // 3x3 logical image with DISTINCT per-row values: any bottom-up
+    // confusion shows up as a different kept-row set under decimation.
+    // Width 3 -> row stride 12 (3 bytes padding), exercising the pad path.
+    val px = Array(
+      0x010203, 0x040506, 0x070809,  // row 0
+      0x111213, 0x141516, 0x171819,  // row 1
+      0x212223, 0x242526, 0x272829)  // row 2
+    val bmp = BmpCodec.encodeRgb24(px, 3, 3)
+    assert(bmp.length == 54 + 12 * 3) // header + 3 padded rows
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val df = Seq((1L, bmp)).toDF("asset_id", "media")
+    val d = df.select(BmpDecode.bmp_decode(col("media")).as("d"))
+      .select(col("d.*")).head()
+    assert(d.getInt(0) == 3 && d.getInt(1) == 3 && d.getLong(2) == 9L)
+    assert(d.getLong(3) == px.map(p => ((p >> 16) & 0xff).toLong).sum)
+    assert(d.getLong(4) == px.map(p => ((p >> 8) & 0xff).toLong).sum)
+    assert(d.getLong(5) == px.map(p => (p & 0xff).toLong).sum)
+    // decimation k=2 keeps LOGICAL (x,y) in {0,2}x{0,2}: pixels
+    // 0x010203, 0x070809, 0x212223, 0x272829 — sums differ from ANY
+    // bottom-up-confused row pick, which is the orientation proof
+    val kept = Seq(px(0), px(2), px(6), px(8))
+    val r = df.select(BmpDecode.bmp_decode(
+        BmpResample.bmp_resample(col("media"), 2)).as("d"))
+      .select(col("d.*")).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getLong(2) == 4L)
+    assert(r.getLong(3) == kept.map(p => ((p >> 16) & 0xff).toLong).sum)
+    assert(r.getLong(5) == kept.map(p => (p & 0xff).toLong).sum)
+    // fail-closed: bad magic, truncation, lying width. Width 3 -> 5
+    // changes the row stride (12 -> 16), so the pixel-data length check
+    // must reject it (3 -> 4 would share stride 12 — that lie is
+    // structurally invisible in BMP, an inherent padding ambiguity)
+    val badMagic = bmp.clone(); badMagic(0) = 'X'.toByte
+    val lyingW = bmp.clone(); lyingW(18) = (lyingW(18) + 2).toByte
+    val bads = Seq((1L, badMagic), (2L, bmp.dropRight(1)), (3L, lyingW))
+      .toDF("asset_id", "media")
+      .select(BmpDecode.bmp_decode(col("media")).as("d"))
+    assert(bads.collect().forall(_.isNullAt(0)), "malformed BMP decoded non-null")
+    // zero-height (valid) image: geometry parsed, all sums 0
+    val empty = Seq((1L, BmpCodec.encodeRgb24(Array.empty[Int], 5, 0)))
+      .toDF("asset_id", "media")
+      .select(BmpDecode.bmp_decode(col("media")).as("d")).select(col("d.*")).head()
+    assert(empty.getInt(0) == 5 && empty.getInt(1) == 0 && empty.getLong(3) == 0L)
+  }
+
   test("byte_gram_hashes: rolling 4-byte polynomial matches a hand fold; short payload empty") {
     import spark.implicits._
     val bytes = Array[Byte](0x41, 0xc3.toByte, 0xa9.toByte, 0x21, 0x00, 0x7f)
