@@ -259,6 +259,22 @@ object ScaleProbe {
       graft.operators.Diagnostics.tableChecksum(d, col("event_id"),
         Seq(col("event_id"), col("user_id"), SparkEntry.ivalCol), 64).count())
 
+    // codec decode: pure per-row loops (container parse + moment fold)
+    // — must be the flattest data axis after tableChecksum; any
+    // superlinearity here would mean the expression fell out of codegen
+    probePair("wavDecode", docs, bigDocs, { d =>
+      val assets = d.select(col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("media"))
+      // same construction as Multimodal.wavAssets but via the already-
+      // staged docs frame, so the probe measures decode, not staging
+      val built = graft.operators.Multimodal.wavAssetsFrom(assets)
+      // head() on the 1-row aggregate: count() would let Catalyst prune
+      // the sum and skip the decode entirely
+      val r = built.select(graft.functions.WavDecode.wav_decode(col("media")).as("d"))
+        .agg(sum(col("d.sum_sq"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
+
     // BPE learn: copied docs don't grow the word-TYPE histogram (same
     // words, 10x freq), so the merge rounds must cost the SAME and only
     // the one corpus scan scales — the sufficient-statistic claim

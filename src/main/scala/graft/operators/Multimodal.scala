@@ -313,15 +313,22 @@ object Multimodal {
     * verify the real parser byte-exactly from the text alone: any
     * mis-parse (offset, endianness, field width) breaks the hash match.
     */
-  def wavAssets(spark: SparkSession, dir: String): DataFrame = {
-    val docs = ColOps.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+  def wavAssets(spark: SparkSession, dir: String): DataFrame =
+    wavAssetsFrom(ColOps.table(spark, dir, "documents").select(
+      col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("media")))
+
+  /** [[wavAssets]]'s core over an arbitrary (asset_id, media: binary)
+    * frame (split out so scale probes can stage any input size): each
+    * payload byte becomes one PCM sample, rate `8000 + (id % 3)·4000`.
+    */
+  def wavAssetsFrom(assets: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("media", BinaryType, nullable = false)))
-    val rdd = docs.rdd.mapPartitions { it =>
+    val rdd = assets.rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bytes = r.getAs[Array[Byte]](1)
         val samples = new Array[Int](bytes.length)
         var i = 0
         while (i < bytes.length) { samples(i) = ((bytes(i) & 0xff) - 128) * 256; i += 1 }
@@ -329,7 +336,7 @@ object Multimodal {
           (8000 + (id % 3) * 4000).toInt))
       }
     }
-    spark.createDataFrame(rdd, schema)
+    assets.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Shared oracle prefix: per-doc expected PCM sample list from the
