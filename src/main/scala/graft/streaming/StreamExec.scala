@@ -57,9 +57,14 @@ object StreamExec {
     * from the session conf: every micro-batch commits one store (four for
     * a stream-stream join) PER PARTITION, so at fixture state sizes the
     * partition count IS the cost — 32 partitions of near-empty stores
-    * spend ~8× longer committing than 4. A real deployment sizes this to
-    * its state volume; here it is scoped to the streaming query and
-    * restored after.
+    * spend ~8× longer committing than 4. The round-9 floor audit ALSO
+    * probed 4 → 2 (halving per-batch commit count): no wall-time change
+    * on the 21-query set (61.1 s solo vs 57.5/63.2 at 4) — at local[32]
+    * the near-empty per-partition commits run in parallel, so wall time
+    * tracks the per-QUERY start/plan/stop machinery, not the commit
+    * count. 4 stays as the recorded cost-model operating point. A real
+    * deployment sizes this to its state volume; here it is scoped to
+    * the streaming query and restored after.
     */
   private val StreamShufflePartitions = "4"
   private val ShuffleKey = "spark.sql.shuffle.partitions"
