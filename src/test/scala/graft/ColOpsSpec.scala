@@ -241,6 +241,27 @@ class ColOpsSpec extends SparkSpec {
       empty.getLong(3) == 0L && empty.getLong(6) == 0L)
   }
 
+  test("WAV codec: stereo container parses (channels from the header); resample is mono-only") {
+    import spark.implicits._
+    import graft.functions.{WavCodec, WavDecode, WavResample}
+    // hand-patch a mono container to stereo: channels=2, blockAlign=4,
+    // byteRate=rate*4 — the same 8 data bytes are now 2 frames x 2 ch,
+    // and the parser must accept the cross-checked field combination
+    val st = WavCodec.encodePcm16(Array(5, -7, 9, -11), 8000).clone()
+    st(22) = 2                                  // channels (u16le lo)
+    st(32) = 4                                  // blockAlign
+    st(28) = 0x00; st(29) = 0x7d.toByte         // byteRate 32000 (u32le)
+    st(30) = 0; st(31) = 0
+    val df = Seq((1L, st)).toDF("asset_id", "media")
+    val d = df.select(WavDecode.wav_decode(col("media")).as("d"))
+      .select(col("d.*")).head()
+    assert(d.getInt(0) == 8000 && d.getInt(1) == 2 && d.getLong(2) == 4L)
+    assert(d.getLong(5) == 5L + 7 + 9 + 11) // moments span all channels
+    // decimating interleaved channels naively would scramble frames —
+    // resample is documented mono-only and must return NULL, not garbage
+    assert(df.select(WavResample.wav_resample(col("media"), 2)).head().isNullAt(0))
+  }
+
   test("BMP codec: bottom-up+padding round-trip, orientation-true decimation, fail-closed") {
     import spark.implicits._
     import graft.functions.{BmpCodec, BmpDecode, BmpResample}

@@ -104,6 +104,17 @@ class DegenerateSpec extends SparkSpec {
       "varying dimension unexpectedly zeroed")
   }
 
+  test("ANN over an empty collection: IVF index rows, topk and persisted-serve all return 0 rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "emb")
+    val sig = Similarity.withNorm(empty)
+    assert(Similarity.ivfIndexRows(sig).count() == 0L)
+    assert(Similarity.ivfTopK(empty, 5, 3).count() == 0L)
+    // serving against an empty inverted file: no probes, no candidates,
+    // a clean 0-row result — never a seed-lookup error
+    assert(Similarity.ivfServe(Similarity.ivfIndexRows(sig), sig, 5, 3).count() == 0L)
+  }
+
   test("singleton corpus: dedup keeps it, bpe learns from it, profile counts it") {
     import spark.implicits._
     val one = Seq((7L, "aa bb aa")).toDF("doc_id", "text")
