@@ -45,5 +45,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vector_sqdist(a, b) takes two arguments")
         SqDistF64(children(0), children(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("byte_gram_hashes"),
+      new ExpressionInfo(classOf[ByteGramHashes].getName, "byte_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "byte_gram_hashes(media) takes one argument")
+        ByteGramHashes(children.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("wav_decode"),
+      new ExpressionInfo(classOf[WavDecode].getName, "wav_decode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "wav_decode(media) takes one argument")
+        WavDecode(children.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("wav_samples"),
+      new ExpressionInfo(classOf[WavSamples].getName, "wav_samples"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "wav_samples(media) takes one argument")
+        WavSamples(children.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("wav_resample"),
+      new ExpressionInfo(classOf[WavResample].getName, "wav_resample"),
+      (children: Seq[Expression]) =>
+        WavResample(children.head, intLit("wav_resample", children, 2))))
+    e.injectFunction((
+      new FunctionIdentifier("bmp_decode"),
+      new ExpressionInfo(classOf[BmpDecode].getName, "bmp_decode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bmp_decode(media) takes one argument")
+        BmpDecode(children.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("bmp_resample"),
+      new ExpressionInfo(classOf[BmpResample].getName, "bmp_resample"),
+      (children: Seq[Expression]) =>
+        BmpResample(children.head, intLit("bmp_resample", children, 2))))
+  }
+
+  /** Second-argument integer literal of a (media, k) signature. */
+  private def intLit(fn: String, children: Seq[Expression], arity: Int): Int = {
+    require(children.size == arity, s"$fn(media, k) takes $arity arguments")
+    children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an integer literal, got $other")
+    }
   }
 }

@@ -50,6 +50,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("codec expressions are callable from SQL via GraftExtensions") {
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val wav = graft.functions.WavCodec.encodePcm16(Array(100, -200, 300), 8000)
+      val bmp = graft.functions.BmpCodec.encodeRgb24(Array(0x010203, 0x040506), 2, 1)
+      Seq((wav, bmp)).toDF("w", "b").createOrReplaceTempView("m")
+      val r = s2.sql(
+        """SELECT wav_decode(w).n_samples AS n, wav_samples(w)[1] AS s1,
+                  wav_decode(wav_resample(w, 2)).n_samples AS rn,
+                  bmp_decode(b).sum_b AS sb,
+                  bmp_decode(bmp_resample(b, 2)).n_px AS rp,
+                  byte_gram_hashes(w)[0] IS NOT NULL AS g
+           FROM m""").collect()(0)
+      assert(r.getLong(0) == 3L && r.getInt(1) == -200 && r.getLong(2) == 2L)
+      assert(r.getLong(3) == 3L + 6L && r.getLong(4) == 1L && r.getBoolean(5))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("simhash_bits (one-pass native) is bit-identical to the per-bit HOF formulation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
