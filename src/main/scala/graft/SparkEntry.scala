@@ -2455,6 +2455,13 @@ object SparkEntry {
           col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
           col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"))),
 
+    // multimodal: FORMAT DISPATCH over a mixed WAV/BMP/raw corpus —
+    // try-decode routing (the strict parsers' NULL on foreign bytes IS
+    // the sniffer), fail-open fall-through to raw-byte accounting; all
+    // three decodes in one codegen project, zero shuffle
+    "q_media_dispatch" -> ((s, dir) =>
+      Multimodal.decodeDispatch(Multimodal.mixedAssets(s, dir))),
+
     // multimodal: near-dup pairs by byte-level minwise fingerprint
     // (native byte_gram_hashes expression → 48 minwise components →
     // banded capped buckets → signature-agreement verify) — the
@@ -3466,6 +3473,7 @@ object SparkEntry {
     "q_wav_resample" -> Multimodal.wavResampleSql(4),
     "q_bmp_decode" -> Multimodal.bmpDecodeSql,
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
+    "q_media_dispatch" -> Multimodal.decodeDispatchSql,
 
     "q_media_neardup" -> Multimodal.mediaNearDupsSql(36, Dedup.MaxBucket),
 

@@ -471,6 +471,91 @@ object Multimodal {
                     AS BIGINT) AS sum_b
         FROM kept"""
 
+  // --- multi-format dispatch (mixed-modality corpus routing) ---
+
+  /** Mixed-modality corpus staged from the documents table: WAV
+    * containers for doc_id ≡ 0 (mod 3), BMP containers for ≡ 1, raw
+    * UTF-8 bytes for ≡ 2 — the realistic input of a crawl-scale media
+    * pipeline where format is only knowable from the bytes.
+    */
+  def mixedAssets(spark: SparkSession, dir: String): DataFrame = {
+    val wav = wavAssets(spark, dir).filter(col("asset_id") % 3 === 0)
+    val bmp = bmpAssets(spark, dir).filter(col("asset_id") % 3 === 1)
+    val raw = ColOps.table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("media"))
+    wav.unionByName(bmp).unionByName(raw)
+  }
+
+  /** Format DISPATCH by try-decode: route each payload to the codec
+    * that accepts it (the strict parsers return NULL on foreign or
+    * corrupt bytes, so `coalesce` over the decode structs IS the
+    * sniffer), falling through to raw-byte accounting. One row per
+    * asset: (kind, n_units, checksum) — units are samples / pixels /
+    * bytes, checksum the codec's integer moment (sum|s| / Σrgb / Σb).
+    * A corrupt container deliberately lands in `raw`, counted for
+    * triage rather than dropped or mis-featured — DISPATCH IS
+    * FAIL-OPEN where each codec alone is fail-closed (spec-pinned).
+    * All three decodes run inside one whole-stage-codegen project;
+    * zero shuffle, zero driver involvement.
+    */
+  def decodeDispatch(assets: DataFrame): DataFrame = {
+    val w = graft.functions.WavDecode.wav_decode(col("media"))
+    val b = graft.functions.BmpDecode.bmp_decode(col("media"))
+    assets.select(col("asset_id"), w.as("w"), b.as("b"), col("media"))
+      .select(col("asset_id"),
+        when(col("w").isNotNull, lit("wav"))
+          .when(col("b").isNotNull, lit("bmp"))
+          .otherwise(lit("raw")).as("kind"),
+        coalesce(col("w.n_samples"), col("b.n_px"),
+          length(col("media")).cast("long")).as("n_units"),
+        coalesce(col("w.sum_abs"),
+          col("b.sum_r") + col("b.sum_g") + col("b.sum_b"),
+          when(length(col("media")) === 0, lit(0L)).otherwise(rawSumBytes))
+          .as("checksum"))
+  }
+
+  /** Σ of payload byte values via hex pairs (codegen-friendly, agrees
+    * with the oracle's hex fold; ascii() on raw bytes would mangle
+    * non-UTF8 fragments).
+    */
+  private def rawSumBytes: Column = {
+    val hx = lower(hex(col("media")))
+    aggregate(
+      transform(sequence(lit(0), (length(hx) / 2 - 1).cast("int")),
+        i => (instr(lit("0123456789abcdef"),
+                substring(hx, i * 2 + 1, lit(1))) - 1) * 16 +
+             (instr(lit("0123456789abcdef"),
+                substring(hx, i * 2 + 2, lit(1))) - 1)),
+      lit(0L), (a, v) => a + v.cast("long"))
+  }
+
+  /** DuckDB mirror of [[decodeDispatch]] over [[mixedAssets]]: expected
+    * kind/units/checksum computed from the text by the doc_id route.
+    */
+  def decodeDispatchSql: String =
+    s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+        g AS (SELECT doc_id,
+                [(strpos('0123456789abcdef', hx[2*i+1])-1)*16
+                 + (strpos('0123456789abcdef', hx[2*i+2])-1)
+                 for i in range(0, len(hx)//2)] AS bts
+              FROM b)
+        SELECT doc_id AS asset_id,
+               CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                 ELSE 'raw' END AS kind,
+               CAST(CASE doc_id % 3
+                 WHEN 0 THEN len(bts)
+                 WHEN 1 THEN (4 + doc_id % 4) *
+                   ((len(bts) + (4 + doc_id % 4) - 1) // (4 + doc_id % 4))
+                 ELSE len(bts) END AS BIGINT) AS n_units,
+               CAST(CASE doc_id % 3
+                 WHEN 0 THEN COALESCE(list_sum(list_transform(bts,
+                   x -> abs((x - 128) * 256))), 0)
+                 WHEN 1 THEN COALESCE(list_sum(list_transform(bts,
+                   x -> x + (7*x + 13) % 256 + 255 - x)), 0)
+                 ELSE COALESCE(list_sum(bts), 0) END AS BIGINT) AS checksum
+        FROM g"""
+
   def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
     assets.select(
       col("asset_id"),

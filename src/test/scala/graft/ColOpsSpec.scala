@@ -309,6 +309,26 @@ class ColOpsSpec extends SparkSpec {
     assert(empty.getInt(0) == 5 && empty.getInt(1) == 0 && empty.getLong(3) == 0L)
   }
 
+  test("format dispatch: try-decode routes WAV/BMP/raw; corrupt containers land fail-OPEN in raw") {
+    import spark.implicits._
+    import graft.functions.{BmpCodec, WavCodec}
+    import graft.operators.Multimodal
+    val wav = WavCodec.encodePcm16(Array(1000, -2000), 8000)
+    val bmp = BmpCodec.encodeRgb24(Array(0x0a0b0c), 1, 1)
+    val corrupt = wav.clone(); corrupt(0) = 'X'.toByte // dead container
+    val raw = "hi".getBytes("UTF-8")
+    val assets = Seq((0L, wav), (1L, bmp), (2L, raw), (3L, corrupt))
+      .toDF("asset_id", "media")
+    val got = Multimodal.decodeDispatch(assets).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("wav", 2L, 3000L)))
+    assert(got(1L) == (("bmp", 1L, 0x0a + 0x0b + 0x0c)))
+    assert(got(2L) == (("raw", 2L, 'h'.toLong + 'i'.toLong)))
+    // each codec alone is fail-CLOSED (NULL); the dispatcher is
+    // fail-OPEN: the corrupt payload is counted as raw bytes for triage
+    assert(got(3L)._1 == "raw" && got(3L)._2 == wav.length.toLong)
+  }
+
   test("byte_gram_hashes: rolling 4-byte polynomial matches a hand fold; short payload empty") {
     import spark.implicits._
     val bytes = Array[Byte](0x41, 0xc3.toByte, 0xa9.toByte, 0x21, 0x00, 0x7f)
