@@ -2116,6 +2116,16 @@ object SparkEntry {
         TextOps.bpeRun(docs, "text", 6)._2)
     }),
 
+    // token-BUDGET chunking under the learned BPE cost model: chunk of
+    // a word = its token-offset bin (excl-prefix-sum / budget) — one
+    // per-doc window over the broadcast vocab-bounded cost join; the
+    // context-window prep step measured in tokens, not words
+    "q_chunk_tokens" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents")
+      TextOps.chunkByTokens(docs, "doc_id", "text",
+        TextOps.bpeRun(docs, "text", 6)._2, 64L)
+    }),
+
     // per-language corpus profile — the one-scan health report a corpus
     // build gates on: volume, token mass, source diversity, exact-dup
     // mass. Two COUNT(DISTINCT)s in one aggregate = Spark's expand
@@ -3287,6 +3297,7 @@ object SparkEntry {
     "q_bpe_pairs" -> TextOps.charPairCountsSql("documents", "text", 5L),
     "q_bpe_learn" -> TextOps.bpeLearnSql("documents", "text", 6),
     "q_bpe_apply" -> TextOps.bpeApplySql("documents", "doc_id", "text", 6),
+    "q_chunk_tokens" -> TextOps.chunkByTokensSql("documents", "doc_id", "text", 6, 64L),
     "q_pmi" -> TextOps.pmiCollocationsSql(5L),
 
     "q_corpus_profile" ->

@@ -673,6 +673,64 @@ object TextOps {
         .as("n_subwords"), count(lit(1)).as("n_words"))
   }
 
+  /** TOKEN-BUDGET chunking under the learned BPE cost model — the
+    * context-window prep step where chunk boundaries are measured in
+    * TOKENS, not words: each word occurrence costs its subword count
+    * from `vocabState`'s segmentation map (character count for unseen
+    * words, [[bpeApply]]'s fallback), and a word belongs to the chunk
+    * of its starting token OFFSET — `chunk_id = ⌊excl-prefix-sum /
+    * budget⌋`, the token-weighted generalization of [[chunkWords]]'s
+    * fixed word stride. (Deliberately offset-binning, not greedy
+    * first-fit: the bin of a word is a pure function of the prefix sum,
+    * so the operator is one per-doc WINDOW — distributed, restart-safe,
+    * oracle-reproducible — where greedy reset-at-boundary state would
+    * serialize the scan; [[Packing.greedyPack]] covers the greedy
+    * shape at document granularity.) Plan: occurrence explode →
+    * broadcast vocab-bounded cost join → ONE window partitioned by doc
+    * → one aggregate; no global sort, no driver state.
+    * Output: (id, chunk_id, n_words, n_tokens) per chunk.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    vocabState: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val segMap = vocabState.select(
+      call_function("replace", col("seq"), lit(" "), lit("")).as("w"),
+      size(split(col("seq"), " ")).cast("long").as("n_sub"))
+    val occ = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .join(broadcast(segMap), Seq("w"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("n_sub"), char_length(col("w")).cast("long")).as("cost"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    occ.withColumn("off", coalesce(sum(col("cost")).over(wDoc), lit(0L)))
+      .groupBy(col(idCol), (col("off") / budget).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("cost")).as("n_tokens"))
+  }
+
+  /** DuckDB mirror of [[chunkByTokens]] over [[bpeLearnSql]]'s state. */
+  def chunkByTokensSql(table: String, idCol: String, textCol: String,
+                       rounds: Int, budget: Long): String =
+    s"""WITH ${bpeChainSql(table, textCol, rounds)},
+        seg AS (SELECT replace(seq, ' ', '') AS w,
+                       CAST(len(str_split(seq, ' ')) AS BIGINT) AS n_sub
+                FROM v$rounds),
+        occ0 AS (SELECT $idCol, l AS l FROM
+                   (SELECT $idCol, regexp_extract_all($textCol, '[A-Za-z0-9]+') AS l
+                    FROM $table)),
+        occ AS (SELECT $idCol, UNNEST(range(len(l))) AS pos, UNNEST(l) AS w FROM occ0),
+        costed AS (SELECT occ.$idCol, occ.pos,
+                          COALESCE(seg.n_sub, len(occ.w)) AS cost
+                   FROM occ LEFT JOIN seg USING (w)),
+        offs AS (SELECT $idCol, pos, cost,
+                   COALESCE(SUM(cost) OVER (PARTITION BY $idCol ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                 FROM costed)
+        SELECT $idCol, CAST(off // $budget AS BIGINT) AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(cost) AS BIGINT) AS n_tokens
+        FROM offs GROUP BY $idCol, off // $budget"""
+
   /** DuckDB mirror of [[bpeApply]] over [[bpeLearnSql]]'s final state.
     * Valid only when all `rounds` merges are achievable (an exhausted
     * round empties the oracle's vocab chain, unlike the Spark driver

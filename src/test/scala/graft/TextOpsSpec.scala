@@ -265,6 +265,24 @@ class TextOpsSpec extends SparkSpec {
       (3, "aa", "aa", 1L)), got.toSeq.toString)
   }
 
+  test("chunkByTokens: offset-bin chunking matches a hand fold; unseen words cost characters") {
+    import spark.implicits._
+    // fake learned state: "ab" fully merged (1 subword), "cd" split as
+    // "c d" (2 subwords); "xyz" is unseen and costs its 3 characters
+    val vocab = Seq(("ab", 1L), ("c d", 1L)).toDF("seq", "freq")
+    val docs = Seq((9L, "ab cd xyz ab ab")).toDF("doc_id", "text")
+    // costs 1,2,3,1,1 → exclusive offsets 0,1,3,6,7 → bins 0,0,1,2,2
+    val got = TextOps.chunkByTokens(docs, "doc_id", "text", vocab, 3L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got == Seq((0L, 2L, 3L), (1L, 1L, 3L), (2L, 2L, 2L)), s"got $got")
+    // a word costlier than the whole budget still lands in exactly one
+    // bin (its start offset's) — no row loss, no infinite split
+    val big = TextOps.chunkByTokens(
+      Seq((1L, "xyz ab")).toDF("doc_id", "text"), "doc_id", "text", vocab, 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(big == Seq((0L, 1L, 3L), (1L, 1L, 1L)), s"got $big")
+  }
+
   test("bpeApply: per-doc subword counts under the learned state; unseen words fall back to chars") {
     import spark.implicits._
     val train = Seq("aaab aaab ab", "aaab").toDF("text")
