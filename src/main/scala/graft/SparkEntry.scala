@@ -2465,6 +2465,14 @@ object SparkEntry {
           col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
           col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"))),
 
+    // per-source dedup health report: n_docs / canonical keepers /
+    // exact-integer dup_ppm per source — the corpus-composition
+    // diagnostic (cross-source copies charge every source except the
+    // keeper's); payload scanned once, never shuffled
+    "q_dedup_rates" -> ((s, dir) =>
+      Dedup.dedupRates(ColOps.table(s, dir, "documents"),
+        "doc_id", "text", "source")),
+
     // multimodal: FORMAT DISPATCH over a mixed WAV/BMP/raw corpus —
     // try-decode routing (the strict parsers' NULL on foreign bytes IS
     // the sniffer), fail-open fall-through to raw-byte accounting; all
@@ -3485,6 +3493,7 @@ object SparkEntry {
     "q_bmp_decode" -> Multimodal.bmpDecodeSql,
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,
+    "q_dedup_rates" -> Dedup.dedupRatesSql("documents", "doc_id", "text", "source"),
 
     "q_media_neardup" -> Multimodal.mediaNearDupsSql(36, Dedup.MaxBucket),
 

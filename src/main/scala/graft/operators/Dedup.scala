@@ -47,6 +47,43 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-source dedup HEALTH: how much of each source is redundant
+    * under exact-text dedup — the corpus-composition diagnostic that
+    * decides which feeds are worth keeping. A doc is redundant iff it
+    * is not its text family's canonical keeper (`min(id)` per md5, the
+    * [[exact]] contract), so cross-source copies charge every source
+    * except the keeper's. dup_ppm is exact integer parts-per-million.
+    * Plan: the [[exact]] hash aggregate, keeper ids joined back on the
+    * (pruned) id column, one source-key aggregate — the doc payload is
+    * scanned once and never shuffled.
+    */
+  def dedupRates(df: DataFrame, idCol: String, textCol: String,
+                 srcCol: String): DataFrame = {
+    val keepers = exact(df, idCol, textCol)
+      .select(col("keep_id").as(idCol), lit(1L).as("__keep"))
+    df.select(col(idCol), col(srcCol))
+      .join(keepers, Seq(idCol), "left")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__keep"), lit(0L))).as("n_canonical"))
+      .select(col(srcCol), col("n_docs"), col("n_canonical"),
+        // DIV: exact integral division — the FP `/`-then-cast could
+        // round a just-below-integer quotient up across engines
+        expr("(n_docs - n_canonical) * 1000000 DIV n_docs").as("dup_ppm"))
+  }
+
+  /** DuckDB mirror of [[dedupRates]]. */
+  def dedupRatesSql(table: String, idCol: String, textCol: String,
+                    srcCol: String): String =
+    s"""WITH k AS (SELECT MIN($idCol) AS keep_id FROM $table GROUP BY md5($textCol)),
+        j AS (SELECT d.$srcCol,
+                     CASE WHEN k.keep_id IS NULL THEN 0 ELSE 1 END AS kept
+              FROM $table d LEFT JOIN k ON k.keep_id = d.$idCol)
+        SELECT $srcCol, COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_canonical,
+               CAST((COUNT(*) - SUM(kept)) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+        FROM j GROUP BY $srcCol"""
+
   /** Streaming exact dedup: drop rows whose key columns were already
     * seen within the watermark horizon — the streaming form of [[exact]]
     * with state BOUNDED by the watermark (unbounded dropDuplicates state

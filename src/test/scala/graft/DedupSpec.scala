@@ -33,6 +33,19 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((10L, 2L), (12L, 1L)))
   }
 
+  test("dedupRates: cross-source copies charge every source except the keeper's") {
+    import spark.implicits._
+    val docs = Seq((1L, "x", "s1"), (2L, "y", "s1"),
+      (3L, "x", "s2"), (4L, "z", "s2")).toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.dedupRates(docs, "doc_id", "text", "source")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 3 copies doc 1's text; the keeper (min id) lives in s1, so s2
+    // carries the redundancy: 1 of its 2 docs → 500000 ppm exactly
+    assert(got("s1") == ((2L, 2L, 0L)), s"got $got")
+    assert(got("s2") == ((2L, 1L, 500000L)), s"got $got")
+  }
+
   test("viral band bucket (> cap) drops out of candidacy; survivors bounded by cap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
