@@ -200,6 +200,15 @@ object SparkEntry {
     */
   private def streamQuantum(n: Int): Int = math.max(1, (n + 2) / 3)
 
+  /** Per-bigram micro log-prob cutoffs swept by q_selection_curve —
+    * bracketing the fixture's score distribution (p1 ≈ −3.50e6,
+    * p99 ≈ −3.32e6) so the curve is genuinely monotone from
+    * keep-everything through the quantile body to keep-nothing.
+    */
+  private val SelectionThresholds: Seq[Long] =
+    Seq(-3550000L, -3455000L, -3420000L, -3404000L, -3385000L,
+      -3349000L, -3300000L)
+
   /** Two-batch quantum for streaming queries whose state-machinery
     * SHAPE is already pinned at three batches by a canonical
     * representative (the round-9 floor diet; shape → pin table in
@@ -2006,6 +2015,16 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       TextOps.bigramLmScore(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // threshold SELECTION CURVE over the LM quality scores: per
+    // candidate per-bigram log-prob cutoff, how many docs (and how many
+    // bigrams of training weight) survive — one scan, 2K conditional
+    // aggregates, in-plan stack unpivot; the cutoff compare is exact
+    // integer cross-multiplication, no FP division
+    "q_selection_curve" -> ((s, dir) =>
+      Sampling.selectionCurve(
+        TextOps.bigramLmScore(ColOps.table(s, dir, "documents"), "doc_id", "text"),
+        "lp_micro", "n_bigrams", SelectionThresholds)),
+
     // HELD-OUT LM eval: bigram counts from the hash-split train
     // partition only, every val/test doc scored against them (add-one
     // smoothing, unseen words/bigrams coalesced — no OOV drops). The
@@ -3494,6 +3513,8 @@ object SparkEntry {
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,
     "q_dedup_rates" -> Dedup.dedupRatesSql("documents", "doc_id", "text", "source"),
+    "q_selection_curve" -> Sampling.selectionCurveSql(
+      TextOps.bigramLmScoreSql, "lp_micro", "n_bigrams", SelectionThresholds),
 
     "q_media_neardup" -> Multimodal.mediaNearDupsSql(36, Dedup.MaxBucket),
 

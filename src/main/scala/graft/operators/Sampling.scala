@@ -359,4 +359,46 @@ object Sampling {
       .toDF()
       .select(col("seq").as("new_seq"), col("value._1").as(id))
   }
+
+  /** Threshold SELECTION CURVE — the quality-vs-size tuning artifact a
+    * curation pipeline sweeps before fixing its filter cutoff: for each
+    * candidate threshold `t`, how many rows (and how much weight) would
+    * survive `num / den ≥ t`? The ratio compare is evaluated as the
+    * EXACT integer cross-multiplication `num ≥ t · den` (den > 0 rows
+    * only — a zero denominator has no defined per-unit score and never
+    * passes), so both engines agree bit-for-bit with no FP division.
+    * Plan: ONE scan with 2·K conditional aggregates, then an in-plan
+    * `stack` unpivot to K rows — the [[Diagnostics.columnProfile]]
+    * single-pass discipline; never K scans, never a threshold×row
+    * explode (a K× scan amplification at 100 TB).
+    */
+  def selectionCurve(df: DataFrame, numCol: String, denCol: String,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "selectionCurve needs at least one threshold")
+    val keep = (t: Long) => col(denCol) > 0 && col(numCol) >= lit(t) * col(denCol)
+    val aggs = thresholds.flatMap { t =>
+      Seq(sum(when(keep(t), lit(1L)).otherwise(lit(0L))).as(s"n_$t"),
+        sum(when(keep(t), col(denCol)).otherwise(lit(0L))).as(s"w_$t"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${thresholds.size}, " +
+        thresholds.map(t => s"${t}L, `n_$t`, `w_$t`").mkString(", ") +
+        ") AS (threshold, n_kept, weight_kept)")
+  }
+
+  /** DuckDB mirror of [[selectionCurve]] over a scored CTE. */
+  def selectionCurveSql(scoredSql: String, numCol: String, denCol: String,
+                        thresholds: Seq[Long]): String = {
+    val values = thresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH s AS ($scoredSql),
+        t(threshold) AS (VALUES $values)
+        SELECT CAST(t.threshold AS BIGINT) AS threshold,
+               CAST(SUM(CASE WHEN s.$denCol > 0
+                 AND s.$numCol >= t.threshold * s.$denCol THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN s.$denCol > 0
+                 AND s.$numCol >= t.threshold * s.$denCol THEN s.$denCol ELSE 0 END)
+                 AS BIGINT) AS weight_kept
+        FROM s CROSS JOIN t GROUP BY t.threshold"""
+  }
 }

@@ -211,6 +211,18 @@ class SamplingSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 3L -> 500L, 2L -> 1000L, 4L -> 0L), s"got $got")
   }
 
+  test("selectionCurve: exact cross-multiply cutoffs; zero-denominator rows never pass") {
+    import spark.implicits._
+    val scored = Seq((1L, -10L, 2L), (2L, -6L, 2L), (3L, -9L, 3L), (4L, 0L, 0L))
+      .toDF("id", "num", "den")
+    // per-unit scores: id1 → -5, id2 → -3, id3 → -3; id4 has den = 0
+    // and must be excluded at EVERY threshold, even t where 0 >= t*0
+    val got = Sampling.selectionCurve(scored, "num", "den", Seq(-5L, -4L, -3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((-5L, 3L, 7L), (-4L, 2L, 5L), (-3L, 2L, 5L)), s"got $got")
+  }
+
   test("mixRebalance: binding source keeps ~everything, others downsample to the temperature target") {
     import spark.implicits._
     // two sources 90/10 at alpha=0.5: targets ~ sqrt shares; the SMALL
