@@ -97,6 +97,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("chunkByTokens conservation law: chunks partition the corpus exactly, any input") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val genDocs: Gen[List[String]] =
+      Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n,
+        Gen.chooseNum(0, 12).flatMap(k => Gen.listOfN(k,
+          Gen.chooseNum(1, 6).flatMap(len =>
+            Gen.listOfN(len, Gen.alphaLowerChar).map(_.mkString)))
+          .map(_.mkString(" ")))))
+    val emptyVocab = Seq.empty[(String, Long)].toDF("seq", "freq")
+    check("chunkTokens", Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = TextOps.chunkByTokens(docs, "doc_id", "text", emptyVocab, 5L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // with no learned vocab every word costs its characters; the
+      // chunks of a doc must partition its words and characters exactly
+      val perDoc = chunks.groupBy(_._1).view.mapValues(cs =>
+        (cs.map(_._3).sum, cs.map(_._4).sum)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) !perDoc.contains(i.toLong)
+        else perDoc(i.toLong) == ((ws.length.toLong, ws.map(_.length.toLong).sum))
+      }
+    })
+  }
+
   test("takeWhile/dropWhile cut law: first failure consumed, suffix disjoint") {
     check("whileCut", Prop.forAll(smallInts) { ys =>
       val p = (x: Int) => x >= 0
