@@ -209,6 +209,33 @@ class PlanSpec extends SparkSpec {
       s"index scan not dynamically pruned to probe cells:\n${idxScan.mkString("\n")}")
   }
 
+  test("q_media_dispatch: try-decode routing is exchange-free map work") {
+    val df = SparkEntry.queries("q_media_dispatch")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Exchange"),
+      s"dispatch should be pure per-row decode + union, found a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"dispatch should not join:\n$p")
+  }
+
+  test("q_chunk_tokens: token-offset window is PARTITIONED by doc, no global sort") {
+    val df = SparkEntry.queries("q_chunk_tokens")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"token window not partitioned by doc:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort in the chunking plan:\n$p")
+  }
+
+  test("q_dedup_rates: the document payload is scanned ONCE (second scan id+source only)") {
+    val df = SparkEntry.queries("q_dedup_rates")(spark, dir)
+    val scans = plan(df).linesIterator.filter(_.contains("FileScan")).toList
+    assert(scans.count(_.contains("text")) == 1,
+      s"payload read more than once:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => !s.contains("text") && s.contains("source")),
+      s"id+source side not pruned of the payload:\n${scans.mkString("\n")}")
+  }
+
   test("stratified sample ranks in a PARTITIONED window, no global sort") {
     val df = SparkEntry.queries("q_sample_strat")(spark, dir)
     val p = plan(df)
