@@ -275,6 +275,27 @@ object ScaleProbe {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     })
 
+    // token-budget chunking: per-doc window + broadcast cost join —
+    // must stay scan-bound (probed under the char-cost fallback so the
+    // measurement is the chunker, not BPE training)
+    probePair("chunkTokens", docs, bigDocs, { d =>
+      import org.apache.spark.sql.types._
+      val emptyVocab = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("seq", StringType), StructField("freq", LongType))))
+      graft.operators.TextOps.chunkByTokens(d, "doc_id", "text", emptyVocab, 64L).count()
+    })
+
+    // per-source dedup rates: copied fixture is the worst case (every
+    // text family's group grows n×); cost must stay the hash aggregate
+    val docsSrc0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val bigDocsSrc0 = (0 until n).map { i =>
+      docsSrc0.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+    }.reduce(_ union _)
+    probePair("dedupRates", docsSrc0, bigDocsSrc0, d =>
+      graft.operators.Dedup.dedupRates(d, "doc_id", "text", "source").count())
+
     // BPE learn: copied docs don't grow the word-TYPE histogram (same
     // words, 10x freq), so the merge rounds must cost the SAME and only
     // the one corpus scan scales — the sufficient-statistic claim
