@@ -704,7 +704,10 @@ object TextOps {
       .partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     occ.withColumn("off", coalesce(sum(col("cost")).over(wDoc), lit(0L)))
-      .groupBy(col(idCol), (col("off") / budget).cast("long").as("chunk_id"))
+      // DIV, not `/`-then-cast: FP division is only exact for
+      // power-of-2 budgets; integral DIV floors identically to the
+      // oracle's `//` at any budget and offset
+      .groupBy(col(idCol), expr(s"off DIV ${budget}L").as("chunk_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("cost")).as("n_tokens"))
   }
 
