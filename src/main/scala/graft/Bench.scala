@@ -116,7 +116,9 @@ object Bench {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
       (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // a read-only cwd must not fail the bench
+    // NonFatal only: a read-only cwd must not fail the bench, but an
+    // OOM/interrupt during the write must not be silently discarded
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SqDistF64(children(0), children(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("byte_sum"),
+      new ExpressionInfo(classOf[ByteSum].getName, "byte_sum"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "byte_sum(media) takes one argument")
+        ByteSum(children.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("byte_gram_hashes"),
       new ExpressionInfo(classOf[ByteGramHashes].getName, "byte_gram_hashes"),
       (children: Seq[Expression]) => {

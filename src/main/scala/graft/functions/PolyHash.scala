@@ -290,3 +290,48 @@ object SimhashBits {
     GraftColumnBridge.column(SimhashBits(GraftColumnBridge.expression(c), bits))
   }
 }
+
+/** Native Σ of UNSIGNED byte values over a BINARY payload — the
+  * raw-route accounting of [[graft.operators.Multimodal.decodeDispatch]].
+  * The HOF form it replaces expanded every payload to a 2n-char hex
+  * string plus an n-element int array with per-element instr/substring
+  * lambdas (~10× the CPU and allocation of the codec decodes beside
+  * it); this is one tight loop in whole-stage codegen, the same
+  * discipline as [[ByteGramHashes]]. Empty payload sums to 0.
+  */
+case class ByteSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"byte_sum needs a binary column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ByteSum.sumBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ByteSum.sumBytes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSum =
+    copy(child = newChild)
+
+  override def prettyName: String = "byte_sum"
+}
+
+object ByteSum {
+  def sumBytes(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    s
+  }
+
+  /** Column-API entry point (Spark 4 Column↔Expression bridge). */
+  def byte_sum(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(ByteSum(GraftColumnBridge.expression(c)))
+  }
+}

@@ -163,7 +163,11 @@ object WavCodec {
     */
   def resample(bytes: Array[Byte], k: Int): Array[Byte] = {
     val p = parse(bytes)
-    if (p == null || p.channels != 1) return null
+    // k > rate would integer-divide the declared rate to 0 — an invalid
+    // container this parser itself rejects, breaking the "output is a
+    // fully valid WAV" invariant; decimating past the sample rate has
+    // no defined meaning, so it is NULL like any other malformed ask
+    if (p == null || p.channels != 1 || k > p.sampleRate) return null
     val n = (p.nSamples + k - 1) / k
     val kept = new Array[Int](n)
     var i = 0

@@ -97,7 +97,13 @@ object Bucketing {
     val tbl = tableName(dir, base)
     val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), tbl)
     stageLocks.computeIfAbsent(tbl, _ => new Object).synchronized {
-      if (staged.add(tbl) || !java.nio.file.Files.exists(path)) {
+      // completeness = the _SUCCESS commit marker, NOT bare directory
+      // existence: a write that died mid-job leaves a partial dir
+      // (e.g. only _temporary/) which would otherwise poison every
+      // later call in the JVM — stagedBucketed self-heals the same way
+      // via catalog.tableExists, which a failed saveAsTable leaves false
+      if (staged.add(tbl) ||
+          !java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
         cleanupHook
         stagedPaths.add(path)
         df.write.mode("overwrite").partitionBy(key).parquet(path.toString)

@@ -511,23 +511,8 @@ object Multimodal {
           length(col("media")).cast("long")).as("n_units"),
         coalesce(col("w.sum_abs"),
           col("b.sum_r") + col("b.sum_g") + col("b.sum_b"),
-          when(length(col("media")) === 0, lit(0L)).otherwise(rawSumBytes))
+          graft.functions.ByteSum.byte_sum(col("media")))
           .as("checksum"))
-  }
-
-  /** Σ of payload byte values via hex pairs (codegen-friendly, agrees
-    * with the oracle's hex fold; ascii() on raw bytes would mangle
-    * non-UTF8 fragments).
-    */
-  private def rawSumBytes: Column = {
-    val hx = lower(hex(col("media")))
-    aggregate(
-      transform(sequence(lit(0), (length(hx) / 2 - 1).cast("int")),
-        i => (instr(lit("0123456789abcdef"),
-                substring(hx, i * 2 + 1, lit(1))) - 1) * 16 +
-             (instr(lit("0123456789abcdef"),
-                substring(hx, i * 2 + 2, lit(1))) - 1)),
-      lit(0L), (a, v) => a + v.cast("long"))
   }
 
   /** DuckDB mirror of [[decodeDispatch]] over [[mixedAssets]]: expected

@@ -375,10 +375,17 @@ object Sampling {
   def selectionCurve(df: DataFrame, numCol: String, denCol: String,
                      thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty, "selectionCurve needs at least one threshold")
+    // duplicates would alias the agg column names (ambiguous-reference
+    // AnalysisException at the stack) — and silently deduping would
+    // change the row count out from under a caller's oracle
+    require(thresholds == thresholds.distinct,
+      s"selectionCurve thresholds must be distinct, got $thresholds")
     val keep = (t: Long) => col(denCol) > 0 && col(numCol) >= lit(t) * col(denCol)
     val aggs = thresholds.flatMap { t =>
-      Seq(sum(when(keep(t), lit(1L)).otherwise(lit(0L))).as(s"n_$t"),
-        sum(when(keep(t), col(denCol)).otherwise(lit(0L))).as(s"w_$t"))
+      // coalesce: a global agg over ZERO rows yields one row of NULL
+      // sums — the defined empty-corpus contract is K rows of 0 counts
+      Seq(coalesce(sum(when(keep(t), lit(1L)).otherwise(lit(0L))), lit(0L)).as(s"n_$t"),
+        coalesce(sum(when(keep(t), col(denCol)).otherwise(lit(0L))), lit(0L)).as(s"w_$t"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${thresholds.size}, " +
@@ -390,15 +397,18 @@ object Sampling {
   def selectionCurveSql(scoredSql: String, numCol: String, denCol: String,
                         thresholds: Seq[Long]): String = {
     val values = thresholds.map(t => s"($t)").mkString(", ")
+    // LEFT JOIN from the threshold list (never CROSS): an empty scored
+    // set must still yield one zero row per threshold, the engine's
+    // empty-corpus contract
     s"""WITH s AS ($scoredSql),
         t(threshold) AS (VALUES $values)
         SELECT CAST(t.threshold AS BIGINT) AS threshold,
-               CAST(SUM(CASE WHEN s.$denCol > 0
-                 AND s.$numCol >= t.threshold * s.$denCol THEN 1 ELSE 0 END)
+               CAST(COALESCE(SUM(CASE WHEN s.$denCol > 0
+                 AND s.$numCol >= t.threshold * s.$denCol THEN 1 ELSE 0 END), 0)
                  AS BIGINT) AS n_kept,
-               CAST(SUM(CASE WHEN s.$denCol > 0
-                 AND s.$numCol >= t.threshold * s.$denCol THEN s.$denCol ELSE 0 END)
+               CAST(COALESCE(SUM(CASE WHEN s.$denCol > 0
+                 AND s.$numCol >= t.threshold * s.$denCol THEN s.$denCol ELSE 0 END), 0)
                  AS BIGINT) AS weight_kept
-        FROM s CROSS JOIN t GROUP BY t.threshold"""
+        FROM t LEFT JOIN s ON TRUE GROUP BY t.threshold"""
   }
 }

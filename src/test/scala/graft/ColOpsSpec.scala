@@ -225,6 +225,9 @@ class ColOpsSpec extends SparkSpec {
     assert(df.select(WavDecode.wav_decode(
       WavResample.wav_resample(col("media"), 4)).as("d"))
       .select(col("d.sample_rate")).head().getInt(0) == 3000)
+    // decimating past the sample rate would re-encode a rate-0 (invalid)
+    // container — defined NULL, preserving "output is a fully valid WAV"
+    assert(df.select(WavResample.wav_resample(col("media"), 20000)).head().isNullAt(0))
     // fail-closed: bad magic, truncation, lying data-size field → NULL,
     // never garbage features
     val badMagic = wav.clone(); badMagic(0) = 'X'.toByte

@@ -69,10 +69,12 @@ class ExtensionsSpec extends SparkSpec {
                   wav_decode(wav_resample(w, 2)).n_samples AS rn,
                   bmp_decode(b).sum_b AS sb,
                   bmp_decode(bmp_resample(b, 2)).n_px AS rp,
-                  byte_gram_hashes(w)[0] IS NOT NULL AS g
+                  byte_gram_hashes(w)[0] IS NOT NULL AS g,
+                  byte_sum(b) AS bs
            FROM m""").collect()(0)
       assert(r.getLong(0) == 3L && r.getInt(1) == -200 && r.getLong(2) == 2L)
       assert(r.getLong(3) == 3L + 6L && r.getLong(4) == 1L && r.getBoolean(5))
+      assert(r.getLong(6) == bmp.map(_ & 0xff).map(_.toLong).sum)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -221,6 +221,17 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
     assert(got == Seq((-5L, 3L, 7L), (-4L, 2L, 5L), (-3L, 2L, 5L)), s"got $got")
+    // empty scored set: one ZERO row per threshold (never NULL sums,
+    // never zero rows — the oracle's threshold-side LEFT JOIN agrees)
+    val empty = Sampling.selectionCurve(
+      Seq.empty[(Long, Long, Long)].toDF("id", "num", "den"),
+      "num", "den", Seq(-5L, -3L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(empty == Seq((-5L, 0L, 0L), (-3L, 0L, 0L)), s"got $empty")
+    // duplicate thresholds would alias agg columns — must fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.selectionCurve(scored, "num", "den", Seq(-3L, -3L))
+    }
   }
 
   test("mixRebalance: binding source keeps ~everything, others downsample to the temperature target") {
