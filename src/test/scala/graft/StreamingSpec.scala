@@ -873,6 +873,86 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join checkpoint restart: JOIN state recovers across stop/start") {
+    import org.apache.spark.sql.functions.{col, split, timestamp_micros, expr}
+    import spark.implicits._
+    // The third restart class, completing the trilogy (stateless
+    // source/sink ✓, keyed transformWithState ✓): a stream-stream
+    // inner join's buffered rows live in the JOIN state store, and a
+    // left row whose partner only arrives AFTER a stop/restart can
+    // match it only if that buffer was recovered from the checkpoint.
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      def side(dir: String, idName: String, tName: String) =
+        spark.readStream.text(dir)
+          .select(split(col("value"), ",").as("f"))
+          .select(col("f").getItem(0).cast("long").as(idName),
+            col("f").getItem(1).cast("long").as(tName + "_us"))
+          .withColumn(tName, timestamp_micros(col(tName + "_us")))
+          .withWatermark(tName, "1 hour")
+      def runOnce(srcA: String, srcB: String, data: String, ckpt: String): Unit = {
+        val j = side(srcA, "id", "ta")
+          .join(side(srcB, "idb", "tb"),
+            col("id") === col("idb") &&
+              col("tb") >= col("ta") - expr("INTERVAL 1 HOUR") &&
+              col("tb") <= col("ta") + expr("INTERVAL 1 HOUR"))
+          .select(col("id"), col("ta_us"), col("tb_us"))
+        val q = j.writeStream.format("parquet")
+          .option("path", data).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def sink(data: String): Seq[(Long, Long, Long)] =
+        spark.read.parquet(data).as[(Long, Long, Long)].collect().sorted.toSeq
+      def put(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(dir.resolve(name),
+          lines.mkString("\n").getBytes("UTF-8"))
+      val base = java.nio.file.Files.createTempDirectory("graft_join_restart_")
+      val srcA = java.nio.file.Files.createDirectory(base.resolve("a"))
+      val srcB = java.nio.file.Files.createDirectory(base.resolve("b"))
+      val data = base.resolve("data").toString
+      val ckpt = base.resolve("ckpt").toString
+      // pre-stop: left ids 1 and 2 buffered; only id 1's partner arrives
+      put(srcA, "a1.txt", Seq("1,1000000", "2,2000000"))
+      put(srcB, "b1.txt", Seq("1,1500000"))
+      runOnce(srcA.toString, srcB.toString, data, ckpt)
+      assert(sink(data) == Seq((1L, 1000000L, 1500000L)), s"got ${sink(data)}")
+      // post-restart: id 2's partner arrives — it can ONLY match if the
+      // buffered left row survived the stop in the recovered join state
+      put(srcB, "b2.txt", Seq("2,2500000"))
+      runOnce(srcA.toString, srcB.toString, data, ckpt)
+      val got = sink(data)
+      assert(got.contains((2L, 2000000L, 2500000L)),
+        s"join state not recovered across restart: $got")
+      // unbroken control from a fresh checkpoint must agree exactly
+      val base2 = java.nio.file.Files.createTempDirectory("graft_join_ctrl_")
+      val srcA2 = java.nio.file.Files.createDirectory(base2.resolve("a"))
+      val srcB2 = java.nio.file.Files.createDirectory(base2.resolve("b"))
+      put(srcA2, "a1.txt", Seq("1,1000000", "2,2000000"))
+      put(srcB2, "b1.txt", Seq("1,1500000")); put(srcB2, "b2.txt", Seq("2,2500000"))
+      runOnce(srcA2.toString, srcB2.toString,
+        base2.resolve("data").toString, base2.resolve("ckpt").toString)
+      assert(got == sink(base2.resolve("data").toString),
+        "restarted join run diverged from the unbroken run")
+      // idle restart: recovered state + no new files ⇒ no output
+      runOnce(srcA.toString, srcB.toString, data, ckpt)
+      assert(sink(data) == got, "idle join restart re-emitted rows")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("streaming KMV == batch kmvWordSketch, invariant to quantum and arrival order") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.col
