@@ -74,8 +74,18 @@ object Compose {
     implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
     val off = sa.ds.toDF().agg(
       (coalesce(max(col("seq")), lit(-1L)) + 1L).as("off"))
+    // fail LOUDLY on a negative right-side seq (Ordinals.byExpression
+    // permits sparse/negative ordinals): a negative seq would shift to
+    // ≤ max(left.seq) — interleaving into, or colliding with, the left
+    // side silently. In-plan raise_error keeps construction lazy
+    // (concatMap fails fast the same way for its packable range).
     val shifted = sb.ds.toDF().crossJoin(broadcast(off))
-      .select((col("seq") + col("off")).as("seq"), col("value"))
+      .select(
+        when(col("seq") < 0,
+          raise_error(lit("concatSources: right side has a negative seq — " +
+            "shifted ordinals would collide with the left side")))
+          .otherwise(col("seq") + col("off")).cast("long").as("seq"),
+        col("value"))
       .as[Elem[A]]
     SStream(sa.ds.union(shifted))
   }
@@ -219,28 +229,14 @@ object Compose {
     } else distributed()
   }
 
+  /** feedbackPipe is the tag-blind special case of
+    * [[feedbackPipeEither]]: strip the fromUpstream flag and run `p` —
+    * ONE round loop to maintain (the round-numbering and
+    * small-frontier fixes previously had to land in two copies).
+    */
   def feedbackPipe[A: TypeTag](p: Pipe[A, A], maxRounds: Int = 100)
-                              (in: SStream[A]): SStream[A] = {
-    implicit val encA: Encoder[Elem[A]] = Elem.enc[A]
-    require(maxRounds >= 1 && maxRounds < (1 << 22),
-      s"feedbackPipe: maxRounds $maxRounds out of range [1, 2^22)")
-    var acc: Dataset[Elem[A]] = null
-    var frontier = in.ds
-    var prevCount = -1L
-    var round = 0
-    var done = false
-    while (round < maxRounds && !done) {
-      val (out, cnt) = feedbackRound(p(SStream(frontier)).ds, round.toLong + 1, prevCount)
-      if (out == null) done = true
-      else {
-        acc = if (acc == null) out else acc.union(out)
-        frontier = out
-        prevCount = cnt
-        round += 1
-      }
-    }
-    SStream(if (acc == null) in.ds.filter(lit(false)) else acc)
-  }
+                              (in: SStream[A]): SStream[A] =
+    feedbackPipeEither[A](Pipes.mapInput[(Boolean, A), A, A](_._2)(p), maxRounds)(in)
 
   /** feedbackPipeEither (reference `src/Data/Conduino.hs:445-462`): the
     * feedback loop where the pipe can distinguish upstream input from

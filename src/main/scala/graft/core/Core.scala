@@ -139,7 +139,14 @@ object Ordinals {
       .persist()
     try {
       val counts = sorted.rdd
-        .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+        .mapPartitionsWithIndex { (i, it) =>
+          // Long loop, not Iterator.size: .size returns Int and wraps
+          // negative past 2^31 rows per partition — inside the design
+          // envelope at 100 TB — corrupting every downstream ordinal
+          var n = 0L
+          while (it.hasNext) { it.next(); n += 1 }
+          Iterator((i, n))
+        }
         .collect()
         .sortBy(_._1)
         .map(_._2)
@@ -149,13 +156,12 @@ object Ordinals {
         var s = bOffsets.value(i)
         it.map { a => val e = Elem(s, a); s += 1; e }
       }
-      // Eagerly materialize the ordinal-stamped result (localCheckpoint),
-      // then free the sorted intermediate — bounded cache lifecycle instead
-      // of an unpersisted leak that multiplies at scale.
-      val out = Materialize.checkpoint(spark.createDataset(rdd)(enc))
-      sorted.unpersist()
-      out
-    } finally ()
+      // Eagerly materialize the ordinal-stamped result (localCheckpoint)
+      // inside the try, then free the sorted intermediate in the finally
+      // — bounded cache lifecycle even when a job inside throws (the
+      // persisted full copy must never outlive a failed call).
+      Materialize.checkpoint(spark.createDataset(rdd)(enc))
+    } finally sorted.unpersist()
   }
 
   /** Ordinal from an expression when the table already has a unique,

@@ -118,16 +118,23 @@ object Lift {
     * genuinely opaque functions.
     *
     * Returns (good, dead): good keeps the input columns plus `value`;
-    * dead keeps the input columns plus `error`.
+    * dead keeps the input columns plus `error`. `value`/`error` are
+    * RESERVED output names: a pre-existing input column of either name
+    * is REPLACED by the branch's output (the Elem convention's own
+    * payload column is the usual thing being parsed — without the
+    * replace, the rename would produce two `value` columns and the next
+    * `col("value")` would die with AMBIGUOUS_REFERENCE).
     */
   def runExceptC(in: DataFrame, value: Column)(error: Column => Column)
       : (DataFrame, DataFrame) = {
     val tried = in.withColumn("__graft_value", value)
       .withColumn("__graft_err", error(col("__graft_value")))
     val good = tried.filter(col("__graft_err").isNull)
-      .drop("__graft_err").withColumnRenamed("__graft_value", "value")
+      .drop("__graft_err").drop("value")
+      .withColumnRenamed("__graft_value", "value")
     val dead = tried.filter(col("__graft_err").isNotNull)
-      .drop("__graft_value").withColumnRenamed("__graft_err", "error")
+      .drop("__graft_value").drop("error")
+      .withColumnRenamed("__graft_err", "error")
     (good, dead)
   }
 

@@ -55,8 +55,14 @@ object Sources {
     * distributed projection over `spark.range` with no sequential driver
     * work.
     */
-  def iterate[A: TypeTag](spark: SparkSession, f: A => A, x0: A, n: Long): SStream[A] =
+  def iterate[A: TypeTag](spark: SparkSession, f: A => A, x0: A, n: Long): SStream[A] = {
+    // fail fast, never truncate: (3e9).toInt is negative and take(<0)
+    // would silently return an EMPTY stream; past-Int budgets belong on
+    // the distributed paths (iterateClosedForm / iterateJump)
+    require(n <= Int.MaxValue,
+      s"iterate generates on the driver (n=$n > Int.MaxValue); use iterateClosedForm/iterateJump")
     fromSeq(spark, Iterator.iterate(x0)(f).drop(1).take(n.toInt).toSeq)
+  }
 
   /** iterate when f^k(x0) has a closed form g(k) (k = 1-based step count):
     * fully distributed generation. e.g. succ → g(k) = x0 + k.
@@ -116,6 +122,10 @@ object Sources {
     * when a skip-ahead exists, instead.
     */
   def unfold[A: TypeTag, S](spark: SparkSession, f: S => (A, S), s0: S, n: Long): SStream[A] = {
+    // fail fast, never truncate (see iterate): past-Int budgets belong
+    // on the distributed segment-replay path (unfoldSegmented)
+    require(n <= Int.MaxValue,
+      s"unfold generates on the driver (n=$n > Int.MaxValue); use unfoldSegmented")
     val it = new Iterator[A] {
       private var s = s0
       def hasNext = true

@@ -149,7 +149,13 @@ object RowExec {
       .sortWithinPartitions(sortCols: _*)
       .persist()
     val counts = s.rdd
-      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+      .mapPartitionsWithIndex { (i, it) =>
+        // Long loop, not Iterator.size (Int — wraps past 2^31 rows per
+        // partition; see Ordinals.zipWithOrdinal)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator((i, n))
+      }
       .collect().toList.sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _).toVector
     val bOffsets = spark.sparkContext.broadcast(offsets)

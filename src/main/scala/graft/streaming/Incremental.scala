@@ -100,6 +100,11 @@ object Incremental {
       * table read BEFORE collect, so driver traffic is O(fresh rows) per
       * call, not O(all outputs ever) — a long-lived Feeder stays linear,
       * not quadratic. One batched decode per call (fresh rows only).
+      * Known residency cost: the Append-mode memory SINK itself retains
+      * every output row until [[stop]] (Spark's memory sink has no trim
+      * API), so the linearity claim is about per-call collect traffic,
+      * not sink memory — bound very-long-lived feeds or reopen the
+      * Feeder periodically.
       */
     def squeeze(): Seq[B] = {
       import org.apache.spark.sql.functions.col
@@ -163,19 +168,22 @@ object Incremental {
   private[graft] def freshBySeq(rows: Seq[Row], lastDrainedSeq: Long): Seq[Row] =
     rows.filter(_.getAs[Long]("seq") > lastDrainedSeq)
 
-  /** Batched Row decoder for the memory sink: ONE DataFrame round-trip
-    * per squeeze (not per row), re-encoding Rows back to Elem[B] through
-    * the Elem encoder.
+  /** Batched Row decoder for the memory sink — driver-LOCAL: the rows
+    * were already collected to the driver, so re-parallelizing them
+    * into a DataFrame just to run the Elem encoder would launch a full
+    * Spark job per squeeze (roughly doubling per-quantum latency at
+    * fine quanta). A bound ExpressionEncoder deserializer over the
+    * Catalyst converter does the identical decode with zero jobs.
     */
   private def rowFromMemory[B: TypeTag](spark: SparkSession,
                                         schema: org.apache.spark.sql.types.StructType): Seq[Row] => Seq[Elem[B]] = {
-    implicit val encB: Encoder[Elem[B]] = Elem.enc[B]
+    val deser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Elem[B]]()
+      .resolveAndBind().createDeserializer()
+    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
     (rs: Seq[Row]) =>
-      if (rs.isEmpty) Nil
-      else {
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(rs.asJava, schema).as[Elem[B]].collect().toSeq
-      }
+      rs.map(r => deser(toCatalyst(r)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]))
   }
 }
 
