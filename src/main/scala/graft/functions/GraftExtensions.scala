@@ -92,13 +92,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BmpResample(children.head, intLit("bmp_resample", children, 2))))
   }
 
-  /** Second-argument integer literal of a (media, k) signature. */
+  /** Second-argument constant integer of a (media, k) signature. Any
+    * FOLDABLE integral expression qualifies — `4`, `4L` (BIGINT
+    * literals are what many SQL frontends emit for bare numbers),
+    * `CAST(4 AS INT)`, `2+2` — evaluated here at registration/analysis
+    * time; only a genuinely non-constant or non-integral k is rejected.
+    */
   private def intLit(fn: String, children: Seq[Expression], arity: Int): Int = {
     require(children.size == arity, s"$fn(media, k) takes $arity arguments")
-    children(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    val e = children(1)
+    val v = if (e.foldable) e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      else throw new IllegalArgumentException(
+        s"$fn: k must be a constant integer expression, got non-foldable $e")
+    v match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(
-        s"$fn: k must be an integer literal, got $other")
+        s"$fn: k must be a constant 32-bit integer, got $other")
     }
   }
 }

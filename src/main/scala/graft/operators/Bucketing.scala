@@ -20,6 +20,13 @@ object Bucketing {
 
   private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Self-written commit marker for [[stagedPartitioned]] layouts — the
+    * `_` prefix keeps it invisible to Spark's file index. Written by us
+    * after a successful job, so layout completeness never depends on
+    * the committer's `_SUCCESS` setting.
+    */
+  private[operators] val commitSentinel = "_GRAFT_COMMIT"
+
   /** Per-table staging locks: a thread that loses the staged.add race
     * must BLOCK until the winner's write completes, not fall through to
     * a tableExists check that can observe an in-progress write.
@@ -97,16 +104,25 @@ object Bucketing {
     val tbl = tableName(dir, base)
     val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), tbl)
     stageLocks.computeIfAbsent(tbl, _ => new Object).synchronized {
-      // completeness = the _SUCCESS commit marker, NOT bare directory
-      // existence: a write that died mid-job leaves a partial dir
-      // (e.g. only _temporary/) which would otherwise poison every
-      // later call in the JVM — stagedBucketed self-heals the same way
-      // via catalog.tableExists, which a failed saveAsTable leaves false
+      // completeness = a commit marker, NOT bare directory existence: a
+      // write that died mid-job leaves a partial dir (e.g. only
+      // _temporary/) which would otherwise poison every later call in
+      // the JVM — stagedBucketed self-heals the same way via
+      // catalog.tableExists, which a failed saveAsTable leaves false.
+      // We write our OWN sentinel after a successful job rather than
+      // relying on the committer's _SUCCESS: with
+      // mapreduce.fileoutputcommitter.marksuccessfuljobs=false the
+      // marker never appears, and depending on it would make every call
+      // after the first rewrite the whole layout (discarding rows added
+      // via appendPartitioned). _SUCCESS is still honored when present.
       if (staged.add(tbl) ||
-          !java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+          !(java.nio.file.Files.exists(path.resolve("_SUCCESS")) ||
+            java.nio.file.Files.exists(path.resolve(commitSentinel)))) {
         cleanupHook
         stagedPaths.add(path)
         df.write.mode("overwrite").partitionBy(key).parquet(path.toString)
+        java.nio.file.Files.write(path.resolve(commitSentinel),
+          Array.emptyByteArray)
       }
     }
     spark.read.parquet(path.toString)

@@ -380,7 +380,14 @@ object Sampling {
     // change the row count out from under a caller's oracle
     require(thresholds == thresholds.distinct,
       s"selectionCurve thresholds must be distinct, got $thresholds")
-    val keep = (t: Long) => col(denCol) > 0 && col(numCol) >= lit(t) * col(denCol)
+    // decimal(20,0) × decimal(20,0) → decimal(38,0): |Long·Long| < 2^126
+    // ≈ 8.5e37 < 1e38 always fits, so the cross-multiplication stays
+    // EXACT for any (t, den) — a raw Long multiply would silently wrap
+    // for |t|·den > 2^63 and flip the comparison (DuckDB's side runs in
+    // HUGEINT, so only the Spark side needed widening)
+    val keep = (t: Long) => col(denCol) > 0 &&
+      col(numCol).cast("decimal(20,0)") >=
+        lit(t).cast("decimal(20,0)") * col(denCol).cast("decimal(20,0)")
     val aggs = thresholds.flatMap { t =>
       // coalesce: a global agg over ZERO rows yields one row of NULL
       // sums — the defined empty-corpus contract is K rows of 0 counts

@@ -661,11 +661,31 @@ object TextOps {
     * was trained on this same corpus) fall back to their character
     * count — the merge-free segmentation.
     */
-  def bpeApply(df: DataFrame, idCol: String, textCol: String,
-               vocabState: DataFrame): DataFrame = {
-    val segMap = vocabState.select(
+  /** vocabState → (w, n_sub) segmentation map, shared by [[bpeApply]]
+    * and [[chunkByTokens]]. A caller-supplied state whose rows collapse
+    * to the SAME word after space removal would fan out the occurrence
+    * join and silently inflate every count — fail loudly in-plan
+    * instead (the selectionCurve distinct-thresholds discipline). The
+    * guard is one tiny pre-aggregate over the vocab-bounded state
+    * (broadcast-sized by contract): no extra driver job, and
+    * [[bpeRun]]-produced states (unique by construction) pay only the
+    * aggregate, never the error path.
+    */
+  private def segMapOf(vocabState: DataFrame): DataFrame =
+    vocabState.select(
       call_function("replace", col("seq"), lit(" "), lit("")).as("w"),
       size(split(col("seq"), " ")).cast("long").as("n_sub"))
+      .groupBy(col("w"))
+      .agg(min(col("n_sub")).as("n_sub"), count(lit(1)).as("n_dup"))
+      .select(col("w"),
+        when(col("n_dup") > 1, raise_error(concat(
+          lit("vocabState rows collapse to a duplicate word key: "),
+          col("w"))).cast("long"))
+          .otherwise(col("n_sub")).as("n_sub"))
+
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+               vocabState: DataFrame): DataFrame = {
+    val segMap = segMapOf(vocabState)
     df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .join(broadcast(segMap), Seq("w"), "left")
       .groupBy(col(idCol))
@@ -693,9 +713,7 @@ object TextOps {
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     vocabState: DataFrame, budget: Long): DataFrame = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
-    val segMap = vocabState.select(
-      call_function("replace", col("seq"), lit(" "), lit("")).as("w"),
-      size(split(col("seq"), " ")).cast("long").as("n_sub"))
+    val segMap = segMapOf(vocabState)
     val occ = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
       .join(broadcast(segMap), Seq("w"), "left")
       .select(col(idCol), col("pos"),
