@@ -304,6 +304,23 @@ object SparkEntry {
         (if (texts.nonEmpty && texts.last.isEmpty) "\n" else "")
     }
 
+  /** The documents table wrapped as one-doc-per-line RAW HTML — the
+    * fixture for the markup-extraction queries. Each line is rendered
+    * by [[Html.wrapLine]] (the SAME template the oracle rebuilds in
+    * SQL), so the operator's regexp strip chain and DuckDB's face
+    * byte-identical input; doc_id travels INSIDE the markup
+    * (`data-doc="N"`) and is recovered by the extraction query itself,
+    * the way a crawl pipeline recovers ids from page metadata.
+    */
+  private def stagedHtml(s: SparkSession, dir: String): java.nio.file.Path =
+    stageOnce(dir, "html") {
+      ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => Html.wrapLine(r.getLong(0), r.getString(1)))
+        .mkString("\n")
+    }
+
   /** documents metadata as CSV with header (doc_id,lang,n_chars) — the
     * fixture for the CSV-source query. Values are numeric or 2-letter
     * codes: no quoting needed.
@@ -2009,6 +2026,30 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       TextOps.qualityFilter(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // raw-HTML → clean text: read the staged one-page-per-line crawl
+    // fixture, recover doc_id from the page's data attribute, strip
+    // markup + decode entities + apply the C4 line rules — a map-only
+    // codegen pass, no shuffle (the first stage of a curation pipeline)
+    "q_html_extract" -> ((s, dir) => {
+      val pages = Sources.textLines(s, stagedHtml(s, dir).toString).ds.toDF()
+        .select(regexp_extract(col("value"), "data-doc=\"([0-9]+)\"", 1)
+          .cast("long").as("doc_id"), col("value").as("html"))
+      Html.extract(pages, "doc_id", "html")
+    }),
+
+    // the text-quality battery consuming the EXTRACTION's output (kept
+    // lines re-flattened to single-space text) — proves the extracted
+    // corpus feeds the downstream family unchanged
+    "q_html_quality" -> ((s, dir) => {
+      val pages = Sources.textLines(s, stagedHtml(s, dir).toString).ds.toDF()
+        .select(regexp_extract(col("value"), "data-doc=\"([0-9]+)\"", 1)
+          .cast("long").as("doc_id"), col("value").as("html"))
+      val extracted = pages.select(col("doc_id"),
+        call_function("replace", Html.extractText(col("html")), lit("\n"), lit(" "))
+          .as("text"))
+      TextOps.qualityFilter(extracted, "doc_id", "text")
+    }),
+
     // corpus-LM quality scoring: add-one-smoothed bigram model trained
     // ON the corpus (two count aggregates), every doc scored by summed
     // micro-scaled log-probability — the KenLM-filter shape
@@ -3285,6 +3326,13 @@ object SparkEntry {
           FROM documents""",
 
     "q_quality_filter" -> TextOps.qualityFilterSql(allStopsSql),
+    // the oracle REBUILDS the staged raw HTML from documents via the
+    // shared wrapper template, then strips it with its own regexp chain
+    // — both engines parse byte-identical markup
+    "q_html_extract" -> Html.extractOracleSql,
+    "q_html_quality" ->
+      s"""WITH ${Html.extractedDocsSqlCte}
+          ${TextOps.qualityFilterSql(allStopsSql, "extracted")}""",
     // streaming-executed twin: stateless map ≡ the batch rule battery
     "q_quality_filter_stream" -> TextOps.qualityFilterSql(allStopsSql),
     // file-SOURCE streaming twin: the staged shard lines sanitize

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** HTML/markup text extraction — the FIRST operator a real training-data
+  * pipeline runs: raw crawled HTML → clean line-filtered text that the
+  * [[TextOps]] quality battery can consume. The reference has no cell
+  * for this (closest is line-oriented `sourceHandleLines`,
+  * `/root/reference/src/Data/Conduino/Combinators.hs:245-257`, already
+  * ported); the operator fills the conspicuous first-step hole in the
+  * LLM-pipeline tier.
+  *
+  * Extraction semantics (C4-shaped, documented so both engines agree):
+  *   1. remove `<script…>…</script>` and `<style…>…</style>` blocks
+  *      (case-insensitive, dot-matches-newline, non-greedy);
+  *   2. remove HTML comments `<!-- … -->` (which may CONTAIN tags —
+  *      removal runs before tag stripping);
+  *   3. replace every remaining tag with a LINE BREAK (a closed `</p>`
+  *      and an inline `<b>` both end the current text run; inline-tag
+  *      fragments produce short runs that the line rules then drop);
+  *   4. decode the five standard entities `&lt; &gt; &quot; &#39;
+  *      &nbsp;` and — LAST, so `&amp;lt;` decodes to the literal
+  *      `&lt;` — `&amp;`;
+  *   5. per line: collapse space/tab runs, trim;
+  *   6. C4-style line rules — keep a line iff it ends in terminal
+  *      punctuation `. ! ? "`, has ≥ [[TextOps.MinWords]] words, and
+  *      contains no `{`/`}` (the code/JSON filter).
+  * Output per doc: kept lines joined by newline, plus kept/dropped
+  * line counts (the auditable remainder, same discipline as
+  * [[TextOps.qualityFilter]]'s reason column).
+  *
+  * Everything is a pure per-row chain of codegen'd built-ins
+  * (`regexp_replace`/`split`/`filter`/`array_join`) — no UDF, no
+  * shuffle; at 100 TB this is a map-only pass whose cost is the scan,
+  * exactly like the quality battery it feeds.
+  */
+object Html {
+
+  /** Terminal-punctuation line rule (Java and RE2 agree on this regex). */
+  val TerminalPunct = "[.!?\"]$"
+
+  /** Entity decode table in APPLICATION ORDER (`&amp;` last). */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  // ---------------------------------------------------------------------
+  // Shared fixture template: ONE definition renders BOTH the staged raw
+  // HTML file (Scala) and the oracle's in-SQL reconstruction (DuckDB
+  // concat), so the two strip chains face byte-identical input. The
+  // wrapper exercises every extraction rule: a script whose BODY
+  // contains braces + a quoted tag, a style block, a comment hiding a
+  // <p>, nav link fragments, a <br> mid-paragraph, all five entities,
+  // and a brace-bearing <pre>.
+  // ---------------------------------------------------------------------
+
+  private sealed trait Tok
+  private case class Lit(s: String) extends Tok
+  private case object DocId extends Tok
+  private case object DocText extends Tok
+
+  private val template: Seq[Tok] = Seq(
+    Lit("<html data-doc=\""), DocId, Lit("\"><head><title>Doc "), DocId,
+    Lit("</title><script type=\"text/javascript\">var cfg = {id: "), DocId,
+    Lit(", nav: \"<b>x</b>\"};</script><style>.nav { color: red; }</style>" +
+      "</head><body><!-- boilerplate <p>hidden</p> --><h1>Doc "), DocId,
+    Lit("</h1><div class=\"nav\"><a href=\"/\">Home</a> | " +
+      "<a href=\"/about\">About</a></div><p>"), DocText,
+    // the body paragraph ends with a period (as crawled prose does), so
+    // the kept/dropped decision AND the extracted content of this line
+    // are doc-dependent — the oracle hash covers the real text path,
+    // not just the fixed template lines
+    Lit(".</p><p>First half words here now.<br>second bit</p><p>Short stub" +
+      "</p><p>It&#39;s &quot;qu0ted&quot; &lt;fine&gt; &amp; nbsp&nbsp;done." +
+      "</p><pre>function f() { return "), DocId,
+    Lit("; }</pre></body></html>"))
+
+  /** Escape raw doc text for embedding in the wrapper (`&` first), and
+    * sanitize newlines to spaces — the q_text_lines one-doc-per-line
+    * staging convention.
+    */
+  private def escapeText(raw: String): String =
+    raw.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\n", " ")
+
+  /** Render one doc as a single-line raw-HTML string (fixture staging). */
+  def wrapLine(docId: Long, rawText: String): String =
+    template.map {
+      case Lit(s) => s
+      case DocId => docId.toString
+      case DocText => escapeText(rawText)
+    }.mkString
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The SAME wrapper as a DuckDB concat expression over a `documents`
+    * row (columns `doc_id`, `text`) — the oracle rebuilds the staged
+    * bytes in SQL and then strips them with its own regexp chain.
+    */
+  def wrapSqlExpr: String =
+    template.map {
+      case Lit(s) => sqlQuote(s)
+      case DocId => "CAST(doc_id AS VARCHAR)"
+      case DocText =>
+        "replace(replace(replace(replace(text, '&', '&amp;'), '<', '&lt;')," +
+          " '>', '&gt;'), chr(10), ' ')"
+    }.mkString(" || ")
+
+  // ---------------------------------------------------------------------
+  // Spark side
+  // ---------------------------------------------------------------------
+
+  /** Steps 1-4: raw html → entity-decoded text with one line per tag
+    * boundary.
+    */
+  def stripTags(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", "\n")
+    Entities.foldLeft(noTags) { case (c, (e, r)) =>
+      call_function("replace", c, lit(e), lit(r))
+    }
+  }
+
+  /** Steps 5-6: normalized lines, then the kept subset. */
+  private def normLines(html: Column): Column =
+    transform(split(stripTags(html), "\n"),
+      l => trim(regexp_replace(l, "[ \\t]+", " ")))
+
+  private def keepRule(l: Column): Column =
+    l.rlike(TerminalPunct) &&
+      size(split(l, " ")) >= lit(TextOps.MinWords) &&
+      !l.contains("{") && !l.contains("}")
+
+  /** html column → extracted clean text (kept lines joined by `\n`). */
+  def extractText(html: Column): Column =
+    array_join(filter(normLines(html), l => keepRule(l)), "\n")
+
+  /** Full extraction over a dataframe: (id, extracted, n_kept,
+    * n_dropped) where n_dropped counts NONEMPTY lines the rules
+    * rejected (empty runs between adjacent tags are template plumbing,
+    * not content — counting them would make the audit number
+    * meaningless).
+    */
+  def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val lines = normLines(col(htmlCol))
+    val kept = filter(lines, l => keepRule(l))
+    val nonEmpty = size(filter(lines, l => l =!= ""))
+    df.select(col(idCol),
+      array_join(kept, "\n").as("extracted"),
+      size(kept).cast("long").as("n_kept"),
+      (nonEmpty - size(kept)).cast("long").as("n_dropped"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB mirror
+  // ---------------------------------------------------------------------
+
+  /** The strip chain (steps 1-4) over a SQL expression. */
+  private def stripSql(htmlExpr: String): String = {
+    val noBlocks =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($htmlExpr,
+          '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', chr(10), 'g')"""
+    Entities.foldLeft(noBlocks) { case (acc, (e, r)) =>
+      s"replace($acc, ${sqlQuote(e)}, ${sqlQuote(r)})"
+    }
+  }
+
+  private val keepRuleSql: String =
+    s"""regexp_matches(l, '[.!?"]$$') AND len(string_split(l, ' ')) >= ${TextOps.MinWords}
+        AND NOT contains(l, '{') AND NOT contains(l, '}')"""
+
+  /** Complete oracle SQL for the extraction query: rebuild the staged
+    * HTML from `documents`, strip with the mirrored chain, apply the
+    * mirrored line rules. Emits (doc_id, extracted, n_kept, n_dropped).
+    */
+  def extractOracleSql: String =
+    s"""WITH raw AS (SELECT doc_id, $wrapSqlExpr AS html FROM documents),
+        lines AS (SELECT doc_id,
+          list_transform(string_split(${stripSql("html")}, chr(10)),
+            l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))) AS ls
+          FROM raw),
+        k AS (SELECT doc_id,
+          list_filter(ls, l -> $keepRuleSql) AS kept,
+          list_filter(ls, l -> l <> '') AS nonempty
+          FROM lines)
+        SELECT doc_id, array_to_string(kept, chr(10)) AS extracted,
+          len(kept)::BIGINT AS n_kept,
+          (len(nonempty) - len(kept))::BIGINT AS n_dropped
+        FROM k"""
+
+  /** Oracle CTE yielding (doc_id, text) = the extracted text with
+    * newlines re-flattened to spaces — the shape the quality battery
+    * consumes (its word split is single-space).
+    */
+  def extractedDocsSqlCte: String =
+    s"""raw AS (SELECT doc_id, $wrapSqlExpr AS html FROM documents),
+        extracted AS (SELECT doc_id,
+          array_to_string(list_filter(
+            list_transform(string_split(${stripSql("html")}, chr(10)),
+              l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))),
+            l -> $keepRuleSql), ' ') AS text
+          FROM raw)"""
+}

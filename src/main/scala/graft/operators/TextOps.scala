@@ -149,7 +149,7 @@ object TextOps {
   /** DuckDB mirror of [[qualityFilter]] (same constants, same integer
     * comparisons; `sq` = quoted stopword list).
     */
-  def qualityFilterSql(sq: String): String = {
+  def qualityFilterSql(sq: String, from: String = "documents"): String = {
     val nW = "len(string_split(text, ' '))::BIGINT"
     val nC = "length(text)::BIGINT"
     val nDistinct = "len(list_distinct(string_split(text, ' ')))::BIGINT"
@@ -171,7 +171,7 @@ object TextOps {
           $flagCols,
           ($keep) AS keep,
           $reason AS reason
-          FROM documents"""
+          FROM $from"""
   }
 
   /** Gopher-style repetition signals, integer-only: per document, the

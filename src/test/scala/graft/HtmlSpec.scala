@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** HTML/markup extraction — the crawl-ingest front door of the corpus
+  * pipeline (Html.scala). The oracle-hash rows (q_html_extract /
+  * q_html_quality) pin engine agreement on the full fixture; this spec
+  * pins the EDGE semantics the fixture can't isolate per-rule.
+  */
+class HtmlSpec extends SparkSpec {
+
+  private def extractOne(html: String): (String, Long, Long) = {
+    import spark.implicits._
+    val r = Html.extract(Seq((1L, html)).toDF("id", "html"), "id", "html").head()
+    (r.getString(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("script/style bodies vanish even when they contain quoted tags and braces") {
+    val html = "<p>Keep these five words here.</p>" +
+      "<SCRIPT>var a = \"</p><p>fake\"; if (a) { b(); }</SCRIPT>" +
+      "<style media=\"all\">p { color: red }</style>"
+    val (txt, kept, dropped) = extractOne(html)
+    assert(txt == "Keep these five words here.")
+    assert(kept == 1L && dropped == 0L, s"kept=$kept dropped=$dropped")
+  }
+
+  test("comments are removed BEFORE tag stripping, so a <p> hidden in a comment never yields a line") {
+    val (txt, kept, _) = extractOne(
+      "<!-- <p>hidden paragraph would pass all the rules.</p> -->" +
+        "<p>Visible paragraph passes all the rules.</p>")
+    assert(txt == "Visible paragraph passes all the rules.")
+    assert(kept == 1L)
+  }
+
+  test("entity decode order: &amp;lt; yields the LITERAL string &lt;, not <") {
+    val (txt, _, _) = extractOne("<p>Escaped &amp;lt; stays literal text here.</p>")
+    assert(txt == "Escaped &lt; stays literal text here.")
+  }
+
+  test("all five entities decode; nbsp counts as a word separator") {
+    val (txt, kept, _) = extractOne(
+      "<p>It&#39;s &quot;a&quot; &lt;b&gt;&nbsp;c &amp; d.</p>")
+    assert(txt == "It's \"a\" <b> c & d.")
+    assert(kept == 1L)
+  }
+
+  test("C4 line rules: no terminal punct, <5 words, and braces each reject; inline tags split runs") {
+    val html = "<p>ends with no punctuation at all</p>" + // no terminal punct
+      "<p>Too few words.</p>" + // 3 words
+      "<p>Braces { reject this whole line }.</p>" + // brace filter
+      "<p>An <b>inline</b> tag splits the run.</p>" // every fragment short
+    val (txt, kept, dropped) = extractOne(html)
+    assert(txt == "" && kept == 0L, s"got '$txt'")
+    assert(dropped == 6L, s"dropped=$dropped") // 3 lines + 3 fragments
+  }
+
+  test("wrapLine round-trips hostile doc text: markup chars in the SOURCE text survive as text") {
+    val nasty = "a <script> in text & an &amp; entity plus 5 words."
+    val line = Html.wrapLine(7L, nasty)
+    assert(!line.contains("<script> in"), "raw text must be escaped in the wrapper")
+    val (txt, _, _) = extractOne(line)
+    // the body paragraph = nasty + the template's terminal period
+    assert(txt.startsWith(nasty + "."), s"got '${txt.linesIterator.next()}'")
+  }
+
+  test("wrapLine stays single-line for multi-line doc text (the one-doc-per-line staging contract)") {
+    assert(!Html.wrapLine(3L, "line one\nline two").contains("\n"))
+  }
+
+  test("extraction feeds qualityFilter: flattened extracted text flows through the battery") {
+    import spark.implicits._
+    val pages = Seq((5L, Html.wrapLine(5L, "the a is and the a is and word word."))).toDF("id", "html")
+    val flat = pages.select(col("id"),
+      call_function("replace", Html.extractText(col("html")), lit("\n"), lit(" ")).as("text"))
+    val qf = TextOps.qualityFilter(flat, "id", "text").head()
+    assert(qf.getAs[Boolean]("ok_len"), "flattened extraction must clear MinWords")
+  }
+}
