@@ -1939,6 +1939,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
     }),
 
+    // exact token-run decontamination WITH SPANS (GPT-3/Pile style):
+    // maximal shared 4-token runs between train docs and the eval
+    // split, via positioned shingle match + gaps-and-islands extension
+    "q_contamination_spans" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.contaminationSpans(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4)
+    }),
+
     // MinHash signatures: k portable min-hashes per doc, zero shuffle.
     // One scalar BIGINT column per hash (mh_00..mh_15) — the driver's
     // comparator can't sort array cells (see q_consecutive).
@@ -3254,6 +3264,8 @@ object SparkEntry {
           SELECT DISTINCT d.doc_id FROM s d
           JOIN (SELECT DISTINCT h FROM s WHERE doc_id % 50 = 0) b USING (h)
           WHERE d.doc_id % 50 <> 0""",
+    "q_contamination_spans" ->
+      Dedup.contaminationSpansSql(4, "doc_id % 50 <> 0", "doc_id % 50 = 0"),
     // streaming-executed twin: stateless per-doc flag ≡ the batch join
     "q_contamination_stream" ->
       s"""WITH s AS (SELECT doc_id, UNNEST(${Dedup.shinglesSql}) AS h FROM documents)

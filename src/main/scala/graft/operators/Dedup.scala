@@ -222,6 +222,112 @@ object Dedup {
         s"shiftleft(CAST(1 AS BIGINT), CAST(($p) % 64 AS INT))) != 0"
     }.mkString(" AND ")
 
+  /** Exact token-run decontamination WITH SPANS — the published
+    * GPT-3/Pile methodology: a training doc is contaminated when it
+    * shares an EXACT n-token run with an eval document; the pipeline
+    * needs the span (where, how long, against which benchmark doc) to
+    * cut or audit it, not just a flag ([[contaminatedBy]]'s coarser
+    * any-3-gram answer). Emits one row per MAXIMAL shared run:
+    * (doc_id, bench_id, span_start, bench_start, span_len), positions
+    * 0-based over the single-space word split, span_len ≥ n.
+    *
+    * Algorithm — shingle match + run extension, never all-pairs:
+    * positioned n-gram hashes on both sides (arithmetic composition of
+    * [[TextOps.charHash]] word hashes, computed in-plan exactly like
+    * [[shingleHashes]]); the eval side is collected once
+    * (driver-sized by the decontamination contract — the broadcast
+    * join needs it driver-resident anyway) and feeds BOTH the
+    * [[ContamBloomBits]] in-scan Bloom prefilter and the broadcast
+    * build side; matched positions then collapse to maximal runs by
+    * gaps-and-islands: group (doc, bench, delta = pos − bench_pos),
+    * island key = pos − row_number, one window + one aggregate. At
+    * 100 TB the corpus pays one scan + an explode; the window runs
+    * ONLY over matched candidate positions (eval-overlap-sized, tiny),
+    * never over the corpus.
+    *
+    * Matches are n-gram HASH runs (P = 1e9+7): a cross-doc collision
+    * could in principle seed a span, but the oracle composes the same
+    * hashes, so both engines agree exactly.
+    */
+  def contaminationSpans(docs: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span shingle width must be >= 2, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def posShingles(df: DataFrame, outId: String): DataFrame = {
+      // hw staged as its own Project (the shingleHashes lambda-CSE
+      // discipline), then n-gram composition + position via posexplode
+      val withHw = df.select(col(idCol).as(outId),
+        graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
+      val hw = col("hw")
+      withHw.select(col(outId),
+        when(size(hw) >= n,
+          transform(sequence(lit(0), size(hw) - n), j =>
+            aggregate(sequence(lit(2), lit(n)), element_at(hw, j + 1),
+              (acc, k) => (acc * 31 + element_at(hw, j + k)) % P)))
+          .otherwise(array().cast("array<long>")).as("sh"))
+        .select(col(outId), posexplode(col("sh")).as(Seq("pos", "h")))
+    }
+    val benchRows = posShingles(bench, "bench_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bits = new Array[Long](ContamBloomBits / 64)
+    benchRows.foreach { case (_, _, h) =>
+      var j = 0
+      while (j < ContamBloomK) {
+        val (a, c) = Sketches.RowConsts(j)
+        val p = (((a * h + c) % TextOps.HashMod) % ContamBloomBits).toInt
+        bits(p >> 6) |= 1L << (p & 63)
+        j += 1
+      }
+    }
+    val b = benchRows.toSeq.toDF("bench_id", "bpos", "h")
+    val pre = posShingles(docs, "doc_id")
+      .withColumn("__bloom", typedLit(bits.toSeq))
+      .filter(expr(bloomTestSql("h", "__bloom")))
+      .drop("__bloom")
+    val m = pre.join(broadcast(b), Seq("h"))
+      .select(col("doc_id"), col("bench_id"), col("pos"),
+        (col("pos") - col("bpos")).as("delta"))
+    val w = Window.partitionBy(col("doc_id"), col("bench_id"), col("delta"))
+      .orderBy(col("pos"))
+    m.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("bench_id"), col("delta"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (count(lit(1)) + lit(n - 1).cast("long")).as("span_len"))
+      .select(col("doc_id"), col("bench_id"), col("span_start"),
+        (col("span_start") - col("delta")).cast("long").as("bench_start"),
+        col("span_len"))
+  }
+
+  /** DuckDB mirror of [[contaminationSpans]] over `documents`, with the
+    * train/eval split expressed as WHERE clauses.
+    */
+  def contaminationSpansSql(n: Int, docsWhere: String,
+                            benchWhere: String): String = {
+    val h = TextOps.charHashSql("w")
+    s"""WITH hw AS (SELECT doc_id, [$h for w in string_split(text, ' ')] AS hw
+          FROM documents),
+        sh AS (SELECT doc_id, (CASE WHEN len(hw) >= $n THEN
+            [list_reduce(hw[j+1:j+$n], (a,b) -> (a*31+b) % $P)
+             for j in range(0, len(hw)-$n+1)]
+           ELSE [] END) AS sh FROM hw),
+        dp AS (SELECT doc_id, UNNEST(sh) AS h, UNNEST(range(len(sh))) AS pos
+               FROM sh WHERE $docsWhere),
+        bp AS (SELECT doc_id AS bench_id, UNNEST(sh) AS h,
+                      UNNEST(range(len(sh))) AS bpos
+               FROM sh WHERE $benchWhere),
+        m AS (SELECT dp.doc_id, bp.bench_id, dp.pos, dp.pos - bp.bpos AS delta
+              FROM dp JOIN bp USING (h)),
+        g AS (SELECT *, pos - row_number()
+                OVER (PARTITION BY doc_id, bench_id, delta ORDER BY pos) AS grp
+              FROM m)
+        SELECT doc_id, bench_id,
+          CAST(MIN(pos) AS BIGINT) AS span_start,
+          CAST(MIN(pos) - delta AS BIGINT) AS bench_start,
+          CAST(COUNT(*) + $n - 1 AS BIGINT) AS span_len
+        FROM g GROUP BY doc_id, bench_id, delta, grp"""
+  }
+
   /** (band, bucket-string, doc_id) — one row per band per doc. Docs with
     * NO shingles (< 3 words) are excluded: their min-hashes are all null
     * and concat_ws would silently collapse every short doc into the same

@@ -95,6 +95,30 @@ class DedupSpec extends SparkSpec {
     assert(flagged.toSeq == Seq(1L, 3L), s"flagged ${flagged.toList}")
   }
 
+  test("contaminationSpans: maximal runs extend beyond n, islands split at gaps, short docs are safe") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val docs = Seq(
+      // shares the full 8-token run starting at doc pos 2 / bench pos 0
+      (1L, "x y a b c d e f g h z"),
+      // two SEPARATE 4-runs against the same bench doc: (a b c d)@0 and
+      // (e f g h)@6 — the q gap must split them into two islands
+      (2L, "a b c d q q e f g h"),
+      // only a 3-token overlap (c d e): below n=4, no span
+      (3L, "c d e zz ww vv uu tt"),
+      // shorter than n words: no shingles, no crash
+      (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(docs, bench, "doc_id", "text", n = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq == Seq(
+      (1L, 100L, 2L, 0L, 8L),
+      (2L, 100L, 0L, 0L, 4L),
+      (2L, 100L, 6L, 4L, 4L)), s"got ${got.toList}")
+  }
+
   test("clustersFromPairs: a 5-chain collapses transitively (4 propagation rounds), singleton keeps itself") {
     import spark.implicits._
     val nodes = (1L to 6L).toDF("doc_id")

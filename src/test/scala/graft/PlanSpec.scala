@@ -395,6 +395,24 @@ class PlanSpec extends SparkSpec {
     assert(filterIdx > joinIdx, s"bloom filter not below the join:\n$p")
   }
 
+  test("q_contamination_spans: bench side broadcasts, Bloom prefilter below the join, window only above the match") {
+    val p = plan(SparkEntry.queries("q_contamination_spans")(spark, dir))
+    val lines = p.linesIterator.toList
+    // the positioned-shingle match joins against a BROADCAST bench side
+    // (eval suites are driver-sized by contract — no corpus shuffle)
+    val joinIdx = lines.indexWhere(l => l.contains("BroadcastHashJoin"))
+    assert(joinIdx >= 0, s"no broadcast join:\n$p")
+    // the literal-bitset Bloom test runs in a Filter BELOW the join, so
+    // non-candidate corpus positions never reach the probe
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("element_at"))
+    assert(filterIdx > joinIdx, s"bloom filter not below the join:\n$p")
+    // the gaps-and-islands window sits ABOVE the join: it runs over
+    // matched positions only, never over the corpus
+    val windowIdx = lines.indexWhere(l => l.contains("Window") || l.contains("row_number"))
+    assert(windowIdx >= 0 && windowIdx < joinIdx, s"window not above the match join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"span extension plans a cartesian:\n$p")
+  }
+
   test("q_dedup_incr_near: candidate generation is a bucket equi-join, never cartesian") {
     val p = plan(SparkEntry.queries("q_dedup_incr_near")(spark, dir))
     assert(!p.contains("CartesianProduct"), s"incremental near-dup plans a cartesian:\n$p")
