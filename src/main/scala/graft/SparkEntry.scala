@@ -386,6 +386,28 @@ object SparkEntry {
     */
   private val textShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The mixed-format media corpus ([[Multimodal.mixedAssets]]) staged
+    * as 4 parquet shard FILES of (asset_id, media) — the arrival
+    * directory for the multimodal file-SOURCE streaming query (new
+    * assets land as parquet batches; the stream discovers each file as
+    * its own micro-batch via maxFilesPerTrigger). Distributed write
+    * into a per-JVM-unique temp dir, registered only after the write
+    * succeeds (the [[stagedTextShards]] discipline); shard count stays
+    * 4 at ANY sf, so the streaming floor doesn't scale with rows.
+    */
+  private val mediaShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedMediaShards(s: SparkSession, dir: String): java.nio.file.Path =
+    mediaShardDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_mediashards_")
+      Multimodal.mixedAssets(s, d)
+        .repartition(4, pmod(col("asset_id"), lit(4)))
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp
+    })
   private def stagedTextShards(s: SparkSession, dir: String): java.nio.file.Path =
     textShardDirs.computeIfAbsent(dir, { d =>
       val tmp = java.nio.file.Files.createTempDirectory(
@@ -2406,6 +2428,13 @@ object SparkEntry {
     "q_embed_pq_rerank" -> ((s, dir) =>
       Similarity.pqRerankTopK(Similarity.embeddings(s, dir), 20, 3)),
 
+    // PERSISTED PQ: codebook + codes staged once as (m,k)-keyed layouts,
+    // served from the staged artifacts — the codes scan reads integer
+    // rows only (no emb floats), results ≡ the in-memory two-stage
+    // search ⇒ same oracle as q_embed_pq_rerank
+    "q_embed_pq_persist" -> ((s, dir) =>
+      Similarity.pqPersistTopK(s, dir, 20, 3)),
+
     // int8 scalar quantization (the ANN index memory-compression step) —
     // zero shuffle, all-IEEE-exact arithmetic
     // qvec is emitted comma-joined: the driver's hash comparator can't
@@ -2549,6 +2578,22 @@ object SparkEntry {
     // three decodes in one codegen project, zero shuffle
     "q_media_dispatch" -> ((s, dir) =>
       Multimodal.decodeDispatch(Multimodal.mixedAssets(s, dir))),
+
+    // STREAMING multimodal ingest — the "new assets arrive daily"
+    // shape: a real file SOURCE discovers the staged parquet shards
+    // (one per micro-batch), and the full try-decode dispatch (wav/bmp
+    // codecs + raw fallback) runs stateless inside the stream; shares
+    // the batch dispatch oracle
+    "q_media_stream" -> ((s, dir) => {
+      val shards = stagedMediaShards(s, dir)
+      graft.streaming.StreamExec.runSourceStream(s) {
+        val assets = s.readStream
+          .schema("asset_id BIGINT, media BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(shards.toString)
+        Multimodal.decodeDispatch(assets)
+      }
+    }),
 
     // multimodal: near-dup pairs by byte-level minwise fingerprint
     // (native byte_gram_hashes expression → 48 minwise components →
@@ -3509,6 +3554,8 @@ object SparkEntry {
     "q_embed_pq" -> Similarity.pqCodesSql(),
     "q_embed_pq_topk" -> Similarity.pqAdcTopKSql(20, 3),
     "q_embed_pq_rerank" -> Similarity.pqRerankTopKSql(20, 3),
+    // persisted-layout serve ≡ the in-memory two-stage search
+    "q_embed_pq_persist" -> Similarity.pqRerankTopKSql(20, 3),
     "q_embed_quant" ->
       s"""SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
           FROM (${Similarity.quantizeInt8Sql()}) qq""",
@@ -3572,6 +3619,8 @@ object SparkEntry {
     "q_bmp_decode" -> Multimodal.bmpDecodeSql,
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,
+    // file-source streaming twin: stateless per-asset dispatch ≡ batch
+    "q_media_stream" -> Multimodal.decodeDispatchSql,
     "q_dedup_rates" -> Dedup.dedupRatesSql("documents", "doc_id", "text", "source"),
     "q_selection_curve" -> Sampling.selectionCurveSql(
       TextOps.bigramLmScoreSql, "lp_micro", "n_bigrams", SelectionThresholds),

@@ -139,6 +139,42 @@ object Bucketing {
     spark.read.parquet(path)
   }
 
+  /** VERSIONED layout root — the serve-during-rebuild atomicity shape
+    * of a maintained index: versions live in `base/v1, base/v2, …`; a
+    * version is LIVE iff its commit sentinel (or `_SUCCESS`) exists.
+    * Readers resolve the highest live version; a retrain builds
+    * `v(max+1)` and writes the marker LAST — a serve that starts
+    * mid-rebuild keeps reading the old version until the new one
+    * commits, with no locks and no torn reads (a dead writer leaves an
+    * unmarked directory the next writer simply overwrites).
+    */
+  def liveVersion(base: String): Option[(Int, String)] = {
+    val b = java.nio.file.Paths.get(base)
+    if (!java.nio.file.Files.isDirectory(b)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val vs = java.nio.file.Files.list(b).iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v[0-9]+"))
+        .filter(p => java.nio.file.Files.exists(p.resolve(commitSentinel)) ||
+          java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+        .map(p => (p.getFileName.toString.drop(1).toInt, p.toString))
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.maxBy(_._1))
+    }
+  }
+
+  /** Write `df` as the NEXT version of a [[liveVersion]] layout and
+    * commit it; returns the new version's path (now the live one).
+    */
+  def writeVersion(spark: SparkSession, base: String, df: DataFrame,
+                   key: String): String = {
+    val next = liveVersion(base).map(_._1 + 1).getOrElse(1)
+    val p = java.nio.file.Paths.get(base, s"v$next")
+    df.write.mode("overwrite").partitionBy(key).parquet(p.toString)
+    java.nio.file.Files.write(p.resolve(commitSentinel), Array.emptyByteArray)
+    p.toString
+  }
+
   /** Equi-join two same-bucket-count staged tables on their bucket key.
     * The merge hint keeps the planner on sort-merge (a broadcast would
     * trivially also avoid the shuffle but proves nothing about layout);

@@ -413,6 +413,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"span extension plans a cartesian:\n$p")
   }
 
+  test("q_embed_pq_persist: codes scan reads integer rows only (no emb floats); staged codebook broadcasts") {
+    val df = SparkEntry.queries("q_embed_pq_persist")(spark, dir)
+    val p = plan(df)
+    // the ADC scan over the persisted codes layout must be
+    // column-pruned to the integer code rows — reading the emb floats
+    // there would forfeit the 98.5 % byte saving the PQ index exists for
+    val codesScans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("pqcodes")).toList
+    assert(codesScans.nonEmpty, s"no staged-codes scan in:\n$p")
+    codesScans.foreach(l =>
+      assert(!l.contains("emb"), s"codes scan reads emb floats:\n$l"))
+    // the staged codebook feeds the query-side distance table through a
+    // broadcast, and nothing in the serve plans a cartesian
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"persisted PQ serve plans a cartesian:\n$p")
+  }
+
   test("q_dedup_incr_near: candidate generation is a bucket equi-join, never cartesian") {
     val p = plan(SparkEntry.queries("q_dedup_incr_near")(spark, dir))
     assert(!p.contains("CartesianProduct"), s"incremental near-dup plans a cartesian:\n$p")

@@ -219,6 +219,89 @@ class SimilaritySpec extends SparkSpec {
     assert(served == mem, "persisted serve diverged from in-memory ivfTopK")
   }
 
+  test("IVF maintenance loop: retrain publishes atomically, retrained serve == fresh build, append == rebuild") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 60L).map(i => (i, randVec()))
+    val sig = Similarity.withNorm(embDf(vecs))
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfmnt_").toString
+    // v1 = the seeded build (the write-once layout)
+    graft.operators.Bucketing.writeVersion(spark, base,
+      Similarity.ivfIndexRows(sig), "cell")
+    val (v1, p1) = graft.operators.Bucketing.liveVersion(base).get
+    assert(v1 == 1)
+    val servedV1 = Similarity.ivfServe(spark.read.parquet(p1), sig, 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // an in-progress rebuild (directory exists, NO commit marker) must
+    // be invisible: the live version stays v1 and serve is unchanged
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base, "v2"))
+    assert(graft.operators.Bucketing.liveVersion(base).get._1 == 1,
+      "uncommitted rebuild became visible")
+
+    // retrain: refined centroids, re-partitioned collection, marker last
+    val seeds2 = Similarity.ivfRetrain(spark, base, sig)
+    val (v2, p2) = graft.operators.Bucketing.liveVersion(base).get
+    assert(v2 == 2, "retrain did not publish v2")
+
+    // retrained-index serve == serving a FRESH in-memory build of the
+    // same refined centroids (persistence adds nothing, loses nothing)
+    val servedRetrained = Similarity.ivfServeWith(
+      spark.read.parquet(p2), sig, seeds2, 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val servedFresh = Similarity.ivfServeWith(
+      Similarity.ivfIndexRowsWith(sig, seeds2), sig, seeds2, 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(servedRetrained == servedFresh,
+      "retrained-index serve diverged from fresh-build serve")
+
+    // incremental-vs-rebuild on the RETRAINED layout: append a batch
+    // assigned against the same refined centroids == full rebuild
+    val sub = Similarity.withNorm(embDf(vecs.filter(_._1 < 48)))
+    val incBase = java.nio.file.Files.createTempDirectory("graft_ivfinc_").toString
+    Similarity.ivfIndexRowsWith(sub, seeds2)
+      .write.mode("overwrite").partitionBy("cell").parquet(incBase)
+    val inc = graft.operators.Bucketing.appendPartitioned(spark, incBase,
+      Similarity.ivfIndexRowsWith(sig, seeds2).filter(col("vec_id") >= 48), "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq
+    val full = Similarity.ivfIndexRowsWith(sig, seeds2)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq
+    assert(inc == full, "incremental append diverged from full rebuild on retrained centroids")
+  }
+
+  test("persisted PQ: appended codes == full rebuild; staged serve equals in-memory pqRerankTopK") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 60L).map(i => (i, randVec()))
+    val sig = Similarity.withNorm(embDf(vecs))
+    val cbDir = java.nio.file.Files.createTempDirectory("graft_pqcb_").toString
+    val codesDir = java.nio.file.Files.createTempDirectory("graft_pqcodes_").toString
+    Similarity.pqCodebook(sig).withColumn("sub", col("sub").cast("int"))
+      .write.mode("overwrite").partitionBy("sub").parquet(cbDir)
+    // write-once: codes of the first 48 vectors; incremental batch: the
+    // last 12, assigned against the SAME first-k codebook and appended
+    Similarity.pqCodes(sig.filter(col("vec_id") < 48))
+      .withColumn("sub", col("sub").cast("int"))
+      .write.mode("overwrite").partitionBy("sub").parquet(codesDir)
+    val codesIdx = graft.operators.Bucketing.appendPartitioned(spark, codesDir,
+      Similarity.pqCodes(sig).filter(col("vec_id") >= 48)
+        .withColumn("sub", col("sub").cast("int")), "sub")
+    // the 48-vector build trains its codebook on the subset, but the
+    // first PqK=8 vectors all sit below 48, so the codewords are
+    // IDENTICAL and append is exact, not approximate.
+    // read-back column order: (vec_id, code) + partition col `sub` LAST
+    // (int) — normalize both sides to (vec_id, sub, code)
+    val full = Similarity.pqCodes(sig).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val inc = codesIdx.collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong, r.getLong(1))).sorted.toSeq
+    assert(inc == full, "incremental append diverged from full rebuild")
+    val served = Similarity.pqServeRerank(codesIdx,
+      spark.read.parquet(cbDir), sig, 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val mem = Similarity.pqRerankTopK(embDf(vecs), 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(served == mem, "persisted PQ serve diverged from in-memory pqRerankTopK")
+  }
+
   test("ANN recall@3 vs brute force stays above the documented floor (clustered fixture)") {
     // clustered data — the workload ANN exists for; on uniform-random
     // vectors neither LSH nor IVF carries signal and recall is undefined
