@@ -2926,6 +2926,31 @@ object SparkEntry {
       g.unionByName(d)
     }),
 
+    // §2.9 writer effect with an EXACT log (Lift.runWriter): the cents
+    // stream folds to its total while a second aggregate over the
+    // shared cached pass logs the element count — (result, log) as the
+    // reference's runWriterP pair
+    "q_lift_writer" -> ((s, dir) => {
+      val (total, nLogged) = Lift.runWriter[Long, Long](s, _ => 1L)(
+        Sinks.foldlCombine(0L)((b: Long, a: Long) => b + a)(_ + _))(
+        centsStream(s, dir))
+      oneRow(s, Seq("total", "n_logged"), Seq(total, nLogged))
+    }),
+
+    // §2.9 Reader+Writer+State combined (Lift.runRWS): broadcast
+    // threshold env, threaded state = running count of over-threshold
+    // events, exact row-count log; outputs carry the state stream, the
+    // log and final state ride along as constant columns
+    "q_lift_rws" -> ((s, dir) => {
+      val (outs, nLogged, finalCnt) = Lift.runRWS[Long, Long, Long, Long](
+        s, 5000L, _ => 1L, 0L) { (env, a, st) =>
+        val st2 = st + (if (a >= env) 1L else 0L); (st2, st2)
+      }(centsStream(s, dir))
+      outs.ds.toDF().select(col("seq"), col("value").as("run_cnt"))
+        .withColumn("n_logged", lit(nLogged))
+        .withColumn("final_cnt", lit(finalCnt))
+    }),
+
     // integer-exact PageRank over the bipartite user↔item graph mined
     // from the event log (item = props.k, offset into its own id space);
     // 3 damped iterations, each one edge-join + one dst-shuffle — the
@@ -4192,6 +4217,19 @@ object SparkEntry {
          FROM (SELECT event_id,
                       TRY_CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
                FROM events) t""",
+
+    "q_lift_writer" ->
+      s"""SELECT CAST(SUM($IvalSql) AS BIGINT) AS total,
+                 COUNT(*) AS n_logged FROM events""",
+
+    "q_lift_rws" ->
+      s"""SELECT event_id AS seq,
+            CAST(SUM(CASE WHEN $IvalSql >= 5000 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY event_id) AS BIGINT) AS run_cnt,
+            COUNT(*) OVER () AS n_logged,
+            CAST(SUM(CASE WHEN $IvalSql >= 5000 THEN 1 ELSE 0 END)
+                 OVER () AS BIGINT) AS final_cnt
+          FROM events""",
 
     "q_pagerank" -> operators.Graph.pageRankSql(
       """SELECT user_id AS src,
