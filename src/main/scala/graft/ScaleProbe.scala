@@ -180,6 +180,40 @@ object ScaleProbe {
     val bigEmbAll = (0 until n).map { i =>
       emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
     }.reduce(_ union _)
+    // persisted-IVF serve: the collection grows n× but each query still
+    // probes nProbe/nCells of the cell directories, so the serve must
+    // scale on the PRUNED candidate bytes (≈ n× more vectors inside the
+    // probed cells → ~linear at worst), never on directory count or
+    // staging volume. nQ = 64 (vs the harness query's 20) so the probe
+    // also widens the serving axis. Staging is OUTSIDE the timed window
+    // — the probe measures the query-many path a serving layout exists
+    // for, not the write-once build.
+    if (probeEnabled("ivfPersistServe")) {
+      def stagedIvf(d: org.apache.spark.sql.DataFrame)
+          : (String, org.apache.spark.sql.DataFrame) = {
+        val sig = graft.operators.Similarity.withNorm(d)
+        val p = java.nio.file.Files.createTempDirectory("graft_probe_ivf_").toString
+        graft.operators.Similarity.ivfIndexRows(sig)
+          .write.mode("overwrite").partitionBy("cell").parquet(p)
+        (p, sig)
+      }
+      def oneServe(tag: String, p: String,
+                   sig: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Similarity
+          .ivfServe(spark.read.parquet(p), sig, 64, 3).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALEPROBE ivfPersistServe $tag: $sec%.2f s, $rows rows")
+        sec
+      }
+      val (path1, sig1) = stagedIvf(emb)
+      val (pathN, sigN) = stagedIvf(bigEmbAll)
+      oneServe("1x warm", path1, sig1)
+      val a = oneServe("1x", path1, sig1)
+      val b = oneServe(s"${n}x", pathN, sigN)
+      println(f"SCALEPROBE ivfPersistServe ratio: ${b / a}%.2f (linear would be ~$n)")
+    }
+
     probePair("dimStats", emb, bigEmbAll, d =>
       graft.operators.Similarity.dimStats(d).count())
     probePair("standardize", emb, bigEmbAll, d =>
@@ -285,6 +319,26 @@ object ScaleProbe {
         StructType(Seq(StructField("seq", StringType), StructField("freq", LongType))))
       graft.operators.TextOps.chunkByTokens(d, "doc_id", "text", emptyVocab, 64L).count()
     })
+
+    // HTML extraction: a map-only regexp/entity/line-rule chain — the
+    // probe wraps each doc in markup IN-PLAN (concat) so the measured
+    // cost is the strip chain per byte, not fixture staging; must track
+    // the scan like wavDecode
+    probePair("htmlExtract", docs, bigDocs, d =>
+      graft.operators.Html.extract(
+        d.select(col("doc_id"), concat(lit("<html><head><script>var a = {b: 1};</script></head><body><p>"),
+          col("text"),
+          lit(".</p><p>short bit</p><pre>f() { g(); }</pre></body></html>")).as("html")),
+        "doc_id", "html").count())
+
+    // span decontamination: corpus grows n× against a FIXED eval suite
+    // (the contract's shape — a copied bench would quadratically inflate
+    // matches and measure output volume, not the operator); cost must
+    // stay the corpus scan + explode, matches growing ~n×
+    probePair("contamSpans", docs, bigDocs, d =>
+      graft.operators.Dedup.contaminationSpans(
+        d.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 4).count())
 
     // per-source dedup rates: copied fixture is the worst case (every
     // text family's group grows n×); cost must stay the hash aggregate
