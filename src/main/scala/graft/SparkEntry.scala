@@ -321,6 +321,33 @@ object SparkEntry {
         .mkString("\n")
     }
 
+  /** The raw-HTML corpus as 4 shard FILES (one page per line, the
+    * [[stagedHtml]] rendering split by doc_id % 4) — the arrival
+    * directory for the crawl-ingest streaming query: new pages land as
+    * text shards, the stream discovers one file per micro-batch. Same
+    * per-JVM temp-dir discipline as [[stagedTextShards]].
+    */
+  private val htmlShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedHtmlShards(s: SparkSession, dir: String): java.nio.file.Path =
+    htmlShardDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_htmlshards_")
+      val rows = ColOps.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      (0 until 4).foreach { i =>
+        val lines = rows.iterator
+          .filter(_.getLong(0) % 4 == i)
+          .map(r => Html.wrapLine(r.getLong(0), r.getString(1)))
+          .mkString("\n")
+        java.nio.file.Files.write(tmp.resolve(f"pages-$i%02d.txt"),
+          lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      tmp
+    })
+
   /** documents metadata as CSV with header (doc_id,lang,n_chars) — the
     * fixture for the CSV-source query. Values are numeric or 2-letter
     * codes: no quoting needed.
@@ -2069,6 +2096,21 @@ object SparkEntry {
       Html.extract(pages, "doc_id", "html")
     }),
 
+    // STREAMING crawl ingest — the "pages arrive continuously" shape:
+    // a real file SOURCE discovers the html shards (one per
+    // micro-batch) and the full extraction chain runs stateless inside
+    // the stream; shares the batch extraction oracle
+    "q_html_stream" -> ((s, dir) => {
+      val shards = stagedHtmlShards(s, dir)
+      graft.streaming.StreamExec.runSourceStream(s) {
+        val pages = s.readStream
+          .option("maxFilesPerTrigger", "1").text(shards.toString)
+          .select(regexp_extract(col("value"), "data-doc=\"([0-9]+)\"", 1)
+            .cast("long").as("doc_id"), col("value").as("html"))
+        Html.extract(pages, "doc_id", "html")
+      }
+    }),
+
     // the text-quality battery consuming the EXTRACTION's output (kept
     // lines re-flattened to single-space text) — proves the extracted
     // corpus feeds the downstream family unchanged
@@ -3412,6 +3454,8 @@ object SparkEntry {
     // shared wrapper template, then strips it with its own regexp chain
     // — both engines parse byte-identical markup
     "q_html_extract" -> Html.extractOracleSql,
+    // file-source streaming twin: stateless per-page extraction ≡ batch
+    "q_html_stream" -> Html.extractOracleSql,
     "q_html_quality" ->
       s"""WITH ${Html.extractedDocsSqlCte}
           ${TextOps.qualityFilterSql(allStopsSql, "extracted")}""",
