@@ -268,6 +268,38 @@ class SimilaritySpec extends SparkSpec {
     assert(inc == full, "incremental append diverged from full rebuild on retrained centroids")
   }
 
+  test("drift-triggered maintenance: bootstrap builds v1, drifted data retrains, loop is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 60L).map(i => (i, randVec()))
+    val sig = Similarity.withNorm(embDf(vecs))
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfdrift_").toString
+
+    // no live version → bootstrap build regardless of threshold
+    val (seeds1, p1) = Similarity.maintainIvf(spark, base, sig,
+      driftThresholdPpm = Long.MaxValue)
+    assert(p1.isDefined && graft.operators.Bucketing.liveVersion(base).get._1 == 1)
+    // a layout partitioned by exactly these seeds measures ZERO drift…
+    assert(Similarity.ivfDriftPpm(spark.read.parquet(p1.get), seeds1) == 0L)
+    // …so an immediate second call publishes nothing (idempotence), even
+    // at a hair-trigger threshold of 1 ppm
+    val (_, p2) = Similarity.maintainIvf(spark, base, sig, driftThresholdPpm = 1L)
+    assert(p2.isEmpty, "maintenance retrained a zero-drift index")
+    assert(graft.operators.Bucketing.liveVersion(base).get._1 == 1)
+
+    // the data drifts: a much larger collection re-shapes the refined
+    // centroids, so stored assignments go stale → the trigger fires
+    val vecs2 = vecs ++ (60L until 240L).map(i => (i, randVec()))
+    val sig2 = Similarity.withNorm(embDf(vecs2))
+    val (seeds3, p3) = Similarity.maintainIvf(spark, base, sig2, driftThresholdPpm = 1L)
+    assert(p3.isDefined, "drifted data did not trigger a retrain")
+    assert(graft.operators.Bucketing.liveVersion(base).get._1 == 2)
+    // the retrained layout serves identically to a fresh build on the
+    // same refined centroids, and the loop settles: drift back to 0
+    assert(Similarity.ivfDriftPpm(spark.read.parquet(p3.get), seeds3) == 0L)
+    val (_, p4) = Similarity.maintainIvf(spark, base, sig2, driftThresholdPpm = 1L)
+    assert(p4.isEmpty && graft.operators.Bucketing.liveVersion(base).get._1 == 2)
+  }
+
   test("persisted PQ: appended codes == full rebuild; staged serve equals in-memory pqRerankTopK") {
     import org.apache.spark.sql.functions.col
     val vecs = (0L until 60L).map(i => (i, randVec()))
