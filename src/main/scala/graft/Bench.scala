@@ -109,7 +109,12 @@ object Bench {
     val records: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(benchOut)), "UTF-8")
-      "\"(q_[A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
+      // records only apply at the SAME scale factor: adjudicating an
+      // sf0.1 run against sf0.001-era sub-second records would flag
+      // (and solo-re-run) nearly the whole suite
+      val recSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!recSf.contains(sfDir)) Map.empty
+      else "\"(q_[A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val results = selected.map { case (name, fn) => name -> runOnce(fn) }
@@ -122,15 +127,21 @@ object Bench {
     val adjudicated = results.toSeq.collect {
       case (name, (sec, None))
           if records.get(name).exists(r => sec > 3 * r && sec - r > 0.5) =>
-        val (solo, _) = runOnce(selected(name))
-        (name, sec, solo, records(name))
+        // a FAILING solo re-run must not report its time-to-failure as
+        // a fast "solo" number (that's the load-spike signature and
+        // would steer the reader to the wrong verdict) — carry the error
+        val (solo, soloErr) = runOnce(selected(name))
+        (name, sec, solo, soloErr, records(name))
     }
     val qs = results.map {
       case (k, (_, Some(msg))) => s"\"" + k + "\":{\"err\":\"" + msg + "\"}"
       case (k, (sec, None))    => s"\"" + k + "\":" + sec
     }.mkString("{", ",", "}")
-    val adj = adjudicated.map { case (k, sweep, solo, rec) =>
-      s"\"$k\":{\"sweep\":$sweep,\"solo\":$solo,\"record\":$rec}"
+    val adj = adjudicated.map {
+      case (k, sweep, _, Some(msg), rec) =>
+        s"\"$k\":{\"sweep\":$sweep,\"solo_err\":\"$msg\",\"record\":$rec}"
+      case (k, sweep, solo, None, rec) =>
+        s"\"$k\":{\"sweep\":$sweep,\"solo\":$solo,\"record\":$rec}"
     }.mkString("{", ",", "}")
     val total = results.values.collect { case (sec, None) => sec }.sum
     val nErr = results.values.count(_._2.isDefined)

@@ -208,10 +208,19 @@ object ScaleProbe {
       }
       val (path1, sig1) = stagedIvf(emb)
       val (pathN, sigN) = stagedIvf(bigEmbAll)
-      oneServe("1x warm", path1, sig1)
-      val a = oneServe("1x", path1, sig1)
-      val b = oneServe(s"${n}x", pathN, sigN)
-      println(f"SCALEPROBE ivfPersistServe ratio: ${b / a}%.2f (linear would be ~$n)")
+      try {
+        oneServe("1x warm", path1, sig1)
+        val a = oneServe("1x", path1, sig1)
+        val b = oneServe(s"${n}x", pathN, sigN)
+        println(f"SCALEPROBE ivfPersistServe ratio: ${b / a}%.2f (linear would be ~$n)")
+      } finally Seq(path1, pathN).foreach { p =>
+        // the N× layout is a full parquet copy of the collection —
+        // leaking it per probe run would fill /tmp across re-measures
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
 
     probePair("dimStats", emb, bigEmbAll, d =>

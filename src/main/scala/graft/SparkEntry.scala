@@ -330,11 +330,8 @@ object SparkEntry {
   private val htmlShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   private def stagedHtmlShards(s: SparkSession, dir: String): java.nio.file.Path =
-    htmlShardDirs.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "graft_htmlshards_")
-      val rows = ColOps.table(s, d, "documents")
+    stagedArrivalDir(htmlShardDirs, "graft_htmlshards_", dir) { tmp =>
+      val rows = ColOps.table(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")).collect()
       (0 until 4).foreach { i =>
@@ -345,8 +342,7 @@ object SparkEntry {
         java.nio.file.Files.write(tmp.resolve(f"pages-$i%02d.txt"),
           lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-      tmp
-    })
+    }
 
   /** documents metadata as CSV with header (doc_id,lang,n_chars) — the
     * fixture for the CSV-source query. Values are numeric or 2-letter
@@ -414,33 +410,44 @@ object SparkEntry {
   private val textShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Per-JVM arrival-directory staging shared by every streaming
+    * file-source fixture (text/html/media shards): one temp dir per
+    * (cache, data dir), registered in the cache only AFTER `write`
+    * completed — a failed write leaves no cache entry, so the next
+    * caller re-stages instead of streaming a torn directory. Keeps the
+    * register-after-success invariant in ONE place instead of each
+    * fixture re-implementing it.
+    */
+  private def stagedArrivalDir(
+      cache: java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path],
+      prefix: String, dir: String)(
+      write: java.nio.file.Path => Unit): java.nio.file.Path =
+    cache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), prefix)
+      write(tmp)
+      tmp
+    })
+
   /** The mixed-format media corpus ([[Multimodal.mixedAssets]]) staged
     * as 4 parquet shard FILES of (asset_id, media) — the arrival
     * directory for the multimodal file-SOURCE streaming query (new
     * assets land as parquet batches; the stream discovers each file as
-    * its own micro-batch via maxFilesPerTrigger). Distributed write
-    * into a per-JVM-unique temp dir, registered only after the write
-    * succeeds (the [[stagedTextShards]] discipline); shard count stays
-    * 4 at ANY sf, so the streaming floor doesn't scale with rows.
+    * its own micro-batch via maxFilesPerTrigger). Distributed write;
+    * shard count stays 4 at ANY sf, so the streaming floor doesn't
+    * scale with rows.
     */
   private val mediaShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   private def stagedMediaShards(s: SparkSession, dir: String): java.nio.file.Path =
-    mediaShardDirs.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "graft_mediashards_")
-      Multimodal.mixedAssets(s, d)
+    stagedArrivalDir(mediaShardDirs, "graft_mediashards_", dir) { tmp =>
+      Multimodal.mixedAssets(s, dir)
         .repartition(4, pmod(col("asset_id"), lit(4)))
         .write.mode("overwrite").parquet(tmp.toString)
-      tmp
-    })
+    }
   private def stagedTextShards(s: SparkSession, dir: String): java.nio.file.Path =
-    textShardDirs.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "graft_textshards_")
-      val rows = ColOps.table(s, d, "documents")
+    stagedArrivalDir(textShardDirs, "graft_textshards_", dir) { tmp =>
+      val rows = ColOps.table(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")).collect()
       (0 until 4).foreach { i =>
@@ -451,8 +458,7 @@ object SparkEntry {
         java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.txt"),
           lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-      tmp
-    })
+    }
 
   /** events rewritten as 64 deliberately tiny parquet files, then
     * size-targeted compacted ([[Layout.compactParquet]]) — the fixture

@@ -153,12 +153,18 @@ object Bucketing {
     if (!java.nio.file.Files.isDirectory(b)) None
     else {
       import scala.jdk.CollectionConverters._
-      val vs = java.nio.file.Files.list(b).iterator().asScala
-        .filter(p => p.getFileName.toString.matches("v[0-9]+"))
-        .filter(p => java.nio.file.Files.exists(p.resolve(commitSentinel)) ||
-          java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-        .map(p => (p.getFileName.toString.drop(1).toInt, p.toString))
-        .toSeq
+      // close the directory stream deterministically: a serving loop
+      // resolves the live version per batch, and an fd-per-call leak
+      // only reclaimed at GC would EMFILE a long-lived process
+      val stream = java.nio.file.Files.list(b)
+      val vs = try {
+        stream.iterator().asScala
+          .filter(p => p.getFileName.toString.matches("v[0-9]+"))
+          .filter(p => java.nio.file.Files.exists(p.resolve(commitSentinel)) ||
+            java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+          .map(p => (p.getFileName.toString.drop(1).toInt, p.toString))
+          .toSeq
+      } finally stream.close()
       if (vs.isEmpty) None else Some(vs.maxBy(_._1))
     }
   }

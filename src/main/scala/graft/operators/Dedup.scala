@@ -184,16 +184,7 @@ object Dedup {
     // never ship). No false negatives by Bloom's contract — the exact
     // semi-join then removes the false positives, so the result is
     // UNCHANGED and the oracle stays the same.
-    val bits = new Array[Long](ContamBloomBits / 64)
-    benchHashes.foreach { h =>
-      var j = 0
-      while (j < ContamBloomK) {
-        val (a, c) = Sketches.RowConsts(j)
-        val p = (((a * h + c) % TextOps.HashMod) % ContamBloomBits).toInt
-        bits(p >> 6) |= 1L << (p & 63)
-        j += 1
-      }
-    }
+    val bits = contamBloomBits(benchHashes)
     val b = benchHashes.toSeq.toDF("__sh")
     val pre = d.withColumn("__bloom", typedLit(bits.toSeq))
       .filter(expr(bloomTestSql("__sh", "__bloom")))
@@ -210,6 +201,26 @@ object Dedup {
     */
   val ContamBloomBits = 1 << 17
   val ContamBloomK = 3
+
+  /** Driver-side build of the packed-slot Bloom bitset over a hash set —
+    * the ONE place the probe arithmetic lives alongside its in-plan
+    * mirror [[bloomTestSql]]: a divergence between build and test would
+    * silently drop candidates, so [[contaminatedBy]] and
+    * [[contaminationSpans]] must share this.
+    */
+  private def contamBloomBits(hashes: IterableOnce[Long]): Array[Long] = {
+    val bits = new Array[Long](ContamBloomBits / 64)
+    hashes.iterator.foreach { h =>
+      var j = 0
+      while (j < ContamBloomK) {
+        val (a, c) = Sketches.RowConsts(j)
+        val p = (((a * h + c) % TextOps.HashMod) % ContamBloomBits).toInt
+        bits(p >> 6) |= 1L << (p & 63)
+        j += 1
+      }
+    }
+    bits
+  }
 
   /** SQL predicate testing `hCol`'s ContamBloomK probe bits against the
     * packed-slot array column `bloomCol` — pure arithmetic + element_at,
@@ -270,16 +281,7 @@ object Dedup {
     }
     val benchRows = posShingles(bench, "bench_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    val bits = new Array[Long](ContamBloomBits / 64)
-    benchRows.foreach { case (_, _, h) =>
-      var j = 0
-      while (j < ContamBloomK) {
-        val (a, c) = Sketches.RowConsts(j)
-        val p = (((a * h + c) % TextOps.HashMod) % ContamBloomBits).toInt
-        bits(p >> 6) |= 1L << (p & 63)
-        j += 1
-      }
-    }
+    val bits = contamBloomBits(benchRows.iterator.map(_._3))
     val b = benchRows.toSeq.toDF("bench_id", "bpos", "h")
     val pre = posShingles(docs, "doc_id")
       .withColumn("__bloom", typedLit(bits.toSeq))
