@@ -2004,6 +2004,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4)
     }),
 
+    // span EXCISION — the cut step: every token covered by a shared
+    // 4-token run is removed; after the contamination-sized span join
+    // the removal is a per-row array lambda (map-only, corpus never
+    // token-exploded)
+    "q_contamination_clean" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4)
+    }),
+
     // MinHash signatures: k portable min-hashes per doc, zero shuffle.
     // One scalar BIGINT column per hash (mh_00..mh_15) — the driver's
     // comparator can't sort array cells (see q_consecutive).
@@ -3384,6 +3395,8 @@ object SparkEntry {
           WHERE d.doc_id % 50 <> 0""",
     "q_contamination_spans" ->
       Dedup.contaminationSpansSql(4, "doc_id % 50 <> 0", "doc_id % 50 = 0"),
+    "q_contamination_clean" ->
+      Dedup.decontaminateSql(4, "doc_id % 50 <> 0", "doc_id % 50 = 0"),
     // streaming-executed twin: stateless per-doc flag ≡ the batch join
     "q_contamination_stream" ->
       s"""WITH s AS (SELECT doc_id, UNNEST(${Dedup.shinglesSql}) AS h FROM documents)

@@ -301,13 +301,81 @@ object Dedup {
         col("span_len"))
   }
 
+  /** Span EXCISION — the cut step completing the decontamination
+    * methodology: rebuild each training doc with every token covered by
+    * a [[contaminationSpans]] run removed. Output (doc_id, clean_text,
+    * n_removed); an uncontaminated doc passes through whole
+    * (n_removed = 0), a fully-covered doc becomes the empty string.
+    *
+    * Scale shape: the spans collapse to ONE contamination-sized row per
+    * doc (a list of (start, len) — spans per doc are few by nature),
+    * LEFT-joined onto the corpus; the removal itself is a per-row array
+    * lambda (index-not-covered filter), so after the tiny join this is
+    * a map-only pass — the corpus is never token-exploded and never
+    * shuffles. The oracle takes the explode route instead (DuckDB has
+    * no cost concern at oracle scale); both produce identical rows.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val spansByDoc = contaminationSpans(docs, bench, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_len").as("l"))).as("spans"))
+    val joined = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .join(spansByDoc, Seq("doc_id"), "left")
+      // no spans → empty list, NOT null: exists(NULL, …) is NULL and a
+      // null keep-predicate would silently drop every token
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("spans"),
+          array().cast("array<struct<s:bigint,l:bigint>>")).as("spans"))
+    val kept = filter(
+      transform(sequence(lit(0), size(col("ws")) - 1), i =>
+        struct(i.as("i"), element_at(col("ws"), i + 1).as("w"))),
+      p => !exists(col("spans"), s =>
+        p.getField("i") >= s.getField("s") &&
+          p.getField("i") < s.getField("s") + s.getField("l")))
+    joined.select(col("doc_id"),
+      array_join(transform(kept, p => p.getField("w")), " ").as("clean_text"),
+      (size(col("ws")) - size(kept)).cast("long").as("n_removed"))
+  }
+
+  /** DuckDB mirror of [[decontaminate]] (explode + anti-join route —
+    * fine at oracle scale, identical rows).
+    */
+  def decontaminateSql(n: Int, docsWhere: String, benchWhere: String): String =
+    s"""WITH ${contaminationSpansCtes(n, docsWhere, benchWhere)},
+        spans AS (SELECT doc_id,
+            CAST(MIN(pos) AS BIGINT) AS span_start,
+            CAST(COUNT(*) + $n - 1 AS BIGINT) AS span_len
+          FROM g GROUP BY doc_id, bench_id, delta, grp),
+        cov AS (SELECT DISTINCT * FROM (
+          SELECT doc_id, UNNEST(range(span_start, span_start + span_len)) AS pos
+          FROM spans)),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents WHERE $docsWhere),
+        w AS (SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(len(ws))) AS pos
+              FROM toks),
+        kept AS (SELECT w.doc_id, w.w, w.pos
+                 FROM w ANTI JOIN cov USING (doc_id, pos)),
+        agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(len(t.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN agg a USING (doc_id)"""
+
   /** DuckDB mirror of [[contaminationSpans]] over `documents`, with the
     * train/eval split expressed as WHERE clauses.
     */
-  def contaminationSpansSql(n: Int, docsWhere: String,
-                            benchWhere: String): String = {
+  /** The shared CTE chain through `g` (matched positions with island
+    * keys) — [[contaminationSpansSql]] aggregates it to spans,
+    * [[decontaminateSql]] carries it through to the cut.
+    */
+  private def contaminationSpansCtes(n: Int, docsWhere: String,
+                                     benchWhere: String): String = {
     val h = TextOps.charHashSql("w")
-    s"""WITH hw AS (SELECT doc_id, [$h for w in string_split(text, ' ')] AS hw
+    s"""hw AS (SELECT doc_id, [$h for w in string_split(text, ' ')] AS hw
           FROM documents),
         sh AS (SELECT doc_id, (CASE WHEN len(hw) >= $n THEN
             [list_reduce(hw[j+1:j+$n], (a,b) -> (a*31+b) % $P)
@@ -322,13 +390,17 @@ object Dedup {
               FROM dp JOIN bp USING (h)),
         g AS (SELECT *, pos - row_number()
                 OVER (PARTITION BY doc_id, bench_id, delta ORDER BY pos) AS grp
-              FROM m)
+              FROM m)"""
+  }
+
+  def contaminationSpansSql(n: Int, docsWhere: String,
+                            benchWhere: String): String =
+    s"""WITH ${contaminationSpansCtes(n, docsWhere, benchWhere)}
         SELECT doc_id, bench_id,
           CAST(MIN(pos) AS BIGINT) AS span_start,
           CAST(MIN(pos) - delta AS BIGINT) AS bench_start,
           CAST(COUNT(*) + $n - 1 AS BIGINT) AS span_len
         FROM g GROUP BY doc_id, bench_id, delta, grp"""
-  }
 
   /** (band, bucket-string, doc_id) — one row per band per doc. Docs with
     * NO shingles (< 3 words) are excluded: their min-hashes are all null

@@ -119,6 +119,22 @@ class DedupSpec extends SparkSpec {
       (2L, 100L, 6L, 4L, 4L)), s"got ${got.toList}")
   }
 
+  test("decontaminate: covered tokens excised, clean docs untouched, fully-covered doc becomes empty") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "x y a b c d e f g h z"), // 8-run removed, edges kept
+      (2L, "clean words only in here"), // untouched
+      (3L, "a b c d e f g h") // fully covered → empty
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(docs, bench, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "x y z", 8L),
+      (2L, "clean words only in here", 0L),
+      (3L, "", 8L)), s"got ${got.toList}")
+  }
+
   test("clustersFromPairs: a 5-chain collapses transitively (4 propagation rounds), singleton keeps itself") {
     import spark.implicits._
     val nodes = (1L to 6L).toDF("doc_id")
