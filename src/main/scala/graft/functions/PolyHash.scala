@@ -335,3 +335,67 @@ object ByteSum {
     GraftColumnBridge.column(ByteSum(GraftColumnBridge.expression(c)))
   }
 }
+
+/** Positioned word-n-gram hash composition over a word-hash array: out[j]
+  * = foldl over hw[j..j+n-1] of `(acc*31 + h) mod P` (acc seeded with
+  * hw[j]) — the SAME arithmetic as the HOF `transform`+`aggregate`
+  * formulation it replaces in [[graft.operators.Dedup.shingleHashes]]
+  * and `contaminationSpans`' positioned shingles, but in ONE fused loop
+  * that participates in whole-stage codegen (higher-order array
+  * functions are CodegenFallback — interpreted per element — which made
+  * shingle composition the hottest interpreted step of the dedup/
+  * decontamination family). A shorter-than-n input yields an EMPTY
+  * array (the callers' `when(size >= n, …).otherwise(array())` guard,
+  * now internal). Output order is positional: element j is the n-gram
+  * starting at word j, which positioned consumers (span extension)
+  * rely on; set consumers apply array_distinct on top.
+  */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"ngram width must be >= 2, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hashes needs array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramHashes.ngrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_hashes"
+}
+
+object NgramHashes {
+  val P: Long = WordHashes.P
+
+  def ngrams(hw: ArrayData, n: Int): ArrayData = {
+    val len = hw.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var j = 0
+    while (j <= len - n) {
+      var acc = hw.getLong(j)
+      var k = 1
+      while (k < n) { acc = (acc * 31 + hw.getLong(j + k)) % P; k += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point (Spark 4 Column↔Expression bridge). */
+  def ngram_hashes(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(NgramHashes(GraftColumnBridge.expression(c), n))
+  }
+}

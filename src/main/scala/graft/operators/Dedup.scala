@@ -111,14 +111,14 @@ object Dedup {
   def shingleHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withHw = df.select(col(idCol).as("doc_id"),
       graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
-    val hw = col("hw")
+    // native fused-loop composition (functions.NgramHashes): same values
+    // as the former transform(sequence…) HOF form, but inside
+    // whole-stage codegen — HOFs are CodegenFallback, and the
+    // interpreted per-element fold was the hottest step of the
+    // dedup/decontamination family
     withHw.select(col("doc_id"),
       array_distinct(
-        when(size(hw) >= 3,
-          transform(sequence(lit(0), size(hw) - 3), i =>
-            (((element_at(hw, i + 1) * 31 + element_at(hw, i + 2)) % P) * 31
-              + element_at(hw, i + 3)) % P))
-          .otherwise(array())).as("sh"))
+        graft.functions.NgramHashes.ngram_hashes(col("hw"), 3)).as("sh"))
   }
 
   /** doc → (id, sh: array<long>, minhash: array<long>[k]): the shingle
@@ -265,20 +265,15 @@ object Dedup {
     require(n >= 2, s"span shingle width must be >= 2, got $n")
     val spark = docs.sparkSession
     import spark.implicits._
-    def posShingles(df: DataFrame, outId: String): DataFrame = {
-      // hw staged as its own Project (the shingleHashes lambda-CSE
-      // discipline), then n-gram composition + position via posexplode
-      val withHw = df.select(col(idCol).as(outId),
+    def posShingles(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
         graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
-      val hw = col("hw")
-      withHw.select(col(outId),
-        when(size(hw) >= n,
-          transform(sequence(lit(0), size(hw) - n), j =>
-            aggregate(sequence(lit(2), lit(n)), element_at(hw, j + 1),
-              (acc, k) => (acc * 31 + element_at(hw, j + k)) % P)))
-          .otherwise(array().cast("array<long>")).as("sh"))
+        // native fused loop (functions.NgramHashes) — element j IS the
+        // n-gram at word offset j, so posexplode's pos is the span
+        // coordinate; short docs yield an empty array (no positions)
+        .select(col(outId),
+          graft.functions.NgramHashes.ngram_hashes(col("hw"), n).as("sh"))
         .select(col(outId), posexplode(col("sh")).as(Seq("pos", "h")))
-    }
     val benchRows = posShingles(bench, "bench_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     val bits = contamBloomBits(benchRows.iterator.map(_._3))
