@@ -2267,6 +2267,15 @@ object SparkEntry {
         TextOps.bpeRun(docs, "text", 6)._2)
     }),
 
+    // tokenizer ENCODE: each doc's actual token-ID sequence under the
+    // learned BPE state — the state collapses to two literal maps, so
+    // encoding is a pure per-row lambda chain (no explode, no shuffle)
+    "q_tokenize_ids" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents")
+      TextOps.tokenizeIds(docs, "doc_id", "text",
+        TextOps.bpeRun(docs, "text", 6)._2)
+    }),
+
     // token-BUDGET chunking under the learned BPE cost model: chunk of
     // a word = its token-offset bin (excl-prefix-sum / budget) — one
     // per-doc window over the broadcast vocab-bounded cost join; the
@@ -3518,6 +3527,7 @@ object SparkEntry {
     "q_bpe_learn" -> TextOps.bpeLearnSql("documents", "text", 6),
     "q_bpe_apply" -> TextOps.bpeApplySql("documents", "doc_id", "text", 6),
     "q_chunk_tokens" -> TextOps.chunkByTokensSql("documents", "doc_id", "text", 6, 64L),
+    "q_tokenize_ids" -> TextOps.tokenizeIdsSql("documents", "doc_id", "text", 6),
     "q_pmi" -> TextOps.pmiCollocationsSql(5L),
 
     "q_corpus_profile" ->

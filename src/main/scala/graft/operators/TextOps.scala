@@ -729,6 +729,79 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum(col("cost")).as("n_tokens"))
   }
 
+  /** Tokenizer ENCODE — the step [[bpeApply]]'s counts summarize:
+    * emit each doc's actual token-ID SEQUENCE under the learned BPE
+    * state. Token ids are the lexicographic rank of the distinct
+    * subwords in the segmentation state (deterministic and
+    * oracle-reproducible — subwords are ASCII alnum, so Scala sort and
+    * DuckDB's binary collation agree); an unseen word falls back to
+    * per-character tokens, each mapped through the same vocabulary,
+    * id −1 for a character the vocabulary lacks (documented sentinel,
+    * mirrored in SQL).
+    *
+    * Scale shape: the state is collected ONCE (vocab-bounded by the BPE
+    * contract — the same driver-size commitment bpeApply's broadcast
+    * makes) and inlined as two literal MAPS (word → id array,
+    * char → id); encoding is then a PURE per-row lambda chain — no
+    * explode, no join, no shuffle, and the output is O(doc) like the
+    * doc itself. Output (id, ids: comma-joined, n_tokens) — ids joined
+    * to a string because the driver's comparator can't sort array
+    * cells (the q_consecutive convention).
+    */
+  def tokenizeIds(df: DataFrame, idCol: String, textCol: String,
+                  vocabState: DataFrame): DataFrame = {
+    val segRows = vocabState.select(col("seq")).collect().map(_.getString(0))
+    val segs = segRows.toSeq.map(s => s.replace(" ", "") -> s.split(" ").toSeq)
+    require(segs.map(_._1).distinct.length == segs.length,
+      "tokenizeIds: vocabState rows collapse to a duplicate word key")
+    val segMap = segs.toMap
+    val vocabIds: Map[String, Long] =
+      segMap.values.flatten.toSeq.distinct.sorted.zipWithIndex
+        .map { case (s, i) => s -> i.toLong }.toMap
+    val wordIds: Map[String, Seq[Long]] =
+      segMap.map { case (w, subs) => w -> subs.map(vocabIds) }
+    val charIds: Map[String, Long] = vocabIds.filter(_._1.length == 1)
+    val wm = typedLit(wordIds)
+    val cm = typedLit(charIds)
+    val ids = flatten(transform(tokens(col(textCol)), w =>
+      coalesce(element_at(wm, w),
+        transform(split(w, ""), c => coalesce(element_at(cm, c), lit(-1L))))))
+    // staged Project: referencing the lambda chain from two consumers
+    // would inline (recompute) it — the shingleHashes CSE discipline
+    df.select(col(idCol), ids.as("__ids"))
+      .select(col(idCol),
+        array_join(col("__ids").cast("array<string>"), ",").as("ids"),
+        size(col("__ids")).cast("long").as("n_tokens"))
+  }
+
+  /** DuckDB mirror of [[tokenizeIds]] over [[bpeLearnSql]]'s state. */
+  def tokenizeIdsSql(table: String, idCol: String, textCol: String,
+                     rounds: Int): String =
+    s"""WITH ${bpeChainSql(table, textCol, rounds)},
+        seg AS (SELECT replace(seq, ' ', '') AS w, string_split(seq, ' ') AS subs
+                FROM v$rounds),
+        vocab AS (SELECT sub,
+            CAST(row_number() OVER (ORDER BY sub) - 1 AS BIGINT) AS id
+          FROM (SELECT DISTINCT UNNEST(subs) AS sub FROM seg)),
+        wtok AS (SELECT $idCol AS __id,
+            UNNEST(regexp_extract_all($textCol, '[A-Za-z0-9]+')) AS w,
+            UNNEST(range(len(regexp_extract_all($textCol, '[A-Za-z0-9]+')))) AS wpos
+          FROM $table),
+        ws AS (SELECT wtok.__id, wtok.wpos,
+                      COALESCE(seg.subs, string_split(wtok.w, '')) AS subs
+               FROM wtok LEFT JOIN seg ON seg.w = wtok.w),
+        tok AS (SELECT __id, wpos, UNNEST(subs) AS sub,
+                       UNNEST(range(len(subs))) AS spos FROM ws),
+        idt AS (SELECT __id, wpos, spos, COALESCE(v.id, -1) AS tid
+                FROM tok LEFT JOIN vocab v ON v.sub = tok.sub),
+        agg AS (SELECT __id,
+                  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wpos, spos) AS ids,
+                  COUNT(*) AS n_tokens
+                FROM idt GROUP BY __id)
+        SELECT t.$idCol, COALESCE(a.ids, '') AS ids,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM $table t LEFT JOIN agg a ON a.__id = t.$idCol"""
+
   /** DuckDB mirror of [[chunkByTokens]] over [[bpeLearnSql]]'s state. */
   def chunkByTokensSql(table: String, idCol: String, textCol: String,
                        rounds: Int, budget: Long): String =

@@ -22,6 +22,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) == "digits <PHONE> run and short 1234 one")
   }
 
+  test("tokenizeIds: ids follow subword rank; OOV words fall back to char ids, unknown char = -1") {
+    import spark.implicits._
+    // hand-built state: "ab" stays whole, "cd" splits to c d →
+    // vocab rank: ab=0, c=1, d=2
+    val state = Seq(("ab", 5L), ("c d", 3L)).toDF("seq", "freq")
+    val docs = Seq((1L, "ab cd xy"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.tokenizeIds(docs, "doc_id", "text", state)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // xy is OOV: per-char fallback, x and y absent from vocab → -1 -1
+    assert(got.toSeq == Seq((1L, "0,1,2,-1,-1", 5L), (2L, "", 0L)), s"got ${got.toList}")
+  }
+
+  test("tokenizeIds conservation: sequence length equals bpeApply's subword count on the trained state") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps"), (2L, "the the the lazy dog"),
+      (3L, "quick quick fox")).toDF("doc_id", "text")
+    val state = TextOps.bpeRun(docs, "text", 4)._2
+    val nIds = TextOps.tokenizeIds(docs, "doc_id", "text", state)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nSub = TextOps.bpeApply(docs, "doc_id", "text", state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nIds == nSub, s"ids $nIds vs subword counts $nSub")
+  }
+
   test("charHash iterates CODE POINTS: astral-plane string matches the DuckDB oracle value") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
