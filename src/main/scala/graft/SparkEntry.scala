@@ -2276,6 +2276,16 @@ object SparkEntry {
         TextOps.bpeRun(docs, "text", 6)._2)
     }),
 
+    // MATERIALIZED packing: fixed-width token-id training sequences cut
+    // from the virtual stream of encoded docs (distributed prefix sum →
+    // per-doc slice tiling → one pack-key aggregate)
+    "q_pack_ids" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents")
+      Packing.packTokenIds(
+        TextOps.tokenizeIdArrays(docs, "doc_id", "text",
+          TextOps.bpeRun(docs, "text", 6)._2), "doc_id", 128L)
+    }),
+
     // token-BUDGET chunking under the learned BPE cost model: chunk of
     // a word = its token-offset bin (excl-prefix-sum / budget) — one
     // per-doc window over the broadcast vocab-bounded cost join; the
@@ -3528,6 +3538,7 @@ object SparkEntry {
     "q_bpe_apply" -> TextOps.bpeApplySql("documents", "doc_id", "text", 6),
     "q_chunk_tokens" -> TextOps.chunkByTokensSql("documents", "doc_id", "text", 6, 64L),
     "q_tokenize_ids" -> TextOps.tokenizeIdsSql("documents", "doc_id", "text", 6),
+    "q_pack_ids" -> TextOps.packTokenIdsSql("documents", "doc_id", "text", 6, 128L),
     "q_pmi" -> TextOps.pmiCollocationsSql(5L),
 
     "q_corpus_profile" ->

@@ -97,6 +97,53 @@ object Packing {
       .toDF("doc_id", "grp", "tok", "bin", "fill")
   }
 
+  /** MATERIALIZED concat-and-split packing over encoded docs — the
+    * final training-prep artifact: fixed-width token-id sequences cut
+    * from the virtual stream of all docs in id order (docs split at
+    * pack boundaries, exactly [[concatSplit]]'s plan but emitting the
+    * ids themselves). Input is [[TextOps.tokenizeIdArrays]]' shape
+    * (idCol, ids array<long>); output one row per pack:
+    * (pack_id, ids comma-joined, n_tokens = budget except the tail
+    * pack, n_docs = documents contributing to the pack).
+    *
+    * Distributed shape: the exclusive prefix sum over doc token counts
+    * is the [[concatSplit]] ordinal machinery (range partition +
+    * driver prefix-sum of per-partition counts — never a global
+    * window); each doc then EXPLODES into only the packs it touches
+    * (fan-out ⌈tok/budget⌉, ~1 for typical docs) carrying the array
+    * SLICE that lands there, and one hash aggregate reassembles packs
+    * in stream order via the array_sort(struct) trick. Per-group state
+    * is one pack of ids — `budget` longs, the training sequence
+    * itself.
+    */
+  def packTokenIds(enc: DataFrame, idCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val toks = enc.select(col(idCol).cast("long").as("seq"), col("ids"),
+      size(col("ids")).cast("long").as("tok"))
+    val withRun = RowExec.runningSumLong(toks, col("tok"), "__run")
+      .withColumn("start_off", col("__run") - col("tok"))
+    val pieces = withRun
+      .filter(col("tok") > 0)
+      .select(col("ids"), col("start_off"), col("tok"),
+        explode(sequence(expr(s"start_off div ${budget}L"),
+          expr(s"(start_off + tok - 1) div ${budget}L"))).as("pack_id"))
+      .select(col("pack_id"), col("ids"), col("start_off"),
+        expr(s"greatest(start_off, pack_id * ${budget}L)").as("g0"),
+        expr(s"least(start_off + tok, (pack_id + 1) * ${budget}L)").as("g1"))
+      .select(col("pack_id"), col("g0"),
+        slice(col("ids"), (col("g0") - col("start_off") + 1).cast("int"),
+          (col("g1") - col("g0")).cast("int")).as("piece"))
+    pieces.groupBy(col("pack_id"))
+      .agg(transform(array_sort(collect_list(struct(col("g0"), col("piece")))),
+        s => s.getField("piece")).as("ps"),
+        count(lit(1)).as("n_docs"))
+      .select(col("pack_id"), flatten(col("ps")).as("ids"), col("n_docs"))
+      .select(col("pack_id"),
+        array_join(col("ids").cast("array<string>"), ",").as("ids"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        col("n_docs"))
+  }
+
   /** Pack-level summary of [[greedyPack]]: per (grp, bin), the number of
     * docs, total fill, and waste (`budget - fill`, negative for a
     * single-oversized-doc pack). The downstream "how full are my

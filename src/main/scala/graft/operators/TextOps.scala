@@ -768,16 +768,30 @@ object TextOps {
         transform(split(w, ""), c => coalesce(element_at(cm, c), lit(-1L))))))
     // staged Project: referencing the lambda chain from two consumers
     // would inline (recompute) it — the shingleHashes CSE discipline
-    df.select(col(idCol), ids.as("__ids"))
+    df.select(col(idCol), ids.as("ids"))
       .select(col(idCol),
-        array_join(col("__ids").cast("array<string>"), ",").as("ids"),
-        size(col("__ids")).cast("long").as("n_tokens"))
+        array_join(col("ids").cast("array<string>"), ",").as("ids"),
+        size(col("ids")).cast("long").as("n_tokens"))
   }
 
-  /** DuckDB mirror of [[tokenizeIds]] over [[bpeLearnSql]]'s state. */
-  def tokenizeIdsSql(table: String, idCol: String, textCol: String,
-                     rounds: Int): String =
-    s"""WITH ${bpeChainSql(table, textCol, rounds)},
+  /** [[tokenizeIds]] keeping the id ARRAY (column `ids`) — the form
+    * [[Packing.packTokenIds]] consumes; the comma-joined form above is
+    * the driver-comparable view (same staged encode).
+    */
+  def tokenizeIdArrays(df: DataFrame, idCol: String, textCol: String,
+                       vocabState: DataFrame): DataFrame =
+    tokenizeIds(df, idCol, textCol, vocabState)
+      .select(col(idCol),
+        when(col("ids") === "", array().cast("array<long>"))
+          .otherwise(split(col("ids"), ",").cast("array<long>")).as("ids"))
+
+  /** The shared encode CTE chain through `idt` (one row per token:
+    * __id, wpos, spos, tid) — [[tokenizeIdsSql]] re-aggregates per doc,
+    * [[packTokenIdsSql]] per fixed-width pack of the global stream.
+    */
+  private def tokenizeIdsChainSql(table: String, idCol: String,
+                                  textCol: String, rounds: Int): String =
+    s"""${bpeChainSql(table, textCol, rounds)},
         seg AS (SELECT replace(seq, ' ', '') AS w, string_split(seq, ' ') AS subs
                 FROM v$rounds),
         vocab AS (SELECT sub,
@@ -793,7 +807,12 @@ object TextOps {
         tok AS (SELECT __id, wpos, UNNEST(subs) AS sub,
                        UNNEST(range(len(subs))) AS spos FROM ws),
         idt AS (SELECT __id, wpos, spos, COALESCE(v.id, -1) AS tid
-                FROM tok LEFT JOIN vocab v ON v.sub = tok.sub),
+                FROM tok LEFT JOIN vocab v ON v.sub = tok.sub)"""
+
+  /** DuckDB mirror of [[tokenizeIds]] over [[bpeLearnSql]]'s state. */
+  def tokenizeIdsSql(table: String, idCol: String, textCol: String,
+                     rounds: Int): String =
+    s"""WITH ${tokenizeIdsChainSql(table, idCol, textCol, rounds)},
         agg AS (SELECT __id,
                   string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wpos, spos) AS ids,
                   COUNT(*) AS n_tokens
@@ -801,6 +820,23 @@ object TextOps {
         SELECT t.$idCol, COALESCE(a.ids, '') AS ids,
                CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
         FROM $table t LEFT JOIN agg a ON a.__id = t.$idCol"""
+
+  /** DuckDB mirror of [[Packing.packTokenIds]] over the same encode:
+    * pack of a token = global-stream-position // budget — the oracle's
+    * one global row_number replaces the engine's distributed
+    * prefix-sum + per-doc slice tiling, and must produce identical
+    * packs.
+    */
+  def packTokenIdsSql(table: String, idCol: String, textCol: String,
+                      rounds: Int, budget: Long): String =
+    s"""WITH ${tokenizeIdsChainSql(table, idCol, textCol, rounds)},
+        ord AS (SELECT *, row_number()
+                  OVER (ORDER BY __id, wpos, spos) - 1 AS gpos FROM idt)
+        SELECT CAST(gpos // $budget AS BIGINT) AS pack_id,
+               string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos) AS ids,
+               COUNT(*) AS n_tokens,
+               CAST(COUNT(DISTINCT __id) AS BIGINT) AS n_docs
+        FROM ord GROUP BY 1"""
 
   /** DuckDB mirror of [[chunkByTokens]] over [[bpeLearnSql]]'s state. */
   def chunkByTokensSql(table: String, idCol: String, textCol: String,

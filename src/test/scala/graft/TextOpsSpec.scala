@@ -46,6 +46,25 @@ class TextOpsSpec extends SparkSpec {
     assert(nIds == nSub, s"ids $nIds vs subword counts $nSub")
   }
 
+  test("packTokenIds: docs split at pack seams, multi-pack doc tiles, stream order preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hand-built encode: doc 1 = [0,1,2], doc 2 = [3,4,5,6,7,8,9] (7 ids),
+    // doc 3 = [], doc 4 = [10]; budget 4 → stream 0..10 cuts as
+    // [0,1,2,3] [4,5,6,7] [8,9,10]
+    val enc = Seq(
+      (1L, Seq(0L, 1L, 2L)), (2L, Seq(3L, 4L, 5L, 6L, 7L, 8L, 9L)),
+      (3L, Seq.empty[Long]), (4L, Seq(10L))).toDF("doc_id", "ids")
+    val got = Packing.packTokenIds(enc, "doc_id", 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, "0,1,2,3", 4L, 2L),   // doc 1 whole + doc 2's head
+      (1L, "4,5,6,7", 4L, 1L),   // doc 2 interior tile (spans 3 packs)
+      (2L, "8,9,10", 3L, 2L)),   // doc 2's tail + doc 4; empty doc 3 absent
+      s"got ${got.toList}")
+  }
+
   test("charHash iterates CODE POINTS: astral-plane string matches the DuckDB oracle value") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
