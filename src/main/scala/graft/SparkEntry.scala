@@ -2276,6 +2276,31 @@ object SparkEntry {
         TextOps.bpeRun(docs, "text", 6)._2)
     }),
 
+    // END-TO-END corpus build — the full front-door-to-artifact chain
+    // in ONE query: raw crawled HTML → markup extraction → C4 quality
+    // gate → exact dedup (canonical keepers) → BPE state trained on the
+    // surviving corpus → tokenizer encode → fixed-width packed training
+    // sequences. Every stage handoff (extraction feeding quality, the
+    // kept set feeding both BPE training AND encoding, dedup before
+    // tokenization) is inside the oracle hash.
+    "q_corpus_build" -> ((s, dir) => {
+      val pages = Sources.textLines(s, stagedHtml(s, dir).toString).ds.toDF()
+        .select(regexp_extract(col("value"), "data-doc=\"([0-9]+)\"", 1)
+          .cast("long").as("doc_id"), col("value").as("html"))
+      val extracted = pages.select(col("doc_id"),
+        call_function("replace", Html.extractText(col("html")), lit("\n"), lit(" "))
+          .as("text"))
+      val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val kept = graft.core.Materialize.checkpoint(extracted.join(keepIds, "doc_id"))
+      val canon = kept.join(
+        Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id")),
+        "doc_id")
+      Packing.packTokenIds(
+        TextOps.tokenizeIdArrays(canon, "doc_id", "text",
+          TextOps.bpeRun(canon, "text", 6)._2), "doc_id", 128L)
+    }),
+
     // MATERIALIZED packing: fixed-width token-id training sequences cut
     // from the virtual stream of encoded docs (distributed prefix sum →
     // per-doc slice tiling → one pack-key aggregate)
@@ -3539,6 +3564,16 @@ object SparkEntry {
     "q_chunk_tokens" -> TextOps.chunkByTokensSql("documents", "doc_id", "text", 6, 64L),
     "q_tokenize_ids" -> TextOps.tokenizeIdsSql("documents", "doc_id", "text", 6),
     "q_pack_ids" -> TextOps.packTokenIdsSql("documents", "doc_id", "text", 6, 128L),
+    // the composed front-door chain: extraction + quality + dedup CTEs
+    // prefix the shared encode/pack chain over the canonical kept set
+    "q_corpus_build" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,
+      prefixCtes = s"""${Html.extractedDocsSqlCte},
+        qf AS (${TextOps.qualityFilterSql(allStopsSql, "extracted")}),
+        kept AS (SELECT e.doc_id, e.text FROM extracted e
+                 JOIN qf USING (doc_id) WHERE qf.keep),
+        canon AS (SELECT k.doc_id, k.text FROM kept k
+                  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
+                        GROUP BY md5(text)) c USING (doc_id))"""),
     "q_pmi" -> TextOps.pmiCollocationsSql(5L),
 
     "q_corpus_profile" ->

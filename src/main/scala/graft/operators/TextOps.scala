@@ -828,8 +828,10 @@ object TextOps {
     * packs.
     */
   def packTokenIdsSql(table: String, idCol: String, textCol: String,
-                      rounds: Int, budget: Long): String =
-    s"""WITH ${tokenizeIdsChainSql(table, idCol, textCol, rounds)},
+                      rounds: Int, budget: Long,
+                      prefixCtes: String = ""): String =
+    s"""WITH ${if (prefixCtes.nonEmpty) prefixCtes + ",\n" else ""}${
+      tokenizeIdsChainSql(table, idCol, textCol, rounds)},
         ord AS (SELECT *, row_number()
                   OVER (ORDER BY __id, wpos, spos) - 1 AS gpos FROM idt)
         SELECT CAST(gpos // $budget AS BIGINT) AS pack_id,
