@@ -349,6 +349,36 @@ object ScaleProbe {
         d.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 4).count())
 
+    // tokenizer encode + packed sequences, probed under the char-cost
+    // state (empty vocab — the measurement is the encode lambda and the
+    // pack tiling, not BPE training): encode is map-only and must track
+    // the scan; packing adds the distributed prefix sum + one pack-key
+    // aggregate and must stay ~linear (pack count grows with the data)
+    probePair("tokenizeIds", docs, bigDocs, { d =>
+      import org.apache.spark.sql.types._
+      val emptyVocab = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("seq", StringType), StructField("freq", LongType))))
+      graft.operators.TextOps.tokenizeIds(d, "doc_id", "text", emptyVocab).count()
+    })
+    probePair("packIds", docs, bigDocs, { d =>
+      import org.apache.spark.sql.types._
+      val emptyVocab = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("seq", StringType), StructField("freq", LongType))))
+      graft.operators.Packing.packTokenIds(
+        graft.operators.TextOps.tokenizeIdArrays(d, "doc_id", "text", emptyVocab),
+        "doc_id", 128L).count()
+    })
+
+    // span excision: corpus n× against the FIXED eval suite (the
+    // contamSpans axis) — the cut itself is the per-row lambda, so the
+    // marginal cost over span detection must be the one extra join
+    probePair("decontaminate", docs, bigDocs, d =>
+      graft.operators.Dedup.decontaminate(
+        d.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 4).count())
+
     // per-source dedup rates: copied fixture is the worst case (every
     // text family's group grows n×); cost must stay the hash aggregate
     val docsSrc0 = spark.read.parquet(s"$dir/documents.parquet")

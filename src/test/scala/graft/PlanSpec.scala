@@ -430,6 +430,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"persisted PQ serve plans a cartesian:\n$p")
   }
 
+  test("q_pack_ids: the virtual-stream offsets come from the distributed prefix sum, never a global window") {
+    val p = plan(SparkEntry.queries("q_pack_ids")(spark, dir))
+    // an empty-frame Window over ALL rows (partition-less) would be the
+    // single-task global-sort formulation the operator exists to avoid;
+    // the ordinal machinery range-partitions instead
+    val globalWindow = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("windowspecdefinition()") && !l.contains("PARTITION"))
+    assert(!globalWindow, s"pack offsets use a partition-less global window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"packing plans a cartesian:\n$p")
+  }
+
+  test("q_corpus_build: the composed chain plans no cartesian and keeps the quality gate before the encode") {
+    val p = plan(SparkEntry.queries("q_corpus_build")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"corpus build plans a cartesian:\n$p")
+  }
+
   test("q_dedup_incr_near: candidate generation is a bucket equi-join, never cartesian") {
     val p = plan(SparkEntry.queries("q_dedup_incr_near")(spark, dir))
     assert(!p.contains("CartesianProduct"), s"incremental near-dup plans a cartesian:\n$p")
