@@ -318,15 +318,20 @@ object ScaleProbe {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     })
 
+    // shared empty (char-cost-fallback) vocab state for the chunk/encode
+    // probes — one definition, not three synchronized copies
+    def emptyVocab(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("seq", StringType), StructField("freq", LongType))))
+    }
+
     // token-budget chunking: per-doc window + broadcast cost join —
     // must stay scan-bound (probed under the char-cost fallback so the
     // measurement is the chunker, not BPE training)
     probePair("chunkTokens", docs, bigDocs, { d =>
-      import org.apache.spark.sql.types._
-      val emptyVocab = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("seq", StringType), StructField("freq", LongType))))
-      graft.operators.TextOps.chunkByTokens(d, "doc_id", "text", emptyVocab, 64L).count()
+      graft.operators.TextOps.chunkByTokens(d, "doc_id", "text", emptyVocab(), 64L).count()
     })
 
     // HTML extraction: a map-only regexp/entity/line-rule chain — the
@@ -355,19 +360,11 @@ object ScaleProbe {
     // the scan; packing adds the distributed prefix sum + one pack-key
     // aggregate and must stay ~linear (pack count grows with the data)
     probePair("tokenizeIds", docs, bigDocs, { d =>
-      import org.apache.spark.sql.types._
-      val emptyVocab = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("seq", StringType), StructField("freq", LongType))))
-      graft.operators.TextOps.tokenizeIds(d, "doc_id", "text", emptyVocab).count()
+      graft.operators.TextOps.tokenizeIds(d, "doc_id", "text", emptyVocab()).count()
     })
     probePair("packIds", docs, bigDocs, { d =>
-      import org.apache.spark.sql.types._
-      val emptyVocab = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("seq", StringType), StructField("freq", LongType))))
       graft.operators.Packing.packTokenIds(
-        graft.operators.TextOps.tokenizeIdArrays(d, "doc_id", "text", emptyVocab),
+        graft.operators.TextOps.tokenizeIdArrays(d, "doc_id", "text", emptyVocab()),
         "doc_id", 128L).count()
     })
 

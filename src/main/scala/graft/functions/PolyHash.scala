@@ -355,11 +355,15 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      // containsNull = false ONLY: the fused loop reads getLong without
+      // isNullAt, which would silently hash a null element as 0 — the
+      // HOF form this replaced null-propagated instead, so a nullable
+      // array must be rejected at analysis, not corrupted at runtime
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"ngram_hashes needs array<bigint>, got ${other.catalogString}")
+          s"ngram_hashes needs array<bigint> with non-null elements, got ${other.catalogString}")
     }
 
   override def nullSafeEval(input: Any): Any =

@@ -330,9 +330,14 @@ object Dedup {
       p => !exists(col("spans"), s =>
         p.getField("i") >= s.getField("s") &&
           p.getField("i") < s.getField("s") + s.getField("l")))
-    joined.select(col("doc_id"),
-      array_join(transform(kept, p => p.getField("w")), " ").as("clean_text"),
-      (size(col("ws")) - size(kept)).cast("long").as("n_removed"))
+    // staged Project: the O(words × spans) coverage filter referenced
+    // from two consumers would inline (recompute) per row — the
+    // shingleHashes CSE discipline
+    joined.select(col("doc_id"), col("ws"), kept.as("__kept"))
+      .select(col("doc_id"),
+        array_join(transform(col("__kept"), p => p.getField("w")), " ")
+          .as("clean_text"),
+        (size(col("ws")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   /** DuckDB mirror of [[decontaminate]] (explode + anti-join route —

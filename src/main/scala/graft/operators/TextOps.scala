@@ -741,15 +741,38 @@ object TextOps {
     *
     * Scale shape: the state is collected ONCE (vocab-bounded by the BPE
     * contract — the same driver-size commitment bpeApply's broadcast
-    * makes) and inlined as two literal MAPS (word → id array,
-    * char → id); encoding is then a PURE per-row lambda chain — no
-    * explode, no join, no shuffle, and the output is O(doc) like the
-    * doc itself. Output (id, ids: comma-joined, n_tokens) — ids joined
-    * to a string because the driver's comparator can't sort array
-    * cells (the q_consecutive convention).
+    * makes), turned into a (word → id array) table that the word
+    * occurrences BROADCAST-HASH-join against (a literal MAP would be
+    * tempting but Spark's GetMapValue is a LINEAR key scan — O(vocab)
+    * per token at a real vocabulary); only the char FALLBACK stays a
+    * literal map, bounded by the alphabet (≲ 62 keys — a linear scan
+    * that short is cheaper than a join, and it runs only on OOV
+    * words). One doc-key aggregate reassembles sequences in word
+    * order — the bpeApply plan shape with an ordered re-aggregation on
+    * top; output is O(doc) like the doc itself. Output (id, ids:
+    * comma-joined, n_tokens) — ids joined to a string because the
+    * driver's comparator can't sort array cells (the q_consecutive
+    * convention).
     */
   def tokenizeIds(df: DataFrame, idCol: String, textCol: String,
-                  vocabState: DataFrame): DataFrame = {
+                  vocabState: DataFrame): DataFrame =
+    encodeArrays(df, idCol, textCol, vocabState)
+      .select(col(idCol),
+        array_join(col("ids").cast("array<string>"), ",").as("ids"),
+        size(col("ids")).cast("long").as("n_tokens"))
+
+  /** [[tokenizeIds]] keeping the id ARRAY (column `ids`) — the form
+    * [[Packing.packTokenIds]] consumes; same staged encode, no
+    * stringify round-trip.
+    */
+  def tokenizeIdArrays(df: DataFrame, idCol: String, textCol: String,
+                       vocabState: DataFrame): DataFrame =
+    encodeArrays(df, idCol, textCol, vocabState)
+
+  private def encodeArrays(df: DataFrame, idCol: String, textCol: String,
+                           vocabState: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val segRows = vocabState.select(col("seq")).collect().map(_.getString(0))
     val segs = segRows.toSeq.map(s => s.replace(" ", "") -> s.split(" ").toSeq)
     require(segs.map(_._1).distinct.length == segs.length,
@@ -758,32 +781,28 @@ object TextOps {
     val vocabIds: Map[String, Long] =
       segMap.values.flatten.toSeq.distinct.sorted.zipWithIndex
         .map { case (s, i) => s -> i.toLong }.toMap
-    val wordIds: Map[String, Seq[Long]] =
-      segMap.map { case (w, subs) => w -> subs.map(vocabIds) }
     val charIds: Map[String, Long] = vocabIds.filter(_._1.length == 1)
-    val wm = typedLit(wordIds)
     val cm = typedLit(charIds)
-    val ids = flatten(transform(tokens(col(textCol)), w =>
-      coalesce(element_at(wm, w),
-        transform(split(w, ""), c => coalesce(element_at(cm, c), lit(-1L))))))
-    // staged Project: referencing the lambda chain from two consumers
-    // would inline (recompute) it — the shingleHashes CSE discipline
-    df.select(col(idCol), ids.as("ids"))
+    val segDf = segMap.toSeq
+      .map { case (w, subs) => (w, subs.map(vocabIds)) }
+      .toDF("__w", "__seg")
+    val occ = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__wpos", "__w")))
+    val pieces = occ.join(broadcast(segDf), Seq("__w"), "left")
+      .select(col(idCol), col("__wpos"),
+        coalesce(col("__seg"),
+          transform(split(col("__w"), ""),
+            c => coalesce(element_at(cm, c), lit(-1L)))).as("__piece"))
+    val agg = pieces.groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__wpos"), col("__piece")))),
+        s => s.getField("__piece"))).as("__ids"))
+    // token-less docs vanish in the explode — restore them with an
+    // empty sequence (the oracle's LEFT JOIN COALESCE branch)
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol),
-        array_join(col("ids").cast("array<string>"), ",").as("ids"),
-        size(col("ids")).cast("long").as("n_tokens"))
+        coalesce(col("__ids"), array().cast("array<long>")).as("ids"))
   }
-
-  /** [[tokenizeIds]] keeping the id ARRAY (column `ids`) — the form
-    * [[Packing.packTokenIds]] consumes; the comma-joined form above is
-    * the driver-comparable view (same staged encode).
-    */
-  def tokenizeIdArrays(df: DataFrame, idCol: String, textCol: String,
-                       vocabState: DataFrame): DataFrame =
-    tokenizeIds(df, idCol, textCol, vocabState)
-      .select(col(idCol),
-        when(col("ids") === "", array().cast("array<long>"))
-          .otherwise(split(col("ids"), ",").cast("array<long>")).as("ids"))
 
   /** The shared encode CTE chain through `idt` (one row per token:
     * __id, wpos, spos, tid) — [[tokenizeIdsSql]] re-aggregates per doc,

@@ -432,16 +432,17 @@ class PlanSpec extends SparkSpec {
 
   test("q_pack_ids: the virtual-stream offsets come from the distributed prefix sum, never a global window") {
     val p = plan(SparkEntry.queries("q_pack_ids")(spark, dir))
-    // an empty-frame Window over ALL rows (partition-less) would be the
-    // single-task global-sort formulation the operator exists to avoid;
-    // the ordinal machinery range-partitions instead
-    val globalWindow = p.linesIterator.exists(l =>
-      l.contains("Window") && l.contains("windowspecdefinition()") && !l.contains("PARTITION"))
-    assert(!globalWindow, s"pack offsets use a partition-less global window:\n$p")
+    // the ordinal prefix-sum machinery materializes upstream of an
+    // ExistingRDD scan, so the pack plan contains NO Window node and no
+    // single-partition exchange at all — a regression to the
+    // global-window formulation would surface as exactly those two
+    assert(!p.contains("Window"), s"pack offsets use a window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"pack plan collapses to a single partition:\n$p")
     assert(!p.contains("CartesianProduct"), s"packing plans a cartesian:\n$p")
   }
 
-  test("q_corpus_build: the composed chain plans no cartesian and keeps the quality gate before the encode") {
+  test("q_corpus_build: the composed chain plans no cartesian end-to-end") {
     val p = plan(SparkEntry.queries("q_corpus_build")(spark, dir))
     assert(!p.contains("CartesianProduct"), s"corpus build plans a cartesian:\n$p")
   }
