@@ -2538,6 +2538,12 @@ object SparkEntry {
     "q_embed_pq_persist" -> ((s, dir) =>
       Similarity.pqPersistTopK(s, dir, 20, 3)),
 
+    // IVF-PQ composed index (the FAISS IVFPQ shape): coarse cells prune
+    // WHICH vectors are considered, PQ codes prune WHAT is read — ADC
+    // runs only inside probed cells, exact re-rank only on the shortlist
+    "q_embed_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Similarity.embeddings(s, dir), 20, 3)),
+
     // int8 scalar quantization (the ANN index memory-compression step) —
     // zero shuffle, all-IEEE-exact arithmetic
     // qvec is emitted comma-joined: the driver's hash comparator can't
@@ -3700,6 +3706,7 @@ object SparkEntry {
     "q_embed_pq_rerank" -> Similarity.pqRerankTopKSql(20, 3),
     // persisted-layout serve ≡ the in-memory two-stage search
     "q_embed_pq_persist" -> Similarity.pqRerankTopKSql(20, 3),
+    "q_embed_ivfpq" -> Similarity.ivfPqTopKSql(20, 3),
     "q_embed_quant" ->
       s"""SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
           FROM (${Similarity.quantizeInt8Sql()}) qq""",

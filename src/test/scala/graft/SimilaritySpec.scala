@@ -355,6 +355,7 @@ class SimilaritySpec extends SparkSpec {
     val lshRecall = recall(topSets(Similarity.lshTopK(df, nQ, k).collect()))
     val ivfRecall = recall(topSets(Similarity.ivfTopK(df, nQ, k).collect()))
     val pqRerank = recall(topSets(Similarity.pqRerankTopK(df, nQ, k).collect()))
+    val ivfPq = recall(topSets(Similarity.ivfPqTopK(df, nQ, k).collect()))
     // PQ's actual guarantee is the SHORTLIST, not direct ADC ranking:
     // same-cluster candidates share all m codes and tie on adist (direct
     // ADC top-3 recall here measures 0.125) — so assert (a) truth lands
@@ -371,6 +372,11 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.75, f"IVF recall@3 $ivfRecall%.3f < 0.75")
     assert(shortRecall >= 0.9, f"PQ shortlist recall@3 $shortRecall%.3f < 0.9")
     assert(pqRerank >= 0.75, f"PQ rerank recall@3 $pqRerank%.3f < 0.75")
+    // composed index: the cell pruning can only drop candidates the IVF
+    // alone would also drop, and the re-rank recovers the rest — the
+    // combined recall must hold the same floor (measured 1.000)
+    info(f"recall@3: ivfpq=$ivfPq%.3f")
+    assert(ivfPq >= 0.75, f"IVF-PQ recall@3 $ivfPq%.3f < 0.75")
   }
 
   test("pqCodes: m codes per vector in [0,k); seed vectors encode to themselves") {
