@@ -2544,6 +2544,13 @@ object SparkEntry {
     "q_embed_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(Similarity.embeddings(s, dir), 20, 3)),
 
+    // PERSISTED IVF-PQ: the cell-partitioned packed-code posting-list
+    // layout, staged once, served with DPP cell pruning + positional
+    // ADC + shortlist-only vector reads ⇒ same oracle as the in-memory
+    // composed search
+    "q_embed_ivfpq_persist" -> ((s, dir) =>
+      Similarity.ivfPqPersistTopK(s, dir, 20, 3)),
+
     // int8 scalar quantization (the ANN index memory-compression step) —
     // zero shuffle, all-IEEE-exact arithmetic
     // qvec is emitted comma-joined: the driver's hash comparator can't
@@ -3707,6 +3714,7 @@ object SparkEntry {
     // persisted-layout serve ≡ the in-memory two-stage search
     "q_embed_pq_persist" -> Similarity.pqRerankTopKSql(20, 3),
     "q_embed_ivfpq" -> Similarity.ivfPqTopKSql(20, 3),
+    "q_embed_ivfpq_persist" -> Similarity.ivfPqTopKSql(20, 3),
     "q_embed_quant" ->
       s"""SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
           FROM (${Similarity.quantizeInt8Sql()}) qq""",

@@ -447,6 +447,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"corpus build plans a cartesian:\n$p")
   }
 
+  test("q_embed_ivfpq_persist: index scan is DPP-pruned to probed cells and reads codes, never vectors") {
+    val df = SparkEntry.queries("q_embed_ivfpq_persist")(spark, dir)
+    val p = plan(df)
+    // dynamic partition pruning on the cell directories: only
+    // nprobe/ncells of the posting lists are opened
+    assert(p.contains("dynamicpruning"), s"no DPP on the ivfpq index scan:\n$p")
+    val idxScans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("ivfpq")).toList
+    assert(idxScans.nonEmpty, s"no staged ivfpq scan in:\n$p")
+    idxScans.foreach(l =>
+      assert(!l.contains("emb"), s"ivfpq index scan reads vectors:\n$l"))
+    assert(!p.contains("CartesianProduct"), s"ivfpq serve plans a cartesian:\n$p")
+  }
+
   test("q_dedup_incr_near: candidate generation is a bucket equi-join, never cartesian") {
     val p = plan(SparkEntry.queries("q_dedup_incr_near")(spark, dir))
     assert(!p.contains("CartesianProduct"), s"incremental near-dup plans a cartesian:\n$p")

@@ -300,6 +300,29 @@ class SimilaritySpec extends SparkSpec {
     assert(p4.isEmpty && graft.operators.Bucketing.liveVersion(base).get._1 == 2)
   }
 
+  test("persisted IVF-PQ: appended rows == full rebuild; staged serve equals in-memory ivfPqTopK") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 60L).map(i => (i, randVec()))
+    val sig = Similarity.withNorm(embDf(vecs))
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    // write-once: first 48 vectors; incremental: the last 12 against the
+    // SAME seeds/codebook (both live in the first vectors, all < 48)
+    Similarity.ivfPqIndexRows(sig.filter(col("vec_id") < 48))
+      .write.mode("overwrite").partitionBy("cell").parquet(base)
+    val idx = graft.operators.Bucketing.appendPartitioned(spark, base,
+      Similarity.ivfPqIndexRows(sig).filter(col("vec_id") >= 48), "cell")
+    val full = Similarity.ivfPqIndexRows(sig).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2))).sortBy(_._1).toSeq
+    val inc = idx.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(inc == full, "incremental append diverged from full rebuild")
+    val served = Similarity.ivfPqServe(idx, sig, 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val mem = Similarity.ivfPqTopK(embDf(vecs), 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(served == mem, "persisted IVF-PQ serve diverged from in-memory ivfPqTopK")
+  }
+
   test("persisted PQ: appended codes == full rebuild; staged serve equals in-memory pqRerankTopK") {
     import org.apache.spark.sql.functions.col
     val vecs = (0L until 60L).map(i => (i, randVec()))
