@@ -223,6 +223,42 @@ object ScaleProbe {
       }
     }
 
+    // persisted IVF-PQ serve: both prunings under collection growth —
+    // the DPP cell cut bounds WHICH posting lists open, the code layout
+    // bounds WHAT is read; staging outside the window (serve axis only)
+    if (probeEnabled("ivfPqPersistServe")) {
+      def stagedIvfPq(d: org.apache.spark.sql.DataFrame)
+          : (String, org.apache.spark.sql.DataFrame) = {
+        val sig = graft.operators.Similarity.withNorm(d)
+        val p = java.nio.file.Files.createTempDirectory("graft_probe_ivfpq_").toString
+        graft.operators.Similarity.ivfPqIndexRows(sig)
+          .write.mode("overwrite").partitionBy("cell").parquet(p)
+        (p, sig)
+      }
+      def oneServe(tag: String, p: String,
+                   sig: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Similarity
+          .ivfPqServe(spark.read.parquet(p), sig, 64, 3).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALEPROBE ivfPqPersistServe $tag: $sec%.2f s, $rows rows")
+        sec
+      }
+      val (path1, sig1) = stagedIvfPq(emb)
+      val (pathN, sigN) = stagedIvfPq(bigEmbAll)
+      try {
+        oneServe("1x warm", path1, sig1)
+        val a = oneServe("1x", path1, sig1)
+        val b = oneServe(s"${n}x", pathN, sigN)
+        println(f"SCALEPROBE ivfPqPersistServe ratio: ${b / a}%.2f (linear would be ~$n)")
+      } finally Seq(path1, pathN).foreach { p =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+
     probePair("dimStats", emb, bigEmbAll, d =>
       graft.operators.Similarity.dimStats(d).count())
     probePair("standardize", emb, bigEmbAll, d =>
