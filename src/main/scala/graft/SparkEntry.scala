@@ -2508,6 +2508,61 @@ object SparkEntry {
     "q_embed_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Similarity.embeddings(s, dir), 20, 3)),
 
+    // STREAMING ANN serving — queries arrive continuously, the
+    // collection is static: per-row probe-cell ranking against the
+    // driver-collected seed set (nCells-bounded literal — pure map, no
+    // state), stream-static equi-join on cell, exact cosine, and ONE
+    // Complete-mode top-k aggregate per query id (a query's candidates
+    // all arrive in its own micro-batch; the collect_list state is
+    // per-query-candidate-sized — the feedPipe-bounded proof contract;
+    // a production deployment would rank per micro-batch instead).
+    // Candidate set, cosine, and (cos DESC, vec_id) tie-break match
+    // ivfTopK exactly ⇒ shares q_embed_ivf's oracle.
+    "q_ann_stream" -> ((s, dir) => {
+      import s.implicits._
+      val sig = graft.core.Materialize.checkpoint(
+        Similarity.withNorm(Similarity.embeddings(s, dir)))
+      val cells = sig.join(
+        Similarity.cellAssign(sig), "vec_id")
+      val seeds = sig.filter(col("vec_id") < Similarity.NumCells)
+        .select(col("vec_id").as("sid"), col("emb"), col("nrm"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      val seedsLit = typedLit(seeds)
+      val queries = sig.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("emb"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      val out = graft.streaming.StreamExec.runStreamingComplete[(Long, Seq[Double])](
+        s, queries,
+        ds => {
+          val q = ds.toDF("q_id", "q_emb")
+            .select(col("q_id"), col("q_emb"),
+              Similarity.norm(col("q_emb")).as("q_nrm"))
+          // per-row probe ranking: (cos DESC, sid) over the seed
+          // literal, top nProbe — the ivfRanked window as array ops
+          val probes = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
+            explode(slice(transform(
+              array_sort(transform(seedsLit, sd => struct(
+                (Similarity.cosineFromNorms(col("q_emb"), sd.getField("_2"),
+                  col("q_nrm"), sd.getField("_3")) * lit(-1.0d)).as("negc"),
+                sd.getField("_1").as("sid")))),
+              x => x.getField("sid")), 1, Similarity.NProbe)).as("cell"))
+          val scored = probes.join(cells, Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              Similarity.cosineFromNorms(col("q_emb"), col("emb"),
+                col("q_nrm"), col("nrm")).as("cos"))
+          scored.groupBy(col("q_id"))
+            .agg(slice(sort_array(collect_list(
+              struct((col("cos") * lit(-1.0d)).as("negcos"), col("vec_id")))),
+              1, 3).as("top"))
+        },
+        quantum = streamQuantum2(queries.size))
+      out.select(col("q_id"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("q_id"), col("t.vec_id").as("vec_id"),
+          (col("t.negcos") * lit(-1.0d)).as("cos"),
+          (col("p") + 1).cast("long").as("rnk"))
+    }),
+
     // IVF served from a PERSISTED inverted file (write-once Hive layout
     // partitioned by cell, staged once per JVM): dynamic partition
     // pruning narrows the index scan to the probed cell directories —
@@ -3707,6 +3762,8 @@ object SparkEntry {
           WHERE rnk <= 3""",
 
     "q_embed_ivf" -> Similarity.ivfTopKSql(20, 3),
+    // streaming serve twin: same candidates, cosine, and tie-break
+    "q_ann_stream" -> Similarity.ivfTopKSql(20, 3),
     "q_embed_ivf_persist" -> Similarity.ivfTopKSql(20, 3),
     "q_embed_pq" -> Similarity.pqCodesSql(),
     "q_embed_pq_topk" -> Similarity.pqAdcTopKSql(20, 3),
