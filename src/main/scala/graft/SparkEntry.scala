@@ -225,6 +225,66 @@ object SparkEntry {
     */
   private def streamQuantum2(n: Int): Int = math.max(1, (n + 1) / 2)
 
+  /** STREAMING ANN serving (q_ann_stream): query vectors arrive
+    * continuously, the indexed collection is static. Probe-cell ranking
+    * runs per row against the nCells-bounded seed literal (the
+    * ivfRanked window re-expressed as pure array ops — no state),
+    * candidates come from a stream-static equi-join on cell, and ONE
+    * Complete-mode top-k aggregate per query id finishes the serve (a
+    * query's candidates all arrive in its own micro-batch; collect_list
+    * state is per-query-candidate-sized — the feedPipe-bounded proof
+    * contract; a production deployment would rank per micro-batch).
+    * Candidate set, cosine, and the (cos DESC, vec_id) tie-break match
+    * [[Similarity.ivfTopK]] exactly ⇒ shares q_embed_ivf's oracle.
+    * `quantum` ≤ 0 → the default 2-batch feed; StreamingSpec re-runs at
+    * quantum 1 and all-at-once to pin micro-batch-split invariance.
+    */
+  private[graft] def annStreamServe(s: SparkSession, dir: String,
+                                    quantum: Int): DataFrame = {
+    import s.implicits._
+    val sig = graft.core.Materialize.checkpoint(
+      Similarity.withNorm(Similarity.embeddings(s, dir)))
+    val cells = sig.join(Similarity.cellAssign(sig), "vec_id")
+    val seeds = sig.filter(col("vec_id") < Similarity.NumCells)
+      .select(col("vec_id").as("sid"), col("emb"), col("nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+    val seedsLit = typedLit(seeds)
+    val queries = sig.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("emb"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val out = graft.streaming.StreamExec.runStreamingComplete[(Long, Seq[Double])](
+      s, queries,
+      ds => {
+        val q = ds.toDF("q_id", "q_emb")
+          .select(col("q_id"), col("q_emb"),
+            Similarity.norm(col("q_emb")).as("q_nrm"))
+        // per-row probe ranking: (cos DESC, sid) over the seed
+        // literal, top nProbe — the ivfRanked window as array ops
+        val probes = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
+          explode(slice(transform(
+            array_sort(transform(seedsLit, sd => struct(
+              (Similarity.cosineFromNorms(col("q_emb"), sd.getField("_2"),
+                col("q_nrm"), sd.getField("_3")) * lit(-1.0d)).as("negc"),
+              sd.getField("_1").as("sid")))),
+            x => x.getField("sid")), 1, Similarity.NProbe)).as("cell"))
+        val scored = probes.join(cells, Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosineFromNorms(col("q_emb"), col("emb"),
+              col("q_nrm"), col("nrm")).as("cos"))
+        scored.groupBy(col("q_id"))
+          .agg(slice(sort_array(collect_list(
+            struct((col("cos") * lit(-1.0d)).as("negcos"), col("vec_id")))),
+            1, 3).as("top"))
+      },
+      quantum = if (quantum > 0) quantum else streamQuantum2(queries.size))
+    out.select(col("q_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("q_id"), col("t.vec_id").as("vec_id"),
+        (col("t.negcos") * lit(-1.0d)).as("cos"),
+        (col("p") + 1).cast("long").as("rnk"))
+  }
+
   /** Shared driver-side staging of the events stream as ordered
     * Elem(seq, ival) quanta — the input of both streaming-executed
     * queries (fixture-scale by design; see StreamExec scaladoc).
@@ -2518,50 +2578,7 @@ object SparkEntry {
     // a production deployment would rank per micro-batch instead).
     // Candidate set, cosine, and (cos DESC, vec_id) tie-break match
     // ivfTopK exactly ⇒ shares q_embed_ivf's oracle.
-    "q_ann_stream" -> ((s, dir) => {
-      import s.implicits._
-      val sig = graft.core.Materialize.checkpoint(
-        Similarity.withNorm(Similarity.embeddings(s, dir)))
-      val cells = sig.join(
-        Similarity.cellAssign(sig), "vec_id")
-      val seeds = sig.filter(col("vec_id") < Similarity.NumCells)
-        .select(col("vec_id").as("sid"), col("emb"), col("nrm"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      val seedsLit = typedLit(seeds)
-      val queries = sig.filter(col("vec_id") < 20)
-        .select(col("vec_id"), col("emb"))
-        .as[(Long, Seq[Double])].collect().toSeq
-      val out = graft.streaming.StreamExec.runStreamingComplete[(Long, Seq[Double])](
-        s, queries,
-        ds => {
-          val q = ds.toDF("q_id", "q_emb")
-            .select(col("q_id"), col("q_emb"),
-              Similarity.norm(col("q_emb")).as("q_nrm"))
-          // per-row probe ranking: (cos DESC, sid) over the seed
-          // literal, top nProbe — the ivfRanked window as array ops
-          val probes = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
-            explode(slice(transform(
-              array_sort(transform(seedsLit, sd => struct(
-                (Similarity.cosineFromNorms(col("q_emb"), sd.getField("_2"),
-                  col("q_nrm"), sd.getField("_3")) * lit(-1.0d)).as("negc"),
-                sd.getField("_1").as("sid")))),
-              x => x.getField("sid")), 1, Similarity.NProbe)).as("cell"))
-          val scored = probes.join(cells, Seq("cell"))
-            .filter(col("vec_id") =!= col("q_id"))
-            .select(col("q_id"), col("vec_id"),
-              Similarity.cosineFromNorms(col("q_emb"), col("emb"),
-                col("q_nrm"), col("nrm")).as("cos"))
-          scored.groupBy(col("q_id"))
-            .agg(slice(sort_array(collect_list(
-              struct((col("cos") * lit(-1.0d)).as("negcos"), col("vec_id")))),
-              1, 3).as("top"))
-        },
-        quantum = streamQuantum2(queries.size))
-      out.select(col("q_id"), posexplode(col("top")).as(Seq("p", "t")))
-        .select(col("q_id"), col("t.vec_id").as("vec_id"),
-          (col("t.negcos") * lit(-1.0d)).as("cos"),
-          (col("p") + 1).cast("long").as("rnk"))
-    }),
+    "q_ann_stream" -> ((s, dir) => annStreamServe(s, dir, 0)),
 
     // IVF served from a PERSISTED inverted file (write-once Hive layout
     // partitioned by cell, staged once per JVM): dynamic partition

@@ -975,4 +975,20 @@ class StreamingSpec extends SparkSpec {
     assert(StreamExec.lastStreamingPlan.contains("TransformWithState"),
       s"expected TransformWithState in:\n${StreamExec.lastStreamingPlan}")
   }
+
+  test("q_ann_stream: serve is micro-batch-split invariant and equals the batch IVF search") {
+    val dir = "/root/testdata/sf0.001"
+    def served(quantum: Int): Seq[(Long, Long, Double, Long)] =
+      SparkEntry.annStreamServe(spark, dir, quantum).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sorted.toSeq
+    val oneByOne = served(1)       // every query its own micro-batch
+    val allAtOnce = served(10000)  // single batch
+    assert(oneByOne == allAtOnce, "serve results depend on the micro-batch split")
+    val batch = graft.operators.Similarity
+      .ivfTopK(graft.operators.Similarity.embeddings(spark, dir), 20, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(oneByOne == batch, "streaming serve diverged from batch ivfTopK")
+  }
 }
