@@ -188,76 +188,57 @@ object ScaleProbe {
     // also widens the serving axis. Staging is OUTSIDE the timed window
     // — the probe measures the query-many path a serving layout exists
     // for, not the write-once build.
-    if (probeEnabled("ivfPersistServe")) {
-      def stagedIvf(d: org.apache.spark.sql.DataFrame)
+    // shared persisted-serve probe protocol: stage the cell-partitioned
+    // layout (OUTSIDE the timed window — the probe measures the
+    // query-many serve path, not the write-once build), time 1x/Nx
+    // serves at nQ=64, then DELETE both layouts (the Nx copy would fill
+    // /tmp across re-measures; walk stream closed deterministically).
+    def persistedServeProbe(label: String,
+        indexRows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        serve: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = {
+      if (!probeEnabled(label)) return
+      def staged(d: org.apache.spark.sql.DataFrame)
           : (String, org.apache.spark.sql.DataFrame) = {
         val sig = graft.operators.Similarity.withNorm(d)
-        val p = java.nio.file.Files.createTempDirectory("graft_probe_ivf_").toString
-        graft.operators.Similarity.ivfIndexRows(sig)
-          .write.mode("overwrite").partitionBy("cell").parquet(p)
+        val p = java.nio.file.Files.createTempDirectory(s"graft_probe_${label}_").toString
+        indexRows(sig).write.mode("overwrite").partitionBy("cell").parquet(p)
         (p, sig)
       }
       def oneServe(tag: String, p: String,
                    sig: org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()
-        val rows = graft.operators.Similarity
-          .ivfServe(spark.read.parquet(p), sig, 64, 3).count()
+        val rows = serve(spark.read.parquet(p), sig).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"SCALEPROBE ivfPersistServe $tag: $sec%.2f s, $rows rows")
+        println(f"SCALEPROBE $label $tag: $sec%.2f s, $rows rows")
         sec
       }
-      val (path1, sig1) = stagedIvf(emb)
-      val (pathN, sigN) = stagedIvf(bigEmbAll)
+      val (path1, sig1) = staged(emb)
+      val (pathN, sigN) = staged(bigEmbAll)
       try {
         oneServe("1x warm", path1, sig1)
         val a = oneServe("1x", path1, sig1)
         val b = oneServe(s"${n}x", pathN, sigN)
-        println(f"SCALEPROBE ivfPersistServe ratio: ${b / a}%.2f (linear would be ~$n)")
+        println(f"SCALEPROBE $label ratio: ${b / a}%.2f (linear would be ~$n)")
       } finally Seq(path1, pathN).foreach { p =>
-        // the N× layout is a full parquet copy of the collection —
-        // leaking it per probe run would fill /tmp across re-measures
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
       }
     }
-
-    // persisted IVF-PQ serve: both prunings under collection growth —
-    // the DPP cell cut bounds WHICH posting lists open, the code layout
-    // bounds WHAT is read; staging outside the window (serve axis only)
-    if (probeEnabled("ivfPqPersistServe")) {
-      def stagedIvfPq(d: org.apache.spark.sql.DataFrame)
-          : (String, org.apache.spark.sql.DataFrame) = {
-        val sig = graft.operators.Similarity.withNorm(d)
-        val p = java.nio.file.Files.createTempDirectory("graft_probe_ivfpq_").toString
-        graft.operators.Similarity.ivfPqIndexRows(sig)
-          .write.mode("overwrite").partitionBy("cell").parquet(p)
-        (p, sig)
-      }
-      def oneServe(tag: String, p: String,
-                   sig: org.apache.spark.sql.DataFrame): Double = {
-        val t0 = System.nanoTime()
-        val rows = graft.operators.Similarity
-          .ivfPqServe(spark.read.parquet(p), sig, 64, 3).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"SCALEPROBE ivfPqPersistServe $tag: $sec%.2f s, $rows rows")
-        sec
-      }
-      val (path1, sig1) = stagedIvfPq(emb)
-      val (pathN, sigN) = stagedIvfPq(bigEmbAll)
-      try {
-        oneServe("1x warm", path1, sig1)
-        val a = oneServe("1x", path1, sig1)
-        val b = oneServe(s"${n}x", pathN, sigN)
-        println(f"SCALEPROBE ivfPqPersistServe ratio: ${b / a}%.2f (linear would be ~$n)")
-      } finally Seq(path1, pathN).foreach { p =>
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    // persisted-IVF serve: collection n-times but each query still probes
+    // nProbe/nCells of the cell directories, so cost must scale on the
+    // PRUNED candidate bytes, never directory count or staging volume
+    persistedServeProbe("ivfPersistServe",
+      sig => graft.operators.Similarity.ivfIndexRows(sig),
+      (idx, sig) => graft.operators.Similarity.ivfServe(idx, sig, 64, 3))
+    // persisted IVF-PQ serve: both prunings under growth — the DPP cell
+    // cut bounds WHICH posting lists open, the code layout WHAT is read
+    persistedServeProbe("ivfPqPersistServe",
+      sig => graft.operators.Similarity.ivfPqIndexRows(sig),
+      (idx, sig) => graft.operators.Similarity.ivfPqServe(idx, sig, 64, 3))
 
     probePair("dimStats", emb, bigEmbAll, d =>
       graft.operators.Similarity.dimStats(d).count())

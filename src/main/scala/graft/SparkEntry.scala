@@ -244,7 +244,11 @@ object SparkEntry {
     import s.implicits._
     val sig = graft.core.Materialize.checkpoint(
       Similarity.withNorm(Similarity.embeddings(s, dir)))
-    val cells = sig.join(Similarity.cellAssign(sig), "vec_id")
+    // checkpointed: the stream-static join re-executes its static side
+    // EVERY micro-batch — without this the full-collection assignment
+    // (broadcast cross-join + argmax window) would run once per batch
+    val cells = graft.core.Materialize.checkpoint(
+      sig.join(Similarity.cellAssign(sig), "vec_id"))
     val seeds = sig.filter(col("vec_id") < Similarity.NumCells)
       .select(col("vec_id").as("sid"), col("emb"), col("nrm"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
@@ -260,12 +264,19 @@ object SparkEntry {
           .select(col("q_id"), col("q_emb"),
             Similarity.norm(col("q_emb")).as("q_nrm"))
         // per-row probe ranking: (cos DESC, sid) over the seed
-        // literal, top nProbe — the ivfRanked window as array ops
+        // literal, top nProbe — the ivfRanked window as array ops.
+        // sortKey maps cos to an ASCENDING key that preserves the
+        // window's DESC NaN placement: both engines order NaN greatest
+        // (FIRST under DESC), but negating a NaN leaves NaN (LAST under
+        // ASC) — so NaN maps to -Infinity explicitly. The true cos
+        // rides along untouched for the output.
+        def sortKey(cos: Column): Column =
+          when(isnan(cos), lit(Double.NegativeInfinity)).otherwise(cos * lit(-1.0d))
         val probes = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
           explode(slice(transform(
             array_sort(transform(seedsLit, sd => struct(
-              (Similarity.cosineFromNorms(col("q_emb"), sd.getField("_2"),
-                col("q_nrm"), sd.getField("_3")) * lit(-1.0d)).as("negc"),
+              sortKey(Similarity.cosineFromNorms(col("q_emb"), sd.getField("_2"),
+                col("q_nrm"), sd.getField("_3"))).as("key"),
               sd.getField("_1").as("sid")))),
             x => x.getField("sid")), 1, Similarity.NProbe)).as("cell"))
         val scored = probes.join(cells, Seq("cell"))
@@ -275,13 +286,13 @@ object SparkEntry {
               col("q_nrm"), col("nrm")).as("cos"))
         scored.groupBy(col("q_id"))
           .agg(slice(sort_array(collect_list(
-            struct((col("cos") * lit(-1.0d)).as("negcos"), col("vec_id")))),
+            struct(sortKey(col("cos")).as("key"), col("vec_id"), col("cos")))),
             1, 3).as("top"))
       },
       quantum = if (quantum > 0) quantum else streamQuantum2(queries.size))
     out.select(col("q_id"), posexplode(col("top")).as(Seq("p", "t")))
       .select(col("q_id"), col("t.vec_id").as("vec_id"),
-        (col("t.negcos") * lit(-1.0d)).as("cos"),
+        col("t.cos").as("cos"),
         (col("p") + 1).cast("long").as("rnk"))
   }
 

@@ -305,12 +305,20 @@ class SimilaritySpec extends SparkSpec {
     val vecs = (0L until 60L).map(i => (i, randVec()))
     val sig = Similarity.withNorm(embDf(vecs))
     val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
-    // write-once: first 48 vectors; incremental: the last 12 against the
-    // SAME seeds/codebook (both live in the first vectors, all < 48)
+    // write-once: first 48 vectors; incremental: a GENUINE batch-only
+    // append — only the 12 arriving rows flow through ivfPqIndexRowsWith
+    // against the index's ORIGINAL seeds + codebook (deriving geometry
+    // from the batch itself would assign against foreign centroids, or
+    // an empty seed set when the batch lacks low ids — zero rows
+    // appended, silent data loss)
     Similarity.ivfPqIndexRows(sig.filter(col("vec_id") < 48))
       .write.mode("overwrite").partitionBy("cell").parquet(base)
+    val origSeeds = sig.filter(col("vec_id") < Similarity.NumCells)
+      .select(col("vec_id").as("sid"), col("emb").as("s_emb"), col("nrm").as("s_nrm"))
+    val origCb = Similarity.pqCodebook(sig)
     val idx = graft.operators.Bucketing.appendPartitioned(spark, base,
-      Similarity.ivfPqIndexRows(sig).filter(col("vec_id") >= 48), "cell")
+      Similarity.ivfPqIndexRowsWith(
+        sig.filter(col("vec_id") >= 48), origSeeds, origCb), "cell")
     val full = Similarity.ivfPqIndexRows(sig).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2))).sortBy(_._1).toSeq
     val inc = idx.collect()
