@@ -197,10 +197,18 @@ object ScaleProbe {
         indexRows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
         serve: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = {
       if (!probeEnabled(label)) return
+      // track each staged path the moment its directory exists (NOT
+      // after the write returns) and clean inside a try/finally that
+      // covers staging too: if staging the Nx layout throws mid-write
+      // (e.g. /tmp fills — the very risk this cleanup exists for), the
+      // already-written 1x layout and the partial Nx files must not
+      // leak across re-measures
+      val stagedPaths = scala.collection.mutable.ArrayBuffer.empty[String]
       def staged(d: org.apache.spark.sql.DataFrame)
           : (String, org.apache.spark.sql.DataFrame) = {
         val sig = graft.operators.Similarity.withNorm(d)
         val p = java.nio.file.Files.createTempDirectory(s"graft_probe_${label}_").toString
+        stagedPaths += p
         indexRows(sig).write.mode("overwrite").partitionBy("cell").parquet(p)
         (p, sig)
       }
@@ -212,14 +220,14 @@ object ScaleProbe {
         println(f"SCALEPROBE $label $tag: $sec%.2f s, $rows rows")
         sec
       }
-      val (path1, sig1) = staged(emb)
-      val (pathN, sigN) = staged(bigEmbAll)
       try {
+        val (path1, sig1) = staged(emb)
+        val (pathN, sigN) = staged(bigEmbAll)
         oneServe("1x warm", path1, sig1)
         val a = oneServe("1x", path1, sig1)
         val b = oneServe(s"${n}x", pathN, sigN)
         println(f"SCALEPROBE $label ratio: ${b / a}%.2f (linear would be ~$n)")
-      } finally Seq(path1, pathN).foreach { p =>
+      } finally stagedPaths.foreach { p =>
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
         try {
           import scala.jdk.CollectionConverters._

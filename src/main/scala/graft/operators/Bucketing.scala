@@ -145,8 +145,10 @@ object Bucketing {
     * Readers resolve the highest live version; a retrain builds
     * `v(max+1)` and writes the marker LAST — a serve that starts
     * mid-rebuild keeps reading the old version until the new one
-    * commits, with no locks and no torn reads (a dead writer leaves an
-    * unmarked directory the next writer simply overwrites).
+    * commits — no reader locks, no torn reads (a dead writer leaves an
+    * unmarked directory that readers ignore and later writers skip
+    * past; writer-writer exclusion is [[writeVersion]]'s atomic
+    * directory reservation).
     */
   def liveVersion(base: String): Option[(Int, String)] = {
     val b = java.nio.file.Paths.get(base)
@@ -169,17 +171,58 @@ object Bucketing {
     }
   }
 
+  /** Per-base writer locks for [[writeVersion]]: two same-JVM
+    * maintainers (e.g. a drift-triggered retrain racing a manual
+    * rebuild) serialize here instead of both paying a full index build
+    * only for one to lose the directory reservation below.
+    */
+  private val versionLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Write `df` as the NEXT version of a [[liveVersion]] layout and
     * commit it; returns the new version's path (now the live one).
+    *
+    * Writer-writer exclusion: the version number is RESERVED by an
+    * atomic `Files.createDirectory(base/vN)` in a retry loop — two
+    * concurrent maintainers that both resolve next = live+1 cannot
+    * both win the create; the loser retries at N+1 and writes a
+    * distinct directory. The parquet write then uses append mode into
+    * the reserved (empty) directory — overwrite would delete and
+    * recreate it, reopening the very window the reservation closes.
+    * The commit sentinel still lands LAST, so readers never observe a
+    * partially-written version; a dead writer leaves an unmarked
+    * reserved directory that [[liveVersion]] ignores and later writers
+    * skip past.
     */
   def writeVersion(spark: SparkSession, base: String, df: DataFrame,
-                   key: String): String = {
-    val next = liveVersion(base).map(_._1 + 1).getOrElse(1)
-    val p = java.nio.file.Paths.get(base, s"v$next")
-    df.write.mode("overwrite").partitionBy(key).parquet(p.toString)
-    java.nio.file.Files.write(p.resolve(commitSentinel), Array.emptyByteArray)
-    p.toString
-  }
+                   key: String): String =
+    versionLocks.computeIfAbsent(base, _ => new Object).synchronized {
+      val b = java.nio.file.Paths.get(base)
+      java.nio.file.Files.createDirectories(b)
+      // start above every EXISTING vN directory, committed or not — a
+      // liveVersion-only scan would re-collide with a concurrent
+      // writer's reserved-but-uncommitted directory on every retry
+      def maxAnyVersion(): Int = {
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.list(b)
+        try stream.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("v[0-9]+")).map(_.drop(1).toInt)
+          .foldLeft(0)(math.max)
+        finally stream.close()
+      }
+      var p: java.nio.file.Path = null
+      var next = maxAnyVersion() + 1
+      while (p == null) {
+        val cand = b.resolve(s"v$next")
+        try { java.nio.file.Files.createDirectory(cand); p = cand }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          next = math.max(next + 1, maxAnyVersion() + 1)
+        }
+      }
+      df.write.mode("append").partitionBy(key).parquet(p.toString)
+      java.nio.file.Files.write(p.resolve(commitSentinel), Array.emptyByteArray)
+      p.toString
+    }
 
   /** Equi-join two same-bucket-count staged tables on their bucket key.
     * The merge hint keeps the planner on sort-merge (a broadcast would

@@ -115,10 +115,14 @@ object Html {
     * boundary.
     */
   def stripTags(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    // comments BEFORE script/style: a commented-out <script> (common in
+    // crawled markup) must never open a block run — with the old order
+    // the non-greedy .*?</script> swallowed all real content up to the
+    // next </script> elsewhere on the page
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", "\n")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", "\n")
     Entities.foldLeft(noTags) { case (c, (e, r)) =>
       call_function("replace", c, lit(e), lit(r))
     }
@@ -160,11 +164,13 @@ object Html {
 
   /** The strip chain (steps 1-4) over a SQL expression. */
   private def stripSql(htmlExpr: String): String = {
+    // order mirrors stripTags exactly: comments, then script, then
+    // style, then tags — the two engines must strip byte-identically
     val noBlocks =
       s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($htmlExpr,
+          '(?s)<!--.*?-->', ' ', 'g'),
           '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-          '(?s)<!--.*?-->', ' ', 'g'),
           '<[^>]*>', chr(10), 'g')"""
     Entities.foldLeft(noBlocks) { case (acc, (e, r)) =>
       s"replace($acc, ${sqlQuote(e)}, ${sqlQuote(r)})"

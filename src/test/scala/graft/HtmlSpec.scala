@@ -33,6 +33,18 @@ class HtmlSpec extends SparkSpec {
     assert(kept == 1L)
   }
 
+  test("a commented-out <script> never opens a block run that swallows real content") {
+    // comments strip BEFORE script blocks: with the reverse order the
+    // non-greedy .*?</script> would start at the commented-out opener
+    // and eat the visible paragraph up to the real script's closer
+    val (txt, kept, _) = extractOne(
+      "<!-- disabled: <script src=\"a.js\"> -->" +
+        "<p>Visible paragraph passes all the rules.</p>" +
+        "<script>var x = 1;</script>")
+    assert(txt == "Visible paragraph passes all the rules.")
+    assert(kept == 1L)
+  }
+
   test("entity decode order: &amp;lt; yields the LITERAL string &lt;, not <") {
     val (txt, _, _) = extractOne("<p>Escaped &amp;lt; stays literal text here.</p>")
     assert(txt == "Escaped &lt; stays literal text here.")

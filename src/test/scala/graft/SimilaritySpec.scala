@@ -238,10 +238,18 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.operators.Bucketing.liveVersion(base).get._1 == 1,
       "uncommitted rebuild became visible")
 
-    // retrain: refined centroids, re-partitioned collection, marker last
+    // retrain: refined centroids, re-partitioned collection, marker
+    // last. Writer-writer exclusion: the uncommitted v2 may belong to a
+    // CONCURRENT writer (indistinguishable from a dead one), so the
+    // retrain must neither write into it nor clobber it — it reserves
+    // and publishes v3, and v2 stays empty and uncommitted
     val seeds2 = Similarity.ivfRetrain(spark, base, sig)
     val (v2, p2) = graft.operators.Bucketing.liveVersion(base).get
-    assert(v2 == 2, "retrain did not publish v2")
+    assert(v2 == 3, "retrain did not publish past the reserved v2")
+    val v2Stream = java.nio.file.Files.list(java.nio.file.Paths.get(base, "v2"))
+    try assert(!v2Stream.findFirst().isPresent,
+      "retrain wrote into another writer's reserved directory")
+    finally v2Stream.close()
 
     // retrained-index serve == serving a FRESH in-memory build of the
     // same refined centroids (persistence adds nothing, loses nothing)
