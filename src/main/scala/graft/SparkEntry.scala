@@ -2309,6 +2309,35 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextOps.vocabSummary(ColOps.table(s, dir, "documents"), "text", 50L)),
 
+    // Unicode token tier — the text family without the Latin-only blind
+    // spot. Fixture = six-script texts (Cyrillic/Arabic/Greek/
+    // Devanagari/spaced-CJK/umlaut-Latin) keyed round-robin on doc_id,
+    // rendered once in TextOps.UnicodeFixture and mirrored verbatim
+    // into the oracle, so both engines tokenize identical bytes with
+    // the shared [\p{L}\p{M}\p{N}]+ class. Same map-only / one-shuffle
+    // shapes as the ASCII battery.
+    "q_vocab_unicode" -> ((s, dir) =>
+      TextOps.vocabSummaryUnicode(
+        TextOps.unicodeFixture(ColOps.table(s, dir, "documents"), "doc_id"),
+        "text", 50L)),
+
+    // the quality battery proven NOT to zero out non-Latin documents:
+    // per-doc flags + keep + reason with the planted language carried
+    // through, so the oracle row pins keep=true across all six scripts
+    "q_quality_unicode" -> ((s, dir) =>
+      TextOps.qualityFilterUnicode(
+        TextOps.unicodeFixture(ColOps.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "text", carry = Seq("lang"))),
+
+    // language ID across six scripts: stopword-argmax over Unicode
+    // tokens recovers the planted language (true lang carried for the
+    // confusion readout)
+    "q_lang_id_unicode" -> ((s, dir) => {
+      val fx = TextOps.unicodeFixture(ColOps.table(s, dir, "documents"), "doc_id")
+      fx.select(col("doc_id"), col("lang"),
+        TextOps.langIdUnicode(col("text")).as("lang_pred"))
+    }),
+
     // corpus word frequencies — the classic one-shuffle wordcount
     "q_word_freq" -> ((s, dir) =>
       ColOps.table(s, dir, "documents")
@@ -3653,6 +3682,18 @@ object SparkEntry {
          GROUP BY w""",
 
     "q_vocab" -> TextOps.vocabSummarySql(50L),
+    // the fixture rides as an aliased subquery: vocabSummaryUnicodeSql
+    // opens its own WITH, so a wrapping CTE would not parse
+    "q_vocab_unicode" ->
+      TextOps.vocabSummaryUnicodeSql(50L, s"(${TextOps.unicodeFixtureSql}) fx"),
+    "q_quality_unicode" ->
+      s"""WITH fx AS (${TextOps.unicodeFixtureSql})
+          ${TextOps.qualityFilterUnicodeSql("fx", carry = Seq("lang"))}""",
+    "q_lang_id_unicode" ->
+      s"""WITH fx AS (${TextOps.unicodeFixtureSql}),
+               p AS (${TextOps.langIdUnicodeSql("fx")})
+          SELECT f.doc_id, f.lang, p.lang_pred
+          FROM fx f JOIN p USING (doc_id)""",
     "q_bigrams" -> TextOps.topBigramsSql(50),
     "q_bpe_pairs" -> TextOps.charPairCountsSql("documents", "text", 5L),
     "q_bpe_learn" -> TextOps.bpeLearnSql("documents", "text", 6),

@@ -262,6 +262,226 @@ object TextOps {
                MAX(total_words) AS total_words
         FROM wc, tw"""
 
+  // -------------------------------------------------------------------
+  // Unicode token mode — the text tier without the Latin-only blind spot
+  // -------------------------------------------------------------------
+
+  /** Unicode token class: letter/mark/number runs. `\p{M}` (combining
+    * marks) is included deliberately — without it every Devanagari,
+    * Thai, or vocalized-Arabic word shatters at its vowel signs into
+    * 1-letter fragments, and the mean-token-length rule then rejects
+    * the document the same way the ASCII class did. The identical
+    * pattern string runs in Spark (Java regex) and DuckDB (RE2): both
+    * support the one-letter Unicode general categories, and the fixture
+    * spec pins byte-identical tokenization across the six scripts.
+    *
+    * The reference's line source is charset-agnostic `Text`
+    * (reference: src/Data/Conduino/Combinators.hs:263-275); this mode
+    * extends that property through the token-consuming tier, where the
+    * ASCII [[tokens]] class silently yielded zero tokens for every
+    * non-Latin document.
+    */
+  val TokenPatternUnicode = "[\\p{L}\\p{M}\\p{N}]+"
+
+  /** Unicode-mode token extraction (script-agnostic [[tokens]]). */
+  def tokensU(text: Column): Column =
+    regexp_extract_all(text, lit(TokenPatternUnicode), lit(0))
+
+  /** [[StopWords]] extended beyond Latin scripts — Russian, Arabic,
+    * Greek, Hindi, Japanese function words (Japanese assumes spaced /
+    * wakachigaki or upstream-segmented text: unsegmented CJK needs a
+    * segmenter before ANY word-level statistic, which is out of scope
+    * for a tokenizer-prep tier and documented as such).
+    */
+  val StopWordsUnicode: Map[String, Seq[String]] = StopWords ++ Map(
+    "ru" -> Seq("и", "в", "не", "на"),
+    "ar" -> Seq("في", "من", "على", "أن"),
+    "el" -> Seq("και", "το", "η", "να"),
+    "hi" -> Seq("है", "और", "के", "में"),
+    "ja" -> Seq("は", "の", "に", "を"))
+
+  /** Multilingual fixture texts, one per language key, pure non-Latin
+    * scripts (plus umlaut-German): rendered ONCE here and mirrored
+    * verbatim into the oracle SQL, so both engines tokenize the exact
+    * same bytes. Each text passes the Unicode quality battery (≥5
+    * tokens, mean token length in [2,12], contains its language's
+    * stopwords) — the fixture EXISTS to prove the battery does not
+    * zero out non-Latin documents.
+    */
+  val UnicodeFixture: Seq[(String, String)] = Seq(
+    "de" -> "Die große Katze schläft ruhig und zufrieden im warmen Zimmer.",
+    "ru" -> "Большая собака бежит по зелёному полю и громко лает на рассвете.",
+    "ar" -> "الشمس تشرق فوق الجبال العالية في كل صباح جميل هنا.",
+    "el" -> "Η μικρή γάτα κοιμάται ήσυχα στο ζεστό δωμάτιο και ονειρεύεται.",
+    "hi" -> "बिल्ली गरम कमरे में चुपचाप सोती है और सपने देखती है।",
+    "ja" -> "コンピュータ は プログラム を 高速 に 実行 します 。")
+
+  /** The multilingual corpus as a DataFrame: every `documents` doc_id
+    * keyed round-robin onto one of the six fixture texts — deterministic
+    * in both engines, so vocab counts scale with the table while the
+    * token inventory stays the controlled six-script set.
+    */
+  def unicodeFixture(df: DataFrame, idCol: String): DataFrame = {
+    val n = UnicodeFixture.size
+    val langArr = array(UnicodeFixture.map(p => lit(p._1)): _*)
+    val textArr = array(UnicodeFixture.map(p => lit(p._2)): _*)
+    val slot = (col(idCol) % n).cast("int") + 1
+    df.select(col(idCol).as("doc_id"),
+      element_at(langArr, slot).as("lang"),
+      element_at(textArr, slot).as("text"))
+  }
+
+  /** The identical fixture as a DuckDB CTE body over `documents`. */
+  def unicodeFixtureSql: String = {
+    val langs = UnicodeFixture.map(p => s"'${p._1}'").mkString(", ")
+    val texts = UnicodeFixture.map(p => s"'${p._2.replace("'", "''")}'").mkString(", ")
+    s"""SELECT doc_id,
+          list_extract([$langs], (doc_id % ${UnicodeFixture.size})::INT + 1) AS lang,
+          list_extract([$texts], (doc_id % ${UnicodeFixture.size})::INT + 1) AS text
+        FROM documents"""
+  }
+
+  /** [[vocabSummary]] over Unicode tokens instead of space-words: the
+    * same one-shuffle wordcount + 1-row broadcast total, script-
+    * agnostic. Same distributed shape, same scale envelope.
+    */
+  def vocabSummaryUnicode(df: DataFrame, textCol: String, cutoffDenom: Long): DataFrame = {
+    val counts = df.select(explode(tokensU(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("long").as("total_words"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("in_vocab", col("c") >= expr(s"total_words div $cutoffDenom"))
+      .agg(
+        sum(when(col("in_vocab"), 1L).otherwise(0L)).cast("long").as("n_vocab"),
+        sum(when(col("in_vocab"), col("c")).otherwise(0L)).cast("long").as("kept_tokens"),
+        sum(when(!col("in_vocab"), col("c")).otherwise(0L)).cast("long").as("oov_tokens"),
+        max(col("total_words")).as("total_words"))
+  }
+
+  /** DuckDB mirror of [[vocabSummaryUnicode]] over a FROM source. */
+  def vocabSummaryUnicodeSql(cutoffDenom: Long, from: String): String =
+    s"""WITH wc AS (SELECT w, COUNT(*) AS c
+                    FROM (SELECT UNNEST(regexp_extract_all(text, '$TokenPatternUnicode')) AS w
+                          FROM $from) t
+                    GROUP BY w),
+             tw AS (SELECT CAST(SUM(c) AS BIGINT) AS total_words FROM wc)
+        SELECT CAST(SUM(CASE WHEN c >= total_words // $cutoffDenom THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab,
+               CAST(SUM(CASE WHEN c >= total_words // $cutoffDenom THEN c ELSE 0 END) AS BIGINT) AS kept_tokens,
+               CAST(SUM(CASE WHEN c < total_words // $cutoffDenom THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
+               MAX(total_words) AS total_words
+        FROM wc, tw"""
+
+  /** The quality battery in Unicode mode: the same five auditable rules
+    * as [[qualityFilter]] (same names, same integer cross-multiplied
+    * thresholds) computed over [[tokensU]] instead of space-words, so a
+    * Cyrillic / Arabic / Greek / Devanagari / spaced-CJK document is
+    * judged on its actual tokens instead of being zeroed by the ASCII
+    * token class. Differences from the ASCII battery, both forced by
+    * script-agnosticism:
+    *   - mean token length sums REAL token lengths (counted as the
+    *     text's token-class characters — `length` after deleting
+    *     non-token chars, an identity with sum-of-token-lengths that
+    *     keeps the whole rule codegen'd, no HOF fold) instead of the
+    *     single-space-joined `nC - nW + 1` identity;
+    *   - the stopword rule draws from [[StopWordsUnicode]];
+    *   - the digit rule counts `\p{N}`, not `[0-9]`.
+    * Still a map-only pass — per-row column expressions, zero shuffle.
+    */
+  def qualityFilterUnicode(df: DataFrame, idCol: String, textCol: String,
+                           carry: Seq[String] = Nil): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensU(t)
+    val nW = size(toks).cast("long")
+    val nC = length(t).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val allStops = StopWordsUnicode.values.flatten.toSeq.distinct
+    val nStops = size(filter(toks, x => x.isin(allStops: _*))).cast("long")
+    val nDigits = nC - length(regexp_replace(t, "[\\p{N}]", "")).cast("long")
+    val sumTokChars =
+      length(regexp_replace(t, s"[^\\p{L}\\p{M}\\p{N}]", "")).cast("long")
+    val okLen = nW >= MinWords
+    val okWordLen = (sumTokChars >= nW * WordLenLo) && (sumTokChars <= nW * WordLenHi)
+    val okStop = nStops * 20L >= nW
+    val okDistinct = nDistinct * 10L >= nW * 3L
+    val okDigit = nDigits * 10L <= nC * 3L
+    val flags = Seq(okLen, okWordLen, okStop, okDistinct, okDigit)
+    val reason = QualityRules.zip(flags).reverse
+      .foldLeft(lit(null).cast("string")) { case (els, (name, ok)) =>
+        when(!ok, lit(name)).otherwise(els)
+      }
+    df.select((col(idCol) +: carry.map(col)) ++
+      flags.zip(Seq("ok_len", "ok_word_len", "ok_stop", "ok_distinct", "ok_digit"))
+        .map { case (c, n) => c.as(n) } ++
+      Seq(flags.reduce(_ && _).as("keep"), reason.as("reason")): _*)
+  }
+
+  /** DuckDB mirror of [[qualityFilterUnicode]] over a FROM source. */
+  def qualityFilterUnicodeSql(from: String, carry: Seq[String] = Nil): String = {
+    val pat = TokenPatternUnicode
+    val sq = StopWordsUnicode.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    val toks = s"regexp_extract_all(text, '$pat')"
+    val nW = s"len($toks)::BIGINT"
+    val nC = "length(text)::BIGINT"
+    val nDistinct = s"len(list_distinct($toks))::BIGINT"
+    val nStops = s"len(list_filter($toks, w -> w IN ($sq)))::BIGINT"
+    val nDigits = s"($nC - length(regexp_replace(text, '[\\p{N}]', '', 'g'))::BIGINT)"
+    val sumTok = s"length(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]', '', 'g'))::BIGINT"
+    val rules = Seq(
+      "ok_len" -> s"$nW >= $MinWords",
+      "ok_word_len" -> s"($sumTok >= $nW * $WordLenLo AND $sumTok <= $nW * $WordLenHi)",
+      "ok_stop" -> s"$nStops * 20 >= $nW",
+      "ok_distinct" -> s"$nDistinct * 10 >= $nW * 3",
+      "ok_digit" -> s"$nDigits * 10 <= $nC * 3")
+    val flagCols = rules.map { case (n, e) => s"($e) AS $n" }.mkString(",\n          ")
+    val keep = rules.map(r => s"(${r._2})").mkString(" AND ")
+    val reason = "CASE " + QualityRules.zip(rules).map { case (name, (_, e)) =>
+      s"WHEN NOT ($e) THEN '$name'"
+    }.mkString(" ") + " ELSE NULL END"
+    val carryCols = carry.map(c => s"$c, ").mkString
+    s"""SELECT doc_id, $carryCols
+          $flagCols,
+          ($keep) AS keep,
+          $reason AS reason
+          FROM $from"""
+  }
+
+  /** Language ID in Unicode mode: the [[langId]] argmax-with-
+    * alphabetical-tie-break over [[StopWordsUnicode]] membership of
+    * [[tokensU]] tokens — one map-only pass, nine languages across six
+    * scripts.
+    */
+  def langIdUnicode(text: Column): Column = {
+    val langs = StopWordsUnicode.keys.toSeq.sorted
+    val toks = tokensU(text)
+    val scores = langs.map { l =>
+      l -> size(filter(toks, w => w.isin(StopWordsUnicode(l): _*)))
+    }
+    val best = scores.foldLeft(lit(0)) { case (acc, (_, s)) => greatest(acc, s) }
+    scores.reverse.foldLeft(lit("unknown")) { case (els, (l, s)) =>
+      when(s > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** DuckDB mirror of [[langIdUnicode]] over a FROM source carrying
+    * (doc_id, text).
+    */
+  def langIdUnicodeSql(from: String): String = {
+    val langs = StopWordsUnicode.keys.toSeq.sorted
+    def score(l: String): String = {
+      val in = StopWordsUnicode(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(regexp_extract_all(text, '$TokenPatternUnicode'), w -> w IN ($in)))"
+    }
+    val scored = langs.map(l => s"${score(l)} AS s_$l").mkString(", ")
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(m => s"s_$l >= s_$m")
+      val conds = (s"s_$l > 0" +: later).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'unknown' END AS lang_pred
+        FROM (SELECT doc_id, $scored FROM $from) s"""
+  }
+
   /** Global top-k bigram statistics — the corpus n-gram profile used for
     * boilerplate discovery and contamination screens. One shuffle (the
     * pair count, map-side combined); the top-k is `orderBy.limit`, which

@@ -359,4 +359,52 @@ class TextOpsSpec extends SparkSpec {
       (3L, 1L, lp(0, 0)),
       (4L, 0L, 0L)), got.toSeq.toString)
   }
+
+  // ---------- Unicode token mode ----------
+
+  test("tokensU: token count and token-char count match the DuckDB RE2 constants per script") {
+    import spark.implicits._
+    // the same six fixture texts probed against DuckDB's
+    // regexp_extract_all('[\p{L}\p{M}\p{N}]+') — these constants ARE the
+    // cross-engine agreement pin: if Java's \p{L}\p{M}\p{N} tables ever
+    // diverge from RE2's on these scripts, this fails before the oracle
+    val expected = Map(
+      "de" -> (10, 51), "ru" -> (11, 53), "ar" -> (10, 40),
+      "el" -> (10, 52), "hi" -> (11, 41), "ja" -> (8, 21))
+    val got = TextOps.UnicodeFixture.toDF("lang", "text")
+      .select(col("lang"), size(TextOps.tokensU(col("text"))).as("n"),
+        length(regexp_replace(col("text"), "[^\\p{L}\\p{M}\\p{N}]", "")).as("tc"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got == expected, got.toString)
+    // and the blind spot this mode fixes: the ASCII class yields ZERO
+    // tokens for every non-Latin script (only 'de' — Latin letters —
+    // survives it)
+    val ascii = TextOps.UnicodeFixture.toDF("lang", "text")
+      .select(col("lang"), size(TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ascii("de") > 0 &&
+      Seq("ru", "ar", "el", "hi").forall(l => ascii(l) == 0), ascii.toString)
+  }
+
+  test("Unicode quality battery keeps all six scripts; langIdUnicode recovers each planted language") {
+    import spark.implicits._
+    val fx = TextOps.UnicodeFixture.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }.toDF("doc_id", "lang", "text")
+    val q = TextOps.qualityFilterUnicode(fx, "doc_id", "text", carry = Seq("lang"))
+      .select(col("lang"), col("keep")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(q.size == 6 && q.values.forall(identity),
+      s"quality battery zeroed a script: $q")
+    val lid = fx.select(col("lang"),
+      TextOps.langIdUnicode(col("text")).as("pred")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lid.forall { case (l, p) => l == p }, lid.toString)
+    // the ASCII battery on the same docs: non-Latin scripts die at the
+    // stopword rule (zero Latin stopwords) — the regression this tier
+    // exists to prevent, kept here as the documented contrast
+    val ascii = TextOps.qualityFilter(fx, "doc_id", "text")
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!ascii(1L) && !ascii(2L), "non-Latin docs unexpectedly passed the ASCII battery")
+  }
 }
