@@ -296,6 +296,92 @@ object SparkEntry {
         (col("p") + 1).cast("long").as("rnk"))
   }
 
+  /** STREAMING index ingest (q_ann_ingest_stream) — the production dual
+    * of [[annStreamServe]]: there the QUERIES streamed against a static
+    * collection; here the COLLECTION streams. Arriving embeddings are
+    * encoded per micro-batch against the index's ORIGINAL geometry
+    * (Similarity.ivfPqIndexRowsWith — assignment must use the fixed
+    * (seeds, codebook) pair, never batch-derived centroids) and appended
+    * via foreachBatch + Bucketing.appendPartitioned into the PINNED
+    * serving version of a versioned layout. Each batch also runs the
+    * drift-gated maintenance loop (Similarity.maintainIvf, production
+    * threshold) over the collection ingested SO FAR: a firing gate
+    * publishes a refined retrain as the NEXT version of the maintenance
+    * base, commit-marker-last — it never touches the pinned serving
+    * version, which is exactly the version-pinning discipline a serving
+    * replica uses during a rollout (upgrade between requests, never mid-
+    * request; StreamingSpec pins the append/publish atomicity). The
+    * final serve reads the pinned version: initial + appends ≡ full
+    * rebuild, so the query shares the batch IVF-PQ oracle.
+    *
+    * Scale shape: per batch, encode cost is the BATCH (broadcast seeds +
+    * codebook), append touches only the cell directories the batch
+    * lands in, and the drift check scans the INDEX (emb/nrm live in the
+    * maintenance layout), never re-embedding the corpus. The driver-fed
+    * MemoryStream is the fixture contract (StreamExec scaladoc); a
+    * deployment swaps in readStream and the body is unchanged.
+    */
+  private[graft] def annIngestStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = graft.core.Materialize.checkpoint(
+      Similarity.withNorm(Similarity.embeddings(s, dir)))
+    // the initial corpus covers every geometry-training id (coarse seeds
+    // = vec_id < NumCells, PQ codewords = vec_id < PqK), so the
+    // write-once build's geometry IS the full-set geometry — the
+    // precondition for append ≡ rebuild ≡ the shared oracle
+    val nInit = 100L
+    val initial = graft.core.Materialize.checkpoint(
+      sig.filter(col("vec_id") < nInit))
+    val origSeeds = graft.core.Materialize.checkpoint(
+      initial.filter(col("vec_id") < Similarity.NumCells)
+        .select(col("vec_id").as("sid"), col("emb").as("s_emb"),
+          col("nrm").as("s_nrm")))
+    val origCb = graft.core.Materialize.checkpoint(Similarity.pqCodebook(initial))
+    val pqBase = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      "graft_ann_ingest_").toString
+    val ivfBase = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      "graft_ann_maint_").toString
+    deleteOnExit(pqBase); deleteOnExit(ivfBase)
+    // v1 = the write-once serving build over the initial corpus; the
+    // serve below PINS this version's path for the whole run
+    Bucketing.writeVersion(s, pqBase,
+      Similarity.ivfPqIndexRowsWith(initial, origSeeds, origCb), "cell")
+    val servePath = Bucketing.liveVersion(pqBase).get._2
+    // bootstrap the maintenance loop on the same initial corpus
+    Similarity.maintainIvf(s, ivfBase, initial)
+    val arriving = sig.filter(col("vec_id") >= nInit)
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1).toSeq
+    var grown = initial
+    graft.streaming.StreamExec.runForeachBatch(
+      s, arriving, quantum = (arriving.size + 2) / 3) { (batch, _) =>
+      val b = batch.toDF("vec_id", "emb", "nrm")
+      Bucketing.appendPartitioned(s, servePath,
+        Similarity.ivfPqIndexRowsWith(b, origSeeds, origCb), "cell")
+      // the maintenance loop sees exactly what the ingest has delivered
+      // (lineage cut per merge — same discipline as UpsertSnapshot)
+      grown = graft.core.Materialize.checkpoint(grown.unionByName(b))
+      Similarity.maintainIvf(s, ivfBase, grown)
+      ()
+    }
+    Similarity.ivfPqServe(s.read.parquet(servePath), sig, 20, 3)
+  }
+
+  /** Recursive temp-layout cleanup on JVM exit (the ingest bases are
+    * per-CALL fresh — a rerun must re-ingest, not serve a cached run).
+    */
+  private def deleteOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      } catch { case _: Throwable => () }))
+
   /** Shared driver-side staging of the events stream as ordered
     * Elem(seq, ival) quanta — the input of both streaming-executed
     * queries (fixture-scale by design; see StreamExec scaladoc).
@@ -2620,6 +2706,13 @@ object SparkEntry {
     // ivfTopK exactly ⇒ shares q_embed_ivf's oracle.
     "q_ann_stream" -> ((s, dir) => annStreamServe(s, dir, 0)),
 
+    // STREAMING index ingest — the collection arrives continuously:
+    // per-batch original-geometry encode + append into the pinned
+    // serving version, drift-gated maintenance publishing alongside
+    // (25th streaming-executed query; shares the batch IVF-PQ oracle
+    // because append ≡ rebuild on the pinned version)
+    "q_ann_ingest_stream" -> ((s, dir) => annIngestStream(s, dir)),
+
     // IVF served from a PERSISTED inverted file (write-once Hive layout
     // partitioned by cell, staged once per JVM): dynamic partition
     // pruning narrows the index scan to the probed cell directories —
@@ -3833,6 +3926,7 @@ object SparkEntry {
     "q_embed_ivf" -> Similarity.ivfTopKSql(20, 3),
     // streaming serve twin: same candidates, cosine, and tie-break
     "q_ann_stream" -> Similarity.ivfTopKSql(20, 3),
+    "q_ann_ingest_stream" -> Similarity.ivfPqTopKSql(20, 3),
     "q_embed_ivf_persist" -> Similarity.ivfTopKSql(20, 3),
     "q_embed_pq" -> Similarity.pqCodesSql(),
     "q_embed_pq_topk" -> Similarity.pqAdcTopKSql(20, 3),

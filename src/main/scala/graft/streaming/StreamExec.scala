@@ -334,6 +334,32 @@ object StreamExec {
       build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
     runBuilt(spark, OutputMode.Complete(), elems, build, quantum)
 
+  /** Run a MemoryStream-fed query into a `foreachBatch` SINK — the
+    * Structured Streaming pattern for maintenance side-effects that are
+    * not row emission: each micro-batch invokes `body(batchDf, batchId)`
+    * on the driver, and the body performs batch-API work (index append,
+    * snapshot merge, versioned publish). No memory sink exists; the
+    * query's product is whatever the body built. Quanta feed exactly
+    * like [[runStreaming]], so each quantum is one genuine micro-batch.
+    */
+  def runForeachBatch[T <: Product : TypeTag](
+      spark: SparkSession, elems: Seq[T], quantum: Int = 4096)(
+      body: (DataFrame, Long) => Unit): Unit =
+    withConfs(spark, RocksKey -> RocksProvider,
+                     ShuffleKey -> StreamShufflePartitions) {
+      implicit val sq: SQLContext = spark.sqlContext
+      implicit val encT: Encoder[T] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
+      val input = MemoryStream[T]
+      val query = input.toDS().toDF().writeStream
+        .foreachBatch((df: Dataset[Row], id: Long) => body(df.toDF(), id))
+        .start()
+      try elems.grouped(quantum).foreach { chunk =>
+        input.addData(chunk)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+
   /** Run a plan whose SOURCE is a real unbounded stream reader (file
     * discovery here; the same contract covers Kafka/rate readers) to the
     * memory sink — the production-ingestion twin of the MemoryStream

@@ -597,4 +597,71 @@ class SimilaritySpec extends SparkSpec {
     val (t2, p2, v2, ok2) = got(2L)
     assert(t2 == 1 && p2 == 0 && v2 == 3L && !ok2, s"mislabel row ${got(2L)}")
   }
+
+  test("streaming ingest: serve-during-append atomicity on the versioned layout; drift gate fires mid-stream and never touches the pinned version") {
+    import org.apache.spark.sql.functions.col
+    // 60 → 240: the 4x growth that provably re-shapes the refined
+    // centroids (the exact recipe of the drift-triggered maintenance
+    // test above — stored assignments go stale, the mid-stream gate
+    // MUST fire; a smaller bootstrap leaves 1-2-member cells whose
+    // self-weighted means are too sticky to ever reassign)
+    val vecs = (0L until 240L).map(i => (i, randVec()))
+    val sig = Similarity.withNorm(embDf(vecs))
+    val initial = sig.filter(col("vec_id") < 60)
+    val origSeeds = initial.filter(col("vec_id") < Similarity.NumCells)
+      .select(col("vec_id").as("sid"), col("emb").as("s_emb"), col("nrm").as("s_nrm"))
+    val origCb = Similarity.pqCodebook(initial)
+    val pqBase = java.nio.file.Files.createTempDirectory("graft_ingest_pq_").toString
+    val ivfBase = java.nio.file.Files.createTempDirectory("graft_ingest_ivf_").toString
+    Bucketing.writeVersion(spark, pqBase,
+      Similarity.ivfPqIndexRowsWith(initial, origSeeds, origCb), "cell")
+    val servePath = Bucketing.liveVersion(pqBase).get._2
+    Similarity.maintainIvf(spark, ivfBase, initial)
+    val ivfV0 = Bucketing.liveVersion(ivfBase).get._1
+    // a serve RESOLVED before any append must keep returning the
+    // pre-append result even when executed later: read.parquet snapshots
+    // the file listing at plan time — the "never mid-request" half of
+    // version pinning (an in-flight request sees one consistent index)
+    val preAppendServe = Similarity.ivfPqServe(
+      spark.read.parquet(servePath), sig, 5, 3)
+    val preRows = preAppendServe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    import spark.implicits._
+    val arriving = sig.filter(col("vec_id") >= 60)
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1).toSeq
+    var grown = initial
+    var fired = 0
+    graft.streaming.StreamExec.runForeachBatch(
+      spark, arriving, quantum = arriving.size / 2 + 1) { (batch, _) =>
+      val b = batch.toDF("vec_id", "emb", "nrm")
+      Bucketing.appendPartitioned(spark, servePath,
+        Similarity.ivfPqIndexRowsWith(b, origSeeds, origCb), "cell")
+      grown = grown.unionByName(b).localCheckpoint()
+      // hair trigger so the publish path provably exercises mid-stream
+      // (the production threshold fires on real drift, not every batch)
+      if (Similarity.maintainIvf(spark, ivfBase, grown,
+          driftThresholdPpm = 1L)._2.isDefined) fired += 1
+      ()
+    }
+    assert(fired >= 1, "drift gate never fired mid-stream")
+    // maintenance published NEW versions of ITS base only: the pinned
+    // serving version still carries its own commit sentinel and the
+    // serving base never grew a second version
+    assert(Bucketing.liveVersion(ivfBase).get._1 > ivfV0)
+    assert(Bucketing.liveVersion(pqBase).get._2 == servePath,
+      "maintenance disturbed the pinned serving version")
+    // the pre-append plan still answers from its snapshot
+    val preAgain = preAppendServe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(preAgain == preRows, "in-flight serve observed appended files")
+    // a serve resolved AFTER the stream sees initial + appends == the
+    // full rebuild (append ≡ rebuild on the pinned version)
+    val post = Similarity.ivfPqServe(spark.read.parquet(servePath), sig, 5, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val mem = Similarity.ivfPqTopK(embDf(vecs), 5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(post == mem, "post-ingest serve diverged from full rebuild")
+  }
 }
