@@ -2756,6 +2756,13 @@ object SparkEntry {
     "q_embed_ivfpq_persist" -> ((s, dir) =>
       Similarity.ivfPqPersistTopK(s, dir, 20, 3)),
 
+    // ANN recall audit — the serving-quality monitor: per-query
+    // integer recall@3 of the IVF-PQ index vs exact brute force, with
+    // nProbe swept (2 and the production 4) so the table shows what one
+    // more posting-list read buys each query
+    "q_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(Similarity.embeddings(s, dir), 20, 3)),
+
     // int8 scalar quantization (the ANN index memory-compression step) —
     // zero shuffle, all-IEEE-exact arithmetic
     // qvec is emitted comma-joined: the driver's hash comparator can't
@@ -3935,6 +3942,7 @@ object SparkEntry {
     "q_embed_pq_persist" -> Similarity.pqRerankTopKSql(20, 3),
     "q_embed_ivfpq" -> Similarity.ivfPqTopKSql(20, 3),
     "q_embed_ivfpq_persist" -> Similarity.ivfPqTopKSql(20, 3),
+    "q_ann_recall" -> Similarity.annRecallSql(20, 3),
     "q_embed_quant" ->
       s"""SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
           FROM (${Similarity.quantizeInt8Sql()}) qq""",

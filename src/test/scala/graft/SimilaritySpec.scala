@@ -598,6 +598,30 @@ class SimilaritySpec extends SparkSpec {
     assert(t2 == 1 && p2 == 0 && v2 == 3L && !ok2, s"mislabel row ${got(2L)}")
   }
 
+  test("annRecall: exhaustive probing recovers exact top-k; recall sum is monotone in nProbe") {
+    val vecs = (0L until 48L).map(i => (i, randVec()))
+    val emb = embDf(vecs)
+    // shortlist must COVER the collection for the exhaustive identity:
+    // probing every cell still prunes to the ADC shortlist, and an
+    // approximate ranking can push a true neighbor past position 32
+    val got = Similarity.annRecall(emb, nQ = 6, kNN = 3,
+      probes = Seq(1, Similarity.NumCells), shortlist = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every (query, probe) pair present, n_hit within [0, k]
+    assert(got.size == 12)
+    assert(got.values.forall(h => h >= 0L && h <= 3L))
+    // probing EVERY cell with a collection-covering shortlist is brute
+    // force — recall must be exactly k for every query
+    (0L until 6L).foreach { q =>
+      assert(got((q, Similarity.NumCells.toLong)) == 3L,
+        s"exhaustive probe missed neighbors for q=$q")
+    }
+    // more probes can only widen the candidate set: total hits monotone
+    val s1 = (0L until 6L).map(q => got((q, 1L))).sum
+    val sAll = (0L until 6L).map(q => got((q, Similarity.NumCells.toLong))).sum
+    assert(s1 <= sAll)
+  }
+
   test("streaming ingest: serve-during-append atomicity on the versioned layout; drift gate fires mid-stream and never touches the pinned version") {
     import org.apache.spark.sql.functions.col
     // 60 → 240: the 4x growth that provably re-shapes the refined
