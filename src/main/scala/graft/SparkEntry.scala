@@ -2877,6 +2877,21 @@ object SparkEntry {
           col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
           col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"))),
 
+    // multimodal: REAL compressed image codec — PNG containers staged
+    // through per-row filters (y % 5: all five) + stored/fixed-Huffman
+    // DEFLATE, decoded by the hand-rolled validating inflate; px_hash
+    // is the position-sensitive moment (breaks on any row-order or
+    // unfilter mistake the order-invariant sums would miss)
+    "q_png_decode" -> ((s, dir) =>
+      Multimodal.pngAssets(s, dir)
+        .select(col("asset_id"),
+          graft.functions.PngDecode.png_decode(col("media")).as("d"))
+        .select(col("asset_id"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
+          col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
+          col("d.px_hash").as("px_hash"))),
+
     // multimodal: REAL image downsample — 2-D decimation (every 2nd
     // column of every 2nd LOGICAL row) re-encoded with new
     // width/height/padding, then re-decoded; orientation-sensitive, so
@@ -4004,6 +4019,7 @@ object SparkEntry {
     "q_wav_decode" -> Multimodal.wavDecodeSql,
     "q_wav_resample" -> Multimodal.wavResampleSql(4),
     "q_bmp_decode" -> Multimodal.bmpDecodeSql,
+    "q_png_decode" -> Multimodal.pngDecodeSql,
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,
     // file-source streaming twin: stateless per-asset dispatch ≡ batch

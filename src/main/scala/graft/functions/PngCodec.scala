@@ -1,0 +1,512 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** REAL compressed image codec: 8-bit truecolor (color type 2) PNG —
+  * the third media container after [[WavCodec]] and [[BmpCodec]], and
+  * the first GENUINELY ENCODED one: unlike WAV/BMP, the pixel bytes sit
+  * behind zlib/DEFLATE and per-scanline prediction filters, so the
+  * decoder cannot index into the payload — it must actually inflate and
+  * unfilter. Everything is hand-rolled (CRC-32, Adler-32, DEFLATE,
+  * filters): the JDK's Inflater would trivialize exactly the part this
+  * codec exists to make real.
+  *
+  * Coverage (and the documented cut):
+  *   - DEFLATE stored (BTYPE 00) and fixed-Huffman (BTYPE 01) blocks,
+  *     INCLUDING LZ77 length/distance back-references on decode;
+  *     dynamic-Huffman (BTYPE 10) decodes to NULL, fail-closed — the
+  *     strict-parser contract [[Multimodal.decodeDispatch]] relies on.
+  *   - all FIVE scanline filters (None/Sub/Up/Average/Paeth); the
+  *     encoder assigns filter y % 5 so every staged asset with h ≥ 5
+  *     exercises every unfilter path.
+  *   - full container validation: signature, chunk framing, per-chunk
+  *     CRC-32, IHDR field checks, consecutive-IDAT rule, IEND-last,
+  *     zlib header + Adler-32, exact inflated length, filter-byte
+  *     range. Any lie → NULL.
+  *
+  * `png_decode` returns geometry + channel sums PLUS `px_hash`, a
+  * rolling polynomial hash over the logical top-down RGB byte stream —
+  * the position-sensitive moment (channel sums are order-invariant and
+  * would not catch a row-order or filter mistake; the hash breaks on
+  * any of them). Same fail-closed NULL discipline as the other codecs.
+  */
+object PngCodec {
+
+  val Signature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Rolling polynomial hash modulus — shared with the text tier's
+    * portable hash (TextOps.HashMod) so both engines compute it with
+    * exact integer arithmetic.
+    */
+  val HashMod = 1000000007L
+
+  // --- checksums (hand-rolled; see scaladoc) ---
+
+  private val crcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var c = n
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1) != 0) 0xedb88320 ^ (c >>> 1) else c >>> 1
+        k += 1
+      }
+      t(n) = c
+      n += 1
+    }
+    t
+  }
+
+  private def crc32(bytes: Array[Byte], from: Int, len: Int): Int = {
+    var c = 0xffffffff
+    var i = from
+    val end = from + len
+    while (i < end) {
+      c = crcTable((c ^ bytes(i)) & 0xff) ^ (c >>> 8)
+      i += 1
+    }
+    c ^ 0xffffffff
+  }
+
+  private def adler32(bytes: Array[Byte]): Int = {
+    var a = 1; var b = 0
+    var i = 0
+    while (i < bytes.length) {
+      a = (a + (bytes(i) & 0xff)) % 65521
+      b = (b + a) % 65521
+      i += 1
+    }
+    (b << 16) | a
+  }
+
+  // --- DEFLATE fixed-Huffman tables ---
+
+  private val LenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+    23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val LenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+    2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val DistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65,
+    97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+    8193, 12289, 16385, 24577)
+  private val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+    6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+
+  // --- encoder ---
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    /** LSB-first field (DEFLATE non-Huffman fields). */
+    def putBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >>> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        i += 1
+      }
+    }
+    /** Huffman code: packed MSB of the code first. */
+    def putHuff(code: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur |= ((code >>> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def alignByte(): Unit = if (nBits > 0) { buf.write(cur); cur = 0; nBits = 0 }
+    def writeRaw(b: Array[Byte], from: Int, len: Int): Unit = {
+      alignByte(); buf.write(b, from, len)
+    }
+    def bytes(): Array[Byte] = { alignByte(); buf.toByteArray }
+  }
+
+  /** Fixed-Huffman literal code for symbol 0..287. Returns (code, bits). */
+  @inline private def fixedLit(sym: Int): (Int, Int) =
+    if (sym < 144) (0x30 + sym, 8)
+    else if (sym < 256) (0x190 + (sym - 144), 9)
+    else if (sym < 280) (sym - 256, 7)
+    else (0xc0 + (sym - 280), 8)
+
+  /** DEFLATE the payload as one STORED block followed by one
+    * fixed-Huffman literal block (both halves non-empty when the data
+    * allows), so every staged container exercises BOTH supported block
+    * types. Literal-only fixed coding is valid DEFLATE (an encoder may
+    * always choose no matches); the DECODER still handles full LZ77
+    * back-references.
+    */
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val w = new BitWriter
+    val half = data.length / 2
+    // stored block: BFINAL=0, BTYPE=00, align, LEN, NLEN, raw
+    w.putBits(0, 1); w.putBits(0, 2)
+    w.alignByte()
+    val len = half
+    w.writeRaw(Array[Byte]((len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      (~len & 0xff).toByte, ((~len >> 8) & 0xff).toByte), 0, 4)
+    w.writeRaw(data, 0, half)
+    // fixed-Huffman final block over the rest
+    w.putBits(1, 1); w.putBits(1, 2)
+    var i = half
+    while (i < data.length) {
+      val (c, n) = fixedLit(data(i) & 0xff)
+      w.putHuff(c, n)
+      i += 1
+    }
+    val (eob, eobN) = fixedLit(256)
+    w.putHuff(eob, eobN)
+    w.bytes()
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+                    data: Array[Byte]): Unit = {
+    def u32(v: Int): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    out.write(u32(data.length))
+    val body = typ.getBytes("US-ASCII") ++ data
+    out.write(body)
+    out.write(u32(crc32(body, 0, body.length)))
+  }
+
+  /** Encode packed 0xRRGGBB pixels (top-down, row-major) as a valid
+    * 8-bit truecolor PNG, scanline y filtered with filter y % 5.
+    */
+  def encodeRgb8(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(width > 0, s"width must be > 0, got $width")
+    require(pixels.length == width * height,
+      s"pixel count ${pixels.length} != $width x $height")
+    val stride = width * 3
+    val raw = new Array[Byte](height * stride) // unfiltered RGB rows
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = pixels(y * width + x)
+        raw(y * stride + 3 * x) = ((p >> 16) & 0xff).toByte
+        raw(y * stride + 3 * x + 1) = ((p >> 8) & 0xff).toByte
+        raw(y * stride + 3 * x + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val filt = new Array[Byte](height * (1 + stride))
+    y = 0
+    while (y < height) {
+      val f = y % 5
+      filt(y * (1 + stride)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y * stride + i) & 0xff
+        val left = if (i >= 3) raw(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) raw((y - 1) * stride + i - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filt(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    container(deflate(filt), filt, width, height)
+  }
+
+  /** Assemble the full PNG container around an externally-built DEFLATE
+    * body (checksums and framing stay canonical). `private[graft]` as a
+    * test seam: specs hand-craft block structures the encoder never
+    * emits — LZ77 back-references, dynamic-Huffman headers, filter-byte
+    * lies — and this wraps them into otherwise-valid containers so the
+    * decoder's rejection is attributable to exactly the planted flaw.
+    */
+  private[graft] def container(deflateBody: Array[Byte], filt: Array[Byte],
+                               width: Int, height: Int): Array[Byte] = {
+    val zlib = new java.io.ByteArrayOutputStream()
+    zlib.write(0x78); zlib.write(0x01) // CM=8 CINFO=7, FCHECK makes %31==0
+    zlib.write(deflateBody)
+    val ad = adler32(filt)
+    zlib.write((ad >>> 24) & 0xff); zlib.write((ad >>> 16) & 0xff)
+    zlib.write((ad >>> 8) & 0xff); zlib.write(ad & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = new Array[Byte](13)
+    def be32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = ((v >>> 24) & 0xff).toByte; a(off + 1) = ((v >>> 16) & 0xff).toByte
+      a(off + 2) = ((v >>> 8) & 0xff).toByte; a(off + 3) = (v & 0xff).toByte
+    }
+    be32(ihdr, 0, width); be32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", zlib.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  @inline private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  // --- decoder ---
+
+  private final class BitReader(val data: Array[Byte]) {
+    var pos = 0   // byte position
+    var bit = 0   // bit position within current byte (LSB-first)
+    def readBit(): Int = {
+      if (pos >= data.length) throw Malformed
+      val v = (data(pos) >>> bit) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      v
+    }
+    /** LSB-first n-bit field. */
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= readBit() << i; i += 1 }
+      v
+    }
+    def alignByte(): Unit = if (bit > 0) { bit = 0; pos += 1 }
+  }
+
+  private object Malformed extends RuntimeException(null, null, false, false)
+
+  /** Fixed-Huffman literal/length symbol: codes read MSB-first. */
+  private def readFixedLit(r: BitReader): Int = {
+    // 7-bit window first; extend to 8 then 9 per the canonical ranges
+    var code = 0
+    var i = 0
+    while (i < 7) { code = (code << 1) | r.readBit(); i += 1 }
+    if (code <= 0x17) return 256 + code
+    code = (code << 1) | r.readBit()
+    if (code >= 0x30 && code <= 0xbf) return code - 0x30
+    if (code >= 0xc0 && code <= 0xc7) return 280 + (code - 0xc0)
+    code = (code << 1) | r.readBit()
+    if (code >= 0x190 && code <= 0x1ff) return 144 + (code - 0x190)
+    throw Malformed
+  }
+
+  /** Inflate a DEFLATE stream of stored + fixed-Huffman blocks into
+    * exactly `expectLen` bytes (PNG knows its filtered size up front;
+    * any other length is a malformation). Dynamic-Huffman → Malformed.
+    */
+  private def inflate(r: BitReader, expectLen: Int): Array[Byte] = {
+    val out = new Array[Byte](expectLen)
+    var n = 0
+    var fin = false
+    while (!fin) {
+      fin = r.readBits(1) == 1
+      r.readBits(2) match {
+        case 0 => // stored
+          r.alignByte()
+          if (r.pos + 4 > r.data.length) throw Malformed
+          val len = (r.data(r.pos) & 0xff) | ((r.data(r.pos + 1) & 0xff) << 8)
+          val nlen = (r.data(r.pos + 2) & 0xff) | ((r.data(r.pos + 3) & 0xff) << 8)
+          if ((len ^ 0xffff) != nlen) throw Malformed
+          r.pos += 4
+          if (r.pos + len > r.data.length || n + len > expectLen) throw Malformed
+          System.arraycopy(r.data, r.pos, out, n, len)
+          r.pos += len; n += len
+        case 1 => // fixed Huffman, full LZ77 alphabet
+          var eob = false
+          while (!eob) {
+            val sym = readFixedLit(r)
+            if (sym < 256) {
+              if (n >= expectLen) throw Malformed
+              out(n) = sym.toByte; n += 1
+            } else if (sym == 256) eob = true
+            else {
+              val li = sym - 257
+              if (li >= LenBase.length) throw Malformed
+              val len = LenBase(li) + r.readBits(LenExtra(li))
+              // fixed distance codes: 5 bits, MSB-first
+              var d = 0
+              var i = 0
+              while (i < 5) { d = (d << 1) | r.readBit(); i += 1 }
+              if (d >= DistBase.length) throw Malformed
+              val dist = DistBase(d) + r.readBits(DistExtra(d))
+              if (dist > n || n + len > expectLen) throw Malformed
+              var j = 0
+              while (j < len) { out(n) = out(n - dist); n += 1; j += 1 }
+            }
+          }
+        case _ => throw Malformed // dynamic Huffman: out of scope, fail-closed
+      }
+    }
+    if (n != expectLen) throw Malformed
+    out
+  }
+
+  private final class Parsed(val width: Int, val height: Int,
+                             val rgb: Array[Byte]) // unfiltered, top-down
+
+  /** Strict validating parse; null on ANY malformation. */
+  private def parse(bytes: Array[Byte]): Parsed = {
+    try parseOrThrow(bytes)
+    catch { case Malformed | _: ArrayIndexOutOfBoundsException => null }
+  }
+
+  private def parseOrThrow(bytes: Array[Byte]): Parsed = {
+    if (bytes == null || bytes.length < Signature.length + 12) return null
+    var i = 0
+    while (i < Signature.length) {
+      if (bytes(i) != Signature(i)) return null
+      i += 1
+    }
+    @inline def be32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    var pos = Signature.length
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    var idatDone = false // set once a non-IDAT follows an IDAT
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos < bytes.length) {
+      if (seenIend) throw Malformed // trailing bytes after IEND
+      if (pos + 12 > bytes.length) throw Malformed
+      val len = be32(pos)
+      if (len < 0 || len > Int.MaxValue - 12 || pos + 12 + len > bytes.length)
+        throw Malformed
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = be32(pos + 8 + len.toInt)
+      if ((crc32(bytes, pos + 4, 4 + len.toInt) & 0xffffffffL) != crc)
+        throw Malformed
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) throw Malformed
+          seenIhdr = true
+          val wL = be32(pos + 8); val hL = be32(pos + 12)
+          if (wL <= 0 || wL > (1L << 20) || hL <= 0 || hL > (1L << 20))
+            throw Malformed
+          w = wL.toInt; h = hL.toInt
+          // bit depth 8, truecolor, deflate, adaptive filtering, no interlace
+          if (bytes(pos + 16) != 8 || bytes(pos + 17) != 2 ||
+            bytes(pos + 18) != 0 || bytes(pos + 19) != 0 ||
+            bytes(pos + 20) != 0) throw Malformed
+        case "IDAT" =>
+          if (!seenIhdr || idatDone) throw Malformed // IDATs must be consecutive
+          idat.write(bytes, pos + 8, len.toInt)
+        case "IEND" =>
+          if (!seenIhdr || len != 0) throw Malformed
+          seenIend = true
+        case _ =>
+          if (!seenIhdr) throw Malformed // ancillary chunks tolerated below
+      }
+      // any non-IDAT chunk after the first IDAT closes the IDAT run —
+      // PNG requires IDATs consecutive, so a later IDAT is a malformation
+      if (typ != "IDAT" && idat.size() > 0) idatDone = true
+      pos += 12 + len.toInt
+    }
+    if (!seenIhdr || !seenIend || idat.size() == 0) throw Malformed
+    val z = idat.toByteArray
+    if (z.length < 6) throw Malformed
+    val cmf = z(0) & 0xff; val flg = z(1) & 0xff
+    if ((cmf & 0x0f) != 8 || (cmf * 256 + flg) % 31 != 0 || (flg & 0x20) != 0)
+      throw Malformed
+    val stride = w * 3
+    val filtLen = h * (1 + stride)
+    val r = new BitReader(java.util.Arrays.copyOfRange(z, 2, z.length - 4))
+    val filt = inflate(r, filtLen)
+    val ad = ((z(z.length - 4) & 0xffL) << 24) | ((z(z.length - 3) & 0xffL) << 16) |
+      ((z(z.length - 2) & 0xffL) << 8) | (z(z.length - 1) & 0xffL)
+    if ((adler32(filt) & 0xffffffffL) != ad) throw Malformed
+    // unfilter into top-down raw RGB
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = filt(y * (1 + stride)) & 0xff
+      if (f > 4) throw Malformed
+      var i2 = 0
+      while (i2 < stride) {
+        val x = filt(y * (1 + stride) + 1 + i2) & 0xff
+        val left = if (i2 >= 3) raw(y * stride + i2 - 3) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + i2) & 0xff else 0
+        val ul = if (y > 0 && i2 >= 3) raw((y - 1) * stride + i2 - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * stride + i2) = ((x + pred) & 0xff).toByte
+        i2 += 1
+      }
+      y += 1
+    }
+    new Parsed(w, h, raw)
+  }
+
+  val decodeSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("px_hash", LongType, nullable = false)))
+
+  /** Geometry + channel sums + the position-sensitive rolling hash over
+    * the logical top-down RGB byte stream, one loop.
+    */
+  def decodeFeatures(bytes: Array[Byte]): InternalRow = {
+    val p = parse(bytes)
+    if (p == null) return null
+    var sr = 0L; var sg = 0L; var sb = 0L; var hsh = 0L
+    var i = 0
+    while (i < p.rgb.length) {
+      val r = p.rgb(i) & 0xff
+      val g = p.rgb(i + 1) & 0xff
+      val b = p.rgb(i + 2) & 0xff
+      sr += r; sg += g; sb += b
+      hsh = (hsh * 31 + r) % HashMod
+      hsh = (hsh * 31 + g) % HashMod
+      hsh = (hsh * 31 + b) % HashMod
+      i += 3
+    }
+    new GenericInternalRow(Array[Any](p.width, p.height,
+      p.width.toLong * p.height, sr, sg, sb, hsh))
+  }
+}
+
+/** `png_decode(media)` — see [[PngCodec.decodeFeatures]]. */
+case class PngDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PngCodec.decodeSchema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"png_decode needs a binary column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    PngCodec.decodeFeatures(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PngCodec.decodeFeatures($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): PngDecode =
+    copy(child = newChild)
+  override def prettyName: String = "png_decode"
+}
+
+object PngDecode {
+  def png_decode(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(PngDecode(GraftColumnBridge.expression(c)))
+  }
+}

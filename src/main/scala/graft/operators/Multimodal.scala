@@ -471,20 +471,82 @@ object Multimodal {
                     AS BIGINT) AS sum_b
         FROM kept"""
 
+  // --- PNG (the genuinely COMPRESSED container) ---
+
+  /** PNG asset fixture: the SAME deterministic byte→pixel mapping as
+    * [[bmpAssets]] (so the two image codecs share their oracle algebra)
+    * but encoded through the real compression pipeline — per-scanline
+    * filters (row y gets filter y % 5; every doc has h ≥ 5 rows at the
+    * fixture text lengths, so all five unfilter paths run on every
+    * asset) and a DEFLATE stream with one stored + one fixed-Huffman
+    * block. h is floored at 1: a PNG cannot be zero-height (the BMP
+    * fixture's h = 0 case has no PNG analogue).
+    */
+  def pngAssets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = ColOps.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val rdd = docs.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 4 + (id % 4).toInt
+        val h = math.max(1, (bytes.length + w - 1) / w)
+        val px = new Array[Int](w * h)
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          px(i) = (b << 16) | (((7 * b + 13) % 256) << 8) | (255 - b)
+          i += 1
+        }
+        Row(id, graft.functions.PngCodec.encodeRgb8(px, w, h))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** DuckDB mirror of png_decode over [[pngAssets]]: the BMP sum
+    * algebra plus the position-sensitive rolling hash over the padded
+    * logical RGB byte stream — the moment that breaks on any row-order
+    * or filter mistake (channel sums alone are order-invariant).
+    */
+  def pngDecodeSql: String =
+    s"""$bmpBytesCte,
+        geo1 AS (SELECT doc_id, bts, w, GREATEST(h, 1) AS h FROM geo),
+        flat AS (SELECT doc_id, bts, w, h,
+                   flatten([CASE WHEN i < len(bts)
+                      THEN [bts[i+1], (7*bts[i+1] + 13) % 256, 255 - bts[i+1]]
+                      ELSE [0, 0, 0] END
+                    for i in range(0, w * h)]) AS pxb
+                 FROM geo1)
+        SELECT doc_id AS asset_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(bts), 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(bts, x -> (7*x + 13) % 256)), 0)
+                    AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(bts, x -> 255 - x)), 0)
+                    AS BIGINT) AS sum_b,
+               list_reduce(list_prepend(0::BIGINT, pxb),
+                 (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
+        FROM flat"""
+
   // --- multi-format dispatch (mixed-modality corpus routing) ---
 
   /** Mixed-modality corpus staged from the documents table: WAV
-    * containers for doc_id ≡ 0 (mod 3), BMP containers for ≡ 1, raw
-    * UTF-8 bytes for ≡ 2 — the realistic input of a crawl-scale media
+    * containers for doc_id ≡ 0 (mod 4), BMP for ≡ 1, PNG for ≡ 2, raw
+    * UTF-8 bytes for ≡ 3 — the realistic input of a crawl-scale media
     * pipeline where format is only knowable from the bytes.
     */
   def mixedAssets(spark: SparkSession, dir: String): DataFrame = {
-    val wav = wavAssets(spark, dir).filter(col("asset_id") % 3 === 0)
-    val bmp = bmpAssets(spark, dir).filter(col("asset_id") % 3 === 1)
+    val wav = wavAssets(spark, dir).filter(col("asset_id") % 4 === 0)
+    val bmp = bmpAssets(spark, dir).filter(col("asset_id") % 4 === 1)
+    val png = pngAssets(spark, dir).filter(col("asset_id") % 4 === 2)
     val raw = ColOps.table(spark, dir, "documents")
-      .filter(col("doc_id") % 3 === 2)
+      .filter(col("doc_id") % 4 === 3)
       .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("media"))
-    wav.unionByName(bmp).unionByName(raw)
+    wav.unionByName(bmp).unionByName(png).unionByName(raw)
   }
 
   /** Format DISPATCH by try-decode: route each payload to the codec
@@ -502,15 +564,18 @@ object Multimodal {
   def decodeDispatch(assets: DataFrame): DataFrame = {
     val w = graft.functions.WavDecode.wav_decode(col("media"))
     val b = graft.functions.BmpDecode.bmp_decode(col("media"))
-    assets.select(col("asset_id"), w.as("w"), b.as("b"), col("media"))
+    val p = graft.functions.PngDecode.png_decode(col("media"))
+    assets.select(col("asset_id"), w.as("w"), b.as("b"), p.as("p"), col("media"))
       .select(col("asset_id"),
         when(col("w").isNotNull, lit("wav"))
           .when(col("b").isNotNull, lit("bmp"))
+          .when(col("p").isNotNull, lit("png"))
           .otherwise(lit("raw")).as("kind"),
-        coalesce(col("w.n_samples"), col("b.n_px"),
+        coalesce(col("w.n_samples"), col("b.n_px"), col("p.n_px"),
           length(col("media")).cast("long")).as("n_units"),
         coalesce(col("w.sum_abs"),
           col("b.sum_r") + col("b.sum_g") + col("b.sum_b"),
+          col("p.sum_r") + col("p.sum_g") + col("p.sum_b"),
           graft.functions.ByteSum.byte_sum(col("media")))
           .as("checksum"))
   }
@@ -526,17 +591,21 @@ object Multimodal {
                  for i in range(0, len(hx)//2)] AS bts
               FROM b)
         SELECT doc_id AS asset_id,
-               CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
-                 ELSE 'raw' END AS kind,
-               CAST(CASE doc_id % 3
+               CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                 WHEN 2 THEN 'png' ELSE 'raw' END AS kind,
+               CAST(CASE doc_id % 4
                  WHEN 0 THEN len(bts)
                  WHEN 1 THEN (4 + doc_id % 4) *
                    ((len(bts) + (4 + doc_id % 4) - 1) // (4 + doc_id % 4))
+                 WHEN 2 THEN (4 + doc_id % 4) *
+                   GREATEST((len(bts) + (4 + doc_id % 4) - 1) // (4 + doc_id % 4), 1)
                  ELSE len(bts) END AS BIGINT) AS n_units,
-               CAST(CASE doc_id % 3
+               CAST(CASE doc_id % 4
                  WHEN 0 THEN COALESCE(list_sum(list_transform(bts,
                    x -> abs((x - 128) * 256))), 0)
                  WHEN 1 THEN COALESCE(list_sum(list_transform(bts,
+                   x -> x + (7*x + 13) % 256 + 255 - x)), 0)
+                 WHEN 2 THEN COALESCE(list_sum(list_transform(bts,
                    x -> x + (7*x + 13) % 256 + 255 - x)), 0)
                  ELSE COALESCE(list_sum(bts), 0) END AS BIGINT) AS checksum
         FROM g"""

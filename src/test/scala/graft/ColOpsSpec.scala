@@ -312,24 +312,153 @@ class ColOpsSpec extends SparkSpec {
     assert(empty.getInt(0) == 5 && empty.getInt(1) == 0 && empty.getLong(3) == 0L)
   }
 
-  test("format dispatch: try-decode routes WAV/BMP/raw; corrupt containers land fail-OPEN in raw") {
+  test("format dispatch: try-decode routes WAV/BMP/PNG/raw; corrupt containers land fail-OPEN in raw") {
     import spark.implicits._
-    import graft.functions.{BmpCodec, WavCodec}
+    import graft.functions.{BmpCodec, PngCodec, WavCodec}
     import graft.operators.Multimodal
     val wav = WavCodec.encodePcm16(Array(1000, -2000), 8000)
     val bmp = BmpCodec.encodeRgb24(Array(0x0a0b0c), 1, 1)
+    val png = PngCodec.encodeRgb8(Array(0x0a0b0c, 0x010101), 1, 2)
     val corrupt = wav.clone(); corrupt(0) = 'X'.toByte // dead container
     val raw = "hi".getBytes("UTF-8")
-    val assets = Seq((0L, wav), (1L, bmp), (2L, raw), (3L, corrupt))
+    val assets = Seq((0L, wav), (1L, bmp), (2L, raw), (3L, corrupt), (4L, png))
       .toDF("asset_id", "media")
     val got = Multimodal.decodeDispatch(assets).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got(0L) == (("wav", 2L, 3000L)))
     assert(got(1L) == (("bmp", 1L, 0x0a + 0x0b + 0x0c)))
     assert(got(2L) == (("raw", 2L, 'h'.toLong + 'i'.toLong)))
+    assert(got(4L) == (("png", 2L, 0x0a + 0x0b + 0x0c + 3L)))
     // each codec alone is fail-CLOSED (NULL); the dispatcher is
     // fail-OPEN: the corrupt payload is counted as raw bytes for triage
     assert(got(3L)._1 == "raw" && got(3L)._2 == wav.length.toLong)
+  }
+
+  test("PNG codec: all-five-filter round-trip, position-sensitive px_hash, fail-closed battery") {
+    import spark.implicits._
+    import graft.functions.{PngCodec, PngDecode}
+    // 3x6 logical image, distinct per-row values: rows 0..4 get filters
+    // None/Sub/Up/Average/Paeth, row 5 wraps to None — every unfilter
+    // path runs in one container
+    val px = (0 until 18).map(i => ((i * 37 + 11) % 256 << 16) |
+      ((i * 53 + 5) % 256 << 8) | ((i * 71 + 3) % 256)).toArray
+    val png = PngCodec.encodeRgb8(px, 3, 6)
+    val df = Seq((1L, png)).toDF("asset_id", "media")
+    val d = df.select(PngDecode.png_decode(col("media")).as("d"))
+      .select(col("d.*")).head()
+    assert(d.getInt(0) == 3 && d.getInt(1) == 6 && d.getLong(2) == 18L)
+    assert(d.getLong(3) == px.map(p => ((p >> 16) & 0xff).toLong).sum)
+    assert(d.getLong(4) == px.map(p => ((p >> 8) & 0xff).toLong).sum)
+    assert(d.getLong(5) == px.map(p => (p & 0xff).toLong).sum)
+    // px_hash replica: rolling poly hash over logical RGB byte stream
+    def pxHash(ps: Array[Int]): Long = ps.foldLeft(0L) { (h0, p) =>
+      Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        .foldLeft(h0)((h, c) => (h * 31 + c) % PngCodec.HashMod)
+    }
+    assert(d.getLong(6) == pxHash(px))
+    // position sensitivity: swapping two ROWS preserves every channel
+    // sum but must change px_hash — the orientation pin channel sums
+    // cannot provide
+    val swapped = px.clone()
+    for (x <- 0 until 3) {
+      val t = swapped(x); swapped(x) = swapped(3 + x); swapped(3 + x) = t
+    }
+    val d2 = Seq((1L, PngCodec.encodeRgb8(swapped, 3, 6)))
+      .toDF("asset_id", "media")
+      .select(PngDecode.png_decode(col("media")).as("d")).select(col("d.*")).head()
+    assert(d2.getLong(3) == d.getLong(3) && d2.getLong(4) == d.getLong(4))
+    assert(d2.getLong(6) != d.getLong(6), "px_hash blind to row order")
+    assert(d2.getLong(6) == pxHash(swapped))
+    // fail-closed battery: each corruption attributable to one check
+    val badSig = png.clone(); badSig(0) = 'X'.toByte
+    // flipping any payload byte is caught by the enclosing chunk's
+    // CRC-32 first (the adler path gets its own targeted test below,
+    // planted through the container seam where the CRC stays valid)
+    val badCrc = png.clone(); badCrc(badCrc.length - 1) = (badCrc(badCrc.length - 1) ^ 1).toByte
+    val truncated = png.dropRight(1)
+    // dynamic-Huffman block: BFINAL=1, BTYPE=10 -> first byte 0b101
+    val dynBlock = PngCodec.container(Array[Byte](0x05),
+      new Array[Byte](6 * 10), 3, 6)
+    // stored block carrying a filter byte of 5 (out of range)
+    val filtLen = 6 * 10
+    val badFiltStream = new Array[Byte](filtLen); badFiltStream(0) = 5
+    val storedBody = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x01) // BFINAL=1, BTYPE=00 (bits 1,00 -> byte 0b001)
+      b.write(filtLen & 0xff); b.write((filtLen >> 8) & 0xff)
+      b.write(~filtLen & 0xff); b.write((~filtLen >> 8) & 0xff)
+      b.write(badFiltStream); b.toByteArray
+    }
+    val badFilter = PngCodec.container(storedBody, badFiltStream, 3, 6)
+    val bads = Seq((1L, badSig), (2L, badCrc), (3L, truncated.toArray),
+      (4L, dynBlock), (5L, badFilter))
+      .toDF("asset_id", "media")
+      .select(col("asset_id"), PngDecode.png_decode(col("media")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(bads.values.forall(identity),
+      s"malformed PNG decoded non-null: ${bads.filterNot(_._2).keys}")
+    // splice control: a VALID stored-only body through the same seam
+    // decodes fine (proves the seam itself isn't what's failing above)
+    val okFilt = new Array[Byte](filtLen) // all filter 0, all-black rows
+    val okBody = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x01)
+      b.write(filtLen & 0xff); b.write((filtLen >> 8) & 0xff)
+      b.write(~filtLen & 0xff); b.write((~filtLen >> 8) & 0xff)
+      b.write(okFilt); b.toByteArray
+    }
+    val okPng = Seq((1L, PngCodec.container(okBody, okFilt, 3, 6)))
+      .toDF("asset_id", "media")
+      .select(PngDecode.png_decode(col("media")).as("d")).select(col("d.*")).head()
+    assert(okPng.getInt(0) == 3 && okPng.getInt(1) == 6 && okPng.getLong(3) == 0L)
+  }
+
+  test("PNG codec: fixed-Huffman LZ77 back-references inflate correctly; adler lie rejected") {
+    import spark.implicits._
+    import graft.functions.{PngCodec, PngDecode}
+    // hand-craft a fixed-Huffman stream with a genuine length/distance
+    // pair — our encoder emits literals only, so this is the one path a
+    // round-trip cannot reach. Image 2x2, all rows filter 0, every RGB
+    // byte = 0x42: filtered stream = [0, 42x6, 0, 42x6] (len 14).
+    // Emit literals for the first row (7 bytes), then <len=7, dist=7>
+    // to copy the whole second row.
+    val filt = Array.tabulate[Byte](14)(i => if (i % 7 == 0) 0 else 0x42)
+    var cur = 0; var nBits = 0
+    val out = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, n: Int): Unit = (0 until n).foreach { i =>
+      cur |= ((v >>> i) & 1) << nBits; nBits += 1
+      if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+    }
+    def putHuff(code: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach { i =>
+      cur |= ((code >>> i) & 1) << nBits; nBits += 1
+      if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+    }
+    def lit(sym: Int): Unit =
+      if (sym < 144) putHuff(0x30 + sym, 8)
+      else if (sym < 256) putHuff(0x190 + (sym - 144), 9)
+      else if (sym < 280) putHuff(sym - 256, 7)
+      else putHuff(0xc0 + (sym - 280), 8)
+    putBits(1, 1); putBits(1, 2)       // BFINAL=1, BTYPE=01
+    (0 until 7).foreach(i => lit(filt(i) & 0xff))
+    lit(261)                            // length symbol: base 7, no extra
+    putHuff(5, 5)                       // distance code 5: base 7, 1 extra
+    putBits(0, 1)                       //   extra bit -> dist 7
+    lit(256)                            // end of block
+    if (nBits > 0) out.write(cur)
+    val png = PngCodec.container(out.toByteArray, filt, 2, 2)
+    val d = Seq((1L, png)).toDF("asset_id", "media")
+      .select(PngDecode.png_decode(col("media")).as("d")).select(col("d.*")).head()
+    assert(d.getInt(0) == 2 && d.getInt(1) == 2 && d.getLong(2) == 4L)
+    assert(d.getLong(3) == 4L * 0x42 && d.getLong(4) == 4L * 0x42 &&
+      d.getLong(5) == 4L * 0x42, "back-reference copy decoded wrong bytes")
+    // adler lie through the same seam: container computes adler over
+    // the CLAIMED filt — hand it a different one and the inflated
+    // stream no longer matches the trailer
+    val badAdler = PngCodec.container(out.toByteArray,
+      filt.map(b => (b ^ 1).toByte), 2, 2)
+    val r = Seq((1L, badAdler)).toDF("asset_id", "media")
+      .select(PngDecode.png_decode(col("media")).as("d")).head()
+    assert(r.isNullAt(0), "adler mismatch decoded non-null")
   }
 
   test("byte_gram_hashes: rolling 4-byte polynomial matches a hand fold; short payload empty") {
