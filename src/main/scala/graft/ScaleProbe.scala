@@ -121,6 +121,40 @@ object ScaleProbe {
       graft.operators.Packing.concatSplit(survivors, "doc_id", "text",
         SparkEntry.PackBudget).count()
     })
+    // the FULL q_corpus_build chain (extract → quality gate → exact
+    // dedup → BPE train → encode → pack) probed end-to-end on the 100×
+    // axis (run with n=100 on the sf0.01 base — the chunkTokens
+    // protocol). Copies carry DISTINCT text (per-copy suffix): identical
+    // copies would collapse at the dedup stage and the probe would only
+    // measure the front half of the chain; with distinct text every
+    // stage — including the BPE histogram, the encode join, and the
+    // prefix-sum packing — runs at n×. HTML wrap is IN-PLAN (the
+    // htmlExtract probe discipline: measured cost is the chain, not
+    // fixture staging).
+    val bigDocsDistinct = (0 until n).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+        .withColumn("text", concat(col("text"), lit(s" uniq$i")))
+    }.reduce(_ union _)
+    probePair("corpusBuild", docs, bigDocsDistinct, { d =>
+      val pages = d.select(col("doc_id"),
+        concat(lit("<html><head><script>var a = 1;</script></head><body><p>"),
+          col("text"), lit(".</p></body></html>")).as("html"))
+      val extracted = pages.select(col("doc_id"),
+        call_function("replace",
+          graft.operators.Html.extractText(col("html")), lit("\n"), lit(" "))
+          .as("text"))
+      val keepIds = graft.operators.TextOps.qualityFilter(extracted, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val kept = graft.core.Materialize.checkpoint(extracted.join(keepIds, "doc_id"))
+      val canon = kept.join(
+        graft.operators.Dedup.exact(kept, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")), "doc_id")
+      graft.operators.Packing.packTokenIds(
+        graft.operators.TextOps.tokenizeIdArrays(canon, "doc_id", "text",
+          graft.operators.TextOps.bpeRun(canon, "text", 6)._2), "doc_id", 128L)
+        .count()
+    })
+
     probePair("contamination", docs, bigDocs, d =>
       graft.operators.Dedup.contaminatedBy(
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
