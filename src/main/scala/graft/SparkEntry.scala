@@ -2892,6 +2892,21 @@ object SparkEntry {
           col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
           col("d.px_hash").as("px_hash"))),
 
+    // multimodal: compressed-container downsample — the FULL pipeline
+    // twice per asset (inflate+unfilter in, re-filter+deflate+
+    // re-checksum out), then re-decoded in-plan; px_hash rides through
+    // the re-encode so a mistake in either pass breaks the oracle
+    "q_png_resize" -> ((s, dir) =>
+      Multimodal.pngAssets(s, dir)
+        .select(col("asset_id"),
+          graft.functions.PngDecode.png_decode(
+            graft.functions.PngResample.png_resample(col("media"), 2)).as("d"))
+        .select(col("asset_id"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
+          col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
+          col("d.px_hash").as("px_hash"))),
+
     // multimodal: REAL image downsample — 2-D decimation (every 2nd
     // column of every 2nd LOGICAL row) re-encoded with new
     // width/height/padding, then re-decoded; orientation-sensitive, so
@@ -4020,6 +4035,7 @@ object SparkEntry {
     "q_wav_resample" -> Multimodal.wavResampleSql(4),
     "q_bmp_decode" -> Multimodal.bmpDecodeSql,
     "q_png_decode" -> Multimodal.pngDecodeSql,
+    "q_png_resize" -> Multimodal.pngResampleSql(2),
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,
     // file-source streaming twin: stateless per-asset dispatch ≡ batch

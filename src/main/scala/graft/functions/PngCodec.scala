@@ -460,6 +460,33 @@ object PngCodec {
     StructField("sum_b", LongType, nullable = false),
     StructField("px_hash", LongType, nullable = false)))
 
+  /** 2-D decimation in logical orientation (keep (x, y) with
+    * x % k == 0 and y % k == 0) and RE-ENCODE — the full pipeline runs
+    * twice per row: inflate + unfilter on the way in, re-filter (y % 5)
+    * + deflate + re-checksum on the way out. The BMP resample
+    * discipline for a compressed container.
+    */
+  def resample(bytes: Array[Byte], k: Int): Array[Byte] = {
+    val p = parse(bytes)
+    if (p == null) return null
+    val w2 = (p.width + k - 1) / k
+    val h2 = (p.height + k - 1) / k
+    val stride = p.width * 3
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val off = (y * k) * stride + 3 * (x * k)
+        out(y * w2 + x) = ((p.rgb(off) & 0xff) << 16) |
+          ((p.rgb(off + 1) & 0xff) << 8) | (p.rgb(off + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    encodeRgb8(out, w2, h2)
+  }
+
   /** Geometry + channel sums + the position-sensitive rolling hash over
     * the logical top-down RGB byte stream, one loop.
     */
@@ -508,5 +535,34 @@ object PngDecode {
   def png_decode(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(PngDecode(GraftColumnBridge.expression(c)))
+  }
+}
+
+/** `png_resample(media, k)` — see [[PngCodec.resample]]. */
+case class PngResample(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"decimation factor must be >= 1, got $k")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"png_resample needs a binary column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    PngCodec.resample(input.asInstanceOf[Array[Byte]], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PngCodec.resample($c, $k);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): PngResample =
+    copy(child = newChild)
+  override def prettyName: String = "png_resample"
+}
+
+object PngResample {
+  def png_resample(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(PngResample(GraftColumnBridge.expression(c), k))
   }
 }

@@ -532,6 +532,41 @@ object Multimodal {
                  (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
         FROM flat"""
 
+  /** DuckDB mirror of png_decode(png_resample(media, k)) over
+    * [[pngAssets]]: decimation in the LOGICAL top-down index space
+    * (the bmpResampleSql algebra) plus the position-sensitive px_hash
+    * over the kept pixels' RGB stream — through the re-encode, so a
+    * filter or row-order mistake in EITHER codec pass breaks it.
+    */
+  def pngResampleSql(k: Int): String =
+    s"""$bmpBytesCte,
+        geo2 AS (SELECT doc_id, bts, w, GREATEST(h, 1) AS h FROM geo),
+        kept AS (SELECT doc_id, bts, w, h,
+                   [i for i in range(0, w * h)
+                    if (i % w) % $k = 0 AND (i // w) % $k = 0] AS ks
+                 FROM geo2),
+        flat AS (SELECT doc_id, bts, w, h, ks,
+                   flatten(list_transform(ks, i -> CASE WHEN i < len(bts)
+                      THEN [bts[i+1], (7*bts[i+1] + 13) % 256, 255 - bts[i+1]]
+                      ELSE [0, 0, 0] END)) AS pxb
+                 FROM kept)
+        SELECT doc_id AS asset_id,
+               CAST((w + $k - 1) // $k AS INT) AS width,
+               CAST((h + $k - 1) // $k AS INT) AS height,
+               CAST(((w + $k - 1) // $k) * ((h + $k - 1) // $k) AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(list_transform(ks,
+                      i -> CASE WHEN i < len(bts) THEN bts[i+1] ELSE 0 END)), 0)
+                    AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(ks,
+                      i -> CASE WHEN i < len(bts) THEN (7*bts[i+1] + 13) % 256 ELSE 0 END)), 0)
+                    AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(ks,
+                      i -> CASE WHEN i < len(bts) THEN 255 - bts[i+1] ELSE 0 END)), 0)
+                    AS BIGINT) AS sum_b,
+               list_reduce(list_prepend(0::BIGINT, pxb),
+                 (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
+        FROM flat"""
+
   // --- multi-format dispatch (mixed-modality corpus routing) ---
 
   /** Mixed-modality corpus staged from the documents table: WAV

@@ -356,6 +356,16 @@ class ColOpsSpec extends SparkSpec {
         .foldLeft(h0)((h, c) => (h * 31 + c) % PngCodec.HashMod)
     }
     assert(d.getLong(6) == pxHash(px))
+    // decimation k=2 keeps LOGICAL (x,y) in {0,2}x{0,2,4}: the kept-row
+    // set is the orientation proof, and px_hash must equal the replica
+    // over exactly those pixels IN ORDER — through the full re-encode
+    val keptPx = Array(px(0), px(2), px(6), px(8), px(12), px(14))
+    val rs = df.select(graft.functions.PngDecode.png_decode(
+        graft.functions.PngResample.png_resample(col("media"), 2)).as("d"))
+      .select(col("d.*")).head()
+    assert(rs.getInt(0) == 2 && rs.getInt(1) == 3 && rs.getLong(2) == 6L)
+    assert(rs.getLong(3) == keptPx.map(p => ((p >> 16) & 0xff).toLong).sum)
+    assert(rs.getLong(6) == pxHash(keptPx), "resample px_hash diverged from kept-pixel replica")
     // position sensitivity: swapping two ROWS preserves every channel
     // sum but must change px_hash — the orientation pin channel sums
     // cannot provide
