@@ -663,4 +663,44 @@ class PlanSpec extends SparkSpec {
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
     assert(!scan.contains("props"), s"read schema not pruned of props:\n$scan")
   }
+
+  test("unicode quality/langid are exchange-free map work; unicode vocab broadcasts its 1-row total") {
+    // the Unicode battery must stay a map-only pass like the ASCII one —
+    // tokensU/regexp work is per-row, no join, no shuffle
+    Seq("q_quality_unicode", "q_lang_id_unicode").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Exchange"), s"$q should be map-only, found a shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q should not join:\n$p")
+    }
+    val pv = plan(SparkEntry.queries("q_vocab_unicode")(spark, dir))
+    assert(pv.contains("BroadcastNestedLoopJoin") || pv.contains("BroadcastExchange"),
+      s"unicode vocab total not broadcast:\n$pv")
+    assert(pv.contains("partial_sum") || pv.contains("partial_count"),
+      s"unicode wordcount lacks map-side partial aggregation:\n$pv")
+  }
+
+  test("png_decode/png_resample stay inside whole-stage codegen on a parquet-backed scan") {
+    // parquet-backed input (a local relation would constant-fold to a
+    // LocalTableScan and show no codegen either way) — same discipline
+    // as the vector_dot codegen pin
+    val df = graft.operators.ColOps.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.PngDecode.png_decode(
+          graft.functions.PngResample.png_resample(
+            encode(col("text"), "UTF-8"), 2)).as("d"))
+      .filter(col("d").isNotNull)
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("png_decode"))
+    assert(line.exists(_.trim.startsWith("*")),
+      s"png_decode fell out of WholeStageCodegen:\n$p")
+  }
+
+  test("q_ann_recall: probe/ADC tables broadcast; no cartesian anywhere in the sweep") {
+    val df = SparkEntry.queries("q_ann_recall")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"recall audit plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"recall audit lost its broadcast joins:\n$p")
+  }
 }
