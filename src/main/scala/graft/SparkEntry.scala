@@ -355,8 +355,11 @@ object SparkEntry {
       .select(col("vec_id"), col("emb"), col("nrm"))
       .as[(Long, Seq[Double], Double)].collect().sortBy(_._1).toSeq
     var grown = initial
+    // max(1, …): an embeddings table at or under nInit rows makes
+    // arriving empty, and grouped(0) throws even on an empty Seq — the
+    // no-op ingest must serve the initial-only index, not error
     graft.streaming.StreamExec.runForeachBatch(
-      s, arriving, quantum = (arriving.size + 2) / 3) { (batch, _) =>
+      s, arriving, quantum = math.max(1, (arriving.size + 2) / 3)) { (batch, _) =>
       val b = batch.toDF("vec_id", "emb", "nrm")
       Bucketing.appendPartitioned(s, servePath,
         Similarity.ivfPqIndexRowsWith(b, origSeeds, origCb), "cell")

@@ -147,14 +147,24 @@ object PngCodec {
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val w = new BitWriter
     val half = data.length / 2
-    // stored block: BFINAL=0, BTYPE=00, align, LEN, NLEN, raw
-    w.putBits(0, 1); w.putBits(0, 2)
-    w.alignByte()
-    val len = half
-    w.writeRaw(Array[Byte]((len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
-      (~len & 0xff).toByte, ((~len >> 8) & 0xff).toByte), 0, 4)
-    w.writeRaw(data, 0, half)
-    // fixed-Huffman final block over the rest
+    // stored half, split at the format's 16-bit LEN field: a stored
+    // block carries at most 65535 bytes, so larger halves emit a chain
+    // of blocks (one unsplit LEN would truncate mod 2^16 — a silently
+    // corrupt stream for any image over ~43k pixels)
+    var off = 0
+    var firstBlock = true
+    while (firstBlock || off < half) { // empty half still emits one block
+      firstBlock = false
+      val len = math.min(half - off, 0xffff)
+      w.putBits(0, 1); w.putBits(0, 2) // BFINAL=0, BTYPE=00
+      w.alignByte()
+      w.writeRaw(Array[Byte]((len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+        (~len & 0xff).toByte, ((~len >> 8) & 0xff).toByte), 0, 4)
+      w.writeRaw(data, off, len)
+      off += len
+    }
+    // fixed-Huffman final block over the rest (literal codes have no
+    // length limit — one block suffices at any size)
     w.putBits(1, 1); w.putBits(1, 2)
     var i = half
     while (i < data.length) {
@@ -357,7 +367,11 @@ object PngCodec {
   /** Strict validating parse; null on ANY malformation. */
   private def parse(bytes: Array[Byte]): Parsed = {
     try parseOrThrow(bytes)
-    catch { case Malformed | _: ArrayIndexOutOfBoundsException => null }
+    // NegativeArraySize belt-and-braces: the IHDR product cap prevents
+    // the length overflows that could reach an allocation, but a
+    // validating parser facing arbitrary bytes fails CLOSED, never up
+    catch { case Malformed | _: ArrayIndexOutOfBoundsException
+                 | _: NegativeArraySizeException => null }
   }
 
   private def parseOrThrow(bytes: Array[Byte]): Parsed = {
@@ -392,6 +406,14 @@ object PngCodec {
           val wL = be32(pos + 8); val hL = be32(pos + 12)
           if (wL <= 0 || wL > (1L << 20) || hL <= 0 || hL > (1L << 20))
             throw Malformed
+          // bound the PRODUCT too (checked in Long): per-axis caps alone
+          // admit w*h up to 2^40 — the filtered length would overflow
+          // Int (a NegativeArraySizeException escaping the fail-closed
+          // catch) and, below overflow, a few-hundred-byte container
+          // could command multi-GB allocations before any IDAT-length
+          // validation. 2^24 px (a 4096x4096 image) is far above any
+          // fixture and keeps the worst allocation ~50 MB.
+          if (wL * hL > (1L << 24)) throw Malformed
           w = wL.toInt; h = hL.toInt
           // bit depth 8, truecolor, deflate, adaptive filtering, no interlace
           if (bytes(pos + 16) != 8 || bytes(pos + 17) != 2 ||
@@ -404,7 +426,13 @@ object PngCodec {
           if (!seenIhdr || len != 0) throw Malformed
           seenIend = true
         case _ =>
-          if (!seenIhdr) throw Malformed // ancillary chunks tolerated below
+          if (!seenIhdr) throw Malformed
+          // unknown CRITICAL chunks (uppercase first letter — includes
+          // PLTE, which has no business in a truecolor image) are a
+          // malformation per the PNG contract: a conforming decoder
+          // must not render what it cannot understand. Ancillary
+          // chunks (lowercase first letter, e.g. tEXt/pHYs) pass.
+          if ((bytes(pos + 4) & 0x20) == 0) throw Malformed
       }
       // any non-IDAT chunk after the first IDAT closes the IDAT run —
       // PNG requires IDATs consecutive, so a later IDAT is a malformation

@@ -118,7 +118,17 @@ object Html {
     // comments BEFORE script/style: a commented-out <script> (common in
     // crawled markup) must never open a block run — with the old order
     // the non-greedy .*?</script> swallowed all real content up to the
-    // next </script> elsewhere on the page
+    // next </script> elsewhere on the page.
+    // Residual edge, documented: an UNPAIRED '<!--' inside a script
+    // body (e.g. a JS string literal) with a genuine comment later on
+    // the page now comment-strips across the gap. The legacy
+    // hide-from-old-browsers pattern (<script><!-- … //--></script>)
+    // is NOT affected — its opener and closer pair inside one script,
+    // so the comment strip stays local (spec-pinned). Fixing both
+    // directions needs a boundary-aware match (negative lookahead),
+    // which RE2 — the oracle's engine — does not support; a regex
+    // chain shared verbatim by both engines picks the order that
+    // protects against the commoner malformation.
     val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noScript = regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")

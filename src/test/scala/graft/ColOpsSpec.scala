@@ -423,6 +423,48 @@ class ColOpsSpec extends SparkSpec {
     assert(okPng.getInt(0) == 3 && okPng.getInt(1) == 6 && okPng.getLong(3) == 0L)
   }
 
+  test("PNG codec: stored-block split at 64k, dimension-bomb rejection, critical-vs-ancillary chunks") {
+    import spark.implicits._
+    import graft.functions.{PngCodec, PngDecode}
+    // 256x256: filtered stream = 256*(1+768) = 196 864 bytes, stored
+    // half 98 432 > 65 535 — the encoder must emit a CHAIN of stored
+    // blocks (a single 16-bit LEN would truncate mod 2^16 and corrupt
+    // the stream for every image over ~43k pixels)
+    val big = Array.tabulate(256 * 256)(i => (i * 2654435761L).toInt & 0xffffff)
+    val bigPng = PngCodec.encodeRgb8(big, 256, 256)
+    val d = Seq((1L, bigPng)).toDF("asset_id", "media")
+      .select(PngDecode.png_decode(col("media")).as("d")).select(col("d.*")).head()
+    assert(d.getInt(0) == 256 && d.getInt(1) == 256 && d.getLong(2) == 65536L)
+    assert(d.getLong(3) == big.map(p => ((p >> 16) & 0xff).toLong).sum)
+    // dimension bomb: per-axis caps pass (1<<20 and 683) but the product
+    // overflows the filtered length's Int — must be NULL, and crucially
+    // NOT a NegativeArraySizeException escaping the fail-closed parse
+    val bomb = PngCodec.container(Array[Byte](0x05), new Array[Byte](4), 1 << 20, 683)
+    val rb = Seq((1L, bomb)).toDF("asset_id", "media")
+      .select(PngDecode.png_decode(col("media")).as("d")).head()
+    assert(rb.isNullAt(0), "dimension bomb decoded non-null")
+    // chunk criticality: splice a chunk between IHDR and IDAT — a bogus
+    // CRITICAL type (uppercase first letter) is a malformation; an
+    // ancillary one (lowercase first letter) passes
+    val small = PngCodec.encodeRgb8(Array(0x0a0b0c, 0x010203), 1, 2)
+    def withChunk(typ: String): Array[Byte] = {
+      val insertAt = 8 + 12 + 13 // signature + IHDR chunk
+      val body = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      val c = crc.getValue
+      val chunk = Array[Byte](0, 0, 0, 0) ++ body ++ Array(
+        ((c >>> 24) & 0xff).toByte, ((c >>> 16) & 0xff).toByte,
+        ((c >>> 8) & 0xff).toByte, (c & 0xff).toByte)
+      small.take(insertAt) ++ chunk ++ small.drop(insertAt)
+    }
+    val rows = Seq((1L, withChunk("ABCD")), (2L, withChunk("tEXt")))
+      .toDF("asset_id", "media")
+      .select(col("asset_id"), PngDecode.png_decode(col("media")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rows(1L), "unknown CRITICAL chunk decoded non-null")
+    assert(!rows(2L), "ancillary chunk wrongly rejected")
+  }
+
   test("PNG codec: fixed-Huffman LZ77 back-references inflate correctly; adler lie rejected") {
     import spark.implicits._
     import graft.functions.{PngCodec, PngDecode}

@@ -45,6 +45,17 @@ class HtmlSpec extends SparkSpec {
     assert(kept == 1L)
   }
 
+  test("legacy hide-from-old-browsers script pattern strips cleanly (comment pairs inside the script)") {
+    // <script><!-- … //--></script>: the comment opener and closer pair
+    // INSIDE one script block, so comments-first stripping stays local
+    // and the following paragraph survives intact
+    val (txt, kept, _) = extractOne(
+      "<script type=\"text/javascript\"><!--\nvar x = 1;\n//--></script>" +
+        "<p>Visible paragraph passes all the rules.</p>")
+    assert(txt == "Visible paragraph passes all the rules.")
+    assert(kept == 1L)
+  }
+
   test("entity decode order: &amp;lt; yields the LITERAL string &lt;, not <") {
     val (txt, _, _) = extractOne("<p>Escaped &amp;lt; stays literal text here.</p>")
     assert(txt == "Escaped &lt; stays literal text here.")
