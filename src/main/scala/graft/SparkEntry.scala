@@ -2418,6 +2418,17 @@ object SparkEntry {
         TextOps.unicodeFixture(ColOps.table(s, dir, "documents"), "doc_id"),
         "doc_id", "text", carry = Seq("lang"))),
 
+    // the tokenizer-TRAINING loop goes script-agnostic: 6 rounds of
+    // argmax-merge-recount over the six-script fixture with the Unicode
+    // token alphabet — combining marks enter as single symbols and the
+    // merges learn them back onto their base letters, which is exactly
+    // how byte/char-level BPE handles scripts it was never hand-tuned
+    // for. Same vocab-bounded histogram shape as q_bpe_learn.
+    "q_bpe_unicode" -> ((s, dir) =>
+      TextOps.bpeLearn(
+        TextOps.unicodeFixture(ColOps.table(s, dir, "documents"), "doc_id"),
+        "text", 6, TextOps.TokenPatternUnicode)),
+
     // language ID across six scripts: stopword-argmax over Unicode
     // tokens recovers the planted language (true lang carried for the
     // confusion readout)
@@ -3827,6 +3838,10 @@ object SparkEntry {
                p AS (${TextOps.langIdUnicodeSql("fx")})
           SELECT f.doc_id, f.lang, p.lang_pred
           FROM fx f JOIN p USING (doc_id)""",
+    // bpeLearnSql opens its own WITH — fixture rides as a subquery
+    "q_bpe_unicode" ->
+      TextOps.bpeLearnSql(s"(${TextOps.unicodeFixtureSql}) fx", "text", 6,
+        TextOps.TokenPatternUnicode),
     "q_bigrams" -> TextOps.topBigramsSql(50),
     "q_bpe_pairs" -> TextOps.charPairCountsSql("documents", "text", 5L),
     "q_bpe_learn" -> TextOps.bpeLearnSql("documents", "text", 6),

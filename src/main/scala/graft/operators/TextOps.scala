@@ -41,9 +41,14 @@ object TextOps {
   /** Whitespace word split (documents are single-space separated). */
   def words(text: Column): Column = split(text, " ")
 
+  /** ASCII token class (the default alphabet; see [[TokenPatternUnicode]]
+    * for the script-agnostic one).
+    */
+  val TokenPattern = "[A-Za-z0-9]+"
+
   /** BPE-ish token extraction: alnum runs. */
   def tokens(text: Column): Column =
-    regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+    regexp_extract_all(text, lit(TokenPattern), lit(0))
 
   // --- language ID: stopword-count heuristic, deterministic tie-break ---
 
@@ -819,18 +824,27 @@ object TextOps {
     * deterministic and identical in both engines. Stops early (fewer
     * than `rounds` rows) if no multi-token word remains.
     */
-  def bpeLearn(df: DataFrame, textCol: String, rounds: Int): DataFrame =
-    bpeRun(df, textCol, rounds)._1
+  def bpeLearn(df: DataFrame, textCol: String, rounds: Int,
+               tokenPattern: String = TokenPattern): DataFrame =
+    bpeRun(df, textCol, rounds, tokenPattern)._1
 
   /** [[bpeLearn]] plus the post-training word-type state `(seq, freq)`
     * — the segmentation artifact [[bpeApply]] joins back onto the
     * corpus. Same single computation; `_1` is the merge table.
     */
-  def bpeRun(df: DataFrame, textCol: String,
-             rounds: Int): (DataFrame, DataFrame) = {
+  def bpeRun(df: DataFrame, textCol: String, rounds: Int,
+             tokenPattern: String = TokenPattern): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = df.select(explode(tokens(col(textCol))).as("w"))
+    // the token ALPHABET is a parameter (ASCII default; pass
+    // TokenPatternUnicode for the script-agnostic trainer): everything
+    // downstream — char split, pair argmax tie-break, merge replace —
+    // is code-point-based and agrees across engines for ALL of Unicode
+    // (Spark's UTF8String binary order == DuckDB's UTF-8 order == code
+    // point order; substring/char_length/substr/len all count code
+    // points), so the alphabet is the only Latin-specific piece
+    val hist = df.select(
+        explode(regexp_extract_all(col(textCol), lit(tokenPattern), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(concat_ws(" ", expr(
         "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
@@ -1129,22 +1143,24 @@ object TextOps {
     * join empties `v_r`, and every later round stays empty — the same
     * early-stop row count as the Spark side.
     */
-  def bpeLearnSql(table: String, textCol: String, rounds: Int): String = {
+  def bpeLearnSql(table: String, textCol: String, rounds: Int,
+                  tokenPattern: String = TokenPattern): String = {
     val union = (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
-    s"WITH ${bpeChainSql(table, textCol, rounds)} " +
+    s"WITH ${bpeChainSql(table, textCol, rounds, tokenPattern)} " +
       s"SELECT round, lhs, rhs, n FROM ($union)"
   }
 
   /** The shared learn-chain CTE list (`v0, p1, b1, v1, …, v_rounds`)
     * behind [[bpeLearnSql]] and [[bpeApplySql]].
     */
-  private def bpeChainSql(table: String, textCol: String, rounds: Int): String = {
+  private def bpeChainSql(table: String, textCol: String, rounds: Int,
+                          tokenPattern: String = TokenPattern): String = {
     val v0 =
       s"""v0 AS (
             SELECT array_to_string(list_transform(range(1, len(w) + 1),
                      i -> substr(w, CAST(i AS INT), 1)), ' ') AS seq,
                    CAST(COUNT(*) AS BIGINT) AS freq
-            FROM (SELECT UNNEST(regexp_extract_all($textCol, '[A-Za-z0-9]+')) AS w
+            FROM (SELECT UNNEST(regexp_extract_all($textCol, '$tokenPattern')) AS w
                   FROM $table) t
             GROUP BY 1)"""
     val steps = (1 to rounds).map { r =>

@@ -386,6 +386,27 @@ class TextOpsSpec extends SparkSpec {
       Seq("ru", "ar", "el", "hi").forall(l => ascii(l) == 0), ascii.toString)
   }
 
+  test("Unicode BPE: non-Latin symbols reach the merge table; ASCII trainer unchanged by the alphabet param") {
+    import spark.implicits._
+    val fx = TextOps.UnicodeFixture.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }.toDF("doc_id", "lang", "text")
+    val merges = TextOps.bpeLearn(fx, "text", 6, TextOps.TokenPatternUnicode)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == 6)
+    // the trainer must actually be learning over non-Latin alphabets:
+    // at least one merge symbol beyond ASCII
+    assert(merges.exists { case (_, l, r, _) =>
+      (l + r).exists(_ > 127) }, s"no non-Latin merge in ${merges.toSeq}")
+    // rounds are 1..6 with positive counts; merged symbol = lhs+rhs
+    assert(merges.map(_._1).sorted.sameElements(1 to 6))
+    assert(merges.forall(_._4 > 0))
+    // the alphabet parameter defaults to the ASCII class: explicitly
+    // passing it must be byte-identical to the historical call
+    val a = TextOps.bpeLearn(fx, "text", 3).collect().map(_.toSeq)
+    val b = TextOps.bpeLearn(fx, "text", 3, TextOps.TokenPattern).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("Unicode quality battery keeps all six scripts; langIdUnicode recovers each planted language") {
     import spark.implicits._
     val fx = TextOps.UnicodeFixture.zipWithIndex
