@@ -2418,6 +2418,15 @@ object SparkEntry {
         TextOps.unicodeFixture(ColOps.table(s, dir, "documents"), "doc_id"),
         "doc_id", "text", carry = Seq("lang"))),
 
+    // per-document script composition — the language-mix audit a
+    // multilingual corpus gates on; map-only, counts code-point-exact
+    // (Java and RE2 spell the script property differently but name the
+    // SAME Unicode property — membership agrees; hash-checked here)
+    "q_script_profile" -> ((s, dir) =>
+      TextOps.scriptProfile(
+        TextOps.unicodeFixture(ColOps.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "text")),
+
     // the tokenizer-TRAINING loop goes script-agnostic: 6 rounds of
     // argmax-merge-recount over the six-script fixture with the Unicode
     // token alphabet — combining marks enter as single symbols and the
@@ -3838,6 +3847,8 @@ object SparkEntry {
                p AS (${TextOps.langIdUnicodeSql("fx")})
           SELECT f.doc_id, f.lang, p.lang_pred
           FROM fx f JOIN p USING (doc_id)""",
+    "q_script_profile" ->
+      TextOps.scriptProfileSql(s"(${TextOps.unicodeFixtureSql}) fx"),
     // bpeLearnSql opens its own WITH — fixture rides as a subquery
     "q_bpe_unicode" ->
       TextOps.bpeLearnSql(s"(${TextOps.unicodeFixtureSql}) fx", "text", 6,

@@ -451,6 +451,59 @@ object TextOps {
           FROM $from"""
   }
 
+  /** Unicode script classes for the composition profile. Java regex and
+    * RE2 spell script properties differently (`\p{IsCyrillic}` vs
+    * `\p{Cyrillic}`) — the pair carries both spellings of the SAME
+    * Unicode script property, so membership agrees even though the
+    * pattern strings cannot be shared verbatim like the token class.
+    */
+  val ScriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("greek", "\\p{IsGreek}", "\\p{Greek}"),
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("devanagari", "\\p{IsDevanagari}", "\\p{Devanagari}"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("hiragana", "\\p{IsHiragana}", "\\p{Hiragana}"),
+    ("katakana", "\\p{IsKatakana}", "\\p{Katakana}"))
+
+  /** Per-document script composition — the language-mix audit a
+    * multilingual corpus build gates on (a "Latin" corpus with 40%
+    * Cyrillic chars is a crawl-routing bug; a CJK doc split across
+    * Han/kana columns shows whether it is Japanese or Chinese). One
+    * map-only pass: per script class, count = n_chars − length after
+    * deleting the class (all counts code-point-exact in both engines).
+    * Emits (doc_id, n_chars, n_<class>…, n_other) with n_other =
+    * everything outside all eight classes (spaces, punctuation, digits,
+    * unlisted scripts).
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nC = length(t).cast("long")
+    val classCols = ScriptClasses.map { case (name, javaCls, _) =>
+      (nC - length(regexp_replace(t, javaCls, "")).cast("long")).as(s"n_$name")
+    }
+    val sumClasses = ScriptClasses.map { case (_, javaCls, _) =>
+      nC - length(regexp_replace(t, javaCls, "")).cast("long")
+    }.reduce(_ + _)
+    df.select(col(idCol) +: nC.as("n_chars") +: classCols :+
+      (nC - sumClasses).as("n_other"): _*)
+  }
+
+  /** DuckDB mirror of [[scriptProfile]] over a FROM source. */
+  def scriptProfileSql(from: String): String = {
+    val cols = ScriptClasses.map { case (name, _, re2Cls) =>
+      s"""(length(text) - length(regexp_replace(text, '$re2Cls', '', 'g')))::BIGINT AS n_$name"""
+    }.mkString(",\n          ")
+    val sum = ScriptClasses.map { case (_, _, re2Cls) =>
+      s"(length(text) - length(regexp_replace(text, '$re2Cls', '', 'g')))"
+    }.mkString(" + ")
+    s"""SELECT doc_id, length(text)::BIGINT AS n_chars,
+          $cols,
+          (length(text) - ($sum))::BIGINT AS n_other
+        FROM $from"""
+  }
+
   /** Language ID in Unicode mode: the [[langId]] argmax-with-
     * alphabetical-tie-break over [[StopWordsUnicode]] membership of
     * [[tokensU]] tokens — one map-only pass, nine languages across six

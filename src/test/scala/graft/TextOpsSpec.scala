@@ -386,6 +386,34 @@ class TextOpsSpec extends SparkSpec {
       Seq("ru", "ar", "el", "hi").forall(l => ascii(l) == 0), ascii.toString)
   }
 
+  test("scriptProfile: per-script counts land in the right columns and conserve totals") {
+    import spark.implicits._
+    val fx = TextOps.UnicodeFixture.toDF("lang", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val rows = TextOps.scriptProfile(fx, "doc_id", "text")
+      .join(fx.select(col("doc_id"), col("lang")), "doc_id")
+      .collect().map { r =>
+        r.getAs[String]("lang") -> (r.getAs[Long]("n_chars"),
+          TextOps.ScriptClasses.map(c => c._1 -> r.getAs[Long](s"n_${c._1}")).toMap,
+          r.getAs[Long]("n_other"))
+      }.toMap
+    // each doc's dominant script is its own; cross-script counts zero
+    assert(rows("ru")._2("cyrillic") > 0 && rows("ru")._2("latin") == 0)
+    assert(rows("ar")._2("arabic") > 0 && rows("ar")._2("cyrillic") == 0)
+    assert(rows("el")._2("greek") > 0)
+    assert(rows("hi")._2("devanagari") > 0)
+    assert(rows("de")._2("latin") > 0 && rows("de")._2("greek") == 0)
+    // the Japanese doc decomposes across all three CJK columns — the
+    // han/kana split that distinguishes Japanese from Chinese text
+    assert(rows("ja")._2("han") > 0 && rows("ja")._2("hiragana") > 0 &&
+      rows("ja")._2("katakana") > 0)
+    // conservation: classes + other == n_chars, other covers only
+    // spaces/punctuation here (every fixture letter is classified)
+    rows.foreach { case (lang, (nc, cls, other)) =>
+      assert(cls.values.sum + other == nc, s"$lang counts don't conserve")
+    }
+  }
+
   test("Unicode BPE: non-Latin symbols reach the merge table; ASCII trainer unchanged by the alphabet param") {
     import spark.implicits._
     val fx = TextOps.UnicodeFixture.zipWithIndex
