@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   * filters): the JDK's Inflater would trivialize exactly the part this
   * codec exists to make real.
   *
-  * Coverage (and the documented cut):
-  *   - DEFLATE stored (BTYPE 00) and fixed-Huffman (BTYPE 01) blocks,
-  *     INCLUDING LZ77 length/distance back-references on decode;
-  *     dynamic-Huffman (BTYPE 10) decodes to NULL, fail-closed — the
-  *     strict-parser contract [[Multimodal.decodeDispatch]] relies on.
+  * Coverage:
+  *   - COMPLETE DEFLATE decode: stored (BTYPE 00), fixed-Huffman
+  *     (BTYPE 01), and dynamic-Huffman (BTYPE 10) blocks, with the full
+  *     LZ77 length/distance alphabet — ColOpsSpec cross-validates the
+  *     inflate against streams produced by the JDK's Deflater (which
+  *     emits dynamic blocks at default settings), so a real-world zlib
+  *     payload in our container decodes, not just our own encoder's
+  *     output. The encoder emits stored + fixed blocks (a valid choice
+  *     at any compression level).
   *   - all FIVE scanline filters (None/Sub/Up/Average/Paeth); the
   *     encoder assigns filter y % 5 so every staged asset with h ≥ 5
   *     exercises every unfilter path.
@@ -295,24 +299,138 @@ object PngCodec {
 
   private object Malformed extends RuntimeException(null, null, false, false)
 
-  /** Fixed-Huffman literal/length symbol: codes read MSB-first. */
-  private def readFixedLit(r: BitReader): Int = {
-    // 7-bit window first; extend to 8 then 9 per the canonical ranges
-    var code = 0
-    var i = 0
-    while (i < 7) { code = (code << 1) | r.readBit(); i += 1 }
-    if (code <= 0x17) return 256 + code
-    code = (code << 1) | r.readBit()
-    if (code >= 0x30 && code <= 0xbf) return code - 0x30
-    if (code >= 0xc0 && code <= 0xc7) return 280 + (code - 0xc0)
-    code = (code << 1) | r.readBit()
-    if (code >= 0x190 && code <= 0x1ff) return 144 + (code - 0x190)
-    throw Malformed
+  /** Canonical Huffman decoder over a code-length array (the zlib
+    * construction: codes of equal length are consecutive, ordered by
+    * symbol — RFC 1951 §3.2.2; decode walks lengths 1..15 tracking the
+    * first code of each length, the structure of puff.c's public-domain
+    * reference decoder). Rejects over-subscribed length sets at build
+    * time; an incomplete code simply fails at decode when an unassigned
+    * code arrives.
+    */
+  private final class Huffman(lengths: Array[Int]) {
+    private val MaxBits = 15
+    private val count = new Array[Int](MaxBits + 1)
+    lengths.foreach { l =>
+      if (l < 0 || l > MaxBits) throw Malformed
+      if (l > 0) count(l) += 1
+    }
+    // over-subscription check: codes available halve-and-extend per level
+    locally {
+      var left = 1
+      var l = 1
+      while (l <= MaxBits) {
+        left <<= 1
+        left -= count(l)
+        if (left < 0) throw Malformed
+        l += 1
+      }
+    }
+    private val symbols = {
+      val offs = new Array[Int](MaxBits + 2)
+      var l = 1
+      while (l <= MaxBits) { offs(l + 1) = offs(l) + count(l); l += 1 }
+      val syms = new Array[Int](lengths.count(_ > 0))
+      val cur = offs.clone()
+      var s = 0
+      while (s < lengths.length) {
+        if (lengths(s) > 0) { syms(cur(lengths(s))) = s; cur(lengths(s)) += 1 }
+        s += 1
+      }
+      syms
+    }
+    def decode(r: BitReader): Int = {
+      var code = 0; var first = 0; var index = 0
+      var len = 1
+      while (len <= MaxBits) {
+        code |= r.readBit()
+        val cnt = count(len)
+        if (code - first < cnt) return symbols(index + (code - first))
+        index += cnt
+        first = (first + cnt) << 1
+        code <<= 1
+        len += 1
+      }
+      throw Malformed
+    }
   }
 
-  /** Inflate a DEFLATE stream of stored + fixed-Huffman blocks into
-    * exactly `expectLen` bytes (PNG knows its filtered size up front;
-    * any other length is a malformation). Dynamic-Huffman → Malformed.
+  /** Fixed-Huffman tables per RFC 1951 §3.2.6 (built once). */
+  private val FixedLit = new Huffman(Array.tabulate(288) { s =>
+    if (s < 144) 8 else if (s < 256) 9 else if (s < 280) 7 else 8
+  })
+  private val FixedDist = new Huffman(Array.fill(30)(5))
+
+  /** The code-length-code symbol order of RFC 1951 §3.2.7. */
+  private val ClcOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
+    3, 13, 2, 14, 1, 15)
+
+  /** Read the dynamic-block header: the code-length code, then the
+    * run-length-encoded literal/length and distance code lengths.
+    */
+  private def readDynamicTables(r: BitReader): (Huffman, Huffman) = {
+    val hlit = r.readBits(5) + 257
+    val hdist = r.readBits(5) + 1
+    val hclen = r.readBits(4) + 4
+    if (hlit > 286 || hdist > 30) throw Malformed
+    val clcLens = new Array[Int](19)
+    var i = 0
+    while (i < hclen) { clcLens(ClcOrder(i)) = r.readBits(3); i += 1 }
+    val clc = new Huffman(clcLens)
+    val lens = new Array[Int](hlit + hdist)
+    var n = 0
+    while (n < lens.length) {
+      val sym = clc.decode(r)
+      if (sym < 16) { lens(n) = sym; n += 1 }
+      else {
+        val (rep, value) = sym match {
+          case 16 =>
+            if (n == 0) throw Malformed // no previous length to repeat
+            (3 + r.readBits(2), lens(n - 1))
+          case 17 => (3 + r.readBits(3), 0)
+          case 18 => (11 + r.readBits(7), 0)
+          case _ => throw Malformed
+        }
+        if (n + rep > lens.length) throw Malformed
+        var j = 0
+        while (j < rep) { lens(n) = value; n += 1; j += 1 }
+      }
+    }
+    if (lens(256) == 0) throw Malformed // every block must end; EOB needs a code
+    (new Huffman(lens.take(hlit)), new Huffman(lens.drop(hlit)))
+  }
+
+  /** Decode one Huffman-coded block (fixed or dynamic tables) into
+    * `out` starting at `n`; returns the new fill. Full LZ77
+    * length/distance alphabet.
+    */
+  private def decodeBlock(r: BitReader, lit: Huffman, dist: Huffman,
+                          out: Array[Byte], n0: Int, expectLen: Int): Int = {
+    var n = n0
+    var eob = false
+    while (!eob) {
+      val sym = lit.decode(r)
+      if (sym < 256) {
+        if (n >= expectLen) throw Malformed
+        out(n) = sym.toByte; n += 1
+      } else if (sym == 256) eob = true
+      else {
+        val li = sym - 257
+        if (li >= LenBase.length) throw Malformed
+        val len = LenBase(li) + r.readBits(LenExtra(li))
+        val d = dist.decode(r)
+        if (d >= DistBase.length) throw Malformed
+        val distance = DistBase(d) + r.readBits(DistExtra(d))
+        if (distance > n || n + len > expectLen) throw Malformed
+        var j = 0
+        while (j < len) { out(n) = out(n - distance); n += 1; j += 1 }
+      }
+    }
+    n
+  }
+
+  /** Inflate a complete DEFLATE stream — stored, fixed-Huffman, and
+    * dynamic-Huffman blocks — into exactly `expectLen` bytes (PNG knows
+    * its filtered size up front; any other length is a malformation).
     */
   private def inflate(r: BitReader, expectLen: Int): Array[Byte] = {
     val out = new Array[Byte](expectLen)
@@ -331,30 +449,12 @@ object PngCodec {
           if (r.pos + len > r.data.length || n + len > expectLen) throw Malformed
           System.arraycopy(r.data, r.pos, out, n, len)
           r.pos += len; n += len
-        case 1 => // fixed Huffman, full LZ77 alphabet
-          var eob = false
-          while (!eob) {
-            val sym = readFixedLit(r)
-            if (sym < 256) {
-              if (n >= expectLen) throw Malformed
-              out(n) = sym.toByte; n += 1
-            } else if (sym == 256) eob = true
-            else {
-              val li = sym - 257
-              if (li >= LenBase.length) throw Malformed
-              val len = LenBase(li) + r.readBits(LenExtra(li))
-              // fixed distance codes: 5 bits, MSB-first
-              var d = 0
-              var i = 0
-              while (i < 5) { d = (d << 1) | r.readBit(); i += 1 }
-              if (d >= DistBase.length) throw Malformed
-              val dist = DistBase(d) + r.readBits(DistExtra(d))
-              if (dist > n || n + len > expectLen) throw Malformed
-              var j = 0
-              while (j < len) { out(n) = out(n - dist); n += 1; j += 1 }
-            }
-          }
-        case _ => throw Malformed // dynamic Huffman: out of scope, fail-closed
+        case 1 =>
+          n = decodeBlock(r, FixedLit, FixedDist, out, n, expectLen)
+        case 2 =>
+          val (lit, dist) = readDynamicTables(r)
+          n = decodeBlock(r, lit, dist, out, n, expectLen)
+        case _ => throw Malformed // BTYPE 11 is reserved
       }
     }
     if (n != expectLen) throw Malformed

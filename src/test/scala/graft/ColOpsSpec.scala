@@ -386,8 +386,8 @@ class ColOpsSpec extends SparkSpec {
     // planted through the container seam where the CRC stays valid)
     val badCrc = png.clone(); badCrc(badCrc.length - 1) = (badCrc(badCrc.length - 1) ^ 1).toByte
     val truncated = png.dropRight(1)
-    // dynamic-Huffman block: BFINAL=1, BTYPE=10 -> first byte 0b101
-    val dynBlock = PngCodec.container(Array[Byte](0x05),
+    // reserved block type: BFINAL=1, BTYPE=11 -> first byte 0b111
+    val dynBlock = PngCodec.container(Array[Byte](0x07),
       new Array[Byte](6 * 10), 3, 6)
     // stored block carrying a filter byte of 5 (out of range)
     val filtLen = 6 * 10
@@ -463,6 +463,45 @@ class ColOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(rows(1L), "unknown CRITICAL chunk decoded non-null")
     assert(!rows(2L), "ancillary chunk wrongly rejected")
+  }
+
+  test("PNG codec: dynamic-Huffman streams from the JDK Deflater inflate correctly") {
+    import spark.implicits._
+    import graft.functions.{PngCodec, PngDecode}
+    // filter-0 rows over text-like bytes — structured enough that the
+    // JDK deflater (an INDEPENDENT encoder we did not write) chooses a
+    // dynamic-Huffman block; decoding it proves the inflate handles
+    // real-world zlib output, not just our own stored/fixed encoder
+    val w = 5; val h = 40
+    val phrase = "the quick brown fox "
+    val px = Array.tabulate(w * h) { i =>
+      val b = phrase.charAt(i % phrase.length).toInt
+      (b << 16) | (b << 8) | b
+    }
+    val stride = w * 3
+    val filt = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h; i <- 0 until stride) {
+      val p = px(y * w + i / 3)
+      filt(y * (1 + stride) + 1 + i) =
+        ((i % 3) match { case 0 => p >> 16; case 1 => p >> 8; case _ => p }).toByte
+    }
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION, true) // nowrap: raw DEFLATE
+    defl.setInput(filt); defl.finish()
+    val buf = new Array[Byte](filt.length * 2 + 64)
+    val m = defl.deflate(buf); defl.end()
+    val body = buf.take(m)
+    // block header bits (LSB-first): bit0 BFINAL, bits1-2 BTYPE — the
+    // fixture must actually exercise the dynamic path
+    assert(((body(0) >> 1) & 3) == 2,
+      s"JDK chose BTYPE ${(body(0) >> 1) & 3}; fixture not dynamic")
+    val d = Seq((1L, PngCodec.container(body, filt, w, h)))
+      .toDF("asset_id", "media")
+      .select(PngDecode.png_decode(col("media")).as("d")).select(col("d.*")).head()
+    assert(d.getInt(0) == w && d.getInt(1) == h && d.getLong(2) == (w * h).toLong)
+    assert(d.getLong(3) == px.map(p => ((p >> 16) & 0xff).toLong).sum)
+    assert(d.getLong(4) == px.map(p => ((p >> 8) & 0xff).toLong).sum)
+    assert(d.getLong(5) == px.map(p => (p & 0xff).toLong).sum)
   }
 
   test("PNG codec: fixed-Huffman LZ77 back-references inflate correctly; adler lie rejected") {
