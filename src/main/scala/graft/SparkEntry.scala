@@ -2520,6 +2520,17 @@ object SparkEntry {
           TextOps.bpeRun(docs, "text", 6)._2), "doc_id", 128L)
     }),
 
+    // packed sequences WITH document-boundary metadata: per pack, each
+    // doc's span as doc:off:len triples in pack order — the
+    // block-diagonal attention mask (or position-id reset points) is a
+    // pure function of this column; same prefix-sum + tiling shape
+    "q_pack_bounds" -> ((s, dir) => {
+      val docs = ColOps.table(s, dir, "documents")
+      Packing.packTokenIdsWithBounds(
+        TextOps.tokenizeIdArrays(docs, "doc_id", "text",
+          TextOps.bpeRun(docs, "text", 6)._2), "doc_id", 128L)
+    }),
+
     // token-BUDGET chunking under the learned BPE cost model: chunk of
     // a word = its token-offset bin (excl-prefix-sum / budget) — one
     // per-doc window over the broadcast vocab-bounded cost join; the
@@ -3860,6 +3871,8 @@ object SparkEntry {
     "q_chunk_tokens" -> TextOps.chunkByTokensSql("documents", "doc_id", "text", 6, 64L),
     "q_tokenize_ids" -> TextOps.tokenizeIdsSql("documents", "doc_id", "text", 6),
     "q_pack_ids" -> TextOps.packTokenIdsSql("documents", "doc_id", "text", 6, 128L),
+    "q_pack_bounds" ->
+      TextOps.packTokenIdsWithBoundsSql("documents", "doc_id", "text", 6, 128L),
     // the composed front-door chain: extraction + quality + dedup CTEs
     // prefix the shared encode/pack chain over the canonical kept set
     "q_corpus_build" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,

@@ -116,24 +116,34 @@ object Packing {
     * is one pack of ids — `budget` longs, the training sequence
     * itself.
     */
-  def packTokenIds(enc: DataFrame, idCol: String, budget: Long): DataFrame = {
+  /** Shared piece derivation of the materialized packers: per (doc,
+    * pack) intersection, the pack id, the global token range [g0, g1),
+    * the doc id, and the sliced token-id piece. Distributed prefix sum
+    * + per-doc tiling into only the packs a doc touches.
+    */
+  private def packPieces(enc: DataFrame, idCol: String,
+                         budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val toks = enc.select(col(idCol).cast("long").as("seq"), col("ids"),
       size(col("ids")).cast("long").as("tok"))
     val withRun = RowExec.runningSumLong(toks, col("tok"), "__run")
       .withColumn("start_off", col("__run") - col("tok"))
-    val pieces = withRun
+    withRun
       .filter(col("tok") > 0)
-      .select(col("ids"), col("start_off"), col("tok"),
+      .select(col("seq"), col("ids"), col("start_off"), col("tok"),
         explode(sequence(expr(s"start_off div ${budget}L"),
           expr(s"(start_off + tok - 1) div ${budget}L"))).as("pack_id"))
-      .select(col("pack_id"), col("ids"), col("start_off"),
+      .select(col("pack_id"), col("seq"), col("ids"), col("start_off"),
         expr(s"greatest(start_off, pack_id * ${budget}L)").as("g0"),
         expr(s"least(start_off + tok, (pack_id + 1) * ${budget}L)").as("g1"))
-      .select(col("pack_id"), col("g0"),
+      .select(col("pack_id"), col("seq"), col("g0"), col("g1"),
         slice(col("ids"), (col("g0") - col("start_off") + 1).cast("int"),
           (col("g1") - col("g0")).cast("int")).as("piece"))
-    pieces.groupBy(col("pack_id"))
+  }
+
+  def packTokenIds(enc: DataFrame, idCol: String, budget: Long): DataFrame =
+    packPieces(enc, idCol, budget)
+      .groupBy(col("pack_id"))
       .agg(transform(array_sort(collect_list(struct(col("g0"), col("piece")))),
         s => s.getField("piece")).as("ps"),
         count(lit(1)).as("n_docs"))
@@ -142,7 +152,36 @@ object Packing {
         array_join(col("ids").cast("array<string>"), ",").as("ids"),
         size(col("ids")).cast("long").as("n_tokens"),
         col("n_docs"))
-  }
+
+  /** [[packTokenIds]] plus the per-pack DOCUMENT BOUNDARY metadata a
+    * trainer needs to prevent cross-document attention: `bounds` lists
+    * each doc's span inside the pack as `doc:off:len` triples in pack
+    * order (off = token offset within the pack). A doc's tokens are
+    * contiguous in the virtual stream, so it contributes exactly one
+    * span per pack it touches — the block-diagonal attention mask (or
+    * the reset points for position ids) is a pure function of this
+    * column. Same distributed shape as the plain packer; the metadata
+    * rides the same aggregate.
+    */
+  def packTokenIdsWithBounds(enc: DataFrame, idCol: String,
+                             budget: Long): DataFrame =
+    packPieces(enc, idCol, budget)
+      .select(col("pack_id"), col("g0"), col("piece"),
+        concat_ws(":", col("seq"),
+          col("g0") - col("pack_id") * budget,
+          col("g1") - col("g0")).as("bound"))
+      .groupBy(col("pack_id"))
+      .agg(array_sort(collect_list(struct(col("g0"), col("piece"), col("bound"))))
+        .as("ps"), count(lit(1)).as("n_docs"))
+      .select(col("pack_id"),
+        flatten(expr("transform(ps, s -> s.piece)")).as("ids"),
+        expr("transform(ps, s -> s.bound)").as("bs"),
+        col("n_docs"))
+      .select(col("pack_id"),
+        array_join(col("ids").cast("array<string>"), ",").as("ids"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        col("n_docs"),
+        array_join(col("bs"), ",").as("bounds"))
 
   /** Pack-level summary of [[greedyPack]]: per (grp, bin), the number of
     * docs, total fill, and waste (`budget - fill`, negative for a

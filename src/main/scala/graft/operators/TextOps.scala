@@ -1146,6 +1146,34 @@ object TextOps {
                CAST(COUNT(DISTINCT __id) AS BIGINT) AS n_docs
         FROM ord GROUP BY 1"""
 
+  /** DuckDB mirror of Packing.packTokenIdsWithBounds: the packTokenIds
+    * global-row_number formulation plus per-(pack, doc) spans — a doc's
+    * tokens are contiguous in gpos, so MIN(gpos) and COUNT(*) per
+    * (pack, doc) ARE the span, ordered by in-pack offset.
+    */
+  def packTokenIdsWithBoundsSql(table: String, idCol: String, textCol: String,
+                                rounds: Int, budget: Long,
+                                prefixCtes: String = ""): String =
+    s"""WITH ${if (prefixCtes.nonEmpty) prefixCtes + ",\n" else ""}${
+      tokenizeIdsChainSql(table, idCol, textCol, rounds)},
+        ord AS (SELECT *, row_number()
+                  OVER (ORDER BY __id, wpos, spos) - 1 AS gpos FROM idt),
+        packs AS (SELECT CAST(gpos // $budget AS BIGINT) AS pack_id,
+                    string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos) AS ids,
+                    COUNT(*) AS n_tokens,
+                    CAST(COUNT(DISTINCT __id) AS BIGINT) AS n_docs
+                  FROM ord GROUP BY 1),
+        spans AS (SELECT CAST(gpos // $budget AS BIGINT) AS pack_id, __id,
+                    MIN(gpos) AS ming, COUNT(*) AS cnt
+                  FROM ord GROUP BY 1, __id),
+        bnd AS (SELECT pack_id,
+                  string_agg(CAST(__id AS VARCHAR) || ':' ||
+                    CAST(ming - pack_id * $budget AS VARCHAR) || ':' ||
+                    CAST(cnt AS VARCHAR), ',' ORDER BY ming) AS bounds
+                FROM spans GROUP BY 1)
+        SELECT p.pack_id, p.ids, p.n_tokens, p.n_docs, b.bounds
+        FROM packs p JOIN bnd b USING (pack_id)"""
+
   /** DuckDB mirror of [[chunkByTokens]] over [[bpeLearnSql]]'s state. */
   def chunkByTokensSql(table: String, idCol: String, textCol: String,
                        rounds: Int, budget: Long): String =

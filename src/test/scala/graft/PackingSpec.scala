@@ -69,4 +69,35 @@ class PackingSpec extends SparkSpec {
       assert(r.getLong(4) === B - r.getLong(3), "waste = budget - fill_total")
     }
   }
+
+  test("packTokenIdsWithBounds: spans tile each pack contiguously and agree with the plain packer") {
+    val enc = TextOps.tokenizeIdArrays(docs, "doc_id", "text",
+      TextOps.bpeRun(docs, "text", 3)._2)
+    val plain = Packing.packTokenIds(enc, "doc_id", B)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val withB = Packing.packTokenIdsWithBounds(enc, "doc_id", B).collect()
+    assert(withB.length == plain.size)
+    val maxPack = withB.map(_.getLong(0)).max
+    withB.foreach { r =>
+      val (packId, ids, nTok, nDocs, bounds) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))
+      // the ids/n_tokens/n_docs columns are EXACTLY the plain packer's
+      assert(plain(packId) == ((ids, nTok, nDocs)), s"pack $packId diverged from packTokenIds")
+      val spans = bounds.split(",").map { b =>
+        val Array(doc, off, len) = b.split(":").map(_.toLong); (doc, off, len)
+      }
+      assert(spans.length == nDocs)
+      // spans tile the pack contiguously from offset 0 (the property a
+      // block-diagonal attention mask builder relies on); every pack
+      // except the last is full
+      assert(spans.head._2 == 0L, s"pack $packId first span offset ${spans.head._2}")
+      spans.sliding(2).foreach {
+        case Array((_, o1, l1), (_, o2, _)) =>
+          assert(o1 + l1 == o2, s"pack $packId spans not contiguous")
+        case _ => ()
+      }
+      assert(spans.map(_._3).sum == nTok)
+      if (packId < maxPack) assert(nTok == B, s"non-final pack $packId not full")
+    }
+  }
 }
