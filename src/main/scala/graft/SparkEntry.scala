@@ -2797,6 +2797,17 @@ object SparkEntry {
     "q_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Similarity.embeddings(s, dir), 20, 3)),
 
+    // the SemDeDup→index handoff composed end-to-end: cell-blocked
+    // semantic dedup prunes the collection, the IVF-PQ index builds and
+    // serves over the SURVIVORS (geometry re-derived from the deduped
+    // set — the dedup runs before index training, as in production) —
+    // the embedding-tier analogue of q_corpus_build
+    "q_sem_index" -> ((s, dir) => {
+      val emb = Similarity.embeddings(s, dir)
+      val kept = Similarity.semDedup(emb, 0.35).select(col("vec_id"))
+      Similarity.ivfPqTopK(emb.join(kept, "vec_id"), 20, 3)
+    }),
+
     // int8 scalar quantization (the ANN index memory-compression step) —
     // zero shuffle, all-IEEE-exact arithmetic
     // qvec is emitted comma-joined: the driver's hash comparator can't
@@ -4015,6 +4026,12 @@ object SparkEntry {
     "q_embed_ivfpq" -> Similarity.ivfPqTopKSql(20, 3),
     "q_embed_ivfpq_persist" -> Similarity.ivfPqTopKSql(20, 3),
     "q_ann_recall" -> Similarity.annRecallSql(20, 3),
+    // survivors inline as a subquery-scoped WITH (names don't collide
+    // with the outer index chain); the chain's e0 IS the deduped set
+    "q_sem_index" -> Similarity.ivfPqTopKSql(20, 3,
+      e0Sql = s"""SELECT r.vec_id, r.emb
+                  FROM (${Similarity.E0Sql}) r
+                  JOIN (${Similarity.semDedupSql(0.35)}) k ON k.vec_id = r.vec_id"""),
     "q_embed_quant" ->
       s"""SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
           FROM (${Similarity.quantizeInt8Sql()}) qq""",

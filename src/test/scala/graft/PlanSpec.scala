@@ -695,6 +695,13 @@ class PlanSpec extends SparkSpec {
       s"png_decode fell out of WholeStageCodegen:\n$p")
   }
 
+  test("q_sem_index: dedup pairs are cell-blocked (no cartesian end-to-end)") {
+    val df = SparkEntry.queries("q_sem_index")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"SemDeDup→index chain plans a cartesian:\n$p")
+  }
+
   test("q_ann_recall: probe/ADC tables broadcast; no cartesian anywhere in the sweep") {
     val df = SparkEntry.queries("q_ann_recall")(spark, dir)
     val p = plan(df)
