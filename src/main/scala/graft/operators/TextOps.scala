@@ -483,11 +483,12 @@ object TextOps {
     val classCols = ScriptClasses.map { case (name, javaCls, _) =>
       (nC - length(regexp_replace(t, javaCls, "")).cast("long")).as(s"n_$name")
     }
-    val sumClasses = ScriptClasses.map { case (_, javaCls, _) =>
-      nC - length(regexp_replace(t, javaCls, "")).cast("long")
-    }.reduce(_ + _)
-    df.select(col(idCol) +: nC.as("n_chars") +: classCols :+
-      (nC - sumClasses).as("n_other"): _*)
+    // n_other derives from the ALIASED class columns in a second select
+    // — each script regex runs once per row structurally, not by
+    // hoping the optimizer CSEs sixteen identical regexp_replaces
+    val sumClasses = ScriptClasses.map(c => col(s"n_${c._1}")).reduce(_ + _)
+    df.select(col(idCol) +: nC.as("n_chars") +: classCols: _*)
+      .withColumn("n_other", col("n_chars") - sumClasses)
   }
 
   /** DuckDB mirror of [[scriptProfile]] over a FROM source. */
@@ -495,13 +496,11 @@ object TextOps {
     val cols = ScriptClasses.map { case (name, _, re2Cls) =>
       s"""(length(text) - length(regexp_replace(text, '$re2Cls', '', 'g')))::BIGINT AS n_$name"""
     }.mkString(",\n          ")
-    val sum = ScriptClasses.map { case (_, _, re2Cls) =>
-      s"(length(text) - length(regexp_replace(text, '$re2Cls', '', 'g')))"
-    }.mkString(" + ")
-    s"""SELECT doc_id, length(text)::BIGINT AS n_chars,
-          $cols,
-          (length(text) - ($sum))::BIGINT AS n_other
-        FROM $from"""
+    val sum = ScriptClasses.map(c => s"n_${c._1}").mkString(" + ")
+    s"""SELECT *, (n_chars - ($sum))::BIGINT AS n_other FROM
+          (SELECT doc_id, length(text)::BIGINT AS n_chars,
+             $cols
+           FROM $from) p"""
   }
 
   /** Language ID in Unicode mode: the [[langId]] argmax-with-

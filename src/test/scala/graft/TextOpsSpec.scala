@@ -407,10 +407,32 @@ class TextOpsSpec extends SparkSpec {
     // han/kana split that distinguishes Japanese from Chinese text
     assert(rows("ja")._2("han") > 0 && rows("ja")._2("hiragana") > 0 &&
       rows("ja")._2("katakana") > 0)
-    // conservation: classes + other == n_chars, other covers only
-    // spaces/punctuation here (every fixture letter is classified)
+    // n_other (and each class column) must match an INDEPENDENT count
+    // via Character.UnicodeScript — a different JDK code path than the
+    // operator's regexes — because "classes + other == n_chars" alone
+    // is tautological: n_other is defined as the difference, so it
+    // conserves even if every script regex is wrong. Note script ≠
+    // letter: Devanagari vowel signs (Mc) and the danda (punctuation)
+    // are script-Devanagari, and the regex classes count by SCRIPT.
+    import java.lang.Character.UnicodeScript
+    val scriptOf = Map(
+      "latin" -> UnicodeScript.LATIN, "cyrillic" -> UnicodeScript.CYRILLIC,
+      "greek" -> UnicodeScript.GREEK, "arabic" -> UnicodeScript.ARABIC,
+      "devanagari" -> UnicodeScript.DEVANAGARI, "han" -> UnicodeScript.HAN,
+      "hiragana" -> UnicodeScript.HIRAGANA, "katakana" -> UnicodeScript.KATAKANA)
+    val fixtureByLang = TextOps.UnicodeFixture.toMap
     rows.foreach { case (lang, (nc, cls, other)) =>
-      assert(cls.values.sum + other == nc, s"$lang counts don't conserve")
+      val text = fixtureByLang(lang)
+      val cps = text.codePoints().toArray
+      assert(nc == cps.length.toLong)
+      cls.foreach { case (name, n) =>
+        val want = cps.count(cp => UnicodeScript.of(cp) == scriptOf(name)).toLong
+        assert(n == want, s"$lang n_$name=$n, independent script count=$want")
+      }
+      val expectedOther =
+        cps.count(cp => !scriptOf.values.toSet.contains(UnicodeScript.of(cp))).toLong
+      assert(other == expectedOther,
+        s"$lang n_other=$other, independent count=$expectedOther")
     }
   }
 
