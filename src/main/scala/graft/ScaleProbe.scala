@@ -214,6 +214,27 @@ object ScaleProbe {
     val bigEmbAll = (0 until n).map { i =>
       emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
     }.reduce(_ union _)
+
+    // semantic dedup under the DOCUMENTED scaling discipline: pair cost
+    // is n²/nCells per cell, so nCells grows WITH the collection (the
+    // semDedup scaladoc's 100-TB contract) and per-cell pair cost stays
+    // flat — probed exactly that way (16 cells at 1x, 16n at nx; the
+    // shifted-id copies are exact near-dups, so the drop machinery runs
+    // at full density). A fixed-geometry run would be quadratic BY
+    // DESIGN, which is the thing the discipline exists to avoid.
+    if (probeEnabled("semDedup")) {
+      def one(tag: String, d: org.apache.spark.sql.DataFrame, cells: Int): Double = {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Similarity.semDedup(d, 0.35, cells).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALEPROBE semDedup $tag: $sec%.2f s, $rows rows")
+        sec
+      }
+      one("1x warm", emb, 16)
+      val a = one("1x", emb, 16)
+      val b = one(s"${n}x", bigEmbAll, 16 * n)
+      println(f"SCALEPROBE semDedup ratio: ${b / a}%.2f (linear would be ~$n)")
+    }
     // persisted-IVF serve: the collection grows n× but each query still
     // probes nProbe/nCells of the cell directories, so the serve must
     // scale on the PRUNED candidate bytes (≈ n× more vectors inside the

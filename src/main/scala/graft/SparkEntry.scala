@@ -2164,6 +2164,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4)
     }),
 
+    // INTRA-corpus duplicated-passage spans (Lee et al. exact-substring
+    // dedup): maximal shared 4-token runs between document pairs —
+    // fully distributed (no small side to collect): viral-shingle cap,
+    // hash self-equi-join, gaps-and-islands
+    "q_self_spans" -> ((s, dir) =>
+      Dedup.selfSpans(
+        ColOps.table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 4)),
+
     // span EXCISION — the cut step: every token covered by a shared
     // 4-token run is removed; after the contamination-sized span join
     // the removal is a per-row array lambda (map-only, corpus never
@@ -3739,6 +3748,7 @@ object SparkEntry {
           WHERE d.doc_id % 50 <> 0""",
     "q_contamination_spans" ->
       Dedup.contaminationSpansSql(4, "doc_id % 50 <> 0", "doc_id % 50 = 0"),
+    "q_self_spans" -> Dedup.selfSpansSql(4),
     "q_contamination_clean" ->
       Dedup.decontaminateSql(4, "doc_id % 50 <> 0", "doc_id % 50 = 0"),
     // streaming-executed twin: stateless per-doc flag ≡ the batch join

@@ -296,6 +296,81 @@ object Dedup {
         col("span_len"))
   }
 
+  /** INTRA-corpus duplicated-passage spans — the exact-substring dedup
+    * signal of Lee et al. ("Deduplicating Training Data Makes Language
+    * Models Better"): one row per MAXIMAL n-token run shared by two
+    * documents, (doc_a, doc_b, span_a_start, span_b_start, span_len),
+    * doc_a < doc_b, positions 0-based over the single-space word split.
+    * [[contaminationSpans]] asks "does my corpus leak the eval set";
+    * this asks "does my corpus repeat itself" — the passage-level
+    * signal that doc-level MinHash and chunk-level hashing both miss
+    * (a duplicated paragraph at different offsets in otherwise-novel
+    * docs).
+    *
+    * Fully distributed — unlike the contamination form there is no
+    * small side to collect: positioned n-gram hashes over the corpus,
+    * a VIRAL-SHINGLE CAP (a hash occurring > `cap` times is ubiquitous
+    * boilerplate whose pair set would go O(occ²); chunk-level dedup
+    * owns those — the [[Similarity]] bucket-cap discipline), a
+    * self-equi-join on the hash (never all-pairs), then the same
+    * gaps-and-islands collapse as the contamination spans. Shuffles:
+    * the hash count, the self-join, the per-(pair, delta) window —
+    * all on narrow keys; the window runs only over matched positions.
+    */
+  def selfSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                cap: Int = 64): DataFrame = {
+    require(n >= 2, s"span shingle width must be >= 2, got $n")
+    val p = docs.select(col(idCol).as("doc_id"),
+        graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.NgramHashes.ngram_hashes(col("hw"), n))
+          .as(Seq("pos", "h")))
+    val ok = p.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") <= cap).select(col("h"))
+    val occ = graft.core.Materialize.checkpoint(p.join(ok, "h"))
+    val a = occ.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+    val b = occ.select(col("h").as("hb"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"))
+    val m = a.join(b, col("h") === col("hb") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("delta"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("delta"))
+      .orderBy(col("pos_a"))
+    m.withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("grp"))
+      .agg(min(col("pos_a")).cast("long").as("span_a_start"),
+        (count(lit(1)) + lit(n - 1).cast("long")).as("span_len"))
+      .select(col("doc_a"), col("doc_b"), col("span_a_start"),
+        (col("span_a_start") - col("delta")).cast("long").as("span_b_start"),
+        col("span_len"))
+  }
+
+  /** DuckDB mirror of [[selfSpans]] over `documents`. */
+  def selfSpansSql(n: Int, cap: Int = 64): String = {
+    val h = TextOps.charHashSql("w")
+    s"""WITH hw AS (SELECT doc_id, [$h for w in string_split(text, ' ')] AS hw
+          FROM documents),
+        sh AS (SELECT doc_id, (CASE WHEN len(hw) >= $n THEN
+            [list_reduce(hw[j+1:j+$n], (a,b) -> (a*31+b) % $P)
+             for j in range(0, len(hw)-$n+1)]
+           ELSE [] END) AS sh FROM hw),
+        pp AS (SELECT doc_id, UNNEST(sh) AS h, UNNEST(range(len(sh))) AS pos
+               FROM sh),
+        ok AS (SELECT h FROM pp GROUP BY h HAVING COUNT(*) <= $cap),
+        occ AS (SELECT pp.* FROM pp JOIN ok USING (h)),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pos_a, a.pos - b.pos AS delta
+              FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
+        g AS (SELECT *, pos_a - row_number()
+                OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pos_a) AS grp
+              FROM m)
+        SELECT doc_a, doc_b,
+          CAST(MIN(pos_a) AS BIGINT) AS span_a_start,
+          CAST(MIN(pos_a) - delta AS BIGINT) AS span_b_start,
+          CAST(COUNT(*) + $n - 1 AS BIGINT) AS span_len
+        FROM g GROUP BY doc_a, doc_b, delta, grp"""
+  }
+
   /** Span EXCISION — the cut step completing the decontamination
     * methodology: rebuild each training doc with every token covered by
     * a [[contaminationSpans]] run removed. Output (doc_id, clean_text,

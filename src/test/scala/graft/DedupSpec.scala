@@ -119,6 +119,34 @@ class DedupSpec extends SparkSpec {
       (2L, 100L, 6L, 4L, 4L)), s"got ${got.toList}")
   }
 
+  test("selfSpans: cross-doc passage at different offsets, pair orientation, viral cap") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share a 6-token passage at DIFFERENT offsets — the
+      // case doc-level MinHash and aligned chunk hashing both miss
+      (1L, "p q the quick brown fox jumps high r s"),
+      (2L, "the quick brown fox jumps high z1 z2 z3 z4"),
+      // doc 3 shares nothing long enough (3-token overlap < n=4)
+      (3L, "quick brown fox t1 t2 t3 t4 t5"),
+      // shorter than n: no shingles, no crash
+      (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = Dedup.selfSpans(docs, "doc_id", "text", n = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exactly one maximal span, oriented doc_a < doc_b: doc 1 offset 2,
+    // doc 2 offset 0, length 6
+    assert(got.toSeq == Seq((1L, 2L, 2L, 0L, 6L)), s"got ${got.toList}")
+    // viral cap: the same passage planted in MORE docs than the cap
+    // admits is boilerplate — its shingles drop out of candidacy and no
+    // pairs survive (chunk-level dedup owns ubiquitous passages)
+    val viral = (0L until 12L).map(i =>
+      (i, s"the quick brown fox jumps high tail$i")).toDF("doc_id", "text")
+    assert(Dedup.selfSpans(viral, "doc_id", "text", n = 4, cap = 5).count() == 0L)
+    // and with a cap that admits them, all 12-choose-2 pairs span
+    assert(Dedup.selfSpans(viral, "doc_id", "text", n = 4, cap = 64).count() == 66L)
+  }
+
   test("decontaminate: covered tokens excised, clean docs untouched, fully-covered doc becomes empty") {
     import spark.implicits._
     val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
