@@ -159,6 +159,20 @@ object ScaleProbe {
       graft.operators.Dedup.contaminatedBy(
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         "doc_id", "text").count())
+
+    // intra-corpus span detection under NOVEL growth: every copy's words
+    // carry a copy prefix, so shingles are copy-unique and the probe
+    // measures the scan + count + self-join machinery at n× data, not
+    // n²-many genuine duplicate pairs (duplicate MASS is output, bounded
+    // by the viral cap, not operator cost — identical copies would
+    // either pair quadratically below the cap or all drop above it)
+    val bigDocsNovel = (0 until n).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "), w => concat(lit(s"c$i"), w)), " "))
+    }.reduce(_ union _)
+    probePair("selfSpans", docs, bigDocsNovel, d =>
+      graft.operators.Dedup.selfSpans(d, "doc_id", "text", 4).count())
     probePair("shuffleOrder", docs, bigDocs, d =>
       graft.operators.Sampling.shuffleOrder(d.select(col("doc_id")), "doc_id", 3L).count())
     probePair("bigrams", docs, bigDocs, d =>
