@@ -2173,6 +2173,13 @@ object SparkEntry {
         ColOps.table(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", n = 4)),
 
+    // the keep-first CUT completing intra-corpus passage dedup: every
+    // shared run removed from the higher-id doc, first occurrence kept
+    "q_self_dedup_cut" -> ((s, dir) =>
+      Dedup.selfDedupCut(
+        ColOps.table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 4)),
+
     // span EXCISION — the cut step: every token covered by a shared
     // 4-token run is removed; after the contamination-sized span join
     // the removal is a per-row array lambda (map-only, corpus never
@@ -3749,6 +3756,7 @@ object SparkEntry {
     "q_contamination_spans" ->
       Dedup.contaminationSpansSql(4, "doc_id % 50 <> 0", "doc_id % 50 = 0"),
     "q_self_spans" -> Dedup.selfSpansSql(4),
+    "q_self_dedup_cut" -> Dedup.selfDedupCutSql(4),
     "q_contamination_clean" ->
       Dedup.decontaminateSql(4, "doc_id % 50 <> 0", "doc_id % 50 = 0"),
     // streaming-executed twin: stateless per-doc flag ≡ the batch join

@@ -386,8 +386,18 @@ object Dedup {
     * no cost concern at oracle scale); both produce identical rows.
     */
   def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
-    val spansByDoc = contaminationSpans(docs, bench, idCol, textCol, n)
+                    textCol: String, n: Int): DataFrame =
+    exciseSpans(docs, idCol, textCol,
+      contaminationSpans(docs, bench, idCol, textCol, n)
+        .select(col("doc_id"), col("span_start"), col("span_len")))
+
+  /** The excision half of [[decontaminate]], parameterized by the span
+    * table (doc_id, span_start, span_len) so both decontamination and
+    * the intra-corpus [[selfDedupCut]] share one cut implementation.
+    */
+  private def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+                          spans: DataFrame): DataFrame = {
+    val spansByDoc = spans
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_len").as("l"))).as("spans"))
@@ -413,6 +423,62 @@ object Dedup {
         array_join(transform(col("__kept"), p => p.getField("w")), " ")
           .as("clean_text"),
         (size(col("ws")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Intra-corpus KEEP-FIRST passage excision — the cut completing the
+    * Lee et al. exact-substring dedup: every [[selfSpans]] run is
+    * removed from the HIGHER-id document (doc_a, the first occurrence,
+    * keeps its copy), so one copy of every duplicated passage survives
+    * the corpus. Output over the FULL corpus: (doc_id, clean_text,
+    * n_removed); untouched docs pass through with n_removed = 0.
+    * Same scale shape as [[decontaminate]]: spans collapse to one row
+    * per cut doc, then a map-only per-row lambda — shared
+    * [[exciseSpans]] implementation.
+    */
+  def selfDedupCut(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   cap: Int = 64): DataFrame =
+    exciseSpans(docs, idCol, textCol,
+      selfSpans(docs, idCol, textCol, n, cap)
+        .select(col("doc_b").as("doc_id"),
+          col("span_b_start").as("span_start"), col("span_len")))
+
+  /** DuckDB mirror of [[selfDedupCut]] over `documents`. */
+  def selfDedupCutSql(n: Int, cap: Int = 64): String = {
+    val h = TextOps.charHashSql("w")
+    s"""WITH hw AS (SELECT doc_id, [$h for w in string_split(text, ' ')] AS hw
+          FROM documents),
+        sh AS (SELECT doc_id, (CASE WHEN len(hw) >= $n THEN
+            [list_reduce(hw[j+1:j+$n], (a,b) -> (a*31+b) % $P)
+             for j in range(0, len(hw)-$n+1)]
+           ELSE [] END) AS sh FROM hw),
+        pp AS (SELECT doc_id, UNNEST(sh) AS h, UNNEST(range(len(sh))) AS pos
+               FROM sh),
+        ok AS (SELECT h FROM pp GROUP BY h HAVING COUNT(*) <= $cap),
+        occ AS (SELECT pp.* FROM pp JOIN ok USING (h)),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pos_a, a.pos - b.pos AS delta
+              FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
+        g AS (SELECT *, pos_a - row_number()
+                OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pos_a) AS grp
+              FROM m),
+        spans AS (SELECT doc_b AS doc_id,
+            CAST(MIN(pos_a) - delta AS BIGINT) AS span_start,
+            CAST(COUNT(*) + $n - 1 AS BIGINT) AS span_len
+          FROM g GROUP BY doc_a, doc_b, delta, grp),
+        cov AS (SELECT DISTINCT * FROM (
+          SELECT doc_id, UNNEST(range(span_start, span_start + span_len)) AS pos
+          FROM spans)),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        w AS (SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(len(ws))) AS pos
+              FROM toks),
+        kept AS (SELECT w.doc_id, w.w, w.pos
+                 FROM w ANTI JOIN cov USING (doc_id, pos)),
+        agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(len(t.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN agg a USING (doc_id)"""
   }
 
   /** DuckDB mirror of [[decontaminate]] (explode + anti-join route —

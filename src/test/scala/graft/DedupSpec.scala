@@ -147,6 +147,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.selfSpans(viral, "doc_id", "text", n = 4, cap = 64).count() == 66L)
   }
 
+  test("selfDedupCut: keep-first — the later doc loses the shared passage, the first keeps it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q the quick brown fox jumps high r s"),
+      (2L, "the quick brown fox jumps high z1 z2 z3 z4"),
+      (3L, "n1 n2 n3 n4 n5 n6 n7 n8")
+    ).toDF("doc_id", "text")
+    val got = Dedup.selfDedupCut(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 (first occurrence) keeps its copy untouched
+    assert(got(1L) == (("p q the quick brown fox jumps high r s", 0L)))
+    // doc 2 loses exactly the 6-token shared passage
+    assert(got(2L) == (("z1 z2 z3 z4", 6L)), got(2L).toString)
+    // untouched doc passes whole
+    assert(got(3L) == (("n1 n2 n3 n4 n5 n6 n7 n8", 0L)))
+  }
+
   test("decontaminate: covered tokens excised, clean docs untouched, fully-covered doc becomes empty") {
     import spark.implicits._
     val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
