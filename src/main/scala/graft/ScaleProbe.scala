@@ -236,6 +236,12 @@ object ScaleProbe {
     // shifted-id copies are exact near-dups, so the drop machinery runs
     // at full density). A fixed-geometry run would be quadratic BY
     // DESIGN, which is the thing the discipline exists to avoid.
+    // Yardstick caveat: under this discipline the PAIR stage is ~n×,
+    // but the coarse assign is a (collection × seeds) cross-join =
+    // n·V × 16n cosines — itself n² — so the compound model is
+    // "between n and n² with a small quadratic assign term", not plain
+    // linear; the printed ratio is judged against that, and 16n must
+    // stay below the vector count or seeds degenerate into duplicates.
     if (probeEnabled("semDedup")) {
       def one(tag: String, d: org.apache.spark.sql.DataFrame, cells: Int): Double = {
         val t0 = System.nanoTime()
@@ -244,10 +250,13 @@ object ScaleProbe {
         println(f"SCALEPROBE semDedup $tag: $sec%.2f s, $rows rows")
         sec
       }
+      require(16 * n <= maxVec,
+        s"semDedup probe: 16n=${16 * n} seeds exceed the $maxVec-vector base")
       one("1x warm", emb, 16)
       val a = one("1x", emb, 16)
       val b = one(s"${n}x", bigEmbAll, 16 * n)
-      println(f"SCALEPROBE semDedup ratio: ${b / a}%.2f (linear would be ~$n)")
+      println(f"SCALEPROBE semDedup ratio: ${b / a}%.2f " +
+        f"(pair stage ~$n; assign term quadratic — see comment)")
     }
     // persisted-IVF serve: the collection grows n× but each query still
     // probes nProbe/nCells of the cell directories, so the serve must

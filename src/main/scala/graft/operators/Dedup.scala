@@ -320,14 +320,21 @@ object Dedup {
   def selfSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
                 cap: Int = 64): DataFrame = {
     require(n >= 2, s"span shingle width must be >= 2, got $n")
-    val p = docs.select(col(idCol).as("doc_id"),
-        graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
-      .select(col("doc_id"),
-        posexplode(graft.functions.NgramHashes.ngram_hashes(col("hw"), n))
-          .as(Seq("pos", "h")))
+    // checkpoint the positioned-shingle stage BEFORE its two consumers
+    // (the cap aggregate and the join probe): referenced twice, the
+    // corpus-wide hash+posexplode — this operator's dominant scan —
+    // would otherwise execute twice in one job (the boilerplateRatio
+    // two-consumer discipline; partial aggregation makes the two
+    // exchanges non-identical, so ReuseExchange cannot dedupe them)
+    val p = graft.core.Materialize.checkpoint(
+      docs.select(col(idCol).as("doc_id"),
+          graft.functions.WordHashes.word_hashes(col(textCol)).as("hw"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.NgramHashes.ngram_hashes(col("hw"), n))
+            .as(Seq("pos", "h"))))
     val ok = p.groupBy(col("h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") <= cap).select(col("h"))
-    val occ = graft.core.Materialize.checkpoint(p.join(ok, "h"))
+    val occ = p.join(ok, "h")
     val a = occ.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = occ.select(col("h").as("hb"), col("doc_id").as("doc_b"),
       col("pos").as("pos_b"))
@@ -345,10 +352,15 @@ object Dedup {
         col("span_len"))
   }
 
-  /** DuckDB mirror of [[selfSpans]] over `documents`. */
-  def selfSpansSql(n: Int, cap: Int = 64): String = {
+  /** The shared self-span CTE chain through `g` (matched positions with
+    * island keys) — [[selfSpansSql]] aggregates it to pair spans,
+    * [[selfDedupCutSql]] carries it through to the cut (the
+    * [[contaminationSpansCtes]] sharing discipline: one chain, two
+    * consumers, so the mirrors cannot drift).
+    */
+  private def selfSpansCtes(n: Int, cap: Int): String = {
     val h = TextOps.charHashSql("w")
-    s"""WITH hw AS (SELECT doc_id, [$h for w in string_split(text, ' ')] AS hw
+    s"""hw AS (SELECT doc_id, [$h for w in string_split(text, ' ')] AS hw
           FROM documents),
         sh AS (SELECT doc_id, (CASE WHEN len(hw) >= $n THEN
             [list_reduce(hw[j+1:j+$n], (a,b) -> (a*31+b) % $P)
@@ -363,13 +375,36 @@ object Dedup {
               FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
         g AS (SELECT *, pos_a - row_number()
                 OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pos_a) AS grp
-              FROM m)
+              FROM m)"""
+  }
+
+  /** The shared excision tail: anti-join the `cov` covered-position set
+    * onto the word-exploded corpus, re-aggregate (`docsWhere` scopes
+    * which docs are emitted/cut — the decontamination form excludes the
+    * bench docs).
+    */
+  private def exciseTailSql(docsWhere: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents WHERE $docsWhere),
+        w AS (SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(len(ws))) AS pos
+              FROM toks),
+        kept AS (SELECT w.doc_id, w.w, w.pos
+                 FROM w ANTI JOIN cov USING (doc_id, pos)),
+        agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(len(t.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN agg a USING (doc_id)"""
+
+  /** DuckDB mirror of [[selfSpans]] over `documents`. */
+  def selfSpansSql(n: Int, cap: Int = 64): String =
+    s"""WITH ${selfSpansCtes(n, cap)}
         SELECT doc_a, doc_b,
           CAST(MIN(pos_a) AS BIGINT) AS span_a_start,
           CAST(MIN(pos_a) - delta AS BIGINT) AS span_b_start,
           CAST(COUNT(*) + $n - 1 AS BIGINT) AS span_len
         FROM g GROUP BY doc_a, doc_b, delta, grp"""
-  }
 
   /** Span EXCISION — the cut step completing the decontamination
     * methodology: rebuild each training doc with every token covered by
@@ -427,9 +462,14 @@ object Dedup {
 
   /** Intra-corpus KEEP-FIRST passage excision — the cut completing the
     * Lee et al. exact-substring dedup: every [[selfSpans]] run is
-    * removed from the HIGHER-id document (doc_a, the first occurrence,
-    * keeps its copy), so one copy of every duplicated passage survives
-    * the corpus. Output over the FULL corpus: (doc_id, clean_text,
+    * removed from the HIGHER-id document of its pair (doc_a, the first
+    * occurrence, keeps its copy for that pair). Every token therefore
+    * survives in at least its lowest-id holder; when DISTINCT passages
+    * overlap inside one doc, that doc can lose the overlap tokens to
+    * one pair while keeping the rest — the passage then survives as
+    * fragments across its first holders rather than as one contiguous
+    * copy (don't assert "exactly one intact copy" over overlapping
+    * spans). Output over the FULL corpus: (doc_id, clean_text,
     * n_removed); untouched docs pass through with n_removed = 0.
     * Same scale shape as [[decontaminate]]: spans collapse to one row
     * per cut doc, then a map-only per-row lambda — shared
@@ -443,24 +483,8 @@ object Dedup {
           col("span_b_start").as("span_start"), col("span_len")))
 
   /** DuckDB mirror of [[selfDedupCut]] over `documents`. */
-  def selfDedupCutSql(n: Int, cap: Int = 64): String = {
-    val h = TextOps.charHashSql("w")
-    s"""WITH hw AS (SELECT doc_id, [$h for w in string_split(text, ' ')] AS hw
-          FROM documents),
-        sh AS (SELECT doc_id, (CASE WHEN len(hw) >= $n THEN
-            [list_reduce(hw[j+1:j+$n], (a,b) -> (a*31+b) % $P)
-             for j in range(0, len(hw)-$n+1)]
-           ELSE [] END) AS sh FROM hw),
-        pp AS (SELECT doc_id, UNNEST(sh) AS h, UNNEST(range(len(sh))) AS pos
-               FROM sh),
-        ok AS (SELECT h FROM pp GROUP BY h HAVING COUNT(*) <= $cap),
-        occ AS (SELECT pp.* FROM pp JOIN ok USING (h)),
-        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     a.pos AS pos_a, a.pos - b.pos AS delta
-              FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
-        g AS (SELECT *, pos_a - row_number()
-                OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pos_a) AS grp
-              FROM m),
+  def selfDedupCutSql(n: Int, cap: Int = 64): String =
+    s"""WITH ${selfSpansCtes(n, cap)},
         spans AS (SELECT doc_b AS doc_id,
             CAST(MIN(pos_a) - delta AS BIGINT) AS span_start,
             CAST(COUNT(*) + $n - 1 AS BIGINT) AS span_len
@@ -468,18 +492,7 @@ object Dedup {
         cov AS (SELECT DISTINCT * FROM (
           SELECT doc_id, UNNEST(range(span_start, span_start + span_len)) AS pos
           FROM spans)),
-        toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        w AS (SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(len(ws))) AS pos
-              FROM toks),
-        kept AS (SELECT w.doc_id, w.w, w.pos
-                 FROM w ANTI JOIN cov USING (doc_id, pos)),
-        agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
-                       COUNT(*) AS n_kept
-                FROM kept GROUP BY doc_id)
-        SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-               CAST(len(t.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
-        FROM toks t LEFT JOIN agg a USING (doc_id)"""
-  }
+        ${exciseTailSql("TRUE")}"""
 
   /** DuckDB mirror of [[decontaminate]] (explode + anti-join route —
     * fine at oracle scale, identical rows).
@@ -493,18 +506,7 @@ object Dedup {
         cov AS (SELECT DISTINCT * FROM (
           SELECT doc_id, UNNEST(range(span_start, span_start + span_len)) AS pos
           FROM spans)),
-        toks AS (SELECT doc_id, string_split(text, ' ') AS ws
-                 FROM documents WHERE $docsWhere),
-        w AS (SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(len(ws))) AS pos
-              FROM toks),
-        kept AS (SELECT w.doc_id, w.w, w.pos
-                 FROM w ANTI JOIN cov USING (doc_id, pos)),
-        agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
-                       COUNT(*) AS n_kept
-                FROM kept GROUP BY doc_id)
-        SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-               CAST(len(t.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
-        FROM toks t LEFT JOIN agg a USING (doc_id)"""
+        ${exciseTailSql(docsWhere)}"""
 
   /** DuckDB mirror of [[contaminationSpans]] over `documents`, with the
     * train/eval split expressed as WHERE clauses.
