@@ -504,6 +504,30 @@ object SparkEntry {
       }
     }
 
+  /** The crawl corpus as 4 `.warc.gz` shard FILES (Common Crawl
+    * layout: one gzip member per WARC record — warcinfo + per-doc
+    * request/response — page HTML rendered by the SAME
+    * [[Html.wrapLine]] template the extraction oracle rebuilds in SQL;
+    * split by doc_id % 4). The fixture for the warc front-door queries
+    * and the arrival directory for their streaming twin. Same per-JVM
+    * temp-dir discipline as [[stagedHtmlShards]].
+    */
+  private val warcShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedWarcShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedArrivalDir(warcShardDirs, "graft_warcshards_", dir) { tmp =>
+      val rows = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      (0 until Warc.NumShards).foreach { i =>
+        val docs = rows.iterator
+          .filter(_.getLong(0) % Warc.NumShards == i)
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.warc.gz"),
+          Warc.renderShard(i, docs))
+      }
+    }
+
   /** documents metadata as CSV with header (doc_id,lang,n_chars) — the
     * fixture for the CSV-source query. Values are numeric or 2-letter
     * codes: no quoting needed.
@@ -2304,6 +2328,42 @@ object SparkEntry {
       }
     }),
 
+    // the FULL crawl front door: .warc.gz shards (Common Crawl layout,
+    // one gzip member per WARC record) → hand-rolled multi-member
+    // gunzip → Content-Length-framed record parse → response filter →
+    // HTTP header strip → markup extraction; the two framing layers
+    // built-ins can't express are custom codegen expressions, the rest
+    // is the existing built-in chain — one map-only pass, zero shuffle,
+    // and the oracle is q_html_extract's VERBATIM (any mistake in any
+    // decode layer breaks the hash)
+    "q_warc_extract" -> ((s, dir) =>
+      Warc.extract(s.read.format("binaryFile")
+        .load(stagedWarcShards(s, dir).toString))),
+
+    // ingest audit for the same shards: per record TYPE, count + total
+    // payload bytes — proves the framing parser sees every record
+    // (warcinfo/request/response), not just the responses extraction
+    // keeps; oracle PREDICTS each payload length from documents + the
+    // rendering constants
+    "q_warc_records" -> ((s, dir) =>
+      Warc.recordAudit(s.read.format("binaryFile")
+        .load(stagedWarcShards(s, dir).toString))),
+
+    // STREAMING crawl-archive ingest — the "new .warc.gz shards land
+    // continuously" shape: a real binaryFile SOURCE discovers one
+    // shard per micro-batch and the FULL front door (multi-member
+    // gunzip → record framing → HTTP strip → extraction) runs
+    // stateless inside the stream; shares the batch extraction oracle
+    "q_warc_stream" -> ((s, dir) => {
+      val shards = stagedWarcShards(s, dir)
+      graft.streaming.StreamExec.runSourceStream(s) {
+        Warc.extract(s.readStream
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .format("binaryFile").load(shards.toString))
+      }
+    }),
+
     // the text-quality battery consuming the EXTRACTION's output (kept
     // lines re-flattened to single-space text) — proves the extracted
     // corpus feeds the downstream family unchanged
@@ -3837,6 +3897,14 @@ object SparkEntry {
     "q_html_extract" -> Html.extractOracleSql,
     // file-source streaming twin: stateless per-page extraction ≡ batch
     "q_html_stream" -> Html.extractOracleSql,
+    // the warc front door lands on the SAME output as the html
+    // extraction — the gzip/WARC/HTTP layers must strip to
+    // byte-identical pages, so the oracle is shared verbatim
+    "q_warc_extract" -> Html.extractOracleSql,
+    // binaryFile-source streaming twin: stateless per-shard decode ≡
+    // the batch front door
+    "q_warc_stream" -> Html.extractOracleSql,
+    "q_warc_records" -> Warc.auditOracleSql,
     "q_html_quality" ->
       s"""WITH ${Html.extractedDocsSqlCte}
           ${TextOps.qualityFilterSql(allStopsSql, "extracted")}""",

@@ -67,7 +67,7 @@ object PngCodec {
     t
   }
 
-  private def crc32(bytes: Array[Byte], from: Int, len: Int): Int = {
+  private[functions] def crc32(bytes: Array[Byte], from: Int, len: Int): Int = {
     var c = 0xffffffff
     var i = from
     val end = from + len
@@ -91,14 +91,14 @@ object PngCodec {
 
   // --- DEFLATE fixed-Huffman tables ---
 
-  private val LenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+  private[functions] val LenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
     23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
-  private val LenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+  private[functions] val LenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
     2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
-  private val DistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65,
+  private[functions] val DistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65,
     97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
     8193, 12289, 16385, 24577)
-  private val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+  private[functions] val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
     6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
 
   // --- encoder ---
@@ -277,7 +277,7 @@ object PngCodec {
 
   // --- decoder ---
 
-  private final class BitReader(val data: Array[Byte]) {
+  private[functions] final class BitReader(val data: Array[Byte]) {
     var pos = 0   // byte position
     var bit = 0   // bit position within current byte (LSB-first)
     def readBit(): Int = {
@@ -297,7 +297,7 @@ object PngCodec {
     def alignByte(): Unit = if (bit > 0) { bit = 0; pos += 1 }
   }
 
-  private object Malformed extends RuntimeException(null, null, false, false)
+  private[functions] object Malformed extends RuntimeException(null, null, false, false)
 
   /** Canonical Huffman decoder over a code-length array (the zlib
     * construction: codes of equal length are consecutive, ordered by
@@ -307,7 +307,7 @@ object PngCodec {
     * time; an incomplete code simply fails at decode when an unassigned
     * code arrives.
     */
-  private final class Huffman(lengths: Array[Int]) {
+  private[functions] final class Huffman(lengths: Array[Int]) {
     private val MaxBits = 15
     private val count = new Array[Int](MaxBits + 1)
     lengths.foreach { l =>
@@ -355,10 +355,10 @@ object PngCodec {
   }
 
   /** Fixed-Huffman tables per RFC 1951 §3.2.6 (built once). */
-  private val FixedLit = new Huffman(Array.tabulate(288) { s =>
+  private[functions] val FixedLit = new Huffman(Array.tabulate(288) { s =>
     if (s < 144) 8 else if (s < 256) 9 else if (s < 280) 7 else 8
   })
-  private val FixedDist = new Huffman(Array.fill(30)(5))
+  private[functions] val FixedDist = new Huffman(Array.fill(30)(5))
 
   /** The code-length-code symbol order of RFC 1951 §3.2.7. */
   private val ClcOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
@@ -367,7 +367,7 @@ object PngCodec {
   /** Read the dynamic-block header: the code-length code, then the
     * run-length-encoded literal/length and distance code lengths.
     */
-  private def readDynamicTables(r: BitReader): (Huffman, Huffman) = {
+  private[functions] def readDynamicTables(r: BitReader): (Huffman, Huffman) = {
     val hlit = r.readBits(5) + 257
     val hdist = r.readBits(5) + 1
     val hclen = r.readBits(4) + 4

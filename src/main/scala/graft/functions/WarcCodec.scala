@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (ISO 28500 / WARC/1.0) record parser — the record framing of a
+  * crawl archive shard. A shard buffer is a concatenation of records:
+  *
+  * {{{
+  * WARC/1.0\r\n
+  * <Name>: <value>\r\n ...          (headers; Content-Length required)
+  * \r\n
+  * <Content-Length bytes of payload>
+  * \r\n\r\n                          (record terminator)
+  * }}}
+  *
+  * Parsing MUST be Content-Length-driven: a payload legally contains
+  * anything, including the bytes `WARC/1.0`, so no regex/split over the
+  * buffer is correct — which is exactly why this is a custom Catalyst
+  * expression rather than a chain of built-ins (the SURVEY §2 custom-op
+  * preference order: built-ins can't express it). Everything AFTER the
+  * framing — type filter, HTTP header strip, markup extraction — stays
+  * codegen'd built-ins in the query.
+  *
+  * Strict, fail-closed: null on any malformation (bad magic, missing
+  * blank line, missing/unparsable Content-Length, truncated payload,
+  * missing terminator, trailing garbage). Reference cell: the closest
+  * reference op is the line-framed source `sourceHandleLines`
+  * (`/root/reference/src/Data/Conduino/Combinators.hs:245-257`); WARC
+  * is its length-framed sibling at the crawl front door.
+  */
+object WarcCodec {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("warc_type", StringType),
+    StructField("record_id", StringType),
+    StructField("target_uri", StringType),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType)))
+
+  val arrayType: ArrayType = ArrayType(recordSchema, containsNull = false)
+
+  private val Magic = "WARC/1.0\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** ASCII line scan: index just past the next CRLF at/after `from`,
+    * or -1.
+    */
+  private def lineEnd(a: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < a.length) {
+      if (a(i) == '\r' && a(i + 1) == '\n') return i + 2
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse a full shard buffer into records; null on any malformation. */
+  def parse(bytes: Array[Byte]): Array[InternalRow] = {
+    if (bytes == null || bytes.length == 0) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var pos = 0
+    while (pos < bytes.length) {
+      // magic
+      if (pos + Magic.length > bytes.length) return null
+      var i = 0
+      while (i < Magic.length) {
+        if (bytes(pos + i) != Magic(i)) return null
+        i += 1
+      }
+      pos += Magic.length
+      // headers
+      var warcType: UTF8String = null
+      var recordId: UTF8String = null
+      var targetUri: UTF8String = null
+      var contentLength = -1L
+      var blank = false
+      while (!blank) {
+        val e = lineEnd(bytes, pos)
+        if (e < 0) return null
+        if (e == pos + 2) blank = true
+        else {
+          val line = new String(bytes, pos, e - pos - 2,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val c = line.indexOf(':')
+          if (c <= 0) return null
+          val name = line.substring(0, c).trim
+          val value = line.substring(c + 1).trim
+          name.toLowerCase(java.util.Locale.ROOT) match {
+            case "warc-type" => warcType = UTF8String.fromString(value)
+            case "warc-record-id" => recordId = UTF8String.fromString(value)
+            case "warc-target-uri" => targetUri = UTF8String.fromString(value)
+            case "content-length" =>
+              try contentLength = java.lang.Long.parseLong(value)
+              catch { case _: NumberFormatException => return null }
+            case _ => // unknown headers are legal; keep framing only
+          }
+        }
+        pos = e
+      }
+      if (contentLength < 0 || contentLength > Int.MaxValue - 4) return null
+      if (pos + contentLength + 4 > bytes.length) return null
+      val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + contentLength.toInt)
+      pos += contentLength.toInt
+      // record terminator \r\n\r\n
+      if (bytes(pos) != '\r' || bytes(pos + 1) != '\n' ||
+          bytes(pos + 2) != '\r' || bytes(pos + 3) != '\n') return null
+      pos += 4
+      out += new GenericInternalRow(
+        Array[Any](warcType, recordId, targetUri, contentLength, payload))
+    }
+    out.toArray
+  }
+
+  /** Entry for codegen: null-in/null-out wrapper returning the Catalyst
+    * array value.
+    */
+  def parseArray(bytes: Array[Byte]): GenericArrayData = {
+    val rows = parse(bytes)
+    if (rows == null) null else new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+}
+
+/** `warc_records(bytes)` — strict WARC shard framing parser; see
+  * [[WarcCodec.parse]].
+  */
+case class WarcRecords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WarcCodec.arrayType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"warc_records needs a binary column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    WarcCodec.parseArray(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcCodec.parseArray($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
+    copy(child = newChild)
+  override def prettyName: String = "warc_records"
+}
+
+object WarcRecords {
+  def warc_records(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WarcRecords(GraftColumnBridge.expression(c)))
+  }
+}

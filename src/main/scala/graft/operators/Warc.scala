@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+import graft.functions.{GzipDecode, WarcRecords}
+
+/** The crawl-archive front door: `.warc.gz` shard files → clean text.
+  *
+  * Layout follows the Common Crawl convention: each shard file is a
+  * concatenation of gzip MEMBERS, one WARC record per member (so a
+  * reader can seek to any record boundary without inflating the whole
+  * shard); records are `warcinfo` (shard metadata), `request`, and
+  * `response` (HTTP response bytes whose body is the page HTML). The
+  * ingest chain is:
+  *
+  * {{{ binaryFile scan → gzip_decode → warc_records → explode
+  *     → filter(type=response) → HTTP header strip → Html.extract }}}
+  *
+  * Only the two framing layers that built-ins genuinely cannot express
+  * (gzip inflate, Content-Length-driven record framing) are custom
+  * codegen expressions; everything after is the existing codegen'd
+  * built-in chain, so the whole ingest is a map-only pass — zero
+  * shuffle, scan-bound at 100 TB, exactly like [[Html.extract]] it
+  * feeds. Reference cell: the chunked byte source `sourceHandle` +
+  * line framing (`/root/reference/src/Data/Conduino/Combinators.hs:245-288`);
+  * WARC is the length-framed archive sibling.
+  *
+  * FIXTURE DISCIPLINE (the BMP/WAV/PNG/HTML rule): the shard bytes are
+  * rendered ONCE from the `documents` table — the page HTML by the
+  * SAME [[Html.wrapLine]] template the extraction oracle rebuilds in
+  * SQL — so after Spark strips the gzip + WARC + HTTP layers the
+  * extraction faces byte-identical input to the oracle's in-SQL
+  * reconstruction, and q_warc_extract shares [[Html.extractOracleSql]]
+  * verbatim. Any mistake anywhere in the decode stack breaks the hash.
+  */
+object Warc {
+
+  // ---------------------------------------------------------------------
+  // Record rendering (fixture side; constants mirrored into the oracle)
+  // ---------------------------------------------------------------------
+
+  /** HTTP response envelope for page payloads (ASCII, so char count =
+    * byte count; the oracle adds this length to each page's html byte
+    * length to predict content_length).
+    */
+  val HttpResponseHeader: String =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+  val HttpHeaderBytes: Int = HttpResponseHeader.length
+
+  /** request-record payload; length = [[RequestBaseBytes]] + digits of
+    * the doc id.
+    */
+  def requestPayload(docId: Long): String =
+    s"GET /doc/$docId HTTP/1.1\r\nHost: corpus.example\r\nUser-Agent: graft\r\n\r\n"
+  val RequestBaseBytes: Int = requestPayload(0L).length - 1
+
+  /** warcinfo payload (one record at the head of every shard). */
+  val WarcinfoPayload: String =
+    "software: graft-crawler/1.0\r\nformat: WARC File Format 1.0\r\n"
+
+  /** Every third doc also gets a request record — non-response records
+    * must EXIST in the fixture for the type filter to mean anything.
+    */
+  val RequestEvery = 3
+
+  /** Number of shard files ([[stagedArrivalDir]] convention: fixed at
+    * any sf, so file count never scales with rows).
+    */
+  val NumShards = 4
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Render one WARC/1.0 record (headers + payload + terminator). */
+  def renderRecord(warcType: String, recordId: String,
+                   targetUri: Option[String],
+                   payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(warcType).append("\r\n")
+    sb.append("WARC-Record-ID: <urn:uuid:").append(recordId).append(">\r\n")
+    targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
+    sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    val head = ascii(sb.toString)
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** One record as its own gzip member. Compressed with the JDK's
+    * deflater (dynamic-Huffman output) ON PURPOSE: the fixture then
+    * cross-validates the hand-rolled inflate against real zlib streams,
+    * not just against our own encoder — the same cross-check discipline
+    * the PNG dynamic-Huffman decoder was built under (PngCodecSpec).
+    * JDK-side compression is fixture plumbing only; the ENGINE path is
+    * [[graft.functions.GzipCodec]].
+    */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Render one shard: warcinfo member, then per doc (ascending id) an
+    * optional request member and the response member.
+    */
+  def renderShard(shardIdx: Int, docs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(gzipMember(renderRecord("warcinfo", s"graft-warcinfo-$shardIdx",
+      None, ascii(WarcinfoPayload))))
+    docs.foreach { case (id, rawText) =>
+      val uri = s"http://corpus.example/doc/$id"
+      if (id % RequestEvery == 0)
+        bos.write(gzipMember(renderRecord("request", s"graft-request-$id",
+          Some(uri), ascii(requestPayload(id)))))
+      val html = Html.wrapLine(id, rawText)
+      val http = HttpResponseHeader.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      bos.write(gzipMember(renderRecord("response", s"graft-response-$id",
+        Some(uri), http)))
+    }
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Spark-side ingest chain
+  // ---------------------------------------------------------------------
+
+  /** Decoded records of a shard scan (`content` = shard bytes):
+    * one row per WARC record.
+    */
+  def records(shards: DataFrame): DataFrame =
+    shards.select(explode(
+        WarcRecords.warc_records(GzipDecode.gzip_decode(col("content")))).as("r"))
+      .select(col("r.warc_type").as("warc_type"),
+        col("r.record_id").as("record_id"),
+        col("r.target_uri").as("target_uri"),
+        col("r.content_length").as("content_length"),
+        col("r.payload").as("payload"))
+
+  /** Full front-door extraction: shard bytes → (doc_id, extracted,
+    * n_kept, n_dropped) — the q_html_extract output shape, so the
+    * oracle is [[Html.extractOracleSql]] verbatim.
+    */
+  def extract(shards: DataFrame): DataFrame = {
+    val html = records(shards)
+      .filter(col("warc_type") === "response")
+      .select(decode(col("payload"), "UTF-8").as("http"))
+      // HTTP status gate + header strip (crawlers keep 200s only)
+      .filter(col("http").startsWith("HTTP/1.1 200"))
+      .select(substr(col("http"),
+        locate("\r\n\r\n", col("http")) + lit(4)).as("html"))
+    val pages = html.select(
+      regexp_extract(col("html"), "data-doc=\"([0-9]+)\"", 1)
+        .cast("long").as("doc_id"),
+      col("html"))
+    Html.extract(pages, "doc_id", "html")
+  }
+
+  /** Ingest audit: per record type, record count and total payload
+    * bytes — the per-shard-batch accounting a crawl pipeline reports
+    * before extraction (and the proof the framing parser sees EVERY
+    * record, not just the responses the extraction keeps).
+    */
+  def recordAudit(shards: DataFrame): DataFrame =
+    records(shards)
+      .groupBy(col("warc_type"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("content_length")).as("total_bytes"))
+
+  /** DuckDB mirror of [[recordAudit]] over the staged fixture: every
+    * payload length is PREDICTED from the documents table + the
+    * rendering constants (header bytes + utf-8 html bytes; request
+    * base + id digits; fixed warcinfo), so a parser that mis-frames
+    * any record breaks the sum.
+    */
+  def auditOracleSql: String =
+    s"""WITH raw AS (SELECT doc_id, ${Html.wrapSqlExpr} AS html FROM documents),
+        resp AS (SELECT count(*) AS n,
+                   COALESCE(SUM($HttpHeaderBytes + octet_length(encode(html))), 0) AS b
+                 FROM raw),
+        req AS (SELECT count(*) AS n,
+                  COALESCE(SUM($RequestBaseBytes + length(CAST(doc_id AS VARCHAR))), 0) AS b
+                FROM documents WHERE doc_id % $RequestEvery = 0)
+        SELECT warc_type, n_records, total_bytes FROM (
+          SELECT 'response' AS warc_type, n::BIGINT AS n_records,
+                 b::BIGINT AS total_bytes FROM resp
+          UNION ALL
+          SELECT 'request', n::BIGINT, b::BIGINT FROM req WHERE n > 0
+          UNION ALL
+          SELECT 'warcinfo', $NumShards::BIGINT,
+                 (${NumShards * WarcinfoPayload.length})::BIGINT
+        )"""
+}

@@ -218,6 +218,19 @@ class PlanSpec extends SparkSpec {
       s"dispatch should not join:\n$p")
   }
 
+  test("q_warc_extract: the whole crawl front door is exchange-free map work") {
+    val df = SparkEntry.queries("q_warc_extract")(spark, dir)
+    val p = plan(df)
+    // gunzip → record framing → explode → HTTP strip → extraction must
+    // all fuse into per-row work over the binaryFile scan: any shuffle
+    // here would move the RAW archive bytes at 100 TB
+    assert(!p.contains("Exchange"),
+      s"crawl front door should be a map-only pass, found a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"crawl front door should not join:\n$p")
+    assert(p.contains("Generate"), s"expected the record explode:\n$p")
+  }
+
   test("q_chunk_tokens: token-offset window is PARTITIONED by doc, no global sort") {
     val df = SparkEntry.queries("q_chunk_tokens")(spark, dir)
     val p = plan(df)

@@ -1,0 +1,163 @@
+package graft
+
+import graft.functions.{GzipCodec, GzipDecode, WarcCodec, WarcRecords}
+import graft.operators.Warc
+import org.apache.spark.sql.functions._
+
+/** The crawl-archive front door: hand-rolled gzip inflate (RFC 1952
+  * over the shared DEFLATE machinery) and Content-Length-framed WARC
+  * record parsing. Gzip fixtures are produced by the JDK's
+  * GZIPOutputStream so the decoder is cross-validated against real
+  * zlib dynamic-Huffman streams, not just our own encoder (the
+  * PngCodecSpec discipline).
+  */
+class WarcGzipSpec extends SparkSpec {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private def jdkGzip(b: Array[Byte]): Array[Byte] = Warc.gzipMember(b)
+
+  // --- gzip: roundtrip -------------------------------------------------
+
+  test("gunzip roundtrips JDK gzip output (text, binary, empty, repetitive)") {
+    val cases = Seq(
+      "hello crawl world".getBytes(UTF_8),
+      Array.tabulate(10000)(i => ((i * 31 + 7) % 251).toByte), // incompressible-ish
+      Array.emptyByteArray,
+      ("abcabcabc" * 5000).getBytes(UTF_8)) // LZ77 back-references
+    cases.foreach { c =>
+      val got = GzipCodec.gunzip(jdkGzip(c))
+      assert(got != null && java.util.Arrays.equals(got, c))
+    }
+  }
+
+  test("gunzip concatenates multi-member buffers (the warc.gz layout)") {
+    val a = "first record ".getBytes(UTF_8)
+    val b = "second record".getBytes(UTF_8)
+    val c = "third".getBytes(UTF_8)
+    val buf = jdkGzip(a) ++ jdkGzip(b) ++ jdkGzip(c)
+    assert(java.util.Arrays.equals(GzipCodec.gunzip(buf), a ++ b ++ c))
+    assert(GzipCodec.memberCount(buf).longValue == 3L)
+  }
+
+  test("gunzip accepts optional header fields (FNAME, FEXTRA, FCOMMENT, FHCRC skipped)") {
+    // hand-build a member with FEXTRA + FNAME + FCOMMENT around a
+    // stored-block deflate stream of "xy"
+    val payload = "xy".getBytes(UTF_8)
+    val deflate = Array[Byte](0x01, 0x02, 0x00, 0xfd.toByte, 0xff.toByte) ++ payload
+    val crc = {
+      val v = new java.util.zip.CRC32(); v.update(payload); v.getValue
+    }
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val extra = Array[Byte](4, 0, 'a', 'b', 'c', 'd') // XLEN=4 + 4 bytes
+    val member = Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16).toByte, // FEXTRA|FNAME|FCOMMENT
+      0, 0, 0, 0, 0, 0) ++ extra ++
+      ("name.txt".getBytes(UTF_8) :+ 0.toByte) ++
+      ("a comment".getBytes(UTF_8) :+ 0.toByte) ++
+      deflate ++ le32(crc) ++ le32(payload.length.toLong)
+    assert(java.util.Arrays.equals(GzipCodec.gunzip(member), payload))
+  }
+
+  // --- gzip: fail-closed validation -----------------------------------
+
+  test("gunzip is null on every malformation class") {
+    val good = jdkGzip("some valid payload for corruption".getBytes(UTF_8))
+    def mut(i: Int, f: Byte => Byte): Array[Byte] = {
+      val c = good.clone(); c(i) = f(c(i)); c
+    }
+    assert(GzipCodec.gunzip(Array.emptyByteArray) == null)
+    assert(GzipCodec.gunzip(mut(0, _ => 'X'.toByte)) == null)          // magic
+    assert(GzipCodec.gunzip(mut(2, _ => 7.toByte)) == null)            // CM != 8
+    assert(GzipCodec.gunzip(mut(3, b => (b | 0x20).toByte)) == null)   // reserved FLG bit
+    assert(GzipCodec.gunzip(good.dropRight(1)) == null)                // truncated trailer
+    assert(GzipCodec.gunzip(mut(good.length - 6, b => (b ^ 1).toByte)) == null) // CRC flip
+    assert(GzipCodec.gunzip(mut(good.length - 2, b => (b ^ 1).toByte)) == null) // ISIZE flip
+    assert(GzipCodec.gunzip(good ++ Array[Byte](0x00)) == null)        // trailing garbage
+    assert(GzipCodec.memberCount(good.dropRight(1)) == null)
+  }
+
+  // --- WARC framing ----------------------------------------------------
+
+  private def mkRecord(typ: String, id: String, uri: Option[String], payload: Array[Byte]) =
+    Warc.renderRecord(typ, id, uri, payload)
+
+  test("warc parse recovers headers, payload bytes, and record order") {
+    val p1 = "HTTP/1.1 200 OK\r\n\r\n<html>one</html>".getBytes(UTF_8)
+    val p2 = Array[Byte](0, 1, 2, 3, 4) // binary payload is legal
+    val buf = mkRecord("response", "r-1", Some("http://x/1"), p1) ++
+      mkRecord("metadata", "r-2", None, p2)
+    val rows = WarcCodec.parse(buf)
+    assert(rows != null && rows.length == 2)
+    assert(rows(0).getUTF8String(0).toString == "response")
+    assert(rows(0).getUTF8String(1).toString == "<urn:uuid:r-1>")
+    assert(rows(0).getUTF8String(2).toString == "http://x/1")
+    assert(rows(0).getLong(3) == p1.length)
+    assert(java.util.Arrays.equals(rows(0).getBinary(4), p1))
+    assert(rows(1).isNullAt(2)) // no target uri
+    assert(java.util.Arrays.equals(rows(1).getBinary(4), p2))
+  }
+
+  test("warc framing is Content-Length-driven: payload containing 'WARC/1.0' does not split") {
+    val tricky = "WARC/1.0\r\nWARC-Type: fake\r\n\r\n".getBytes(UTF_8)
+    val rows = WarcCodec.parse(mkRecord("response", "r", None, tricky))
+    assert(rows != null && rows.length == 1)
+    assert(java.util.Arrays.equals(rows(0).getBinary(4), tricky))
+  }
+
+  test("warc parse is null on every malformation class") {
+    val ok = mkRecord("response", "r", None, "abc".getBytes(UTF_8))
+    assert(WarcCodec.parse(Array.emptyByteArray) == null)
+    assert(WarcCodec.parse("WARC/0.9\r\n".getBytes(UTF_8) ++ ok.drop(10)) == null) // bad magic
+    assert(WarcCodec.parse(ok.dropRight(1)) == null)                    // truncated terminator
+    assert(WarcCodec.parse(ok ++ "junk".getBytes(UTF_8)) == null)       // trailing garbage
+    // missing Content-Length
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\nabc\r\n\r\n").getBytes(UTF_8)
+    assert(WarcCodec.parse(noLen) == null)
+    // Content-Length overruns the buffer
+    val overrun = ("WARC/1.0\r\nContent-Length: 999\r\n\r\nabc\r\n\r\n").getBytes(UTF_8)
+    assert(WarcCodec.parse(overrun) == null)
+    // header line without a colon
+    val noColon = ("WARC/1.0\r\nbogus header\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n").getBytes(UTF_8)
+    assert(WarcCodec.parse(noColon) == null)
+  }
+
+  test("warc parse keeps framing on unknown headers (forward compatibility)") {
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes(UTF_8)
+    val rows = WarcCodec.parse(raw)
+    assert(rows != null && rows.length == 1 && rows(0).getLong(3) == 2L)
+  }
+
+  // --- end-to-end over the Spark expressions ---------------------------
+
+  test("shard render → gzip_decode → warc_records recovers every record type") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta gamma delta epsilon."), (1L, "one two three four five."),
+      (3L, "第一 second third fourth fifth.")) // non-ASCII html payload: byte counts matter
+    val shard = Warc.renderShard(0, docs)
+    val df = Seq(Tuple1(shard)).toDF("content")
+    val recs = df.select(explode(
+        WarcRecords.warc_records(GzipDecode.gzip_decode(col("content")))).as("r"))
+      .select($"r.warc_type", $"r.content_length", $"r.payload").collect()
+    // warcinfo + response per doc + request for ids 0 and 3 (RequestEvery=3)
+    assert(recs.length == 1 + docs.length + 2)
+    val byType = recs.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byType == Map("warcinfo" -> 1, "request" -> 2, "response" -> 3))
+    // content_length matches the rendered byte count incl. multi-byte chars
+    recs.filter(_.getString(0) == "response").foreach { r =>
+      assert(r.getLong(1) == r.getAs[Array[Byte]](2).length.toLong)
+    }
+  }
+
+  test("gzip_decode expression is null-strict on corrupt shards (dispatch discipline)") {
+    import spark.implicits._
+    val good = Warc.renderShard(0, Seq((0L, "alpha beta.")))
+    // corrupt the LAST member's stored CRC32 (trailer = final 8 bytes:
+    // CRC32 then ISIZE) — MTIME-class header bytes are legal to vary,
+    // a checksum is not
+    val bad = good.clone(); bad(good.length - 8) = (bad(good.length - 8) ^ 1).toByte
+    val out = Seq((1L, good), (2L, bad)).toDF("id", "content")
+      .select(col("id"), GzipDecode.gzip_decode(col("content")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else "ok")).toMap
+    assert(out(1L) == "ok" && out(2L) == null)
+  }
+}
