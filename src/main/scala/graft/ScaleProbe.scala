@@ -448,6 +448,39 @@ object ScaleProbe {
           lit(".</p><p>short bit</p><pre>f() { g(); }</pre></body></html>")).as("html")),
         "doc_id", "html").count())
 
+    // warc.gz front door: shard bytes are rendered + gzipped ONCE into
+    // the block-manager cache (the warm run materializes it), so the
+    // timed runs measure the DECODE chain — gunzip + record framing +
+    // HTTP strip + extraction — per archive byte, not the JDK's
+    // compressor; map-only, must track the scan like htmlExtract
+    if (probeEnabled("warcExtract")) {
+      def warcShardsOf(d: org.apache.spark.sql.DataFrame) = {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("content", BinaryType)))
+        val rdd = d.select(col("doc_id"), col("text")).rdd
+          .mapPartitionsWithIndex { (i, it) =>
+            val ds = it.map(r => (r.getLong(0), r.getString(1))).toSeq
+            if (ds.isEmpty) Iterator.empty
+            else Iterator(org.apache.spark.sql.Row(
+              graft.operators.Warc.renderShard(i, ds)))
+          }
+        spark.createDataFrame(rdd, schema).cache()
+      }
+      val warcBase = warcShardsOf(docs)
+      val warcBig = warcShardsOf(bigDocs)
+      def oneWarc(tag: String, d: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Warc.extract(d).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALEPROBE warcExtract $tag: $sec%.2f s, $rows rows")
+        sec
+      }
+      oneWarc("1x warm", warcBase); oneWarc(s"${n}x warm", warcBig)
+      val a = oneWarc("1x", warcBase); val b = oneWarc(s"${n}x", warcBig)
+      println(f"SCALEPROBE warcExtract ratio: ${b / a}%.2f (linear would be ~$n)")
+      warcBase.unpersist(); warcBig.unpersist()
+    }
+
     // span decontamination: corpus grows n× against a FIXED eval suite
     // (the contract's shape — a copied bench would quadratically inflate
     // matches and measure output volume, not the operator); cost must

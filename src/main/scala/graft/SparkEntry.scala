@@ -738,6 +738,23 @@ object SparkEntry {
         .mkString("\n")
     }
 
+  /** The corpus-build pipeline BELOW extraction (shared by the
+    * pre-extracted-page and raw-archive flagships): quality gate →
+    * exact dedup → BPE train → encode → fixed-width packing. Input:
+    * (doc_id, text) with extraction's kept lines flattened to spaces.
+    */
+  private def corpusBuildTail(extracted: DataFrame): DataFrame = {
+    val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = graft.core.Materialize.checkpoint(extracted.join(keepIds, "doc_id"))
+    val canon = kept.join(
+      Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id")),
+      "doc_id")
+    Packing.packTokenIds(
+      TextOps.tokenizeIdArrays(canon, "doc_id", "text",
+        TextOps.bpeRun(canon, "text", 6)._2), "doc_id", 128L)
+  }
+
   private def oneRow(spark: SparkSession, names: Seq[String], values: Seq[Any]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(names.zip(values).map {
@@ -2575,15 +2592,22 @@ object SparkEntry {
       val extracted = pages.select(col("doc_id"),
         call_function("replace", Html.extractText(col("html")), lit("\n"), lit(" "))
           .as("text"))
-      val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
-        .filter(col("keep")).select(col("doc_id"))
-      val kept = graft.core.Materialize.checkpoint(extracted.join(keepIds, "doc_id"))
-      val canon = kept.join(
-        Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id")),
-        "doc_id")
-      Packing.packTokenIds(
-        TextOps.tokenizeIdArrays(canon, "doc_id", "text",
-          TextOps.bpeRun(canon, "text", 6)._2), "doc_id", 128L)
+      corpusBuildTail(extracted)
+    }),
+
+    // the SAME end-to-end build, but from the raw crawl ARCHIVE: the
+    // .warc.gz shards replace the pre-extracted page file, so the
+    // pipeline is gunzip → WARC framing → HTTP strip → extraction →
+    // quality gate → exact dedup → BPE train → encode → pack, ONE
+    // query — and the oracle is q_corpus_build's VERBATIM (the archive
+    // layers must be exactly transparent)
+    "q_corpus_build_warc" -> ((s, dir) => {
+      val extracted = Warc.extract(s.read.format("binaryFile")
+          .load(stagedWarcShards(s, dir).toString))
+        .select(col("doc_id"),
+          call_function("replace", col("extracted"), lit("\n"), lit(" "))
+            .as("text"))
+      corpusBuildTail(extracted)
     }),
 
     // MATERIALIZED packing: fixed-width token-id training sequences cut
@@ -3973,6 +3997,16 @@ object SparkEntry {
     // the composed front-door chain: extraction + quality + dedup CTEs
     // prefix the shared encode/pack chain over the canonical kept set
     "q_corpus_build" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,
+      prefixCtes = s"""${Html.extractedDocsSqlCte},
+        qf AS (${TextOps.qualityFilterSql(allStopsSql, "extracted")}),
+        kept AS (SELECT e.doc_id, e.text FROM extracted e
+                 JOIN qf USING (doc_id) WHERE qf.keep),
+        canon AS (SELECT k.doc_id, k.text FROM kept k
+                  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
+                        GROUP BY md5(text)) c USING (doc_id))"""),
+    // raw-archive flagship: identical oracle — the gzip/WARC/HTTP
+    // layers must be exactly transparent above the extraction
+    "q_corpus_build_warc" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,
       prefixCtes = s"""${Html.extractedDocsSqlCte},
         qf AS (${TextOps.qualityFilterSql(allStopsSql, "extracted")}),
         kept AS (SELECT e.doc_id, e.text FROM extracted e
