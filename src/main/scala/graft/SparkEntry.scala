@@ -2381,6 +2381,47 @@ object SparkEntry {
       }
     }),
 
+    // ----- URL curation (the metadata half of the crawl front door) -----
+    // the fixture URL is rendered in-plan from doc_id (Urls.urlCol; the
+    // oracle rebuilds the identical string in SQL) — page identity keyed
+    // by doc_id % 150, crawl noise (scheme/host case, www, default port,
+    // utm params, /index.html, trailing slash, fragment) by doc_id
+
+    // RFC-3986-shaped parse + eTLD+1 registered domain: map-only
+    "q_url_parse" -> ((s, dir) =>
+      Urls.parse(ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url")),
+        "doc_id", "url")),
+
+    // canonicalization: the re-crawl variance collapsed per policy
+    "q_url_normalize" -> ((s, dir) =>
+      Urls.normalize(ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url")),
+        "doc_id", "url")),
+
+    // crawl-frontier dedup on the canonical form: keep-first + group
+    // size, ONE hash aggregate — runs before any page bytes are fetched
+    "q_url_dedup" -> ((s, dir) =>
+      Urls.dedupCanonical(ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url")),
+        "doc_id", "url")),
+
+    // per-registered-domain corpus profile: volume, subdomains, distinct
+    // canonical pages, text bytes — one shuffle on the domain key
+    "q_domain_stats" -> ((s, dir) =>
+      Urls.domainStats(ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          Urls.urlCol(col("doc_id")).as("url")),
+        "doc_id", "url", "n_chars")),
+
+    // per-domain volume cap: top-5 docs by size per registered domain;
+    // rank<=k plans as a partial WindowGroupLimit below the exchange
+    "q_domain_cap" -> ((s, dir) =>
+      Urls.domainCap(ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          Urls.urlCol(col("doc_id")).as("url")),
+        "doc_id", "url", "n_chars", 5)),
+
     // the text-quality battery consuming the EXTRACTION's output (kept
     // lines re-flattened to single-space text) — proves the extracted
     // corpus feeds the downstream family unchanged
@@ -3929,6 +3970,49 @@ object SparkEntry {
     // the batch front door
     "q_warc_stream" -> Html.extractOracleSql,
     "q_warc_records" -> Warc.auditOracleSql,
+
+    "q_url_parse" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}
+          SELECT doc_id, url, scheme, host,
+            (CASE WHEN port_s = '' THEN NULL
+                  ELSE CAST(port_s AS BIGINT) END) AS port,
+            path, query, fragment,
+            ${Urls.domainSql("lower(host)")} AS domain
+          FROM parsed""",
+
+    "q_url_normalize" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}
+          SELECT doc_id, url, ${Urls.canonicalSql} AS canonical FROM parsed""",
+
+    "q_url_dedup" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}
+          SELECT canonical, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+          FROM (SELECT doc_id, ${Urls.canonicalSql} AS canonical FROM parsed) c
+          GROUP BY canonical""",
+
+    "q_domain_stats" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}
+          SELECT domain, COUNT(*) AS n_docs,
+            COUNT(DISTINCT host_l) AS n_hosts,
+            COUNT(DISTINCT canonical) AS n_pages,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM (SELECT p.doc_id, d.n_chars,
+                  ${Urls.domainSql("lower(host)")} AS domain,
+                  lower(host) AS host_l,
+                  ${Urls.canonicalSql} AS canonical
+                FROM parsed p JOIN documents d USING (doc_id)) e
+          GROUP BY domain""",
+
+    "q_domain_cap" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}
+          SELECT doc_id, domain, n_chars, rk FROM (
+            SELECT p.doc_id, ${Urls.domainSql("lower(host)")} AS domain,
+              d.n_chars,
+              ROW_NUMBER() OVER (
+                PARTITION BY ${Urls.domainSql("lower(host)")}
+                ORDER BY d.n_chars DESC, p.doc_id ASC) AS rk
+            FROM parsed p JOIN documents d USING (doc_id)) r
+          WHERE rk <= 5""",
     "q_html_quality" ->
       s"""WITH ${Html.extractedDocsSqlCte}
           ${TextOps.qualityFilterSql(allStopsSql, "extracted")}""",

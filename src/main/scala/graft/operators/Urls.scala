@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** URL curation — the metadata half of the crawl front door. A real
+  * 100-TB pipeline curates BY URL before it ever reads page bytes:
+  * parse, canonicalize (re-crawls of one page differ only in tracking
+  * junk), dedup on the canonical form, aggregate per registered domain,
+  * and cap per-domain volume so no single site dominates the corpus.
+  * The reference has no cell for this (its closest surface is the
+  * element-wise map/filter tier, `/root/reference/src/Data/Conduino/
+  * Combinators.hs:277-308`, already ported); like [[Html]] and [[Warc]]
+  * this fills the LLM-pipeline tier's curation hole.
+  *
+  * Everything here is per-row regexp/array work over codegen'd
+  * built-ins — parse and normalize are map-only passes whose cost is
+  * the scan; dedup and domain stats are single hash aggregates on the
+  * canonical/domain key; the cap is a per-domain top-k that plans as a
+  * partial WindowGroupLimit below the exchange (only k rows per domain
+  * cross the wire).
+  *
+  * The test fixture follows the [[Html.wrapSqlExpr]] discipline: ONE
+  * definition renders the URL from `doc_id` as both a Spark column
+  * ([[urlCol]]) and a DuckDB expression ([[urlSqlExpr]] over
+  * [[urlPartsSqlCte]]), so both engines parse byte-identical strings.
+  * Page identity is keyed by `doc_id % 150` (the same page crawled
+  * repeatedly) while the DECORATIONS — scheme case, www prefix, host
+  * case, explicit default port, utm params, param order, /index.html,
+  * trailing slash, fragment — vary by doc_id, exactly the variance
+  * canonicalization must collapse.
+  */
+object Urls {
+
+  // ---------------------------------------------------------------------
+  // Shared fixture: url rendered from doc_id, byte-identical in both
+  // engines. k = doc_id % 150 keys the page identity; everything else
+  // is crawl noise.
+  // ---------------------------------------------------------------------
+
+  /** Render the fixture URL from a doc-id column (Spark side). */
+  def urlCol(docId: Column): Column = {
+    val k = docId % 150
+    val scheme = when(docId % 3 === 0, "HTTPS").otherwise("https")
+    val www = when(docId % 4 === 0, "WWW.")
+      .when(docId % 4 === 1, "www.").otherwise("")
+    val tld = when(k % 5 === 0, ".com").when(k % 5 === 1, ".org")
+      .when(k % 5 === 2, ".co.uk").when(k % 5 === 3, ".io").otherwise(".net")
+    val hostRaw = concat(www, lit("site"), (k % 23).cast("string"), tld)
+    val host = when(docId % 9 === 0, upper(hostRaw)).otherwise(hostRaw)
+    val port = when(docId % 7 === 0, ":443")
+      .when(docId % 7 === 1, ":8080").otherwise("")
+    val pathBase = concat(lit("/Articles/"), k.cast("string"))
+    val path = when(docId % 11 === 0, concat(pathBase, lit("/")))
+      .when(docId % 11 === 1, concat(pathBase, lit("/index.html")))
+      .otherwise(pathBase)
+    val page = concat(lit("page="), (k % 4).cast("string"))
+    val query = when(docId % 13 === 0, "")
+      .when(docId % 2 === 0, concat(lit("?utm_source=feed&"), page))
+      .otherwise(concat(lit("?"), page, lit("&utm_campaign=mail")))
+    val frag = when(docId % 6 === 0, "#sec-2").otherwise("")
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** Oracle CTE `parts` — the k-keyed page-identity pieces (host `h`,
+    * path base `p`, page param `g`) from `documents.doc_id`.
+    */
+  val urlPartsSqlCte: String =
+    s"""parts AS (SELECT doc_id,
+          (CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+                WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END) ||
+            'site' || CAST((doc_id % 150) % 23 AS VARCHAR) ||
+            (CASE WHEN (doc_id % 150) % 5 = 0 THEN '.com'
+                  WHEN (doc_id % 150) % 5 = 1 THEN '.org'
+                  WHEN (doc_id % 150) % 5 = 2 THEN '.co.uk'
+                  WHEN (doc_id % 150) % 5 = 3 THEN '.io'
+                  ELSE '.net' END) AS h,
+          '/Articles/' || CAST(doc_id % 150 AS VARCHAR) AS p,
+          'page=' || CAST((doc_id % 150) % 4 AS VARCHAR) AS g
+        FROM documents)"""
+
+  /** The SAME rendering as a DuckDB expression over `parts` columns. */
+  val urlSqlExpr: String =
+    s"""((CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        (CASE WHEN doc_id % 9 = 0 THEN upper(h) ELSE h END) ||
+        (CASE WHEN doc_id % 7 = 0 THEN ':443'
+              WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END) ||
+        (CASE WHEN doc_id % 11 = 0 THEN p || '/'
+              WHEN doc_id % 11 = 1 THEN p || '/index.html' ELSE p END) ||
+        (CASE WHEN doc_id % 13 = 0 THEN ''
+              WHEN doc_id % 2 = 0 THEN '?utm_source=feed&' || g
+              ELSE '?' || g || '&utm_campaign=mail' END) ||
+        (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END))"""
+
+  /** Oracle CTE chain `parts, base` where base = (doc_id, url). */
+  val urlBaseSqlCtes: String =
+    s"""$urlPartsSqlCte,
+        base AS (SELECT doc_id, $urlSqlExpr AS url FROM parts)"""
+
+  // ---------------------------------------------------------------------
+  // Parse (RFC-3986-shaped, regex shared verbatim with the oracle)
+  // ---------------------------------------------------------------------
+
+  /** Split regex: scheme :// authority path [?query] [#fragment].
+    * Java regex and RE2 agree on every construct used (character
+    * classes, non-capturing groups, anchors — no lookaround).
+    */
+  val UrlRegex = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
+
+  /** eTLD+1 heuristic: three labels when the middle label is a common
+    * second-level registry (co/ac/gov/com/net/org/edu under a ccTLD),
+    * two labels otherwise, the bare host when it has no dot. The REAL
+    * public-suffix list is external data; at 100 TB it would ride as a
+    * broadcast-joined snapshot table — the shape here (pure per-row
+    * expression, no shuffle) is the part that matters for the plan.
+    */
+  val SecondLevel = "co|ac|gov|com|net|org|edu"
+
+  /** Registered domain (eTLD+1 heuristic) over a LOWERCASED host. */
+  def registeredDomain(hostL: Column): Column = {
+    val three = regexp_extract(hostL,
+      s"([^.]+\\.(?:$SecondLevel)\\.[a-z][a-z])$$", 1)
+    val two = regexp_extract(hostL, "([^.]+\\.[^.]+)$", 1)
+    when(three =!= "", three).when(two =!= "", two).otherwise(hostL)
+  }
+
+  /** Raw host (case preserved) out of a url column. */
+  def hostOf(u: Column): Column =
+    regexp_extract(regexp_extract(u, UrlRegex, 2), "^([^:]*)", 1)
+
+  /** url column → (scheme, host, port, path, query, fragment, domain).
+    * scheme/host are RAW (case preserved — lowercasing is [[canonical]]'s
+    * job); port is a nullable long; query/fragment are stripped of their
+    * `?`/`#` markers; domain is the eTLD+1 heuristic over the LOWERCASED
+    * host (DNS is case-insensitive even when the crawl record isn't).
+    */
+  def parse(df: DataFrame, idCol: String, urlColName: String): DataFrame = {
+    val u = col(urlColName)
+    val auth = regexp_extract(u, UrlRegex, 2)
+    val portS = regexp_extract(auth, ":([0-9]+)$", 1)
+    df.select(col(idCol), u,
+      regexp_extract(u, UrlRegex, 1).as("scheme"),
+      hostOf(u).as("host"),
+      when(portS === "", lit(null)).otherwise(portS).cast("long").as("port"),
+      regexp_extract(u, UrlRegex, 3).as("path"),
+      regexp_replace(regexp_extract(u, UrlRegex, 4), "^\\?", "").as("query"),
+      regexp_replace(regexp_extract(u, UrlRegex, 5), "^#", "").as("fragment"),
+      registeredDomain(lower(hostOf(u))).as("domain"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Normalize → canonical URL
+  // ---------------------------------------------------------------------
+
+  /** Canonicalization policy (each step mirrored in [[canonicalSql]]):
+    *   1. lowercase scheme and host; strip a leading `www.`;
+    *   2. drop the DEFAULT port (80/http, 443/https), keep others;
+    *   3. drop a trailing `/index.html`; drop the trailing slash
+    *      (except the root path); empty path → `/`;
+    *   4. drop `utm_*` tracking params, SORT the survivors (param order
+    *      is transport noise), drop the `?` when none survive;
+    *   5. drop the fragment.
+    */
+  def canonical(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, UrlRegex, 1))
+    val auth = regexp_extract(u, UrlRegex, 2)
+    val host = regexp_replace(lower(regexp_extract(auth, "^([^:]*)", 1)),
+      "^www\\.", "")
+    val portS = regexp_extract(auth, ":([0-9]+)$", 1)
+    val port = when(portS === "" ||
+        (scheme === "http" && portS === "80") ||
+        (scheme === "https" && portS === "443"), "")
+      .otherwise(concat(lit(":"), portS))
+    val p0 = regexp_replace(regexp_extract(u, UrlRegex, 3), "/index\\.html$", "")
+    val p1 = when(p0 =!= "/" && p0.endsWith("/"),
+      p0.substr(lit(1), length(p0) - 1)).otherwise(p0)
+    val path = when(p1 === "", "/").otherwise(p1)
+    val qs = regexp_replace(regexp_extract(u, UrlRegex, 4), "^\\?", "")
+    val params = array_sort(filter(split(qs, "&"),
+      x => x =!= "" && !startswith(x, lit("utm_"))))
+    val query = when(size(params) === 0, "")
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+    concat(scheme, lit("://"), host, port, path, query)
+  }
+
+  /** (id, url, canonical) over a dataframe. */
+  def normalize(df: DataFrame, idCol: String, urlColName: String): DataFrame =
+    df.select(col(idCol), col(urlColName),
+      canonical(col(urlColName)).as("canonical"))
+
+  // ---------------------------------------------------------------------
+  // Curation queries over the parsed/canonical forms
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup on the canonical URL: one hash aggregate; keep-first
+    * (min id) plus the group size — the crawl-frontier dedup that runs
+    * BEFORE any page bytes are fetched or parsed.
+    */
+  def dedupCanonical(df: DataFrame, idCol: String, urlColName: String): DataFrame =
+    normalize(df, idCol, urlColName)
+      .groupBy(col("canonical"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_dups"))
+
+  /** Per-registered-domain corpus profile: doc volume, distinct hosts
+    * (subdomains), distinct canonical pages, total text size. Pure
+    * per-row derivation then ONE hash aggregate on the domain key (the
+    * distincts ride the same aggregate via expand — no join).
+    */
+  def domainStats(df: DataFrame, idCol: String, urlColName: String,
+      sizeCol: String): DataFrame = {
+    val u = col(urlColName)
+    df.select(col(idCol), col(sizeCol),
+        registeredDomain(lower(hostOf(u))).as("domain"),
+        lower(hostOf(u)).as("host_l"),
+        canonical(u).as("canonical"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host_l")).as("n_hosts"),
+        countDistinct(col("canonical")).as("n_pages"),
+        sum(col(sizeCol)).as("total_chars"))
+  }
+
+  /** Per-domain volume cap: keep the top `k` docs per registered domain
+    * by (size DESC, id ASC — deterministic). rank-<=k over a partitioned
+    * window plans as a PARTIAL WindowGroupLimit below the exchange, so
+    * at 100 TB each map task forwards at most k rows per domain instead
+    * of the domain's whole crawl.
+    */
+  def domainCap(df: DataFrame, idCol: String, urlColName: String,
+      sizeCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col(sizeCol).desc, col(idCol).asc)
+    df.withColumn("domain", registeredDomain(lower(hostOf(col(urlColName)))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("domain"), col(sizeCol), col("rk"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB mirrors
+  // ---------------------------------------------------------------------
+
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Oracle-side parse pieces as a CTE over `base` (doc_id, url). Each
+    * expression mirrors the Spark one above verbatim (same regexes).
+    */
+  val parseSqlCte: String =
+    s"""parsed AS (SELECT doc_id, url,
+          regexp_extract(url, ${q(UrlRegex)}, 1) AS scheme,
+          regexp_extract(regexp_extract(url, ${q(UrlRegex)}, 2), '^([^:]*)', 1) AS host,
+          regexp_extract(regexp_extract(url, ${q(UrlRegex)}, 2), ':([0-9]+)$$', 1) AS port_s,
+          regexp_extract(url, ${q(UrlRegex)}, 3) AS path,
+          regexp_replace(regexp_extract(url, ${q(UrlRegex)}, 4), '^\\?', '') AS query,
+          regexp_replace(regexp_extract(url, ${q(UrlRegex)}, 5), '^#', '') AS fragment
+        FROM base)"""
+
+  /** domain over a lowercased-host expression (mirrors
+    * [[registeredDomain]]).
+    */
+  def domainSql(hostLExpr: String): String =
+    s"""(CASE
+          WHEN regexp_extract($hostLExpr, '([^.]+\\.(?:$SecondLevel)\\.[a-z][a-z])$$', 1) <> ''
+            THEN regexp_extract($hostLExpr, '([^.]+\\.(?:$SecondLevel)\\.[a-z][a-z])$$', 1)
+          WHEN regexp_extract($hostLExpr, '([^.]+\\.[^.]+)$$', 1) <> ''
+            THEN regexp_extract($hostLExpr, '([^.]+\\.[^.]+)$$', 1)
+          ELSE $hostLExpr END)"""
+
+  /** canonical over the `parsed` CTE's columns (mirrors [[canonical]]). */
+  val canonicalSql: String = {
+    val host = "regexp_replace(lower(host), '^www\\.', '')"
+    val port = """(CASE WHEN port_s = ''
+          OR (lower(scheme) = 'http' AND port_s = '80')
+          OR (lower(scheme) = 'https' AND port_s = '443') THEN ''
+        ELSE ':' || port_s END)"""
+    val p0 = "regexp_replace(path, '/index\\.html$', '')"
+    val p1 = s"""(CASE WHEN $p0 <> '/' AND $p0 LIKE '%/'
+        THEN substr($p0, 1, length($p0) - 1) ELSE $p0 END)"""
+    val pathN = s"(CASE WHEN $p1 = '' THEN '/' ELSE $p1 END)"
+    val params = """list_sort(list_filter(string_split(query, '&'),
+        x -> x <> '' AND NOT starts_with(x, 'utm_')))"""
+    val queryN = s"""(CASE WHEN len($params) = 0 THEN ''
+        ELSE '?' || array_to_string($params, '&') END)"""
+    s"(lower(scheme) || '://' || $host || $port || $pathN || $queryN)"
+  }
+}
