@@ -2381,6 +2381,21 @@ object SparkEntry {
       }
     }),
 
+    // the ARCHIVE → URL-curation handoff: each response record's
+    // WARC-Target-URI (the Urls fixture URL, all nine crawl-noise axes)
+    // is parsed/canonicalized/domain-profiled straight off the decoded
+    // records — proving the URI survives the gzip + framing layers
+    // byte-exact; total_bytes aggregates the PREDICTED payload lengths
+    "q_warc_urls" -> ((s, dir) =>
+      Urls.domainStats(
+        Warc.records(s.read.format("binaryFile")
+            .load(stagedWarcShards(s, dir).toString))
+          .filter(col("warc_type") === "response")
+          .select(col("record_id"), col("target_uri").as("url"),
+            col("content_length")),
+        "record_id", "url", "content_length")
+        .withColumnRenamed("total_chars", "total_bytes")),
+
     // ----- URL curation (the metadata half of the crawl front door) -----
     // the fixture URL is rendered in-plan from doc_id (Urls.urlCol; the
     // oracle rebuilds the identical string in SQL) — page identity keyed
@@ -3970,6 +3985,21 @@ object SparkEntry {
     // the batch front door
     "q_warc_stream" -> Html.extractOracleSql,
     "q_warc_records" -> Warc.auditOracleSql,
+
+    "q_warc_urls" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
+          raw AS (SELECT doc_id, ${Html.wrapSqlExpr} AS html FROM documents)
+          SELECT domain, COUNT(*) AS n_docs,
+            COUNT(DISTINCT host_l) AS n_hosts,
+            COUNT(DISTINCT canonical) AS n_pages,
+            CAST(SUM(bytes) AS BIGINT) AS total_bytes
+          FROM (SELECT p.doc_id,
+                  (${Warc.HttpHeaderBytes} + octet_length(encode(r.html))) AS bytes,
+                  ${Urls.domainSql("lower(host)")} AS domain,
+                  lower(host) AS host_l,
+                  ${Urls.canonicalSql} AS canonical
+                FROM parsed p JOIN raw r USING (doc_id)) e
+          GROUP BY domain""",
 
     "q_url_parse" ->
       s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}

@@ -62,6 +62,39 @@ object Urls {
     concat(scheme, lit("://"), host, port, path, query, frag)
   }
 
+  /** The SAME rendering as a plain JVM function — the fixture-staging
+    * side (the WARC shards carry it as `WARC-Target-URI`). Kept in
+    * lockstep with [[urlCol]] by a UrlsSpec property over a thousand
+    * ids; content is ASCII so the ROOT-locale upcase is exact.
+    */
+  def urlOf(docId: Long): String = {
+    val k = docId % 150
+    val scheme = if (docId % 3 == 0) "HTTPS" else "https"
+    val www =
+      if (docId % 4 == 0) "WWW." else if (docId % 4 == 1) "www." else ""
+    val tld = (k % 5).toInt match {
+      case 0 => ".com"; case 1 => ".org"; case 2 => ".co.uk"
+      case 3 => ".io"; case _ => ".net"
+    }
+    val hostRaw = www + "site" + (k % 23) + tld
+    val host =
+      if (docId % 9 == 0) hostRaw.toUpperCase(java.util.Locale.ROOT) else hostRaw
+    val port =
+      if (docId % 7 == 0) ":443" else if (docId % 7 == 1) ":8080" else ""
+    val pathBase = "/Articles/" + k
+    val path =
+      if (docId % 11 == 0) pathBase + "/"
+      else if (docId % 11 == 1) pathBase + "/index.html"
+      else pathBase
+    val page = "page=" + (k % 4)
+    val query =
+      if (docId % 13 == 0) ""
+      else if (docId % 2 == 0) "?utm_source=feed&" + page
+      else "?" + page + "&utm_campaign=mail"
+    val frag = if (docId % 6 == 0) "#sec-2" else ""
+    scheme + "://" + host + port + path + query + frag
+  }
+
   /** Oracle CTE `parts` — the k-keyed page-identity pieces (host `h`,
     * path base `p`, page param `g`) from `documents.doc_id`.
     */

@@ -114,7 +114,10 @@ object Warc {
     bos.write(gzipMember(renderRecord("warcinfo", s"graft-warcinfo-$shardIdx",
       None, ascii(WarcinfoPayload))))
     docs.foreach { case (id, rawText) =>
-      val uri = s"http://corpus.example/doc/$id"
+      // the Urls fixture URL (all its crawl-noise axes) rides the
+      // archive as WARC-Target-URI — the q_warc_urls handoff proves it
+      // survives the gzip + framing layers byte-exact
+      val uri = Urls.urlOf(id)
       if (id % RequestEvery == 0)
         bos.write(gzipMember(renderRecord("request", s"graft-request-$id",
           Some(uri), ascii(requestPayload(id)))))

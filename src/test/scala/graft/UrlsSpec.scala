@@ -100,6 +100,28 @@ class UrlsSpec extends SparkSpec {
     assert(r.getLong(1) == 12L && r.getLong(2) == 3L)
   }
 
+  test("the JVM renderer urlOf is in LOCKSTEP with the in-plan column urlCol") {
+    import spark.implicits._
+    val ids = (0L until 1200L)
+    val fromPlan = ids.toDF("doc_id")
+      .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    val fromJvm = ids.map(Urls.urlOf).toArray
+    assert(fromPlan.sameElements(fromJvm),
+      ids.zip(fromPlan.zip(fromJvm)).find { case (_, (a, b)) => a != b }
+        .map { case (i, (a, b)) => s"diverged at $i: plan=$a jvm=$b" }
+        .getOrElse(""))
+  }
+
+  test("the WARC shard carries the fixture URL as WARC-Target-URI, byte-exact through gzip + framing") {
+    import spark.implicits._
+    val shard = Warc.renderShard(0, Seq((12L, "twelve words here."), (463L, "more.")))
+    val uris = Warc.records(Seq(Tuple1(shard)).toDF("content"))
+      .filter(col("warc_type") === "response")
+      .select("target_uri").collect().map(_.getString(0)).sorted
+    assert(uris.sameElements(Array(Urls.urlOf(12L), Urls.urlOf(463L)).sorted))
+  }
+
   test("q_url_parse / q_url_normalize are exchange-free map work") {
     for (q <- Seq("q_url_parse", "q_url_normalize")) {
       val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
