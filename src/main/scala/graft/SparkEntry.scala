@@ -2381,6 +2381,27 @@ object SparkEntry {
       }
     }),
 
+    // the CURATED raw-archive flagship: URL-frontier dedup runs BEFORE
+    // any page bytes are parsed — keep the first record (by
+    // WARC-Record-ID) per canonical target URI, a partial
+    // WindowGroupLimit on the canonical key — then the kept records
+    // flow through HTTP strip → extraction → the full corpus-build
+    // tail. The oracle derives the SAME keep set from doc_id alone
+    // (urls and record ids are both doc_id-rendered), so every layer
+    // of the curation is hash-checked end-to-end
+    "q_corpus_build_curated" -> ((s, dir) => {
+      val kept = Urls.frontierKeepFirst(
+        Warc.records(s.read.format("binaryFile")
+            .load(stagedWarcShards(s, dir).toString))
+          .filter(col("warc_type") === "response"),
+        "target_uri", "record_id")
+      val extracted = Html.extract(Warc.responsePages(kept), "doc_id", "html")
+        .select(col("doc_id"),
+          call_function("replace", col("extracted"), lit("\n"), lit(" "))
+            .as("text"))
+      corpusBuildTail(extracted)
+    }),
+
     // the ARCHIVE → URL-curation handoff: each response record's
     // WARC-Target-URI (the Urls fixture URL, all nine crawl-noise axes)
     // is parsed/canonicalized/domain-profiled straight off the decoded
@@ -4128,6 +4149,26 @@ object SparkEntry {
         canon AS (SELECT k.doc_id, k.text FROM kept k
                   JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
                         GROUP BY md5(text)) c USING (doc_id))"""),
+    // curated flagship: the frontier keep set is derived from doc_id
+    // alone (urls AND record ids are both doc_id-rendered), then the
+    // corpus-build chain runs over the curated subset
+    "q_corpus_build_curated" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,
+      prefixCtes = s"""${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
+        frontier AS (SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY ${Urls.canonicalSql}
+            ORDER BY '<urn:uuid:graft-response-' || CAST(doc_id AS VARCHAR) || '>') AS rn
+          FROM parsed) f WHERE rn = 1),
+        curated AS (SELECT d.doc_id, d.text FROM documents d
+                    JOIN frontier USING (doc_id)),
+        ${Html.extractedDocsSqlCteFrom("curated")},
+        qf AS (${TextOps.qualityFilterSql(allStopsSql, "extracted")}),
+        kept AS (SELECT e.doc_id, e.text FROM extracted e
+                 JOIN qf USING (doc_id) WHERE qf.keep),
+        canon AS (SELECT k.doc_id, k.text FROM kept k
+                  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
+                        GROUP BY md5(text)) c USING (doc_id))"""),
+
     "q_pmi" -> TextOps.pmiCollocationsSql(5L),
 
     "q_corpus_profile" ->

@@ -214,8 +214,13 @@ object Html {
     * newlines re-flattened to spaces — the shape the quality battery
     * consumes (its word split is single-space).
     */
-  def extractedDocsSqlCte: String =
-    s"""raw AS (SELECT doc_id, $wrapSqlExpr AS html FROM documents),
+  def extractedDocsSqlCte: String = extractedDocsSqlCteFrom("documents")
+
+  /** Same CTE over an arbitrary (doc_id, text) relation — e.g. the
+    * frontier-curated subset of `documents`.
+    */
+  def extractedDocsSqlCteFrom(docsRel: String): String =
+    s"""raw AS (SELECT doc_id, $wrapSqlExpr AS html FROM $docsRel),
         extracted AS (SELECT doc_id,
           array_to_string(list_filter(
             list_transform(string_split(${stripSql("html")}, chr(10)),

@@ -235,6 +235,22 @@ object Urls {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_dups"))
 
+  /** URL-frontier keep-first: one row per canonical URL — the FIRST by
+    * `orderCol` — with all input columns preserved. row_number()=1 over
+    * the canonical partition plans as a partial WindowGroupLimit top-1
+    * below the exchange: at 100 TB each map task forwards one candidate
+    * per canonical key, never a domain's whole re-crawl history.
+    */
+  def frontierKeepFirst(df: DataFrame, urlColName: String,
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canonical")).orderBy(col(orderCol))
+    df.withColumn("canonical", canonical(col(urlColName)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Per-registered-domain corpus profile: doc volume, distinct hosts
     * (subdomains), distinct canonical pages, total text size. Pure
     * per-row derivation then ONE hash aggregate on the domain key (the

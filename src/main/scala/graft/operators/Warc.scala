@@ -146,24 +146,29 @@ object Warc {
         col("r.content_length").as("content_length"),
         col("r.payload").as("payload"))
 
+  /** Decoded records → raw pages: HTTP status gate + header strip
+    * (crawlers keep 200s only), doc id recovered from the page's own
+    * metadata. Pure per-row work.
+    */
+  def responsePages(recs: DataFrame): DataFrame = {
+    val html = recs
+      .filter(col("warc_type") === "response")
+      .select(decode(col("payload"), "UTF-8").as("http"))
+      .filter(col("http").startsWith("HTTP/1.1 200"))
+      .select(substr(col("http"),
+        locate("\r\n\r\n", col("http")) + lit(4)).as("html"))
+    html.select(
+      regexp_extract(col("html"), "data-doc=\"([0-9]+)\"", 1)
+        .cast("long").as("doc_id"),
+      col("html"))
+  }
+
   /** Full front-door extraction: shard bytes → (doc_id, extracted,
     * n_kept, n_dropped) — the q_html_extract output shape, so the
     * oracle is [[Html.extractOracleSql]] verbatim.
     */
-  def extract(shards: DataFrame): DataFrame = {
-    val html = records(shards)
-      .filter(col("warc_type") === "response")
-      .select(decode(col("payload"), "UTF-8").as("http"))
-      // HTTP status gate + header strip (crawlers keep 200s only)
-      .filter(col("http").startsWith("HTTP/1.1 200"))
-      .select(substr(col("http"),
-        locate("\r\n\r\n", col("http")) + lit(4)).as("html"))
-    val pages = html.select(
-      regexp_extract(col("html"), "data-doc=\"([0-9]+)\"", 1)
-        .cast("long").as("doc_id"),
-      col("html"))
-    Html.extract(pages, "doc_id", "html")
-  }
+  def extract(shards: DataFrame): DataFrame =
+    Html.extract(responsePages(records(shards)), "doc_id", "html")
 
   /** Ingest audit: per record type, record count and total payload
     * bytes — the per-shard-batch accounting a crawl pipeline reports

@@ -141,6 +141,25 @@ class UrlsSpec extends SparkSpec {
       s"no PARTIAL group limit below the exchange:\n$p")
   }
 
+  test("frontierKeepFirst plans a partial WindowGroupLimit top-1 (the curated flagship's cut stage)") {
+    // the flagship query itself checkpoints downstream (corpusBuildTail),
+    // which truncates the visible plan — pin the frontier STAGE directly
+    import spark.implicits._
+    val recs = Seq((1L, "https://a.com/x", "<urn:uuid:r-1>"),
+        (2L, "https://a.com/x?utm_source=f", "<urn:uuid:r-2>"))
+      .toDF("doc_id", "target_uri", "record_id")
+    val kept = Urls.frontierKeepFirst(recs, "target_uri", "record_id")
+    val p = kept.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"keep-first per canonical did not plan as WindowGroupLimit:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"no PARTIAL group limit below the exchange:\n$p")
+    // semantics: the utm re-crawl collapses onto the first record id
+    val rows = kept.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L)
+  }
+
   test("q_url_dedup / q_domain_stats are a single hash aggregate, no join") {
     for (q <- Seq("q_url_dedup", "q_domain_stats")) {
       val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
