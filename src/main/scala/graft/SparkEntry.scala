@@ -528,6 +528,46 @@ object SparkEntry {
       }
     }
 
+  /** The corpus as 4 `.wet.gz` shard FILES (Common Crawl's
+    * extracted-text sibling: warcinfo + one `conversion` record per
+    * doc, payload = plain text). Same discipline as [[stagedWarcShards]].
+    */
+  private val wetShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedWetShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedArrivalDir(wetShardDirs, "graft_wetshards_", dir) { tmp =>
+      val rows = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      (0 until Warc.NumShards).foreach { i =>
+        val docs = rows.iterator
+          .filter(_.getLong(0) % Warc.NumShards == i)
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.wet.gz"),
+          Warc.renderWetShard(i, docs))
+      }
+    }
+
+  /** The corpus as 4 `.wat.gz` shard FILES (Common Crawl's metadata
+    * sibling: warcinfo + one `metadata` record per doc, payload = a
+    * JSON envelope). Same discipline as [[stagedWarcShards]].
+    */
+  private val watShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedWatShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedArrivalDir(watShardDirs, "graft_watshards_", dir) { tmp =>
+      val rows = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      (0 until Warc.NumShards).foreach { i =>
+        val docs = rows.iterator
+          .filter(_.getLong(0) % Warc.NumShards == i)
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.wat.gz"),
+          Warc.renderWatShard(i, docs))
+      }
+    }
+
   /** documents metadata as CSV with header (doc_id,lang,n_chars) — the
     * fixture for the CSV-source query. Values are numeric or 2-letter
     * codes: no quoting needed.
@@ -2381,6 +2421,21 @@ object SparkEntry {
       }
     }),
 
+    // WET front door (the extracted-text archive sibling): gunzip →
+    // framing → conversion records → payload text; oracle predicts both
+    // columns from documents + rendering constants
+    "q_wet_extract" -> ((s, dir) =>
+      Warc.extractWet(s.read.format("binaryFile")
+        .load(stagedWetShards(s, dir).toString))),
+
+    // WAT front door (the metadata archive sibling): gunzip → framing →
+    // metadata records → explicit-schema from_json (no inference pass
+    // over 100 TB) → typed envelope fields; oracle predicts every field
+    // from doc_id + the response-length math q_warc_records pinned
+    "q_wat_meta" -> ((s, dir) =>
+      Warc.extractWat(s.read.format("binaryFile")
+        .load(stagedWatShards(s, dir).toString))),
+
     // the CURATED raw-archive flagship: URL-frontier dedup runs BEFORE
     // any page bytes are parsed — keep the first record (by
     // WARC-Record-ID) per canonical target URI, a partial
@@ -4006,6 +4061,20 @@ object SparkEntry {
     // the batch front door
     "q_warc_stream" -> Html.extractOracleSql,
     "q_warc_records" -> Warc.auditOracleSql,
+
+    "q_wet_extract" ->
+      """SELECT '<urn:uuid:graft-conversion-' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+           replace(text, chr(10), ' ') AS text
+         FROM documents""",
+
+    "q_wat_meta" ->
+      s"""WITH ${Urls.urlBaseSqlCtes},
+          raw AS (SELECT doc_id, ${Html.wrapSqlExpr} AS html FROM documents)
+          SELECT '<urn:uuid:graft-metadata-' || CAST(b.doc_id AS VARCHAR) || '>' AS record_id,
+            b.url AS url,
+            (${Warc.HttpHeaderBytes} + octet_length(encode(r.html))) AS content_length,
+            'Doc ' || CAST(b.doc_id AS VARCHAR) AS title
+          FROM base b JOIN raw r USING (doc_id)""",
 
     "q_warc_urls" ->
       s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},

@@ -130,6 +130,46 @@ object Warc {
     bos.toByteArray
   }
 
+  /** Render one WET shard (Common Crawl's extracted-text sibling):
+    * warcinfo member, then one `conversion` record per doc whose
+    * payload is the doc's plain text (newlines flattened — the
+    * one-doc-per-line staging convention), target URI preserved.
+    */
+  def renderWetShard(shardIdx: Int, docs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(gzipMember(renderRecord("warcinfo", s"graft-wetinfo-$shardIdx",
+      None, ascii(WarcinfoPayload))))
+    docs.foreach { case (id, rawText) =>
+      bos.write(gzipMember(renderRecord("conversion", s"graft-conversion-$id",
+        Some(Urls.urlOf(id)),
+        rawText.replace('\n', ' ')
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    }
+    bos.toByteArray
+  }
+
+  /** Render one WAT shard (Common Crawl's metadata sibling): warcinfo
+    * member, then one `metadata` record per doc whose payload is a
+    * JSON envelope — target URI, the RESPONSE record's predicted
+    * content length, and a page title. Values are ASCII with no JSON
+    * metacharacters, so they embed raw.
+    */
+  def renderWatShard(shardIdx: Int, docs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(gzipMember(renderRecord("warcinfo", s"graft-watinfo-$shardIdx",
+      None, ascii(WarcinfoPayload))))
+    docs.foreach { case (id, rawText) =>
+      val htmlBytes = Html.wrapLine(id, rawText)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      val json =
+        s"""{"envelope":{"uri":"${Urls.urlOf(id)}","content_length":${HttpHeaderBytes + htmlBytes}},""" +
+          s""""meta":{"title":"Doc $id"}}"""
+      bos.write(gzipMember(renderRecord("metadata", s"graft-metadata-$id",
+        Some(Urls.urlOf(id)), ascii(json))))
+    }
+    bos.toByteArray
+  }
+
   // ---------------------------------------------------------------------
   // Spark-side ingest chain
   // ---------------------------------------------------------------------
@@ -169,6 +209,37 @@ object Warc {
     */
   def extract(shards: DataFrame): DataFrame =
     Html.extract(responsePages(records(shards)), "doc_id", "html")
+
+  /** WET front door: `conversion` records → (record_id, text). Same
+    * map-only shape as [[extract]], minus the HTTP/markup layers (WET
+    * payloads are already extracted text).
+    */
+  def extractWet(shards: DataFrame): DataFrame =
+    records(shards)
+      .filter(col("warc_type") === "conversion")
+      .select(col("record_id"), decode(col("payload"), "UTF-8").as("text"))
+
+  /** WAT front door: `metadata` records → typed fields. The JSON
+    * envelope is parsed with an explicit schema (from_json — no
+    * inference pass over 100 TB), still one map-only chain.
+    */
+  def extractWat(shards: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("envelope", StructType(Seq(
+        StructField("uri", StringType),
+        StructField("content_length", LongType)))),
+      StructField("meta", StructType(Seq(
+        StructField("title", StringType))))))
+    records(shards)
+      .filter(col("warc_type") === "metadata")
+      .select(col("record_id"),
+        from_json(decode(col("payload"), "UTF-8"), schema).as("j"))
+      .select(col("record_id"),
+        col("j.envelope.uri").as("url"),
+        col("j.envelope.content_length").as("content_length"),
+        col("j.meta.title").as("title"))
+  }
 
   /** Ingest audit: per record type, record count and total payload
     * bytes — the per-shard-batch accounting a crawl pipeline reports

@@ -231,6 +231,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected the record explode:\n$p")
   }
 
+  test("q_wet_extract / q_wat_meta: the WET/WAT front doors are exchange-free map work") {
+    for (q <- Seq("q_wet_extract", "q_wat_meta")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Exchange"),
+        s"$q should be a map-only pass, found a shuffle:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+        s"$q should not join:\n$p")
+      assert(p.contains("Generate"), s"expected the record explode in $q:\n$p")
+    }
+  }
+
   test("q_chunk_tokens: token-offset window is PARTITIONED by doc, no global sort") {
     val df = SparkEntry.queries("q_chunk_tokens")(spark, dir)
     val p = plan(df)
