@@ -481,6 +481,21 @@ object ScaleProbe {
       warcBase.unpersist(); warcBig.unpersist()
     }
 
+    // URL curation: the frontier keep-first (WindowGroupLimit top-1 on
+    // the canonical key) + the domain profile over n× the crawl. The
+    // canonical KEY SPACE stays fixed (urls render from doc_id mod 150)
+    // while group depth grows n× — the partial group limit must keep
+    // shuffled bytes at one candidate per key per task, so cost should
+    // track the scan, not the re-crawl depth
+    probePair("urlCurate", docs, bigDocs, { d =>
+      val withUrl = d.select(col("doc_id"),
+        graft.operators.Urls.urlCol(col("doc_id")).as("url"))
+      graft.operators.Urls.frontierKeepFirst(withUrl, "url", "doc_id").count() +
+        graft.operators.Urls.domainStats(
+          withUrl.withColumn("n_chars", length(col("url")).cast("long")),
+          "doc_id", "url", "n_chars").count()
+    })
+
     // span decontamination: corpus grows n× against a FIXED eval suite
     // (the contract's shape — a copied bench would quadratically inflate
     // matches and measure output volume, not the operator); cost must
