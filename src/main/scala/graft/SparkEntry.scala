@@ -2421,6 +2421,16 @@ object SparkEntry {
       }
     }),
 
+    // CDX-style crawl index: canonical target URL → (shard, in-shard
+    // record position, record id) for every response record — the
+    // random-access index a crawl archive serves from. Pins that record
+    // ORDER survives the gzip-member + framing decode: the oracle
+    // PREDICTS every position from doc_id alone (warcinfo at 0, then
+    // per doc an optional request before its response)
+    "q_cdx_index" -> ((s, dir) =>
+      Warc.cdxIndex(s.read.format("binaryFile")
+        .load(stagedWarcShards(s, dir).toString))),
+
     // WET front door (the extracted-text archive sibling): gunzip →
     // framing → conversion records → payload text; oracle predicts both
     // columns from documents + rendering constants
@@ -4061,6 +4071,23 @@ object SparkEntry {
     // the batch front door
     "q_warc_stream" -> Html.extractOracleSql,
     "q_warc_records" -> Warc.auditOracleSql,
+
+    "q_cdx_index" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
+          ord AS (SELECT doc_id, doc_id % ${Warc.NumShards} AS si,
+                    (1 + CASE WHEN doc_id % ${Warc.RequestEvery} = 0 THEN 1 ELSE 0 END) AS nrec,
+                    CASE WHEN doc_id % ${Warc.RequestEvery} = 0 THEN 1 ELSE 0 END AS isreq
+                  FROM documents),
+          pos AS (SELECT doc_id, si,
+                    CAST(1 + COALESCE(SUM(nrec) OVER (PARTITION BY si ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + isreq
+                      AS BIGINT) AS pos
+                  FROM ord)
+          SELECT ${Urls.canonicalSql} AS canonical,
+            printf('shard-%02d.warc.gz', CAST(p.si AS INT)) AS shard,
+            p.pos AS pos,
+            '<urn:uuid:graft-response-' || CAST(p.doc_id AS VARCHAR) || '>' AS record_id
+          FROM pos p JOIN parsed USING (doc_id)""",
 
     "q_wet_extract" ->
       """SELECT '<urn:uuid:graft-conversion-' || CAST(doc_id AS VARCHAR) || '>' AS record_id,

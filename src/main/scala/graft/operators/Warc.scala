@@ -210,6 +210,34 @@ object Warc {
   def extract(shards: DataFrame): DataFrame =
     Html.extract(responsePages(records(shards)), "doc_id", "html")
 
+  /** Decoded records WITH their shard file name and in-shard position
+    * (the CDX-index axis: position is what lets a reader seek a record
+    * without scanning the shard). Same map-only decode chain as
+    * [[records]], via posexplode.
+    */
+  def recordsIndexed(shards: DataFrame): DataFrame =
+    shards.select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("shard"),
+        posexplode(
+          graft.functions.WarcRecords.warc_records(
+            GzipDecode.gzip_decode(col("content")))).as(Seq("pos", "r")))
+      .select(col("shard"), col("pos").cast("long").as("pos"),
+        col("r.warc_type").as("warc_type"),
+        col("r.record_id").as("record_id"),
+        col("r.target_uri").as("target_uri"))
+
+  /** CDX-style crawl index: one row per response record — canonical
+    * target URL → (shard, in-shard record position, record id). The
+    * index a crawl serves random access from; building it is a pure
+    * map pass, and at 100 TB it would land sorted/bucketed by
+    * canonical via the [[Layout]] tier.
+    */
+  def cdxIndex(shards: DataFrame): DataFrame =
+    recordsIndexed(shards)
+      .filter(col("warc_type") === "response")
+      .select(Urls.canonical(col("target_uri")).as("canonical"),
+        col("shard"), col("pos"), col("record_id"))
+
   /** WET front door: `conversion` records → (record_id, text). Same
     * map-only shape as [[extract]], minus the HTTP/markup layers (WET
     * payloads are already extracted text).

@@ -231,8 +231,8 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected the record explode:\n$p")
   }
 
-  test("q_wet_extract / q_wat_meta: the WET/WAT front doors are exchange-free map work") {
-    for (q <- Seq("q_wet_extract", "q_wat_meta")) {
+  test("q_wet_extract / q_wat_meta / q_cdx_index: the archive siblings are exchange-free map work") {
+    for (q <- Seq("q_wet_extract", "q_wat_meta", "q_cdx_index")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("Exchange"),
         s"$q should be a map-only pass, found a shuffle:\n$p")
