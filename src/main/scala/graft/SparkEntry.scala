@@ -2482,6 +2482,16 @@ object SparkEntry {
         "record_id", "url", "content_length")
         .withColumnRenamed("total_chars", "total_bytes")),
 
+    // robots-exclusion (REP) compliance over the URL frontier: per-host
+    // allow/disallow path-prefix rules broadcast against the URLs; the
+    // most SPECIFIC rule wins (longest prefix, allow on ties), default
+    // allow — site n%3==0 blocks all articles, n%3==1 blocks /Articles/1
+    // but re-allows the more specific /Articles/12, n%3==2 has no rules
+    "q_robots_filter" -> ((s, dir) =>
+      Robots.filter(ColOps.table(s, dir, "documents")
+          .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url")),
+        "doc_id", "url", Robots.fixtureRules(s))),
+
     // ----- URL curation (the metadata half of the crawl front door) -----
     // the fixture URL is rendered in-plan from doc_id (Urls.urlCol; the
     // oracle rebuilds the identical string in SQL) — page identity keyed
@@ -4117,6 +4127,10 @@ object SparkEntry {
                   ${Urls.canonicalSql} AS canonical
                 FROM parsed p JOIN raw r USING (doc_id)) e
           GROUP BY domain""",
+
+    "q_robots_filter" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}, ${Robots.fixtureRulesSqlCte}
+          ${Robots.filterSql}""",
 
     "q_url_parse" ->
       s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}

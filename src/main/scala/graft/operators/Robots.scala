@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** Robots-exclusion (REP) compliance — the crawl-frontier gate that
+  * runs beside [[Urls]] curation: given per-host allow/disallow
+  * path-prefix rules, each URL resolves to the MOST SPECIFIC matching
+  * rule (longest prefix wins; at equal length `allow` wins — the
+  * published REP tie-break), default allow when nothing matches.
+  *
+  * Shape at 100 TB: the rules table is robots.txt-derived and tiny
+  * (per-host lines) — it BROADCASTS; the URL side stays map-local
+  * through the join, and the most-specific-rule cut is a per-URL top-1
+  * (partial WindowGroupLimit below the exchange on the url id).
+  *
+  * Fixture discipline: rules are rendered in-plan from the site index
+  * (mirrored in SQL via a `range()` CTE), so both engines face the
+  * identical rule set — site n ≡ 0 (mod 3) blocks all articles,
+  * n ≡ 1 (mod 3) blocks the `/Articles/1` prefix but re-allows the
+  * more specific `/Articles/12`, n ≡ 2 (mod 3) publishes no rules.
+  */
+object Robots {
+
+  /** Max site index in the [[Urls]] fixture (host = site{k%23}.tld). */
+  val NumSites = 23
+
+  /** Fixture rules: (site_n, prefix, allow). */
+  def fixtureRules(spark: SparkSession): DataFrame = {
+    val n = col("id").cast("int").as("site_n")
+    val base = spark.range(NumSites.toLong)
+    val blockAll = base.filter(col("id") % 3 === 0)
+      .select(n, lit("/Articles/").as("prefix"), lit(false).as("allow"))
+    val blockOne = base.filter(col("id") % 3 === 1)
+      .select(n, lit("/Articles/1").as("prefix"), lit(false).as("allow"))
+    val reAllow = base.filter(col("id") % 3 === 1)
+      .select(n, lit("/Articles/12").as("prefix"), lit(true).as("allow"))
+    blockAll.union(blockOne).union(reAllow)
+  }
+
+  /** The same rules as a DuckDB CTE named `rules`. */
+  val fixtureRulesSqlCte: String =
+    s"""rules AS (
+          SELECT CAST(n AS INT) AS site_n, '/Articles/' AS prefix, FALSE AS allow
+          FROM range(0, $NumSites) t(n) WHERE n % 3 = 0
+          UNION ALL
+          SELECT CAST(n AS INT), '/Articles/1', FALSE
+          FROM range(0, $NumSites) t(n) WHERE n % 3 = 1
+          UNION ALL
+          SELECT CAST(n AS INT), '/Articles/12', TRUE
+          FROM range(0, $NumSites) t(n) WHERE n % 3 = 1)"""
+
+  /** REP resolution: for each row of `urls` (idCol, urlColName), emit
+    * (idCol, url, allowed, matched_prefix) where matched_prefix is ''
+    * when no rule matched. `rules` must be (site_n, prefix, allow);
+    * site_n is recovered from the fixture host shape. The rules side is
+    * broadcast; the per-URL most-specific cut is row_number()=1 ordered
+    * by (prefix length DESC, allow DESC — the REP tie-break), which
+    * plans as a partial WindowGroupLimit.
+    */
+  def filter(urls: DataFrame, idCol: String, urlColName: String,
+      rules: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = col(urlColName)
+    val withKey = urls.select(col(idCol), u,
+      regexp_extract(lower(Urls.hostOf(u)), "site([0-9]+)", 1)
+        .cast("int").as("site_n"),
+      regexp_extract(u, Urls.UrlRegex, 3).as("path"))
+    val joined = withKey.join(broadcast(rules),
+      withKey("site_n") === rules("site_n") &&
+        col("path").startsWith(col("prefix")), "left")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(length(col("prefix")).desc_nulls_last,
+        col("allow").desc_nulls_last, col("prefix").asc_nulls_last)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), u,
+        coalesce(col("allow"), lit(true)).as("allowed"),
+        coalesce(col("prefix"), lit("")).as("matched_prefix"))
+  }
+
+  /** Oracle mirror over the `parsed` CTE (doc_id, host, path) +
+    * [[fixtureRulesSqlCte]]: same join, same most-specific cut, same
+    * tie-break and defaults.
+    */
+  val filterSql: String =
+    s"""SELECT doc_id, url,
+          COALESCE(allow, TRUE) AS allowed,
+          COALESCE(prefix, '') AS matched_prefix
+        FROM (
+          SELECT p.doc_id, p.url, r.allow, r.prefix,
+            ROW_NUMBER() OVER (PARTITION BY p.doc_id
+              ORDER BY length(r.prefix) DESC NULLS LAST,
+                       r.allow DESC NULLS LAST,
+                       r.prefix ASC NULLS LAST) AS rn
+          FROM (SELECT doc_id, url,
+                  CAST(regexp_extract(lower(host), 'site([0-9]+)', 1) AS INT) AS site_n,
+                  path
+                FROM parsed) p
+          LEFT JOIN rules r
+            ON p.site_n = r.site_n AND starts_with(p.path, r.prefix)) m
+        WHERE rn = 1"""
+}
