@@ -2421,6 +2421,31 @@ object SparkEntry {
       }
     }),
 
+    // host-level LINK GRAPH off the raw archive (the Common Crawl
+    // webgraph product): response pages → absolute outlinks (href
+    // extraction + attribute unescape) → (source domain from the
+    // record's target URI, destination domain from the link) → edge
+    // weights; one map pass then one hash aggregate on the edge key
+    "q_link_graph" -> ((s, dir) => {
+      val resp = Warc.records(s.read.format("binaryFile")
+          .load(stagedWarcShards(s, dir).toString))
+        .filter(col("warc_type") === "response")
+        .select(
+          Urls.registeredDomain(lower(Urls.hostOf(col("target_uri"))))
+            .as("src_domain"),
+          decode(col("payload"), "UTF-8").as("http"))
+        .filter(col("http").startsWith("HTTP/1.1 200"))
+        .select(col("src_domain"), substr(col("http"),
+          locate("\r\n\r\n", col("http")) + lit(4)).as("html"))
+      resp.select(col("src_domain"),
+          explode(Html.outlinks(col("html"))).as("href"))
+        .select(col("src_domain"),
+          Urls.registeredDomain(lower(Urls.hostOf(col("href"))))
+            .as("dst_domain"))
+        .groupBy(col("src_domain"), col("dst_domain"))
+        .agg(count(lit(1)).as("n_links"))
+    }),
+
     // CDX-style crawl index: canonical target URL → (shard, in-shard
     // record position, record id) for every response record — the
     // random-access index a crawl archive serves from. Pins that record
@@ -4082,6 +4107,12 @@ object SparkEntry {
     "q_warc_stream" -> Html.extractOracleSql,
     "q_warc_records" -> Warc.auditOracleSql,
 
+    "q_link_graph" ->
+      s"""SELECT ${Urls.domainOfIdSql("doc_id")} AS src_domain,
+            ${Urls.domainOfIdSql(Html.OutlinkTargetSql)} AS dst_domain,
+            COUNT(*) AS n_links
+          FROM documents GROUP BY 1, 2""",
+
     "q_cdx_index" ->
       s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
           ord AS (SELECT doc_id, doc_id % ${Warc.NumShards} AS si,
@@ -4261,14 +4292,17 @@ object SparkEntry {
                         GROUP BY md5(text)) c USING (doc_id))"""),
     // curated flagship: the frontier keep set is derived from doc_id
     // alone (urls AND record ids are both doc_id-rendered), then the
-    // corpus-build chain runs over the curated subset
+    // corpus-build chain runs over the curated subset. keep-first is
+    // arg_min on the record-id string, NOT a ROW_NUMBER window: a
+    // window partitioned by the giant canonical expression makes
+    // DuckDB's buffer manager blow past vm.max_map_count when run
+    // after other heavy oracles in one connection (measured: 65k+
+    // memory maps vs 12k with the aggregate form — same keep set)
     "q_corpus_build_curated" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,
       prefixCtes = s"""${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
-        frontier AS (SELECT doc_id FROM (
-          SELECT doc_id, ROW_NUMBER() OVER (
-            PARTITION BY ${Urls.canonicalSql}
-            ORDER BY '<urn:uuid:graft-response-' || CAST(doc_id AS VARCHAR) || '>') AS rn
-          FROM parsed) f WHERE rn = 1),
+        frontier AS (SELECT arg_min(doc_id,
+            '<urn:uuid:graft-response-' || CAST(doc_id AS VARCHAR) || '>') AS doc_id
+          FROM parsed GROUP BY ${Urls.canonicalSql}),
         curated AS (SELECT d.doc_id, d.text FROM documents d
                     JOIN frontier USING (doc_id)),
         ${Html.extractedDocsSqlCteFrom("curated")},

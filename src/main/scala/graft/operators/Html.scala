@@ -59,6 +59,15 @@ object Html {
   private case class Lit(s: String) extends Tok
   private case object DocId extends Tok
   private case object DocText extends Tok
+  /** Absolute cross-site outlink (href-escaped): the page for doc d
+    * links to the page whose id is [[outlinkTarget]](d) — the axis the
+    * host-level link graph (q_link_graph) is built on.
+    */
+  private case object LinkHref extends Tok
+
+  /** Outlink target id (mirrored in SQL as `7*doc_id + 13`). */
+  def outlinkTarget(docId: Long): Long = 7L * docId + 13L
+  val OutlinkTargetSql = "(7 * doc_id + 13)"
 
   private val template: Seq[Tok] = Seq(
     Lit("<html data-doc=\""), DocId, Lit("\"><head><title>Doc "), DocId,
@@ -66,7 +75,8 @@ object Html {
     Lit(", nav: \"<b>x</b>\"};</script><style>.nav { color: red; }</style>" +
       "</head><body><!-- boilerplate <p>hidden</p> --><h1>Doc "), DocId,
     Lit("</h1><div class=\"nav\"><a href=\"/\">Home</a> | " +
-      "<a href=\"/about\">About</a></div><p>"), DocText,
+      "<a href=\"/about\">About</a> | <a href=\""), LinkHref,
+    Lit("\">Next</a></div><p>"), DocText,
     // the body paragraph ends with a period (as crawled prose does), so
     // the kept/dropped decision AND the extracted content of this line
     // are doc-dependent — the oracle hash covers the real text path,
@@ -90,6 +100,9 @@ object Html {
       case Lit(s) => s
       case DocId => docId.toString
       case DocText => escapeText(rawText)
+      // attribute-escape the url's query separator (crawled markup that
+      // is actually well-formed does this; the outlink extractor decodes)
+      case LinkHref => Urls.urlOf(outlinkTarget(docId)).replace("&", "&amp;")
     }.mkString
 
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -105,6 +118,8 @@ object Html {
       case DocText =>
         "replace(replace(replace(replace(text, '&', '&amp;'), '<', '&lt;')," +
           " '>', '&gt;'), chr(10), ' ')"
+      case LinkHref =>
+        s"replace(${Urls.urlSqlInline(OutlinkTargetSql)}, '&', '&amp;')"
     }.mkString(" || ")
 
   // ---------------------------------------------------------------------
@@ -151,6 +166,18 @@ object Html {
   /** html column → extracted clean text (kept lines joined by `\n`). */
   def extractText(html: Column): Column =
     array_join(filter(normLines(html), l => keepRule(l)), "\n")
+
+  /** Absolute outlinks of a raw-html column: every `href` attribute
+    * value, attribute-unescaped (`&amp;` → `&`), kept only when
+    * absolute (`http...`) — relative navigation (`/`, `/about`) is
+    * site-internal and not a graph edge. Pure per-row work.
+    */
+  def outlinks(html: Column): Column =
+    filter(
+      transform(regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1)),
+        h => call_function("replace", h, lit("&amp;"), lit("&"))),
+      // scheme match is case-insensitive (crawled markup mixes case)
+      h => lower(h).startsWith("http"))
 
   /** Full extraction over a dataframe: (id, extracted, n_kept,
     * n_dropped) where n_dropped counts NONEMPTY lines the rules

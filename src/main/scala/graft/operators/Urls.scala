@@ -95,35 +95,63 @@ object Urls {
     scheme + "://" + host + port + path + query + frag
   }
 
+  // SQL-side rendering fragments, shared between the parts-CTE form
+  // (readable, joins once per doc) and the fully-inline form (usable
+  // for DERIVED ids like the outlink target) so the two can never drift
+  private def tldSqlExpr(d: String): String =
+    s"""(CASE WHEN (($d) % 150) % 5 = 0 THEN '.com'
+          WHEN (($d) % 150) % 5 = 1 THEN '.org'
+          WHEN (($d) % 150) % 5 = 2 THEN '.co.uk'
+          WHEN (($d) % 150) % 5 = 3 THEN '.io'
+          ELSE '.net' END)"""
+
+  private def hostSqlExpr(d: String): String =
+    s"""((CASE WHEN ($d) % 4 = 0 THEN 'WWW.'
+          WHEN ($d) % 4 = 1 THEN 'www.' ELSE '' END) ||
+        'site' || CAST((($d) % 150) % 23 AS VARCHAR) || ${tldSqlExpr(d)})"""
+
+  /** The registered DOMAIN of the fixture url for an id expression —
+    * `site{n}{tld}` exactly: the www prefix and host case are noise the
+    * eTLD+1 heuristic discards by construction (it keys on the LAST
+    * labels), and for `.co.uk` the bare host IS the eTLD+1. Lets
+    * oracles predict domains without rendering or parsing urls.
+    */
+  def domainOfIdSql(d: String): String =
+    s"('site' || CAST((($d) % 150) % 23 AS VARCHAR) || ${tldSqlExpr(d)})"
+  private def pathBaseSqlExpr(d: String): String =
+    s"('/Articles/' || CAST(($d) % 150 AS VARCHAR))"
+  private def pageSqlExpr(d: String): String =
+    s"('page=' || CAST((($d) % 150) % 4 AS VARCHAR))"
+
+  private def urlRenderSql(d: String, h: String, p: String, g: String): String =
+    s"""((CASE WHEN ($d) % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        (CASE WHEN ($d) % 9 = 0 THEN upper($h) ELSE $h END) ||
+        (CASE WHEN ($d) % 7 = 0 THEN ':443'
+              WHEN ($d) % 7 = 1 THEN ':8080' ELSE '' END) ||
+        (CASE WHEN ($d) % 11 = 0 THEN $p || '/'
+              WHEN ($d) % 11 = 1 THEN $p || '/index.html' ELSE $p END) ||
+        (CASE WHEN ($d) % 13 = 0 THEN ''
+              WHEN ($d) % 2 = 0 THEN '?utm_source=feed&' || $g
+              ELSE '?' || $g || '&utm_campaign=mail' END) ||
+        (CASE WHEN ($d) % 6 = 0 THEN '#sec-2' ELSE '' END))"""
+
   /** Oracle CTE `parts` — the k-keyed page-identity pieces (host `h`,
     * path base `p`, page param `g`) from `documents.doc_id`.
     */
   val urlPartsSqlCte: String =
-    s"""parts AS (SELECT doc_id,
-          (CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
-                WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END) ||
-            'site' || CAST((doc_id % 150) % 23 AS VARCHAR) ||
-            (CASE WHEN (doc_id % 150) % 5 = 0 THEN '.com'
-                  WHEN (doc_id % 150) % 5 = 1 THEN '.org'
-                  WHEN (doc_id % 150) % 5 = 2 THEN '.co.uk'
-                  WHEN (doc_id % 150) % 5 = 3 THEN '.io'
-                  ELSE '.net' END) AS h,
-          '/Articles/' || CAST(doc_id % 150 AS VARCHAR) AS p,
-          'page=' || CAST((doc_id % 150) % 4 AS VARCHAR) AS g
+    s"""parts AS (SELECT doc_id, ${hostSqlExpr("doc_id")} AS h,
+          ${pathBaseSqlExpr("doc_id")} AS p, ${pageSqlExpr("doc_id")} AS g
         FROM documents)"""
 
   /** The SAME rendering as a DuckDB expression over `parts` columns. */
-  val urlSqlExpr: String =
-    s"""((CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
-        (CASE WHEN doc_id % 9 = 0 THEN upper(h) ELSE h END) ||
-        (CASE WHEN doc_id % 7 = 0 THEN ':443'
-              WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END) ||
-        (CASE WHEN doc_id % 11 = 0 THEN p || '/'
-              WHEN doc_id % 11 = 1 THEN p || '/index.html' ELSE p END) ||
-        (CASE WHEN doc_id % 13 = 0 THEN ''
-              WHEN doc_id % 2 = 0 THEN '?utm_source=feed&' || g
-              ELSE '?' || g || '&utm_campaign=mail' END) ||
-        (CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END))"""
+  val urlSqlExpr: String = urlRenderSql("doc_id", "h", "p", "g")
+
+  /** Fully-inline rendering over an ARBITRARY doc-id expression — for
+    * derived ids (e.g. the template's outlink target) where no parts
+    * CTE exists.
+    */
+  def urlSqlInline(d: String): String =
+    urlRenderSql(d, hostSqlExpr(d), pathBaseSqlExpr(d), pageSqlExpr(d))
 
   /** Oracle CTE chain `parts, base` where base = (doc_id, url). */
   val urlBaseSqlCtes: String =

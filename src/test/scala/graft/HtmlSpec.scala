@@ -91,6 +91,23 @@ class HtmlSpec extends SparkSpec {
     assert(!Html.wrapLine(3L, "line one\nline two").contains("\n"))
   }
 
+  test("outlinks: absolute hrefs only, attribute-unescaped, scheme case-insensitive") {
+    import spark.implicits._
+    val html = "<a href=\"/\">Home</a><a href=\"/about\">x</a>" +
+      "<a href=\"https://a.com/x?p=1&amp;q=2\">y</a>" +
+      "<a href=\"HTTPS://B.ORG/z\">z</a>"
+    val links = Seq(Tuple1(html)).toDF("html")
+      .select(Html.outlinks(col("html")).as("ls")).head().getSeq[String](0)
+    assert(links == Seq("https://a.com/x?p=1&q=2", "HTTPS://B.ORG/z"))
+  }
+
+  test("the template's outlink round-trips: extract from wrapLine equals urlOf(outlinkTarget)") {
+    import spark.implicits._
+    val links = Seq(Tuple1(Html.wrapLine(9L, "some words here."))).toDF("html")
+      .select(Html.outlinks(col("html")).as("ls")).head().getSeq[String](0)
+    assert(links == Seq(Urls.urlOf(Html.outlinkTarget(9L))))
+  }
+
   test("extraction feeds qualityFilter: flattened extracted text flows through the battery") {
     import spark.implicits._
     val pages = Seq((5L, Html.wrapLine(5L, "the a is and the a is and word word."))).toDF("id", "html")
