@@ -2446,7 +2446,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_links"))
     }),
 
-    // CDX-style crawl index: canonical target URL → (shard, in-shard
+    // PageRank over the domain link graph (the webgraph ranking product
+    // — link centrality as a crawl-quality prior, computed straight off
+    // the archive): the q_link_graph edge derivation feeds the existing
+    // damped PageRank. Node ids are derived from the domain STRING
+    // (site index × 5 + tld index) so the oracle can predict them; at
+    // real scale you'd dense-rank or hash the domain strings instead
+    "q_domain_rank" -> ((s, dir) => {
+      def nodeId(domain: Column): Column =
+        regexp_extract(domain, "site([0-9]+)", 1).cast("long") * 5 +
+          when(domain.endsWith(".com"), 0L).when(domain.endsWith(".org"), 1L)
+            .when(domain.endsWith(".co.uk"), 2L).when(domain.endsWith(".io"), 3L)
+            .otherwise(4L)
+      val edges = Warc.records(s.read.format("binaryFile")
+          .load(stagedWarcShards(s, dir).toString))
+        .filter(col("warc_type") === "response")
+        .select(
+          Urls.registeredDomain(lower(Urls.hostOf(col("target_uri"))))
+            .as("src_domain"),
+          decode(col("payload"), "UTF-8").as("http"))
+        .filter(col("http").startsWith("HTTP/1.1 200"))
+        .select(col("src_domain"), explode(Html.outlinks(
+          substr(col("http"), locate("\r\n\r\n", col("http")) + lit(4))))
+          .as("href"))
+        .select(nodeId(col("src_domain")).as("src"),
+          nodeId(Urls.registeredDomain(lower(Urls.hostOf(col("href")))))
+            .as("dst"))
+      Graph.pageRank(edges, iters = 3)
+    }),
+
+    // CDX-style crawl index: canonical URL → (shard, in-shard
     // record position, record id) for every response record — the
     // random-access index a crawl archive serves from. Pins that record
     // ORDER survives the gzip-member + framing decode: the oracle
@@ -4106,6 +4135,11 @@ object SparkEntry {
     // the batch front door
     "q_warc_stream" -> Html.extractOracleSql,
     "q_warc_records" -> Warc.auditOracleSql,
+
+    "q_domain_rank" -> operators.Graph.pageRankSql(
+      s"""SELECT ((doc_id % 150) % 23) * 5 + (doc_id % 150) % 5 AS src,
+           (((7 * doc_id + 13) % 150) % 23) * 5 + ((7 * doc_id + 13) % 150) % 5 AS dst
+         FROM documents""", iters = 3),
 
     "q_link_graph" ->
       s"""SELECT ${Urls.domainOfIdSql("doc_id")} AS src_domain,
