@@ -468,16 +468,11 @@ object ScaleProbe {
       }
       val warcBase = warcShardsOf(docs)
       val warcBig = warcShardsOf(bigDocs)
-      def oneWarc(tag: String, d: org.apache.spark.sql.DataFrame): Double = {
-        val t0 = System.nanoTime()
-        val rows = graft.operators.Warc.extract(d).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"SCALEPROBE warcExtract $tag: $sec%.2f s, $rows rows")
-        sec
-      }
-      oneWarc("1x warm", warcBase); oneWarc(s"${n}x warm", warcBig)
-      val a = oneWarc("1x", warcBase); val b = oneWarc(s"${n}x", warcBig)
-      println(f"SCALEPROBE warcExtract ratio: ${b / a}%.2f (linear would be ~$n)")
+      // materialize BOTH caches up front (probePair only warms the base
+      // side), then reuse the shared protocol
+      warcBig.count()
+      probePair("warcExtract", warcBase, warcBig, d =>
+        graft.operators.Warc.extract(d).count())
       warcBase.unpersist(); warcBig.unpersist()
     }
 

@@ -504,6 +504,29 @@ object SparkEntry {
       }
     }
 
+  /** Shared staging for the archive-shard fixtures (WARC/WET/WAT): the
+    * documents table split doc_id % NumShards into 4 shard files, each
+    * rendered by `render`. ONE definition of the split/order so the
+    * sibling formats can never diverge (the CDX oracle's per-shard
+    * position math depends on exactly this split).
+    */
+  private def stagedShards(
+      cache: java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path],
+      prefix: String, ext: String, s: SparkSession, dir: String)(
+      render: (Int, Seq[(Long, String)]) => Array[Byte]): java.nio.file.Path =
+    stagedArrivalDir(cache, prefix, dir) { tmp =>
+      val rows = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      (0 until Warc.NumShards).foreach { i =>
+        val docs = rows.iterator
+          .filter(_.getLong(0) % Warc.NumShards == i)
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.$ext%s"),
+          render(i, docs))
+      }
+    }
+
   /** The crawl corpus as 4 `.warc.gz` shard FILES (Common Crawl
     * layout: one gzip member per WARC record — warcinfo + per-doc
     * request/response — page HTML rendered by the SAME
@@ -515,18 +538,8 @@ object SparkEntry {
   private val warcShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   private def stagedWarcShards(s: SparkSession, dir: String): java.nio.file.Path =
-    stagedArrivalDir(warcShardDirs, "graft_warcshards_", dir) { tmp =>
-      val rows = ColOps.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).collect()
-      (0 until Warc.NumShards).foreach { i =>
-        val docs = rows.iterator
-          .filter(_.getLong(0) % Warc.NumShards == i)
-          .map(r => (r.getLong(0), r.getString(1))).toSeq
-        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.warc.gz"),
-          Warc.renderShard(i, docs))
-      }
-    }
+    stagedShards(warcShardDirs, "graft_warcshards_", "warc.gz", s, dir)(
+      Warc.renderShard)
 
   /** The corpus as 4 `.wet.gz` shard FILES (Common Crawl's
     * extracted-text sibling: warcinfo + one `conversion` record per
@@ -535,18 +548,8 @@ object SparkEntry {
   private val wetShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   private def stagedWetShards(s: SparkSession, dir: String): java.nio.file.Path =
-    stagedArrivalDir(wetShardDirs, "graft_wetshards_", dir) { tmp =>
-      val rows = ColOps.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).collect()
-      (0 until Warc.NumShards).foreach { i =>
-        val docs = rows.iterator
-          .filter(_.getLong(0) % Warc.NumShards == i)
-          .map(r => (r.getLong(0), r.getString(1))).toSeq
-        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.wet.gz"),
-          Warc.renderWetShard(i, docs))
-      }
-    }
+    stagedShards(wetShardDirs, "graft_wetshards_", "wet.gz", s, dir)(
+      Warc.renderWetShard)
 
   /** The corpus as 4 `.wat.gz` shard FILES (Common Crawl's metadata
     * sibling: warcinfo + one `metadata` record per doc, payload = a
@@ -555,18 +558,8 @@ object SparkEntry {
   private val watShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   private def stagedWatShards(s: SparkSession, dir: String): java.nio.file.Path =
-    stagedArrivalDir(watShardDirs, "graft_watshards_", dir) { tmp =>
-      val rows = ColOps.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).collect()
-      (0 until Warc.NumShards).foreach { i =>
-        val docs = rows.iterator
-          .filter(_.getLong(0) % Warc.NumShards == i)
-          .map(r => (r.getLong(0), r.getString(1))).toSeq
-        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.wat.gz"),
-          Warc.renderWatShard(i, docs))
-      }
-    }
+    stagedShards(watShardDirs, "graft_watshards_", "wat.gz", s, dir)(
+      Warc.renderWatShard)
 
   /** documents metadata as CSV with header (doc_id,lang,n_chars) — the
     * fixture for the CSV-source query. Values are numeric or 2-letter
@@ -2426,25 +2419,11 @@ object SparkEntry {
     // extraction + attribute unescape) → (source domain from the
     // record's target URI, destination domain from the link) → edge
     // weights; one map pass then one hash aggregate on the edge key
-    "q_link_graph" -> ((s, dir) => {
-      val resp = Warc.records(s.read.format("binaryFile")
-          .load(stagedWarcShards(s, dir).toString))
-        .filter(col("warc_type") === "response")
-        .select(
-          Urls.registeredDomain(lower(Urls.hostOf(col("target_uri"))))
-            .as("src_domain"),
-          decode(col("payload"), "UTF-8").as("http"))
-        .filter(col("http").startsWith("HTTP/1.1 200"))
-        .select(col("src_domain"), substr(col("http"),
-          locate("\r\n\r\n", col("http")) + lit(4)).as("html"))
-      resp.select(col("src_domain"),
-          explode(Html.outlinks(col("html"))).as("href"))
-        .select(col("src_domain"),
-          Urls.registeredDomain(lower(Urls.hostOf(col("href"))))
-            .as("dst_domain"))
+    "q_link_graph" -> ((s, dir) =>
+      Warc.linkDomainEdges(Warc.records(s.read.format("binaryFile")
+          .load(stagedWarcShards(s, dir).toString)))
         .groupBy(col("src_domain"), col("dst_domain"))
-        .agg(count(lit(1)).as("n_links"))
-    }),
+        .agg(count(lit(1)).as("n_links"))),
 
     // PageRank over the domain link graph (the webgraph ranking product
     // — link centrality as a crawl-quality prior, computed straight off
@@ -2458,20 +2437,10 @@ object SparkEntry {
           when(domain.endsWith(".com"), 0L).when(domain.endsWith(".org"), 1L)
             .when(domain.endsWith(".co.uk"), 2L).when(domain.endsWith(".io"), 3L)
             .otherwise(4L)
-      val edges = Warc.records(s.read.format("binaryFile")
-          .load(stagedWarcShards(s, dir).toString))
-        .filter(col("warc_type") === "response")
-        .select(
-          Urls.registeredDomain(lower(Urls.hostOf(col("target_uri"))))
-            .as("src_domain"),
-          decode(col("payload"), "UTF-8").as("http"))
-        .filter(col("http").startsWith("HTTP/1.1 200"))
-        .select(col("src_domain"), explode(Html.outlinks(
-          substr(col("http"), locate("\r\n\r\n", col("http")) + lit(4))))
-          .as("href"))
+      val edges = Warc.linkDomainEdges(Warc.records(s.read.format("binaryFile")
+          .load(stagedWarcShards(s, dir).toString)))
         .select(nodeId(col("src_domain")).as("src"),
-          nodeId(Urls.registeredDomain(lower(Urls.hostOf(col("href")))))
-            .as("dst"))
+          nodeId(col("dst_domain")).as("dst"))
       Graph.pageRank(edges, iters = 3)
     }),
 

@@ -126,28 +126,33 @@ object Html {
   // Spark side
   // ---------------------------------------------------------------------
 
+  /** Steps 1-3: remove comment / script / style BLOCKS, tags intact.
+    * Comments BEFORE script/style: a commented-out <script> (common in
+    * crawled markup) must never open a block run — with the old order
+    * the non-greedy .*?</script> swallowed all real content up to the
+    * next </script> elsewhere on the page.
+    * Residual edge, documented: an UNPAIRED '<!--' inside a script
+    * body (e.g. a JS string literal) with a genuine comment later on
+    * the page now comment-strips across the gap. The legacy
+    * hide-from-old-browsers pattern (<script><!-- … //--></script>)
+    * is NOT affected — its opener and closer pair inside one script,
+    * so the comment strip stays local (spec-pinned). Fixing both
+    * directions needs a boundary-aware match (negative lookahead),
+    * which RE2 — the oracle's engine — does not support; a regex
+    * chain shared verbatim by both engines picks the order that
+    * protects against the commoner malformation.
+    */
+  def stripBlocks(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+  }
+
   /** Steps 1-4: raw html → entity-decoded text with one line per tag
     * boundary.
     */
   def stripTags(html: Column): Column = {
-    // comments BEFORE script/style: a commented-out <script> (common in
-    // crawled markup) must never open a block run — with the old order
-    // the non-greedy .*?</script> swallowed all real content up to the
-    // next </script> elsewhere on the page.
-    // Residual edge, documented: an UNPAIRED '<!--' inside a script
-    // body (e.g. a JS string literal) with a genuine comment later on
-    // the page now comment-strips across the gap. The legacy
-    // hide-from-old-browsers pattern (<script><!-- … //--></script>)
-    // is NOT affected — its opener and closer pair inside one script,
-    // so the comment strip stays local (spec-pinned). Fixing both
-    // directions needs a boundary-aware match (negative lookahead),
-    // which RE2 — the oracle's engine — does not support; a regex
-    // chain shared verbatim by both engines picks the order that
-    // protects against the commoner malformation.
-    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    val noScript = regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]*>", "\n")
+    val noTags = regexp_replace(stripBlocks(html), "<[^>]*>", "\n")
     Entities.foldLeft(noTags) { case (c, (e, r)) =>
       call_function("replace", c, lit(e), lit(r))
     }
@@ -167,14 +172,20 @@ object Html {
   def extractText(html: Column): Column =
     array_join(filter(normLines(html), l => keepRule(l)), "\n")
 
-  /** Absolute outlinks of a raw-html column: every `href` attribute
-    * value, attribute-unescaped (`&amp;` → `&`), kept only when
-    * absolute (`http...`) — relative navigation (`/`, `/about`) is
-    * site-internal and not a graph edge. Pure per-row work.
+  /** Absolute outlinks of a raw-html column: every ANCHOR-TAG `href`
+    * attribute value, attribute-unescaped (`&amp;` → `&`), kept only
+    * when absolute (`http...`) — relative navigation (`/`, `/about`)
+    * is site-internal and not a graph edge. Two containment rules keep
+    * the scan honest: comment/script/style blocks are stripped first
+    * (a commented-out or script-quoted anchor is not a link the page
+    * serves), and the match REQUIRES the `<a …>` tag context — bare
+    * `href="…"` text in document CONTENT can never mint an edge
+    * (escaped text cannot form a tag). Pure per-row work.
     */
   def outlinks(html: Column): Column =
     filter(
-      transform(regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1)),
+      transform(regexp_extract_all(stripBlocks(html),
+          lit("(?i)<a\\b[^>]*?href=\"([^\"]*)\""), lit(1)),
         h => call_function("replace", h, lit("&amp;"), lit("&"))),
       // scheme match is case-insensitive (crawled markup mixes case)
       h => lower(h).startsWith("http"))

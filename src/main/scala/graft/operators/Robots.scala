@@ -53,36 +53,46 @@ object Robots {
   /** REP resolution: for each row of `urls` (idCol, urlColName), emit
     * (idCol, url, allowed, matched_prefix) where matched_prefix is ''
     * when no rule matched. `rules` must be (site_n, prefix, allow);
-    * site_n is recovered from the fixture host shape. The rules side is
-    * broadcast; the per-URL most-specific cut is row_number()=1 ordered
-    * by (prefix length DESC, allow DESC — the REP tie-break), which
-    * plans as a partial WindowGroupLimit.
+    * site_n is recovered from the fixture host shape.
+    *
+    * The rules are grouped to one ARRAY per site and broadcast, and the
+    * most-specific rule resolves MAP-SIDE in a projection (array_max
+    * over (length, allow, prefix) structs — longest prefix wins, allow
+    * wins ties, the REP tie-break): the URL frontier itself never
+    * shuffles. A first draft cut with row_number() over the URL id —
+    * but the id is UNIQUE, so the partial WindowGroupLimit forwarded
+    * every row and the exchange moved the whole frontier for a cut
+    * that needs none.
     */
   def filter(urls: DataFrame, idCol: String, urlColName: String,
       rules: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val siteRules = rules.groupBy(col("site_n"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
     val u = col(urlColName)
     val withKey = urls.select(col(idCol), u,
       regexp_extract(lower(Urls.hostOf(u)), "site([0-9]+)", 1)
         .cast("int").as("site_n"),
       regexp_extract(u, Urls.UrlRegex, 3).as("path"))
-    val joined = withKey.join(broadcast(rules),
-      withKey("site_n") === rules("site_n") &&
-        col("path").startsWith(col("prefix")), "left")
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(length(col("prefix")).desc_nulls_last,
-        col("allow").desc_nulls_last, col("prefix").asc_nulls_last)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val matched = filter_(coalesce(col("rules"),
+        array().cast("array<struct<prefix:string,allow:boolean>>")),
+      r => col("path").startsWith(r.getField("prefix")))
+    val best = array_max(transform(matched, r =>
+      struct(length(r.getField("prefix")).as("l"),
+        r.getField("allow").as("a"), r.getField("prefix").as("p"))))
+    withKey.join(broadcast(siteRules), Seq("site_n"), "left")
       .select(col(idCol), u,
-        coalesce(col("allow"), lit(true)).as("allowed"),
-        coalesce(col("prefix"), lit("")).as("matched_prefix"))
+        coalesce(best.getField("a"), lit(true)).as("allowed"),
+        coalesce(best.getField("p"), lit("")).as("matched_prefix"))
   }
 
+  // the HOF `filter` collides with this object's own filter; alias it
+  private def filter_(c: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.filter(c, f)
+
   /** Oracle mirror over the `parsed` CTE (doc_id, host, path) +
-    * [[fixtureRulesSqlCte]]: same join, same most-specific cut, same
-    * tie-break and defaults.
+    * [[fixtureRulesSqlCte]]: same join, same most-specific resolution
+    * — (length DESC, allow DESC, prefix DESC), the exact order
+    * array_max induces on the Spark side's (l, a, p) structs.
     */
   val filterSql: String =
     s"""SELECT doc_id, url,
@@ -93,7 +103,7 @@ object Robots {
             ROW_NUMBER() OVER (PARTITION BY p.doc_id
               ORDER BY length(r.prefix) DESC NULLS LAST,
                        r.allow DESC NULLS LAST,
-                       r.prefix ASC NULLS LAST) AS rn
+                       r.prefix DESC NULLS LAST) AS rn
           FROM (SELECT doc_id, url,
                   CAST(regexp_extract(lower(host), 'site([0-9]+)', 1) AS INT) AS site_n,
                   path

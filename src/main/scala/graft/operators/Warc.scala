@@ -186,22 +186,40 @@ object Warc {
         col("r.content_length").as("content_length"),
         col("r.payload").as("payload"))
 
-  /** Decoded records → raw pages: HTTP status gate + header strip
-    * (crawlers keep 200s only), doc id recovered from the page's own
-    * metadata. Pure per-row work.
+  /** HTTP status gate + header strip over a decoded response payload
+    * column (crawlers keep 200s only): the ONE definition of the
+    * response→body step, shared by every ingest path.
     */
-  def responsePages(recs: DataFrame): DataFrame = {
-    val html = recs
-      .filter(col("warc_type") === "response")
-      .select(decode(col("payload"), "UTF-8").as("http"))
+  private def httpBodies(recs: DataFrame): DataFrame =
+    recs.filter(col("warc_type") === "response")
+      .withColumn("http", decode(col("payload"), "UTF-8"))
       .filter(col("http").startsWith("HTTP/1.1 200"))
-      .select(substr(col("http"),
-        locate("\r\n\r\n", col("http")) + lit(4)).as("html"))
-    html.select(
+      .withColumn("html", substr(col("http"),
+        locate("\r\n\r\n", col("http")) + lit(4)))
+
+  /** Decoded records → raw pages (doc_id recovered from the page's own
+    * metadata). Pure per-row work.
+    */
+  def responsePages(recs: DataFrame): DataFrame =
+    httpBodies(recs).select(
       regexp_extract(col("html"), "data-doc=\"([0-9]+)\"", 1)
         .cast("long").as("doc_id"),
       col("html"))
-  }
+
+  /** Decoded records → host-level link edges: (source domain from the
+    * record's target URI, destination domain from each absolute
+    * outlink the page serves). One map pass; the q_link_graph /
+    * q_domain_rank front half.
+    */
+  def linkDomainEdges(recs: DataFrame): DataFrame =
+    httpBodies(recs)
+      .select(
+        Urls.registeredDomain(lower(Urls.hostOf(col("target_uri"))))
+          .as("src_domain"),
+        explode(Html.outlinks(col("html"))).as("href"))
+      .select(col("src_domain"),
+        Urls.registeredDomain(lower(Urls.hostOf(col("href"))))
+          .as("dst_domain"))
 
   /** Full front-door extraction: shard bytes → (doc_id, extracted,
     * n_kept, n_dropped) — the q_html_extract output shape, so the

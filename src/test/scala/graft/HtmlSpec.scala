@@ -101,6 +101,17 @@ class HtmlSpec extends SparkSpec {
     assert(links == Seq("https://a.com/x?p=1&q=2", "HTTPS://B.ORG/z"))
   }
 
+  test("outlinks containment: text-borne href, commented anchors, and script-quoted anchors mint no edges") {
+    import spark.implicits._
+    val html = "<p>see href=\"https://evil.com/\" in prose</p>" +
+      "<!-- <a href=\"https://commented.com/\">x</a> -->" +
+      "<script>var a = '<a href=\"https://scripted.com/\">';</script>" +
+      "<a href=\"https://real.com/\">ok</a>"
+    val links = Seq(Tuple1(html)).toDF("html")
+      .select(Html.outlinks(col("html")).as("ls")).head().getSeq[String](0)
+    assert(links == Seq("https://real.com/"))
+  }
+
   test("the template's outlink round-trips: extract from wrapLine equals urlOf(outlinkTarget)") {
     import spark.implicits._
     val links = Seq(Tuple1(Html.wrapLine(9L, "some words here."))).toDF("html")

@@ -43,12 +43,19 @@ class RobotsSpec extends SparkSpec {
     assert(resolve("HTTPS://WWW.SITE0.COM/Articles/7")._1 == false)
   }
 
-  test("q_robots_filter: rules broadcast; the most-specific cut is a partial WindowGroupLimit") {
+  test("q_robots_filter: rules broadcast; the frontier itself NEVER shuffles (map-side resolution)") {
     val p = SparkEntry.queries("q_robots_filter")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"rules side should broadcast:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"most-specific cut did not plan as WindowGroupLimit:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rules side should broadcast:\n$p")
+    // the PROBE side (the frontier: lines between the join and its
+    // build-side BroadcastExchange) must not shuffle; the tiny rules
+    // aggregate under the BroadcastExchange is the build side's own
+    val lines = p.linesIterator.toList
+    val probe = lines.drop(lines.indexWhere(_.contains("BroadcastHashJoin")) + 1)
+      .takeWhile(!_.contains("BroadcastExchange"))
+    assert(probe.nonEmpty && !probe.exists(_.contains("Exchange")),
+      s"URL frontier should stay map-local, found a shuffle on the probe side:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
+      s"resolution should be a map-side projection, not a window:\n$p")
   }
 }
