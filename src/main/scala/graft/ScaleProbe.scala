@@ -453,19 +453,19 @@ object ScaleProbe {
     // timed runs measure the DECODE chain — gunzip + record framing +
     // HTTP strip + extraction — per archive byte, not the JDK's
     // compressor; map-only, must track the scan like htmlExtract
+    def warcShardsOf(d: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("content", BinaryType)))
+      val rdd = d.select(col("doc_id"), col("text")).rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          val ds = it.map(r => (r.getLong(0), r.getString(1))).toSeq
+          if (ds.isEmpty) Iterator.empty
+          else Iterator(org.apache.spark.sql.Row(
+            graft.operators.Warc.renderShard(i, ds)))
+        }
+      spark.createDataFrame(rdd, schema).cache()
+    }
     if (probeEnabled("warcExtract")) {
-      def warcShardsOf(d: org.apache.spark.sql.DataFrame) = {
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(StructField("content", BinaryType)))
-        val rdd = d.select(col("doc_id"), col("text")).rdd
-          .mapPartitionsWithIndex { (i, it) =>
-            val ds = it.map(r => (r.getLong(0), r.getString(1))).toSeq
-            if (ds.isEmpty) Iterator.empty
-            else Iterator(org.apache.spark.sql.Row(
-              graft.operators.Warc.renderShard(i, ds)))
-          }
-        spark.createDataFrame(rdd, schema).cache()
-      }
       val warcBase = warcShardsOf(docs)
       val warcBig = warcShardsOf(bigDocs)
       // materialize BOTH caches up front (probePair only warms the base
@@ -473,6 +473,34 @@ object ScaleProbe {
       warcBig.count()
       probePair("warcExtract", warcBase, warcBig, d =>
         graft.operators.Warc.extract(d).count())
+      warcBase.unpersist(); warcBig.unpersist()
+    }
+
+    // the webgraph front half (gunzip → framing → HTTP strip → anchor
+    // extraction → domain edges) and the CURATED corpus-build flagship
+    // (frontier keep-first → extraction → quality → dedup → BPE →
+    // pack), both over n× the archive bytes. Shares warcShardsOf's
+    // cached shards; copies carry shifted doc ids so urls/dedup keys
+    // scale on their real axes
+    if (probeEnabled("linkEdges") || probeEnabled("curatedBuild")) {
+      val warcBase = warcShardsOf(docs)
+      val warcBig = warcShardsOf(bigDocs)
+      warcBig.count()
+      probePair("linkEdges", warcBase, warcBig, d =>
+        graft.operators.Warc.linkDomainEdges(graft.operators.Warc.records(d))
+          .groupBy(col("src_domain"), col("dst_domain")).count().count())
+      probePair("curatedBuild", warcBase, warcBig, { d =>
+        val kept = graft.operators.Urls.frontierKeepFirst(
+          graft.operators.Warc.records(d)
+            .filter(col("warc_type") === "response"),
+          "target_uri", "record_id")
+        val extracted = graft.operators.Html.extract(
+            graft.operators.Warc.responsePages(kept), "doc_id", "html")
+          .select(col("doc_id"),
+            call_function("replace", col("extracted"), lit("\n"), lit(" "))
+              .as("text"))
+        SparkEntry.corpusBuildTail(extracted).count()
+      })
       warcBase.unpersist(); warcBig.unpersist()
     }
 

@@ -776,7 +776,7 @@ object SparkEntry {
     * exact dedup → BPE train → encode → fixed-width packing. Input:
     * (doc_id, text) with extraction's kept lines flattened to spaces.
     */
-  private def corpusBuildTail(extracted: DataFrame): DataFrame = {
+  private[graft] def corpusBuildTail(extracted: DataFrame): DataFrame = {
     val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
       .filter(col("keep")).select(col("doc_id"))
     val kept = graft.core.Materialize.checkpoint(extracted.join(keepIds, "doc_id"))
