@@ -465,7 +465,14 @@ object ScaleProbe {
         }
       spark.createDataFrame(rdd, schema).cache()
     }
-    if (probeEnabled("warcExtract")) {
+    // archive-decode probes over ONE shared cached shard pair: the
+    // front door (warcExtract), the webgraph front half (linkEdges),
+    // and the CURATED corpus-build flagship (curatedBuild — the shared
+    // SparkEntry.curatedCorpusBuild definition, so the probe can never
+    // drift from the query it claims to track). Copies carry shifted
+    // doc ids so urls/dedup keys scale on their real axes
+    if (probeEnabled("warcExtract") | probeEnabled("linkEdges") |
+        probeEnabled("curatedBuild")) {
       val warcBase = warcShardsOf(docs)
       val warcBig = warcShardsOf(bigDocs)
       // materialize BOTH caches up front (probePair only warms the base
@@ -473,34 +480,11 @@ object ScaleProbe {
       warcBig.count()
       probePair("warcExtract", warcBase, warcBig, d =>
         graft.operators.Warc.extract(d).count())
-      warcBase.unpersist(); warcBig.unpersist()
-    }
-
-    // the webgraph front half (gunzip → framing → HTTP strip → anchor
-    // extraction → domain edges) and the CURATED corpus-build flagship
-    // (frontier keep-first → extraction → quality → dedup → BPE →
-    // pack), both over n× the archive bytes. Shares warcShardsOf's
-    // cached shards; copies carry shifted doc ids so urls/dedup keys
-    // scale on their real axes
-    if (probeEnabled("linkEdges") || probeEnabled("curatedBuild")) {
-      val warcBase = warcShardsOf(docs)
-      val warcBig = warcShardsOf(bigDocs)
-      warcBig.count()
       probePair("linkEdges", warcBase, warcBig, d =>
         graft.operators.Warc.linkDomainEdges(graft.operators.Warc.records(d))
           .groupBy(col("src_domain"), col("dst_domain")).count().count())
-      probePair("curatedBuild", warcBase, warcBig, { d =>
-        val kept = graft.operators.Urls.frontierKeepFirst(
-          graft.operators.Warc.records(d)
-            .filter(col("warc_type") === "response"),
-          "target_uri", "record_id")
-        val extracted = graft.operators.Html.extract(
-            graft.operators.Warc.responsePages(kept), "doc_id", "html")
-          .select(col("doc_id"),
-            call_function("replace", col("extracted"), lit("\n"), lit(" "))
-              .as("text"))
-        SparkEntry.corpusBuildTail(extracted).count()
-      })
+      probePair("curatedBuild", warcBase, warcBig, d =>
+        SparkEntry.curatedCorpusBuild(d).count())
       warcBase.unpersist(); warcBig.unpersist()
     }
 

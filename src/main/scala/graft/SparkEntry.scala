@@ -776,6 +776,22 @@ object SparkEntry {
     * exact dedup → BPE train → encode → fixed-width packing. Input:
     * (doc_id, text) with extraction's kept lines flattened to spaces.
     */
+  /** The CURATED flagship over a warc-shard scan: frontier keep-first
+    * (by record id per canonical target URI) BEFORE any page bytes are
+    * parsed, then extraction and the full build tail. ONE definition
+    * shared by the query and its scale probe so they can never drift.
+    */
+  private[graft] def curatedCorpusBuild(shards: DataFrame): DataFrame = {
+    val kept = Urls.frontierKeepFirst(
+      Warc.records(shards).filter(col("warc_type") === "response"),
+      "target_uri", "record_id")
+    val extracted = Html.extract(Warc.responsePages(kept), "doc_id", "html")
+      .select(col("doc_id"),
+        call_function("replace", col("extracted"), lit("\n"), lit(" "))
+          .as("text"))
+    corpusBuildTail(extracted)
+  }
+
   private[graft] def corpusBuildTail(extracted: DataFrame): DataFrame = {
     val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
       .filter(col("keep")).select(col("doc_id"))
@@ -2477,18 +2493,9 @@ object SparkEntry {
     // tail. The oracle derives the SAME keep set from doc_id alone
     // (urls and record ids are both doc_id-rendered), so every layer
     // of the curation is hash-checked end-to-end
-    "q_corpus_build_curated" -> ((s, dir) => {
-      val kept = Urls.frontierKeepFirst(
-        Warc.records(s.read.format("binaryFile")
-            .load(stagedWarcShards(s, dir).toString))
-          .filter(col("warc_type") === "response"),
-        "target_uri", "record_id")
-      val extracted = Html.extract(Warc.responsePages(kept), "doc_id", "html")
-        .select(col("doc_id"),
-          call_function("replace", col("extracted"), lit("\n"), lit(" "))
-            .as("text"))
-      corpusBuildTail(extracted)
-    }),
+    "q_corpus_build_curated" -> ((s, dir) =>
+      curatedCorpusBuild(s.read.format("binaryFile")
+        .load(stagedWarcShards(s, dir).toString))),
 
     // the ARCHIVE → URL-curation handoff: each response record's
     // WARC-Target-URI (the Urls fixture URL, all nine crawl-noise axes)

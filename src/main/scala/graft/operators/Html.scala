@@ -180,12 +180,16 @@ object Html {
     * (a commented-out or script-quoted anchor is not a link the page
     * serves), and the match REQUIRES the `<a …>` tag context — bare
     * `href="…"` text in document CONTENT can never mint an edge
-    * (escaped text cannot form a tag). Pure per-row work.
+    * (escaped text cannot form a tag). The attribute run admits `>`
+    * INSIDE quoted values (legal HTML: onclick="if(a>b)…") via the
+    * non-quote-or-quoted-string alternation, and `href` must follow
+    * whitespace so attribute-NAME confusion (data-href, ng-href)
+    * cannot match. Pure per-row work.
     */
   def outlinks(html: Column): Column =
     filter(
       transform(regexp_extract_all(stripBlocks(html),
-          lit("(?i)<a\\b[^>]*?href=\"([^\"]*)\""), lit(1)),
+          lit("(?i)<a\\b(?:[^>\"]|\"[^\"]*\")*?\\shref=\"([^\"]*)\""), lit(1)),
         h => call_function("replace", h, lit("&amp;"), lit("&"))),
       // scheme match is case-insensitive (crawled markup mixes case)
       h => lower(h).startsWith("http"))

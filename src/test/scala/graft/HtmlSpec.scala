@@ -106,10 +106,19 @@ class HtmlSpec extends SparkSpec {
     val html = "<p>see href=\"https://evil.com/\" in prose</p>" +
       "<!-- <a href=\"https://commented.com/\">x</a> -->" +
       "<script>var a = '<a href=\"https://scripted.com/\">';</script>" +
+      "<a data-href=\"https://tracker.com/\" class=\"lazy\">no real href</a>" +
       "<a href=\"https://real.com/\">ok</a>"
     val links = Seq(Tuple1(html)).toDF("html")
       .select(Html.outlinks(col("html")).as("ls")).head().getSeq[String](0)
     assert(links == Seq("https://real.com/"))
+  }
+
+  test("outlinks: a '>' inside a quoted attribute value does not break the anchor match") {
+    import spark.implicits._
+    val html = "<a onclick=\"if(a>b)track()\" href=\"https://real.com/x\">y</a>"
+    val links = Seq(Tuple1(html)).toDF("html")
+      .select(Html.outlinks(col("html")).as("ls")).head().getSeq[String](0)
+    assert(links == Seq("https://real.com/x"))
   }
 
   test("the template's outlink round-trips: extract from wrapLine equals urlOf(outlinkTarget)") {
