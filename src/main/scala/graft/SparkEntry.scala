@@ -2470,6 +2470,15 @@ object SparkEntry {
       Warc.cdxIndex(s.read.format("binaryFile")
         .load(stagedWarcShards(s, dir).toString))),
 
+    // payload-integrity audit: per record type, digests present and
+    // VERIFIED (sha1 of the received payload == the header) — the
+    // end-to-end proof the gzip + framing decode delivered every byte;
+    // the oracle predicts all counts from documents + rendering rules
+    // (warcinfo carries no digest by the fixture's rendering rule)
+    "q_warc_digest" -> ((s, dir) =>
+      Warc.digestAudit(Warc.records(s.read.format("binaryFile")
+        .load(stagedWarcShards(s, dir).toString)))),
+
     // WET front door (the extracted-text archive sibling): gunzip →
     // framing → conversion records → payload text; oracle predicts both
     // columns from documents + rendering constants
@@ -4139,6 +4148,19 @@ object SparkEntry {
             p.pos AS pos,
             '<urn:uuid:graft-response-' || CAST(p.doc_id AS VARCHAR) || '>' AS record_id
           FROM pos p JOIN parsed USING (doc_id)""",
+
+    "q_warc_digest" ->
+      s"""WITH req AS (SELECT COUNT(*) AS n FROM documents
+                       WHERE doc_id % ${Warc.RequestEvery} = 0),
+          resp AS (SELECT COUNT(*) AS n FROM documents)
+          SELECT warc_type, n_records, n_with_digest, n_verified FROM (
+            SELECT 'response' AS warc_type, n::BIGINT AS n_records,
+                   n::BIGINT AS n_with_digest, n::BIGINT AS n_verified FROM resp
+            UNION ALL
+            SELECT 'request', n::BIGINT, n::BIGINT, n::BIGINT FROM req WHERE n > 0
+            UNION ALL
+            SELECT 'warcinfo', ${Warc.NumShards}::BIGINT, 0::BIGINT, 0::BIGINT
+          ) t""",
 
     "q_wet_extract" ->
       """SELECT '<urn:uuid:graft-conversion-' || CAST(doc_id AS VARCHAR) || '>' AS record_id,

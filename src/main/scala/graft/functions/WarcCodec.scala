@@ -42,7 +42,11 @@ object WarcCodec {
     StructField("record_id", StringType),
     StructField("target_uri", StringType),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", BinaryType)))
+    StructField("payload", BinaryType),
+    // WARC-Payload-Digest header value, verbatim (null when absent);
+    // verification against the payload is the QUERY's job (sha1 is a
+    // codegen'd built-in) — the parser only frames
+    StructField("payload_digest", StringType)))
 
   val arrayType: ArrayType = ArrayType(recordSchema, containsNull = false)
 
@@ -78,6 +82,7 @@ object WarcCodec {
       var warcType: UTF8String = null
       var recordId: UTF8String = null
       var targetUri: UTF8String = null
+      var payloadDigest: UTF8String = null
       var contentLength = -1L
       var blank = false
       while (!blank) {
@@ -95,6 +100,7 @@ object WarcCodec {
             case "warc-type" => warcType = UTF8String.fromString(value)
             case "warc-record-id" => recordId = UTF8String.fromString(value)
             case "warc-target-uri" => targetUri = UTF8String.fromString(value)
+            case "warc-payload-digest" => payloadDigest = UTF8String.fromString(value)
             case "content-length" =>
               try contentLength = java.lang.Long.parseLong(value)
               catch { case _: NumberFormatException => return null }
@@ -112,7 +118,8 @@ object WarcCodec {
           bytes(pos + 2) != '\r' || bytes(pos + 3) != '\n') return null
       pos += 4
       out += new GenericInternalRow(
-        Array[Any](warcType, recordId, targetUri, contentLength, payload))
+        Array[Any](warcType, recordId, targetUri, contentLength, payload,
+          payloadDigest))
     }
     out.toArray
   }

@@ -71,7 +71,20 @@ object Warc {
   private def ascii(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Render one WARC/1.0 record (headers + payload + terminator). */
+  /** sha1 of a payload in the fixture's digest-header form. Hex rather
+    * than Common Crawl's base32 — hex is what the engine-side verifier
+    * (`sha1()`, a codegen'd built-in) emits, and the scheme prefix
+    * makes the encoding explicit.
+    */
+  def payloadDigestOf(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(payload)
+    "sha1:" + d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Render one WARC/1.0 record (headers + payload + terminator).
+    * Every record except `warcinfo` carries a WARC-Payload-Digest
+    * header (the integrity field real crawl archives ship).
+    */
   def renderRecord(warcType: String, recordId: String,
                    targetUri: Option[String],
                    payload: Array[Byte]): Array[Byte] = {
@@ -80,6 +93,8 @@ object Warc {
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
     sb.append("WARC-Record-ID: <urn:uuid:").append(recordId).append(">\r\n")
     targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
+    if (warcType != "warcinfo")
+      sb.append("WARC-Payload-Digest: ").append(payloadDigestOf(payload)).append("\r\n")
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val head = ascii(sb.toString)
     val out = new Array[Byte](head.length + payload.length + 4)
@@ -184,7 +199,8 @@ object Warc {
         col("r.record_id").as("record_id"),
         col("r.target_uri").as("target_uri"),
         col("r.content_length").as("content_length"),
-        col("r.payload").as("payload"))
+        col("r.payload").as("payload"),
+        col("r.payload_digest").as("payload_digest"))
 
   /** HTTP status gate + header strip over a decoded response payload
     * column (crawlers keep 200s only): the ONE definition of the
@@ -286,6 +302,21 @@ object Warc {
         col("j.envelope.content_length").as("content_length"),
         col("j.meta.title").as("title"))
   }
+
+  /** Payload-integrity audit: per record type, how many records carry
+    * a digest header and how many VERIFY (sha1 of the received payload
+    * equals the header — the end-to-end check that the gzip + framing
+    * decode delivered every byte intact). sha1 is a codegen'd built-in,
+    * so verification is a per-row map over the scan.
+    */
+  def digestAudit(recs: DataFrame): DataFrame =
+    recs.groupBy(col("warc_type"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("payload_digest").isNotNull, 1L).otherwise(0L))
+          .as("n_with_digest"),
+        sum(when(col("payload_digest") ===
+            concat(lit("sha1:"), sha1(col("payload"))), 1L).otherwise(0L))
+          .as("n_verified"))
 
   /** Ingest audit: per record type, record count and total payload
     * bytes — the per-shard-batch accounting a crawl pipeline reports

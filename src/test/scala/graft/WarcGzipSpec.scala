@@ -148,6 +148,23 @@ class WarcGzipSpec extends SparkSpec {
     }
   }
 
+  test("payload digests verify end-to-end; a corrupted payload byte fails verification, framing intact") {
+    import spark.implicits._
+    val rec = Warc.renderRecord("response", "r-1", Some("https://a.com/x"),
+      "HTTP/1.1 200 OK\r\n\r\nbody bytes here".getBytes("US-ASCII"))
+    // flip one payload byte (the last byte before the \r\n\r\n terminator)
+    val bad = rec.clone(); bad(rec.length - 5) = (bad(rec.length - 5) ^ 1).toByte
+    val out = Seq((1L, rec), (2L, bad)).toDF("id", "content")
+      .select(col("id"), explode(WarcRecords.warc_records(col("content"))).as("r"))
+      .select(col("id"), col("r.payload_digest").as("d"),
+        (col("r.payload_digest") ===
+          concat(lit("sha1:"), sha1(col("r.payload")))).as("ok"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out(1L)._1.startsWith("sha1:") && out(1L)._2, "intact record must verify")
+    assert(out(2L)._1 == out(1L)._1 && !out(2L)._2,
+      "corrupted payload must carry the original digest and FAIL verification")
+  }
+
   test("gzip_decode expression is null-strict on corrupt shards (dispatch discipline)") {
     import spark.implicits._
     val good = Warc.renderShard(0, Seq((0L, "alpha beta.")))
