@@ -4208,7 +4208,7 @@ object SparkEntry {
           raw AS (SELECT doc_id, ${Html.wrapSqlExpr} AS html FROM documents)
           SELECT '<urn:uuid:graft-metadata-' || CAST(b.doc_id AS VARCHAR) || '>' AS record_id,
             b.url AS url,
-            (${Warc.HttpHeaderBytes} + octet_length(encode(r.html))) AS content_length,
+            ${Warc.responsePayloadLenSql("b.doc_id", "octet_length(encode(r.html))")} AS content_length,
             'Doc ' || CAST(b.doc_id AS VARCHAR) AS title
           FROM base b JOIN raw r USING (doc_id)""",
 
@@ -4220,7 +4220,7 @@ object SparkEntry {
             COUNT(DISTINCT canonical) AS n_pages,
             CAST(SUM(bytes) AS BIGINT) AS total_bytes
           FROM (SELECT p.doc_id,
-                  (${Warc.HttpHeaderBytes} + octet_length(encode(r.html))) AS bytes,
+                  ${Warc.responsePayloadLenSql("p.doc_id", "octet_length(encode(r.html))")} AS bytes,
                   ${Urls.domainSql("lower(host)")} AS domain,
                   lower(host) AS host_l,
                   ${Urls.canonicalSql} AS canonical

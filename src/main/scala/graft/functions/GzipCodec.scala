@@ -35,9 +35,11 @@ import org.apache.spark.sql.types._
   */
 object GzipCodec {
 
-  /** Output cap per gzip input (256 MiB) — a zip-bomb guard: DEFLATE's
-    * max ratio is 1032:1, so any genuine crawl shard stays far below;
-    * fail-closed beyond it rather than OOM an executor.
+  /** Output cap per decoded FILE — the budget accumulates across all
+    * members of a multi-member buffer (256 MiB total, not per member) —
+    * a zip-bomb guard: DEFLATE's max ratio is 1032:1, so any genuine
+    * crawl shard stays far below; fail-closed beyond it rather than
+    * OOM an executor.
     */
   val MaxOutput: Int = 256 << 20
 
@@ -192,6 +194,50 @@ object GzipCodec {
         if (crcGot != crcWant) throw Malformed
         pos = r.pos + 8
       }
+      out.bytes(0)
+    } catch {
+      case Malformed | _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
+  /** Decompress a zlib (RFC 1950) stream — the body form RFC 9110
+    * names for `Content-Encoding: deflate`. Null on any malformation
+    * (bad CM/FCHECK, FDICT set, Adler-32 mismatch, trailing garbage).
+    */
+  def zlibInflate(bytes: Array[Byte]): Array[Byte] = {
+    try {
+      if (bytes == null || bytes.length < 6) throw Malformed
+      val cmf = bytes(0) & 0xff
+      val flg = bytes(1) & 0xff
+      if ((cmf & 0x0f) != 8) throw Malformed
+      if ((cmf * 256 + flg) % 31 != 0) throw Malformed
+      if ((flg & 0x20) != 0) throw Malformed // FDICT: no shared dictionary
+      val out = new OutBuf
+      val r = new BitReader(bytes)
+      r.pos = 2
+      inflateInto(r, out)
+      if (r.pos + 4 != bytes.length) throw Malformed
+      val want = ((bytes(r.pos) & 0xffL) << 24) | ((bytes(r.pos + 1) & 0xffL) << 16) |
+        ((bytes(r.pos + 2) & 0xffL) << 8) | (bytes(r.pos + 3) & 0xffL)
+      val whole = out.bytes(0)
+      if ((PngCodec.adler32(whole) & 0xffffffffL) != want) throw Malformed
+      whole
+    } catch {
+      case Malformed | _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
+  /** Raw DEFLATE with no wrapper — the non-conformant `deflate` body
+    * many real servers ship (the reason every HTTP client sniffs both
+    * forms). No checksum exists to verify; framing errors still null.
+    */
+  def inflateRaw(bytes: Array[Byte]): Array[Byte] = {
+    try {
+      if (bytes == null || bytes.length == 0) throw Malformed
+      val out = new OutBuf
+      val r = new BitReader(bytes)
+      inflateInto(r, out)
+      if (r.pos != bytes.length) throw Malformed
       out.bytes(0)
     } catch {
       case Malformed | _: ArrayIndexOutOfBoundsException => null

@@ -1,0 +1,269 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTTP/1.x response-message decoder — the envelope layer between a
+  * WARC `response` record's payload and the page bytes. Real crawl
+  * archives (Common Crawl) carry the response verbatim off the wire,
+  * so the body arrives behind any combination of
+  * `Transfer-Encoding: chunked` framing, `Content-Encoding:
+  * gzip`/`deflate` compression, and a `charset=` declaration that is
+  * frequently not UTF-8 — every record passes through this step, which
+  * is why it is a custom Catalyst expression (the SURVEY §2 preference
+  * order: byte-level framing + per-row charset selection are exactly
+  * what built-ins cannot express; `decode(col, cs)` takes only a
+  * literal charset). Everything before (gzip members, WARC framing)
+  * and after (markup extraction) stays the existing codegen'd chain,
+  * so the whole front door remains a map-only zero-shuffle pass.
+  *
+  * Decoding steps, in wire order:
+  *  1. status line: `HTTP/<1.x> <code> [reason]` (1.0 and 1.1 both
+  *     live in archives);
+  *  2. headers: case-insensitive names, obs-fold continuation lines
+  *     (leading SP/HT) unfolded per RFC 9112 §5.2;
+  *  3. transfer decoding: `chunked` (hex size line with optional
+  *     extensions, per-chunk CRLF, optional trailer section) —
+  *     strict, fail-closed on any framing error;
+  *  4. content decoding: `gzip`/`x-gzip` ([[GzipCodec.gunzip]] — the
+  *     hand-rolled inflate, full dynamic-Huffman), `deflate` (zlib
+  *     per RFC 9110, with the raw-DEFLATE fallback real servers
+  *     ship), `identity`; an UNKNOWN coding fails closed (null) —
+  *     passing compressed bytes downstream as if they were text would
+  *     silently poison extraction;
+  *  5. charset decoding: the `charset=` parameter of Content-Type
+  *     (utf-8 default; us-ascii, iso-8859-1/latin-1, windows-1252
+  *     recognized; unknown labels fall back to utf-8), malformed
+  *     sequences replaced with U+FFFD — the lenient posture a crawl
+  *     pipeline needs (strict-null here would drop every mojibake
+  *     page instead of extracting what survives).
+  *
+  * Content-Length is NOT enforced against the body: WARC payloads are
+  * already length-framed by the record, and real captures routinely
+  * disagree with their Content-Length header (truncated fetches).
+  *
+  * Reference cell: the byte-chunk source + line framing
+  * (`/root/reference/src/Data/Conduino/Combinators.hs:245-288`); the
+  * HTTP envelope is the protocol-framed sibling at the same boundary.
+  */
+object HttpCodec {
+
+  val schema: StructType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    // lowercased media type before ';' (null when absent)
+    StructField("mime", StringType),
+    // lowercased charset= parameter, verbatim label (null when absent)
+    StructField("charset", StringType),
+    // body bytes AFTER transfer + content decoding
+    StructField("body", BinaryType, nullable = false),
+    // body decoded via the declared charset (utf-8 fallback, U+FFFD
+    // replacement)
+    StructField("text", StringType, nullable = false)))
+
+  private val Crlf = Array[Byte]('\r', '\n')
+
+  private def indexOfCrlf(a: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    while (i + 1 < until) {
+      if (a(i) == '\r' && a(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** De-chunk a `Transfer-Encoding: chunked` body; null on any framing
+    * malformation (bad size line, missing per-chunk CRLF, truncation,
+    * bytes after the terminating trailer section).
+    */
+  private[functions] def dechunk(a: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(a.length)
+    var p = 0
+    while (true) {
+      val e = indexOfCrlf(a, p, a.length)
+      if (e < 0) return null
+      var sizeStr = new String(a, p, e - p, java.nio.charset.StandardCharsets.US_ASCII)
+      val ext = sizeStr.indexOf(';') // chunk extensions are legal; ignored
+      if (ext >= 0) sizeStr = sizeStr.substring(0, ext)
+      sizeStr = sizeStr.trim
+      if (sizeStr.isEmpty || sizeStr.length > 8) return null
+      var size = 0
+      var i = 0
+      while (i < sizeStr.length) {
+        val d = Character.digit(sizeStr.charAt(i), 16)
+        if (d < 0) return null
+        size = size * 16 + d
+        i += 1
+      }
+      p = e + 2
+      if (size == 0) {
+        // trailer section: zero or more header lines, then a blank line
+        var done = false
+        while (!done) {
+          val t = indexOfCrlf(a, p, a.length)
+          if (t < 0) return null
+          if (t == p) done = true
+          p = t + 2
+        }
+        if (p != a.length) return null // trailing garbage
+        return out.toByteArray
+      }
+      if (p + size + 2 > a.length) return null
+      out.write(a, p, size)
+      if (a(p + size) != '\r' || a(p + size + 1) != '\n') return null
+      p += size + 2
+    }
+    null // unreachable
+  }
+
+  /** Charset label → decoder charset; null for labels we treat as
+    * utf-8 fallback. Labels per the WHATWG encoding registry's common
+    * crawl-era aliases.
+    */
+  private def charsetFor(label: String): java.nio.charset.Charset = label match {
+    case "utf-8" | "utf8" | "us-ascii" | "ascii" =>
+      java.nio.charset.StandardCharsets.UTF_8
+    case "iso-8859-1" | "latin-1" | "latin1" | "l1" | "iso_8859-1" =>
+      java.nio.charset.StandardCharsets.ISO_8859_1
+    case "windows-1252" | "cp1252" | "x-cp1252" =>
+      java.nio.charset.Charset.forName("windows-1252")
+    case _ => java.nio.charset.StandardCharsets.UTF_8
+  }
+
+  private def decodeWith(body: Array[Byte], cs: java.nio.charset.Charset): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+  }
+
+  /** Parse a full HTTP/1.x response message; null on malformation
+    * (no status line, no header/body split, chunked framing error,
+    * content-coding error or unknown coding).
+    */
+  def parse(bytes: Array[Byte]): GenericInternalRow = {
+    if (bytes == null) return null
+    // header/body split: first CRLFCRLF
+    var split = -1
+    var i = 0
+    while (split < 0 && i + 3 < bytes.length) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return null
+    val head = new String(bytes, 0, split, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val rawLines = head.split("\r\n", -1)
+    if (rawLines.isEmpty) return null
+    // status line
+    val st = rawLines(0)
+    val m = java.util.regex.Pattern
+      .compile("^HTTP/\\d(?:\\.\\d)?[ \\t]+(\\d{3})(?:[ \\t].*)?$").matcher(st)
+    if (!m.matches()) return null
+    val status = m.group(1).toInt
+    // unfold + collect headers; repeated headers append comma-joined
+    // (the RFC 9110 list-merge rule — what Transfer-/Content-Encoding
+    // token scans expect)
+    val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var last: String = null
+    var li = 1
+    while (li < rawLines.length) {
+      val line = rawLines(li)
+      if (line.nonEmpty && (line.charAt(0) == ' ' || line.charAt(0) == '\t')) {
+        if (last == null) return null // fold with no previous header
+        headers(last) = headers(last) + " " + line.trim
+      } else {
+        val c = line.indexOf(':')
+        if (c <= 0) return null
+        val name = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(c + 1).trim
+        headers(name) = headers.get(name).map(_ + ", " + value).getOrElse(value)
+        last = name
+      }
+      li += 1
+    }
+    var body = java.util.Arrays.copyOfRange(bytes, split + 4, bytes.length)
+    // transfer decoding
+    val te = headers.getOrElse("transfer-encoding", "")
+    val teTokens = te.split(',').iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).toSeq
+    if (teTokens.exists(t => t != "chunked" && t != "identity")) return null
+    if (teTokens.contains("chunked")) {
+      body = dechunk(body)
+      if (body == null) return null
+    }
+    // content decoding, reverse of application order
+    val ce = headers.getOrElse("content-encoding", "")
+    val ceTokens = ce.split(',').iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).toSeq
+    var ti = ceTokens.length - 1
+    while (ti >= 0) {
+      ceTokens(ti) match {
+        case "gzip" | "x-gzip" =>
+          body = GzipCodec.gunzip(body)
+        case "deflate" =>
+          val z = GzipCodec.zlibInflate(body)
+          body = if (z != null) z else GzipCodec.inflateRaw(body)
+        case "identity" => // no-op
+        case _ => return null // unknown coding: fail closed
+      }
+      if (body == null) return null
+      ti -= 1
+    }
+    // charset
+    val ct = headers.getOrElse("content-type", null)
+    var mime: String = null
+    var charset: String = null
+    if (ct != null) {
+      val semi = ct.indexOf(';')
+      mime = (if (semi >= 0) ct.substring(0, semi) else ct)
+        .trim.toLowerCase(java.util.Locale.ROOT)
+      if (semi >= 0) {
+        val pm = java.util.regex.Pattern
+          .compile("(?i)charset\\s*=\\s*\"?([^\";\\s]+)\"?")
+          .matcher(ct.substring(semi + 1))
+        if (pm.find()) charset = pm.group(1).toLowerCase(java.util.Locale.ROOT)
+      }
+    }
+    val text = decodeWith(body, charsetFor(if (charset == null) "utf-8" else charset))
+    new GenericInternalRow(Array[Any](
+      status,
+      if (mime == null) null else UTF8String.fromString(mime),
+      if (charset == null) null else UTF8String.fromString(charset),
+      body,
+      UTF8String.fromString(text)))
+  }
+}
+
+/** `http_response(bytes)` — HTTP/1.x response envelope decoder; see
+  * [[HttpCodec.parse]].
+  */
+case class HttpResponse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HttpCodec.schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"http_response needs a binary column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    HttpCodec.parse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HttpCodec.parse($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): HttpResponse =
+    copy(child = newChild)
+  override def prettyName: String = "http_response"
+}
+
+object HttpResponse {
+  def http_response(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(HttpResponse(GraftColumnBridge.expression(c)))
+  }
+}

@@ -78,7 +78,7 @@ object PngCodec {
     c ^ 0xffffffff
   }
 
-  private def adler32(bytes: Array[Byte]): Int = {
+  private[functions] def adler32(bytes: Array[Byte]): Int = {
     var a = 1; var b = 0
     var i = 0
     while (i < bytes.length) {

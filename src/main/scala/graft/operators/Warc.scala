@@ -39,13 +39,191 @@ object Warc {
   // Record rendering (fixture side; constants mirrored into the oracle)
   // ---------------------------------------------------------------------
 
-  /** HTTP response envelope for page payloads (ASCII, so char count =
-    * byte count; the oracle adds this length to each page's html byte
-    * length to predict content_length).
+  // ---------------------------------------------------------------------
+  // HTTP response envelope axes — every axis a pure function of doc_id,
+  // so the oracle predicts every payload length from the documents
+  // table alone. Encodings chosen to be LENGTH-DETERMINISTIC in SQL:
+  // chunked framing uses a fixed chunk size; Content-Encoding: gzip is
+  // stored-block DEFLATE (length = closed formula of the input length).
+  // The engine-side inflate still faces real dynamic-Huffman zlib
+  // output through the OUTER per-record gzip members (JDK-compressed),
+  // and HttpCodecSpec pins dynamic-Huffman/deflate/charset bodies the
+  // ASCII fixture can't distinguish.
+  // ---------------------------------------------------------------------
+
+  /** Fixed chunk size for `Transfer-Encoding: chunked` bodies. */
+  val ChunkSize = 256
+
+  /** Body encoding axis: 0 = identity, 1 = chunked, 2 = gzip,
+    * 3 = gzip-then-chunked (the real-wire combination).
     */
-  val HttpResponseHeader: String =
-    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
-  val HttpHeaderBytes: Int = HttpResponseHeader.length
+  def encodingAxis(id: Long): Int =
+    if (id % 6 == 5) 3
+    else (id % 3) match { case 1 => 1; case 2 => 2; case _ => 0 }
+
+  /** Status-line axis (HTTP/1.0 responses live in real archives; both
+    * variants are 15 bytes so the length math is shared).
+    */
+  def statusLineOf(id: Long): String =
+    if (id % 5 == 0) "HTTP/1.0 200 OK" else "HTTP/1.1 200 OK"
+
+  /** Content-Type axis: canonical utf-8, case-mangled (header names
+    * and parameter case are both insensitive on the wire), declared
+    * ISO-8859-1 (the body is encoded with that charset — byte-equal
+    * for the ASCII corpus, but the decoder must SELECT it correctly),
+    * and charset-absent (utf-8 default).
+    */
+  val CtVariants: Array[String] = Array(
+    "Content-Type: text/html; charset=utf-8",
+    "content-type: Text/HTML; Charset=UTF-8",
+    "Content-Type: text/html; charset=ISO-8859-1",
+    "Content-Type: text/html")
+
+  private val CeHeader = "Content-Encoding: gzip\r\n"
+  private val TeHeader = "Transfer-Encoding: chunked\r\n"
+
+  /** Envelope header block for a doc's response. */
+  def envelopeHeader(id: Long): String = {
+    val enc = encodingAxis(id)
+    statusLineOf(id) + "\r\n" +
+      CtVariants((id % 4).toInt) + "\r\n" +
+      (if (enc >= 2) CeHeader else "") +
+      (if (enc == 1 || enc == 3) TeHeader else "") +
+      "\r\n"
+  }
+
+  /** Stored-block gzip (RFC 1952 over RFC 1951 BTYPE=00 blocks):
+    * deterministic and length-closed — compressed length =
+    * 18 + n + 5 * ceil(n/65535) — so the audit oracle can predict the
+    * wire size of every compressed body in SQL. (Fixture-side encoder
+    * only; the ENGINE decode path is [[graft.functions.GzipCodec]],
+    * whose inflate handles all three block types.)
+    */
+  def gzipStored(data: Array[Byte]): Array[Byte] = {
+    val nBlocks = math.max(1, (data.length + 65534) / 65535)
+    val out = new Array[Byte](18 + data.length + 5 * nBlocks)
+    // header: magic, CM=8, FLG=0, MTIME=0, XFL=0, OS=255
+    out(0) = 0x1f; out(1) = 0x8b.toByte; out(2) = 8; out(9) = 0xff.toByte
+    var p = 10
+    var off = 0
+    var bi = 0
+    while (bi < nBlocks) {
+      val len = math.min(data.length - off, 65535)
+      out(p) = if (bi == nBlocks - 1) 1 else 0 // BFINAL
+      out(p + 1) = (len & 0xff).toByte
+      out(p + 2) = ((len >> 8) & 0xff).toByte
+      out(p + 3) = (~len & 0xff).toByte
+      out(p + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(data, off, out, p + 5, len)
+      p += 5 + len
+      off += len
+      bi += 1
+    }
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val c = crc.getValue
+    out(p) = (c & 0xff).toByte; out(p + 1) = ((c >> 8) & 0xff).toByte
+    out(p + 2) = ((c >> 16) & 0xff).toByte; out(p + 3) = ((c >> 24) & 0xff).toByte
+    val n = data.length.toLong & 0xffffffffL
+    out(p + 4) = (n & 0xff).toByte; out(p + 5) = ((n >> 8) & 0xff).toByte
+    out(p + 6) = ((n >> 16) & 0xff).toByte; out(p + 7) = ((n >> 24) & 0xff).toByte
+    out
+  }
+
+  /** Chunked transfer framing at [[ChunkSize]]: per chunk a lowercase
+    * hex size line + CRLF + data + CRLF, then the `0` terminator —
+    * framed length is a closed formula of the body length (below).
+    */
+  def chunkedEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / ChunkSize * 8 + 16)
+    val ascii7 = java.nio.charset.StandardCharsets.US_ASCII
+    var off = 0
+    while (off < data.length) {
+      val len = math.min(data.length - off, ChunkSize)
+      out.write(java.lang.Integer.toHexString(len).getBytes(ascii7))
+      out.write('\r'); out.write('\n')
+      out.write(data, off, len)
+      out.write('\r'); out.write('\n')
+      off += len
+    }
+    out.write('0'.toInt); out.write('\r'); out.write('\n')
+    out.write('\r'); out.write('\n')
+    out.toByteArray
+  }
+
+  /** Full response payload (envelope header + transfer/content-encoded
+    * body) for a doc's html. Self-checks against the closed length
+    * formula the oracle uses — a fixture/oracle drift fails staging,
+    * not the hash compare.
+    */
+  def responsePayload(id: Long, html: String): Array[Byte] = {
+    val cs =
+      if (id % 4 == 2) java.nio.charset.StandardCharsets.ISO_8859_1
+      else java.nio.charset.StandardCharsets.UTF_8
+    val raw = html.getBytes(cs)
+    val body = encodingAxis(id) match {
+      case 1 => chunkedEncode(raw)
+      case 2 => gzipStored(raw)
+      case 3 => chunkedEncode(gzipStored(raw))
+      case _ => raw
+    }
+    val out = ascii(envelopeHeader(id)) ++ body
+    val predicted = responsePayloadLen(id, raw.length)
+    require(out.length == predicted,
+      s"envelope length drift for doc $id: rendered ${out.length}, formula $predicted")
+    out
+  }
+
+  private def gzipLen(n: Long): Long = 18 + n + 5 * math.max(1, (n + 65534) / 65535)
+
+  private def chunkedLen(n: Long): Long = {
+    val full = n / ChunkSize
+    val r = n % ChunkSize
+    val partial = if (r == 0) 0L else (if (r < 16) 1L else 2L) + 4L
+    n + 7 * full + partial + 5
+  }
+
+  /** Scala mirror of [[responsePayloadLenSql]] (and the self-check in
+    * [[responsePayload]]): total payload bytes for a doc's response
+    * given its html byte length.
+    */
+  def responsePayloadLen(id: Long, htmlBytes: Long): Long = {
+    val enc = encodingAxis(id)
+    val header = envelopeHeader(id).length.toLong
+    val body = enc match {
+      case 1 => chunkedLen(htmlBytes)
+      case 2 => gzipLen(htmlBytes)
+      case 3 => chunkedLen(gzipLen(htmlBytes))
+      case _ => htmlBytes
+    }
+    header + body
+  }
+
+  /** DuckDB expression for [[responsePayloadLen]]: payload bytes of
+    * doc `$id`'s response given the html byte-length expression `$hb`.
+    * (The html is ASCII-or-UTF-8 with the fixture corpus pure ASCII,
+    * so the declared-ISO-8859-1 docs have byte-identical bodies.)
+    */
+  def responsePayloadLenSql(id: String, hb: String): String = {
+    val ctLens = CtVariants.map(_.length)
+    val headerLen =
+      s"""(15 + 2 + (CASE ($id) % 4 WHEN 0 THEN ${ctLens(0)} WHEN 1 THEN ${ctLens(1)}
+             WHEN 2 THEN ${ctLens(2)} ELSE ${ctLens(3)} END) + 2
+           + (CASE WHEN ($id) % 3 = 2 THEN ${CeHeader.length} ELSE 0 END)
+           + (CASE WHEN ($id) % 3 = 1 OR ($id) % 6 = 5 THEN ${TeHeader.length} ELSE 0 END)
+           + 2)"""
+    def gz(n: String) = s"(18 + ($n) + 5 * GREATEST(1, (($n) + 65534) // 65535))"
+    def ch(n: String) =
+      s"""(($n) + 7 * (($n) // $ChunkSize)
+           + (CASE WHEN ($n) % $ChunkSize = 0 THEN 0
+                   WHEN ($n) % $ChunkSize < 16 THEN 5 ELSE 6 END) + 5)"""
+    val body =
+      s"""(CASE WHEN ($id) % 6 = 5 THEN ${ch(gz(hb))}
+               WHEN ($id) % 3 = 1 THEN ${ch(hb)}
+               WHEN ($id) % 3 = 2 THEN ${gz(hb)}
+               ELSE ($hb) END)"""
+    s"CAST(($headerLen + $body) AS BIGINT)"
+  }
 
   /** request-record payload; length = [[RequestBaseBytes]] + digits of
     * the doc id.
@@ -137,10 +315,8 @@ object Warc {
         bos.write(gzipMember(renderRecord("request", s"graft-request-$id",
           Some(uri), ascii(requestPayload(id)))))
       val html = Html.wrapLine(id, rawText)
-      val http = HttpResponseHeader.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
-        html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       bos.write(gzipMember(renderRecord("response", s"graft-response-$id",
-        Some(uri), http)))
+        Some(uri), responsePayload(id, html))))
     }
     bos.toByteArray
   }
@@ -177,7 +353,7 @@ object Warc {
       val htmlBytes = Html.wrapLine(id, rawText)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
       val json =
-        s"""{"envelope":{"uri":"${Urls.urlOf(id)}","content_length":${HttpHeaderBytes + htmlBytes}},""" +
+        s"""{"envelope":{"uri":"${Urls.urlOf(id)}","content_length":${responsePayloadLen(id, htmlBytes)}},""" +
           s""""meta":{"title":"Doc $id"}}"""
       bos.write(gzipMember(renderRecord("metadata", s"graft-metadata-$id",
         Some(Urls.urlOf(id)), ascii(json))))
@@ -202,16 +378,20 @@ object Warc {
         col("r.payload").as("payload"),
         col("r.payload_digest").as("payload_digest"))
 
-  /** HTTP status gate + header strip over a decoded response payload
-    * column (crawlers keep 200s only): the ONE definition of the
-    * response→body step, shared by every ingest path.
+  /** HTTP envelope decode + status gate over a decoded response
+    * payload column (crawlers keep 200s only): the ONE definition of
+    * the response→body step, shared by every ingest path. The full
+    * wire envelope — HTTP/1.0 and 1.1 status lines, case-insensitive
+    * headers, `Transfer-Encoding: chunked` framing, `Content-Encoding:
+    * gzip`/`deflate` bodies, declared-charset text decoding — is
+    * handled by [[graft.functions.HttpCodec]], one codegen'd per-row
+    * expression, so the front door stays a map-only zero-shuffle pass.
     */
   private def httpBodies(recs: DataFrame): DataFrame =
     recs.filter(col("warc_type") === "response")
-      .withColumn("http", decode(col("payload"), "UTF-8"))
-      .filter(col("http").startsWith("HTTP/1.1 200"))
-      .withColumn("html", substr(col("http"),
-        locate("\r\n\r\n", col("http")) + lit(4)))
+      .withColumn("http", graft.functions.HttpResponse.http_response(col("payload")))
+      .filter(col("http.status") === 200)
+      .withColumn("html", col("http.text"))
 
   /** Decoded records → raw pages (doc_id recovered from the page's own
     * metadata). Pure per-row work.
@@ -338,7 +518,7 @@ object Warc {
   def auditOracleSql: String =
     s"""WITH raw AS (SELECT doc_id, ${Html.wrapSqlExpr} AS html FROM documents),
         resp AS (SELECT count(*) AS n,
-                   COALESCE(SUM($HttpHeaderBytes + octet_length(encode(html))), 0) AS b
+                   COALESCE(SUM(${responsePayloadLenSql("doc_id", "octet_length(encode(html))")}), 0) AS b
                  FROM raw),
         req AS (SELECT count(*) AS n,
                   COALESCE(SUM($RequestBaseBytes + length(CAST(doc_id AS VARCHAR))), 0) AS b
