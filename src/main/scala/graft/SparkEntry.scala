@@ -3228,6 +3228,21 @@ object SparkEntry {
           col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
           col("d.px_hash").as("px_hash"))),
 
+    // multimodal: REAL lossy-tier image codec — baseline JPEG
+    // containers staged across sampling (4:4:4 / 4:2:0 / grayscale),
+    // edge-clip, and restart-interval axes; constant DC-only cells
+    // make the lossy decode exact, so geometry + channel sums + the
+    // orientation-sensitive px_hash face a hash-exact oracle
+    "q_jpeg_decode" -> ((s, dir) =>
+      Multimodal.jpegAssets(s, dir)
+        .select(col("asset_id"),
+          graft.functions.JpegDecode.jpeg_decode(col("media")).as("d"))
+        .select(col("asset_id"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
+          col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
+          col("d.px_hash").as("px_hash"))),
+
     // multimodal: compressed-container downsample — the FULL pipeline
     // twice per asset (inflate+unfilter in, re-filter+deflate+
     // re-checksum out), then re-decoded in-plan; px_hash rides through
@@ -4581,6 +4596,7 @@ object SparkEntry {
     "q_wav_resample" -> Multimodal.wavResampleSql(4),
     "q_bmp_decode" -> Multimodal.bmpDecodeSql,
     "q_png_decode" -> Multimodal.pngDecodeSql,
+    "q_jpeg_decode" -> Multimodal.jpegDecodeSql,
     "q_png_resize" -> Multimodal.pngResampleSql(2),
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,

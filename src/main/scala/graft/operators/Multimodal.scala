@@ -567,21 +567,134 @@ object Multimodal {
                  (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
         FROM flat"""
 
+  // --- JPEG (lossy tier): constant-cell baseline containers ---------
+
+  /** Cell cap per asset: bounds pixels per doc (a 4:2:0 asset is ≤
+    * 64×192 px), so the per-pixel oracle lists stay small while the
+    * DC-prediction chain still walks up to 24 × 3 component blocks.
+    */
+  val JpegMaxCells = 24
+
+  private def jpegGray(id: Long): Boolean = id % 7 == 3
+  private def jpegSub(id: Long): Boolean = !jpegGray(id) && id % 2 == 1
+
+  /** Mixed-axis baseline-JPEG containers staged from the documents
+    * table: the first [[JpegMaxCells]] text bytes color the constant
+    * cells of a [[graft.functions.JpegCodec.encodeCells]] image.
+    * Every decode-relevant axis is a pure function of doc_id — 4:4:4 /
+    * 4:2:0 / grayscale scans, 2-4 cells per row, right/bottom edge
+    * clipping (0-4 px), and restart intervals on doc_id ≡ 4 (mod 11) —
+    * so the oracle predicts geometry, channel sums, and the
+    * position-sensitive px_hash from the table alone. Constant cells
+    * make the lossy codec EXACT (DC-only blocks survive any faithful
+    * IDCT bit-for-bit); JpegCodecSpec covers nonzero-AC streams
+    * against the JDK codec.
+    */
+  def jpegAssets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = ColOps.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val rdd = docs.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(bytes.length, JpegMaxCells)
+        val cells = Array.tabulate(n)(i => bytes(i) & 0xff)
+        val c = if (jpegSub(id)) 16 else 8
+        val cpr = 2 + (id % 3).toInt
+        val rows = math.max(1, (n + cpr - 1) / cpr)
+        val w = cpr * c - (id % 5).toInt
+        val h = rows * c - ((id + 3) % 5).toInt
+        val rst = if (id % 11 == 4) 2 else 0
+        Row(id, graft.functions.JpegCodec.encodeCells(
+          cells, w, h, jpegSub(id), jpegGray(id), rst))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Shared oracle CTE chain for the JPEG fixture: per doc the decoded
+    * geometry, per-pixel RGB triples (px3) and flattened byte stream
+    * (pxb). The YCbCr→RGB mirror uses the decoder's fixed-point
+    * constants with a +2^26 bias before `//` — SQL integer division
+    * truncates toward zero where Java's >>16 floors, and the bias makes
+    * the operand positive so the two agree.
+    */
+  private def jpegChainCtes: String = {
+    def fx(bv: String): (String, String, String) = {
+      val cb = s"((7*$bv + 13) % 256 - 128)"
+      val cr = s"(127 - $bv)"
+      def cl(e: String) = s"LEAST(255, GREATEST(0, $e))"
+      (cl(s"$bv + ((91881*$cr + 32768 + 67108864) // 65536) - 1024"),
+        cl(s"$bv + ((-22554*$cb - 46802*$cr + 32768 + 67108864) // 65536) - 1024"),
+        cl(s"$bv + ((116131*$cb + 32768 + 67108864) // 65536) - 1024"))
+    }
+    val (rr, gg, bb) = fx("bv")
+    s"""jb AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+        jg AS (SELECT doc_id,
+                 [(strpos('0123456789abcdef', hx[2*i+1])-1)*16
+                  + (strpos('0123456789abcdef', hx[2*i+2])-1)
+                  for i in range(0, len(hx)//2)] AS bts
+               FROM jb),
+        jgeo AS (SELECT doc_id, bts,
+                   LEAST(len(bts), $JpegMaxCells) AS nc,
+                   CASE WHEN doc_id % 7 = 3 OR doc_id % 2 = 0 THEN 8 ELSE 16 END AS c,
+                   CAST(2 + doc_id % 3 AS BIGINT) AS cpr,
+                   (doc_id % 7 = 3) AS gray
+                 FROM jg),
+        jdims AS (SELECT doc_id, bts, nc, c, cpr, gray,
+                    GREATEST((nc + cpr - 1) // cpr, 1) AS nrows,
+                    cpr * c - (doc_id % 5) AS w,
+                    GREATEST((nc + cpr - 1) // cpr, 1) * c - ((doc_id + 3) % 5) AS h
+                  FROM jgeo),
+        jcell AS (SELECT doc_id, c, cpr, w, h,
+                    list_transform(
+                      list_transform(range(0, cpr * nrows),
+                        j -> CASE WHEN j < nc THEN bts[CAST(j AS INT) + 1] ELSE 0 END),
+                      bv -> CASE WHEN gray THEN [bv, bv, bv]
+                                 ELSE [$rr, $gg, $bb] END) AS crgb
+                  FROM jdims),
+        jflat AS (SELECT doc_id, w, h,
+                    list_transform(range(0, w * h), i ->
+                      crgb[CAST(((i // w) // c) * cpr + ((i % w) // c) AS INT) + 1]) AS px3
+                  FROM jcell)"""
+  }
+
+  /** DuckDB mirror of jpeg_decode over [[jpegAssets]]: geometry +
+    * channel sums + the position-sensitive px_hash (the PNG moment
+    * discipline — breaks on any MCU-order, upsample, or edge-clip
+    * mistake the order-invariant sums would miss).
+    */
+  def jpegDecodeSql: String =
+    s"""WITH $jpegChainCtes
+        SELECT doc_id AS asset_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(list_transform(px3, t -> t[1])), 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(px3, t -> t[2])), 0) AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(px3, t -> t[3])), 0) AS BIGINT) AS sum_b,
+               list_reduce(list_prepend(0::BIGINT, flatten(px3)),
+                 (a, x) -> (a * 31 + x) % ${graft.functions.PngCodec.HashMod}) AS px_hash
+        FROM jflat"""
+
   // --- multi-format dispatch (mixed-modality corpus routing) ---
 
   /** Mixed-modality corpus staged from the documents table: WAV
-    * containers for doc_id ≡ 0 (mod 4), BMP for ≡ 1, PNG for ≡ 2, raw
-    * UTF-8 bytes for ≡ 3 — the realistic input of a crawl-scale media
-    * pipeline where format is only knowable from the bytes.
+    * containers for doc_id ≡ 0 (mod 5), BMP for ≡ 1, PNG for ≡ 2,
+    * JPEG for ≡ 3, raw UTF-8 bytes for ≡ 4 — the realistic input of a
+    * crawl-scale media pipeline where format is only knowable from the
+    * bytes.
     */
   def mixedAssets(spark: SparkSession, dir: String): DataFrame = {
-    val wav = wavAssets(spark, dir).filter(col("asset_id") % 4 === 0)
-    val bmp = bmpAssets(spark, dir).filter(col("asset_id") % 4 === 1)
-    val png = pngAssets(spark, dir).filter(col("asset_id") % 4 === 2)
+    val wav = wavAssets(spark, dir).filter(col("asset_id") % 5 === 0)
+    val bmp = bmpAssets(spark, dir).filter(col("asset_id") % 5 === 1)
+    val png = pngAssets(spark, dir).filter(col("asset_id") % 5 === 2)
+    val jpg = jpegAssets(spark, dir).filter(col("asset_id") % 5 === 3)
     val raw = ColOps.table(spark, dir, "documents")
-      .filter(col("doc_id") % 4 === 3)
+      .filter(col("doc_id") % 5 === 4)
       .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("media"))
-    wav.unionByName(bmp).unionByName(png).unionByName(raw)
+    wav.unionByName(bmp).unionByName(png).unionByName(jpg).unionByName(raw)
   }
 
   /** Format DISPATCH by try-decode: route each payload to the codec
@@ -600,17 +713,21 @@ object Multimodal {
     val w = graft.functions.WavDecode.wav_decode(col("media"))
     val b = graft.functions.BmpDecode.bmp_decode(col("media"))
     val p = graft.functions.PngDecode.png_decode(col("media"))
-    assets.select(col("asset_id"), w.as("w"), b.as("b"), p.as("p"), col("media"))
+    val j = graft.functions.JpegDecode.jpeg_decode(col("media"))
+    assets.select(col("asset_id"), w.as("w"), b.as("b"), p.as("p"), j.as("j"),
+        col("media"))
       .select(col("asset_id"),
         when(col("w").isNotNull, lit("wav"))
           .when(col("b").isNotNull, lit("bmp"))
           .when(col("p").isNotNull, lit("png"))
+          .when(col("j").isNotNull, lit("jpeg"))
           .otherwise(lit("raw")).as("kind"),
-        coalesce(col("w.n_samples"), col("b.n_px"), col("p.n_px"),
+        coalesce(col("w.n_samples"), col("b.n_px"), col("p.n_px"), col("j.n_px"),
           length(col("media")).cast("long")).as("n_units"),
         coalesce(col("w.sum_abs"),
           col("b.sum_r") + col("b.sum_g") + col("b.sum_b"),
           col("p.sum_r") + col("p.sum_g") + col("p.sum_b"),
+          col("j.sum_r") + col("j.sum_g") + col("j.sum_b"),
           graft.functions.ByteSum.byte_sum(col("media")))
           .as("checksum"))
   }
@@ -624,18 +741,19 @@ object Multimodal {
                 [(strpos('0123456789abcdef', hx[2*i+1])-1)*16
                  + (strpos('0123456789abcdef', hx[2*i+2])-1)
                  for i in range(0, len(hx)//2)] AS bts
-              FROM b)
+              FROM b),
+        $jpegChainCtes
         SELECT doc_id AS asset_id,
-               CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+               CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
                  WHEN 2 THEN 'png' ELSE 'raw' END AS kind,
-               CAST(CASE doc_id % 4
+               CAST(CASE doc_id % 5
                  WHEN 0 THEN len(bts)
                  WHEN 1 THEN (4 + doc_id % 4) *
                    ((len(bts) + (4 + doc_id % 4) - 1) // (4 + doc_id % 4))
                  WHEN 2 THEN (4 + doc_id % 4) *
                    GREATEST((len(bts) + (4 + doc_id % 4) - 1) // (4 + doc_id % 4), 1)
                  ELSE len(bts) END AS BIGINT) AS n_units,
-               CAST(CASE doc_id % 4
+               CAST(CASE doc_id % 5
                  WHEN 0 THEN COALESCE(list_sum(list_transform(bts,
                    x -> abs((x - 128) * 256))), 0)
                  WHEN 1 THEN COALESCE(list_sum(list_transform(bts,
@@ -643,7 +761,13 @@ object Multimodal {
                  WHEN 2 THEN COALESCE(list_sum(list_transform(bts,
                    x -> x + (7*x + 13) % 256 + 255 - x)), 0)
                  ELSE COALESCE(list_sum(bts), 0) END AS BIGINT) AS checksum
-        FROM g"""
+        FROM g WHERE doc_id % 5 != 3
+        UNION ALL
+        SELECT doc_id AS asset_id, 'jpeg' AS kind,
+               CAST(w * h AS BIGINT) AS n_units,
+               CAST(COALESCE(list_sum(list_transform(px3,
+                 t -> t[1] + t[2] + t[3])), 0) AS BIGINT) AS checksum
+        FROM jflat WHERE doc_id % 5 = 3"""
 
   def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
     assets.select(
