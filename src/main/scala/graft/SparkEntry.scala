@@ -2449,10 +2449,12 @@ object SparkEntry {
     // real scale you'd dense-rank or hash the domain strings instead
     "q_domain_rank" -> ((s, dir) => {
       def nodeId(domain: Column): Column =
-        regexp_extract(domain, "site([0-9]+)", 1).cast("long") * 5 +
-          when(domain.endsWith(".com"), 0L).when(domain.endsWith(".org"), 1L)
+        regexp_extract(domain, "^site([0-9]+)", 1).cast("long") * 7 +
+          when(domain.endsWith(".github.io"), 4L) // before the .io test
+            .when(domain.endsWith(".com"), 0L).when(domain.endsWith(".org"), 1L)
             .when(domain.endsWith(".co.uk"), 2L).when(domain.endsWith(".io"), 3L)
-            .otherwise(4L)
+            .when(domain.endsWith(".co.jp"), 5L)
+            .otherwise(6L)
       val edges = Warc.linkDomainEdges(Warc.records(s.read.format("binaryFile")
           .load(stagedWarcShards(s, dir).toString)))
         .select(nodeId(col("src_domain")).as("src"),
@@ -4173,8 +4175,8 @@ object SparkEntry {
     "q_warc_records" -> Warc.auditOracleSql,
 
     "q_domain_rank" -> operators.Graph.pageRankSql(
-      s"""SELECT ((doc_id % 150) % 23) * 5 + (doc_id % 150) % 5 AS src,
-           (((7 * doc_id + 13) % 150) % 23) * 5 + ((7 * doc_id + 13) % 150) % 5 AS dst
+      s"""SELECT ((doc_id % 150) % 23) * 7 + (doc_id % 150) % 7 AS src,
+           (((7 * doc_id + 13) % 150) % 23) * 7 + ((7 * doc_id + 13) % 150) % 7 AS dst
          FROM documents""", iters = 3),
 
     "q_link_graph" ->

@@ -70,7 +70,11 @@ object Robots {
       .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
     val u = col(urlColName)
     val withKey = urls.select(col(idCol), u,
-      regexp_extract(lower(Urls.hostOf(u)), "site([0-9]+)", 1)
+      // anchored to the fixture host shape ([WWW.]site<n>.<tld>) so a
+      // host merely CONTAINING 'site<digits>' (mysite1.example.com)
+      // can't key the wrong rule set; a production path joins rules on
+      // the full registered domain instead of this fixture key
+      regexp_extract(lower(Urls.hostOf(u)), "^(?:www\\.)?site([0-9]+)\\.", 1)
         .cast("int").as("site_n"),
       regexp_extract(u, Urls.UrlRegex, 3).as("path"))
     val matched = filter_(coalesce(col("rules"),
@@ -105,7 +109,7 @@ object Robots {
                        r.allow DESC NULLS LAST,
                        r.prefix DESC NULLS LAST) AS rn
           FROM (SELECT doc_id, url,
-                  CAST(regexp_extract(lower(host), 'site([0-9]+)', 1) AS INT) AS site_n,
+                  CAST(regexp_extract(lower(host), '^(?:www\\.)?site([0-9]+)\\.', 1) AS INT) AS site_n,
                   path
                 FROM parsed) p
           LEFT JOIN rules r

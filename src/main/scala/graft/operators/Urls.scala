@@ -44,8 +44,10 @@ object Urls {
     val scheme = when(docId % 3 === 0, "HTTPS").otherwise("https")
     val www = when(docId % 4 === 0, "WWW.")
       .when(docId % 4 === 1, "www.").otherwise("")
-    val tld = when(k % 5 === 0, ".com").when(k % 5 === 1, ".org")
-      .when(k % 5 === 2, ".co.uk").when(k % 5 === 3, ".io").otherwise(".net")
+    val tld = when(k % 7 === 0, ".com").when(k % 7 === 1, ".org")
+      .when(k % 7 === 2, ".co.uk").when(k % 7 === 3, ".io")
+      .when(k % 7 === 4, ".github.io").when(k % 7 === 5, ".co.jp")
+      .otherwise(".net")
     val hostRaw = concat(www, lit("site"), (k % 23).cast("string"), tld)
     val host = when(docId % 9 === 0, upper(hostRaw)).otherwise(hostRaw)
     val port = when(docId % 7 === 0, ":443")
@@ -72,9 +74,10 @@ object Urls {
     val scheme = if (docId % 3 == 0) "HTTPS" else "https"
     val www =
       if (docId % 4 == 0) "WWW." else if (docId % 4 == 1) "www." else ""
-    val tld = (k % 5).toInt match {
+    val tld = (k % 7).toInt match {
       case 0 => ".com"; case 1 => ".org"; case 2 => ".co.uk"
-      case 3 => ".io"; case _ => ".net"
+      case 3 => ".io"; case 4 => ".github.io"; case 5 => ".co.jp"
+      case _ => ".net"
     }
     val hostRaw = www + "site" + (k % 23) + tld
     val host =
@@ -99,10 +102,12 @@ object Urls {
   // (readable, joins once per doc) and the fully-inline form (usable
   // for DERIVED ids like the outlink target) so the two can never drift
   private def tldSqlExpr(d: String): String =
-    s"""(CASE WHEN (($d) % 150) % 5 = 0 THEN '.com'
-          WHEN (($d) % 150) % 5 = 1 THEN '.org'
-          WHEN (($d) % 150) % 5 = 2 THEN '.co.uk'
-          WHEN (($d) % 150) % 5 = 3 THEN '.io'
+    s"""(CASE WHEN (($d) % 150) % 7 = 0 THEN '.com'
+          WHEN (($d) % 150) % 7 = 1 THEN '.org'
+          WHEN (($d) % 150) % 7 = 2 THEN '.co.uk'
+          WHEN (($d) % 150) % 7 = 3 THEN '.io'
+          WHEN (($d) % 150) % 7 = 4 THEN '.github.io'
+          WHEN (($d) % 150) % 7 = 5 THEN '.co.jp'
           ELSE '.net' END)"""
 
   private def hostSqlExpr(d: String): String =
@@ -112,9 +117,11 @@ object Urls {
 
   /** The registered DOMAIN of the fixture url for an id expression —
     * `site{n}{tld}` exactly: the www prefix and host case are noise the
-    * eTLD+1 heuristic discards by construction (it keys on the LAST
-    * labels), and for `.co.uk` the bare host IS the eTLD+1. Lets
-    * oracles predict domains without rendering or parsing urls.
+    * PSL resolution discards by construction (suffix rules key on the
+    * LAST labels), and every fixture tld — including the `.co.uk` /
+    * `.co.jp` registry suffixes and the `.github.io` private-section
+    * suffix — resolves to site-label + tld. Lets oracles predict
+    * domains without rendering or parsing urls.
     */
   def domainOfIdSql(d: String): String =
     s"('site' || CAST((($d) % 150) % 23 AS VARCHAR) || ${tldSqlExpr(d)})"
@@ -168,21 +175,83 @@ object Urls {
     */
   val UrlRegex = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
 
-  /** eTLD+1 heuristic: three labels when the middle label is a common
-    * second-level registry (co/ac/gov/com/net/org/edu under a ccTLD),
-    * two labels otherwise, the bare host when it has no dot. The REAL
-    * public-suffix list is external data; at 100 TB it would ride as a
-    * broadcast-joined snapshot table — the shape here (pure per-row
-    * expression, no shuffle) is the part that matters for the plan.
-    */
-  val SecondLevel = "co|ac|gov|com|net|org|edu"
+  // ---------------------------------------------------------------------
+  // Registered domain (eTLD+1) via a public-suffix-list snapshot —
+  // TABLE-DRIVEN, not a label-count heuristic: `site.github.io`-class
+  // hosts (private-section suffixes) and `site.co.jp` registry
+  // suffixes resolve correctly only against PSL data. The snapshot is
+  // a fixture-sized stand-in with the REAL list's rule grammar (normal
+  // rules, `*.` wildcard rules, `!` exception rules, private-section
+  // entries); a production deployment swaps in the published list —
+  // everything else (rule semantics, join shape) stands.
+  // ---------------------------------------------------------------------
 
-  /** Registered domain (eTLD+1 heuristic) over a LOWERCASED host. */
-  def registeredDomain(hostL: Column): Column = {
-    val three = regexp_extract(hostL,
-      s"([^.]+\\.(?:$SecondLevel)\\.[a-z][a-z])$$", 1)
-    val two = regexp_extract(hostL, "([^.]+\\.[^.]+)$", 1)
-    when(three =!= "", three).when(two =!= "", two).otherwise(hostL)
+  /** PSL-shaped snapshot (publicsuffix.org rule grammar). */
+  val PslSnapshot: Seq[String] = Seq(
+    "com", "org", "net", "io", "uk", "co.uk", "org.uk",
+    "jp", "co.jp", "ne.jp", "au", "com.au",
+    // wildcard + exception pair (the .ck shape from the real list)
+    "ck", "*.ck", "!www.ck",
+    // private-section entry: every user site is its own registrant
+    "github.io")
+
+  /** Longest rule in the snapshot (the real list tops out at 5). */
+  val PslMaxLabels = 5
+
+  /** Snapshot folded to one row per lookup key: a wildcard `*.k` rule
+    * keys on its parent `k`, an exception `!k` on `k` itself, so each
+    * host suffix needs exactly one hash probe per length.
+    */
+  private[graft] def pslRows: Seq[(String, Boolean, Boolean, Boolean)] =
+    PslSnapshot.groupBy { r =>
+      if (r.startsWith("!")) r.substring(1)
+      else if (r.startsWith("*.")) r.substring(2)
+      else r
+    }.map { case (k, rs) =>
+      (k,
+        rs.exists(r => !r.startsWith("!") && !r.startsWith("*.")),
+        rs.exists(_.startsWith("*.")),
+        rs.exists(_.startsWith("!")))
+    }.toSeq.sortBy(_._1)
+
+  /** The snapshot as a DataFrame — the broadcast build side. */
+  def pslTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    pslRows.toDF("psl_key", "psl_n", "psl_w", "psl_x")
+  }
+
+  /** Resolve eTLD+1 for a LOWERCASED-host expression by PSL rules and
+    * append it as column `out`: the host's 1..[[PslMaxLabels]]-label
+    * suffixes probe the broadcast snapshot (one BroadcastHashJoin per
+    * length — map-side only, zero shuffle at any scale), then the
+    * prevailing rule picks the public suffix (exception beats all,
+    * else longest match, wildcard adding one label, implicit `*`
+    * default) and the registered domain is one label more. A host that
+    * IS a public suffix (or has no dot) resolves to itself — the
+    * bare-host fallback downstream grouping keys rely on.
+    */
+  def resolveDomain(df: DataFrame, hostL: Column, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val orig = df.columns.toSeq
+    var cur = df.withColumn("__lb", split(hostL, "\\."))
+      .withColumn("__ln", size(col("__lb")))
+    (1 to PslMaxLabels).foreach { j =>
+      val p = pslTable(spark).select(col("psl_key").as(s"__k$j"),
+        col("psl_n").as(s"__n$j"), col("psl_w").as(s"__w$j"),
+        col("psl_x").as(s"__x$j"))
+      cur = cur.withColumn(s"__s$j",
+          when(col("__ln") >= j, array_join(slice(col("__lb"), -j, j), ".")))
+        .join(broadcast(p), col(s"__s$j") === col(s"__k$j"), "left")
+    }
+    val xLen = (1 to PslMaxLabels).map(j => when(col(s"__x$j"), lit(j - 1)))
+    val candidates = (1 to PslMaxLabels).flatMap(j => Seq(
+      coalesce(when(col(s"__n$j"), lit(j)), lit(1)),
+      coalesce(when(col(s"__w$j") && col("__ln") >= j + 1, lit(j + 1)), lit(1)))) :+
+      lit(1).cast("int")
+    val pubLen = coalesce((xLen :+ greatest(candidates: _*)): _*)
+    val regN = least(col("__ln"), pubLen + 1)
+    cur.withColumn(out, array_join(slice(col("__lb"), -regN, regN), "."))
+      .select((orig.map(col) :+ col(out)): _*)
   }
 
   /** Raw host (case preserved) out of a url column. */
@@ -199,14 +268,15 @@ object Urls {
     val u = col(urlColName)
     val auth = regexp_extract(u, UrlRegex, 2)
     val portS = regexp_extract(auth, ":([0-9]+)$", 1)
-    df.select(col(idCol), u,
-      regexp_extract(u, UrlRegex, 1).as("scheme"),
-      hostOf(u).as("host"),
-      when(portS === "", lit(null)).otherwise(portS).cast("long").as("port"),
-      regexp_extract(u, UrlRegex, 3).as("path"),
-      regexp_replace(regexp_extract(u, UrlRegex, 4), "^\\?", "").as("query"),
-      regexp_replace(regexp_extract(u, UrlRegex, 5), "^#", "").as("fragment"),
-      registeredDomain(lower(hostOf(u))).as("domain"))
+    resolveDomain(
+      df.select(col(idCol), u,
+        regexp_extract(u, UrlRegex, 1).as("scheme"),
+        hostOf(u).as("host"),
+        when(portS === "", lit(null)).otherwise(portS).cast("long").as("port"),
+        regexp_extract(u, UrlRegex, 3).as("path"),
+        regexp_replace(regexp_extract(u, UrlRegex, 4), "^\\?", "").as("query"),
+        regexp_replace(regexp_extract(u, UrlRegex, 5), "^#", "").as("fragment")),
+      lower(col("host")), "domain")
   }
 
   // ---------------------------------------------------------------------
@@ -287,10 +357,11 @@ object Urls {
   def domainStats(df: DataFrame, idCol: String, urlColName: String,
       sizeCol: String): DataFrame = {
     val u = col(urlColName)
-    df.select(col(idCol), col(sizeCol),
-        registeredDomain(lower(hostOf(u))).as("domain"),
+    resolveDomain(
+      df.select(col(idCol), col(sizeCol),
         lower(hostOf(u)).as("host_l"),
-        canonical(u).as("canonical"))
+        canonical(u).as("canonical")),
+      col("host_l"), "domain")
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("host_l")).as("n_hosts"),
@@ -310,7 +381,7 @@ object Urls {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain"))
       .orderBy(col(sizeCol).desc, col(idCol).asc)
-    df.withColumn("domain", registeredDomain(lower(hostOf(col(urlColName)))))
+    resolveDomain(df, lower(hostOf(col(urlColName))), "domain")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col(idCol), col("domain"), col(sizeCol), col("rk"))
@@ -335,16 +406,38 @@ object Urls {
           regexp_replace(regexp_extract(url, ${q(UrlRegex)}, 5), '^#', '') AS fragment
         FROM base)"""
 
-  /** domain over a lowercased-host expression (mirrors
-    * [[registeredDomain]]).
+  /** domain over a lowercased-host expression — DuckDB mirror of
+    * [[resolveDomain]], GENERATED from the same [[PslSnapshot]] (rule
+    * keys inlined as literal IN-lists, so engine and oracle can never
+    * read different lists). Exception beats all, else longest match
+    * (wildcard adds a label), implicit `*` default, bare-host
+    * fallback.
     */
-  def domainSql(hostLExpr: String): String =
-    s"""(CASE
-          WHEN regexp_extract($hostLExpr, '([^.]+\\.(?:$SecondLevel)\\.[a-z][a-z])$$', 1) <> ''
-            THEN regexp_extract($hostLExpr, '([^.]+\\.(?:$SecondLevel)\\.[a-z][a-z])$$', 1)
-          WHEN regexp_extract($hostLExpr, '([^.]+\\.[^.]+)$$', 1) <> ''
-            THEN regexp_extract($hostLExpr, '([^.]+\\.[^.]+)$$', 1)
-          ELSE $hostLExpr END)"""
+  def domainSql(hostLExpr: String): String = {
+    val lb = s"string_split($hostLExpr, '.')"
+    val n = s"len($lb)"
+    def suf(j: Int) = s"array_to_string(list_slice($lb, -$j, -1), '.')"
+    def inKeys(j: Int, keys: Seq[String]) =
+      if (keys.isEmpty) "FALSE"
+      else s"($n >= $j AND ${suf(j)} IN (${keys.map(q).mkString(", ")}))"
+    def keysOf(pick: ((String, Boolean, Boolean, Boolean)) => Boolean, j: Int) =
+      pslRows.filter(r => pick(r) && r._1.count(_ == '.') + 1 == j).map(_._1)
+    val xCases = (1 to PslMaxLabels).flatMap { j =>
+      val ks = keysOf(_._4, j)
+      if (ks.isEmpty) None else Some(s"CASE WHEN ${inKeys(j, ks)} THEN ${j - 1} END")
+    }
+    val cands = (1 to PslMaxLabels).flatMap { j =>
+      val nk = keysOf(_._2, j)
+      val wk = keysOf(_._3, j)
+      Seq(
+        if (nk.isEmpty) None else Some(s"CASE WHEN ${inKeys(j, nk)} THEN $j ELSE 1 END"),
+        if (wk.isEmpty) None
+        else Some(s"CASE WHEN ${inKeys(j, wk)} AND $n >= ${j + 1} THEN ${j + 1} ELSE 1 END")
+      ).flatten
+    } :+ "1"
+    val pubLen = s"COALESCE(${(xCases :+ s"GREATEST(${cands.mkString(", ")})").mkString(", ")})"
+    s"array_to_string(list_slice($lb, -LEAST($n, ($pubLen) + 1), -1), '.')"
+  }
 
   /** canonical over the `parsed` CTE's columns (mirrors [[canonical]]). */
   val canonicalSql: String = {

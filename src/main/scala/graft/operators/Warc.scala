@@ -408,14 +408,14 @@ object Warc {
     * q_domain_rank front half.
     */
   def linkDomainEdges(recs: DataFrame): DataFrame =
-    httpBodies(recs)
-      .select(
-        Urls.registeredDomain(lower(Urls.hostOf(col("target_uri"))))
-          .as("src_domain"),
-        explode(Html.outlinks(col("html"))).as("href"))
-      .select(col("src_domain"),
-        Urls.registeredDomain(lower(Urls.hostOf(col("href"))))
-          .as("dst_domain"))
+    Urls.resolveDomain(
+      Urls.resolveDomain(
+        httpBodies(recs)
+          .select(lower(Urls.hostOf(col("target_uri"))).as("__src_host"),
+            explode(Html.outlinks(col("html"))).as("href")),
+        col("__src_host"), "src_domain"),
+      lower(Urls.hostOf(col("href"))), "dst_domain")
+      .select(col("src_domain"), col("dst_domain"))
 
   /** Full front-door extraction: shard bytes → (doc_id, extracted,
     * n_kept, n_dropped) — the q_html_extract output shape, so the

@@ -46,6 +46,55 @@ class UrlsSpec extends SparkSpec {
     assert(r3.getString(8) == "localhost")
   }
 
+  test("registered domain: PSL private-section and registry suffixes the label heuristic gets wrong") {
+    // github.io is a (private-section) public suffix: each user site is
+    // its own registrant — a two-label heuristic would collapse every
+    // *.github.io host into one 'github.io' domain
+    assert(parseOne("https://site5.github.io/x").getString(8) == "site5.github.io")
+    assert(parseOne("https://deep.site5.github.io/x").getString(8) == "site5.github.io")
+    // registry suffix under a ccTLD
+    assert(parseOne("https://www.site9.co.jp/x").getString(8) == "site9.co.jp")
+    // a PSL-absent multi-label host keeps the default one-label suffix
+    assert(parseOne("https://a.b.example.zz/x").getString(8) == "example.zz")
+  }
+
+  test("registered domain: wildcard and exception rules (the *.ck / !www.ck pair)") {
+    // *.ck: every child of ck is itself a public suffix
+    assert(parseOne("https://shop.thing.ck/x").getString(8) == "shop.thing.ck")
+    // !www.ck: exception makes www.ck registrable
+    assert(parseOne("https://www.ck/x").getString(8) == "www.ck")
+    assert(parseOne("https://sub.www.ck/x").getString(8) == "www.ck")
+    // host that IS a public suffix falls back to itself
+    assert(parseOne("https://co.uk/x").getString(8) == "co.uk")
+  }
+
+  test("resolveDomain agrees with the generated SQL mirror across rule classes") {
+    import spark.implicits._
+    val hosts = Seq("news.site3.co.uk", "a.b.site4.io", "localhost",
+      "site5.github.io", "deep.site5.github.io", "www.site9.co.jp",
+      "a.b.example.zz", "shop.thing.ck", "www.ck", "sub.www.ck", "co.uk",
+      "thing.ck", "ck", "github.io")
+    val got = Urls.resolveDomain(hosts.toDF("h"), col("h"), "domain")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // evaluate the DuckDB-dialect mirror via its rule semantics in Scala
+    def mirror(h: String): String = {
+      val lb = h.split('.')
+      val n = lb.length
+      def suf(j: Int) = lb.takeRight(j).mkString(".")
+      val rows = Urls.pslRows.map(r => r._1 -> r).toMap
+      val x = (1 to Urls.PslMaxLabels).collectFirst {
+        case j if n >= j && rows.get(suf(j)).exists(_._4) => j - 1
+      }
+      val cand = (1 to Urls.PslMaxLabels).flatMap { j =>
+        val r = if (n >= j) rows.get(suf(j)) else None
+        Seq(r.filter(_._2).map(_ => j), r.filter(_._3).filter(_ => n >= j + 1).map(_ => j + 1)).flatten
+      }
+      val pub = x.getOrElse((cand :+ 1).max)
+      lb.takeRight(math.min(n, pub + 1)).mkString(".")
+    }
+    hosts.foreach(h => assert(got(h) == mirror(h), s"host $h: ${got(h)} vs ${mirror(h)}"))
+  }
+
   test("canonical: lowercases scheme+host, strips www and the DEFAULT port only") {
     assert(canonOf("HTTPS://WWW.Site3.COM:443/A") == "https://site3.com/A")
     assert(canonOf("http://www.site3.com:80/A") == "http://site3.com/A")
@@ -122,12 +171,19 @@ class UrlsSpec extends SparkSpec {
     assert(uris.sameElements(Array(Urls.urlOf(12L), Urls.urlOf(463L)).sorted))
   }
 
-  test("q_url_parse / q_url_normalize are exchange-free map work") {
+  test("q_url_parse / q_url_normalize are shuffle-free (PSL probes broadcast, rows never move)") {
+    // q_url_parse's domain resolution probes the broadcast PSL
+    // snapshot (BroadcastHashJoin per suffix length) — build-side-only
+    // exchanges; the URL rows themselves must never shuffle
     for (q <- Seq("q_url_parse", "q_url_normalize")) {
       val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
-      assert(!p.contains("Exchange"), s"$q should be map-only, found a shuffle:\n$p")
-      assert(!p.contains("Join"), s"$q should not join:\n$p")
+      assert(!p.contains("ShuffleExchange"), s"$q rows should never shuffle:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge join:\n$p")
+      if (q == "q_url_parse")
+        assert(p.contains("BroadcastHashJoin"), s"$q should probe the broadcast PSL:\n$p")
+      else
+        assert(!p.contains("Join"), s"$q should not join:\n$p")
     }
   }
 
@@ -160,13 +216,16 @@ class UrlsSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 1L)
   }
 
-  test("q_url_dedup / q_domain_stats are a single hash aggregate, no join") {
+  test("q_url_dedup / q_domain_stats aggregate without moving rows for the PSL probe") {
     for (q <- Seq("q_url_dedup", "q_domain_stats")) {
       val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
-      assert(!p.contains("Join"), s"$q should not join:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q must not shuffle-join (PSL probes are broadcast-only):\n$p")
       assert(!p.contains("SortAggregate") || p.contains("HashAggregate"),
         s"$q should hash-aggregate:\n$p")
+      if (q == "q_url_dedup")
+        assert(!p.contains("Join"), s"$q should not join at all:\n$p")
     }
   }
 }
