@@ -2533,6 +2533,46 @@ object SparkEntry {
           .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url")),
         "doc_id", "url", Robots.fixtureRules(s))),
 
+    // frontier POLITENESS schedule: REP user-agent GROUP resolution
+    // (sites n%5==0 publish a graftbot group that wins OUTRIGHT —
+    // groups never merge, so the generic article blocks stop applying
+    // there), path-rule gate, then per-host crawl-delay admission (at
+    // most one fetch per host per its own delay window, first by
+    // (t, id)) via the generalized per-row-width throttle; arrival
+    // times rendered from doc_id so the oracle replays the schedule
+    "q_frontier_schedule" -> ((s, dir) => {
+      val (rules, delays) = Robots.fixtureGroups(s)
+      Robots.frontierSchedule(
+        ColOps.table(s, dir, "documents")
+          .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url"),
+            (col("doc_id") * 333333L).as("t_us")),
+        "doc_id", "url", "t_us", rules, delays)
+    }),
+
+    // the SAME politeness admission executed THROUGH Structured
+    // Streaming with keyed state: group resolution + rule gate +
+    // bucket derivation are stateless enrichment BEFORE the stream
+    // (they depend only on the row), and the one-per-(host, window)
+    // admission happens in transformWithState — the q_throttle_stream
+    // machinery with the crawl-delay bucket; feed is (t, id)-ordered
+    "q_frontier_schedule_stream" -> ((s, dir) => {
+      import s.implicits._
+      val (rules, delays) = Robots.fixtureGroups(s)
+      val rows = Robots.frontierSchedule(
+        ColOps.table(s, dir, "documents")
+          .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url"),
+            (col("doc_id") * 333333L).as("t_us")),
+        "doc_id", "url", "t_us", rules, delays, admittedOnly = false)
+        .select(col("site_n").cast("long"), col("bucket"),
+          col("t_us"), col("doc_id"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._3, r._4)).toSeq
+      graft.streaming.StreamExec.runStreamingAppend[(Long, Long, Long, Long)](
+        s, rows,
+        ds => graft.streaming.Throttle.admit(ds, 1)
+          .toDF("doc_id", "site_n", "bucket", "rk"),
+        quantum = streamQuantum2(rows.size))
+    }),
+
     // ----- URL curation (the metadata half of the crawl front door) -----
     // the fixture URL is rendered in-plan from doc_id (Urls.urlCol; the
     // oracle rebuilds the identical string in SQL) — page identity keyed
@@ -4247,6 +4287,20 @@ object SparkEntry {
     "q_robots_filter" ->
       s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}, ${Robots.fixtureRulesSqlCte}
           ${Robots.filterSql}""",
+
+    "q_frontier_schedule" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
+          ${Robots.fixtureRulesSqlCte}, ${Robots.fixtureGroupsSqlCte}
+          ${Robots.frontierScheduleSql("doc_id * 333333")}""",
+
+    // streaming twin: same admitted set, the Throttle.admit output shape
+    "q_frontier_schedule_stream" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
+          ${Robots.fixtureRulesSqlCte}, ${Robots.fixtureGroupsSqlCte},
+          sched AS (${Robots.frontierScheduleSql("doc_id * 333333")})
+          SELECT doc_id, CAST(site_n AS BIGINT) AS site_n, bucket,
+                 CAST(rk AS BIGINT) AS rk
+          FROM sched""",
 
     "q_url_parse" ->
       s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}

@@ -65,18 +65,29 @@ object Robots {
     * that needs none.
     */
   def filter(urls: DataFrame, idCol: String, urlColName: String,
-      rules: DataFrame): DataFrame = {
+      rules: DataFrame): DataFrame =
+    filterKeeping(urls, idCol, urlColName, rules, Nil)
+      .select(col(idCol), col(urlColName),
+        col("allowed"), col("matched_prefix"))
+
+  /** [[filter]] keeping extra passthrough columns plus the recovered
+    * `site_n` — the form composed operators (the politeness scheduler)
+    * build on.
+    */
+  private[graft] def filterKeeping(urls: DataFrame, idCol: String,
+      urlColName: String, rules: DataFrame,
+      extra: Seq[String]): DataFrame = {
     val siteRules = rules.groupBy(col("site_n"))
       .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
     val u = col(urlColName)
-    val withKey = urls.select(col(idCol), u,
+    val withKey = urls.select((Seq(col(idCol), u,
       // anchored to the fixture host shape ([WWW.]site<n>.<tld>) so a
       // host merely CONTAINING 'site<digits>' (mysite1.example.com)
       // can't key the wrong rule set; a production path joins rules on
       // the full registered domain instead of this fixture key
       regexp_extract(lower(Urls.hostOf(u)), "^(?:www\\.)?site([0-9]+)\\.", 1)
         .cast("int").as("site_n"),
-      regexp_extract(u, Urls.UrlRegex, 3).as("path"))
+      regexp_extract(u, Urls.UrlRegex, 3).as("path")) ++ extra.map(col)): _*)
     val matched = filter_(coalesce(col("rules"),
         array().cast("array<struct<prefix:string,allow:boolean>>")),
       r => col("path").startsWith(r.getField("prefix")))
@@ -84,9 +95,10 @@ object Robots {
       struct(length(r.getField("prefix")).as("l"),
         r.getField("allow").as("a"), r.getField("prefix").as("p"))))
     withKey.join(broadcast(siteRules), Seq("site_n"), "left")
-      .select(col(idCol), u,
+      .select((Seq(col(idCol), u, col("site_n"),
         coalesce(best.getField("a"), lit(true)).as("allowed"),
-        coalesce(best.getField("p"), lit("")).as("matched_prefix"))
+        coalesce(best.getField("p"), lit("")).as("matched_prefix")) ++
+        extra.map(col)): _*)
   }
 
   // the HOF `filter` collides with this object's own filter; alias it
@@ -115,4 +127,138 @@ object Robots {
           LEFT JOIN rules r
             ON p.site_n = r.site_n AND starts_with(p.path, r.prefix)) m
         WHERE rn = 1"""
+
+  // ---------------------------------------------------------------------
+  // REP user-agent groups + crawl-delay → frontier politeness schedule
+  // ---------------------------------------------------------------------
+
+  /** Our crawler's product token. REP group resolution: a robots.txt
+    * is a set of GROUPS, each headed by user-agent lines; a crawler
+    * obeys the most specific matching group ONLY (groups do not
+    * merge) — if a `graftbot` group exists it wins outright, else the
+    * `*` group applies.
+    */
+  val Agent = "graftbot"
+
+  /** Fixture groups: every site publishes a `*` group carrying the
+    * [[fixtureRules]] path rules plus `Crawl-delay: 1 + n%3`; sites
+    * n ≡ 0 (mod 5) ALSO publish a `graftbot` group (disallow
+    * `/Articles/13` only, `Crawl-delay: 2`) — on those sites the
+    * generic article blocks must NOT apply to us (the whitelisted-bot
+    * pattern), which is exactly what group resolution has to get
+    * right. Returned as (rules', delays): (site_n, agent, prefix,
+    * allow) and (site_n, agent, delay_s).
+    */
+  def fixtureGroups(spark: SparkSession): (DataFrame, DataFrame) = {
+    val n = col("id").cast("int").as("site_n")
+    val base = spark.range(NumSites.toLong)
+    val star = fixtureRules(spark).withColumn("agent", lit("*"))
+      .select(col("site_n"), col("agent"), col("prefix"), col("allow"))
+    val bot = base.filter(col("id") % 5 === 0)
+      .select(n, lit(Agent).as("agent"),
+        lit("/Articles/13").as("prefix"), lit(false).as("allow"))
+    val delays = base.select(n, lit("*").as("agent"),
+        (lit(1) + col("id") % 3).cast("long").as("delay_s"))
+      .union(base.filter(col("id") % 5 === 0)
+        .select(n, lit(Agent).as("agent"), lit(2L).as("delay_s")))
+    (star.union(bot), delays)
+  }
+
+  /** The same groups as DuckDB CTEs `grules` / `gdelays`. */
+  val fixtureGroupsSqlCte: String =
+    s"""grules AS (
+          SELECT site_n, '*' AS agent, prefix, allow FROM rules
+          UNION ALL
+          SELECT CAST(n AS INT), '$Agent', '/Articles/13', FALSE
+          FROM range(0, $NumSites) t(n) WHERE n % 5 = 0),
+        gdelays AS (
+          SELECT CAST(n AS INT) AS site_n, '*' AS agent,
+                 CAST(1 + n % 3 AS BIGINT) AS delay_s
+          FROM range(0, $NumSites) t(n)
+          UNION ALL
+          SELECT CAST(n AS INT), '$Agent', 2
+          FROM range(0, $NumSites) t(n) WHERE n % 5 = 0)"""
+
+  /** Frontier politeness schedule: REP group resolution for [[Agent]]
+    * (agent group wins outright where present), path-rule gate, then
+    * per-host crawl-delay admission — at most ONE fetch per host per
+    * its own delay window, first by (t, id) — via the generalized
+    * [[Sampling.throttle]] (per-row bucket width). Output: admitted
+    * fetches (idCol, url, site_n, delay_s, bucket, rk).
+    *
+    * Scale shape: the group/delay tables are robots.txt-derived and
+    * tiny (broadcast); the frontier's only exchange is the throttle's
+    * own (site, bucket) shuffle, WindowGroupLimit-cut map-side first —
+    * a flooding host forwards one row per partition per window, never
+    * its whole queue.
+    */
+  def frontierSchedule(urls: DataFrame, idCol: String, urlColName: String,
+      tsUsCol: String, rules: DataFrame, delays: DataFrame,
+      admittedOnly: Boolean = true): DataFrame = {
+    val agentSites = rules.filter(col("agent") === Agent).select(col("site_n"))
+      .union(delays.filter(col("agent") === Agent).select(col("site_n")))
+      .distinct().withColumn("__has_agent", lit(true))
+    def effective(df: DataFrame): DataFrame =
+      df.join(agentSites, Seq("site_n"), "left")
+        .filter((col("__has_agent").isNotNull && col("agent") === Agent) ||
+          (col("__has_agent").isNull && col("agent") === "*"))
+        .drop("__has_agent", "agent")
+    val allowed = filterKeeping(urls, idCol, urlColName,
+        effective(rules), Seq(tsUsCol))
+      .filter(col("allowed"))
+    val sched = allowed
+      .join(broadcast(effective(delays)), Seq("site_n"), "left")
+    val width = greatest(coalesce(col("delay_s"), lit(0L)) * 1000000L, lit(1L))
+    if (admittedOnly)
+      Sampling.throttle(sched, "site_n", tsUsCol, idCol, width, k = 1)
+        .select(col(idCol), col(urlColName), col("site_n"),
+          coalesce(col("delay_s"), lit(0L)).as("delay_s"),
+          col("bucket"), col("rk").cast("long").as("rk"))
+    else // pre-admission rows with their windows — the streaming feed
+      sched.withColumn("bucket", Sampling.bucketOf(col(tsUsCol), width))
+        .select(col(idCol), col(urlColName), col("site_n"),
+          coalesce(col("delay_s"), lit(0L)).as("delay_s"),
+          col("bucket"), col(tsUsCol))
+  }
+
+  /** Oracle mirror of [[frontierSchedule]] over the `parsed` CTE +
+    * [[fixtureRulesSqlCte]] + [[fixtureGroupsSqlCte]]; `tsUsExpr` must
+    * render the same arrival timestamps the query derives.
+    */
+  def frontierScheduleSql(tsUsExpr: String): String =
+    s"""SELECT doc_id, url, site_n, delay_s, bucket, rk FROM (
+          SELECT a.doc_id, a.url, a.site_n,
+            COALESCE(d.delay_s, 0) AS delay_s,
+            a.t_us // GREATEST(COALESCE(d.delay_s, 0) * 1000000, 1) AS bucket,
+            ROW_NUMBER() OVER (
+              PARTITION BY a.site_n,
+                a.t_us // GREATEST(COALESCE(d.delay_s, 0) * 1000000, 1)
+              ORDER BY a.t_us, a.doc_id) AS rk
+          FROM (
+            SELECT doc_id, url, site_n, t_us FROM (
+              SELECT p.doc_id, p.url, p.site_n, p.t_us, r.allow, r.prefix,
+                ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                  ORDER BY length(r.prefix) DESC NULLS LAST,
+                           r.allow DESC NULLS LAST,
+                           r.prefix DESC NULLS LAST) AS rn
+              FROM (SELECT doc_id, url,
+                      CAST(regexp_extract(lower(host), '^(?:www\\.)?site([0-9]+)\\.', 1) AS INT) AS site_n,
+                      path, $tsUsExpr AS t_us
+                    FROM parsed) p
+              LEFT JOIN (SELECT g.site_n, g.prefix, g.allow FROM grules g
+                         LEFT JOIN (SELECT DISTINCT site_n FROM grules WHERE agent = '$Agent'
+                                    UNION SELECT DISTINCT site_n FROM gdelays WHERE agent = '$Agent') ag
+                           ON g.site_n = ag.site_n
+                         WHERE (ag.site_n IS NOT NULL AND g.agent = '$Agent')
+                            OR (ag.site_n IS NULL AND g.agent = '*')) r
+                ON p.site_n = r.site_n AND starts_with(p.path, r.prefix)) m
+            WHERE rn = 1 AND COALESCE(allow, TRUE)) a
+          LEFT JOIN (SELECT g.site_n, g.delay_s FROM gdelays g
+                     LEFT JOIN (SELECT DISTINCT site_n FROM grules WHERE agent = '$Agent'
+                                UNION SELECT DISTINCT site_n FROM gdelays WHERE agent = '$Agent') ag
+                       ON g.site_n = ag.site_n
+                     WHERE (ag.site_n IS NOT NULL AND g.agent = '$Agent')
+                        OR (ag.site_n IS NULL AND g.agent = '*')) d
+            ON a.site_n = d.site_n) s
+        WHERE rk = 1"""
 }

@@ -84,16 +84,33 @@ object Sampling {
     */
   def throttle(df: DataFrame, key: String, tsUsCol: String, id: String,
                bucketUs: Long, k: Int): DataFrame = {
-    require(k > 0 && bucketUs > 0, "throttle: k and bucketUs must be positive")
-    val bkt = expr(
-      s"$tsUsCol div ${bucketUs}L" +
-        s" - CASE WHEN $tsUsCol % ${bucketUs}L < 0 THEN 1 ELSE 0 END")
+    require(bucketUs > 0, "throttle: bucketUs must be positive")
+    throttle(df, key, tsUsCol, id, lit(bucketUs), k)
+  }
+
+  /** [[throttle]] with a PER-ROW bucket width — the crawl-politeness
+    * form, where each host's robots crawl-delay sets its own window
+    * (see [[Robots.frontierSchedule]]). Floor division via pmod so a
+    * negative timestamp still buckets correctly; the quotient of two
+    * longs below 2^53 with an exact integer result divides exactly in
+    * double, so the cast is lossless.
+    */
+  def throttle(df: DataFrame, key: String, tsUsCol: String, id: String,
+               bucketUs: Column, k: Int): DataFrame = {
+    require(k > 0, "throttle: k must be positive")
     val w = Window.partitionBy(col(key), col("bucket"))
       .orderBy(col(tsUsCol), col(id))
-    df.withColumn("bucket", bkt)
+    df.withColumn("bucket", bucketOf(col(tsUsCol), bucketUs))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** The throttle's bucket function: floor(t / width) with per-row
+    * width (pmod handles negative t; the double quotient of two longs
+    * below 2^53 with an exact integer result is lossless).
+    */
+  def bucketOf(t: Column, width: Column): Column =
+    ((t - pmod(t, width)) / width).cast("long")
 
   /** Weighted deterministic interleave of two corpora — the training
     * mixture schedule: every cycle of wa+wb output positions takes wa

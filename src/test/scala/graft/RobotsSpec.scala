@@ -58,4 +58,63 @@ class RobotsSpec extends SparkSpec {
     assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
       s"resolution should be a map-side projection, not a window:\n$p")
   }
+
+  // --- REP user-agent groups + crawl-delay (politeness tier) ---
+
+  private def schedule(rows: Seq[(Long, String, Long)],
+      admittedOnly: Boolean = true) = {
+    import spark.implicits._
+    val (rules, delays) = Robots.fixtureGroups(spark)
+    Robots.frontierSchedule(rows.toDF("doc_id", "url", "t_us"),
+      "doc_id", "url", "t_us", rules, delays, admittedOnly)
+      .collect()
+  }
+
+  test("agent group wins OUTRIGHT where present: site0's generic article block does not bind graftbot") {
+    // site0: '*' blocks /Articles/ entirely; graftbot group (n%5==0)
+    // only blocks /Articles/13 — groups never merge
+    val got = schedule(Seq(
+      (1L, "https://site0.com/Articles/7", 0L),
+      (2L, "https://site0.com/Articles/13", 10L * 1000000L),
+      (3L, "https://site0.com/Articles/130", 20L * 1000000L)))
+    assert(got.map(_.getLong(0)).toSet == Set(1L)) // 13/130 blocked by graftbot's own rule
+  }
+
+  test("sites without an agent group fall back to the * group") {
+    // site1 (n%5!=0): '*' blocks /Articles/1 but re-allows /Articles/12
+    val got = schedule(Seq(
+      (1L, "https://site1.org/Articles/12", 0L),
+      (2L, "https://site1.org/Articles/1", 10L * 1000000L)))
+    assert(got.map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("crawl-delay admits one fetch per host per its own window, first by (t, id)") {
+    // site2 (no agent group): '*' delay = 1 + 2%3 = 3 s
+    val got = schedule(Seq(
+      (1L, "https://site2.co.uk/Articles/2", 1000000L), // window 0
+      (2L, "https://site2.co.uk/Articles/2", 2000000L), // window 0 — dropped
+      (3L, "https://site2.co.uk/Articles/2", 3500000L), // window 1
+      (4L, "https://site7.io/Articles/7", 1500000L))) // other host, own window
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    val r1 = got.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(3) == 3L) // delay_s
+    assert(r1.getLong(5) == 1L) // rk: admitted first
+  }
+
+  test("pre-admission form carries every allowed row with its window (the streaming feed)") {
+    val got = schedule(Seq(
+      (1L, "https://site2.co.uk/Articles/2", 1000000L),
+      (2L, "https://site2.co.uk/Articles/2", 2000000L)), admittedOnly = false)
+    assert(got.length == 2)
+    assert(got.map(r => r.getLong(4)).toSet == Set(0L)) // same bucket
+  }
+
+  test("q_frontier_schedule: delay tables broadcast; the only row shuffle is the throttle's own") {
+    val p = SparkEntry.queries("q_frontier_schedule")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"group/delay sides should broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"admission should rank via WindowGroupLimit:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"frontier must not sort-merge join:\n$p")
+  }
 }
