@@ -3829,15 +3829,16 @@ object SparkEntry {
     * materialized; the full 265-oracle sweep drops ~13.5 min → ~85 s.
     * Semantics are untouched (MATERIALIZED is a pure planner hint).
     *
-    * Skips: queries using WITH RECURSIVE (the hint is illegal on the
-    * recursive member and those seven queries are already cheap), and
-    * `WINDOW w AS (...)` named-window clauses (not CTEs). Idempotent:
-    * `AS MATERIALIZED (` no longer matches the identifier-AS-paren
-    * shape.
+    * Skips: RECURSIVE members (detected as a CTE whose body references
+    * its own name — the hint is illegal there; DuckDB happily
+    * materializes the non-recursive members of a WITH RECURSIVE list,
+    * which is what rescues the cluster oracles: 17.5 s → 2.2 s
+    * measured), and `WINDOW w AS (...)` named-window clauses (not
+    * CTEs). Idempotent: `AS MATERIALIZED (` no longer matches the
+    * identifier-AS-paren shape. A non-recursive CTE whose body merely
+    * mentions its own name is left inlined — the safe direction.
     */
   private[graft] def materializeCtes(sql: String): String = {
-    if (java.util.regex.Pattern.compile("WITH\\s+RECURSIVE",
-        java.util.regex.Pattern.CASE_INSENSITIVE).matcher(sql).find()) return sql
     val m = java.util.regex.Pattern
       .compile("\\b([A-Za-z_][A-Za-z0-9_]*)(\\s+AS\\s*)\\(").matcher(sql)
     val sb = new StringBuffer
@@ -3845,7 +3846,22 @@ object SparkEntry {
       val pre = sql.substring(math.max(0, m.start() - 20), m.start())
       val rep =
         if (pre.matches("(?is).*\\bWINDOW\\s+")) m.group(0)
-        else m.group(1) + m.group(2) + "MATERIALIZED ("
+        else {
+          // body = balanced-paren span from the match's '('
+          var i = m.end()
+          var depth = 1
+          while (depth > 0 && i < sql.length) {
+            val c = sql.charAt(i)
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            i += 1
+          }
+          val body = sql.substring(m.end(), math.max(m.end(), i - 1))
+          val selfRef = java.util.regex.Pattern
+            .compile("\\b" + java.util.regex.Pattern.quote(m.group(1)) + "\\b")
+            .matcher(body).find()
+          if (selfRef) m.group(0)
+          else m.group(1) + m.group(2) + "MATERIALIZED ("
+        }
       m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
     }
     m.appendTail(sb)
