@@ -472,7 +472,7 @@ object ScaleProbe {
     // drift from the query it claims to track). Copies carry shifted
     // doc ids so urls/dedup keys scale on their real axes
     if (probeEnabled("warcExtract") | probeEnabled("linkEdges") |
-        probeEnabled("curatedBuild")) {
+        probeEnabled("curatedBuild") | probeEnabled("curatedNear")) {
       val warcBase = warcShardsOf(docs)
       val warcBig = warcShardsOf(bigDocs)
       // materialize BOTH caches up front (probePair only warms the base
@@ -485,6 +485,8 @@ object ScaleProbe {
           .groupBy(col("src_domain"), col("dst_domain")).count().count())
       probePair("curatedBuild", warcBase, warcBig, d =>
         SparkEntry.curatedCorpusBuild(d).count())
+      probePair("curatedNear", warcBase, warcBig, d =>
+        SparkEntry.curatedCorpusBuildNear(d).count())
       warcBase.unpersist(); warcBig.unpersist()
     }
 

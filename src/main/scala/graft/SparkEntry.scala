@@ -781,16 +781,27 @@ object SparkEntry {
     * parsed, then extraction and the full build tail. ONE definition
     * shared by the query and its scale probe so they can never drift.
     */
-  private[graft] def curatedCorpusBuild(shards: DataFrame): DataFrame = {
+  private def curatedExtracted(shards: DataFrame): DataFrame = {
     val kept = Urls.frontierKeepFirst(
       Warc.records(shards).filter(col("warc_type") === "response"),
       "target_uri", "record_id")
-    val extracted = Html.extract(Warc.responsePages(kept), "doc_id", "html")
+    Html.extract(Warc.responsePages(kept), "doc_id", "html")
       .select(col("doc_id"),
         call_function("replace", col("extracted"), lit("\n"), lit(" "))
           .as("text"))
-    corpusBuildTail(extracted)
   }
+
+  private[graft] def curatedCorpusBuild(shards: DataFrame): DataFrame =
+    corpusBuildTail(curatedExtracted(shards))
+
+  /** The curated flagship with the MinHash near-dup keep-best cut
+    * spliced between the exact-dedup canon set and BPE training — the
+    * order a production corpus build runs (template pages that differ
+    * only in noise collapse to their token-richest copy BEFORE the
+    * tokenizer learns merges from them).
+    */
+  private[graft] def curatedCorpusBuildNear(shards: DataFrame): DataFrame =
+    corpusBuildTailNear(curatedExtracted(shards))
 
   private[graft] def corpusBuildTail(extracted: DataFrame): DataFrame = {
     val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
@@ -802,6 +813,28 @@ object SparkEntry {
     Packing.packTokenIds(
       TextOps.tokenizeIdArrays(canon, "doc_id", "text",
         TextOps.bpeRun(canon, "text", 6)._2), "doc_id", 128L)
+  }
+
+  /** [[corpusBuildTail]] + the near-dup stage: exact dedup's canon set
+    * is cut to each near-dup cluster's token-richest representative
+    * (Dedup.keepBest — banded capped MinHash candidates, never
+    * all-pairs) before BPE train / encode / pack. Checkpoint between
+    * the cluster propagation loop and the BPE chain keeps the
+    * iterative lineage out of the heavy tail's plan.
+    */
+  private[graft] def corpusBuildTailNear(extracted: DataFrame): DataFrame = {
+    val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = graft.core.Materialize.checkpoint(extracted.join(keepIds, "doc_id"))
+    val canon = graft.core.Materialize.checkpoint(kept.join(
+      Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id")),
+      "doc_id"))
+    val best = Dedup.keepBest(canon, "doc_id", "text")
+      .select(col("best_doc").as("doc_id"))
+    val near = graft.core.Materialize.checkpoint(canon.join(best, "doc_id"))
+    Packing.packTokenIds(
+      TextOps.tokenizeIdArrays(near, "doc_id", "text",
+        TextOps.bpeRun(near, "text", 6)._2), "doc_id", 128L)
   }
 
   private def oneRow(spark: SparkSession, names: Seq[String], values: Seq[Any]): DataFrame = {
@@ -2506,6 +2539,14 @@ object SparkEntry {
     // of the curation is hash-checked end-to-end
     "q_corpus_build_curated" -> ((s, dir) =>
       curatedCorpusBuild(s.read.format("binaryFile")
+        .load(stagedWarcShards(s, dir).toString))),
+
+    // the curated flagship WITH the near-dup stage: frontier dedup →
+    // extract → quality → exact dedup → MinHash keep-best cut (banded
+    // capped candidates, cluster representative = token-richest) →
+    // BPE train → encode → pack — the full production corpus order
+    "q_corpus_build_near" -> ((s, dir) =>
+      curatedCorpusBuildNear(s.read.format("binaryFile")
         .load(stagedWarcShards(s, dir).toString))),
 
     // the ARCHIVE → URL-curation handoff: each response record's
@@ -4454,19 +4495,39 @@ object SparkEntry {
     // after other heavy oracles in one connection (measured: 65k+
     // memory maps vs 12k with the aggregate form — same keep set)
     "q_corpus_build_curated" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,
-      prefixCtes = s"""${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
-        frontier AS (SELECT arg_min(doc_id,
-            '<urn:uuid:graft-response-' || CAST(doc_id AS VARCHAR) || '>') AS doc_id
-          FROM parsed GROUP BY ${Urls.canonicalSql}),
-        curated AS (SELECT d.doc_id, d.text FROM documents d
-                    JOIN frontier USING (doc_id)),
-        ${Html.extractedDocsSqlCteFrom("curated")},
-        qf AS (${TextOps.qualityFilterSql(allStopsSql, "extracted")}),
-        kept AS (SELECT e.doc_id, e.text FROM extracted e
-                 JOIN qf USING (doc_id) WHERE qf.keep),
-        canon AS (SELECT k.doc_id, k.text FROM kept k
-                  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
-                        GROUP BY md5(text)) c USING (doc_id))"""),
+      prefixCtes = curatedPrefixCtes),
+
+    // near-dup keep-best spliced after the exact-dedup canon set: the
+    // q_dedup_clusters machinery (LSH candidates → verified pairs →
+    // RECURSIVE reachability → token-richest representative) runs over
+    // `canon`, and the BPE/encode/pack chain runs over the survivors
+    "q_corpus_build_near" -> TextOps.packTokenIdsSql("near", "doc_id", "text", 6, 128L,
+      recursive = true,
+      prefixCtes = s"""$curatedPrefixCtes,
+        ${candidatePairsCtesOver("canon")},
+        scored AS (SELECT p.doc_a, p.doc_b,
+               CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+               CAST(len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) AS jaccard
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.doc_a
+            JOIN sig sb ON sb.doc_id = p.doc_b),
+        np AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+        nedges AS (SELECT doc_a AS src, doc_b AS dst FROM np
+                   UNION ALL SELECT doc_b, doc_a FROM np),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS lab FROM canon
+          UNION
+          SELECT e.dst AS id, r.lab FROM nedges e JOIN reach r ON r.id = e.src
+        ),
+        clus AS (SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id),
+        best AS (SELECT c.cluster, c.doc_id AS best_doc
+                 FROM clus c JOIN canon d ON d.doc_id = c.doc_id
+                 QUALIFY row_number() OVER (PARTITION BY c.cluster
+                   ORDER BY len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) DESC,
+                            c.doc_id) = 1),
+        near AS (SELECT c.doc_id, c.text FROM canon c
+                 JOIN best b ON b.best_doc = c.doc_id)"""),
 
     "q_pmi" -> TextOps.pmiCollocationsSql(5L),
 
@@ -5354,9 +5415,14 @@ object SparkEntry {
     * definition so a NumHashes/BandSize/cap change cannot drift the
     * three oracles' candidate sets apart.
     */
-  private def candidatePairsCtes: String =
+  private def candidatePairsCtes: String = candidatePairsCtesOver("documents")
+
+  /** The same candidate chain over an arbitrary (doc_id, text) source
+    * — the corpus-build-near splice point.
+    */
+  private def candidatePairsCtesOver(table: String): String =
     s"""sig AS (SELECT doc_id, sh, [${Dedup.minhashSql("sh").mkString(", ")}] AS minhash
-                FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM documents) t0),
+                FROM (SELECT doc_id, ${Dedup.shinglesSql} AS sh FROM $table) t0),
         bk AS (${cappedBucketsSqlFor("TRUE")}),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
@@ -5425,6 +5491,26 @@ object SparkEntry {
 
   private def allStopsSql: String =
     TextOps.StopWords.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")
+
+  /** The curated flagship's shared oracle prefix: frontier keep-first
+    * → curated set → extraction → quality gate → exact-dedup canon.
+    * ONE definition feeding both q_corpus_build_curated and
+    * q_corpus_build_near so the two chains cannot drift.
+    */
+  private def curatedPrefixCtes: String =
+    s"""${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
+        frontier AS (SELECT arg_min(doc_id,
+            '<urn:uuid:graft-response-' || CAST(doc_id AS VARCHAR) || '>') AS doc_id
+          FROM parsed GROUP BY ${Urls.canonicalSql}),
+        curated AS (SELECT d.doc_id, d.text FROM documents d
+                    JOIN frontier USING (doc_id)),
+        ${Html.extractedDocsSqlCteFrom("curated")},
+        qf AS (${TextOps.qualityFilterSql(allStopsSql, "extracted")}),
+        kept AS (SELECT e.doc_id, e.text FROM extracted e
+                 JOIN qf USING (doc_id) WHERE qf.keep),
+        canon AS (SELECT k.doc_id, k.text FROM kept k
+                  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
+                        GROUP BY md5(text)) c USING (doc_id))"""
 
   /** DuckDB argmax-with-alphabetical-tie-break mirror of TextOps.langId. */
   private def langIdSql: String = {

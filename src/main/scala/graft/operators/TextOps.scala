@@ -1134,8 +1134,10 @@ object TextOps {
     */
   def packTokenIdsSql(table: String, idCol: String, textCol: String,
                       rounds: Int, budget: Long,
-                      prefixCtes: String = ""): String =
-    s"""WITH ${if (prefixCtes.nonEmpty) prefixCtes + ",\n" else ""}${
+                      prefixCtes: String = "",
+                      recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}${
+      if (prefixCtes.nonEmpty) prefixCtes + ",\n" else ""}${
       tokenizeIdsChainSql(table, idCol, textCol, rounds)},
         ord AS (SELECT *, row_number()
                   OVER (ORDER BY __id, wpos, spos) - 1 AS gpos FROM idt)

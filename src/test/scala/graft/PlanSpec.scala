@@ -69,6 +69,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH join:\n$p")
   }
 
+  test("corpus-build-near splice: the candidate stage is the banded-bucket shuffle, no cartesian") {
+    // the near stage the curated flagship splices in: keepBest's pair
+    // generation over the canon set — the only NEW exchange the splice
+    // may add is the banded bucket-equi-join (checkpoints downstream
+    // truncate the flagship's own visible plan, so pin the stage)
+    val canon = ColOps.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = Dedup.candidatePairs(
+      Dedup.minhashSignatures(canon, "doc_id", "text"))
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near splice candidate stage plans a product join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Exchange hashpartitioning(bucket")),
+      s"candidate join not keyed on the band bucket:\n$p")
+  }
+
   test("as-of join is ONE keyed exchange + window, never a range cross-product") {
     val df = SparkEntry.queries("q_asof_join")(spark, dir)
     df.count() // finalize the AQE plan before inspecting it
