@@ -372,6 +372,65 @@ object SparkEntry {
     Similarity.ivfPqServe(s.read.parquet(servePath), sig, 20, 3)
   }
 
+  /** STREAMING CDX ingest (q_cdx_ingest_stream) — the crawl-side dual
+    * of [[annIngestStream]]: arriving `.warc.gz` shards append their
+    * response records to a persisted, partitioned CDX layout through
+    * the versioned machinery. Bootstrap: the index's v1 is built from
+    * the already-crawled archive (shard-00) via Bucketing.writeVersion
+    * and PINNED for the whole run; the stream is a REAL binaryFile
+    * source (no driver-fed rows) discovering the later shards one per
+    * micro-batch, each batch decoding map-only (gunzip → framing →
+    * canonicalize) and appending ONLY the bucket directories its rows
+    * land in (Bucketing.appendPartitioned — existing directories
+    * untouched). Partition key = hash bucket of the canonical URL,
+    * the lookup axis a CDX serves random access by. Final serve reads
+    * the pinned version: bootstrap + appends ≡ full batch rebuild, so
+    * the query shares q_cdx_index's oracle verbatim (the append ≡
+    * rebuild proof), and StreamingSpec pins that appends never move
+    * the live version.
+    */
+  private[graft] val CdxBuckets = 8
+
+  private[graft] def cdxWithBucket(cdx: DataFrame): DataFrame =
+    cdx.withColumn("cdx_bucket",
+      pmod(hash(col("canonical")), lit(CdxBuckets)))
+
+  private[graft] def cdxIngestStream(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      "graft_cdx_ingest_").toString
+    deleteOnExit(base)
+    cdxIngestStreamAt(s, dir, base)
+  }
+
+  /** [[cdxIngestStream]] against a caller-owned layout base — the form
+    * StreamingSpec inspects (live-version stability, append ≡ rebuild).
+    */
+  private[graft] def cdxIngestStreamAt(s: SparkSession, dir: String,
+      base: String): DataFrame = {
+    val shards = stagedWarcShards(s, dir)
+    // v1: the index over the archive crawled so far (shard-00)
+    Bucketing.writeVersion(s, base,
+      cdxWithBucket(Warc.cdxIndex(s.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-00.warc.gz")
+        .load(shards.toString))), "cdx_bucket")
+    val servePath = Bucketing.liveVersion(base).get._2
+    // later shards arrive through a real file source, one per batch
+    graft.streaming.StreamExec.runSourceForeachBatch(s) {
+      s.readStream
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "shard-0[1-9].warc.gz")
+        .format("binaryFile").load(shards.toString)
+    } { (batch, _) =>
+      Bucketing.appendPartitioned(s, servePath,
+        cdxWithBucket(Warc.cdxIndex(batch)), "cdx_bucket")
+      ()
+    }
+    s.read.parquet(servePath)
+      .select(col("canonical"), col("shard"), col("pos"), col("record_id"))
+  }
+
   /** Recursive temp-layout cleanup on JVM exit (the ingest bases are
     * per-CALL fresh — a rerun must re-ingest, not serve a cached run).
     */
@@ -2505,6 +2564,13 @@ object SparkEntry {
       Warc.cdxIndex(s.read.format("binaryFile")
         .load(stagedWarcShards(s, dir).toString))),
 
+    // INCREMENTAL CDX maintenance: arriving .warc.gz shards discovered
+    // by a real binaryFile stream append into the pinned version of a
+    // canonical-bucketed versioned layout (the crawl-side dual of
+    // q_ann_ingest_stream); serve reads the pinned version — bootstrap
+    // + appends ≡ full rebuild, so the batch oracle is shared verbatim
+    "q_cdx_ingest_stream" -> ((s, dir) => cdxIngestStream(s, dir)),
+
     // payload-integrity audit: per record type, digests present and
     // VERIFIED (sha1 of the received payload == the header) — the
     // end-to-end proof the gzip + framing decode delivered every byte;
@@ -4282,22 +4348,10 @@ object SparkEntry {
             COUNT(*) AS n_links
           FROM documents GROUP BY 1, 2""",
 
-    "q_cdx_index" ->
-      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
-          ord AS (SELECT doc_id, doc_id % ${Warc.NumShards} AS si,
-                    (1 + CASE WHEN doc_id % ${Warc.RequestEvery} = 0 THEN 1 ELSE 0 END) AS nrec,
-                    CASE WHEN doc_id % ${Warc.RequestEvery} = 0 THEN 1 ELSE 0 END AS isreq
-                  FROM documents),
-          pos AS (SELECT doc_id, si,
-                    CAST(1 + COALESCE(SUM(nrec) OVER (PARTITION BY si ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + isreq
-                      AS BIGINT) AS pos
-                  FROM ord)
-          SELECT ${Urls.canonicalSql} AS canonical,
-            printf('shard-%02d.warc.gz', CAST(p.si AS INT)) AS shard,
-            p.pos AS pos,
-            '<urn:uuid:graft-response-' || CAST(p.doc_id AS VARCHAR) || '>' AS record_id
-          FROM pos p JOIN parsed USING (doc_id)""",
+    "q_cdx_index" -> cdxIndexOracleSql,
+    // streaming ingest shares the batch oracle VERBATIM: bootstrap
+    // version + per-shard appends must equal the full rebuild
+    "q_cdx_ingest_stream" -> cdxIndexOracleSql,
 
     "q_warc_digest" ->
       s"""WITH req AS (SELECT COUNT(*) AS n FROM documents
@@ -5491,6 +5545,26 @@ object SparkEntry {
 
   private def allStopsSql: String =
     TextOps.StopWords.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")
+
+  /** Shared by q_cdx_index and its streaming-ingest twin: every
+    * record's (shard, position) predicted from doc_id alone.
+    */
+  private def cdxIndexOracleSql: String =
+    s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
+        ord AS (SELECT doc_id, doc_id % ${Warc.NumShards} AS si,
+                  (1 + CASE WHEN doc_id % ${Warc.RequestEvery} = 0 THEN 1 ELSE 0 END) AS nrec,
+                  CASE WHEN doc_id % ${Warc.RequestEvery} = 0 THEN 1 ELSE 0 END AS isreq
+                FROM documents),
+        pos AS (SELECT doc_id, si,
+                  CAST(1 + COALESCE(SUM(nrec) OVER (PARTITION BY si ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + isreq
+                    AS BIGINT) AS pos
+                FROM ord)
+        SELECT ${Urls.canonicalSql} AS canonical,
+          printf('shard-%02d.warc.gz', CAST(p.si AS INT)) AS shard,
+          p.pos AS pos,
+          '<urn:uuid:graft-response-' || CAST(p.doc_id AS VARCHAR) || '>' AS record_id
+        FROM pos p JOIN parsed USING (doc_id)"""
 
   /** The curated flagship's shared oracle prefix: frontier keep-first
     * → curated set → extraction → quality gate → exact-dedup canon.

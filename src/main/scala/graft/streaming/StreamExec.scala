@@ -376,6 +376,23 @@ object StreamExec {
       (mkOut, _.processAllAvailable())
     }
 
+  /** [[runForeachBatch]] with a REAL stream reader as the source — the
+    * production maintenance-ingest shape with no driver-fed rows: the
+    * reader discovers arriving files itself (`maxFilesPerTrigger` sets
+    * batch granularity), and each discovered batch invokes `body` for
+    * batch-API side-effects (index append, versioned publish). The
+    * query's product is whatever the body built.
+    */
+  def runSourceForeachBatch(spark: SparkSession)(mkSource: => DataFrame)(
+      body: (DataFrame, Long) => Unit): Unit =
+    withConfs(spark, RocksKey -> RocksProvider,
+                     ShuffleKey -> StreamShufflePartitions) {
+      val query = mkSource.writeStream
+        .foreachBatch((df: Dataset[Row], id: Long) => body(df.toDF(), id))
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+
   /** Run `build` over MemoryStream-fed rows into a REAL parquet file
     * sink with a checkpointLocation — the deployable sink shape: each
     * micro-batch's files are committed atomically to the sink's

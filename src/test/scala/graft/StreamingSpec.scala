@@ -991,4 +991,32 @@ class StreamingSpec extends SparkSpec {
       .sorted.toSeq
     assert(oneByOne == batch, "streaming serve diverged from batch ivfTopK")
   }
+
+  test("q_cdx_ingest_stream: appends stay in the pinned version (live never moves), append ≡ rebuild") {
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      "graft_cdx_spec_").toString
+    val served = SparkEntry.cdxIngestStreamAt(spark, dir, base)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    // version pinning: the per-shard appends must not have published a
+    // new version — the live version after ingest is still v1
+    val live = graft.operators.Bucketing.liveVersion(base)
+    assert(live.exists(_._1 == 1), s"append moved the live version: $live")
+    // append ≡ rebuild: the served layout equals the one-shot batch
+    // index over the full archive
+    val batchIdx = SparkEntry.queries("q_cdx_index")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(served == batchIdx, "ingested layout diverged from the batch rebuild")
+    // layout shape: appends touched only bucket directories under v1
+    val v1 = java.nio.file.Paths.get(live.get._2)
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.list(v1)
+    val entries = try stream.iterator().asScala.map(_.getFileName.toString).toSet
+      finally stream.close()
+    assert(entries.exists(_.startsWith("cdx_bucket=")),
+      s"no bucket partition directories under v1: $entries")
+  }
 }
