@@ -22,8 +22,10 @@ import org.apache.spark.sql.types._
   *     inflate against streams produced by the JDK's Deflater (which
   *     emits dynamic blocks at default settings), so a real-world zlib
   *     payload in our container decodes, not just our own encoder's
-  *     output. The encoder emits stored + fixed blocks (a valid choice
-  *     at any compression level).
+  *     output. The ENCODER emits all three block types per payload
+  *     (stored chain + fixed + package-merge dynamic tail), and
+  *     PngCodecSpec cross-validates the dynamic WRITE path against the
+  *     JDK Inflater — the codec is honest from both sides.
   *   - all FIVE scanline filters (None/Sub/Up/Average/Paeth); the
   *     encoder assigns filter y % 5 so every staged asset with h ≥ 5
   *     exercises every unfilter path.
@@ -141,25 +143,170 @@ object PngCodec {
     else if (sym < 280) (sym - 256, 7)
     else (0xc0 + (sym - 280), 8)
 
-  /** DEFLATE the payload as one STORED block followed by one
-    * fixed-Huffman literal block (both halves non-empty when the data
-    * allows), so every staged container exercises BOTH supported block
-    * types. Literal-only fixed coding is valid DEFLATE (an encoder may
-    * always choose no matches); the DECODER still handles full LZ77
-    * back-references.
+  /** Length-limited Huffman code lengths by PACKAGE-MERGE (the
+    * length-bounded construction DEFLATE requires: literal/length and
+    * distance codes cap at 15 bits, the code-length code at 7).
+    * Symbols with zero frequency get length 0; a single-symbol
+    * alphabet still gets length 1 (a zero-bit code is not decodable).
+    */
+  private[graft] def limitedHuffLengths(freq: Array[Int], limit: Int): Array[Int] = {
+    val lens = new Array[Int](freq.length)
+    val syms = freq.indices.filter(freq(_) > 0)
+    if (syms.isEmpty) return lens
+    if (syms.length == 1) { lens(syms.head) = 1; return lens }
+    require(syms.length <= (1 << limit),
+      s"alphabet ${syms.length} exceeds 2^$limit")
+    // package-merge: per level, merge the leaf list with pairs of the
+    // previous level's packages; after `limit` levels, the first
+    // 2(n-1) packages' leaf multiplicities ARE the code lengths
+    final case class Pkg(w: Long, syms: List[Int])
+    val leaves = syms.map(s => Pkg(freq(s).toLong, s :: Nil))
+      .sortBy(p => (p.w, p.syms.head)).toVector
+    var prev = Vector.empty[Pkg]
+    var level = 0
+    while (level < limit) {
+      val pairs = prev.grouped(2).collect {
+        case Seq(a, b) => Pkg(a.w + b.w, a.syms ++ b.syms)
+      }.toVector
+      prev = (leaves ++ pairs).sortBy(_.w)
+      level += 1
+    }
+    prev.take(2 * (syms.length - 1))
+      .foreach(_.syms.foreach(s => lens(s) += 1))
+    lens
+  }
+
+  /** Canonical DEFLATE codes from code lengths (RFC 1951 §3.2.2). */
+  private[graft] def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val maxLen = if (lens.isEmpty) 0 else lens.max
+    val blCount = new Array[Int](maxLen + 1)
+    lens.foreach(l => if (l > 0) blCount(l) += 1)
+    val nextCode = new Array[Int](maxLen + 2)
+    var code = 0
+    var bits = 1
+    while (bits <= maxLen) {
+      code = (code + blCount(bits - 1)) << 1
+      nextCode(bits) = code
+      bits += 1
+    }
+    lens.map { l =>
+      if (l == 0) 0
+      else { val c = nextCode(l); nextCode(l) += 1; c }
+    }
+  }
+
+  /** A single-code Huffman tree is INCOMPLETE (Kraft sum ½) and zlib
+    * rejects it for the literal and code-length alphabets — pad a
+    * second length-1 code on an unused symbol, the same move zlib's
+    * own encoder makes.
+    */
+  private def ensureComplete(lens: Array[Int]): Unit =
+    if (lens.count(_ > 0) == 1)
+      lens(if (lens(0) == 0) 0 else 1) = 1
+
+  /** Code-length-sequence RLE (RFC 1951 §3.2.7): symbols 0-15 verbatim,
+    * 16 = repeat previous 3-6, 17 = zeros 3-10, 18 = zeros 11-138.
+    * Returns (symbol, extraValue, extraBits) triples.
+    */
+  private def rleCodeLengths(seq: Array[Int]): Seq[(Int, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var i = 0
+    while (i < seq.length) {
+      val v = seq(i)
+      var run = 1
+      while (i + run < seq.length && seq(i + run) == v) run += 1
+      if (v == 0 && run >= 3) {
+        var left = run
+        while (left >= 11) { val n = math.min(left, 138); out += ((18, n - 11, 7)); left -= n }
+        if (left >= 3) { out += ((17, left - 3, 3)); left = 0 }
+        var j = 0
+        while (j < left) { out += ((0, 0, 0)); j += 1 }
+      } else if (v != 0 && run >= 4) {
+        out += ((v, 0, 0))
+        var left = run - 1
+        while (left >= 3) { val n = math.min(left, 6); out += ((16, n - 3, 2)); left -= n }
+        var j = 0
+        while (j < left) { out += ((v, 0, 0)); j += 1 }
+      } else {
+        var j = 0
+        while (j < run) { out += ((v, 0, 0)); j += 1 }
+      }
+      i += run
+    }
+    out.toSeq
+  }
+
+  /** One DYNAMIC-Huffman (BTYPE=10) literal block over
+    * `data[from, from+len)`: per-payload literal tree (package-merge
+    * bounded at 15), one zero-length distance code (RFC 1951: "one
+    * distance code of zero bits means that there are no distance
+    * codes used"), code-length sequence RLE'd through the 19-symbol
+    * code-length code (bounded at 7). Literal-only is valid DEFLATE —
+    * an encoder may always choose no matches.
+    */
+  private def dynamicBlock(w: BitWriter, data: Array[Byte], from: Int,
+                           len: Int, bfinal: Boolean): Unit = {
+    val litFreq = new Array[Int](257)
+    var i = from
+    while (i < from + len) { litFreq(data(i) & 0xff) += 1; i += 1 }
+    litFreq(256) += 1 // EOB
+    val litLens = limitedHuffLengths(litFreq, 15)
+    ensureComplete(litLens)
+    val litCodes = canonicalCodes(litLens)
+    val nlit = 257
+    val distLens = Array(0)
+    val clSeq = litLens.take(nlit) ++ distLens
+    val rle = rleCodeLengths(clSeq)
+    val clFreq = new Array[Int](19)
+    rle.foreach { case (s, _, _) => clFreq(s) += 1 }
+    val clLens = limitedHuffLengths(clFreq, 7)
+    ensureComplete(clLens)
+    val clCodes = canonicalCodes(clLens)
+    val order = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+    var hclen = 19
+    while (hclen > 4 && clLens(order(hclen - 1)) == 0) hclen -= 1
+    w.putBits(if (bfinal) 1 else 0, 1)
+    w.putBits(2, 2) // BTYPE=10
+    w.putBits(nlit - 257, 5)
+    w.putBits(0, 5) // HDIST-1: one distance code
+    w.putBits(hclen - 4, 4)
+    var k = 0
+    while (k < hclen) { w.putBits(clLens(order(k)), 3); k += 1 }
+    rle.foreach { case (s, extra, extraBits) =>
+      w.putHuff(clCodes(s), clLens(s))
+      if (extraBits > 0) w.putBits(extra, extraBits)
+    }
+    i = from
+    while (i < from + len) {
+      val b = data(i) & 0xff
+      w.putHuff(litCodes(b), litLens(b))
+      i += 1
+    }
+    w.putHuff(litCodes(256), litLens(256))
+  }
+
+  /** DEFLATE the payload as one STORED block chain, one fixed-Huffman
+    * literal block, then one DYNAMIC-Huffman final block (each third
+    * non-empty when the data allows), so every staged container
+    * exercises ALL THREE block types — and the dynamic WRITE path
+    * faces foreign decoders (JDK Inflater cross-validation in
+    * PngCodecSpec), not just our own inflate. Literal-only coding is
+    * valid DEFLATE (an encoder may always choose no matches); the
+    * DECODER still handles full LZ77 back-references.
     */
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val w = new BitWriter
-    val half = data.length / 2
-    // stored half, split at the format's 16-bit LEN field: a stored
-    // block carries at most 65535 bytes, so larger halves emit a chain
+    val third = data.length / 3
+    val fixedEnd = third + (data.length - third) / 2
+    // stored third, split at the format's 16-bit LEN field: a stored
+    // block carries at most 65535 bytes, so larger spans emit a chain
     // of blocks (one unsplit LEN would truncate mod 2^16 — a silently
     // corrupt stream for any image over ~43k pixels)
     var off = 0
     var firstBlock = true
-    while (firstBlock || off < half) { // empty half still emits one block
+    while (firstBlock || off < third) { // empty span still emits one block
       firstBlock = false
-      val len = math.min(half - off, 0xffff)
+      val len = math.min(third - off, 0xffff)
       w.putBits(0, 1); w.putBits(0, 2) // BFINAL=0, BTYPE=00
       w.alignByte()
       w.writeRaw(Array[Byte]((len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
@@ -167,19 +314,27 @@ object PngCodec {
       w.writeRaw(data, off, len)
       off += len
     }
-    // fixed-Huffman final block over the rest (literal codes have no
-    // length limit — one block suffices at any size)
-    w.putBits(1, 1); w.putBits(1, 2)
-    var i = half
-    while (i < data.length) {
+    // fixed-Huffman middle block (literal codes have no length limit —
+    // one block suffices at any size)
+    w.putBits(0, 1); w.putBits(1, 2)
+    var i = third
+    while (i < fixedEnd) {
       val (c, n) = fixedLit(data(i) & 0xff)
       w.putHuff(c, n)
       i += 1
     }
     val (eob, eobN) = fixedLit(256)
     w.putHuff(eob, eobN)
+    // dynamic final block over the rest
+    dynamicBlock(w, data, fixedEnd, data.length - fixedEnd, bfinal = true)
     w.bytes()
   }
+
+  /** Raw-DEFLATE emit entry for the spec's foreign-decoder
+    * cross-validation (JDK Inflater(nowrap) over our three-block
+    * stream, dynamic tail included).
+    */
+  private[graft] def deflateRaw(data: Array[Byte]): Array[Byte] = deflate(data)
 
   private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
                     data: Array[Byte]): Unit = {
