@@ -600,6 +600,17 @@ object SparkEntry {
     stagedShards(warcShardDirs, "graft_warcshards_", "warc.gz", s, dir)(
       Warc.renderShard)
 
+  /** The DAMAGED crawl archive: same 4 shards, but every
+    * Warc.DamageEvery-th doc's response record carries a corrupted
+    * magic — the recovery-mode fixture (q_warc_recover). Same
+    * discipline as [[stagedWarcShards]].
+    */
+  private val damagedWarcShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedDamagedWarcShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedShards(damagedWarcShardDirs, "graft_warcdamaged_", "warc.gz", s, dir)(
+      Warc.renderDamagedShard)
+
   /** The corpus as 4 `.wet.gz` shard FILES (Common Crawl's
     * extracted-text sibling: warcinfo + one `conversion` record per
     * doc, payload = plain text). Same discipline as [[stagedWarcShards]].
@@ -2471,6 +2482,17 @@ object SparkEntry {
       Html.extract(pages, "doc_id", "html")
     }),
 
+    // corpus-level extraction HEALTH audit — the over-stripping guard
+    // (empty-extraction spike + exact ppm drop rate): the signal that
+    // makes stripBlocks' documented comment-ordering tradeoff
+    // detectable on real data instead of silent
+    "q_html_audit" -> ((s, dir) => {
+      val pages = Sources.textLines(s, stagedHtml(s, dir).toString).ds.toDF()
+        .select(regexp_extract(col("value"), "data-doc=\"([0-9]+)\"", 1)
+          .cast("long").as("doc_id"), col("value").as("html"))
+      Html.extractAudit(pages, "doc_id", "html")
+    }),
+
     // STREAMING crawl ingest — the "pages arrive continuously" shape:
     // a real file SOURCE discovers the html shards (one per
     // micro-batch) and the full extraction chain runs stateless inside
@@ -2506,6 +2528,16 @@ object SparkEntry {
     "q_warc_records" -> ((s, dir) =>
       Warc.recordAudit(s.read.format("binaryFile")
         .load(stagedWarcShards(s, dir).toString))),
+
+    // RECOVERY-mode ingest over a DAMAGED archive: every 10th doc's
+    // response record has a corrupted magic; the lenient parser skips
+    // exactly that record (to the next magic) and counts it — per
+    // shard, survivors + malformed count + the EXACT bytes skipped
+    // (closed-form record length), so a drop is observable, never
+    // silent. The strict parser remains the dispatch/audit contract
+    "q_warc_recover" -> ((s, dir) =>
+      Warc.recoveryAudit(s.read.format("binaryFile")
+        .load(stagedDamagedWarcShards(s, dir).toString))),
 
     // STREAMING crawl-archive ingest — the "new .warc.gz shards land
     // continuously" shape: a real binaryFile SOURCE discovers one
@@ -4326,6 +4358,7 @@ object SparkEntry {
     // shared wrapper template, then strips it with its own regexp chain
     // — both engines parse byte-identical markup
     "q_html_extract" -> Html.extractOracleSql,
+    "q_html_audit" -> Html.extractAuditOracleSql,
     // file-source streaming twin: stateless per-page extraction ≡ batch
     "q_html_stream" -> Html.extractOracleSql,
     // the warc front door lands on the SAME output as the html
@@ -4336,6 +4369,7 @@ object SparkEntry {
     // the batch front door
     "q_warc_stream" -> Html.extractOracleSql,
     "q_warc_records" -> Warc.auditOracleSql,
+    "q_warc_recover" -> Warc.recoveryAuditOracleSql,
 
     "q_domain_rank" -> operators.Graph.pageRankSql(
       s"""SELECT ((doc_id % 150) % 23) * 7 + (doc_id % 150) % 7 AS src,

@@ -131,6 +131,112 @@ object WarcCodec {
     val rows = parse(bytes)
     if (rows == null) null else new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
+
+  // ---------------------------------------------------------------------
+  // Lenient (recovering) mode — real crawl shards carry damage, and the
+  // strict parse would silently drop a whole shard for one bad record.
+  // ---------------------------------------------------------------------
+
+  val lenientSchema: StructType = StructType(Seq(
+    StructField("records", arrayType, nullable = false),
+    StructField("n_malformed", LongType, nullable = false),
+    StructField("bytes_skipped", LongType, nullable = false)))
+
+  /** Index of the next record magic at/after `from` (byte scan for
+    * `WARC/1.0\r\n`), or -1.
+    */
+  private def nextMagic(a: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + Magic.length <= a.length) {
+      var j = 0
+      while (j < Magic.length && a(i + j) == Magic(j)) j += 1
+      if (j == Magic.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** One record parse attempt at `pos`. Returns (row, nextPos) or null
+    * on malformation at this position.
+    */
+  private def parseOne(bytes: Array[Byte], pos0: Int): (InternalRow, Int) = {
+    var pos = pos0
+    if (pos + Magic.length > bytes.length) return null
+    var i = 0
+    while (i < Magic.length) {
+      if (bytes(pos + i) != Magic(i)) return null
+      i += 1
+    }
+    pos += Magic.length
+    var warcType: UTF8String = null
+    var recordId: UTF8String = null
+    var targetUri: UTF8String = null
+    var payloadDigest: UTF8String = null
+    var contentLength = -1L
+    var blank = false
+    while (!blank) {
+      val e = lineEnd(bytes, pos)
+      if (e < 0) return null
+      if (e == pos + 2) blank = true
+      else {
+        val line = new String(bytes, pos, e - pos - 2,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val c = line.indexOf(':')
+        if (c <= 0) return null
+        val name = line.substring(0, c).trim
+        val value = line.substring(c + 1).trim
+        name.toLowerCase(java.util.Locale.ROOT) match {
+          case "warc-type" => warcType = UTF8String.fromString(value)
+          case "warc-record-id" => recordId = UTF8String.fromString(value)
+          case "warc-target-uri" => targetUri = UTF8String.fromString(value)
+          case "warc-payload-digest" => payloadDigest = UTF8String.fromString(value)
+          case "content-length" =>
+            try contentLength = java.lang.Long.parseLong(value)
+            catch { case _: NumberFormatException => return null }
+          case _ => ()
+        }
+      }
+      pos = e
+    }
+    if (contentLength < 0 || contentLength > Int.MaxValue - 4) return null
+    if (pos + contentLength + 4 > bytes.length) return null
+    val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + contentLength.toInt)
+    pos += contentLength.toInt
+    if (bytes(pos) != '\r' || bytes(pos + 1) != '\n' ||
+        bytes(pos + 2) != '\r' || bytes(pos + 3) != '\n') return null
+    (new GenericInternalRow(Array[Any](warcType, recordId, targetUri,
+      contentLength, payload, payloadDigest)), pos + 4)
+  }
+
+  /** Recovering parse: a malformed record is SKIPPED to the next
+    * record magic (or end of buffer) and counted, instead of nulling
+    * the whole shard — one bad capture on a 1 GB shard costs one
+    * record, observably, not the shard silently. The strict [[parse]]
+    * remains the dispatch/audit contract; this is the ingest posture
+    * for REAL crawl data. Null only on null/empty input.
+    */
+  def parseLenient(bytes: Array[Byte]): GenericInternalRow = {
+    if (bytes == null || bytes.length == 0) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var nMalformed = 0L
+    var skipped = 0L
+    var pos = 0
+    while (pos < bytes.length) {
+      parseOne(bytes, pos) match {
+        case (row, next) =>
+          out += row
+          pos = next
+        case null =>
+          nMalformed += 1
+          val nm = nextMagic(bytes, pos + 1)
+          val next = if (nm < 0) bytes.length else nm
+          skipped += next - pos
+          pos = next
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(out.toArray[Any]), nMalformed, skipped))
+  }
 }
 
 /** `warc_records(bytes)` — strict WARC shard framing parser; see
@@ -160,5 +266,36 @@ object WarcRecords {
   def warc_records(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(WarcRecords(GraftColumnBridge.expression(c)))
+  }
+}
+
+/** `warc_records_lenient(bytes)` — recovering WARC parser: damaged
+  * records are skipped to the next magic and COUNTED; see
+  * [[WarcCodec.parseLenient]].
+  */
+case class WarcRecordsLenient(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WarcCodec.lenientSchema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"warc_records_lenient needs a binary column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    WarcCodec.parseLenient(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcCodec.parseLenient($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): WarcRecordsLenient =
+    copy(child = newChild)
+  override def prettyName: String = "warc_records_lenient"
+}
+
+object WarcRecordsLenient {
+  def warc_records_lenient(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WarcRecordsLenient(GraftColumnBridge.expression(c)))
   }
 }

@@ -252,6 +252,38 @@ object Html {
           (len(nonempty) - len(kept))::BIGINT AS n_dropped
         FROM k"""
 
+  /** Corpus-level extraction HEALTH audit — the over-stripping guard:
+    * stripBlocks' documented comment-first ordering can silently eat
+    * body text on adversarial real-world pages (an unpaired `<!--`
+    * inside a script plus a later genuine comment), and the per-doc
+    * extraction output gives no corpus-wide signal. One aggregate row:
+    * doc count, EMPTY-extraction count (the spike metric a pipeline
+    * alerts on), totals and the exact ppm drop rate — integer
+    * arithmetic so the row is hash-stable. Map-only + single 1-row
+    * aggregate at any scale.
+    */
+  def extractAudit(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    extract(df, idCol, htmlCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("extracted") === "", 1L).otherwise(0L)).as("n_empty"),
+        sum(col("n_kept")).as("total_kept"),
+        sum(col("n_dropped")).as("total_dropped"),
+        expr("""CASE WHEN sum(n_kept) + sum(n_dropped) > 0
+                THEN (sum(n_dropped) * 1000000) div (sum(n_kept) + sum(n_dropped))
+                ELSE 0 END""").as("drop_ppm"))
+
+  /** DuckDB mirror of [[extractAudit]] over the staged fixture. */
+  def extractAuditOracleSql: String =
+    s"""WITH ex AS ($extractOracleSql)
+        SELECT COUNT(*)::BIGINT AS n_docs,
+          CAST(SUM(CASE WHEN extracted = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+          CAST(SUM(n_kept) AS BIGINT) AS total_kept,
+          CAST(SUM(n_dropped) AS BIGINT) AS total_dropped,
+          CAST(CASE WHEN SUM(n_kept) + SUM(n_dropped) > 0
+               THEN (SUM(n_dropped) * 1000000) // (SUM(n_kept) + SUM(n_dropped))
+               ELSE 0 END AS BIGINT) AS drop_ppm
+        FROM ex"""
+
   /** Oracle CTE yielding (doc_id, text) = the extracted text with
     * newlines re-flattened to spaces — the shape the quality battery
     * consumes (its word split is single-space).

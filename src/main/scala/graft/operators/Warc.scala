@@ -362,6 +362,57 @@ object Warc {
   }
 
   // ---------------------------------------------------------------------
+  // Damaged-archive fixture (the recovery-mode input): same shards,
+  // but every DamageEvery-th doc's response record has its magic
+  // corrupted — one flipped byte, exactly what a truncated fetch or
+  // bit-rot leaves — so the lenient parser must skip PRECISELY that
+  // record and keep everything around it.
+  // ---------------------------------------------------------------------
+
+  val DamageEvery = 10
+  val DamagePhase = 7
+
+  def isDamaged(id: Long): Boolean = id % DamageEvery == DamagePhase
+
+  /** Byte length of a doc's rendered response RECORD (header + payload
+    * + terminator) — the skip the lenient parser must account for a
+    * damaged record. Mirrored in [[recoveryAuditOracleSql]]; the
+    * renderer self-checks against it.
+    */
+  def responseRecordLen(id: Long, urlLen: Long, payloadLen: Long): Long =
+    186 + digits(id) + digits(payloadLen) + urlLen + payloadLen
+
+  private def digits(n: Long): Long = n.toString.length.toLong
+
+  /** Render one shard with damaged responses for [[isDamaged]] docs. */
+  def renderDamagedShard(shardIdx: Int, docs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(gzipMember(renderRecord("warcinfo", s"graft-warcinfo-$shardIdx",
+      None, ascii(WarcinfoPayload))))
+    docs.foreach { case (id, rawText) =>
+      val uri = Urls.urlOf(id)
+      if (id % RequestEvery == 0)
+        bos.write(gzipMember(renderRecord("request", s"graft-request-$id",
+          Some(uri), ascii(requestPayload(id)))))
+      val html = Html.wrapLine(id, rawText)
+      val rec = renderRecord("response", s"graft-response-$id",
+        Some(uri), responsePayload(id, html))
+      if (isDamaged(id)) {
+        val htmlBytes = html.getBytes(
+          if (id % 4 == 2) java.nio.charset.StandardCharsets.ISO_8859_1
+          else java.nio.charset.StandardCharsets.UTF_8).length.toLong
+        val predicted = responseRecordLen(id, uri.length.toLong,
+          responsePayloadLen(id, htmlBytes))
+        require(rec.length.toLong == predicted,
+          s"record length drift for doc $id: rendered ${rec.length}, formula $predicted")
+        rec(0) = 'X' // corrupt the magic: the parser must skip THIS record only
+      }
+      bos.write(gzipMember(rec))
+    }
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
   // Spark-side ingest chain
   // ---------------------------------------------------------------------
 
@@ -497,6 +548,49 @@ object Warc {
         sum(when(col("payload_digest") ===
             concat(lit("sha1:"), sha1(col("payload"))), 1L).otherwise(0L))
           .as("n_verified"))
+
+  /** Recovery audit over a (possibly damaged) shard scan: per shard,
+    * recovered record count, malformed-and-skipped count, and the
+    * exact bytes skipped — the observability ADVICE asked for: a bad
+    * capture on a real shard costs one record, COUNTED, never the
+    * shard silently. Map-only like every other front-door pass.
+    */
+  def recoveryAudit(shards: DataFrame): DataFrame =
+    shards.select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("shard"),
+        graft.functions.WarcRecordsLenient.warc_records_lenient(
+          GzipDecode.gzip_decode(col("content"))).as("r"))
+      .select(col("shard"),
+        size(col("r.records")).cast("long").as("n_records"),
+        col("r.n_malformed").as("n_malformed"),
+        col("r.bytes_skipped").as("bytes_skipped"))
+
+  /** DuckDB mirror of [[recoveryAudit]] over the DAMAGED fixture:
+    * per shard, survivors = warcinfo + requests + undamaged responses;
+    * every damaged record's byte length predicted in closed form
+    * ([[responseRecordLen]]: 186 + digits(id) + digits(payload) +
+    * |url| + payload).
+    */
+  def recoveryAuditOracleSql: String = {
+    val p = responsePayloadLenSql("d.doc_id", "octet_length(encode(r.html))")
+    s"""WITH ${Urls.urlBaseSqlCtes},
+        raw AS (SELECT doc_id, ${Html.wrapSqlExpr} AS html FROM documents),
+        per AS (SELECT d.doc_id,
+                  d.doc_id % $NumShards AS si,
+                  CASE WHEN d.doc_id % $RequestEvery = 0 THEN 1 ELSE 0 END AS isreq,
+                  CASE WHEN d.doc_id % $DamageEvery = $DamagePhase THEN 1 ELSE 0 END AS dmg,
+                  186 + length(CAST(d.doc_id AS VARCHAR))
+                      + length(CAST($p AS VARCHAR))
+                      + length(b.url) + $p AS rec_len
+                FROM documents d JOIN raw r ON r.doc_id = d.doc_id
+                JOIN base b ON b.doc_id = d.doc_id)
+        SELECT printf('shard-%02d.warc.gz', CAST(si AS INT)) AS shard,
+          CAST(1 + SUM(isreq) + SUM(1 - dmg) AS BIGINT) AS n_records,
+          CAST(SUM(dmg) AS BIGINT) AS n_malformed,
+          CAST(COALESCE(SUM(CASE WHEN dmg = 1 THEN rec_len END), 0) AS BIGINT)
+            AS bytes_skipped
+        FROM per GROUP BY si"""
+  }
 
   /** Ingest audit: per record type, record count and total payload
     * bytes — the per-shard-batch accounting a crawl pipeline reports

@@ -177,4 +177,57 @@ class WarcGzipSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else "ok")).toMap
     assert(out(1L) == "ok" && out(2L) == null)
   }
+
+  // --- lenient (recovering) parse ---------------------------------------
+
+  private def concatRecords(recs: Array[Byte]*): Array[Byte] =
+    recs.foldLeft(Array.emptyByteArray)(_ ++ _)
+
+  test("lenient parse skips EXACTLY the damaged record and counts it; strict still nulls") {
+    val r1 = Warc.renderRecord("response", "r-1", Some("https://a.com/1"),
+      "HTTP/1.1 200 OK\r\n\r\nfirst".getBytes(UTF_8))
+    val r2 = Warc.renderRecord("response", "r-2", Some("https://a.com/2"),
+      "HTTP/1.1 200 OK\r\n\r\nsecond".getBytes(UTF_8))
+    val r3 = Warc.renderRecord("response", "r-3", Some("https://a.com/3"),
+      "HTTP/1.1 200 OK\r\n\r\nthird".getBytes(UTF_8))
+    val bad = r2.clone(); bad(0) = 'X'
+    val shard = concatRecords(r1, bad, r3)
+    assert(WarcCodec.parse(shard) == null, "strict parse must fail the shard")
+    val len = WarcCodec.parseLenient(shard)
+    assert(len != null)
+    val recs = len.getArray(0)
+    assert(recs.numElements() == 2)
+    assert(len.getLong(1) == 1L, "one malformed record")
+    assert(len.getLong(2) == r2.length.toLong, "skipped exactly the damaged record's bytes")
+    val ids = (0 until 2).map(i =>
+      recs.getStruct(i, 6).getUTF8String(1).toString)
+    assert(ids == Seq("<urn:uuid:r-1>", "<urn:uuid:r-3>"))
+  }
+
+  test("lenient parse: damage in the LAST record skips to end; Content-Length lie recovers") {
+    val r1 = Warc.renderRecord("response", "r-1", None, "alpha".getBytes(UTF_8))
+    val r2 = Warc.renderRecord("response", "r-2", None, "omega".getBytes(UTF_8))
+    // tail damage: corrupt last record's magic → skip to end of buffer
+    val tailBad = r2.clone(); tailBad(0) = 'Z'
+    val l1 = WarcCodec.parseLenient(r1 ++ tailBad)
+    assert(l1.getArray(0).numElements() == 1 && l1.getLong(1) == 1L &&
+      l1.getLong(2) == r2.length.toLong)
+    // header damage deeper than the magic: inflate the Content-Length
+    // so the terminator check fails — recovery must resume at r2
+    val s = new String(r1, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lied = s.replace("Content-Length: 5", "Content-Length: 7")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val l2 = WarcCodec.parseLenient(lied ++ r2)
+    assert(l2.getArray(0).numElements() == 1 && l2.getLong(1) == 1L)
+    assert(l2.getArray(0).getStruct(0, 6).getUTF8String(1).toString == "<urn:uuid:r-2>")
+  }
+
+  test("lenient parse on a CLEAN shard equals the strict parse with zero damage counted") {
+    val shard = Warc.renderShard(0, Seq((0L, "alpha beta."), (1L, "gamma delta.")))
+    val bytes = GzipCodec.gunzip(shard)
+    val strict = WarcCodec.parse(bytes)
+    val len = WarcCodec.parseLenient(bytes)
+    assert(len.getLong(1) == 0L && len.getLong(2) == 0L)
+    assert(len.getArray(0).numElements() == strict.length)
+  }
 }
