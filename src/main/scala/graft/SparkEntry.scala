@@ -3968,16 +3968,24 @@ object SparkEntry {
     * materialized; the full 265-oracle sweep drops ~13.5 min → ~85 s.
     * Semantics are untouched (MATERIALIZED is a pure planner hint).
     *
-    * Skips: RECURSIVE members (detected as a CTE whose body references
-    * its own name — the hint is illegal there; DuckDB happily
-    * materializes the non-recursive members of a WITH RECURSIVE list,
-    * which is what rescues the cluster oracles: 17.5 s → 2.2 s
-    * measured), and `WINDOW w AS (...)` named-window clauses (not
-    * CTEs). Idempotent: `AS MATERIALIZED (` no longer matches the
-    * identifier-AS-paren shape. A non-recursive CTE whose body merely
-    * mentions its own name is left inlined — the safe direction.
+    * Skips: in WITH RECURSIVE queries only, a CTE whose body
+    * references its own name (the recursive member — the hint is
+    * illegal there; DuckDB happily materializes the NON-recursive
+    * members of a recursive list, which is what rescues the cluster
+    * oracles: 17.5 s → 2.2 s measured); and `WINDOW w AS (...)`
+    * named-window clauses (not CTEs). The self-reference test is
+    * GATED on WITH RECURSIVE because it false-positives on nested
+    * same-name shadowing (q_sem_index's subquery-scoped `WITH e0`
+    * inside the outer e0's body) — and a half-materialized shadow
+    * pair trips DuckDB's duplicate-alias binder check, while the
+    * fully-materialized pair binds fine. Idempotent:
+    * `AS MATERIALIZED (` no longer matches the identifier-AS-paren
+    * shape.
     */
   private[graft] def materializeCtes(sql: String): String = {
+    val recursive = java.util.regex.Pattern
+      .compile("WITH\\s+RECURSIVE", java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(sql).find()
     val m = java.util.regex.Pattern
       .compile("\\b([A-Za-z_][A-Za-z0-9_]*)(\\s+AS\\s*)\\(").matcher(sql)
     val sb = new StringBuffer
@@ -3995,7 +4003,7 @@ object SparkEntry {
             i += 1
           }
           val body = sql.substring(m.end(), math.max(m.end(), i - 1))
-          val selfRef = java.util.regex.Pattern
+          val selfRef = recursive && java.util.regex.Pattern
             .compile("\\b" + java.util.regex.Pattern.quote(m.group(1)) + "\\b")
             .matcher(body).find()
           if (selfRef) m.group(0)
