@@ -177,9 +177,20 @@ object JpegCodec {
   private val InvSqrt2 = 1.0 / math.sqrt(2.0)
 
   /** Separable IDCT of one dequantized block (natural order) into
-    * clamped level-shifted samples.
+    * clamped level-shifted samples. DC-only blocks (every AC zero —
+    * the EOB-immediately case that dominates smooth image regions and
+    * is every real decoder's fast path) shortcut to the constant
+    * DC/8 + 128 the full transform reproduces exactly.
     */
   private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    var acZero = true
+    var ci = 1
+    while (acZero && ci < 64) { acZero = coef(ci) == 0; ci += 1 }
+    if (acZero) {
+      val v = clamp(math.round(coef(0) / 8.0 + 128.0).toInt)
+      java.util.Arrays.fill(out, v)
+      return
+    }
     // rows then columns, double precision
     val tmp = new Array[Double](64)
     var y = 0

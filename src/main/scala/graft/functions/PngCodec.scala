@@ -151,28 +151,65 @@ object PngCodec {
     */
   private[graft] def limitedHuffLengths(freq: Array[Int], limit: Int): Array[Int] = {
     val lens = new Array[Int](freq.length)
-    val syms = freq.indices.filter(freq(_) > 0)
+    val syms = freq.indices.filter(freq(_) > 0).toArray
     if (syms.isEmpty) return lens
     if (syms.length == 1) { lens(syms.head) = 1; return lens }
     require(syms.length <= (1 << limit),
       s"alphabet ${syms.length} exceeds 2^$limit")
-    // package-merge: per level, merge the leaf list with pairs of the
-    // previous level's packages; after `limit` levels, the first
-    // 2(n-1) packages' leaf multiplicities ARE the code lengths
-    final case class Pkg(w: Long, syms: List[Int])
-    val leaves = syms.map(s => Pkg(freq(s).toLong, s :: Nil))
-      .sortBy(p => (p.w, p.syms.head)).toVector
-    var prev = Vector.empty[Pkg]
-    var level = 0
-    while (level < limit) {
-      val pairs = prev.grouped(2).collect {
-        case Seq(a, b) => Pkg(a.w + b.w, a.syms ++ b.syms)
-      }.toVector
-      prev = (leaves ++ pairs).sortBy(_.w)
-      level += 1
+    // package-merge, array form: leaves sorted ONCE by weight; each
+    // level's package list is the two-pointer merge of the leaf list
+    // with pairs of the previous (already sorted) level, so no level
+    // re-sorts and no symbol lists ride the packages — leaf
+    // multiplicities are recovered by a backward needed-count walk.
+    // O(n·limit) time, primitive arrays only (this runs per staged
+    // asset, so the encoder's constant factor is query-visible).
+    val n = syms.length
+    val leafSyms = syms.sortBy(s => (freq(s), s))
+    val leafW = leafSyms.map(freq(_).toLong)
+    // per level: weights + origin (-1-leafIdx for a leaf, else pair
+    // index j = children 2j, 2j+1 of the previous level); flat arrays
+    // sized by the ACTIVE alphabet — this runs once per staged asset,
+    // so the scratch size is query-visible on small payloads
+    val maxLen = 2 * n
+    val levW = new Array[Long](limit * maxLen)
+    val levOrig = new Array[Int](limit * maxLen)
+    val levN = new Array[Int](limit)
+    var l = 0
+    while (l < limit) {
+      val base = l * maxLen
+      val prevBase = (l - 1) * maxLen
+      val prevN = if (l == 0) 0 else levN(l - 1)
+      val nPairs = prevN / 2
+      var li = 0 // leaf pointer
+      var pi = 0 // pair pointer
+      var k = 0
+      while (li < n || pi < nPairs) {
+        val lw = if (li < n) leafW(li) else Long.MaxValue
+        val pw = if (pi < nPairs) levW(prevBase + 2 * pi) + levW(prevBase + 2 * pi + 1)
+                 else Long.MaxValue
+        if (lw <= pw) { levW(base + k) = lw; levOrig(base + k) = -1 - li; li += 1 }
+        else { levW(base + k) = pw; levOrig(base + k) = pi; pi += 1 }
+        k += 1
+      }
+      levN(l) = k
+      l += 1
     }
-    prev.take(2 * (syms.length - 1))
-      .foreach(_.syms.foreach(s => lens(s) += 1))
+    // backward walk: take the first `needed` packages per level; a
+    // leaf increments its symbol, a pair demands two more from below
+    var needed = 2 * (n - 1)
+    l = limit - 1
+    while (l >= 0) {
+      var pairs = 0
+      var k = 0
+      while (k < needed) {
+        val o = levOrig(l * maxLen + k)
+        if (o < 0) lens(leafSyms(-1 - o)) += 1
+        else pairs += 1
+        k += 1
+      }
+      needed = 2 * pairs
+      l -= 1
+    }
     lens
   }
 

@@ -483,7 +483,12 @@ object Multimodal {
     * fixture's h = 0 case has no PNG analogue).
     */
   def pngAssets(spark: SparkSession, dir: String): DataFrame = {
+    // staging parallelism: the documents scan is a single partition at
+    // fixture scale, which would serialize the per-row container
+    // ENCODE (the genuinely priced part since the three-block deflate
+    // emit); spread it the way a real media pipeline would
     val docs = ColOps.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val schema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("media", BinaryType, nullable = false)))
@@ -591,7 +596,9 @@ object Multimodal {
     * against the JDK codec.
     */
   def jpegAssets(spark: SparkSession, dir: String): DataFrame = {
+    // same staging-parallelism note as [[pngAssets]]
     val docs = ColOps.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val schema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("media", BinaryType, nullable = false)))
