@@ -505,6 +505,21 @@ object ScaleProbe {
           "doc_id", "url", "n_chars").count()
     })
 
+    // frontier politeness at n× the frontier: host space is FIXED (23
+    // sites) while queue depth per host grows n× — admitted fetches
+    // grow with the TIME axis (t_us spreads with doc_id), and the
+    // throttle's partial WindowGroupLimit must keep shuffled rows at
+    // one candidate per (host, window) per task, so cost tracks the
+    // scan + rule probes, never the per-host queue depth
+    probePair("frontierSched", docs, bigDocs, { d =>
+      val (rules, delays) = graft.operators.Robots.fixtureGroups(spark)
+      graft.operators.Robots.frontierSchedule(
+        d.select(col("doc_id"),
+          graft.operators.Urls.urlCol(col("doc_id")).as("url"),
+          (col("doc_id") * 333333L).as("t_us")),
+        "doc_id", "url", "t_us", rules, delays).count()
+    })
+
     // span decontamination: corpus grows n× against a FIXED eval suite
     // (the contract's shape — a copied bench would quadratically inflate
     // matches and measure output volume, not the operator); cost must

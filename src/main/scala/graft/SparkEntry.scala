@@ -873,17 +873,28 @@ object SparkEntry {
   private[graft] def curatedCorpusBuildNear(shards: DataFrame): DataFrame =
     corpusBuildTailNear(curatedExtracted(shards))
 
-  private[graft] def corpusBuildTail(extracted: DataFrame): DataFrame = {
+  /** The quality-gate + exact-dedup canon set shared by both corpus
+    * builds — ONE definition so the two flagship chains cannot drift
+    * (the Scala dual of the shared [[curatedPrefixCtes]] on the oracle
+    * side). Checkpointed: both consumers re-scan it (BPE train +
+    * encode; the near variant also feeds the cluster loop).
+    */
+  private def corpusCanon(extracted: DataFrame): DataFrame = {
     val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
       .filter(col("keep")).select(col("doc_id"))
     val kept = graft.core.Materialize.checkpoint(extracted.join(keepIds, "doc_id"))
-    val canon = kept.join(
+    graft.core.Materialize.checkpoint(kept.join(
       Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id")),
-      "doc_id")
-    Packing.packTokenIds(
-      TextOps.tokenizeIdArrays(canon, "doc_id", "text",
-        TextOps.bpeRun(canon, "text", 6)._2), "doc_id", 128L)
+      "doc_id"))
   }
+
+  private def packCorpus(docs: DataFrame): DataFrame =
+    Packing.packTokenIds(
+      TextOps.tokenizeIdArrays(docs, "doc_id", "text",
+        TextOps.bpeRun(docs, "text", 6)._2), "doc_id", 128L)
+
+  private[graft] def corpusBuildTail(extracted: DataFrame): DataFrame =
+    packCorpus(corpusCanon(extracted))
 
   /** [[corpusBuildTail]] + the near-dup stage: exact dedup's canon set
     * is cut to each near-dup cluster's token-richest representative
@@ -893,18 +904,10 @@ object SparkEntry {
     * iterative lineage out of the heavy tail's plan.
     */
   private[graft] def corpusBuildTailNear(extracted: DataFrame): DataFrame = {
-    val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
-      .filter(col("keep")).select(col("doc_id"))
-    val kept = graft.core.Materialize.checkpoint(extracted.join(keepIds, "doc_id"))
-    val canon = graft.core.Materialize.checkpoint(kept.join(
-      Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id")),
-      "doc_id"))
+    val canon = corpusCanon(extracted)
     val best = Dedup.keepBest(canon, "doc_id", "text")
       .select(col("best_doc").as("doc_id"))
-    val near = graft.core.Materialize.checkpoint(canon.join(best, "doc_id"))
-    Packing.packTokenIds(
-      TextOps.tokenizeIdArrays(near, "doc_id", "text",
-        TextOps.bpeRun(near, "text", 6)._2), "doc_id", 128L)
+    packCorpus(graft.core.Materialize.checkpoint(canon.join(best, "doc_id")))
   }
 
   private def oneRow(spark: SparkSession, names: Seq[String], values: Seq[Any]): DataFrame = {

@@ -90,14 +90,19 @@ object HttpCodec {
       if (ext >= 0) sizeStr = sizeStr.substring(0, ext)
       sizeStr = sizeStr.trim
       if (sizeStr.isEmpty || sizeStr.length > 8) return null
-      var size = 0
+      // accumulate in Long: 8 hex digits reach 0xffffffff, which wraps
+      // an Int negative and would bypass the bounds guard below — a
+      // crafted chunk size must fail closed, not crash the task
+      var sizeL = 0L
       var i = 0
       while (i < sizeStr.length) {
         val d = Character.digit(sizeStr.charAt(i), 16)
         if (d < 0) return null
-        size = size * 16 + d
+        sizeL = sizeL * 16 + d
         i += 1
       }
+      if (sizeL > a.length.toLong) return null // cannot exceed the buffer
+      val size = sizeL.toInt
       p = e + 2
       if (size == 0) {
         // trailer section: zero or more header lines, then a blank line
@@ -140,11 +145,22 @@ object HttpCodec {
     dec.decode(java.nio.ByteBuffer.wrap(body)).toString
   }
 
+  private val StatusLinePattern = java.util.regex.Pattern
+    .compile("^HTTP/\\d(?:\\.\\d)?[ \\t]+(\\d{3})(?:[ \\t].*)?$")
+  private val CharsetPattern = java.util.regex.Pattern
+    .compile("(?i)charset\\s*=\\s*\"?([^\";\\s]+)\"?")
+
   /** Parse a full HTTP/1.x response message; null on malformation
     * (no status line, no header/body split, chunked framing error,
-    * content-coding error or unknown coding).
+    * content-coding error or unknown coding). Defensive catch on
+    * index errors: this runs per record on untrusted crawl bytes, and
+    * a parser slip must null the record, never kill the task.
     */
-  def parse(bytes: Array[Byte]): GenericInternalRow = {
+  def parse(bytes: Array[Byte]): GenericInternalRow =
+    try parseImpl(bytes)
+    catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => null }
+
+  private def parseImpl(bytes: Array[Byte]): GenericInternalRow = {
     if (bytes == null) return null
     // header/body split: first CRLFCRLF
     var split = -1
@@ -160,8 +176,7 @@ object HttpCodec {
     if (rawLines.isEmpty) return null
     // status line
     val st = rawLines(0)
-    val m = java.util.regex.Pattern
-      .compile("^HTTP/\\d(?:\\.\\d)?[ \\t]+(\\d{3})(?:[ \\t].*)?$").matcher(st)
+    val m = StatusLinePattern.matcher(st)
     if (!m.matches()) return null
     val status = m.group(1).toInt
     // unfold + collect headers; repeated headers append comma-joined
@@ -222,9 +237,7 @@ object HttpCodec {
       mime = (if (semi >= 0) ct.substring(0, semi) else ct)
         .trim.toLowerCase(java.util.Locale.ROOT)
       if (semi >= 0) {
-        val pm = java.util.regex.Pattern
-          .compile("(?i)charset\\s*=\\s*\"?([^\";\\s]+)\"?")
-          .matcher(ct.substring(semi + 1))
+        val pm = CharsetPattern.matcher(ct.substring(semi + 1))
         if (pm.find()) charset = pm.group(1).toLowerCase(java.util.Locale.ROOT)
       }
     }

@@ -280,6 +280,12 @@ object JpegCodec {
           height = u16(p + 1)
           width = u16(p + 3)
           if (width == 0 || height == 0) throw Malformed
+          // dimension-product cap (the PngCodec guard): a few-dozen-byte
+          // crafted SOF0 would otherwise command multi-GB component
+          // planes before the entropy decode can reject the stream —
+          // and the dispatch tier feeds this decoder arbitrary payloads
+          // as a sniffer
+          if (width.toLong * height > (1L << 24)) throw Malformed
           val nc = a(p + 5) & 0xff
           if (nc != 1 && nc != 3) throw Malformed
           if (len != 8 + 3 * nc) throw Malformed

@@ -154,6 +154,11 @@ class HttpCodecSpec extends SparkSpec {
     assert(row(msg(h, "6\r\nhello\r\n0\r\n\r\n".getBytes(US_ASCII))) == null) // size/CRLF drift
     assert(row(msg(h, "5\r\nhello\r\n".getBytes(US_ASCII))) == null) // no terminator
     assert(row(msg(h, "5\r\nhello\r\n0\r\n\r\nextra".getBytes(US_ASCII))) == null) // garbage
+    // adversarial sizes: 8 hex digits wrap a 32-bit accumulator — must
+    // null, never throw (the size can also never exceed the buffer)
+    assert(row(msg(h, "ffffffff\r\nxx\r\n0\r\n\r\n".getBytes(US_ASCII))) == null)
+    assert(row(msg(h, "7fffffff\r\nxx\r\n0\r\n\r\n".getBytes(US_ASCII))) == null)
+    assert(row(msg(h, "10000\r\nxx\r\n0\r\n\r\n".getBytes(US_ASCII))) == null)
   }
 
   // --- envelope malformations ------------------------------------------

@@ -153,6 +153,14 @@ class JpegCodecSpec extends SparkSpec {
     // foreign containers route to null (the sniffer contract)
     assert(JpegCodec.decodeFeatures(graft.functions.PngCodec.encodeRgb8(
       Array.fill(16)(0xff8040), 4, 4)) == null)
+    // dimension bomb: a crafted SOF0 declaring 24000x24000 must fail
+    // the product cap BEFORE any plane allocation, not OOM the task
+    val bomb = good.clone()
+    val sofAt2 = bomb.indexOfSlice(Array[Byte](0xff.toByte, 0xc0.toByte))
+    // SOF payload: len(2) precision(1) height(2) width(2)
+    bomb(sofAt2 + 5) = 0x5d; bomb(sofAt2 + 6) = 0xc0.toByte // height 24000
+    bomb(sofAt2 + 7) = 0x5d; bomb(sofAt2 + 8) = 0xc0.toByte // width 24000
+    assert(JpegCodec.decodeFeatures(bomb) == null)
   }
 
   test("decode features match a direct pixel-walk (sums + position hash)") {

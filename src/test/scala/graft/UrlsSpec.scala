@@ -178,7 +178,12 @@ class UrlsSpec extends SparkSpec {
     for (q <- Seq("q_url_parse", "q_url_normalize")) {
       val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
-      assert(!p.contains("ShuffleExchange"), s"$q rows should never shuffle:\n$p")
+      // shuffle exchanges print as 'Exchange hashpartitioning/…' — the
+      // only Exchange nodes allowed are the PSL build side's broadcasts
+      val shuffles = p.linesIterator
+        .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+        .toList
+      assert(shuffles.isEmpty, s"$q rows should never shuffle:\n$shuffles\n$p")
       assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge join:\n$p")
       if (q == "q_url_parse")
         assert(p.contains("BroadcastHashJoin"), s"$q should probe the broadcast PSL:\n$p")
