@@ -3472,6 +3472,14 @@ object SparkEntry {
     "q_media_dispatch" -> ((s, dir) =>
       Multimodal.decodeDispatch(Multimodal.mixedAssets(s, dir))),
 
+    // canonical-container TRANSCODE (media normalization): every image
+    // in the mixed corpus — BMP, PNG, or JPEG — re-encoded as PNG and
+    // re-decoded in-plan; geometry, channel sums, and the
+    // position-sensitive px_hash must ride through the cross-codec
+    // composition untouched (non-images drop on the transcode NULL)
+    "q_media_transcode" -> ((s, dir) =>
+      Multimodal.transcodeNormalize(Multimodal.mixedAssets(s, dir))),
+
     // STREAMING multimodal ingest — the "new assets arrive daily"
     // shape: a real file SOURCE discovers the staged parquet shards
     // (one per micro-batch), and the full try-decode dispatch (wav/bmp
@@ -4832,6 +4840,7 @@ object SparkEntry {
     "q_png_resize" -> Multimodal.pngResampleSql(2),
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,
+    "q_media_transcode" -> Multimodal.transcodeSql,
     // file-source streaming twin: stateless per-asset dispatch ≡ batch
     "q_media_stream" -> Multimodal.decodeDispatchSql,
     "q_dedup_rates" -> Dedup.dedupRatesSql("documents", "doc_id", "text", "source"),

@@ -112,6 +112,25 @@ object BmpCodec {
     StructField("sum_g", LongType, nullable = false),
     StructField("sum_b", LongType, nullable = false)))
 
+  /** Strict decode to packed 0xRRGGBB pixels in LOGICAL top-down
+    * order (the transcode tier's input); null on malformation.
+    */
+  private[functions] def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val p = parse(bytes)
+    if (p == null) return null
+    val out = new Array[Int](p.width * p.height)
+    var y = 0
+    while (y < p.height) {
+      var x = 0
+      while (x < p.width) {
+        out(y * p.width + x) = p.px(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    (p.width, p.height, out)
+  }
+
   /** Parsed geometry + exact per-channel sums in one loop. */
   def decodeFeatures(bytes: Array[Byte]): InternalRow = {
     val p = parse(bytes)

@@ -807,6 +807,22 @@ object PngCodec {
     encodeRgb8(out, w2, h2)
   }
 
+  /** Strict decode to packed 0xRRGGBB pixels in logical top-down
+    * order (the transcode tier's input); null on malformation.
+    */
+  private[functions] def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val p = parse(bytes)
+    if (p == null) return null
+    val out = new Array[Int](p.width * p.height)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((p.rgb(3 * i) & 0xff) << 16) |
+        ((p.rgb(3 * i + 1) & 0xff) << 8) | (p.rgb(3 * i + 2) & 0xff)
+      i += 1
+    }
+    (p.width, p.height, out)
+  }
+
   /** Geometry + channel sums + the position-sensitive rolling hash over
     * the logical top-down RGB byte stream, one loop.
     */

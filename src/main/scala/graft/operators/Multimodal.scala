@@ -418,17 +418,24 @@ object Multimodal {
   }
 
   /** Oracle CTE shared by the BMP queries: per-doc byte list + geometry. */
-  private def bmpBytesCte: String =
-    s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
-        g AS (SELECT doc_id,
+  private def bmpBytesCte: String = bmpBytesCtePrefixed("")
+
+  /** The same chain with PREFIXED cte names — for composed oracles
+    * whose outer WITH would otherwise collide with the b/g/geo names a
+    * nested subquery re-uses (DuckDB rejects an outer/nested duplicate
+    * alias when the outer is in the same main-body scope).
+    */
+  private def bmpBytesCtePrefixed(p: String): String =
+    s"""WITH ${p}b AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+        ${p}g AS (SELECT doc_id,
                 [(strpos('0123456789abcdef', hx[2*i+1])-1)*16
                  + (strpos('0123456789abcdef', hx[2*i+2])-1)
                  for i in range(0, len(hx)//2)] AS bts,
                 4 + (doc_id % 4) AS w
-              FROM b),
-        geo AS (SELECT doc_id, bts, w,
+              FROM ${p}b),
+        ${p}geo AS (SELECT doc_id, bts, w,
                   (len(bts) + w - 1) // w AS h
-                FROM g)"""
+                FROM ${p}g)"""
 
   /** DuckDB mirror of bmp_decode over [[bmpAssets]] (padded trailing
     * pixels are (0,0,0) — they add n_px but nothing to the sums).
@@ -684,6 +691,58 @@ object Multimodal {
                list_reduce(list_prepend(0::BIGINT, flatten(px3)),
                  (a, x) -> (a * 31 + x) % ${graft.functions.PngCodec.HashMod}) AS px_hash
         FROM jflat"""
+
+  // --- canonical-container transcode (media normalization) ----------
+
+  /** Normalize the mixed corpus's IMAGES to the canonical container:
+    * try-decode each payload (BMP/PNG/JPEG — strict NULLs are the
+    * sniffer), re-encode as PNG, and re-decode IN-PLAN so the oracle
+    * checks the full composition: the transcoded container must
+    * reproduce the source's geometry, channel sums, and
+    * position-sensitive px_hash. Non-image payloads (wav, raw text)
+    * drop out on the transcode NULL. One map pass, zero shuffle.
+    */
+  def transcodeNormalize(assets: DataFrame): DataFrame =
+    assets.select(col("asset_id"),
+        graft.functions.PngDecode.png_decode(
+          graft.functions.ImageToPng.image_to_png(col("media"))).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("asset_id"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
+        col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
+        col("d.px_hash").as("px_hash"))
+
+  /** DuckDB mirror of [[transcodeNormalize]] over [[mixedAssets]]:
+    * three source-format branches predicting the POST-transcode PNG
+    * decode from the documents table — bmp geometry (no height floor;
+    * zero-height sources are untranscodable and drop), png geometry,
+    * and the jpeg cell chain. Values identical to each source's own
+    * decode: the transcode must be pixel-transparent.
+    */
+  def transcodeSql: String =
+    s"""${bmpBytesCtePrefixed("t")},
+        bflat AS (SELECT doc_id, bts, w, h,
+                    flatten([CASE WHEN i < len(bts)
+                       THEN [bts[i+1], (7*bts[i+1] + 13) % 256, 255 - bts[i+1]]
+                       ELSE [0, 0, 0] END
+                     for i in range(0, w * h)]) AS pxb
+                  FROM tgeo WHERE doc_id % 5 = 1 AND h > 0)
+        SELECT doc_id AS asset_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(bts), 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(bts,
+                 x -> (7*x + 13) % 256)), 0) AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(bts,
+                 x -> 255 - x)), 0) AS BIGINT) AS sum_b,
+               list_reduce(list_prepend(0::BIGINT, pxb),
+                 (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
+        FROM bflat
+        UNION ALL
+        SELECT * FROM ($pngDecodeSql) p WHERE p.asset_id % 5 = 2
+        UNION ALL
+        SELECT * FROM ($jpegDecodeSql) j WHERE j.asset_id % 5 = 3"""
 
   // --- multi-format dispatch (mixed-modality corpus routing) ---
 

@@ -163,6 +163,37 @@ class JpegCodecSpec extends SparkSpec {
     assert(JpegCodec.decodeFeatures(bomb) == null)
   }
 
+  test("image_to_png transcode is pixel-transparent from every source container") {
+    import graft.functions.{BmpCodec, PngCodec, TranscodeCodec}
+    val px = Array.tabulate(35)(i => ((i * 2654435761L) & 0xffffff).toInt)
+    val bmp = BmpCodec.encodeRgb24(px, 7, 5)
+    val png = PngCodec.encodeRgb8(px, 7, 5)
+    val jpg = JpegCodec.encodeCells(cells(6), 24, 16, subsample420 = false,
+      gray = false, restartInterval = 0)
+    for ((label, src) <- Seq("bmp" -> bmp, "png" -> png, "jpeg" -> jpg)) {
+      val out = TranscodeCodec.toPng(src)
+      assert(out != null, s"$label transcode nulled")
+      // the transcoded container is a PNG whose decode equals the
+      // SOURCE's decode (geometry + pixels, orientation included)
+      val a = PngCodec.decodeFeatures(out)
+      assert(a != null, s"$label transcode produced an undecodable PNG")
+      if (label == "jpeg") {
+        val b = JpegCodec.decodeFeatures(src)
+        assert((0 until 7).forall(i => a.get(i, null) == b.get(i, null)))
+      } else if (label == "png") {
+        val b = PngCodec.decodeFeatures(src)
+        assert((0 until 7).forall(i => a.get(i, null) == b.get(i, null)))
+      } else {
+        val b = BmpCodec.decodeFeatures(src)
+        assert((0 until 6).forall(i => a.get(i, null) == b.get(i, null)))
+      }
+    }
+    // non-images and zero-pixel sources null
+    assert(TranscodeCodec.toPng("just text".getBytes("UTF-8")) == null)
+    assert(TranscodeCodec.toPng(BmpCodec.encodeRgb24(Array.emptyByteArray
+      .map(_.toInt), 4, 0)) == null) // 0-height BMP: no PNG can carry it
+  }
+
   test("decode features match a direct pixel-walk (sums + position hash)") {
     val enc = JpegCodec.encodeCells(cells(9), 22, 21, subsample420 = true,
       gray = false, restartInterval = 2)
