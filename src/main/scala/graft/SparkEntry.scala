@@ -2542,6 +2542,14 @@ object SparkEntry {
       Warc.recoveryAudit(s.read.format("binaryFile")
         .load(stagedDamagedWarcShards(s, dir).toString))),
 
+    // the recovery mode COMPOSED into the front door: extraction over
+    // the damaged archive — a corrupted record costs exactly its own
+    // page (oracle = the extraction oracle minus the damaged docs),
+    // everything around it decodes and extracts untouched
+    "q_warc_extract_recover" -> ((s, dir) =>
+      Warc.extractLenient(s.read.format("binaryFile")
+        .load(stagedDamagedWarcShards(s, dir).toString))),
+
     // STREAMING crawl-archive ingest — the "new .warc.gz shards land
     // continuously" shape: a real binaryFile SOURCE discovers one
     // shard per micro-batch and the FULL front door (multi-member
@@ -3480,6 +3488,20 @@ object SparkEntry {
     "q_media_transcode" -> ((s, dir) =>
       Multimodal.transcodeNormalize(Multimodal.mixedAssets(s, dir))),
 
+    // STREAMING media normalization — "new assets arrive, normalize on
+    // ingest": the staged parquet shards feed a real file source (one
+    // per micro-batch) and the stateless decode→PNG→re-decode chain
+    // runs inside the stream; shares the batch transcode oracle
+    "q_media_transcode_stream" -> ((s, dir) => {
+      val shards = stagedMediaShards(s, dir)
+      graft.streaming.StreamExec.runSourceStream(s) {
+        Multimodal.transcodeNormalize(s.readStream
+          .schema("asset_id BIGINT, media BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(shards.toString))
+      }
+    }),
+
     // STREAMING multimodal ingest — the "new assets arrive daily"
     // shape: a real file SOURCE discovers the staged parquet shards
     // (one per micro-batch), and the full try-decode dispatch (wav/bmp
@@ -4389,6 +4411,9 @@ object SparkEntry {
     "q_warc_stream" -> Html.extractOracleSql,
     "q_warc_records" -> Warc.auditOracleSql,
     "q_warc_recover" -> Warc.recoveryAuditOracleSql,
+    "q_warc_extract_recover" ->
+      s"""SELECT * FROM (${Html.extractOracleSql}) e
+          WHERE e.doc_id % ${Warc.DamageEvery} <> ${Warc.DamagePhase}""",
 
     "q_domain_rank" -> operators.Graph.pageRankSql(
       s"""SELECT ((doc_id % 150) % 23) * 7 + (doc_id % 150) % 7 AS src,
@@ -4841,6 +4866,7 @@ object SparkEntry {
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,
     "q_media_transcode" -> Multimodal.transcodeSql,
+    "q_media_transcode_stream" -> Multimodal.transcodeSql,
     // file-source streaming twin: stateless per-asset dispatch ≡ batch
     "q_media_stream" -> Multimodal.decodeDispatchSql,
     "q_dedup_rates" -> Dedup.dedupRatesSql("documents", "doc_id", "text", "source"),

@@ -549,6 +549,31 @@ object Warc {
             concat(lit("sha1:"), sha1(col("payload"))), 1L).otherwise(0L))
           .as("n_verified"))
 
+  /** Decoded records of a shard scan in RECOVERY mode: damaged records
+    * are skipped-and-counted per shard instead of nulling it (the
+    * [[graft.functions.WarcRecordsLenient]] posture); survivors flow
+    * with the same schema as [[records]], so the whole ingest chain
+    * composes on top unchanged.
+    */
+  def recordsLenient(shards: DataFrame): DataFrame =
+    shards.select(explode(
+        graft.functions.WarcRecordsLenient.warc_records_lenient(
+          GzipDecode.gzip_decode(col("content"))).getField("records")).as("r"))
+      .select(col("r.warc_type").as("warc_type"),
+        col("r.record_id").as("record_id"),
+        col("r.target_uri").as("target_uri"),
+        col("r.content_length").as("content_length"),
+        col("r.payload").as("payload"),
+        col("r.payload_digest").as("payload_digest"))
+
+  /** Recovery-mode front door: damaged archive → surviving pages →
+    * extraction — the proof the lenient parse COMPOSES into the
+    * pipeline (a bad capture costs its own page, everything around it
+    * still extracts).
+    */
+  def extractLenient(shards: DataFrame): DataFrame =
+    Html.extract(responsePages(recordsLenient(shards)), "doc_id", "html")
+
   /** Recovery audit over a (possibly damaged) shard scan: per shard,
     * recovered record count, malformed-and-skipped count, and the
     * exact bytes skipped — the observability ADVICE asked for: a bad
