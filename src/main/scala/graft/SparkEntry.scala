@@ -3488,6 +3488,14 @@ object SparkEntry {
     "q_media_transcode" -> ((s, dir) =>
       Multimodal.transcodeNormalize(Multimodal.mixedAssets(s, dir))),
 
+    // format-agnostic THUMBNAILS: decode any image container,
+    // 2-decimate in logical orientation, land in the canonical
+    // container, re-decode in-plan — preview generation independent
+    // of what the crawl delivered; px_hash pins orientation through
+    // the decode→decimate→encode→decode chain per source format
+    "q_media_thumb" -> ((s, dir) =>
+      Multimodal.thumbnails(Multimodal.mixedAssets(s, dir), 2)),
+
     // STREAMING media normalization — "new assets arrive, normalize on
     // ingest": the staged parquet shards feed a real file source (one
     // per micro-batch) and the stateless decode→PNG→re-decode chain
@@ -4867,6 +4875,7 @@ object SparkEntry {
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,
     "q_media_transcode" -> Multimodal.transcodeSql,
     "q_media_transcode_stream" -> Multimodal.transcodeSql,
+    "q_media_thumb" -> Multimodal.thumbnailSql(2),
     // file-source streaming twin: stateless per-asset dispatch ≡ batch
     "q_media_stream" -> Multimodal.decodeDispatchSql,
     "q_dedup_rates" -> Dedup.dedupRatesSql("documents", "doc_id", "text", "source"),

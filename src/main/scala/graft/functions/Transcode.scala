@@ -50,6 +50,32 @@ object TranscodeCodec {
     if (w <= 0 || h <= 0) return null // PNG cannot carry a zero axis
     PngCodec.encodeRgb8(px, w, h)
   }
+
+  /** Any supported image container → k-decimated canonical-PNG
+    * THUMBNAIL (keep (x, y) with x % k == 0 and y % k == 0, logical
+    * top-down orientation — the Bmp/PngResample decimation algebra,
+    * now format-agnostic); null for non-images and zero-pixel sources.
+    */
+  def thumbnail(bytes: Array[Byte], k: Int): Array[Byte] = {
+    if (bytes == null) return null
+    val d = decodeAny(bytes)
+    if (d == null) return null
+    val (w, h, px) = d
+    if (w <= 0 || h <= 0) return null
+    val w2 = (w + k - 1) / k
+    val h2 = (h + k - 1) / k
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = px((y * k) * w + x * k)
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encodeRgb8(out, w2, h2)
+  }
 }
 
 /** `image_to_png(bytes)` — canonical-container transcode; see
@@ -79,5 +105,36 @@ object ImageToPng {
   def image_to_png(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(ImageToPng(GraftColumnBridge.expression(c)))
+  }
+}
+
+/** `image_thumbnail(bytes, k)` — format-agnostic k-decimated thumbnail
+  * in the canonical container; see [[TranscodeCodec.thumbnail]].
+  */
+case class ImageThumbnail(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"decimation factor must be >= 1, got $k")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_thumbnail needs a binary column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TranscodeCodec.thumbnail(input.asInstanceOf[Array[Byte]], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TranscodeCodec.thumbnail($c, $k);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): ImageThumbnail =
+    copy(child = newChild)
+  override def prettyName: String = "image_thumbnail"
+}
+
+object ImageThumbnail {
+  def image_thumbnail(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(ImageThumbnail(GraftColumnBridge.expression(c), k))
   }
 }

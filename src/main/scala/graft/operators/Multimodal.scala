@@ -744,6 +744,73 @@ object Multimodal {
         UNION ALL
         SELECT * FROM ($jpegDecodeSql) j WHERE j.asset_id % 5 = 3"""
 
+  /** Format-agnostic THUMBNAILS over the mixed corpus: decode any
+    * image container, k-decimate in logical orientation, land in the
+    * canonical container, re-decode in-plan — the thumbnail/preview
+    * generation step of a media pipeline, now independent of what the
+    * crawl delivered. Same map-only, fail-closed shape as
+    * [[transcodeNormalize]].
+    */
+  def thumbnails(assets: DataFrame, k: Int): DataFrame =
+    assets.select(col("asset_id"),
+        graft.functions.PngDecode.png_decode(
+          graft.functions.ImageThumbnail.image_thumbnail(col("media"), k)).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("asset_id"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
+        col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
+        col("d.px_hash").as("px_hash"))
+
+  /** DuckDB mirror of [[thumbnails]] over [[mixedAssets]]: the
+    * [[transcodeSql]] branches with the Bmp/PngResample decimation
+    * algebra applied per source geometry.
+    */
+  def thumbnailSql(k: Int): String =
+    s"""${bmpBytesCtePrefixed("t")},
+        $jpegChainCtes,
+        tkept AS (SELECT doc_id, bts, w, h,
+                    [i for i in range(0, w * h)
+                     if (i % w) % $k = 0 AND (i // w) % $k = 0] AS ks
+                  FROM tgeo WHERE doc_id % 5 = 1 AND h > 0),
+        tflat AS (SELECT doc_id, w, h, ks,
+                    flatten(list_transform(ks, i -> CASE WHEN i < len(bts)
+                       THEN [bts[i+1], (7*bts[i+1] + 13) % 256, 255 - bts[i+1]]
+                       ELSE [0, 0, 0] END)) AS pxb,
+                    list_transform(ks, i -> CASE WHEN i < len(bts)
+                       THEN bts[i+1] ELSE NULL END) AS kb
+                  FROM tkept),
+        jkept AS (SELECT doc_id, w, h,
+                    list_transform([i for i in range(0, w * h)
+                       if (i % w) % $k = 0 AND (i // w) % $k = 0],
+                      i -> px3[CAST(i AS INT) + 1]) AS px3k
+                  FROM jflat WHERE doc_id % 5 = 3)
+        SELECT doc_id AS asset_id,
+               CAST((w + $k - 1) // $k AS INT) AS width,
+               CAST((h + $k - 1) // $k AS INT) AS height,
+               CAST(((w + $k - 1) // $k) * ((h + $k - 1) // $k) AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(kb), 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(kb,
+                 x -> (7*x + 13) % 256)), 0) AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(kb,
+                 x -> 255 - x)), 0) AS BIGINT) AS sum_b,
+               list_reduce(list_prepend(0::BIGINT, pxb),
+                 (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
+        FROM tflat
+        UNION ALL
+        SELECT * FROM (${pngResampleSql(k)}) p WHERE p.asset_id % 5 = 2
+        UNION ALL
+        SELECT doc_id AS asset_id,
+               CAST((w + $k - 1) // $k AS INT) AS width,
+               CAST((h + $k - 1) // $k AS INT) AS height,
+               CAST(((w + $k - 1) // $k) * ((h + $k - 1) // $k) AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(list_transform(px3k, t -> t[1])), 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(px3k, t -> t[2])), 0) AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(px3k, t -> t[3])), 0) AS BIGINT) AS sum_b,
+               list_reduce(list_prepend(0::BIGINT, flatten(px3k)),
+                 (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
+        FROM jkept"""
+
   // --- multi-format dispatch (mixed-modality corpus routing) ---
 
   /** Mixed-modality corpus staged from the documents table: WAV

@@ -194,6 +194,35 @@ class JpegCodecSpec extends SparkSpec {
       .map(_.toInt), 4, 0)) == null) // 0-height BMP: no PNG can carry it
   }
 
+  test("image_thumbnail keeps exactly the (x%k, y%k)=0 pixels in logical orientation") {
+    import graft.functions.{BmpCodec, PngCodec, TranscodeCodec}
+    val w = 7; val h = 5; val k = 2
+    val px = Array.tabulate(w * h)(i => ((i * 2654435761L) & 0xffffff).toInt)
+    for ((label, src) <- Seq(
+        "bmp" -> BmpCodec.encodeRgb24(px, w, h),
+        "png" -> PngCodec.encodeRgb8(px, w, h))) {
+      val out = TranscodeCodec.thumbnail(src, k)
+      assert(out != null, s"$label thumbnail nulled")
+      val row = PngCodec.decodeFeatures(out)
+      assert(row.getInt(0) == 4 && row.getInt(1) == 3, s"$label dims")
+      // expected kept pixels, row-major logical order
+      val kept = for (y <- 0 until h by k; x <- 0 until w by k) yield px(y * w + x)
+      var sr = 0L; var hsh = 0L
+      kept.foreach { p =>
+        sr += (p >> 16) & 0xff
+        hsh = (hsh * 31 + ((p >> 16) & 0xff)) % PngCodec.HashMod
+        hsh = (hsh * 31 + ((p >> 8) & 0xff)) % PngCodec.HashMod
+        hsh = (hsh * 31 + (p & 0xff)) % PngCodec.HashMod
+      }
+      assert(row.getLong(3) == sr && row.getLong(6) == hsh,
+        s"$label decimation content drift")
+    }
+    // k=1 thumbnail ≡ plain transcode
+    val src = BmpCodec.encodeRgb24(px, w, h)
+    assert(java.util.Arrays.equals(TranscodeCodec.thumbnail(src, 1),
+      TranscodeCodec.toPng(src)))
+  }
+
   test("decode features match a direct pixel-walk (sums + position hash)") {
     val enc = JpegCodec.encodeCells(cells(9), 22, 21, subsample420 = true,
       gray = false, restartInterval = 2)
