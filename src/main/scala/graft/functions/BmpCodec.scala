@@ -112,6 +112,15 @@ object BmpCodec {
     StructField("sum_g", LongType, nullable = false),
     StructField("sum_b", LongType, nullable = false)))
 
+  /** Parsed (width, height) WITHOUT materializing pixels — the
+    * transcode tier's pre-allocation dimension check (BMP validation
+    * is per-axis only; the product cap lives with the caller).
+    */
+  private[functions] def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+    val p = parse(bytes)
+    if (p == null) null else (p.width, p.height)
+  }
+
   /** Strict decode to packed 0xRRGGBB pixels in LOGICAL top-down
     * order (the transcode tier's input); null on malformation.
     */

@@ -27,16 +27,32 @@ import org.apache.spark.sql.types._
   */
 object TranscodeCodec {
 
+  /** Pixel-product cap for the decode-to-pixels path — PNG and JPEG
+    * already enforce it in their parsers, but BMP's validation is
+    * per-axis only (2^20 each), so a crafted valid BMP could command
+    * multi-GB pixel arrays here and then emit a PNG the canonical
+    * decoder itself rejects. One cap, checked BEFORE materializing.
+    */
+  private val MaxPixels = 1L << 24
+
   private def decodeAny(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-    val b = BmpCodec.decodeRgb(bytes)
-    if (b != null) return b
-    val p = PngCodec.decodeRgb(bytes)
-    if (p != null) return p
-    try JpegCodec.decodeRgb(bytes)
-    catch {
-      case PngCodec.Malformed | _: ArrayIndexOutOfBoundsException |
-           _: NegativeArraySizeException => null
+    val d = {
+      val b = BmpCodec.decodeDims(bytes)
+      if (b != null && b._1.toLong * b._2 > MaxPixels) return null
+      if (b != null) BmpCodec.decodeRgb(bytes)
+      else {
+        val p = PngCodec.decodeRgb(bytes)
+        if (p != null) p
+        else try JpegCodec.decodeRgb(bytes)
+        catch {
+          case PngCodec.Malformed | _: ArrayIndexOutOfBoundsException |
+               _: NegativeArraySizeException => null
+        }
+      }
     }
+    if (d == null) null
+    else if (d._1.toLong * d._2 > MaxPixels) null
+    else d
   }
 
   /** Any supported image container → canonical PNG bytes; null when

@@ -703,9 +703,17 @@ object Multimodal {
     * drop out on the transcode NULL. One map pass, zero shuffle.
     */
   def transcodeNormalize(assets: DataFrame): DataFrame =
+    pngFeaturesOf(assets,
+      graft.functions.ImageToPng.image_to_png(col("media")))
+
+  /** Shared tail of the transcode-family queries: re-decode the
+    * produced canonical container in-plan and flatten the feature
+    * struct (ONE definition so the transcode and thumbnail shapes
+    * cannot drift).
+    */
+  private def pngFeaturesOf(assets: DataFrame, container: Column): DataFrame =
     assets.select(col("asset_id"),
-        graft.functions.PngDecode.png_decode(
-          graft.functions.ImageToPng.image_to_png(col("media"))).as("d"))
+        graft.functions.PngDecode.png_decode(container).as("d"))
       .filter(col("d").isNotNull)
       .select(col("asset_id"),
         col("d.width").as("width"), col("d.height").as("height"),
@@ -752,15 +760,8 @@ object Multimodal {
     * [[transcodeNormalize]].
     */
   def thumbnails(assets: DataFrame, k: Int): DataFrame =
-    assets.select(col("asset_id"),
-        graft.functions.PngDecode.png_decode(
-          graft.functions.ImageThumbnail.image_thumbnail(col("media"), k)).as("d"))
-      .filter(col("d").isNotNull)
-      .select(col("asset_id"),
-        col("d.width").as("width"), col("d.height").as("height"),
-        col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
-        col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
-        col("d.px_hash").as("px_hash"))
+    pngFeaturesOf(assets,
+      graft.functions.ImageThumbnail.image_thumbnail(col("media"), k))
 
   /** DuckDB mirror of [[thumbnails]] over [[mixedAssets]]: the
     * [[transcodeSql]] branches with the Bmp/PngResample decimation

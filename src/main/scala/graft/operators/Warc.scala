@@ -420,14 +420,20 @@ object Warc {
     * one row per WARC record.
     */
   def records(shards: DataFrame): DataFrame =
-    shards.select(explode(
-        WarcRecords.warc_records(GzipDecode.gzip_decode(col("content")))).as("r"))
-      .select(col("r.warc_type").as("warc_type"),
-        col("r.record_id").as("record_id"),
-        col("r.target_uri").as("target_uri"),
-        col("r.content_length").as("content_length"),
-        col("r.payload").as("payload"),
-        col("r.payload_digest").as("payload_digest"))
+    flattenRecords(shards.select(explode(
+      WarcRecords.warc_records(GzipDecode.gzip_decode(col("content")))).as("r")))
+
+  /** The record-struct projection shared by the strict and lenient
+    * chains — ONE definition so the two can never return different
+    * shapes.
+    */
+  private def flattenRecords(exploded: DataFrame): DataFrame =
+    exploded.select(col("r.warc_type").as("warc_type"),
+      col("r.record_id").as("record_id"),
+      col("r.target_uri").as("target_uri"),
+      col("r.content_length").as("content_length"),
+      col("r.payload").as("payload"),
+      col("r.payload_digest").as("payload_digest"))
 
   /** HTTP envelope decode + status gate over a decoded response
     * payload column (crawlers keep 200s only): the ONE definition of
@@ -556,15 +562,9 @@ object Warc {
     * composes on top unchanged.
     */
   def recordsLenient(shards: DataFrame): DataFrame =
-    shards.select(explode(
-        graft.functions.WarcRecordsLenient.warc_records_lenient(
-          GzipDecode.gzip_decode(col("content"))).getField("records")).as("r"))
-      .select(col("r.warc_type").as("warc_type"),
-        col("r.record_id").as("record_id"),
-        col("r.target_uri").as("target_uri"),
-        col("r.content_length").as("content_length"),
-        col("r.payload").as("payload"),
-        col("r.payload_digest").as("payload_digest"))
+    flattenRecords(shards.select(explode(
+      graft.functions.WarcRecordsLenient.warc_records_lenient(
+        GzipDecode.gzip_decode(col("content"))).getField("records")).as("r")))
 
   /** Recovery-mode front door: damaged archive → surviving pages →
     * extraction — the proof the lenient parse COMPOSES into the
