@@ -600,6 +600,16 @@ object SparkEntry {
     stagedShards(warcShardDirs, "graft_warcshards_", "warc.gz", s, dir)(
       Warc.renderShard)
 
+  /** The REDIRECT crawl archive: 4 shards whose doc_id ≡ 1 (mod 3)
+    * responses are 3xx captures with Location headers (q_warc_redirects
+    * fixture). Same discipline as [[stagedWarcShards]].
+    */
+  private val redirectWarcShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedRedirectShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedShards(redirectWarcShardDirs, "graft_warcredir_", "warc.gz", s, dir)(
+      Warc.renderRedirectShard)
+
   /** The DAMAGED crawl archive: same 4 shards, but every
     * Warc.DamageEvery-th doc's response record carries a corrupted
     * magic — the recovery-mode fixture (q_warc_recover). Same
@@ -2542,6 +2552,15 @@ object SparkEntry {
       Warc.recoveryAudit(s.read.format("binaryFile")
         .load(stagedDamagedWarcShards(s, dir).toString))),
 
+    // REDIRECT capture handling: 3xx responses (301/302 with Location
+    // headers — what real crawls archive in volume) decode into the
+    // frontier-update edge set (canonical source → canonical target →
+    // status); both canonicals predicted from doc_id, the 200s in the
+    // same shards prove the status filter binds
+    "q_warc_redirects" -> ((s, dir) =>
+      Warc.redirectEdges(Warc.records(s.read.format("binaryFile")
+        .load(stagedRedirectShards(s, dir).toString)))),
+
     // the recovery mode COMPOSED into the front door: extraction over
     // the damaged archive — a corrupted record costs exactly its own
     // page (oracle = the extraction oracle minus the damaged docs),
@@ -4419,6 +4438,7 @@ object SparkEntry {
     "q_warc_stream" -> Html.extractOracleSql,
     "q_warc_records" -> Warc.auditOracleSql,
     "q_warc_recover" -> Warc.recoveryAuditOracleSql,
+    "q_warc_redirects" -> Warc.redirectEdgesOracleSql,
     "q_warc_extract_recover" ->
       s"""SELECT * FROM (${Html.extractOracleSql}) e
           WHERE e.doc_id % ${Warc.DamageEvery} <> ${Warc.DamagePhase}""",

@@ -62,7 +62,10 @@ object HttpCodec {
     StructField("body", BinaryType, nullable = false),
     // body decoded via the declared charset (utf-8 fallback, U+FFFD
     // replacement)
-    StructField("text", StringType, nullable = false)))
+    StructField("text", StringType, nullable = false),
+    // Location header verbatim (null when absent) — the redirect
+    // target a crawl frontier follows on 3xx captures
+    StructField("location", StringType)))
 
   private val Crlf = Array[Byte]('\r', '\n')
 
@@ -242,12 +245,14 @@ object HttpCodec {
       }
     }
     val text = decodeWith(body, charsetFor(if (charset == null) "utf-8" else charset))
+    val location = headers.getOrElse("location", null)
     new GenericInternalRow(Array[Any](
       status,
       if (mime == null) null else UTF8String.fromString(mime),
       if (charset == null) null else UTF8String.fromString(charset),
       body,
-      UTF8String.fromString(text)))
+      UTF8String.fromString(text),
+      if (location == null) null else UTF8String.fromString(location)))
   }
 }
 

@@ -396,15 +396,21 @@ object Urls {
   /** Oracle-side parse pieces as a CTE over `base` (doc_id, url). Each
     * expression mirrors the Spark one above verbatim (same regexes).
     */
-  val parseSqlCte: String =
-    s"""parsed AS (SELECT doc_id, url,
+  val parseSqlCte: String = parseSqlCteFrom("base", "parsed")
+
+  /** The same parse CTE over an arbitrary (doc_id, url) source under
+    * an arbitrary name — for oracles that parse TWO url sets (e.g.
+    * redirect source + Location target).
+    */
+  def parseSqlCteFrom(src: String, name: String): String =
+    s"""$name AS (SELECT doc_id, url,
           regexp_extract(url, ${q(UrlRegex)}, 1) AS scheme,
           regexp_extract(regexp_extract(url, ${q(UrlRegex)}, 2), '^([^:]*)', 1) AS host,
           regexp_extract(regexp_extract(url, ${q(UrlRegex)}, 2), ':([0-9]+)$$', 1) AS port_s,
           regexp_extract(url, ${q(UrlRegex)}, 3) AS path,
           regexp_replace(regexp_extract(url, ${q(UrlRegex)}, 4), '^\\?', '') AS query,
           regexp_replace(regexp_extract(url, ${q(UrlRegex)}, 5), '^#', '') AS fragment
-        FROM base)"""
+        FROM $src)"""
 
   /** domain over a lowercased-host expression — DuckDB mirror of
     * [[resolveDomain]], GENERATED from the same [[PslSnapshot]] (rule

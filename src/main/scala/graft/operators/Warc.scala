@@ -362,6 +362,74 @@ object Warc {
   }
 
   // ---------------------------------------------------------------------
+  // Redirect-archive fixture: real crawls capture 3xx responses, and
+  // the frontier follows their Location headers. Every doc_id ≡ 1
+  // (mod 3) response is a redirect (301 on id ≡ 1 mod 6, 302 on
+  // id ≡ 4 mod 6) whose Location is the fixture URL of the OUTLINK
+  // target id (7·id + 13 — the webgraph convention), so the redirect
+  // edge set is a pure function of doc_id. Other docs respond 200
+  // with a minimal body — the status filter must actually bind.
+  // ---------------------------------------------------------------------
+
+  def isRedirect(id: Long): Boolean = id % 3 == 1
+
+  def redirectStatus(id: Long): Int = if (id % 6 == 1) 301 else 302
+
+  def redirectTarget(id: Long): Long = 7 * id + 13
+
+  /** Render one redirect-archive shard. */
+  def renderRedirectShard(shardIdx: Int, docs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(gzipMember(renderRecord("warcinfo", s"graft-redirinfo-$shardIdx",
+      None, ascii(WarcinfoPayload))))
+    docs.foreach { case (id, _) =>
+      val uri = Urls.urlOf(id)
+      val payload =
+        if (isRedirect(id)) {
+          val reason = if (redirectStatus(id) == 301) "Moved Permanently" else "Found"
+          ascii(s"HTTP/1.1 ${redirectStatus(id)} $reason\r\n" +
+            s"Location: ${Urls.urlOf(redirectTarget(id))}\r\n" +
+            "Content-Type: text/html\r\n\r\n")
+        } else ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nok")
+      bos.write(gzipMember(renderRecord("response", s"graft-redirect-$id",
+        Some(uri), payload)))
+    }
+    bos.toByteArray
+  }
+
+  /** Redirect EDGES off a decoded archive: 3xx responses → (canonical
+    * source, canonical Location target, status) — the frontier-update
+    * product a crawl consumes (follow targets get enqueued, permanent
+    * redirects rewrite the canonical mapping). Map-only off the scan.
+    */
+  def redirectEdges(recs: DataFrame): DataFrame =
+    recs.filter(col("warc_type") === "response")
+      .withColumn("h", graft.functions.HttpResponse.http_response(col("payload")))
+      .filter(col("h.status").isin(301, 302, 307, 308) &&
+        col("h.location").isNotNull)
+      .select(Urls.canonical(col("target_uri")).as("src_canonical"),
+        Urls.canonical(col("h.location")).as("dst_canonical"),
+        col("h.status").as("status"))
+
+  /** DuckDB mirror of [[redirectEdges]] over the redirect fixture:
+    * both canonicals predicted from doc_id (source = the doc's own
+    * url, target = the outlink-id url).
+    */
+  def redirectEdgesOracleSql: String =
+    s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
+        b2 AS (SELECT doc_id, ${Urls.urlSqlInline(s"(${redirectTargetSql("doc_id")})")} AS url
+               FROM documents),
+        ${Urls.parseSqlCteFrom("b2", "p2")}
+        SELECT s.c AS src_canonical, d.c AS dst_canonical,
+               CAST(CASE WHEN p.doc_id % 6 = 1 THEN 301 ELSE 302 END AS INT) AS status
+        FROM (SELECT doc_id, ${Urls.canonicalSql} AS c FROM parsed) s
+        JOIN (SELECT doc_id, ${Urls.canonicalSql} AS c FROM p2) d USING (doc_id)
+        JOIN parsed p USING (doc_id)
+        WHERE p.doc_id % 3 = 1"""
+
+  private def redirectTargetSql(d: String): String = s"7 * ($d) + 13"
+
+  // ---------------------------------------------------------------------
   // Damaged-archive fixture (the recovery-mode input): same shards,
   // but every DamageEvery-th doc's response record has its magic
   // corrupted — one flipped byte, exactly what a truncated fetch or

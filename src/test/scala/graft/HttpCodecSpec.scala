@@ -95,6 +95,17 @@ class HttpCodecSpec extends SparkSpec {
     assert(r != null && r.getUTF8String(2).toString == "x-klingon" && textOf(r) == "plain")
   }
 
+  test("redirect captures surface status + Location verbatim") {
+    val r = row(msg(
+      "HTTP/1.1 301 Moved Permanently\r\nLocation: https://site3.com/Articles/7\r\n\r\n",
+      Array.emptyByteArray))
+    assert(r != null && r.getInt(0) == 301)
+    assert(r.getUTF8String(5).toString == "https://site3.com/Articles/7")
+    // absent Location stays null
+    val ok = row(msg("HTTP/1.1 200 OK\r\n\r\n", "x".getBytes(UTF_8)))
+    assert(ok.isNullAt(5))
+  }
+
   // --- content codings -------------------------------------------------
 
   test("Content-Encoding: gzip with a real JDK (dynamic-Huffman) stream") {
