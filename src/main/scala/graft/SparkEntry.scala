@@ -2561,6 +2561,14 @@ object SparkEntry {
       Warc.redirectEdges(Warc.records(s.read.format("binaryFile")
         .load(stagedRedirectShards(s, dir).toString)))),
 
+    // redirect-AWARE frontier: 301 captures adopt their Location
+    // target's canonical identity BEFORE frontier dedup (the old and
+    // new URL are the same page — dedup on the source canonical would
+    // re-fetch both forever); 302s keep the source identity
+    "q_frontier_redirect" -> ((s, dir) =>
+      Warc.frontierWithRedirects(Warc.records(s.read.format("binaryFile")
+        .load(stagedRedirectShards(s, dir).toString)))),
+
     // the recovery mode COMPOSED into the front door: extraction over
     // the damaged archive — a corrupted record costs exactly its own
     // page (oracle = the extraction oracle minus the damaged docs),
@@ -4439,6 +4447,7 @@ object SparkEntry {
     "q_warc_records" -> Warc.auditOracleSql,
     "q_warc_recover" -> Warc.recoveryAuditOracleSql,
     "q_warc_redirects" -> Warc.redirectEdgesOracleSql,
+    "q_frontier_redirect" -> Warc.frontierWithRedirectsOracleSql,
     "q_warc_extract_recover" ->
       s"""SELECT * FROM (${Html.extractOracleSql}) e
           WHERE e.doc_id % ${Warc.DamageEvery} <> ${Warc.DamagePhase}""",

@@ -429,6 +429,45 @@ object Warc {
 
   private def redirectTargetSql(d: String): String = s"7 * ($d) + 13"
 
+  /** Redirect-AWARE frontier: permanent redirects (301) rewrite a
+    * capture's canonical identity to its Location target BEFORE
+    * frontier dedup — the reason crawls track 301s at all (the old
+    * URL and the new one are the same page; a frontier that deduped
+    * on the source canonical would fetch both forever). Temporary
+    * redirects (302) keep the source identity. One decode pass + the
+    * same single hash aggregate as url dedup.
+    */
+  def frontierWithRedirects(recs: DataFrame): DataFrame = {
+    val h = graft.functions.HttpResponse.http_response(col("payload"))
+    recs.filter(col("warc_type") === "response")
+      .withColumn("h", h)
+      .select(
+        when(col("h.status") === 301 && col("h.location").isNotNull,
+          Urls.canonical(col("h.location")))
+          .otherwise(Urls.canonical(col("target_uri"))).as("canonical"),
+        regexp_extract(col("record_id"), "([0-9]+)>$", 1)
+          .cast("long").as("doc_id"))
+      .groupBy(col("canonical"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+  }
+
+  /** DuckDB mirror of [[frontierWithRedirects]] over the redirect
+    * fixture: effective canonical = the Location target's for 301
+    * docs, the source's otherwise.
+    */
+  def frontierWithRedirectsOracleSql: String =
+    s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
+        b2 AS (SELECT doc_id, ${Urls.urlSqlInline(s"(${redirectTargetSql("doc_id")})")} AS url
+               FROM documents),
+        ${Urls.parseSqlCteFrom("b2", "p2")},
+        eff AS (SELECT s.doc_id,
+                  CASE WHEN s.doc_id % 6 = 1 THEN d.c ELSE s.c END AS canonical
+                FROM (SELECT doc_id, ${Urls.canonicalSql} AS c FROM parsed) s
+                JOIN (SELECT doc_id, ${Urls.canonicalSql} AS c FROM p2) d
+                  USING (doc_id))
+        SELECT canonical, MIN(doc_id) AS keep_id, COUNT(*) AS n
+        FROM eff GROUP BY canonical"""
+
   // ---------------------------------------------------------------------
   // Damaged-archive fixture (the recovery-mode input): same shards,
   // but every DamageEvery-th doc's response record has its magic
