@@ -600,6 +600,24 @@ object SparkEntry {
     stagedShards(warcShardDirs, "graft_warcshards_", "warc.gz", s, dir)(
       Warc.renderShard)
 
+  /** Per-site sitemap XML files (`sitemap-site<n>.xml`, one per site
+    * index present in the corpus) — the REP discovery-channel fixture
+    * (q_sitemap_seeds). Rendered once from the documents table's
+    * fixture URLs.
+    */
+  private val sitemapDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedSitemaps(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedArrivalDir(sitemapDirs, "graft_sitemaps_", dir) { tmp =>
+      val ids = ColOps.table(s, dir, "documents")
+        .select(col("doc_id")).orderBy(col("doc_id")).collect().map(_.getLong(0))
+      ids.groupBy(id => ((id % 150) % 23).toInt).foreach { case (n, siteIds) =>
+        java.nio.file.Files.write(tmp.resolve(s"sitemap-site$n.xml"),
+          Urls.renderSitemap(siteIds.toSeq.map(Urls.urlOf))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+
   /** The REDIRECT crawl archive: 4 shards whose doc_id ≡ 1 (mod 3)
     * responses are 3xx captures with Location headers (q_warc_redirects
     * fixture). Same discipline as [[stagedWarcShards]].
@@ -2561,6 +2579,17 @@ object SparkEntry {
       Warc.redirectEdges(Warc.records(s.read.format("binaryFile")
         .load(stagedRedirectShards(s, dir).toString)))),
 
+    // SITEMAP seeds — the REP discovery channel beside robots.txt:
+    // per-site XML parsed (loc extraction + entity unescape) into
+    // canonicalized frontier seeds, profiled per site (loc count vs
+    // distinct canonical pages — the re-crawl variance a seeded
+    // frontier immediately collapses)
+    "q_sitemap_seeds" -> ((s, dir) =>
+      Urls.sitemapSeeds(
+        s.read.option("wholetext", "true")
+          .text(stagedSitemaps(s, dir).toString)
+          .select(input_file_name().as("path"), col("value").as("xml")))),
+
     // redirect-AWARE frontier: 301 captures adopt their Location
     // target's canonical identity BEFORE frontier dedup (the old and
     // new URL are the same page — dedup on the source canonical would
@@ -4448,6 +4477,7 @@ object SparkEntry {
     "q_warc_recover" -> Warc.recoveryAuditOracleSql,
     "q_warc_redirects" -> Warc.redirectEdgesOracleSql,
     "q_frontier_redirect" -> Warc.frontierWithRedirectsOracleSql,
+    "q_sitemap_seeds" -> Urls.sitemapSeedsOracleSql,
     "q_warc_extract_recover" ->
       s"""SELECT * FROM (${Html.extractOracleSql}) e
           WHERE e.doc_id % ${Warc.DamageEvery} <> ${Warc.DamagePhase}""",

@@ -412,6 +412,50 @@ object Urls {
           regexp_replace(regexp_extract(url, ${q(UrlRegex)}, 5), '^#', '') AS fragment
         FROM $src)"""
 
+  // ---------------------------------------------------------------------
+  // Sitemaps — the REP discovery channel beside robots.txt: per-site
+  // XML listing the pages a crawler should seed its frontier with.
+  // ---------------------------------------------------------------------
+
+  /** Render site n's sitemap XML from its docs' fixture URLs (urls
+    * XML-escape their `&` — the unescape on the read side must undo
+    * exactly this).
+    */
+  def renderSitemap(urls: Seq[String]): String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      urls.map(u => s"  <url><loc>${u.replace("&", "&amp;")}</loc></url>\n").mkString +
+      "</urlset>\n"
+
+  /** Frontier SEEDS from a directory of per-site sitemap files
+    * (`sitemap-site<n>.xml`, wholetext rows of (path, xml)): extract
+    * `<loc>` entries, unescape, canonicalize, and profile per site —
+    * loc count vs DISTINCT canonical pages (the re-crawl variance a
+    * seeded frontier immediately collapses). Map-only extraction +
+    * one hash aggregate on the site key.
+    */
+  def sitemapSeeds(files: DataFrame): DataFrame =
+    files.select(
+        regexp_extract(col("path"), "sitemap-site([0-9]+)\\.xml", 1)
+          .cast("int").as("site_n"),
+        explode(expr("regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)")).as("loc"))
+      .select(col("site_n"),
+        canonical(call_function("replace", col("loc"), lit("&amp;"), lit("&")))
+          .as("canonical"))
+      .groupBy(col("site_n"))
+      .agg(count(lit(1)).as("n_locs"),
+        countDistinct(col("canonical")).as("n_pages"))
+
+  /** DuckDB mirror of [[sitemapSeeds]] over the fixture (site of a
+    * doc = its host's site index, (doc_id % 150) % 23).
+    */
+  def sitemapSeedsOracleSql: String =
+    s"""WITH $urlBaseSqlCtes, $parseSqlCte
+        SELECT CAST((doc_id % 150) % 23 AS INT) AS site_n,
+               COUNT(*) AS n_locs,
+               CAST(COUNT(DISTINCT ${canonicalSql}) AS BIGINT) AS n_pages
+        FROM parsed GROUP BY 1"""
+
   /** domain over a lowercased-host expression — DuckDB mirror of
     * [[resolveDomain]], GENERATED from the same [[PslSnapshot]] (rule
     * keys inlined as literal IN-lists, so engine and oracle can never
