@@ -2595,8 +2595,14 @@ object SparkEntry {
     // new URL are the same page — dedup on the source canonical would
     // re-fetch both forever); 302s keep the source identity
     "q_frontier_redirect" -> ((s, dir) =>
-      Warc.frontierWithRedirects(Warc.records(s.read.format("binaryFile")
-        .load(stagedRedirectShards(s, dir).toString)))),
+      Warc.frontierWithRedirects(
+        Warc.records(s.read.format("binaryFile")
+          .load(stagedRedirectShards(s, dir).toString)),
+        // keeper id: the fixture's record ids end in the doc id — the
+        // id scheme is archive-specific, so the extraction lives at
+        // the call site, not inside the operator
+        idOf = regexp_extract(col("record_id"), "graft-redirect-([0-9]+)>$", 1)
+          .cast("long"))),
 
     // the recovery mode COMPOSED into the front door: extraction over
     // the damaged archive — a corrupted record costs exactly its own

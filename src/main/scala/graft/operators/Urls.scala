@@ -438,7 +438,8 @@ object Urls {
     files.select(
         regexp_extract(col("path"), "sitemap-site([0-9]+)\\.xml", 1)
           .cast("int").as("site_n"),
-        explode(expr("regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)")).as("loc"))
+        explode(regexp_extract_all(col("xml"),
+          lit("<loc>([^<]*)</loc>"), lit(1))).as("loc"))
       .select(col("site_n"),
         canonical(call_function("replace", col("loc"), lit("&amp;"), lit("&")))
           .as("canonical"))

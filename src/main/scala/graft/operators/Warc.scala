@@ -373,7 +373,17 @@ object Warc {
 
   def isRedirect(id: Long): Boolean = id % 3 == 1
 
-  def redirectStatus(id: Long): Int = if (id % 6 == 1) 301 else 302
+  /** Status axis covers both permanent (301/308) and temporary
+    * (302/307) classes — frontier rewriting must branch on the CLASS,
+    * and a fixture with only one member per class couldn't catch a
+    * member left out.
+    */
+  def redirectStatus(id: Long): Int = (id % 12) match {
+    case 1 => 301
+    case 4 => 302
+    case 7 => 308
+    case _ => 307
+  }
 
   def redirectTarget(id: Long): Long = 7 * id + 13
 
@@ -386,7 +396,12 @@ object Warc {
       val uri = Urls.urlOf(id)
       val payload =
         if (isRedirect(id)) {
-          val reason = if (redirectStatus(id) == 301) "Moved Permanently" else "Found"
+          val reason = redirectStatus(id) match {
+            case 301 => "Moved Permanently"
+            case 302 => "Found"
+            case 308 => "Permanent Redirect"
+            case _ => "Temporary Redirect"
+          }
           ascii(s"HTTP/1.1 ${redirectStatus(id)} $reason\r\n" +
             s"Location: ${Urls.urlOf(redirectTarget(id))}\r\n" +
             "Content-Type: text/html\r\n\r\n")
@@ -405,7 +420,7 @@ object Warc {
   def redirectEdges(recs: DataFrame): DataFrame =
     recs.filter(col("warc_type") === "response")
       .withColumn("h", graft.functions.HttpResponse.http_response(col("payload")))
-      .filter(col("h.status").isin(301, 302, 307, 308) &&
+      .filter(col("h.status").isin(301, 302, 303, 307, 308) &&
         col("h.location").isNotNull)
       .select(Urls.canonical(col("target_uri")).as("src_canonical"),
         Urls.canonical(col("h.location")).as("dst_canonical"),
@@ -415,45 +430,53 @@ object Warc {
     * both canonicals predicted from doc_id (source = the doc's own
     * url, target = the outlink-id url).
     */
+  /** The fixture status axis as SQL (mirrors [[redirectStatus]]). */
+  private def redirectStatusSql(d: String): String =
+    s"""CAST(CASE ($d) % 12 WHEN 1 THEN 301 WHEN 4 THEN 302
+             WHEN 7 THEN 308 ELSE 307 END AS INT)"""
+
   def redirectEdgesOracleSql: String =
     s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
         b2 AS (SELECT doc_id, ${Urls.urlSqlInline(s"(${redirectTargetSql("doc_id")})")} AS url
                FROM documents),
         ${Urls.parseSqlCteFrom("b2", "p2")}
         SELECT s.c AS src_canonical, d.c AS dst_canonical,
-               CAST(CASE WHEN p.doc_id % 6 = 1 THEN 301 ELSE 302 END AS INT) AS status
+               ${redirectStatusSql("s.doc_id")} AS status
         FROM (SELECT doc_id, ${Urls.canonicalSql} AS c FROM parsed) s
         JOIN (SELECT doc_id, ${Urls.canonicalSql} AS c FROM p2) d USING (doc_id)
-        JOIN parsed p USING (doc_id)
-        WHERE p.doc_id % 3 = 1"""
+        WHERE s.doc_id % 3 = 1"""
 
   private def redirectTargetSql(d: String): String = s"7 * ($d) + 13"
 
-  /** Redirect-AWARE frontier: permanent redirects (301) rewrite a
-    * capture's canonical identity to its Location target BEFORE
-    * frontier dedup — the reason crawls track 301s at all (the old
-    * URL and the new one are the same page; a frontier that deduped
-    * on the source canonical would fetch both forever). Temporary
-    * redirects (302) keep the source identity. One decode pass + the
-    * same single hash aggregate as url dedup.
+  /** Redirect-AWARE frontier: PERMANENT redirects (301 and 308)
+    * rewrite a capture's canonical identity to its Location target
+    * BEFORE frontier dedup — the reason crawls track them at all (the
+    * old URL and the new one are the same page; a frontier that
+    * deduped on the source canonical would fetch both forever).
+    * Temporary redirects (302/303/307) keep the source identity.
+    * `idOf` supplies the keeper id for a capture (the record-id
+    * scheme is archive-specific — the fixture renders doc-id-bearing
+    * ids; a real crawl would rank by capture timestamp or a uuid
+    * hash). One decode pass + the same single hash aggregate as url
+    * dedup.
     */
-  def frontierWithRedirects(recs: DataFrame): DataFrame = {
+  def frontierWithRedirects(recs: DataFrame, idOf: Column): DataFrame = {
     val h = graft.functions.HttpResponse.http_response(col("payload"))
     recs.filter(col("warc_type") === "response")
       .withColumn("h", h)
       .select(
-        when(col("h.status") === 301 && col("h.location").isNotNull,
+        when(col("h.status").isin(301, 308) && col("h.location").isNotNull,
           Urls.canonical(col("h.location")))
           .otherwise(Urls.canonical(col("target_uri"))).as("canonical"),
-        regexp_extract(col("record_id"), "([0-9]+)>$", 1)
-          .cast("long").as("doc_id"))
+        idOf.as("doc_id"))
       .groupBy(col("canonical"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
   }
 
   /** DuckDB mirror of [[frontierWithRedirects]] over the redirect
-    * fixture: effective canonical = the Location target's for 301
-    * docs, the source's otherwise.
+    * fixture: effective canonical = the Location target's for
+    * PERMANENT-redirect docs (301 at id ≡ 1, 308 at id ≡ 7, mod 12),
+    * the source's otherwise.
     */
   def frontierWithRedirectsOracleSql: String =
     s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
@@ -461,7 +484,7 @@ object Warc {
                FROM documents),
         ${Urls.parseSqlCteFrom("b2", "p2")},
         eff AS (SELECT s.doc_id,
-                  CASE WHEN s.doc_id % 6 = 1 THEN d.c ELSE s.c END AS canonical
+                  CASE WHEN s.doc_id % 12 IN (1, 7) THEN d.c ELSE s.c END AS canonical
                 FROM (SELECT doc_id, ${Urls.canonicalSql} AS c FROM parsed) s
                 JOIN (SELECT doc_id, ${Urls.canonicalSql} AS c FROM p2) d
                   USING (doc_id))

@@ -87,14 +87,14 @@ class FuzzSpec extends SparkSpec {
 
   test("truncations of valid containers never throw") {
     val shard = Warc.renderShard(0, Seq((0L, "alpha beta gamma."), (3L, "delta.")))
+    val full = GzipCodec.gunzip(shard) // decompress ONCE; sweep both layers
     val png = PngCodec.encodeRgb8(Array.tabulate(40)(_ * 7), 5, 8)
-    for (cut <- 0 until shard.length by 7) {
-      val t = java.util.Arrays.copyOf(shard, cut)
-      GzipCodec.gunzip(t); WarcCodec.parseLenient(GzipCodec.gunzip(shard) match {
-        case null => t
-        case full => java.util.Arrays.copyOf(full, math.min(cut, full.length))
-      })
-    }
+    for (cut <- 0 until shard.length by 7)
+      GzipCodec.gunzip(java.util.Arrays.copyOf(shard, cut))
+    // the decompressed buffer is LONGER than the compressed shard —
+    // sweep its own length so the record-terminator tail is covered
+    for (cut <- 0 until full.length by 7)
+      WarcCodec.parseLenient(java.util.Arrays.copyOf(full, cut))
     for (cut <- 0 until png.length by 3)
       PngCodec.decodeFeatures(java.util.Arrays.copyOf(png, cut))
   }

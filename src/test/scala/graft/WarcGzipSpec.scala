@@ -222,6 +222,41 @@ class WarcGzipSpec extends SparkSpec {
     assert(l2.getArray(0).getStruct(0, 6).getUTF8String(1).toString == "<urn:uuid:r-2>")
   }
 
+  test("frontier redirect classes: 301/308 rewrite the canonical, 302/303/307 keep the source") {
+    import spark.implicits._
+    def resp(id: Long, status: Int): (String, String, String, Long, Array[Byte], String) = {
+      val payload = (s"HTTP/1.1 $status X\r\nLocation: https://new.com/p\r\n\r\n")
+        .getBytes(UTF_8)
+      ("response", s"<urn:uuid:r-$id>", s"https://old$id.com/a", payload.length.toLong,
+        payload, null)
+    }
+    val recs = Seq(resp(1, 301), resp(2, 302), resp(3, 303), resp(4, 307), resp(5, 308))
+      .toDF("warc_type", "record_id", "target_uri", "content_length",
+        "payload", "payload_digest")
+    val got = Warc.frontierWithRedirects(recs,
+        regexp_extract(col("record_id"), "r-([0-9]+)>$", 1).cast("long"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // permanent (1, 5) collapse onto the target canonical; the rest
+    // keep their own source canonicals
+    assert(got("https://new.com/p") == ((1L, 2L)))
+    assert(Set("https://old2.com/a", "https://old3.com/a", "https://old4.com/a")
+      .forall(c => got(c)._2 == 1L))
+    assert(!got.contains("https://old1.com/a") && !got.contains("https://old5.com/a"))
+  }
+
+  test("sitemap seeds: loc extraction unescapes entities and collapses re-crawl variants") {
+    import spark.implicits._
+    val xml = graft.operators.Urls.renderSitemap(Seq(
+      "https://site3.com/Articles/7?page=1&utm_source=feed", // variant A
+      "https://WWW.site3.com/Articles/7/?page=1",            // variant B, same page
+      "https://site3.com/Articles/8"))
+    assert(xml.contains("&amp;") && !xml.contains("?page=1&utm")) // escaping happened
+    val got = graft.operators.Urls.sitemapSeeds(
+        Seq(("file:/x/sitemap-site3.xml", xml)).toDF("path", "xml"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3, 3L, 2L))) // 3 locs, 2 distinct canonical pages
+  }
+
   test("lenient parse on a CLEAN shard equals the strict parse with zero damage counted") {
     val shard = Warc.renderShard(0, Seq((0L, "alpha beta."), (1L, "gamma delta.")))
     val bytes = GzipCodec.gunzip(shard)
