@@ -9,6 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The platform default charset in this container is US-ASCII — pin the
+// source encoding so the multilingual fixture literals (TextOps
+// UnicodeFixture, Charsets slots) can never silently mojibake if the
+// sbt JVM stops injecting -Dfile.encoding=UTF-8.
+scalacOptions ++= Seq("-encoding", "utf8")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -600,6 +600,28 @@ object SparkEntry {
     stagedShards(warcShardDirs, "graft_warcshards_", "warc.gz", s, dir)(
       Warc.renderShard)
 
+  /** The CHARSET crawl archive: 4 `.warc.gz` shards whose responses
+    * rotate eight legacy encodings × four declaration channels
+    * (header / meta-only / BOM-with-lying-header / undeclared-mojibake)
+    * — the WHATWG-sniff fixture (q_charset_decode, q_charset_audit).
+    * Same discipline as [[stagedWarcShards]].
+    */
+  private val charsetShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedCharsetShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedShards(charsetShardDirs, "graft_charsetshards_", "warc.gz", s, dir)(
+      Charsets.renderShard)
+
+  /** The REVISIT-bearing crawl archive: [[stagedWarcShards]]'s exact
+    * record stream plus one `revisit` member after each re-fetched
+    * doc's response (q_warc_revisit / q_corpus_build_revisit fixture).
+    */
+  private val revisitShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedRevisitShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedShards(revisitShardDirs, "graft_warcrevisit_", "warc.gz", s, dir)(
+      Warc.renderRevisitShard)
+
   /** Per-site sitemap XML files (`sitemap-site<n>.xml`, one per site
     * index present in the corpus) — the REP discovery-channel fixture
     * (q_sitemap_seeds). Rendered once from the documents table's
@@ -2604,6 +2626,26 @@ object SparkEntry {
         idOf = regexp_extract(col("record_id"), "graft-redirect-([0-9]+)>$", 1)
           .cast("long"))),
 
+    // CHARSET-REALISM decode: the same front door over an archive whose
+    // responses rotate eight legacy encodings (shift_jis, euc-jp,
+    // euc-kr, gbk, big5, windows-1251, iso-8859-2, windows-1253) and
+    // four declaration channels — header param, meta-only, BOM with a
+    // LYING header the sniff must overrule, and undeclared mojibake
+    // whose U+FFFD replacements are counted, not silent. Oracle
+    // predicts every column (decoded CJK/Cyrillic text included) from
+    // documents + the fixture constants
+    "q_charset_decode" -> ((s, dir) =>
+      Charsets.decode(Warc.records(s.read.format("binaryFile")
+        .load(stagedCharsetShards(s, dir).toString)))),
+
+    // corpus-level mojibake audit over the same archive: per sniff tier
+    // (bom/header/meta/default), docs seen, docs with replacements,
+    // total U+FFFD count and the replacement ppm — the q_html_audit
+    // sibling that makes silent charset damage observable
+    "q_charset_audit" -> ((s, dir) =>
+      Charsets.audit(Warc.records(s.read.format("binaryFile")
+        .load(stagedCharsetShards(s, dir).toString)))),
+
     // the recovery mode COMPOSED into the front door: extraction over
     // the damaged archive — a corrupted record costs exactly its own
     // page (oracle = the extraction oracle minus the damaged docs),
@@ -3049,6 +3091,30 @@ object SparkEntry {
     "q_corpus_build_warc" -> ((s, dir) => {
       val extracted = Warc.extract(s.read.format("binaryFile")
           .load(stagedWarcShards(s, dir).toString))
+        .select(col("doc_id"),
+          call_function("replace", col("extracted"), lit("\n"), lit(" "))
+            .as("text"))
+      corpusBuildTail(extracted)
+    }),
+
+    // WARC revisit resolution — Common Crawl's identical-payload-digest
+    // profile: re-fetched-unchanged URLs arrive as `revisit` records
+    // (WARC-Refers-To + the digest of the payload that was NOT stored);
+    // a digest-keyed join resolves each to its stored original, and the
+    // output re-extracts the doc id from the RESOLVED page bytes so the
+    // join is proven to deliver the right payload, not just a key match
+    "q_warc_revisit" -> ((s, dir) =>
+      Warc.revisitResolve(Warc.records(s.read.format("binaryFile")
+        .load(stagedRevisitShards(s, dir).toString)))),
+
+    // the raw-archive flagship over a REVISIT-BEARING archive, sharing
+    // q_corpus_build_warc's oracle verbatim: the corpus counts each
+    // page ONCE (revisit records are fetch-log events, not documents),
+    // while q_warc_revisit above is the fetch-side view of the same
+    // shards
+    "q_corpus_build_revisit" -> ((s, dir) => {
+      val extracted = Warc.extract(s.read.format("binaryFile")
+          .load(stagedRevisitShards(s, dir).toString))
         .select(col("doc_id"),
           call_function("replace", col("extracted"), lit("\n"), lit(" "))
             .as("text"))
@@ -4482,6 +4548,8 @@ object SparkEntry {
     "q_warc_records" -> Warc.auditOracleSql,
     "q_warc_recover" -> Warc.recoveryAuditOracleSql,
     "q_warc_redirects" -> Warc.redirectEdgesOracleSql,
+    "q_charset_decode" -> Charsets.decodeOracleSql,
+    "q_charset_audit" -> Charsets.auditOracleSql,
     "q_frontier_redirect" -> Warc.frontierWithRedirectsOracleSql,
     "q_sitemap_seeds" -> Urls.sitemapSeedsOracleSql,
     "q_warc_extract_recover" ->
@@ -4691,6 +4759,18 @@ object SparkEntry {
         canon AS (SELECT k.doc_id, k.text FROM kept k
                   JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
                         GROUP BY md5(text)) c USING (doc_id))"""),
+    // revisit-bearing flagship: SAME oracle again — revisit records
+    // must be exactly transparent to the corpus build (the page is
+    // counted once; the re-fetch is a fetch-log event, not a document)
+    "q_corpus_build_revisit" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,
+      prefixCtes = s"""${Html.extractedDocsSqlCte},
+        qf AS (${TextOps.qualityFilterSql(allStopsSql, "extracted")}),
+        kept AS (SELECT e.doc_id, e.text FROM extracted e
+                 JOIN qf USING (doc_id) WHERE qf.keep),
+        canon AS (SELECT k.doc_id, k.text FROM kept k
+                  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
+                        GROUP BY md5(text)) c USING (doc_id))"""),
+    "q_warc_revisit" -> Warc.revisitResolveOracleSql,
     // curated flagship: the frontier keep set is derived from doc_id
     // alone (urls AND record ids are both doc_id-rendered), then the
     // corpus-build chain runs over the curated subset. keep-first is

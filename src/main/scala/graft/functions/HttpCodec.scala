@@ -35,12 +35,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *     ship), `identity`; an UNKNOWN coding fails closed (null) —
   *     passing compressed bytes downstream as if they were text would
   *     silently poison extraction;
-  *  5. charset decoding: the `charset=` parameter of Content-Type
-  *     (utf-8 default; us-ascii, iso-8859-1/latin-1, windows-1252
-  *     recognized; unknown labels fall back to utf-8), malformed
-  *     sequences replaced with U+FFFD — the lenient posture a crawl
-  *     pipeline needs (strict-null here would drop every mojibake
-  *     page instead of extracting what survives).
+  *  5. charset decoding in WHATWG sniff order — BOM (utf-8 /
+  *     utf-16le / utf-16be, stripped from the text) → the `charset=`
+  *     parameter of Content-Type → a `<meta charset>` /
+  *     `http-equiv` prescan over the first 1024 decoded-body bytes →
+  *     utf-8 default. The label registry covers the crawl-era legacy
+  *     charsets the JDK ships natively (shift_jis, euc-jp, euc-kr,
+  *     gbk — which also absorbs gb2312 per WHATWG — big5,
+  *     windows-1251, koi8-r, iso-8859-2/-7, windows-1253, beside the
+  *     latin-1/cp1252 originals); an unknown or absent label at one
+  *     tier falls through to the next, exactly like a browser.
+  *     Malformed sequences are replaced with U+FFFD — the lenient
+  *     posture a crawl pipeline needs (strict-null here would drop
+  *     every mojibake page instead of extracting what survives) —
+  *     and the replacement COUNT is surfaced (`n_fffd`) so silent
+  *     mojibake is observable downstream (the charset-audit ppm
+  *     metric), not just tolerated.
   *
   * Content-Length is NOT enforced against the body: WARC payloads are
   * already length-framed by the record, and real captures routinely
@@ -65,7 +75,16 @@ object HttpCodec {
     StructField("text", StringType, nullable = false),
     // Location header verbatim (null when absent) — the redirect
     // target a crawl frontier follows on 3xx captures
-    StructField("location", StringType)))
+    StructField("location", StringType),
+    // canonical label of the charset the decode actually used (the
+    // sniff RESULT — `charset` above stays the raw declared header
+    // label, which may be absent, unknown, or overruled by a BOM)
+    StructField("charset_used", StringType, nullable = false),
+    // which sniff tier decided: 'bom' | 'header' | 'meta' | 'default'
+    StructField("charset_source", StringType, nullable = false),
+    // U+FFFD replacements the lenient decode emitted — the mojibake
+    // observability counter (0 on a clean page)
+    StructField("n_fffd", LongType, nullable = false)))
 
   private val Crlf = Array[Byte]('\r', '\n')
 
@@ -127,18 +146,61 @@ object HttpCodec {
     null // unreachable
   }
 
-  /** Charset label → decoder charset; null for labels we treat as
-    * utf-8 fallback. Labels per the WHATWG encoding registry's common
-    * crawl-era aliases.
+  /** Charset label → (JDK charset, canonical label); None for labels
+    * outside the registry (the caller falls through to the next sniff
+    * tier, browser-style). Labels and alias folding per the WHATWG
+    * encoding registry's crawl-era entries; every target charset is
+    * JDK-native (java.base + jdk.charsets), so the decode needs no
+    * tables of our own. Note `gb2312` resolves to GBK (its superset)
+    * exactly as WHATWG prescribes — real pages labeled gb2312
+    * routinely use GBK-only code points.
     */
-  private def charsetFor(label: String): java.nio.charset.Charset = label match {
-    case "utf-8" | "utf8" | "us-ascii" | "ascii" =>
-      java.nio.charset.StandardCharsets.UTF_8
-    case "iso-8859-1" | "latin-1" | "latin1" | "l1" | "iso_8859-1" =>
-      java.nio.charset.StandardCharsets.ISO_8859_1
-    case "windows-1252" | "cp1252" | "x-cp1252" =>
-      java.nio.charset.Charset.forName("windows-1252")
-    case _ => java.nio.charset.StandardCharsets.UTF_8
+  private val CharsetRegistry: Map[String, (java.nio.charset.Charset, String)] = {
+    def e(jdk: String, canonical: String, labels: String*) = {
+      val cs = java.nio.charset.Charset.forName(jdk)
+      labels.map(_ -> (cs, canonical))
+    }
+    (e("UTF-8", "utf-8", "utf-8", "utf8", "us-ascii", "ascii", "csutf8") ++
+      e("ISO-8859-1", "iso-8859-1",
+        "iso-8859-1", "latin-1", "latin1", "l1", "iso_8859-1", "iso8859-1") ++
+      e("windows-1252", "windows-1252", "windows-1252", "cp1252", "x-cp1252") ++
+      e("Shift_JIS", "shift_jis",
+        "shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji", "csshiftjis",
+        "windows-31j") ++
+      e("EUC-JP", "euc-jp", "euc-jp", "x-euc-jp", "cseucpkdfmtjapanese") ++
+      e("EUC-KR", "euc-kr",
+        "euc-kr", "ks_c_5601-1987", "korean", "csksc56011987", "cseuckr") ++
+      e("GBK", "gbk",
+        "gbk", "x-gbk", "gb2312", "gb_2312", "gb_2312-80", "csgb2312",
+        "chinese", "csiso58gb231280") ++
+      e("Big5", "big5", "big5", "big-5", "csbig5", "x-x-big5") ++
+      e("windows-1251", "windows-1251", "windows-1251", "cp1251", "x-cp1251") ++
+      e("KOI8-R", "koi8-r", "koi8-r", "koi8", "cskoi8r") ++
+      e("ISO-8859-2", "iso-8859-2",
+        "iso-8859-2", "latin2", "l2", "iso_8859-2", "iso8859-2") ++
+      e("ISO-8859-7", "iso-8859-7",
+        "iso-8859-7", "greek", "greek8", "iso_8859-7", "ecma-118") ++
+      e("windows-1253", "windows-1253", "windows-1253", "cp1253") ++
+      // WHATWG maps the bare utf-16 label to LE (the overwhelmingly
+      // common byte order on the web)
+      e("UTF-16LE", "utf-16le", "utf-16le", "utf-16") ++
+      e("UTF-16BE", "utf-16be", "utf-16be")).toMap
+  }
+
+  /** `<meta charset=...>` / `http-equiv Content-Type` prescan over the
+    * first 1024 bytes of the decoded body (the WHATWG prescan window),
+    * read as latin-1 so every byte maps to a char — the tag and its
+    * label are ASCII in every ASCII-compatible encoding, which is all
+    * the registry contains. Returns the lowercased label or null.
+    */
+  private val MetaCharsetPattern = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]{0,300}?charset\\s*=\\s*[\"']?([a-zA-Z0-9._:-]+)")
+
+  private def metaPrescan(body: Array[Byte]): String = {
+    val window = new String(body, 0, math.min(body.length, 1024),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = MetaCharsetPattern.matcher(window)
+    if (m.find()) m.group(1).toLowerCase(java.util.Locale.ROOT) else null
   }
 
   private def decodeWith(body: Array[Byte], cs: java.nio.charset.Charset): String = {
@@ -244,7 +306,45 @@ object HttpCodec {
         if (pm.find()) charset = pm.group(1).toLowerCase(java.util.Locale.ROOT)
       }
     }
-    val text = decodeWith(body, charsetFor(if (charset == null) "utf-8" else charset))
+    // WHATWG sniff order: BOM → header label → meta prescan → utf-8.
+    // An unknown label at one tier falls THROUGH to the next (a browser
+    // treats an unrecognized declaration as no declaration).
+    var cs: java.nio.charset.Charset = null
+    var used: String = null
+    var source: String = null
+    var bomSkip = 0
+    if (body.length >= 3 && body(0) == 0xef.toByte &&
+        body(1) == 0xbb.toByte && body(2) == 0xbf.toByte) {
+      cs = java.nio.charset.StandardCharsets.UTF_8
+      used = "utf-8"; source = "bom"; bomSkip = 3
+    } else if (body.length >= 2 && body(0) == 0xff.toByte && body(1) == 0xfe.toByte) {
+      cs = java.nio.charset.StandardCharsets.UTF_16LE
+      used = "utf-16le"; source = "bom"; bomSkip = 2
+    } else if (body.length >= 2 && body(0) == 0xfe.toByte && body(1) == 0xff.toByte) {
+      cs = java.nio.charset.StandardCharsets.UTF_16BE
+      used = "utf-16be"; source = "bom"; bomSkip = 2
+    }
+    if (cs == null && charset != null) CharsetRegistry.get(charset) match {
+      case Some((c, canon)) => cs = c; used = canon; source = "header"
+      case None =>
+    }
+    if (cs == null) {
+      val metaLabel = metaPrescan(body)
+      if (metaLabel != null) CharsetRegistry.get(metaLabel) match {
+        case Some((c, canon)) => cs = c; used = canon; source = "meta"
+        case None =>
+      }
+    }
+    if (cs == null) {
+      cs = java.nio.charset.StandardCharsets.UTF_8
+      used = "utf-8"; source = "default"
+    }
+    val text = decodeWith(
+      if (bomSkip == 0) body
+      else java.util.Arrays.copyOfRange(body, bomSkip, body.length), cs)
+    var nFffd = 0L
+    var ci = 0
+    while (ci < text.length) { if (text.charAt(ci) == '\uFFFD') nFffd += 1; ci += 1 }
     val location = headers.getOrElse("location", null)
     new GenericInternalRow(Array[Any](
       status,
@@ -252,7 +352,10 @@ object HttpCodec {
       if (charset == null) null else UTF8String.fromString(charset),
       body,
       UTF8String.fromString(text),
-      if (location == null) null else UTF8String.fromString(location)))
+      if (location == null) null else UTF8String.fromString(location),
+      UTF8String.fromString(used),
+      UTF8String.fromString(source),
+      nFffd))
   }
 }
 

@@ -46,7 +46,10 @@ object WarcCodec {
     // WARC-Payload-Digest header value, verbatim (null when absent);
     // verification against the payload is the QUERY's job (sha1 is a
     // codegen'd built-in) — the parser only frames
-    StructField("payload_digest", StringType)))
+    StructField("payload_digest", StringType),
+    // WARC-Refers-To header value, verbatim (null when absent) — how a
+    // `revisit` record names the response whose payload it re-fetched
+    StructField("refers_to", StringType)))
 
   val arrayType: ArrayType = ArrayType(recordSchema, containsNull = false)
 
@@ -83,6 +86,7 @@ object WarcCodec {
       var recordId: UTF8String = null
       var targetUri: UTF8String = null
       var payloadDigest: UTF8String = null
+      var refersTo: UTF8String = null
       var contentLength = -1L
       var blank = false
       while (!blank) {
@@ -101,6 +105,7 @@ object WarcCodec {
             case "warc-record-id" => recordId = UTF8String.fromString(value)
             case "warc-target-uri" => targetUri = UTF8String.fromString(value)
             case "warc-payload-digest" => payloadDigest = UTF8String.fromString(value)
+            case "warc-refers-to" => refersTo = UTF8String.fromString(value)
             case "content-length" =>
               try contentLength = java.lang.Long.parseLong(value)
               catch { case _: NumberFormatException => return null }
@@ -119,7 +124,7 @@ object WarcCodec {
       pos += 4
       out += new GenericInternalRow(
         Array[Any](warcType, recordId, targetUri, contentLength, payload,
-          payloadDigest))
+          payloadDigest, refersTo))
     }
     out.toArray
   }
@@ -172,6 +177,7 @@ object WarcCodec {
     var recordId: UTF8String = null
     var targetUri: UTF8String = null
     var payloadDigest: UTF8String = null
+    var refersTo: UTF8String = null
     var contentLength = -1L
     var blank = false
     while (!blank) {
@@ -190,6 +196,7 @@ object WarcCodec {
           case "warc-record-id" => recordId = UTF8String.fromString(value)
           case "warc-target-uri" => targetUri = UTF8String.fromString(value)
           case "warc-payload-digest" => payloadDigest = UTF8String.fromString(value)
+          case "warc-refers-to" => refersTo = UTF8String.fromString(value)
           case "content-length" =>
             try contentLength = java.lang.Long.parseLong(value)
             catch { case _: NumberFormatException => return null }
@@ -205,7 +212,7 @@ object WarcCodec {
     if (bytes(pos) != '\r' || bytes(pos + 1) != '\n' ||
         bytes(pos + 2) != '\r' || bytes(pos + 3) != '\n') return null
     (new GenericInternalRow(Array[Any](warcType, recordId, targetUri,
-      contentLength, payload, payloadDigest)), pos + 4)
+      contentLength, payload, payloadDigest, refersTo)), pos + 4)
   }
 
   /** Recovering parse: a malformed record is SKIPPED to the next

@@ -262,17 +262,25 @@ object Warc {
   /** Render one WARC/1.0 record (headers + payload + terminator).
     * Every record except `warcinfo` carries a WARC-Payload-Digest
     * header (the integrity field real crawl archives ship).
+    * `digestOverride` is how a `revisit` record carries the digest of
+    * the payload it did NOT store (the WARC spec's
+    * identical-payload-digest profile); `refersTo` its
+    * WARC-Refers-To pointer at the stored original.
     */
   def renderRecord(warcType: String, recordId: String,
                    targetUri: Option[String],
-                   payload: Array[Byte]): Array[Byte] = {
+                   payload: Array[Byte],
+                   digestOverride: Option[String] = None,
+                   refersTo: Option[String] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
     sb.append("WARC-Record-ID: <urn:uuid:").append(recordId).append(">\r\n")
     targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
+    refersTo.foreach(r => sb.append("WARC-Refers-To: ").append(r).append("\r\n"))
     if (warcType != "warcinfo")
-      sb.append("WARC-Payload-Digest: ").append(payloadDigestOf(payload)).append("\r\n")
+      sb.append("WARC-Payload-Digest: ")
+        .append(digestOverride.getOrElse(payloadDigestOf(payload))).append("\r\n")
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val head = ascii(sb.toString)
     val out = new Array[Byte](head.length + payload.length + 4)
@@ -320,6 +328,88 @@ object Warc {
     }
     bos.toByteArray
   }
+
+  // ---------------------------------------------------------------------
+  // Revisit records — Common Crawl's identical-payload-digest profile:
+  // a URL re-fetched later whose payload did not change is archived as
+  // a `revisit` record carrying WARC-Refers-To (the stored original's
+  // record id) and the WARC-Payload-Digest of the payload that was NOT
+  // stored. Resolution is digest-keyed; the corpus must count the page
+  // ONCE while the fetch log still sees the re-fetch.
+  // ---------------------------------------------------------------------
+
+  /** Every doc with id ≡ [[RevisitPhase]] (mod [[RevisitEvery]]) was
+    * re-fetched unchanged and carries a revisit record.
+    */
+  val RevisitEvery = 4
+  val RevisitPhase = 2
+  def hasRevisit(id: Long): Boolean = id % RevisitEvery == RevisitPhase
+
+  /** Render one revisit-bearing shard: byte-identical to
+    * [[renderShard]]'s record stream (so every response-path oracle is
+    * shared VERBATIM), plus one `revisit` member after each re-fetched
+    * doc's response — empty payload, digest pointing at the original.
+    */
+  def renderRevisitShard(shardIdx: Int, docs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(gzipMember(renderRecord("warcinfo", s"graft-warcinfo-$shardIdx",
+      None, ascii(WarcinfoPayload))))
+    docs.foreach { case (id, rawText) =>
+      val uri = Urls.urlOf(id)
+      if (id % RequestEvery == 0)
+        bos.write(gzipMember(renderRecord("request", s"graft-request-$id",
+          Some(uri), ascii(requestPayload(id)))))
+      val html = Html.wrapLine(id, rawText)
+      val payload = responsePayload(id, html)
+      bos.write(gzipMember(renderRecord("response", s"graft-response-$id",
+        Some(uri), payload)))
+      if (hasRevisit(id))
+        bos.write(gzipMember(renderRecord("revisit", s"graft-revisit-$id",
+          Some(uri), Array.emptyByteArray,
+          digestOverride = Some(payloadDigestOf(payload)),
+          refersTo = Some(s"<urn:uuid:graft-response-$id>"))))
+    }
+    bos.toByteArray
+  }
+
+  /** Resolve every revisit to its stored original by payload digest
+    * (the join real archives support — WARC-Refers-To record ids are
+    * optional in the wild, digests are not): per re-fetch, the
+    * refers-to pointer, the ORIGINAL payload's length, and the doc id
+    * extracted from the RESOLVED page bytes — so the output proves the
+    * join delivered the right payload, not just a matching key. One
+    * digest-keyed shuffle join, no driver-side state; at 100 TB both
+    * sides partition on the digest and AQE picks the join strategy.
+    */
+  def revisitResolve(recs: DataFrame): DataFrame = {
+    val responses = recs.filter(col("warc_type") === "response")
+      .select(col("payload_digest").as("__digest"),
+        col("payload").as("__orig_payload"))
+    val revisits = recs.filter(col("warc_type") === "revisit")
+      .select(
+        regexp_extract(col("record_id"), "graft-revisit-([0-9]+)>$", 1)
+          .cast("long").as("doc_id"),
+        col("refers_to"), col("payload_digest"))
+    revisits.join(responses, col("payload_digest") === col("__digest"))
+      .withColumn("__env",
+        graft.functions.HttpResponse.http_response(col("__orig_payload")))
+      .select(col("doc_id"), col("refers_to"),
+        length(col("__orig_payload")).cast("long").as("orig_len"),
+        regexp_extract(col("__env.text"), "data-doc=\"([0-9]+)\"", 1)
+          .cast("long").as("resolved_doc_id"))
+  }
+
+  /** DuckDB mirror of [[revisitResolve]] over the revisit fixture:
+    * every column a closed function of doc_id (the original payload
+    * length is the q_warc_records formula).
+    */
+  def revisitResolveOracleSql: String =
+    s"""WITH raw AS (SELECT doc_id, ${Html.wrapSqlExpr} AS html FROM documents)
+        SELECT doc_id,
+          '<urn:uuid:graft-response-' || doc_id || '>' AS refers_to,
+          ${responsePayloadLenSql("doc_id", "octet_length(encode(html))")} AS orig_len,
+          doc_id AS resolved_doc_id
+        FROM raw WHERE doc_id % $RevisitEvery = $RevisitPhase"""
 
   /** Render one WET shard (Common Crawl's extracted-text sibling):
     * warcinfo member, then one `conversion` record per doc whose
@@ -563,7 +653,8 @@ object Warc {
       col("r.target_uri").as("target_uri"),
       col("r.content_length").as("content_length"),
       col("r.payload").as("payload"),
-      col("r.payload_digest").as("payload_digest"))
+      col("r.payload_digest").as("payload_digest"),
+      col("r.refers_to").as("refers_to"))
 
   /** HTTP envelope decode + status gate over a decoded response
     * payload column (crawlers keep 200s only): the ONE definition of

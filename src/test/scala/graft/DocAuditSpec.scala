@@ -19,6 +19,18 @@ class DocAuditSpec extends AnyFunSuite {
       s"queries with no QUERIES.md entry: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
+  test("QUERIES.md header count matches the registry size") {
+    // the header's "all NNN have DuckDB oracles" claim drifted once
+    // (208 while 279 were registered) — pin it to the actual registry
+    // so adding a query without bumping the header is a test failure
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("QUERIES.md")), "UTF-8")
+    val m = "all ([0-9]+) have DuckDB oracles".r.findFirstMatchIn(doc)
+    assert(m.isDefined, "QUERIES.md header lost its 'all NNN have DuckDB oracles' claim")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"QUERIES.md header says ${m.get.group(1)} but ${SparkEntry.queries.size} queries are registered")
+  }
+
   test("every query has an oracle or a documented rows-only rationale") {
     // the driver records a weaker rows-only check for queries absent
     // from oracleSql — keep that set empty so every green row is a

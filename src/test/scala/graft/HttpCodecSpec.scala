@@ -95,6 +95,112 @@ class HttpCodecSpec extends SparkSpec {
     assert(r != null && r.getUTF8String(2).toString == "x-klingon" && textOf(r) == "plain")
   }
 
+  // --- WHATWG sniff order: BOM → header → meta → default ---------------
+
+  private def usedOf(r: org.apache.spark.sql.catalyst.expressions.GenericInternalRow) =
+    r.getUTF8String(6).toString
+  private def sourceOf(r: org.apache.spark.sql.catalyst.expressions.GenericInternalRow) =
+    r.getUTF8String(7).toString
+  private def fffdOf(r: org.apache.spark.sql.catalyst.expressions.GenericInternalRow) =
+    r.getLong(8)
+
+  test("every registry charset decodes its script under a header declaration") {
+    for (((label, _, text), slot) <- graft.operators.Charsets.Slots.zipWithIndex) {
+      val id = slot.toLong * 4 // mode 0 of that slot
+      val r = row(graft.operators.Charsets.responsePayload(id))
+      assert(r != null, s"$label parse")
+      assert(usedOf(r) == label && sourceOf(r) == "header", s"$label sniff")
+      assert(textOf(r).contains(text), s"$label text survived the legacy round trip")
+      assert(fffdOf(r) == 0L, s"$label clean decode")
+    }
+  }
+
+  test("meta prescan: bare text/html header, charset only in <meta>") {
+    val html = "<html><head><meta charset=\"shift_jis\"></head><body>" +
+      "コンピュータ</body></html>"
+    val r = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+      html.getBytes(java.nio.charset.Charset.forName("Shift_JIS"))))
+    assert(usedOf(r) == "shift_jis" && sourceOf(r) == "meta")
+    assert(textOf(r) == html)
+    // http-equiv form resolves too
+    val h2 = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1251\"></head><body>да</body></html>"
+    val r2 = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+      h2.getBytes(java.nio.charset.Charset.forName("windows-1251"))))
+    assert(usedOf(r2) == "windows-1251" && sourceOf(r2) == "meta" && textOf(r2) == h2)
+  }
+
+  test("meta prescan window is 1024 bytes — a tag beyond it is ignored") {
+    val pad = "<!-- " + ("x" * 1100) + " -->"
+    val html = pad + "<meta charset=\"windows-1251\">ok"
+    val r = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+      html.getBytes(UTF_8)))
+    assert(usedOf(r) == "utf-8" && sourceOf(r) == "default")
+  }
+
+  test("BOM wins over a lying header; the BOM is stripped from the text") {
+    val body = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "plain é".getBytes(UTF_8)
+    val r = row(msg(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n\r\n", body))
+    assert(usedOf(r) == "utf-8" && sourceOf(r) == "bom")
+    assert(textOf(r) == "plain é") // no U+FEFF
+    // and the declared label is still surfaced verbatim
+    assert(r.getUTF8String(2).toString == "shift_jis")
+    for ((le, label) <- Seq(true -> "utf-16le", false -> "utf-16be")) {
+      val cs = if (le) java.nio.charset.StandardCharsets.UTF_16LE
+               else java.nio.charset.StandardCharsets.UTF_16BE
+      val bom: Array[Byte] = if (le) Array(0xff.toByte, 0xfe.toByte)
+                             else Array(0xfe.toByte, 0xff.toByte)
+      val r16 = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+        bom ++ "wide 世界".getBytes(cs)))
+      assert(usedOf(r16) == label && sourceOf(r16) == "bom" && textOf(r16) == "wide 世界")
+    }
+  }
+
+  test("unknown header label falls through to the meta tier, browser-style") {
+    val html = "<meta charset=\"gb2312\">中文"
+    val r = row(msg(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=x-klingon\r\n\r\n",
+      html.getBytes(java.nio.charset.Charset.forName("GBK"))))
+    // gb2312 resolves to its WHATWG superset GBK
+    assert(usedOf(r) == "gbk" && sourceOf(r) == "meta" && textOf(r) == html)
+  }
+
+  test("n_fffd counts every replacement the lenient decode emitted") {
+    val body = "ok ".getBytes(US_ASCII) ++
+      Array(0xff.toByte, 0xfe.toByte, 0x41.toByte) // 2 bad bytes mid-body + 'A'
+    val r = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n",
+      "see: ".getBytes(US_ASCII) ++ body))
+    assert(sourceOf(r) == "default" && fffdOf(r) == 2L)
+    val clean = row(msg("HTTP/1.1 200 OK\r\n\r\n", "fine".getBytes(UTF_8)))
+    assert(fffdOf(clean) == 0L)
+  }
+
+  test("charset fixture: every mode decodes to its predicted text") {
+    import graft.operators.Charsets
+    for (id <- 0L until 96L) { // 4 modes × 8 slots × 3 bom/k values
+      val r = row(Charsets.responsePayload(id))
+      assert(r != null, s"doc $id")
+      val (label, _, text) = Charsets.Slots(Charsets.slotOf(id))
+      Charsets.modeOf(id) match {
+        case 0 =>
+          assert(textOf(r) == Charsets.htmlNoMeta(id, text) &&
+            usedOf(r) == label && sourceOf(r) == "header")
+        case 1 =>
+          assert(textOf(r) == Charsets.htmlMeta(id, label, text) &&
+            usedOf(r) == label && sourceOf(r) == "meta")
+        case 2 =>
+          assert(textOf(r) == Charsets.htmlNoMeta(id, text) &&
+            usedOf(r) == Charsets.BomLabels(Charsets.bomEncOf(id)) &&
+            sourceOf(r) == "bom")
+        case _ =>
+          assert(fffdOf(r) == Charsets.fffdOf(id).toLong &&
+            sourceOf(r) == "default" &&
+            textOf(r) == Charsets.mojibakeBase(id) + ("�" * Charsets.fffdOf(id)))
+      }
+    }
+  }
+
   test("redirect captures surface status + Location verbatim") {
     val r = row(msg(
       "HTTP/1.1 301 Moved Permanently\r\nLocation: https://site3.com/Articles/7\r\n\r\n",

@@ -265,4 +265,42 @@ class WarcGzipSpec extends SparkSpec {
     assert(len.getLong(1) == 0L && len.getLong(2) == 0L)
     assert(len.getArray(0).numElements() == strict.length)
   }
+
+  test("revisit records: refers_to surfaces, digest points at the ORIGINAL payload") {
+    val docs = Seq(1L -> "alpha text", 2L -> "beta text", 6L -> "gamma text")
+    val shard = Warc.renderRevisitShard(0, docs)
+    val rows = WarcCodec.parse(graft.functions.GzipCodec.gunzip(shard))
+    assert(rows != null)
+    val byType = rows.groupBy(_.getUTF8String(0).toString)
+    // 2 and 6 are ≡ RevisitPhase (mod RevisitEvery); 1 is not
+    assert(byType("revisit").length == 2)
+    assert(byType("response").length == 3)
+    val rev = byType("revisit").map(r =>
+      r.getUTF8String(1).toString -> r).toMap
+    val resp = byType("response").map(r =>
+      r.getUTF8String(1).toString -> r).toMap
+    for (id <- Seq(2L, 6L)) {
+      val rv = rev(s"<urn:uuid:graft-revisit-$id>")
+      // refers_to names the stored original (field 6)
+      assert(rv.getUTF8String(6).toString == s"<urn:uuid:graft-response-$id>")
+      // empty payload, but the digest equals the ORIGINAL response's
+      val orig = resp(s"<urn:uuid:graft-response-$id>")
+      assert(rv.getLong(3) == 0L)
+      assert(rv.getUTF8String(5).toString == orig.getUTF8String(5).toString)
+      assert(rv.getUTF8String(5).toString ==
+        Warc.payloadDigestOf(orig.getBinary(4)))
+    }
+    // non-revisit records keep a null refers_to (forward compatibility)
+    assert(resp.values.forall(_.isNullAt(6)))
+    // and the response stream is byte-identical to the plain shard's
+    // (the shared-oracle guarantee): strip revisit members and compare
+    val plain = WarcCodec.parse(
+      graft.functions.GzipCodec.gunzip(Warc.renderShard(0, docs)))
+    val keep = rows.filter(_.getUTF8String(0).toString != "revisit")
+    assert(keep.length == plain.length)
+    keep.zip(plain).foreach { case (a, b) =>
+      assert(a.getUTF8String(1).toString == b.getUTF8String(1).toString)
+      assert(java.util.Arrays.equals(a.getBinary(4), b.getBinary(4)))
+    }
+  }
 }
