@@ -3563,6 +3563,22 @@ object SparkEntry {
           col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
           col("d.px_hash").as("px_hash"))),
 
+    // multimodal: REAL palette+LZW image codec — GIF87a/89a containers
+    // staged across interlace / ignored-second-frame (with local color
+    // table) / comment-extension axes, all of which the decode must
+    // make INVISIBLE (the oracle never sees them); padding pixels are
+    // palette index 0 → (0,13,255), so they land in the sums AND the
+    // position-sensitive px_hash
+    "q_gif_decode" -> ((s, dir) =>
+      Multimodal.gifAssets(s, dir)
+        .select(col("asset_id"),
+          graft.functions.GifDecode.gif_decode(col("media")).as("d"))
+        .select(col("asset_id"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          col("d.n_px").as("n_px"), col("d.sum_r").as("sum_r"),
+          col("d.sum_g").as("sum_g"), col("d.sum_b").as("sum_b"),
+          col("d.px_hash").as("px_hash"))),
+
     // multimodal: compressed-container downsample — the FULL pipeline
     // twice per asset (inflate+unfilter in, re-filter+deflate+
     // re-checksum out), then re-decoded in-plan; px_hash rides through
@@ -5015,6 +5031,7 @@ object SparkEntry {
     "q_bmp_decode" -> Multimodal.bmpDecodeSql,
     "q_png_decode" -> Multimodal.pngDecodeSql,
     "q_jpeg_decode" -> Multimodal.jpegDecodeSql,
+    "q_gif_decode" -> Multimodal.gifDecodeSql,
     "q_png_resize" -> Multimodal.pngResampleSql(2),
     "q_bmp_resize" -> Multimodal.bmpResampleSql(2),
     "q_media_dispatch" -> Multimodal.decodeDispatchSql,

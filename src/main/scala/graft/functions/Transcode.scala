@@ -43,10 +43,14 @@ object TranscodeCodec {
       else {
         val p = PngCodec.decodeRgb(bytes)
         if (p != null) p
-        else try JpegCodec.decodeRgb(bytes)
-        catch {
-          case PngCodec.Malformed | _: ArrayIndexOutOfBoundsException |
-               _: NegativeArraySizeException => null
+        else {
+          val g = GifCodec.decodeRgb(bytes)
+          if (g != null) g
+          else try JpegCodec.decodeRgb(bytes)
+          catch {
+            case PngCodec.Malformed | _: ArrayIndexOutOfBoundsException |
+                 _: NegativeArraySizeException => null
+          }
         }
       }
     }

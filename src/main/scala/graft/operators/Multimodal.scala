@@ -544,6 +544,71 @@ object Multimodal {
                  (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
         FROM flat"""
 
+  // --- GIF (the palette + LZW container) ---
+
+  /** GIF asset fixture: each document byte `b_i` becomes PALETTE INDEX
+    * i over the shared fixture palette (index v → (v, (7v+13) mod 256,
+    * 255−v) — the same channel algebra as BMP/PNG, so the oracle
+    * algebra is shared), geometry as [[pngAssets]] (w = 4 + id mod 4,
+    * h floored at 1), padding pixels index 0 → (0,13,255). Container
+    * axes rotate interlace, an ignored second animation frame (with a
+    * LOCAL color table the decoder must skip), and a comment extension
+    * — all INVISIBLE to the oracle by construction: the decode must
+    * make them invisible, which is the test.
+    */
+  def gifAssets(spark: SparkSession, dir: String): DataFrame = {
+    // same staging-parallelism note as [[pngAssets]]
+    val docs = ColOps.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val rdd = docs.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 4 + (id % 4).toInt
+        val h = math.max(1, (bytes.length + w - 1) / w)
+        val idx = new Array[Int](w * h) // zero-filled: padding = index 0
+        var i = 0
+        while (i < bytes.length) { idx(i) = bytes(i) & 0xff; i += 1 }
+        Row(id, graft.functions.GifCodec.encodeIndexed(idx, w, h,
+          interlaced = (id / 2) % 2 == 1,
+          secondFrame = (id / 4) % 3 == 0,
+          comment = (id / 2) % 3 == 0))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** DuckDB mirror of gif_decode over [[gifAssets]]: the shared sum
+    * algebra with the GIF padding color (0,13,255) — padding pixels
+    * contribute to sum_g/sum_b and to the position-sensitive px_hash,
+    * unlike BMP/PNG's (0,0,0), so a decoder that mis-places padding
+    * (or mis-orders interlaced rows) breaks the hash.
+    */
+  def gifDecodeSql: String =
+    s"""$bmpBytesCte,
+        geo1 AS (SELECT doc_id, bts, w, GREATEST(h, 1) AS h FROM geo),
+        flat AS (SELECT doc_id, bts, w, h,
+                   flatten([CASE WHEN i < len(bts)
+                      THEN [bts[i+1], (7*bts[i+1] + 13) % 256, 255 - bts[i+1]]
+                      ELSE [0, 13, 255] END
+                    for i in range(0, w * h)]) AS pxb,
+                   w * h - len(bts) AS n_pad
+                 FROM geo1)
+        SELECT doc_id AS asset_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(bts), 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(bts, x -> (7*x + 13) % 256)), 0)
+                    + 13 * GREATEST(n_pad, 0) AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(bts, x -> 255 - x)), 0)
+                    + 255 * GREATEST(n_pad, 0) AS BIGINT) AS sum_b,
+               list_reduce(list_prepend(0::BIGINT, pxb),
+                 (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
+        FROM flat"""
+
   /** DuckDB mirror of png_decode(png_resample(media, k)) over
     * [[pngAssets]]: decimation in the LOGICAL top-down index space
     * (the bmpResampleSql algebra) plus the position-sensitive px_hash
@@ -735,7 +800,7 @@ object Multimodal {
                        THEN [bts[i+1], (7*bts[i+1] + 13) % 256, 255 - bts[i+1]]
                        ELSE [0, 0, 0] END
                      for i in range(0, w * h)]) AS pxb
-                  FROM tgeo WHERE doc_id % 5 = 1 AND h > 0)
+                  FROM tgeo WHERE doc_id % 6 = 1 AND h > 0)
         SELECT doc_id AS asset_id,
                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                CAST(w * h AS BIGINT) AS n_px,
@@ -748,9 +813,11 @@ object Multimodal {
                  (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
         FROM bflat
         UNION ALL
-        SELECT * FROM ($pngDecodeSql) p WHERE p.asset_id % 5 = 2
+        SELECT * FROM ($pngDecodeSql) p WHERE p.asset_id % 6 = 2
         UNION ALL
-        SELECT * FROM ($jpegDecodeSql) j WHERE j.asset_id % 5 = 3"""
+        SELECT * FROM ($jpegDecodeSql) j WHERE j.asset_id % 6 = 3
+        UNION ALL
+        SELECT * FROM ($gifDecodeSql) gf WHERE gf.asset_id % 6 = 4"""
 
   /** Format-agnostic THUMBNAILS over the mixed corpus: decode any
     * image container, k-decimate in logical orientation, land in the
@@ -773,7 +840,16 @@ object Multimodal {
         tkept AS (SELECT doc_id, bts, w, h,
                     [i for i in range(0, w * h)
                      if (i % w) % $k = 0 AND (i // w) % $k = 0] AS ks
-                  FROM tgeo WHERE doc_id % 5 = 1 AND h > 0),
+                  FROM tgeo WHERE doc_id % 6 = 1 AND h > 0),
+        gkept AS (SELECT doc_id, bts, w, GREATEST(h, 1) AS gh,
+                    [i for i in range(0, w * GREATEST(h, 1))
+                     if (i % w) % $k = 0 AND (i // w) % $k = 0] AS ks
+                  FROM tgeo WHERE doc_id % 6 = 4),
+        gflat AS (SELECT doc_id, w, gh, ks,
+                    list_transform(ks, i -> CASE WHEN i < len(bts)
+                       THEN [bts[i+1], (7*bts[i+1] + 13) % 256, 255 - bts[i+1]]
+                       ELSE [0, 13, 255] END) AS gpx3
+                  FROM gkept),
         tflat AS (SELECT doc_id, w, h, ks,
                     flatten(list_transform(ks, i -> CASE WHEN i < len(bts)
                        THEN [bts[i+1], (7*bts[i+1] + 13) % 256, 255 - bts[i+1]]
@@ -785,7 +861,7 @@ object Multimodal {
                     list_transform([i for i in range(0, w * h)
                        if (i % w) % $k = 0 AND (i // w) % $k = 0],
                       i -> px3[CAST(i AS INT) + 1]) AS px3k
-                  FROM jflat WHERE doc_id % 5 = 3)
+                  FROM jflat WHERE doc_id % 6 = 3)
         SELECT doc_id AS asset_id,
                CAST((w + $k - 1) // $k AS INT) AS width,
                CAST((h + $k - 1) // $k AS INT) AS height,
@@ -799,7 +875,7 @@ object Multimodal {
                  (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
         FROM tflat
         UNION ALL
-        SELECT * FROM (${pngResampleSql(k)}) p WHERE p.asset_id % 5 = 2
+        SELECT * FROM (${pngResampleSql(k)}) p WHERE p.asset_id % 6 = 2
         UNION ALL
         SELECT doc_id AS asset_id,
                CAST((w + $k - 1) // $k AS INT) AS width,
@@ -810,25 +886,38 @@ object Multimodal {
                CAST(COALESCE(list_sum(list_transform(px3k, t -> t[3])), 0) AS BIGINT) AS sum_b,
                list_reduce(list_prepend(0::BIGINT, flatten(px3k)),
                  (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
-        FROM jkept"""
+        FROM jkept
+        UNION ALL
+        SELECT doc_id AS asset_id,
+               CAST((w + $k - 1) // $k AS INT) AS width,
+               CAST((gh + $k - 1) // $k AS INT) AS height,
+               CAST(((w + $k - 1) // $k) * ((gh + $k - 1) // $k) AS BIGINT) AS n_px,
+               CAST(COALESCE(list_sum(list_transform(gpx3, t -> t[1])), 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(list_sum(list_transform(gpx3, t -> t[2])), 0) AS BIGINT) AS sum_g,
+               CAST(COALESCE(list_sum(list_transform(gpx3, t -> t[3])), 0) AS BIGINT) AS sum_b,
+               list_reduce(list_prepend(0::BIGINT, flatten(gpx3)),
+                 (a, c) -> (a * 31 + c) % ${graft.functions.PngCodec.HashMod}) AS px_hash
+        FROM gflat"""
 
   // --- multi-format dispatch (mixed-modality corpus routing) ---
 
   /** Mixed-modality corpus staged from the documents table: WAV
-    * containers for doc_id ≡ 0 (mod 5), BMP for ≡ 1, PNG for ≡ 2,
-    * JPEG for ≡ 3, raw UTF-8 bytes for ≡ 4 — the realistic input of a
-    * crawl-scale media pipeline where format is only knowable from the
-    * bytes.
+    * containers for doc_id ≡ 0 (mod 6), BMP for ≡ 1, PNG for ≡ 2,
+    * JPEG for ≡ 3, GIF for ≡ 4, raw UTF-8 bytes for ≡ 5 — the
+    * realistic input of a crawl-scale media pipeline where format is
+    * only knowable from the bytes.
     */
   def mixedAssets(spark: SparkSession, dir: String): DataFrame = {
-    val wav = wavAssets(spark, dir).filter(col("asset_id") % 5 === 0)
-    val bmp = bmpAssets(spark, dir).filter(col("asset_id") % 5 === 1)
-    val png = pngAssets(spark, dir).filter(col("asset_id") % 5 === 2)
-    val jpg = jpegAssets(spark, dir).filter(col("asset_id") % 5 === 3)
+    val wav = wavAssets(spark, dir).filter(col("asset_id") % 6 === 0)
+    val bmp = bmpAssets(spark, dir).filter(col("asset_id") % 6 === 1)
+    val png = pngAssets(spark, dir).filter(col("asset_id") % 6 === 2)
+    val jpg = jpegAssets(spark, dir).filter(col("asset_id") % 6 === 3)
+    val gif = gifAssets(spark, dir).filter(col("asset_id") % 6 === 4)
     val raw = ColOps.table(spark, dir, "documents")
-      .filter(col("doc_id") % 5 === 4)
+      .filter(col("doc_id") % 6 === 5)
       .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("media"))
-    wav.unionByName(bmp).unionByName(png).unionByName(jpg).unionByName(raw)
+    wav.unionByName(bmp).unionByName(png).unionByName(jpg).unionByName(gif)
+      .unionByName(raw)
   }
 
   /** Format DISPATCH by try-decode: route each payload to the codec
@@ -848,20 +937,23 @@ object Multimodal {
     val b = graft.functions.BmpDecode.bmp_decode(col("media"))
     val p = graft.functions.PngDecode.png_decode(col("media"))
     val j = graft.functions.JpegDecode.jpeg_decode(col("media"))
+    val g = graft.functions.GifDecode.gif_decode(col("media"))
     assets.select(col("asset_id"), w.as("w"), b.as("b"), p.as("p"), j.as("j"),
-        col("media"))
+        g.as("g"), col("media"))
       .select(col("asset_id"),
         when(col("w").isNotNull, lit("wav"))
           .when(col("b").isNotNull, lit("bmp"))
           .when(col("p").isNotNull, lit("png"))
           .when(col("j").isNotNull, lit("jpeg"))
+          .when(col("g").isNotNull, lit("gif"))
           .otherwise(lit("raw")).as("kind"),
         coalesce(col("w.n_samples"), col("b.n_px"), col("p.n_px"), col("j.n_px"),
-          length(col("media")).cast("long")).as("n_units"),
+          col("g.n_px"), length(col("media")).cast("long")).as("n_units"),
         coalesce(col("w.sum_abs"),
           col("b.sum_r") + col("b.sum_g") + col("b.sum_b"),
           col("p.sum_r") + col("p.sum_g") + col("p.sum_b"),
           col("j.sum_r") + col("j.sum_g") + col("j.sum_b"),
+          col("g.sum_r") + col("g.sum_g") + col("g.sum_b"),
           graft.functions.ByteSum.byte_sum(col("media")))
           .as("checksum"))
   }
@@ -878,30 +970,38 @@ object Multimodal {
               FROM b),
         $jpegChainCtes
         SELECT doc_id AS asset_id,
-               CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
-                 WHEN 2 THEN 'png' ELSE 'raw' END AS kind,
-               CAST(CASE doc_id % 5
+               CASE doc_id % 6 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                 WHEN 2 THEN 'png' WHEN 4 THEN 'gif' ELSE 'raw' END AS kind,
+               CAST(CASE doc_id % 6
                  WHEN 0 THEN len(bts)
                  WHEN 1 THEN (4 + doc_id % 4) *
                    ((len(bts) + (4 + doc_id % 4) - 1) // (4 + doc_id % 4))
                  WHEN 2 THEN (4 + doc_id % 4) *
                    GREATEST((len(bts) + (4 + doc_id % 4) - 1) // (4 + doc_id % 4), 1)
+                 WHEN 4 THEN (4 + doc_id % 4) *
+                   GREATEST((len(bts) + (4 + doc_id % 4) - 1) // (4 + doc_id % 4), 1)
                  ELSE len(bts) END AS BIGINT) AS n_units,
-               CAST(CASE doc_id % 5
+               CAST(CASE doc_id % 6
                  WHEN 0 THEN COALESCE(list_sum(list_transform(bts,
                    x -> abs((x - 128) * 256))), 0)
                  WHEN 1 THEN COALESCE(list_sum(list_transform(bts,
                    x -> x + (7*x + 13) % 256 + 255 - x)), 0)
                  WHEN 2 THEN COALESCE(list_sum(list_transform(bts,
                    x -> x + (7*x + 13) % 256 + 255 - x)), 0)
+                 WHEN 4 THEN COALESCE(list_sum(list_transform(bts,
+                   x -> x + (7*x + 13) % 256 + 255 - x)), 0)
+                   -- GIF padding pixels are palette index 0 → (0,13,255)
+                   + 268 * ((4 + doc_id % 4) *
+                       GREATEST((len(bts) + (4 + doc_id % 4) - 1) // (4 + doc_id % 4), 1)
+                       - len(bts))
                  ELSE COALESCE(list_sum(bts), 0) END AS BIGINT) AS checksum
-        FROM g WHERE doc_id % 5 != 3
+        FROM g WHERE doc_id % 6 != 3
         UNION ALL
         SELECT doc_id AS asset_id, 'jpeg' AS kind,
                CAST(w * h AS BIGINT) AS n_units,
                CAST(COALESCE(list_sum(list_transform(px3,
                  t -> t[1] + t[2] + t[3])), 0) AS BIGINT) AS checksum
-        FROM jflat WHERE doc_id % 5 = 3"""
+        FROM jflat WHERE doc_id % 6 = 3"""
 
   def sampleFrames(assets: DataFrame, stride: Int): DataFrame =
     assets.select(

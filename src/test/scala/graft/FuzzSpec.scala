@@ -30,6 +30,7 @@ class FuzzSpec extends SparkSpec {
     "bmp" -> (b => BmpCodec.decodeFeatures(b)),
     "png" -> (b => PngCodec.decodeFeatures(b)),
     "jpeg" -> (b => JpegCodec.decodeFeatures(b)),
+    "gif" -> (b => GifCodec.decodeFeatures(b)),
     "transcode" -> (b => TranscodeCodec.toPng(b)),
     "thumbnail" -> (b => TranscodeCodec.thumbnail(b, 2)))
 
@@ -67,7 +68,10 @@ class FuzzSpec extends SparkSpec {
         decoders.filter(d => Set("bmp", "transcode")(d._1))),
       ("jpeg", JpegCodec.encodeCells(Array.tabulate(6)(i => (i * 37) % 256),
         24, 16, subsample420 = true, gray = false, restartInterval = 2),
-        decoders.filter(d => Set("jpeg", "transcode")(d._1))))
+        decoders.filter(d => Set("jpeg", "transcode")(d._1))),
+      ("gif", GifCodec.encodeIndexed(Array.tabulate(60)(i => (i * 37) % 256),
+        6, 10, interlaced = true, secondFrame = true, comment = true),
+        decoders.filter(d => Set("gif", "transcode", "thumbnail")(d._1))))
     for ((cLabel, valid, ds) <- valids; (dLabel, f) <- ds) {
       // every position would be O(n^2-ish); sample ~200 positions + all
       // of the first 64 (headers are where the state machines live)

@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GifCodec
+
+/** The hand-rolled GIF codec against the public spec AND the JDK's
+  * ImageIO GIF plugin (cross-validation both directions: ImageIO must
+  * read our fixture encoder's output pixel-exact, and our decoder must
+  * read ImageIO-written GIFs) — the same discipline JpegCodecSpec
+  * established. Plus the fail-closed malformation matrix.
+  */
+class GifCodecSpec extends AnyFunSuite {
+
+  private def pxOf(indices: Array[Int]): Array[Int] =
+    indices.map(v => (GifCodec.palR(v) << 16) | (GifCodec.palG(v) << 8) | GifCodec.palB(v))
+
+  /** Mirror of the engine decode via the package-private decodeRgb. */
+  private def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val m = GifCodec.getClass.getDeclaredMethods
+      .find(_.getName == "decodeRgb").get
+    m.setAccessible(true)
+    m.invoke(GifCodec, bytes).asInstanceOf[(Int, Int, Array[Int])]
+  }
+
+  private def imageIoRead(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not read the GIF")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  private def fixtureIndices(seed: Int, n: Int): Array[Int] = {
+    // deterministic "random" indices exercising dictionary growth
+    Array.tabulate(n)(i => ((i * 31 + seed * 17 + (i * i % 97)) % 256))
+  }
+
+  test("round trip: encode → decode recovers pixels exactly (plain, interlaced, animated, comment)") {
+    for {
+      (w, h) <- Seq((4, 3), (7, 11), (16, 16), (33, 9), (1, 1), (5, 40))
+      interlaced <- Seq(false, true)
+      second <- Seq(false, true)
+    } {
+      val idx = fixtureIndices(w * h, w * h)
+      val gif = GifCodec.encodeIndexed(idx, w, h, interlaced = interlaced,
+        secondFrame = second, comment = second)
+      val d = decodeRgb(gif)
+      assert(d != null, s"$w x $h interlaced=$interlaced second=$second")
+      assert(d._1 == w && d._2 == h)
+      assert(java.util.Arrays.equals(d._3, pxOf(idx)),
+        s"pixel drift at $w x $h interlaced=$interlaced second=$second")
+    }
+  }
+
+  test("LZW dictionary growth through a clear: > 4096 distinct phrases") {
+    // long repetitive-then-varied stream forces 12-bit codes + re-clear
+    val n = 40000
+    val idx = Array.tabulate(n)(i =>
+      if (i < 8000) (i / 7) % 256 else (i * 131 + i / 3) % 256)
+    val gif = GifCodec.encodeIndexed(idx, 200, 200)
+    val d = decodeRgb(gif)
+    assert(d != null && java.util.Arrays.equals(d._3, pxOf(idx)))
+  }
+
+  test("ImageIO reads our encoder's output pixel-exact (incl. interlace)") {
+    for (interlaced <- Seq(false, true)) {
+      val w = 23; val h = 17
+      val idx = fixtureIndices(3, w * h)
+      val gif = GifCodec.encodeIndexed(idx, w, h, interlaced = interlaced)
+      val (iw, ih, ipx) = imageIoRead(gif)
+      assert(iw == w && ih == h)
+      assert(java.util.Arrays.equals(ipx, pxOf(idx)), s"interlaced=$interlaced")
+    }
+  }
+
+  test("our decoder reads ImageIO-WRITTEN GIFs pixel-exact") {
+    val w = 31; val h = 13
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val idx = fixtureIndices(9, w * h)
+    val px = pxOf(idx)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, px(y * w + x)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val d = decodeRgb(bos.toByteArray)
+    assert(d != null && d._1 == w && d._2 == h)
+    // ImageIO palettizes; our fixture palette is 256 distinct colors so
+    // the quantization is lossless and pixels must survive exactly
+    assert(java.util.Arrays.equals(d._3, px))
+  }
+
+  test("animated GIF: FIRST frame is the image; later frames + local tables are skipped, tail validated") {
+    val idx = fixtureIndices(5, 12)
+    val gif = GifCodec.encodeIndexed(idx, 4, 3, secondFrame = true)
+    val d = decodeRgb(gif)
+    assert(d != null && d._1 == 4 && d._2 == 3)
+    assert(java.util.Arrays.equals(d._3, pxOf(idx)))
+    // truncating the SECOND frame's data must fail the whole file
+    // (fail-closed tail validation, not "first frame decoded, done")
+    assert(GifCodec.decodeFeatures(gif.dropRight(3)) == null)
+  }
+
+  test("malformed GIFs fail closed, never throw") {
+    val good = GifCodec.encodeIndexed(fixtureIndices(1, 20), 5, 4)
+    def mut(off: Int, v: Int): Array[Byte] = {
+      val c = good.clone(); c(off) = v.toByte; c
+    }
+    assert(GifCodec.decodeFeatures(null) == null)
+    assert(GifCodec.decodeFeatures(Array.emptyByteArray) == null)
+    assert(GifCodec.decodeFeatures("GIF99a".getBytes("US-ASCII")) == null)
+    assert(GifCodec.decodeFeatures(mut(0, 'X')) == null) // bad magic
+    assert(GifCodec.decodeFeatures(good.dropRight(1)) == null) // no trailer
+    assert(GifCodec.decodeFeatures(good ++ Array[Byte](0)) == null) // trailing garbage
+    assert(GifCodec.decodeFeatures(good.take(40)) == null) // truncated palette
+    // zero-dimension frame
+    val zero = GifCodec.encodeIndexed(Array(0), 1, 1)
+    val zi = 13 + 768 // header + LSD + global palette → image descriptor
+    assert(zero(zi) == 0x2c)
+    val zc = zero.clone()
+    zc(zi + 5) = 0; zc(zi + 6) = 0 // frame width := 0
+    assert(GifCodec.decodeFeatures(zc) == null)
+    // random fuzz around the LZW data must never throw
+    val rnd = new java.util.Random(42)
+    var i = 0
+    while (i < 500) {
+      val c = good.clone()
+      c(13 + 768 + rnd.nextInt(c.length - 13 - 768 - 1)) = rnd.nextInt(256).toByte
+      GifCodec.decodeFeatures(c) // any result fine; no exception allowed
+      i += 1
+    }
+  }
+
+  test("dimension bomb: huge declared frame fails before allocation") {
+    // hand-build a header declaring 0xffff x 0xffff (> 2^24 px product)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    bos.write(Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0x80.toByte, 0, 0)) // LSD with 2-entry GCT
+    bos.write(Array[Byte](1, 2, 3, 4, 5, 6))
+    bos.write(0x2c)
+    bos.write(Array[Byte](0, 0, 0, 0, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0))
+    bos.write(2); bos.write(0)
+    bos.write(0x3b)
+    assert(GifCodec.decodeFeatures(bos.toByteArray) == null)
+  }
+}
