@@ -640,6 +640,44 @@ object SparkEntry {
       }
     }
 
+  /** The NESTED sitemap layout (q_sitemap_index fixture): per site a
+    * `sitemapindex` XML naming two GZIPPED leaf sitemaps
+    * (`leaf-site<n>-p<0|1>.xml.gz`, split by doc parity), plus one
+    * ORPHAN leaf no index references (site 0's part-0 content again) —
+    * the by-reference fetch join must exclude it or site 0's counts
+    * double.
+    */
+  private val sitemapIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedSitemapIndex(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedArrivalDir(sitemapIndexDirs, "graft_sitemapidx_", dir) { tmp =>
+      def gz(text: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        g.close()
+        bos.toByteArray
+      }
+      val ids = ColOps.table(s, dir, "documents")
+        .select(col("doc_id")).orderBy(col("doc_id")).collect().map(_.getLong(0))
+      var orphanSource: String = null
+      ids.groupBy(id => ((id % 150) % 23).toInt).foreach { case (n, siteIds) =>
+        val parts = siteIds.groupBy(id => (id % 2).toInt)
+        parts.toSeq.sortBy(_._1).foreach { case (p, pIds) =>
+          val xml = Urls.renderSitemap(pIds.toSeq.sorted.map(Urls.urlOf))
+          java.nio.file.Files.write(tmp.resolve(s"leaf-site$n-p$p.xml.gz"), gz(xml))
+          if (n == 0 && p == 0) orphanSource = xml
+        }
+        java.nio.file.Files.write(tmp.resolve(s"index-site$n.xml"),
+          Urls.renderSitemapIndex(parts.keySet.toSeq.sorted.map(p =>
+            s"https://site$n.example/leaf-site$n-p$p.xml.gz"))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      if (orphanSource != null)
+        java.nio.file.Files.write(
+          tmp.resolve("leaf-site0-orphan.xml.gz"), gz(orphanSource))
+    }
+
   /** The REDIRECT crawl archive: 4 shards whose doc_id ≡ 1 (mod 3)
     * responses are 3xx captures with Location headers (q_warc_redirects
     * fixture). Same discipline as [[stagedWarcShards]].
@@ -2524,6 +2562,20 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       TextOps.qualityFilter(ColOps.table(s, dir, "documents"), "doc_id", "text")),
 
+    // TRAINED quality classifier (the CCNet/RefinedWeb/DCLM move):
+    // hashed bag-of-words linear model distilled from the heuristic
+    // keep flag by integer-exact batch-perceptron rounds — features
+    // checkpointed once, the model broadcast each round, rounds fixed
+    // and corpus-size-independent; output = the final weight vector
+    "q_quality_train" -> ((s, dir) =>
+      QualityModel.train(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
+    // the trained model APPLIED as one broadcast scoring pass: per doc
+    // the integer margin, the prediction, and the distillation-
+    // fidelity bit (model vs teacher) the selection tier thresholds on
+    "q_quality_score" -> ((s, dir) =>
+      QualityModel.score(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+
     // raw-HTML → clean text: read the staged one-page-per-line crawl
     // fixture, recover doc_id from the page's data attribute, strip
     // markup + decode entities + apply the C4 line rules — a map-only
@@ -2611,6 +2663,23 @@ object SparkEntry {
         s.read.option("wholetext", "true")
           .text(stagedSitemaps(s, dir).toString)
           .select(input_file_name().as("path"), col("value").as("xml")))),
+
+    // NESTED sitemap discovery — the full sitemaps.org shape: per-site
+    // sitemapindex files name GZIPPED leaf sitemaps, leaves are fetched
+    // BY REFERENCE (broadcast name join; an orphan leaf the indexes
+    // never name must contribute nothing), gunzipped by the engine
+    // inflate and parsed into the q_sitemap_seeds profile — whose
+    // oracle is shared VERBATIM (index + gzip + orphan layers must be
+    // exactly transparent)
+    "q_sitemap_index" -> ((s, dir) => {
+      val p = stagedSitemapIndex(s, dir).toString
+      Urls.sitemapIndexSeeds(
+        s.read.option("wholetext", "true")
+          .option("pathGlobFilter", "index-*.xml").text(p)
+          .select(input_file_name().as("path"), col("value").as("xml")),
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "leaf-*.xml.gz").load(p))
+    }),
 
     // redirect-AWARE frontier: 301 captures adopt their Location
     // target's canonical identity BEFORE frontier dedup (the old and
@@ -4547,6 +4616,8 @@ object SparkEntry {
           FROM documents""",
 
     "q_quality_filter" -> TextOps.qualityFilterSql(allStopsSql),
+    "q_quality_train" -> QualityModel.trainOracleSql(allStopsSql),
+    "q_quality_score" -> QualityModel.scoreOracleSql(allStopsSql),
     // the oracle REBUILDS the staged raw HTML from documents via the
     // shared wrapper template, then strips it with its own regexp chain
     // — both engines parse byte-identical markup
@@ -4568,6 +4639,8 @@ object SparkEntry {
     "q_charset_audit" -> Charsets.auditOracleSql,
     "q_frontier_redirect" -> Warc.frontierWithRedirectsOracleSql,
     "q_sitemap_seeds" -> Urls.sitemapSeedsOracleSql,
+    // index→leaf composition: the nesting must be exactly transparent
+    "q_sitemap_index" -> Urls.sitemapSeedsOracleSql,
     "q_warc_extract_recover" ->
       s"""SELECT * FROM (${Html.extractOracleSql}) e
           WHERE e.doc_id % ${Warc.DamageEvery} <> ${Warc.DamagePhase}""",

@@ -1,0 +1,324 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** TRAINED quality classifier — the model-based scoring pass every
+  * production pipeline (CCNet, RefinedWeb, DCLM) layers over heuristic
+  * rules: a hashed bag-of-words + text-statistics linear model trained
+  * by integer-exact batch rounds and applied as a broadcast scoring
+  * pass.
+  *
+  * Training label: the repo's own heuristic quality gate
+  * ([[TextOps.qualityFilter]] keep flag) — the production "distill the
+  * seed filter into a classifier" move (DCLM trains on exactly such
+  * heuristic-labeled seeds), and a label both engines already compute
+  * bit-identically.
+  *
+  * Model: [[BowDims]] word-hash dimensions (portable
+  * [[TextOps.charHash]], per-doc counts ppm-normalized) + five Gopher-
+  * style stat dimensions (word count, mean-word-length ppm, distinct
+  * ppm, stopword ppm, digit ppm) + a bias. Features are integer-
+  * standardized per dimension (mean and MEAN-ABSOLUTE-DEVIATION, both
+  * truncating integer division — σ would need a square root no two
+  * engines floor identically).
+  *
+  * Learning rule: AVERAGED BATCH PERCEPTRON — the integer-exact member
+  * of the linear-classifier family (logistic's sigmoid cannot be
+  * reproduced bit-for-bit across engines; the perceptron hinge and the
+  * weight average can). Round t: every doc's margin under w(t−1);
+  * misclassified = y·margin ≤ 0; update w += Σ_mis y·z ÷ n_mis
+  * (truncating); the OUTPUT model is Σ_t w_t — averaging is what makes
+  * the batch rule stable (the raw final iterate oscillates between the
+  * class majorities; the averaged one reaches ~93% teacher agreement
+  * on the fixture corpus vs the 66% majority floor). Division
+  * semantics are pinned: Spark's `div` and DuckDB's `//` BOTH truncate
+  * toward zero (spec-asserted), so the unrolled DuckDB mirror
+  * hash-matches the weights exactly.
+  *
+  * Scale shape (the 100-TB audit):
+  *  - the sparse (doc, dim, z) table is derived once, partitioned on
+  *    doc_id, CHECKPOINTED; per-round work never re-tokenizes;
+  *  - absent entries standardize to a PER-DIM CONSTANT z0, so margins
+  *    and updates stay SPARSE: margin = C + Σ_present w_d·(z_d−z0_d)
+  *    with C = Σ_d w_d·z0_d + bias folded in (driver-computed from the
+  *    70-long model), and the dense part of the update collapses to
+  *    z0_d · Σ_mis y — one scalar aggregate;
+  *  - each round = one per-doc aggregate (no new exchange — the table
+  *    is already partitioned on doc_id), one co-partitioned join
+  *    against the misclassified set, one ≤[[NDims]]-key aggregate with
+  *    map-side combine, and two driver collects of model-sized rows;
+  *  - rounds are FIXED ([[Iters]]), corpus-size-independent, so the
+  *    whole train is O(iters · corpus) like the BPE vocab loop.
+  *
+  * Reference cell: the fold/scan sink family
+  * (/root/reference/src/Data/Conduino/Combinators.hs:437-471) — a
+  * training round is a corpus-wide fold whose accumulator is the
+  * weight vector.
+  */
+object QualityModel {
+
+  /** Word-hash dimensions; stats occupy [[BowDims]]..[[BowDims]]+4,
+    * bias is dimension [[NDims]]−1.
+    */
+  val BowDims = 64
+  val NDims: Int = BowDims + 6
+  private val Bias = NDims - 1
+
+  /** Fixed averaged-perceptron rounds — corpus-size-independent. */
+  val Iters = 8
+
+  /** z value of the bias dimension for every doc. */
+  private val BiasZ = 1000L
+
+  /** Truncating integer division (toward zero) — the semantics Spark's
+    * `div`, DuckDB's `//`, and Java `/` share (spec-pinned).
+    */
+  private def tdiv(a: Long, b: Long): Long = a / b
+
+  /** Sparse RAW features (doc_id, d, x, y): BoW ppm counts on dims
+    * 0..[[BowDims]]−1, the five stat dims, label from the heuristic
+    * gate. The bias never appears here (it is constant-folded).
+    */
+  private def rawFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = TextOps.words(t)
+    val nW = size(w).cast("long")
+    val nC = length(t).cast("long")
+    val bow = df
+      .select(col(idCol).as("doc_id"), explode(w).as("tok"),
+        nW.as("__n"))
+      .groupBy(col("doc_id"), (TextOps.charHash(col("tok")) % BowDims).as("d"),
+        col("__n"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("d"), (col("c") * 1000000L / col("__n"))
+        .cast("long").as("x"))
+    val allStops = TextOps.StopWords.values.flatten.toSeq.distinct
+    val nStops = size(filter(w, x => x.isin(allStops: _*))).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val nDigits = nC - length(regexp_replace(t, "[0-9]", "")).cast("long")
+    val swc = nC - nW + lit(1L)
+    val stats = df.select(col(idCol).as("doc_id"),
+      map(
+        lit(BowDims.toLong), least(nW, lit(1000L)) * 1000L,
+        lit(BowDims + 1L), swc * 1000000L / nW,
+        lit(BowDims + 2L), nDistinct * 1000000L / nW,
+        lit(BowDims + 3L), nStops * 1000000L / nW,
+        lit(BowDims + 4L), nDigits * 1000000L / greatest(nC, lit(1L))
+      ).as("m"))
+      .select(col("doc_id"), explode(col("m")).as(Seq("d", "x0")))
+      .select(col("doc_id"), col("d"), col("x0").cast("long").as("x"))
+    val lab = TextOps.qualityFilter(df, idCol, textCol)
+      .select(col(idCol).as("__lid"),
+        when(col("keep"), 1L).otherwise(-1L).as("y"))
+    bow.unionByName(stats)
+      .join(lab, col("doc_id") === col("__lid"))
+      .select(col("doc_id"), col("d"), col("x"), col("y"))
+  }
+
+  private final case class Model(w: Array[Long], z0: Array[Long])
+
+  /** Standardize, run the averaged-perceptron rounds, return the
+    * averaged model + the per-dim absent-entry constants. `zy` is the
+    * checkpointed sparse (doc_id, d, z, dz, y) table; `nDocs` the
+    * corpus size; `z0` the absent-entry z per dim.
+    */
+  private def standardized(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, Array[Long], Long) = {
+    val raw = graft.core.Materialize.checkpoint(
+      rawFeatures(df, idCol, textCol).repartition(col("doc_id")))
+    val nDocs = df.count()
+    // pass 1: per-dim sum + count → mu (x ≥ 0 always, so sums are too)
+    val sums = raw.groupBy(col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect()
+    val mu = new Array[Long](NDims)
+    val cnt = new Array[Long](NDims)
+    sums.foreach { r =>
+      val d = r.getLong(0).toInt
+      mu(d) = tdiv(r.getLong(1), nDocs); cnt(d) = r.getLong(2)
+    }
+    // pass 2: per-dim mean absolute deviation (absent entries are |mu|)
+    val muArr = array(mu.toSeq.map(lit): _*)
+    val devs = raw.groupBy(col("d"))
+      .agg(sum(abs(col("x") - element_at(muArr, (col("d") + 1).cast("int"))))
+        .as("sdev")).collect()
+    val mad = new Array[Long](NDims)
+    devs.foreach { r =>
+      val d = r.getLong(0).toInt
+      mad(d) = (r.getLong(1) + (nDocs - cnt(d)) * math.abs(mu(d))) / nDocs
+    }
+    val z0 = Array.tabulate(NDims) { d =>
+      if (d == Bias) BiasZ else tdiv((0L - mu(d)) * 1000L, mad(d) + 1L)
+    }
+    val madArr = array(mad.toSeq.map(lit): _*)
+    val z0Arr = array(z0.toSeq.map(lit): _*)
+    val zdf = raw.select(col("doc_id"), col("d"), col("y"),
+      ((col("x") - element_at(muArr, (col("d") + 1).cast("int"))) * 1000L)
+        .cast("long").as("__num"),
+      (element_at(madArr, (col("d") + 1).cast("int")) + 1L).as("__den"),
+      element_at(z0Arr, (col("d") + 1).cast("int")).as("__z0"))
+      .select(col("doc_id"), col("d"), col("y"),
+        expr("__num div __den").as("z"),
+        (expr("__num div __den") - col("__z0")).as("dz"))
+    (graft.core.Materialize.checkpoint(zdf.repartition(col("doc_id"))),
+      z0, nDocs)
+  }
+
+  /** The averaged-perceptron loop over the standardized sparse table;
+    * returns the AVERAGED weights (length [[NDims]], bias last).
+    */
+  private def trainAveraged(zy: DataFrame, z0: Array[Long]): Array[Long] = {
+    val w = new Array[Long](NDims)
+    val wavg = new Array[Long](NDims)
+    for (_ <- 1 to Iters) {
+      // margin = C + Σ_present w_d·dz_d, with the dense part folded
+      // into the constant C (absent entries all sit at z0)
+      val c = (0 until NDims).map(d => w(d) * z0(d)).sum
+      val wArr = array(w.toSeq.map(lit): _*)
+      val margins = zy.groupBy(col("doc_id"), col("y"))
+        .agg((sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz"))
+          + lit(c)).as("margin"))
+      val mis = margins.filter(col("y") * col("margin") <= 0L)
+        .select(col("doc_id").as("__mid"), col("y").as("__my"))
+      // dense part of the update: z0_d · Σ_mis y (one scalar); sparse
+      // part: Σ_mis y·dz per present dim
+      val scal = mis.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__my")), lit(0L)).as("sy")).collect()(0)
+      val nMis = scal.getLong(0)
+      val sy = scal.getLong(1)
+      if (nMis > 0) {
+        val sparse = zy.join(mis, col("doc_id") === col("__mid"))
+          .groupBy(col("d"))
+          .agg(sum(col("y") * col("dz")).as("dw")).collect()
+        val delta = Array.tabulate(NDims)(d => z0(d) * sy)
+        sparse.foreach(r => delta(r.getLong(0).toInt) += r.getLong(1))
+        (0 until NDims).foreach(d => w(d) += tdiv(delta(d), nMis))
+      }
+      (0 until NDims).foreach(d => wavg(d) += w(d))
+    }
+    wavg
+  }
+
+  /** q_quality_train: the averaged model — one row per dimension
+    * (d, w), bias last.
+    */
+  def train(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val (zy, z0, _) = standardized(df, idCol, textCol)
+    val w = trainAveraged(zy, z0)
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, d) => (d.toLong, v) }.toSeq.toDF("d", "w")
+  }
+
+  /** q_quality_score: every doc scored by the trained model in one
+    * broadcast pass — (doc_id, y, score, pred, agree). `agree` is the
+    * distillation-fidelity bit (model vs teacher) the selection tier
+    * thresholds on.
+    */
+  def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (zy, z0, _) = standardized(df, idCol, textCol)
+    val w = trainAveraged(zy, z0)
+    val c = (0 until NDims).map(d => w(d) * z0(d)).sum
+    val wArr = array(w.toSeq.map(lit): _*)
+    zy.groupBy(col("doc_id"), col("y"))
+      .agg((sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz"))
+        + lit(c)).as("score"))
+      .select(col("doc_id"), col("y"), col("score"),
+        (col("score") > 0L).as("pred"),
+        ((col("score") > 0L) === (col("y") > 0L)).as("agree"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB mirrors — the same recurrence unrolled; the oracle DENSIFIES
+  // (docs × dims is fine at oracle scale) because dense and sparse
+  // formulations are algebraically identical in exact integer math.
+  // ---------------------------------------------------------------------
+
+  /** Shared CTE chain through w1..w[[Iters]] and the averaged model.
+    * `sq` is the quoted stopword list [[TextOps.qualityFilterSql]]
+    * takes.
+    */
+  private def trainCtes(sq: String, from: String): String = {
+    val hash = TextOps.charHashSql("w")
+    val B = BowDims
+    val base =
+      s"""nd AS (SELECT COUNT(*)::BIGINT AS n FROM $from),
+          toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $from),
+          nw AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM toks GROUP BY 1),
+          bow AS (SELECT t.doc_id, ($hash) % $B AS d,
+                         (COUNT(*) * 1000000) // MAX(nw.nt) AS x
+                  FROM toks t JOIN nw ON t.doc_id = nw.doc_id
+                  GROUP BY t.doc_id, ($hash) % $B),
+          st AS (SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS nwv,
+                   (length(text)::BIGINT - len(string_split(text, ' '))::BIGINT + 1) AS swc,
+                   len(list_distinct(string_split(text, ' ')))::BIGINT AS ndis,
+                   len(list_filter(string_split(text, ' '), w -> w IN ($sq)))::BIGINT AS nst,
+                   (length(text)::BIGINT
+                    - length(regexp_replace(text, '[0-9]', '', 'g'))::BIGINT) AS ndig,
+                   length(text)::BIGINT AS nc
+                 FROM $from),
+          sfeat AS (
+            SELECT doc_id, $B::BIGINT AS d, LEAST(nwv, 1000) * 1000 AS x FROM st
+            UNION ALL SELECT doc_id, ${B + 1}, (swc * 1000000) // nwv FROM st
+            UNION ALL SELECT doc_id, ${B + 2}, (ndis * 1000000) // nwv FROM st
+            UNION ALL SELECT doc_id, ${B + 3}, (nst * 1000000) // nwv FROM st
+            UNION ALL SELECT doc_id, ${B + 4}, (ndig * 1000000) // GREATEST(nc, 1) FROM st),
+          sparse AS (SELECT * FROM bow UNION ALL SELECT * FROM sfeat),
+          qf AS (${TextOps.qualityFilterSql(sq, from)}),
+          lab AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE -1 END::BIGINT AS y FROM qf),
+          dims AS (SELECT range::BIGINT AS d FROM range(0, ${NDims - 1})),
+          mu AS (SELECT dims.d,
+                   COALESCE(SUM(s.x), 0) // MAX(nd.n) AS mu,
+                   COUNT(s.x)::BIGINT AS cnt
+                 FROM dims LEFT JOIN sparse s ON dims.d = s.d CROSS JOIN nd
+                 GROUP BY dims.d),
+          mad AS (SELECT mu.d,
+                   (COALESCE(SUM(abs(s.x - mu.mu)), 0)
+                    + (MAX(nd.n) - mu.cnt) * abs(mu.mu)) // MAX(nd.n) AS mad
+                 FROM mu LEFT JOIN sparse s ON mu.d = s.d CROSS JOIN nd
+                 GROUP BY mu.d, mu.cnt, mu.mu),
+          z0 AS (SELECT mu.d, ((0 - mu.mu) * 1000) // (mad.mad + 1) AS z0,
+                        mu.mu AS mu, mad.mad AS mad
+                 FROM mu JOIN mad ON mu.d = mad.d),
+          zden AS (
+            SELECT l.doc_id, z0.d, l.y,
+                   CASE WHEN s.x IS NULL THEN z0.z0
+                        ELSE ((s.x - z0.mu) * 1000) // (z0.mad + 1) END AS z
+            FROM lab l CROSS JOIN z0
+            LEFT JOIN sparse s ON s.doc_id = l.doc_id AND s.d = z0.d
+            UNION ALL
+            SELECT doc_id, ${Bias}::BIGINT, y, $BiasZ::BIGINT FROM lab),
+          w0 AS (SELECT range::BIGINT AS d, 0::BIGINT AS w FROM range(0, $NDims))"""
+    val rounds = (1 to Iters).map { t =>
+      s"""m$t AS (SELECT z.doc_id, z.y, SUM(w.w * z.z)::BIGINT AS margin
+                  FROM zden z JOIN w${t - 1} w USING (d)
+                  GROUP BY z.doc_id, z.y),
+          mis$t AS (SELECT doc_id FROM m$t WHERE y * margin <= 0),
+          nm$t AS (SELECT COUNT(*)::BIGINT AS n FROM mis$t),
+          u$t AS (SELECT z.d, SUM(z.y * z.z)::BIGINT AS dw
+                  FROM zden z JOIN mis$t m ON z.doc_id = m.doc_id
+                  GROUP BY z.d),
+          w$t AS (SELECT w.d,
+                    (w.w + CASE WHEN nm$t.n > 0
+                       THEN COALESCE(u.dw, 0) // nm$t.n ELSE 0 END)::BIGINT AS w
+                  FROM w${t - 1} w LEFT JOIN u$t u USING (d) CROSS JOIN nm$t)"""
+    }
+    val avg =
+      s"""wavg AS (SELECT d, (${(1 to Iters).map(t => s"w$t.w").mkString(" + ")})::BIGINT AS w
+            FROM w1 ${(2 to Iters).map(t => s"JOIN w$t USING (d)").mkString(" ")})"""
+    (base +: rounds :+ avg).mkString(",\n")
+  }
+
+  def trainOracleSql(sq: String, from: String = "documents"): String =
+    s"""WITH ${trainCtes(sq, from)}
+        SELECT d, w FROM wavg"""
+
+  def scoreOracleSql(sq: String, from: String = "documents"): String =
+    s"""WITH ${trainCtes(sq, from)},
+        sc AS (SELECT z.doc_id, z.y, SUM(w.w * z.z)::BIGINT AS score
+               FROM zden z JOIN wavg w USING (d) GROUP BY z.doc_id, z.y)
+        SELECT doc_id, y, score, score > 0 AS pred,
+               (score > 0) = (y > 0) AS agree
+        FROM sc"""
+}

@@ -427,6 +427,55 @@ object Urls {
       urls.map(u => s"  <url><loc>${u.replace("&", "&amp;")}</loc></url>\n").mkString +
       "</urlset>\n"
 
+  /** Render a sitemapindex XML referencing leaf sitemap URLs (the
+    * sitemaps.org nesting layer: a site with >50k URLs must split into
+    * gzipped leaves under one index).
+    */
+  def renderSitemapIndex(leafUrls: Seq[String]): String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      leafUrls.map(u =>
+        s"  <sitemap><loc>${u.replace("&", "&amp;")}</loc></sitemap>\n").mkString +
+      "</sitemapindex>\n"
+
+  /** Frontier seeds through the FULL sitemaps.org discovery shape:
+    * per-site `sitemapindex` files name their gzipped leaf sitemaps
+    * (`.xml.gz` — the compressed form the protocol mandates support
+    * for); the leaves are fetched BY REFERENCE (a name-keyed join —
+    * an orphan leaf no index names must contribute nothing), gunzipped
+    * with the engine inflate, and parsed into the same per-site
+    * profile as [[sitemapSeeds]] — whose oracle is shared VERBATIM, so
+    * the index + gzip + orphan-exclusion layers must be exactly
+    * transparent. The index side is file-level metadata (tiny at any
+    * corpus scale) and BROADCASTS; leaf bytes never shuffle.
+    */
+  def sitemapIndexSeeds(indexFiles: DataFrame, leafFiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val refs = indexFiles.select(
+        explode(regexp_extract_all(col("xml"),
+          lit("<loc>([^<]*)</loc>"), lit(1))).as("ref"))
+      .select(regexp_extract(col("ref"), "/([^/]+\\.xml\\.gz)$", 1).as("ref_name"))
+      .filter(col("ref_name") =!= "")
+      .distinct()
+    val leaves = leafFiles.select(
+      regexp_extract(col("path"), "/([^/]+\\.xml\\.gz)$", 1).as("leaf_name"),
+      call_function("decode",
+        graft.functions.GzipDecode.gzip_decode(col("content")), lit("UTF-8"))
+        .as("xml"))
+    leaves.join(broadcast(refs), col("leaf_name") === col("ref_name"))
+      .select(
+        regexp_extract(col("leaf_name"), "leaf-site([0-9]+)-", 1)
+          .cast("int").as("site_n"),
+        explode(regexp_extract_all(col("xml"),
+          lit("<loc>([^<]*)</loc>"), lit(1))).as("loc"))
+      .select(col("site_n"),
+        canonical(call_function("replace", col("loc"), lit("&amp;"), lit("&")))
+          .as("canonical"))
+      .groupBy(col("site_n"))
+      .agg(count(lit(1)).as("n_locs"),
+        countDistinct(col("canonical")).as("n_pages"))
+  }
+
   /** Frontier SEEDS from a directory of per-site sitemap files
     * (`sitemap-site<n>.xml`, wholetext rows of (path, xml)): extract
     * `<loc>` entries, unescape, canonicalize, and profile per site —
