@@ -490,6 +490,54 @@ object ScaleProbe {
       warcBase.unpersist(); warcBig.unpersist()
     }
 
+    // revisit resolution: the digest-keyed join at n× — both sides
+    // scale with the archive, keys stay unique per page, so the
+    // shuffle join must track the scan (no skew axis by construction)
+    if (probeEnabled("revisitResolve")) {
+      def revisitShardsOf(d: org.apache.spark.sql.DataFrame) = {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("content", BinaryType)))
+        val rdd = d.select(col("doc_id"), col("text")).rdd
+          .mapPartitionsWithIndex { (i, it) =>
+            val ds = it.map(r => (r.getLong(0), r.getString(1))).toSeq
+            if (ds.isEmpty) Iterator.empty
+            else Iterator(org.apache.spark.sql.Row(
+              graft.operators.Warc.renderRevisitShard(i, ds)))
+          }
+        spark.createDataFrame(rdd, schema).cache()
+      }
+      val rvBase = revisitShardsOf(docs)
+      val rvBig = revisitShardsOf(bigDocs)
+      rvBig.count()
+      probePair("revisitResolve", rvBase, rvBig, d =>
+        graft.operators.Warc.revisitResolve(graft.operators.Warc.records(d)).count())
+      rvBase.unpersist(); rvBig.unpersist()
+    }
+
+    // PDF front door: map-only like warcExtract (gunzip → framing →
+    // envelope → xref/stream parse → FlateDecode → text ops) — must
+    // track the scan
+    if (probeEnabled("pdfExtract")) {
+      def pdfShardsOf(d: org.apache.spark.sql.DataFrame) = {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("content", BinaryType)))
+        val rdd = d.select(col("doc_id"), col("text")).rdd
+          .mapPartitionsWithIndex { (i, it) =>
+            val ds = it.map(r => (r.getLong(0), r.getString(1))).toSeq
+            if (ds.isEmpty) Iterator.empty
+            else Iterator(org.apache.spark.sql.Row(
+              graft.operators.Warc.renderPdfShard(i, ds)))
+          }
+        spark.createDataFrame(rdd, schema).cache()
+      }
+      val pdfBase = pdfShardsOf(docs)
+      val pdfBig = pdfShardsOf(bigDocs)
+      pdfBig.count()
+      probePair("pdfExtract", pdfBase, pdfBig, d =>
+        graft.operators.Warc.extractPdf(d).count())
+      pdfBase.unpersist(); pdfBig.unpersist()
+    }
+
     // URL curation: the frontier keep-first (WindowGroupLimit top-1 on
     // the canonical key) + the domain profile over n× the crawl. The
     // canonical KEY SPACE stays fixed (urls render from doc_id mod 150)
@@ -566,6 +614,13 @@ object ScaleProbe {
     // the one corpus scan scales — the sufficient-statistic claim
     probePair("bpeLearn", docs, bigDocs, d =>
       graft.operators.TextOps.bpeLearn(d, "text", 4).count())
+
+    // trained quality classifier: rounds are FIXED and the model is 70
+    // Longs, so 10x docs must cost ~10x per-round scans and nothing
+    // more — no extra rounds, no growing collects (the bpeLearn
+    // corpus-size-independent-rounds discipline)
+    probePair("qualityTrain", docs, bigDocs, d =>
+      graft.operators.QualityModel.train(d, "doc_id", "text").count())
 
     // triangles: 10x users over a FIXED item vocabulary — the
     // co-occurrence edge set saturates toward the item-pair ceiling, so

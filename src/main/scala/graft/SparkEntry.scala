@@ -431,6 +431,97 @@ object SparkEntry {
       .select(col("canonical"), col("shard"), col("pos"), col("record_id"))
   }
 
+  /** STREAMING corpus build (q_corpus_build_stream) — the production
+    * dual of q_corpus_build_warc: arriving `.warc.gz` shards flow
+    * through the FULL front door (gunzip → framing → HTTP envelope →
+    * extraction → quality gate) and INCREMENTAL exact dedup
+    * (within-batch keep-min, then [[Dedup.newAgainstCorpus]] against
+    * the layout so far), appending each batch's fresh survivors into
+    * a hash-bucketed versioned layout; the serve reads the pinned
+    * version and runs the tokenizer tail (BPE train → encode → pack)
+    * over it.
+    *
+    * Append ≡ rebuild holds EXACTLY because the fixture's shards are
+    * TIME-ORDERED id ranges (a crawl's segments arrive in crawl
+    * order): a duplicate group's first arrival is its minimum doc_id,
+    * so first-arrival-wins equals the batch dedup's keep-min — and the
+    * whole query shares q_corpus_build_warc's oracle VERBATIM. The
+    * tokenizer tail runs at serve time over the pinned layout (a real
+    * pipeline re-tokenizes per tokenizer version; freezing the
+    * bootstrap vocab would silently diverge from the batch build).
+    * The curated-document layout, not the packs, is the incremental
+    * asset — the same judgment the CDX and ANN ingests encode.
+    */
+  private[graft] val CorpusBuckets = 8
+
+  private def corpusWithBucket(docs: DataFrame): DataFrame =
+    docs.withColumn("corpus_bucket", pmod(hash(col("doc_id")), lit(CorpusBuckets)))
+
+  private[graft] def corpusBuildStreamAt(s: SparkSession, dir: String,
+      base: String): DataFrame = {
+    val shards = stagedRangeWarcShards(s, dir)
+    // extraction + quality gate + WITHIN-batch exact dedup: map-only
+    // plus the batch-local aggregates; no cross-batch state here
+    def curatedBatch(df: DataFrame): DataFrame = {
+      val extracted = Warc.extract(df)
+        .select(col("doc_id"),
+          call_function("replace", col("extracted"), lit("\n"), lit(" "))
+            .as("text"))
+      val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val kept = extracted.join(keepIds, "doc_id")
+      kept.join(Dedup.exact(kept, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")), "doc_id")
+    }
+    // v1: the corpus built from the segments crawled so far (shard-00)
+    Bucketing.writeVersion(s, base,
+      corpusWithBucket(curatedBatch(s.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-00.warc.gz")
+        .load(shards.toString))), "corpus_bucket")
+    val servePath = Bucketing.liveVersion(base).get._2
+    // later segments arrive through a real file source, one per batch
+    graft.streaming.StreamExec.runSourceForeachBatch(s) {
+      s.readStream
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "shard-0[1-9].warc.gz")
+        .format("binaryFile").load(shards.toString)
+    } { (batch, _) =>
+      val fresh = Dedup.newAgainstCorpus(curatedBatch(batch),
+        s.read.parquet(servePath), "text")
+      Bucketing.appendPartitioned(s, servePath,
+        corpusWithBucket(fresh), "corpus_bucket")
+      ()
+    }
+    // serve: tokenizer tail over the pinned version — bootstrap +
+    // appends ≡ the batch corpusCanon set, so the pack output shares
+    // the batch oracle
+    packCorpus(s.read.parquet(servePath).select(col("doc_id"), col("text")))
+  }
+
+  /** q_corpus_build_warc's archive re-staged as TIME-ORDERED shards
+    * (shard i = the i-th quarter of doc_ids in ascending order — crawl
+    * segments arrive in crawl order), the precondition for
+    * first-arrival dedup ≡ batch keep-min above. Page bytes are
+    * byte-identical to [[stagedWarcShards]]'s; only the split axis
+    * differs, which extraction (and therefore the shared oracle) never
+    * sees.
+    */
+  private val rangeWarcShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedRangeWarcShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedArrivalDir(rangeWarcShardDirs, "graft_warcranged_", dir) { tmp =>
+      val rows = ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val per = math.max(1, (rows.size + Warc.NumShards - 1) / Warc.NumShards)
+      rows.grouped(per).zipWithIndex.foreach { case (docs, i) =>
+        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.warc.gz"),
+          Warc.renderShard(i, docs))
+      }
+    }
+
   /** Recursive temp-layout cleanup on JVM exit (the ingest bases are
     * per-CALL fresh — a rerun must re-ingest, not serve a cached run).
     */
@@ -639,6 +730,15 @@ object SparkEntry {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     }
+
+  /** The PDF crawl archive: 4 shards of application/pdf responses
+    * (q_pdf_extract fixture). Same discipline as [[stagedWarcShards]].
+    */
+  private val pdfShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedPdfShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedShards(pdfShardDirs, "graft_pdfshards_", "warc.gz", s, dir)(
+      Warc.renderPdfShard)
 
   /** The NESTED sitemap layout (q_sitemap_index fixture): per site a
     * `sitemapindex` XML naming two GZIPPED leaf sitemaps
@@ -2663,6 +2763,34 @@ object SparkEntry {
         s.read.option("wholetext", "true")
           .text(stagedSitemaps(s, dir).toString)
           .select(input_file_name().as("path"), col("value").as("xml")))),
+
+    // STREAMING corpus build — the production dual of
+    // q_corpus_build_warc: time-ordered .warc.gz segments arrive
+    // through a real binaryFile source; each batch runs the full front
+    // door + quality gate + INCREMENTAL exact dedup (within-batch
+    // keep-min, then anti-join against the layout so far) and appends
+    // its fresh survivors into a hash-bucketed versioned layout; the
+    // serve runs the tokenizer tail over the pinned version. Shares
+    // the batch oracle VERBATIM (appends ≡ rebuild; StreamingSpec pins
+    // the version never moving and the layout equaling the batch canon)
+    "q_corpus_build_stream" -> ((s, dir) => {
+      val b = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_corpus_ingest_").toString
+      deleteOnExit(b)
+      corpusBuildStreamAt(s, dir, b)
+    }),
+
+    // PDF TEXT TIER — the non-HTML document fraction of a real crawl:
+    // application/pdf responses mime-route to the hand-rolled PDF
+    // extractor (classic xref, obj/stream framing, FlateDecode via the
+    // hand-rolled inflate, BT/ET + Tj/TJ text ops with full
+    // literal-string escapes); every second doc's content stream is
+    // real zlib; the doc text must round-trip EXACTLY (escapes, the
+    // kerned TJ split, inflation) — the oracle is the documents table
+    "q_pdf_extract" -> ((s, dir) =>
+      Warc.extractPdf(s.read.format("binaryFile")
+        .load(stagedPdfShards(s, dir).toString))),
 
     // NESTED sitemap discovery — the full sitemaps.org shape: per-site
     // sitemapindex files name GZIPPED leaf sitemaps, leaves are fetched
@@ -4860,6 +4988,17 @@ object SparkEntry {
                   JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
                         GROUP BY md5(text)) c USING (doc_id))"""),
     "q_warc_revisit" -> Warc.revisitResolveOracleSql,
+    "q_pdf_extract" -> Warc.extractPdfOracleSql,
+    // streaming flagship: SAME oracle once more — incremental ingest
+    // (bootstrap + per-segment appends) must equal the batch rebuild
+    "q_corpus_build_stream" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,
+      prefixCtes = s"""${Html.extractedDocsSqlCte},
+        qf AS (${TextOps.qualityFilterSql(allStopsSql, "extracted")}),
+        kept AS (SELECT e.doc_id, e.text FROM extracted e
+                 JOIN qf USING (doc_id) WHERE qf.keep),
+        canon AS (SELECT k.doc_id, k.text FROM kept k
+                  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept
+                        GROUP BY md5(text)) c USING (doc_id))"""),
     // curated flagship: the frontier keep set is derived from doc_id
     // alone (urls AND record ids are both doc_id-rendered), then the
     // corpus-build chain runs over the curated subset. keep-first is

@@ -1,0 +1,348 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal-but-real PDF TEXT extractor — the non-HTML document tier a
+  * crawl corpus can't skip (the PDF fraction of a real crawl is
+  * material training text). Hand-rolled from the public PDF 1.x
+  * spec (ISO 32000) under the repo codec discipline: strict
+  * fail-closed parse, bomb caps, fixture encoder on the staging side,
+  * the hand-rolled inflate ([[GzipCodec.zlibInflate]]) doing
+  * FlateDecode.
+  *
+  * Supported (the classic-PDF subset that covers text-bearing crawl
+  * documents): header/%%EOF framing, `startxref` + classic xref TABLE
+  * (single section, in-use/free entries), `obj…endobj` object framing,
+  * dictionary scan, `stream…endstream` payloads with direct /Length,
+  * /FlateDecode content streams, and the text operators inside BT…ET —
+  * `(…) Tj`, `[(…) kern (…)] TJ` (kerning numbers skipped), with full
+  * literal-string escape handling (\\ \( \) \n \r \t \b \f, octal,
+  * line continuations). Documented cuts: cross-reference STREAMS and
+  * object streams (PDF 1.5+ compressed xref), indirect /Length,
+  * encryption, and CID/Type0 font decoding — each is a further tier,
+  * not a correctness risk: files using them fail CLOSED, never
+  * garbled-open.
+  *
+  * Reference cell: the byte-chunk source boundary
+  * (/root/reference/src/Data/Conduino/Combinators.hs:280-297) — like
+  * WARC/HTTP/gzip, PDF is one more framing layer between crawl bytes
+  * and text.
+  */
+object PdfCodec {
+
+  private val MaxObjects = 1 << 16
+  private val MaxTextOut = 16 << 20
+
+  // ---------------------------------------------------------------------
+  // Fixture-side renderer
+  // ---------------------------------------------------------------------
+
+  /** Escape a string for a PDF literal string `(...)`. */
+  private[functions] def escapeString(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c => c.toString
+    }
+
+  private def zlib(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** Render a complete single-page PDF whose content stream carries
+    * `text` split across a Tj and a kerned TJ (so extraction must
+    * CONCATENATE operators in order and skip the kern numbers);
+    * `flate` compresses the content stream with real zlib. The doc
+    * text must round-trip the extractor exactly.
+    */
+  def render(text: String, flate: Boolean): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val a = text.substring(0, text.length / 2)
+    val rest = text.substring(text.length / 2)
+    val b1 = rest.substring(0, rest.length / 2)
+    val b2 = rest.substring(rest.length / 2)
+    val content = ("BT /F1 12 Tf 72 720 Td (" + escapeString(a) + ") Tj [(" +
+      escapeString(b1) + ") -250 (" + escapeString(b2) + ")] TJ ET")
+      .getBytes(ascii)
+    val data = if (flate) zlib(content) else content
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+      null, // the stream object, rendered specially
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bos = new java.io.ByteArrayOutputStream(data.length + 1024)
+    def w(s: String): Unit = bos.write(s.getBytes(ascii), 0, s.length)
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](objs.length + 1)
+    objs.zipWithIndex.foreach { case (body, i) =>
+      offsets(i + 1) = bos.size()
+      w(s"${i + 1} 0 obj\n")
+      if (body != null) w(body + "\n")
+      else {
+        w(s"<< /Length ${data.length}$filter >>\nstream\n")
+        bos.write(data, 0, data.length)
+        w("\nendstream\n")
+      }
+      w("endobj\n")
+    }
+    val xrefOff = bos.size()
+    w(s"xref\n0 ${objs.length + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to objs.length).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF")
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Engine-side strict extractor
+  // ---------------------------------------------------------------------
+
+  private def Malformed = PngCodec.Malformed
+  private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
+
+  /** Parse the classic xref table at `off`; returns in-use object
+    * offsets.
+    */
+  private def parseXref(s: String, off: Int): Array[Int] = {
+    if (off < 0 || off >= s.length) throw Malformed
+    var p = off
+    if (!s.startsWith("xref", p)) throw Malformed
+    p += 4
+    while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n' ||
+      s.charAt(p) == ' ')) p += 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var done = false
+    while (!done) {
+      // subsection header: "<start> <count>" or the trailer keyword
+      if (s.startsWith("trailer", p)) done = true
+      else {
+        val eol = s.indexOf('\n', p)
+        if (eol < 0) throw Malformed
+        val hdr = s.substring(p, eol).trim.split("\\s+")
+        if (hdr.length != 2) throw Malformed
+        val count =
+          try hdr(1).toInt
+          catch { case _: NumberFormatException => throw Malformed }
+        if (count < 0 || count > MaxObjects) throw Malformed
+        p = eol + 1
+        var i = 0
+        while (i < count) {
+          if (p + 18 > s.length) throw Malformed
+          val entry = s.substring(p, p + 18)
+          val typ = entry.charAt(17)
+          if (typ == 'n') {
+            val o =
+              try entry.substring(0, 10).toInt
+              catch { case _: NumberFormatException => throw Malformed }
+            out += o
+          } else if (typ != 'f') throw Malformed
+          p += 20 // 10 + 1 + 5 + 1 + 1 + 2-byte EOL
+          i += 1
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Decode a PDF literal string body (between the outer parens,
+    * escapes unresolved) into text.
+    */
+  private def decodeLiteral(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '\\') { sb.append(c); i += 1 }
+      else {
+        if (i + 1 >= s.length) throw Malformed
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '(' => sb.append('('); i += 2
+          case ')' => sb.append(')'); i += 2
+          case '\n' => i += 2 // line continuation
+          case '\r' =>
+            i += 2
+            if (i < s.length && s.charAt(i) == '\n') i += 1
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0; i += 1
+            while (k < 3 && i < s.length &&
+              s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+              v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+            }
+            sb.append((v & 0xff).toChar)
+          case _ => throw Malformed // unknown escape: fail closed
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Pull the text out of one decoded content stream: BT…ET segments,
+    * `(…) Tj` and `[…] TJ` operators in order, kern numbers skipped.
+    */
+  private def extractOps(cs: String, out: StringBuilder): Unit = {
+    var p = 0
+    while (true) {
+      val bt = cs.indexOf("BT", p)
+      if (bt < 0) return
+      val et = cs.indexOf("ET", bt + 2)
+      if (et < 0) throw Malformed
+      val seg = cs.substring(bt + 2, et)
+      // walk the segment: collect literal strings; a string followed by
+      // Tj (or inside [..] TJ) contributes its decoded text
+      var i = 0
+      while (i < seg.length) {
+        val c = seg.charAt(i)
+        if (c == '(') {
+          // find the matching paren, honoring escapes and nesting
+          var depth = 1
+          var j = i + 1
+          val sb = new StringBuilder
+          while (depth > 0) {
+            if (j >= seg.length) throw Malformed
+            val cj = seg.charAt(j)
+            if (cj == '\\') {
+              if (j + 1 >= seg.length) throw Malformed
+              sb.append(cj).append(seg.charAt(j + 1)); j += 2
+            } else {
+              if (cj == '(') depth += 1
+              else if (cj == ')') depth -= 1
+              if (depth > 0) sb.append(cj)
+              j += 1
+            }
+          }
+          out.append(decodeLiteral(sb.toString))
+          if (out.length > MaxTextOut) throw Malformed
+          i = j
+        } else i += 1
+      }
+      p = et + 2
+    }
+  }
+
+  /** Strict whole-file text extraction; throws Malformed internally,
+    * surfaced as null by [[extract]].
+    */
+  private def extractImpl(bytes: Array[Byte]): (String, Int, Int) = {
+    if (bytes.length < 32) throw Malformed
+    val s = new String(bytes, Ascii)
+    if (!s.startsWith("%PDF-")) throw Malformed
+    val eof = s.lastIndexOf("%%EOF")
+    if (eof < 0) throw Malformed
+    val sx = s.lastIndexOf("startxref", eof)
+    if (sx < 0) throw Malformed
+    val xrefOff =
+      try s.substring(sx + 9, eof).trim.toInt
+      catch { case _: NumberFormatException => throw Malformed }
+    val offsets = parseXref(s, xrefOff)
+    if (offsets.length > MaxObjects) throw Malformed
+    val out = new StringBuilder
+    var nStreams = 0
+    var nObjects = 0
+    // objects in ascending offset order = document order for the
+    // fixture and for every writer that appends objects sequentially
+    offsets.sorted.foreach { off =>
+      if (off < 0 || off >= s.length) throw Malformed
+      val m = java.util.regex.Pattern.compile("^(\\d+)\\s+(\\d+)\\s+obj\\b")
+        .matcher(s.substring(off, math.min(s.length, off + 48)))
+      if (!m.find()) throw Malformed
+      nObjects += 1
+      val endObj = s.indexOf("endobj", off)
+      if (endObj < 0) throw Malformed
+      val streamKw = s.indexOf("stream", off)
+      if (streamKw >= 0 && streamKw < endObj) {
+        val dict = s.substring(off, streamKw)
+        val lm = java.util.regex.Pattern.compile("/Length\\s+(\\d+)(?!\\s+0\\s+R)")
+          .matcher(dict)
+        if (!lm.find()) throw Malformed // indirect /Length: documented cut
+        val len = lm.group(1).toInt
+        var dataStart = streamKw + 6
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        if (dataStart + len > bytes.length) throw Malformed
+        if (!s.startsWith("endstream", {
+          var q = dataStart + len
+          while (q < s.length && (s.charAt(q) == '\r' || s.charAt(q) == '\n')) q += 1
+          q
+        })) throw Malformed
+        nStreams += 1
+        val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len)
+        val data =
+          if (dict.contains("/FlateDecode")) {
+            val inf = GzipCodec.zlibInflate(raw)
+            if (inf == null) throw Malformed
+            inf
+          } else raw
+        extractOps(new String(data, Ascii), out)
+      }
+    }
+    (out.toString, nObjects, nStreams)
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_objects", IntegerType, nullable = false),
+    StructField("n_streams", IntegerType, nullable = false)))
+
+  /** Null-on-malformation wrapper (the codec fail-closed contract). */
+  def extract(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    try {
+      val (t, o, st) = extractImpl(bytes)
+      new GenericInternalRow(Array[Any](UTF8String.fromString(t), o, st))
+    } catch {
+      case PngCodec.Malformed | _: StringIndexOutOfBoundsException |
+           _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => null
+    }
+  }
+}
+
+/** `pdf_text(bytes)` — see [[PdfCodec.extract]]. */
+case class PdfText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PdfCodec.schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pdf_text needs a binary column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    PdfCodec.extract(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PdfCodec.extract($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): PdfText =
+    copy(child = newChild)
+  override def prettyName: String = "pdf_text"
+}
+
+object PdfText {
+  def pdf_text(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(PdfText(GraftColumnBridge.expression(c)))
+  }
+}

@@ -178,8 +178,12 @@ object QualityModel {
       val margins = zy.groupBy(col("doc_id"), col("y"))
         .agg((sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz"))
           + lit(c)).as("margin"))
-      val mis = margins.filter(col("y") * col("margin") <= 0L)
-        .select(col("doc_id").as("__mid"), col("y").as("__my"))
+      // checkpoint the (small) misclassified set: the scalar aggregate
+      // below and the per-dim join both read it, and without the cut
+      // each would recompute the full margin aggregate
+      val mis = graft.core.Materialize.checkpoint(
+        margins.filter(col("y") * col("margin") <= 0L)
+          .select(col("doc_id").as("__mid"), col("y").as("__my")))
       // dense part of the update: z0_d · Σ_mis y (one scalar); sparse
       // part: Σ_mis y·dz per present dim
       val scal = mis.agg(count(lit(1)).as("n"),

@@ -411,6 +411,54 @@ object Warc {
           doc_id AS resolved_doc_id
         FROM raw WHERE doc_id % $RevisitEvery = $RevisitPhase"""
 
+  /** Render one PDF-bearing shard: warcinfo + per doc a response whose
+    * body is a complete single-page PDF carrying the doc's text
+    * (Content-Type: application/pdf — the mime routing a crawl uses to
+    * pick the PDF tier); every second doc's content stream is
+    * real-zlib FlateDecoded. One-doc-per-line text convention as
+    * everywhere.
+    */
+  def renderPdfShard(shardIdx: Int, docs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(gzipMember(renderRecord("warcinfo", s"graft-pdfinfo-$shardIdx",
+      None, ascii(WarcinfoPayload))))
+    docs.foreach { case (id, rawText) =>
+      val pdf = graft.functions.PdfCodec.render(
+        rawText.replace('\n', ' '), flate = id % 2 == 0)
+      val payload = ascii(
+        "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n") ++ pdf
+      bos.write(gzipMember(renderRecord("response", s"graft-pdf-$id",
+        Some(Urls.urlOf(id)), payload)))
+    }
+    bos.toByteArray
+  }
+
+  /** PDF text extraction off the archive: response records mime-routed
+    * to the PDF tier, body → [[graft.functions.PdfCodec]] — the same
+    * map-only zero-shuffle front-door shape as HTML extraction.
+    */
+  def extractPdf(shards: DataFrame): DataFrame =
+    records(shards)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("record_id"), "graft-pdf-([0-9]+)>$", 1)
+          .cast("long").as("doc_id"),
+        graft.functions.HttpResponse.http_response(col("payload")).as("env"))
+      .filter(col("env.mime") === "application/pdf")
+      .select(col("doc_id"),
+        graft.functions.PdfText.pdf_text(col("env.body")).as("p"))
+      .select(col("doc_id"), col("p.text").as("text"),
+        col("p.n_objects").as("n_objects"), col("p.n_streams").as("n_streams"))
+
+  /** DuckDB mirror of [[extractPdf]]: the text must round-trip exactly
+    * (escapes, kerned TJ split, FlateDecode); the fixture writes 5
+    * objects / 1 stream per document.
+    */
+  def extractPdfOracleSql: String =
+    """SELECT doc_id, replace(text, chr(10), ' ') AS text,
+         CAST(5 AS INT) AS n_objects, CAST(1 AS INT) AS n_streams
+       FROM documents"""
+
   /** Render one WET shard (Common Crawl's extracted-text sibling):
     * warcinfo member, then one `conversion` record per doc whose
     * payload is the doc's plain text (newlines flattened — the

@@ -31,6 +31,7 @@ class FuzzSpec extends SparkSpec {
     "png" -> (b => PngCodec.decodeFeatures(b)),
     "jpeg" -> (b => JpegCodec.decodeFeatures(b)),
     "gif" -> (b => GifCodec.decodeFeatures(b)),
+    "pdf" -> (b => PdfCodec.extract(b)),
     "transcode" -> (b => TranscodeCodec.toPng(b)),
     "thumbnail" -> (b => TranscodeCodec.thumbnail(b, 2)))
 
@@ -71,7 +72,9 @@ class FuzzSpec extends SparkSpec {
         decoders.filter(d => Set("jpeg", "transcode")(d._1))),
       ("gif", GifCodec.encodeIndexed(Array.tabulate(60)(i => (i * 37) % 256),
         6, 10, interlaced = true, secondFrame = true, comment = true),
-        decoders.filter(d => Set("gif", "transcode", "thumbnail")(d._1))))
+        decoders.filter(d => Set("gif", "transcode", "thumbnail")(d._1))),
+      ("pdf", PdfCodec.render("fuzz target (with) \\escapes\\ and text", flate = true),
+        decoders.filter(_._1 == "pdf")))
     for ((cLabel, valid, ds) <- valids; (dLabel, f) <- ds) {
       // every position would be O(n^2-ish); sample ~200 positions + all
       // of the first 64 (headers are where the state machines live)

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.PdfCodec
+
+/** The hand-rolled PDF text extractor: round trips (escapes, kerned TJ
+  * splits, FlateDecode), documented-cut behavior (indirect /Length
+  * fails closed), and the malformation matrix.
+  */
+class PdfCodecSpec extends AnyFunSuite {
+
+  private def textOf(b: Array[Byte]): String = {
+    val r = PdfCodec.extract(b)
+    assert(r != null, "extract returned null")
+    r.getUTF8String(0).toString
+  }
+
+  test("round trip: plain and FlateDecoded content streams, escapes, parens, backslashes") {
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog.",
+      "parens (nested (deep)) and \\ backslash and ) stray",
+      "tab\tand ... punctuation; digits 123, symbols #%&*",
+      "a", "ab", "abc", // tiny split edge cases
+      "x" * 5000) // multi-hundred-byte stream
+    for (t <- cases; flate <- Seq(false, true)) {
+      val pdf = PdfCodec.render(t, flate)
+      assert(textOf(pdf) == t, s"flate=$flate text='${t.take(30)}...'")
+      val r = PdfCodec.extract(pdf)
+      assert(r.getInt(1) == 5 && r.getInt(2) == 1) // 5 objects, 1 stream
+    }
+  }
+
+  test("octal escapes decode per spec") {
+    // patch a rendered (uncompressed) PDF's first Tj literal with an
+    // EQUAL-LENGTH octal form so every offset and /Length stays valid:
+    // "(AAAAA)" (7 chars) → "(\101A)" (7 chars) which decodes to "AA"
+    val base = "A" * 10 // Tj carries the first half: "AAAAA"
+    val pdf = new String(PdfCodec.render(base, flate = false),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val patched = pdf.replaceFirst("\\(AAAAA\\)", "(\\\\101A)")
+    assert(patched != pdf)
+    val out = PdfCodec.extract(patched.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    // decoded first half "AA" + untouched second half "AAAAA"
+    assert(out != null && out.getUTF8String(0).toString == "A" * 7)
+  }
+
+  test("malformed PDFs fail closed, never throw") {
+    val good = PdfCodec.render("valid document text here", flate = true)
+    assert(PdfCodec.extract(null) == null)
+    assert(PdfCodec.extract(Array.emptyByteArray) == null)
+    assert(PdfCodec.extract("not a pdf at all".getBytes("US-ASCII")) == null)
+    assert(PdfCodec.extract(good.dropRight(6)) == null) // no %%EOF
+    // corrupt the startxref offset digits
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val bad1 = s.replaceAll("startxref\n\\d+", "startxref\n999999999")
+    assert(PdfCodec.extract(bad1.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1)) == null)
+    // corrupt the zlib stream body
+    val idx = s.indexOf("stream\n") + 8
+    val c = good.clone(); c(idx) = (c(idx) ^ 0x55).toByte
+    assert(PdfCodec.extract(c) == null)
+    // indirect /Length is a documented cut: must null, not misparse
+    val bad2 = s.replaceFirst("/Length \\d+", "/Length 9 0 R")
+    assert(PdfCodec.extract(bad2.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1)) == null)
+  }
+}

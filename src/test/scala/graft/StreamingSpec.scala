@@ -1019,4 +1019,41 @@ class StreamingSpec extends SparkSpec {
     assert(entries.exists(_.startsWith("cdx_bucket=")),
       s"no bucket partition directories under v1: $entries")
   }
+
+  test("q_corpus_build_stream: version pinned, ingested layout ≡ batch canon set") {
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      "graft_corpus_spec_").toString
+    // run the full ingest (the serve-side pack output is hash-gated by
+    // the shared oracle; here we pin the LAYOUT-level invariants)
+    SparkEntry.corpusBuildStreamAt(spark, dir, base).collect()
+    val live = graft.operators.Bucketing.liveVersion(base)
+    assert(live.exists(_._1 == 1), s"append moved the live version: $live")
+    // append ≡ rebuild at the document level: the ingested layout holds
+    // exactly the batch pipeline's post-gate post-dedup canon set
+    val ingested = spark.read.parquet(live.get._2)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // batch side: the SAME extraction the archive chain runs (the
+    // layout holds extracted text, not raw corpus text)
+    val pages = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0),
+        graft.operators.Html.wrapLine(r.getLong(0), r.getString(1))))
+      .toSeq.toDF("doc_id", "html")
+    val docs = graft.operators.Html.extract(pages, "doc_id", "html")
+      .select(col("doc_id"),
+        call_function("replace", col("extracted"), lit("\n"), lit(" ")).as("text"))
+    val keepIds = graft.operators.TextOps.qualityFilter(docs, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = docs.join(keepIds, "doc_id")
+    val canon = kept.join(
+      graft.operators.Dedup.exact(kept, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(ingested == canon, "ingested layout diverged from the batch canon set")
+  }
 }
