@@ -516,9 +516,16 @@ object SparkEntry {
         .orderBy(col("doc_id")).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       val per = math.max(1, (rows.size + Warc.NumShards - 1) / Warc.NumShards)
+      val t0 = System.currentTimeMillis()
       rows.grouped(per).zipWithIndex.foreach { case (docs, i) =>
-        java.nio.file.Files.write(tmp.resolve(f"shard-$i%02d.warc.gz"),
-          Warc.renderShard(i, docs))
+        val f = tmp.resolve(f"shard-$i%02d.warc.gz")
+        java.nio.file.Files.write(f, Warc.renderShard(i, docs))
+        // the file SOURCE orders arrivals by modification time — make
+        // the crawl order explicit instead of trusting that sequential
+        // writes never land in the same clock tick (first-arrival
+        // dedup ≡ batch keep-min depends on this order)
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
       }
     }
 

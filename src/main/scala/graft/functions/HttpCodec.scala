@@ -328,7 +328,13 @@ object HttpCodec {
       case Some((c, canon)) => cs = c; used = canon; source = "header"
       case None =>
     }
-    if (cs == null) {
+    // the meta prescan is an HTML mechanism (WHATWG): apply it only
+    // when the payload is declared text-ish or undeclared — a crafted
+    // BINARY body (pdf/image) containing the bytes `<meta charset=`
+    // must not steer its own decode
+    val htmlish = mime == null || mime.startsWith("text/") ||
+      mime == "application/xhtml+xml"
+    if (cs == null && htmlish) {
       val metaLabel = metaPrescan(body)
       if (metaLabel != null) CharsetRegistry.get(metaLabel) match {
         case Some((c, canon)) => cs = c; used = canon; source = "meta"

@@ -116,12 +116,9 @@ object QualityModel {
       .select(col("doc_id"), col("d"), col("x"), col("y"))
   }
 
-  private final case class Model(w: Array[Long], z0: Array[Long])
-
-  /** Standardize, run the averaged-perceptron rounds, return the
-    * averaged model + the per-dim absent-entry constants. `zy` is the
-    * checkpointed sparse (doc_id, d, z, dz, y) table; `nDocs` the
-    * corpus size; `z0` the absent-entry z per dim.
+  /** Standardize the sparse feature table: returns the checkpointed
+    * (doc_id, d, y, z, dz) table, the per-dim absent-entry constants
+    * z0, and the corpus size.
     */
   private def standardized(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, Array[Long], Long) = {

@@ -130,6 +130,17 @@ class HttpCodecSpec extends SparkSpec {
     assert(usedOf(r2) == "windows-1251" && sourceOf(r2) == "meta" && textOf(r2) == h2)
   }
 
+  test("meta prescan is HTML-only: a binary payload cannot steer its own decode") {
+    // a declared-binary body containing the BYTES `<meta charset=..>`
+    // (e.g. inside a PDF string) must not reach the prescan tier
+    val body = "%PDF-1.4 <meta charset=\"shift_jis\"> junk".getBytes(US_ASCII)
+    val r = row(msg("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n", body))
+    assert(usedOf(r) == "utf-8" && sourceOf(r) == "default")
+    // while the same bytes under text/html DO prescan
+    val r2 = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n", body))
+    assert(usedOf(r2) == "shift_jis" && sourceOf(r2) == "meta")
+  }
+
   test("meta prescan window is 1024 bytes — a tag beyond it is ignored") {
     val pad = "<!-- " + ("x" * 1100) + " -->"
     val html = pad + "<meta charset=\"windows-1251\">ok"

@@ -257,6 +257,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_charset_decode / q_pdf_extract: the new front-door tiers are exchange-free map work") {
+    for (q <- Seq("q_charset_decode", "q_pdf_extract")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("Exchange"),
+        s"$q should be a map-only pass, found a shuffle:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+        s"$q should not join:\n$p")
+      assert(p.contains("Generate"), s"expected the record explode in $q:\n$p")
+    }
+  }
+
+  test("q_warc_revisit: digest resolution is ONE equi-join, no cartesian, no global sort") {
+    val p = plan(SparkEntry.queries("q_warc_revisit")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"revisit resolution must be a key join:\n$p")
+    assert(p.contains("Join") || p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the digest equi-join:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort on the resolution path:\n$p")
+  }
+
+  test("q_sitemap_index: the index side broadcasts; leaf bytes never shuffle") {
+    val p = plan(SparkEntry.queries("q_sitemap_index")(spark, dir))
+    // the leaf↔reference fetch join must BROADCAST the (metadata-sized)
+    // reference side — a shuffled join would move the leaf payloads
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the index-reference broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"leaf payloads must not ride a shuffled join:\n$p")
+    // remaining exchanges carry only extracted keys (ref names, the
+    // per-site canonical aggregate) — never the gzipped leaf bytes
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("content#")),
+      s"an exchange is partitioning the leaf bytes:\n$p")
+  }
+
   test("q_chunk_tokens: token-offset window is PARTITIONED by doc, no global sort") {
     val df = SparkEntry.queries("q_chunk_tokens")(spark, dir)
     val p = plan(df)
