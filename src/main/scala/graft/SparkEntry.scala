@@ -785,6 +785,28 @@ object SparkEntry {
           tmp.resolve("leaf-site0-orphan.xml.gz"), gz(orphanSource))
     }
 
+  /** Per-site robots.txt FILES (`robots-site<n>.txt`) — the text layer
+    * above the in-plan REP rule fixtures: same groups, wire realism
+    * (case/CRLF/comments/empty-Disallow/unknown fields), plus the
+    * `Sitemap:` directives naming [[stagedSitemapIndex]]'s gzipped
+    * leaves.
+    */
+  private val robotsTxtDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedRobotsTxt(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedArrivalDir(robotsTxtDirs, "graft_robotstxt_", dir) { tmp =>
+      (0 until Robots.NumSites).foreach { n =>
+        java.nio.file.Files.write(tmp.resolve(s"robots-site$n.txt"),
+          Robots.renderRobotsTxt(n)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+
+  private def robotsTxtFiles(s: SparkSession, dir: String): DataFrame =
+    s.read.option("wholetext", "true")
+      .text(stagedRobotsTxt(s, dir).toString)
+      .select(input_file_name().as("path"), col("value").as("content"))
+
   /** The REDIRECT crawl archive: 4 shards whose doc_id ≡ 1 (mod 3)
     * responses are 3xx captures with Location headers (q_warc_redirects
     * fixture). Same discipline as [[stagedWarcShards]].
@@ -2842,6 +2864,22 @@ object SparkEntry {
       Charsets.decode(Warc.records(s.read.format("binaryFile")
         .load(stagedCharsetShards(s, dir).toString)))),
 
+    // the mojibake fix COMPOSED into the token tier — the very failure
+    // the charset work exists to prevent: Unicode vocab statistics over
+    // the legacy-encoded archive's DECODED page bodies (shift_jis /
+    // euc / gbk / big5 / cp1251 / latin-2 / greek pages all survive
+    // into the token inventory; under the old utf-8 fallback every one
+    // of them would have been U+FFFD soup and this hash would break)
+    "q_charset_vocab" -> ((s, dir) => {
+      val decoded = Charsets.decode(Warc.records(s.read.format("binaryFile")
+        .load(stagedCharsetShards(s, dir).toString)))
+      TextOps.vocabSummaryUnicode(
+        decoded.filter(col("charset_source") =!= "default")
+          .select(col("doc_id"),
+            regexp_extract(col("text"), "<p>(.*)</p>", 1).as("text")),
+        "text", 50L)
+    }),
+
     // corpus-level mojibake audit over the same archive: per sniff tier
     // (bom/header/meta/default), docs seen, docs with replacements,
     // total U+FFFD count and the replacement ppm — the q_html_audit
@@ -2990,6 +3028,42 @@ object SparkEntry {
       Robots.filter(ColOps.table(s, dir, "documents")
           .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url")),
         "doc_id", "url", Robots.fixtureRules(s))),
+
+    // the robots.txt TEXT layer — the derivation the rule tables were
+    // previously assumed to come from: real robots.txt bytes (mixed
+    // case, CRLF, comments, empty-Disallow, unknown fields, multi-group
+    // files) → RFC 9309 group parse → per-site directive rows; the
+    // oracle predicts every row from the site axes
+    "q_robots_parse" -> ((s, dir) =>
+      Robots.directivesFromTxt(robotsTxtFiles(s, dir))),
+
+    // the text layer COMPOSED into the REP gate: parse robots.txt →
+    // reconstruct the '*'-group path rules → the same broadcast
+    // most-specific-rule filter — sharing q_robots_filter's oracle
+    // VERBATIM (the parse must reproduce the in-plan rule fixture
+    // exactly, or the hash breaks)
+    "q_robots_filter_txt" -> ((s, dir) =>
+      Robots.filter(ColOps.table(s, dir, "documents")
+          .select(col("doc_id"), Urls.urlCol(col("doc_id")).as("url")),
+        "doc_id", "url",
+        Robots.pathRulesFromTxt(
+          Robots.directivesFromTxt(robotsTxtFiles(s, dir)), "*"))),
+
+    // the FULL REP discovery chain: robots.txt `Sitemap:` directives →
+    // by-reference fetch of the gzipped leaf sitemaps → canonicalized
+    // per-site seed profile — sharing q_sitemap_seeds' oracle VERBATIM
+    // (robots parse + reference join + gzip must all be transparent)
+    "q_robots_discovery" -> ((s, dir) => {
+      val refs = Robots.directivesFromTxt(robotsTxtFiles(s, dir))
+        .filter(col("kind") === "sitemap")
+        .select(regexp_extract(col("value"), "/([^/]+\\.xml\\.gz)$", 1)
+          .as("ref_name"))
+        .filter(col("ref_name") =!= "").distinct()
+      Urls.seedsFromLeafRefs(refs,
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "leaf-*.xml.gz")
+          .load(stagedSitemapIndex(s, dir).toString))
+    }),
 
     // frontier POLITENESS schedule: REP user-agent GROUP resolution
     // (sites n%5==0 publish a graftbot group that wins OUTRIGHT —
@@ -4772,6 +4846,9 @@ object SparkEntry {
     "q_warc_redirects" -> Warc.redirectEdgesOracleSql,
     "q_charset_decode" -> Charsets.decodeOracleSql,
     "q_charset_audit" -> Charsets.auditOracleSql,
+    "q_charset_vocab" -> TextOps.vocabSummaryUnicodeSql(50L,
+      s"""(SELECT doc_id, regexp_extract(text, '<p>(.*)</p>', 1) AS text
+           FROM (${Charsets.fixtureSql}) fx WHERE doc_id % 4 <> 3) pt"""),
     "q_frontier_redirect" -> Warc.frontierWithRedirectsOracleSql,
     "q_sitemap_seeds" -> Urls.sitemapSeedsOracleSql,
     // index→leaf composition: the nesting must be exactly transparent
@@ -4841,6 +4918,13 @@ object SparkEntry {
     "q_robots_filter" ->
       s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}, ${Robots.fixtureRulesSqlCte}
           ${Robots.filterSql}""",
+    "q_robots_parse" -> Robots.directivesOracleSql,
+    // text-parsed rules must reproduce the in-plan fixture exactly
+    "q_robots_filter_txt" ->
+      s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte}, ${Robots.fixtureRulesSqlCte}
+          ${Robots.filterSql}""",
+    // the discovery chain lands on the same per-site seed profile
+    "q_robots_discovery" -> Urls.sitemapSeedsOracleSql,
 
     "q_frontier_schedule" ->
       s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},

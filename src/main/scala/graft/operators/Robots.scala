@@ -261,4 +261,150 @@ object Robots {
                         OR (ag.site_n IS NULL AND g.agent = '*')) d
             ON a.site_n = d.site_n) s
         WHERE rk = 1"""
+
+  // ---------------------------------------------------------------------
+  // robots.txt TEXT layer — until this round the rule tables were
+  // "robots.txt-derived" by assumption; this is the derivation: real
+  // robots.txt bytes → RFC 9309 group parse → the same (site_n, agent,
+  // prefix, allow) / crawl-delay rows the filter and scheduler consume,
+  // plus the Sitemap: discovery directives.
+  // ---------------------------------------------------------------------
+
+  /** Render site n's robots.txt — the SAME groups as [[fixtureGroups]]
+    * (so text-parsed rules can share the in-plan fixtures' oracles
+    * verbatim) dressed in wire realism the parser must absorb: mixed
+    * field-name case, CRLF on odd sites, a comment header, an inline
+    * comment, an EMPTY Disallow (legal; means allow-all and must yield
+    * NO rule), an unknown field, and per-site `Sitemap:` directives
+    * naming the gzipped leaf sitemaps of the [[Urls.sitemapIndexSeeds]]
+    * fixture.
+    */
+  def renderRobotsTxt(n: Int): String = {
+    val eol = if (n % 2 == 0) "\n" else "\r\n"
+    val sb = new StringBuilder
+    sb ++= s"# graft fixture robots.txt, site $n$eol"
+    sb ++= (if (n % 2 == 0) "User-agent: *" else "USER-AGENT: *") + eol
+    if (n % 3 == 0) sb ++= s"Disallow: /Articles/$eol"
+    if (n % 3 == 1) {
+      sb ++= s"Disallow: /Articles/1$eol"
+      sb ++= s"Allow: /Articles/12 # more specific re-allow$eol"
+    }
+    if (n % 3 == 2) sb ++= s"Disallow:$eol" // empty value = allow all = NO rule
+    sb ++= s"Crawl-delay: ${1 + n % 3}$eol"
+    sb ++= s"Host: site$n.example$eol" // unknown-to-us field: ignored
+    if (n % 5 == 0) {
+      sb ++= eol // blank lines are insignificant per RFC 9309
+      sb ++= s"User-agent: $Agent$eol"
+      sb ++= s"Disallow: /Articles/13$eol"
+      sb ++= s"Crawl-delay: 2$eol"
+    }
+    sb ++= eol
+    sb ++= s"Sitemap: https://site$n.example/leaf-site$n-p0.xml.gz$eol"
+    sb ++= s"Sitemap: https://site$n.example/leaf-site$n-p1.xml.gz$eol"
+    sb.toString
+  }
+
+  /** RFC 9309 group parse of one robots.txt body → (agent, kind,
+    * value) rows; kinds `allow`/`disallow`/`crawl-delay` carry their
+    * group's agent (one row PER agent for multi-agent groups),
+    * `sitemap` rows are group-independent (agent ''). LENIENT by the
+    * protocol's own design: unknown fields, comments, blank lines,
+    * malformed lines, and empty allow/disallow values are skipped —
+    * robots.txt has no fail-closed mode (an unreadable file means
+    * crawl-with-care, not crash).
+    *
+    * Group semantics: consecutive user-agent lines accumulate ONE
+    * group's agent set; the first rule line closes the set; a later
+    * user-agent line starts a NEW group. Rules before any user-agent
+    * line have no group and are dropped.
+    */
+  def parseRobotsTxt(text: String): Seq[(String, String, String)] = {
+    if (text == null) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    var agents = List.empty[String]
+    var groupHasRules = false
+    for (raw <- text.split("\n", -1)) {
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.stripSuffix("\r").trim
+      val c = line.indexOf(':')
+      if (line.nonEmpty && c > 0) {
+        val field = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(c + 1).trim
+        field match {
+          case "user-agent" =>
+            val a = value.toLowerCase(java.util.Locale.ROOT)
+            if (a.nonEmpty) {
+              if (groupHasRules) { agents = List(a); groupHasRules = false }
+              else agents = a :: agents
+            }
+          case "allow" | "disallow" =>
+            if (value.nonEmpty) {
+              agents.reverse.foreach(a => out += ((a, field, value)))
+              groupHasRules = true
+            } else groupHasRules = true // empty value still closes the group
+          case "crawl-delay" =>
+            agents.reverse.foreach(a => out += ((a, field, value)))
+            groupHasRules = true
+          case "sitemap" =>
+            if (value.nonEmpty) out += (("", "sitemap", value))
+          case _ => // unknown field: ignored, does not close the group
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Files (path, content) → flattened directive rows
+    * (site_n, agent, kind, value) — the text-layer front of the REP
+    * tier; map-only (parse runs per file row).
+    */
+  def directivesFromTxt(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val pIdx = files.schema.fieldIndex("path")
+    val cIdx = files.schema.fieldIndex("content")
+    files.rdd.flatMap { r =>
+      val site = "robots-site([0-9]+)\\.txt".r
+        .findFirstMatchIn(r.getString(pIdx)).map(_.group(1).toInt).getOrElse(-1)
+      parseRobotsTxt(r.getString(cIdx)).map { case (a, k, v) => (site, a, k, v) }
+    }.toDF("site_n", "agent", "kind", "value")
+      .select(col("site_n").cast("int").as("site_n"),
+        col("agent"), col("kind"), col("value"))
+  }
+
+  /** Text-parsed path rules in the shape [[filter]] consumes
+    * ((site_n, prefix, allow) for one agent's groups).
+    */
+  def pathRulesFromTxt(directives: DataFrame, agent: String): DataFrame =
+    directives.filter(col("agent") === agent &&
+        (col("kind") === "allow" || col("kind") === "disallow"))
+      .select(col("site_n"), col("value").as("prefix"),
+        (col("kind") === "allow").as("allow"))
+
+  /** DuckDB mirror of [[directivesFromTxt]] over the rendered fixture:
+    * every directive row predicted from the site axes.
+    */
+  def directivesOracleSql: String =
+    s"""SELECT CAST(n AS INT) AS site_n, agent, kind, value FROM (
+          SELECT n, '*' AS agent, 'disallow' AS kind, '/Articles/' AS value
+          FROM range(0, $NumSites) t(n) WHERE n % 3 = 0
+          UNION ALL SELECT n, '*', 'disallow', '/Articles/1'
+          FROM range(0, $NumSites) t(n) WHERE n % 3 = 1
+          UNION ALL SELECT n, '*', 'allow', '/Articles/12'
+          FROM range(0, $NumSites) t(n) WHERE n % 3 = 1
+          UNION ALL SELECT n, '*', 'crawl-delay', CAST(1 + n % 3 AS VARCHAR)
+          FROM range(0, $NumSites) t(n)
+          UNION ALL SELECT n, '$Agent', 'disallow', '/Articles/13'
+          FROM range(0, $NumSites) t(n) WHERE n % 5 = 0
+          UNION ALL SELECT n, '$Agent', 'crawl-delay', '2'
+          FROM range(0, $NumSites) t(n) WHERE n % 5 = 0
+          UNION ALL SELECT n, '', 'sitemap',
+            'https://site' || n || '.example/leaf-site' || n || '-p0.xml.gz'
+          FROM range(0, $NumSites) t(n)
+          UNION ALL SELECT n, '', 'sitemap',
+            'https://site' || n || '.example/leaf-site' || n || '-p1.xml.gz'
+          FROM range(0, $NumSites) t(n))"""
 }

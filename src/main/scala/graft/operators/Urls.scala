@@ -450,13 +450,23 @@ object Urls {
     * corpus scale) and BROADCASTS; leaf bytes never shuffle.
     */
   def sitemapIndexSeeds(indexFiles: DataFrame, leafFiles: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val refs = indexFiles.select(
         explode(regexp_extract_all(col("xml"),
           lit("<loc>([^<]*)</loc>"), lit(1))).as("ref"))
       .select(regexp_extract(col("ref"), "/([^/]+\\.xml\\.gz)$", 1).as("ref_name"))
       .filter(col("ref_name") =!= "")
       .distinct()
+    seedsFromLeafRefs(refs, leafFiles)
+  }
+
+  /** The by-reference leaf fetch + per-site seed profile shared by
+    * every sitemap discovery channel (sitemapindex files, robots.txt
+    * `Sitemap:` directives): `refs` is ONE column `ref_name` of leaf
+    * file names (metadata-sized at any scale — it broadcasts); leaves
+    * not referenced by anyone contribute nothing.
+    */
+  def seedsFromLeafRefs(refs: DataFrame, leafFiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val leaves = leafFiles.select(
       regexp_extract(col("path"), "/([^/]+\\.xml\\.gz)$", 1).as("leaf_name"),
       call_function("decode",

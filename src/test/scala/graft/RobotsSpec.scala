@@ -117,4 +117,49 @@ class RobotsSpec extends SparkSpec {
       s"admission should rank via WindowGroupLimit:\n$p")
     assert(!p.contains("SortMergeJoin"), s"frontier must not sort-merge join:\n$p")
   }
+
+  // --- robots.txt TEXT parse (RFC 9309 group semantics) -----------------
+
+  test("robots.txt parse: consecutive user-agent lines form ONE group; a later UA starts a new one") {
+    val txt = "User-agent: a\nUser-agent: b\nDisallow: /x\n" +
+      "User-agent: c\nDisallow: /y\n"
+    val rows = graft.operators.Robots.parseRobotsTxt(txt)
+    assert(rows.contains(("a", "disallow", "/x")))
+    assert(rows.contains(("b", "disallow", "/x")))
+    assert(rows.contains(("c", "disallow", "/y")))
+    assert(!rows.contains(("a", "disallow", "/y")) && !rows.contains(("b", "disallow", "/y")))
+  }
+
+  test("robots.txt parse: lenient skips — comments, unknown fields, empty Disallow, orphan rules") {
+    val txt = "# header comment\nDisallow: /orphan\n" + // rule before any group: dropped
+      "User-agent: *\nDisallow:\n" + // empty value: allow-all, NO rule row
+      "Allow: /ok # trailing comment\n" +
+      "Host: example.com\n" + // unknown field ignored
+      "not a field line\n" +
+      "Sitemap: https://x.example/s.xml.gz\n"
+    val rows = graft.operators.Robots.parseRobotsTxt(txt)
+    assert(rows == Seq(("*", "allow", "/ok"), ("", "sitemap", "https://x.example/s.xml.gz")))
+  }
+
+  test("robots.txt parse: CRLF, mixed field case, agent lowercased; fixture round-trips its groups") {
+    val rows = graft.operators.Robots.parseRobotsTxt(
+      "USER-AGENT: GraftBot\r\nDISALLOW: /z\r\n")
+    assert(rows == Seq(("graftbot", "disallow", "/z")))
+    // every fixture site parses to exactly its fixtureGroups rows
+    for (n <- 0 until graft.operators.Robots.NumSites) {
+      val parsed = graft.operators.Robots.parseRobotsTxt(
+        graft.operators.Robots.renderRobotsTxt(n))
+      val pathRules = parsed.filter(r => r._2 == "allow" || r._2 == "disallow")
+      val expected = Seq(
+        if (n % 3 == 0) Seq(("*", "disallow", "/Articles/")) else Nil,
+        if (n % 3 == 1) Seq(("*", "disallow", "/Articles/1"),
+          ("*", "allow", "/Articles/12")) else Nil,
+        if (n % 5 == 0) Seq((graft.operators.Robots.Agent, "disallow", "/Articles/13"))
+        else Nil).flatten
+      assert(pathRules == expected, s"site $n path rules")
+      val delays = parsed.filter(_._2 == "crawl-delay")
+      assert(delays.contains(("*", "crawl-delay", (1 + n % 3).toString)))
+      assert(parsed.count(_._2 == "sitemap") == 2, s"site $n sitemap directives")
+    }
+  }
 }
