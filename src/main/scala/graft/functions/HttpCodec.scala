@@ -203,11 +203,44 @@ object HttpCodec {
     if (m.find()) m.group(1).toLowerCase(java.util.Locale.ROOT) else null
   }
 
-  private def decodeWith(body: Array[Byte], cs: java.nio.charset.Charset): String = {
+  /** Lenient decode that COUNTS replacement events: REPORT-mode
+    * decoder, one U+FFFD appended per malformed/unmappable sequence —
+    * byte-identical output to CodingErrorAction.REPLACE, but n counts
+    * the decode ERRORS, not U+FFFD occurrences, so a clean page that
+    * legitimately contains U+FFFD in its source bytes (upstream
+    * mojibake re-served verbatim — common on the real web) reports 0
+    * (review finding: the old output-scan counted those as damage).
+    */
+  private def decodeCounting(body: Array[Byte],
+      cs: java.nio.charset.Charset): (String, Long) = {
     val dec = cs.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-    dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val in = java.nio.ByteBuffer.wrap(body)
+    val out = java.nio.CharBuffer.allocate(8192)
+    val sb = new java.lang.StringBuilder(body.length + 16)
+    var n = 0L
+    def drain(): Unit = {
+      out.flip()
+      sb.append(out, 0, out.limit())
+      out.clear()
+    }
+    var done = false
+    while (!done) {
+      val r = dec.decode(in, out, true)
+      drain()
+      if (r.isUnderflow) {
+        var fl = dec.flush(out)
+        drain()
+        while (fl.isOverflow) { fl = dec.flush(out); drain() }
+        done = true
+      } else if (r.isError) {
+        n += 1
+        sb.append('\uFFFD')
+        in.position(in.position() + r.length())
+      } // overflow: already drained, loop
+    }
+    (sb.toString, n)
   }
 
   private val StatusLinePattern = java.util.regex.Pattern
@@ -345,12 +378,9 @@ object HttpCodec {
       cs = java.nio.charset.StandardCharsets.UTF_8
       used = "utf-8"; source = "default"
     }
-    val text = decodeWith(
+    val (text, nFffd) = decodeCounting(
       if (bomSkip == 0) body
       else java.util.Arrays.copyOfRange(body, bomSkip, body.length), cs)
-    var nFffd = 0L
-    var ci = 0
-    while (ci < text.length) { if (text.charAt(ci) == '\uFFFD') nFffd += 1; ci += 1 }
     val location = headers.getOrElse("location", null)
     new GenericInternalRow(Array[Any](
       status,

@@ -67,6 +67,12 @@ object PdfCodec {
     * text must round-trip the extractor exactly.
     */
   def render(text: String, flate: Boolean): Array[Byte] = {
+    // the fixture writes latin-1 byte strings (PDF literal strings are
+    // byte strings; non-latin-1 text needs font/encoding machinery out
+    // of this tier's scope) — fail STAGING loudly rather than silently
+    // mangling a future non-latin-1 corpus to '?' (review finding)
+    require(text.forall(_ <= '\u00ff'),
+      "PdfCodec.render: text contains non-latin-1 characters the fixture cannot carry")
     val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
     val a = text.substring(0, text.length / 2)
     val rest = text.substring(text.length / 2)
@@ -113,6 +119,18 @@ object PdfCodec {
 
   private def Malformed = PngCodec.Malformed
   private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  // hoisted: these run per OBJECT inside the per-record hot path — a
+  // per-call Pattern.compile would recompile millions of times at
+  // crawl scale (review finding)
+  private val ObjHeadPattern =
+    java.util.regex.Pattern.compile("^(\\d+)\\s+(\\d+)\\s+obj\\b")
+  // direct /Length only: the number must be followed by '/' or '>'
+  // (next dict key or dict close) — a lookahead-free anchor that
+  // backtracking cannot defeat (the old (?!\\s+0\\s+R) form matched
+  // '/Length 10 0 R' as len=1 by backtracking into the digits)
+  private val LengthPattern =
+    java.util.regex.Pattern.compile("/Length\\s+(\\d+)\\s*(?=[/>])")
 
   private def isWs(c: Byte): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
@@ -199,46 +217,80 @@ object PdfCodec {
     sb.toString
   }
 
-  /** Pull the text out of one decoded content stream: BT…ET segments,
-    * `(…) Tj` and `[…] TJ` operators in order, kern numbers skipped.
+  /** Pull the text out of one decoded content stream with a real
+    * TOKENIZER (a naive indexOf("ET") scan truncated on the 'ET'
+    * inside literals like `(GET data)` — review finding): literal
+    * strings are consumed as whole tokens (escapes/nesting honored),
+    * operator words are matched as standalone tokens, and a literal
+    * contributes text ONLY when a `Tj` consumes it (or a `TJ` consumes
+    * its enclosing array) inside a BT…ET block — matching the operator
+    * semantics instead of appending every string in sight.
     */
   private def extractOps(cs: String, out: StringBuilder): Unit = {
-    var p = 0
-    while (true) {
-      val bt = cs.indexOf("BT", p)
-      if (bt < 0) return
-      val et = cs.indexOf("ET", bt + 2)
-      if (et < 0) throw Malformed
-      val seg = cs.substring(bt + 2, et)
-      // walk the segment: collect literal strings; a string followed by
-      // Tj (or inside [..] TJ) contributes its decoded text
-      var i = 0
-      while (i < seg.length) {
-        val c = seg.charAt(i)
-        if (c == '(') {
-          // find the matching paren, honoring escapes and nesting
-          var depth = 1
-          var j = i + 1
-          val sb = new StringBuilder
-          while (depth > 0) {
-            if (j >= seg.length) throw Malformed
-            val cj = seg.charAt(j)
-            if (cj == '\\') {
-              if (j + 1 >= seg.length) throw Malformed
-              sb.append(cj).append(seg.charAt(j + 1)); j += 2
-            } else {
-              if (cj == '(') depth += 1
-              else if (cj == ')') depth -= 1
-              if (depth > 0) sb.append(cj)
-              j += 1
-            }
-          }
-          out.append(decodeLiteral(sb.toString))
-          if (out.length > MaxTextOut) throw Malformed
-          i = j
-        } else i += 1
+    var i = 0
+    var inText = false
+    // pending literal(s): the operand stack the next operator consumes
+    var pendingSingle: String = null
+    val pendingArray = new StringBuilder
+    var inArray = false
+    def emit(s: String): Unit = {
+      out.append(s)
+      if (out.length > MaxTextOut) throw Malformed
+    }
+    def readLiteral(): String = {
+      // cs(i) == '(' on entry; returns the decoded body, i past ')'
+      var depth = 1
+      var j = i + 1
+      val sb = new StringBuilder
+      while (depth > 0) {
+        if (j >= cs.length) throw Malformed
+        val cj = cs.charAt(j)
+        if (cj == '\\') {
+          if (j + 1 >= cs.length) throw Malformed
+          sb.append(cj).append(cs.charAt(j + 1)); j += 2
+        } else {
+          if (cj == '(') depth += 1
+          else if (cj == ')') depth -= 1
+          if (depth > 0) sb.append(cj)
+          j += 1
+        }
       }
-      p = et + 2
+      i = j
+      decodeLiteral(sb.toString)
+    }
+    @inline def isRegular(c: Char): Boolean =
+      !c.isWhitespace && c != '(' && c != ')' && c != '[' && c != ']' &&
+        c != '<' && c != '>' && c != '/' && c != '%'
+    while (i < cs.length) {
+      val c = cs.charAt(i)
+      if (c == '(') {
+        val lit = readLiteral()
+        if (inText) {
+          if (inArray) pendingArray.append(lit)
+          else pendingSingle = lit
+        }
+      } else if (c == '[') { inArray = true; pendingArray.setLength(0); i += 1 }
+      else if (c == ']') { i += 1 } // the array value is now the pending operand
+      else if (c == '/') { // name token: skip
+        i += 1
+        while (i < cs.length && isRegular(cs.charAt(i))) i += 1
+      } else if (isRegular(c)) {
+        val start = i
+        while (i < cs.length && isRegular(cs.charAt(i))) i += 1
+        cs.substring(start, i) match {
+          case "BT" => inText = true
+          case "ET" =>
+            inText = false; inArray = false
+            pendingSingle = null; pendingArray.setLength(0)
+          case "Tj" | "'" | "\"" =>
+            if (inText && pendingSingle != null) emit(pendingSingle)
+            pendingSingle = null
+          case "TJ" =>
+            if (inText) emit(pendingArray.toString)
+            pendingArray.setLength(0); inArray = false
+          case _ => // numbers / other operators: operands stay pending
+        }
+      } else i += 1
     }
   }
 
@@ -265,8 +317,7 @@ object PdfCodec {
     // fixture and for every writer that appends objects sequentially
     offsets.sorted.foreach { off =>
       if (off < 0 || off >= s.length) throw Malformed
-      val m = java.util.regex.Pattern.compile("^(\\d+)\\s+(\\d+)\\s+obj\\b")
-        .matcher(s.substring(off, math.min(s.length, off + 48)))
+      val m = ObjHeadPattern.matcher(s.substring(off, math.min(s.length, off + 48)))
       if (!m.find()) throw Malformed
       nObjects += 1
       val endObj = s.indexOf("endobj", off)
@@ -274,8 +325,7 @@ object PdfCodec {
       val streamKw = s.indexOf("stream", off)
       if (streamKw >= 0 && streamKw < endObj) {
         val dict = s.substring(off, streamKw)
-        val lm = java.util.regex.Pattern.compile("/Length\\s+(\\d+)(?!\\s+0\\s+R)")
-          .matcher(dict)
+        val lm = LengthPattern.matcher(dict)
         if (!lm.find()) throw Malformed // indirect /Length: documented cut
         val len = lm.group(1).toInt
         var dataStart = streamKw + 6

@@ -91,21 +91,28 @@ object QualityModel {
       .groupBy(col("doc_id"), (TextOps.charHash(col("tok")) % BowDims).as("d"),
         col("__n"))
       .agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), col("d"), (col("c") * 1000000L / col("__n"))
-        .cast("long").as("x"))
+      // integer `div`, never `/`: the cross-engine weight hash rests on
+      // exact truncating arithmetic throughout (review finding — the
+      // double-division-then-cast form was the one inconsistent site;
+      // exact for today's magnitudes, but a silent precision cliff at
+      // the scale this module documents)
+      .select(col("doc_id"), col("d"), expr("c * 1000000L div __n").as("x"))
     val allStops = TextOps.StopWords.values.flatten.toSeq.distinct
     val nStops = size(filter(w, x => x.isin(allStops: _*))).cast("long")
     val nDistinct = size(array_distinct(w)).cast("long")
     val nDigits = nC - length(regexp_replace(t, "[0-9]", "")).cast("long")
     val swc = nC - nW + lit(1L)
-    val stats = df.select(col(idCol).as("doc_id"),
-      map(
-        lit(BowDims.toLong), least(nW, lit(1000L)) * 1000L,
-        lit(BowDims + 1L), swc * 1000000L / nW,
-        lit(BowDims + 2L), nDistinct * 1000000L / nW,
-        lit(BowDims + 3L), nStops * 1000000L / nW,
-        lit(BowDims + 4L), nDigits * 1000000L / greatest(nC, lit(1L))
-      ).as("m"))
+    val stats = df.select(col(idCol).as("doc_id"), nW.as("__nw"), nC.as("__nc"),
+        nDistinct.as("__ndis"), nStops.as("__nst"), nDigits.as("__ndig"),
+        swc.as("__swc"))
+      .select(col("doc_id"),
+        map(
+          lit(BowDims.toLong), least(col("__nw"), lit(1000L)) * 1000L,
+          lit(BowDims + 1L), expr("__swc * 1000000L div __nw"),
+          lit(BowDims + 2L), expr("__ndis * 1000000L div __nw"),
+          lit(BowDims + 3L), expr("__nst * 1000000L div __nw"),
+          lit(BowDims + 4L), expr("__ndig * 1000000L div greatest(__nc, 1L)")
+        ).as("m"))
       .select(col("doc_id"), explode(col("m")).as(Seq("d", "x0")))
       .select(col("doc_id"), col("d"), col("x0").cast("long").as("x"))
     val lab = TextOps.qualityFilter(df, idCol, textCol)

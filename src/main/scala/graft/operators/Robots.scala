@@ -338,7 +338,9 @@ object Robots {
             val a = value.toLowerCase(java.util.Locale.ROOT)
             if (a.nonEmpty) {
               if (groupHasRules) { agents = List(a); groupHasRules = false }
-              else agents = a :: agents
+              // dedup repeated UA lines in one group (a common real-
+              // world copy-paste) — without it every rule row doubles
+              else if (!agents.contains(a)) agents = a :: agents
             }
           case "allow" | "disallow" =>
             if (value.nonEmpty) {

@@ -185,6 +185,15 @@ class HttpCodecSpec extends SparkSpec {
     assert(sourceOf(r) == "default" && fffdOf(r) == 2L)
     val clean = row(msg("HTTP/1.1 200 OK\r\n\r\n", "fine".getBytes(UTF_8)))
     assert(fffdOf(clean) == 0L)
+    // a page whose SOURCE legitimately contains U+FFFD (upstream
+    // mojibake re-served verbatim — common on the real web) decodes
+    // with ZERO replacement events: n_fffd counts decode errors, not
+    // replacement characters in the output (review finding)
+    val served = row(msg(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n",
+      "already � damaged � upstream".getBytes(UTF_8)))
+    assert(fffdOf(served) == 0L)
+    assert(textOf(served) == "already � damaged � upstream")
   }
 
   test("charset fixture: every mode decodes to its predicted text") {

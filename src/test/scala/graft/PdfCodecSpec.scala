@@ -45,6 +45,42 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(out != null && out.getUTF8String(0).toString == "A" * 7)
   }
 
+  test("operator tokens inside literals do not truncate: 'GET/SET/BT/ET' text round-trips") {
+    // regression (review finding): a raw indexOf("ET") scan cut the
+    // BT..ET segment at the 'ET' inside '(GET ...)' and nulled the doc
+    val cases = Seq(
+      "GET data from the server and SET the flag",
+      "the BITSET and BT and ET tokens appear in prose",
+      "Tj TJ BT ET all as words inside the literal")
+    for (t <- cases; flate <- Seq(false, true))
+      assert(textOf(PdfCodec.render(t, flate)) == t, s"flate=$flate '$t'")
+  }
+
+  test("only Tj/TJ-consumed literals contribute; stray literals do not") {
+    // hand-patch: replace the '72 720' Td coordinates with a same-
+    // length '(qq) 0' — a literal consumed by Td (not Tj/TJ) must add
+    // nothing (the old scanner appended every literal in sight)
+    val pdf = new String(PdfCodec.render("abcdefgh", flate = false),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val patched = pdf.replaceFirst("72 720", "(qq) 0")
+    assert(patched != pdf)
+    val out = PdfCodec.extract(patched.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(out != null && out.getUTF8String(0).toString == "abcdefgh")
+  }
+
+  test("multi-digit indirect /Length fails closed (no backtracking mis-parse)") {
+    // regression (review finding): (\d+)(?!\s+0\s+R) backtracked
+    // '/Length 10 0 R' into len=1 instead of failing
+    val s = new String(PdfCodec.render("some document text", flate = false),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    for (ind <- Seq("10 0 R", "123 0 R")) {
+      val bad = s.replaceFirst("/Length \\d+", s"/Length $ind")
+      assert(PdfCodec.extract(bad.getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1)) == null, ind)
+    }
+  }
+
   test("malformed PDFs fail closed, never throw") {
     val good = PdfCodec.render("valid document text here", flate = true)
     assert(PdfCodec.extract(null) == null)

@@ -130,6 +130,12 @@ class RobotsSpec extends SparkSpec {
     assert(!rows.contains(("a", "disallow", "/y")) && !rows.contains(("b", "disallow", "/y")))
   }
 
+  test("robots.txt parse: repeated user-agent lines in one group do not duplicate rules") {
+    val rows = graft.operators.Robots.parseRobotsTxt(
+      "User-agent: *\nUser-agent: *\nDisallow: /x\n")
+    assert(rows == Seq(("*", "disallow", "/x")))
+  }
+
   test("robots.txt parse: lenient skips — comments, unknown fields, empty Disallow, orphan rules") {
     val txt = "# header comment\nDisallow: /orphan\n" + // rule before any group: dropped
       "User-agent: *\nDisallow:\n" + // empty value: allow-all, NO rule row
