@@ -2880,6 +2880,19 @@ object SparkEntry {
         "text", 50L)
     }),
 
+    // and into the LANGUAGE tier: lang-ID over the decoded legacy
+    // pages — each slot's script must identify as its language
+    // (shift_jis/euc-jp→ja, euc-kr→ko, gbk/big5→zh, cp1251→ru,
+    // latin-2→de, greek→el); under the old fallback every CJK/Cyrillic
+    // page was U+FFFD soup and identified as nothing
+    "q_charset_langid" -> ((s, dir) =>
+      Charsets.decode(Warc.records(s.read.format("binaryFile")
+          .load(stagedCharsetShards(s, dir).toString)))
+        .filter(col("charset_source") =!= "default")
+        .select(col("doc_id"),
+          TextOps.langIdUnicode(
+            regexp_extract(col("text"), "<p>(.*)</p>", 1)).as("lang_pred"))),
+
     // corpus-level mojibake audit over the same archive: per sniff tier
     // (bom/header/meta/default), docs seen, docs with replacements,
     // total U+FFFD count and the replacement ppm — the q_html_audit
@@ -4846,6 +4859,7 @@ object SparkEntry {
     "q_warc_redirects" -> Warc.redirectEdgesOracleSql,
     "q_charset_decode" -> Charsets.decodeOracleSql,
     "q_charset_audit" -> Charsets.auditOracleSql,
+    "q_charset_langid" -> Charsets.langIdOracleSql,
     "q_charset_vocab" -> TextOps.vocabSummaryUnicodeSql(50L,
       s"""(SELECT doc_id, regexp_extract(text, '<p>(.*)</p>', 1) AS text
            FROM (${Charsets.fixtureSql}) fx WHERE doc_id % 4 <> 3) pt"""),

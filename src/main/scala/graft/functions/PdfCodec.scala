@@ -15,18 +15,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * the hand-rolled inflate ([[GzipCodec.zlibInflate]]) doing
   * FlateDecode.
   *
-  * Supported (the classic-PDF subset that covers text-bearing crawl
-  * documents): header/%%EOF framing, `startxref` + classic xref TABLE
-  * (single section, in-use/free entries), `obj…endobj` object framing,
-  * dictionary scan, `stream…endstream` payloads with direct /Length,
-  * /FlateDecode content streams, and the text operators inside BT…ET —
-  * `(…) Tj`, `[(…) kern (…)] TJ` (kerning numbers skipped), with full
-  * literal-string escape handling (\\ \( \) \n \r \t \b \f, octal,
-  * line continuations). Documented cuts: cross-reference STREAMS and
-  * object streams (PDF 1.5+ compressed xref), indirect /Length,
-  * encryption, and CID/Type0 font decoding — each is a further tier,
-  * not a correctness risk: files using them fail CLOSED, never
-  * garbled-open.
+  * Supported (the subset that covers text-bearing crawl documents):
+  * header/%%EOF framing, `startxref` + BOTH cross-reference forms —
+  * the classic xref TABLE and the PDF 1.5+ xref STREAM (W-width
+  * big-endian binary entries, /Index subsections, FlateDecoded) with
+  * type-2 entries into OBJECT STREAMS (compressed objects carry
+  * dictionaries, never page text, so they are counted and framing-
+  * validated through their container, not dereferenced) —
+  * `obj…endobj` object framing, dictionary scan, `stream…endstream`
+  * payloads with direct /Length, /FlateDecode content streams, and
+  * the text operators inside BT…ET — `(…) Tj`, `[(…) kern (…)] TJ`
+  * (kerning numbers skipped), with full literal-string escape
+  * handling (\\ \( \) \n \r \t \b \f, octal, line continuations).
+  * Metadata/binary streams (/XRef, /ObjStm, /Subtype /Image) are
+  * never op-scanned. Documented cuts: /Prev incremental-update
+  * chains, indirect /Length, encryption, and CID/Type0 font decoding
+  * — each a further tier, not a correctness risk: files using them
+  * fail CLOSED, never garbled-open.
   *
   * Reference cell: the byte-chunk source boundary
   * (/root/reference/src/Data/Conduino/Combinators.hs:280-297) — like
@@ -110,6 +115,83 @@ object PdfCodec {
     w("0000000000 65535 f \n")
     (1 to objs.length).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF")
+    bos.toByteArray
+  }
+
+  /** Render the SAME document in the PDF 1.5+ layout real crawls are
+    * full of: the catalog/pages/page/font dictionaries live in an
+    * OBJECT STREAM (ObjStm), the cross-reference table is a binary
+    * XREF STREAM (W-width big-endian entries, FlateDecoded) whose
+    * type-2 entries point into the ObjStm — only the content stream,
+    * the ObjStm, and the xref stream remain classic `obj` frames.
+    * Extraction output contract: same text, 7 objects (3 direct +
+    * 4 compressed), 1 text stream.
+    */
+  def render15(text: String, flate: Boolean): Array[Byte] = {
+    require(text.forall(_ <= '\u00ff'),
+      "PdfCodec.render15: text contains non-latin-1 characters the fixture cannot carry")
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val a = text.substring(0, text.length / 2)
+    val rest = text.substring(text.length / 2)
+    val b1 = rest.substring(0, rest.length / 2)
+    val b2 = rest.substring(rest.length / 2)
+    val content = ("BT /F1 12 Tf 72 720 Td (" + escapeString(a) + ") Tj [(" +
+      escapeString(b1) + ") -250 (" + escapeString(b2) + ")] TJ ET")
+      .getBytes(ascii)
+    val cData = if (flate) zlib(content) else content
+    val cFilter = if (flate) " /Filter /FlateDecode" else ""
+    // ObjStm body: pair header (objnum offset-in-body), then bodies
+    val bodies = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodyText = bodies.map(_._2).mkString(" ")
+    val bodyOffsets = bodies.map(_._2).scanLeft(0)(_ + _.length + 1).init
+    val header = bodies.map(_._1).zip(bodyOffsets)
+      .map { case (num, o) => s"$num $o" }.mkString(" ") + " "
+    val objStm = zlib((header + bodyText).getBytes(ascii))
+    val bos = new java.io.ByteArrayOutputStream(cData.length + objStm.length + 1024)
+    def w(str: String): Unit = bos.write(str.getBytes(ascii), 0, str.length)
+    w("%PDF-1.5\n")
+    val off4 = bos.size()
+    w(s"4 0 obj\n<< /Length ${cData.length}$cFilter >>\nstream\n")
+    bos.write(cData, 0, cData.length)
+    w("\nendstream\nendobj\n")
+    val off6 = bos.size()
+    w(s"6 0 obj\n<< /Type /ObjStm /N ${bodies.size} /First ${header.length} " +
+      s"/Length ${objStm.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(objStm, 0, objStm.length)
+    w("\nendstream\nendobj\n")
+    val off7 = bos.size()
+    // entries for ids 0..7, W = [1 4 2], big-endian
+    val rows = Seq[(Int, Long, Int)](
+      (0, 0L, 65535),  // 0: free
+      (2, 6L, 0),      // 1..3, 5: compressed in ObjStm 6
+      (2, 6L, 1),
+      (2, 6L, 2),
+      (1, off4.toLong, 0),
+      (2, 6L, 3),
+      (1, off6.toLong, 0),
+      (1, off7.toLong, 0))
+    val table = new Array[Byte](rows.size * 7)
+    rows.zipWithIndex.foreach { case ((t, f2, f3), i) =>
+      val p = i * 7
+      table(p) = t.toByte
+      table(p + 1) = ((f2 >> 24) & 0xff).toByte
+      table(p + 2) = ((f2 >> 16) & 0xff).toByte
+      table(p + 3) = ((f2 >> 8) & 0xff).toByte
+      table(p + 4) = (f2 & 0xff).toByte
+      table(p + 5) = ((f3 >> 8) & 0xff).toByte
+      table(p + 6) = (f3 & 0xff).toByte
+    }
+    val xrefData = zlib(table)
+    w(s"7 0 obj\n<< /Type /XRef /Size ${rows.size} /W [1 4 2] /Root 1 0 R " +
+      s"/Length ${xrefData.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(xrefData, 0, xrefData.length)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$off7\n%%EOF")
     bos.toByteArray
   }
 
@@ -297,6 +379,109 @@ object PdfCodec {
   /** Strict whole-file text extraction; throws Malformed internally,
     * surfaced as null by [[extract]].
     */
+  // xref-STREAM dict fields (PDF 1.5+): entry field widths, table
+  // size, optional subsection index
+  private val WPattern = java.util.regex.Pattern
+    .compile("/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]")
+  private val SizePattern = java.util.regex.Pattern
+    .compile("/Size\\s+(\\d+)")
+  private val IndexPattern = java.util.regex.Pattern
+    .compile("/Index\\s*\\[([0-9 ]*)\\]")
+
+  /** One `obj … endobj` framing parse at `off`: (dict text, decoded
+    * stream data or null, end position). Shared by the object walk and
+    * the xref-stream reader.
+    */
+  private def parseObjectAt(s: String, bytes: Array[Byte],
+      off: Int): (String, Array[Byte]) = {
+    if (off < 0 || off >= s.length) throw Malformed
+    val m = ObjHeadPattern.matcher(s.substring(off, math.min(s.length, off + 48)))
+    if (!m.find()) throw Malformed
+    val endObj = s.indexOf("endobj", off)
+    if (endObj < 0) throw Malformed
+    val streamKw = s.indexOf("stream", off)
+    if (streamKw >= 0 && streamKw < endObj) {
+      val dict = s.substring(off, streamKw)
+      val lm = LengthPattern.matcher(dict)
+      if (!lm.find()) throw Malformed // indirect /Length: documented cut
+      val len = lm.group(1).toInt
+      var dataStart = streamKw + 6
+      if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+      if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+      if (dataStart + len > bytes.length) throw Malformed
+      if (!s.startsWith("endstream", {
+        var q = dataStart + len
+        while (q < s.length && (s.charAt(q) == '\r' || s.charAt(q) == '\n')) q += 1
+        q
+      })) throw Malformed
+      val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len)
+      val data =
+        if (dict.contains("/FlateDecode")) {
+          val inf = GzipCodec.zlibInflate(raw)
+          if (inf == null) throw Malformed
+          inf
+        } else raw
+      (dict, data)
+    } else (s.substring(off, endObj), null)
+  }
+
+  /** PDF 1.5+ cross-reference STREAM at `off`: W-width binary entries
+    * (big-endian), /Index subsections, single section (no /Prev chain
+    * — the incremental-update tail remains a documented cut). Returns
+    * (type-1 offsets, count of type-2 compressed-object entries).
+    * Text never lives in an object stream (streams cannot nest in
+    * ObjStm), so type-2 entries are counted and validated-by-framing
+    * via their container, never dereferenced.
+    */
+  private def parseXrefStream(s: String, bytes: Array[Byte],
+      off: Int): (Array[Int], Int) = {
+    val (dict, data) = parseObjectAt(s, bytes, off)
+    if (data == null || !dict.contains("/XRef")) throw Malformed
+    val wm = WPattern.matcher(dict)
+    if (!wm.find()) throw Malformed
+    val (w1, w2, w3) = (wm.group(1).toInt, wm.group(2).toInt, wm.group(3).toInt)
+    if (w1 > 8 || w2 > 8 || w3 > 8 || w2 == 0) throw Malformed
+    val sm = SizePattern.matcher(dict)
+    if (!sm.find()) throw Malformed
+    val size = sm.group(1).toInt
+    if (size < 0 || size > MaxObjects) throw Malformed
+    val im = IndexPattern.matcher(dict)
+    val index: Array[Int] =
+      if (im.find()) {
+        val nums = im.group(1).trim.split("\\s+").filter(_.nonEmpty).map(_.toInt)
+        if (nums.length % 2 != 0) throw Malformed
+        nums
+      } else Array(0, size)
+    val row = w1 + w2 + w3
+    val nEntries = index.grouped(2).map(_(1)).sum
+    if (nEntries > MaxObjects || data.length < nEntries * row) throw Malformed
+    @inline def field(base: Int, width: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < width) { v = (v << 8) | (data(base + i) & 0xffL); i += 1 }
+      v
+    }
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var type2 = 0
+    var e = 0
+    var p = 0
+    while (e < nEntries) {
+      val t = if (w1 == 0) 1L else field(p, w1)
+      val f2 = field(p + w1, w2)
+      t match {
+        case 0L => // free entry
+        case 1L =>
+          if (f2 > Int.MaxValue) throw Malformed
+          offsets += f2.toInt
+        case 2L => type2 += 1
+        case _ => throw Malformed
+      }
+      p += row
+      e += 1
+    }
+    (offsets.toArray, type2)
+  }
+
   private def extractImpl(bytes: Array[Byte]): (String, Int, Int) = {
     if (bytes.length < 32) throw Malformed
     val s = new String(bytes, Ascii)
@@ -308,44 +493,30 @@ object PdfCodec {
     val xrefOff =
       try s.substring(sx + 9, eof).trim.toInt
       catch { case _: NumberFormatException => throw Malformed }
-    val offsets = parseXref(s, xrefOff)
+    if (xrefOff < 0 || xrefOff >= s.length) throw Malformed
+    // classic table ("xref" keyword) or a 1.5+ cross-reference stream
+    // (an object) — dispatch on what actually sits at the offset
+    val (offsets, nType2) =
+      if (s.startsWith("xref", xrefOff)) (parseXref(s, xrefOff), 0)
+      else parseXrefStream(s, bytes, xrefOff)
     if (offsets.length > MaxObjects) throw Malformed
     val out = new StringBuilder
     var nStreams = 0
-    var nObjects = 0
+    var nObjects = nType2 // compressed objects exist; they carry no text
     // objects in ascending offset order = document order for the
     // fixture and for every writer that appends objects sequentially
     offsets.sorted.foreach { off =>
-      if (off < 0 || off >= s.length) throw Malformed
-      val m = ObjHeadPattern.matcher(s.substring(off, math.min(s.length, off + 48)))
-      if (!m.find()) throw Malformed
+      val (dict, data) = parseObjectAt(s, bytes, off)
       nObjects += 1
-      val endObj = s.indexOf("endobj", off)
-      if (endObj < 0) throw Malformed
-      val streamKw = s.indexOf("stream", off)
-      if (streamKw >= 0 && streamKw < endObj) {
-        val dict = s.substring(off, streamKw)
-        val lm = LengthPattern.matcher(dict)
-        if (!lm.find()) throw Malformed // indirect /Length: documented cut
-        val len = lm.group(1).toInt
-        var dataStart = streamKw + 6
-        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
-        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-        if (dataStart + len > bytes.length) throw Malformed
-        if (!s.startsWith("endstream", {
-          var q = dataStart + len
-          while (q < s.length && (s.charAt(q) == '\r' || s.charAt(q) == '\n')) q += 1
-          q
-        })) throw Malformed
-        nStreams += 1
-        val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len)
-        val data =
-          if (dict.contains("/FlateDecode")) {
-            val inf = GzipCodec.zlibInflate(raw)
-            if (inf == null) throw Malformed
-            inf
-          } else raw
-        extractOps(new String(data, Ascii), out)
+      if (data != null) {
+        // metadata/binary streams carry no page text: the xref stream
+        // itself, object streams, and images are never op-scanned
+        val typed = dict.contains("/XRef") || dict.contains("/ObjStm") ||
+          dict.contains("/Subtype /Image") || dict.contains("/Subtype/Image")
+        if (!typed) {
+          nStreams += 1
+          extractOps(new String(data, Ascii), out)
+        }
       }
     }
     (out.toString, nObjects, nStreams)

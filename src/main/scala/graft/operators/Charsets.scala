@@ -228,6 +228,17 @@ object Charsets {
         FROM documents"""
   }
 
+  /** Oracle for the lang-ID composition: every non-mojibake doc must
+    * identify as its SLOT's language (the fixture texts each carry
+    * their language's function words).
+    */
+  def langIdOracleSql: String = {
+    val langs = listOf(Slots.map(_._2))
+    s"""SELECT doc_id,
+          list_extract($langs, ((doc_id // 4) % ${Slots.size})::INT + 1) AS lang_pred
+        FROM documents WHERE doc_id % 4 <> 3"""
+  }
+
   def decodeOracleSql: String =
     s"""WITH fx AS (${fixtureSql})
         SELECT doc_id, charset_declared, charset_used, charset_source, text,

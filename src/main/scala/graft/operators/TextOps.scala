@@ -303,7 +303,12 @@ object TextOps {
     "ar" -> Seq("في", "من", "على", "أن"),
     "el" -> Seq("και", "το", "η", "να"),
     "hi" -> Seq("है", "और", "के", "में"),
-    "ja" -> Seq("は", "の", "に", "を"))
+    "ja" -> Seq("は", "の", "に", "を"),
+    // round-13: the legacy-charset tier (euc-kr / gbk / big5) made
+    // Korean and Chinese pages first-class — lang-ID must cover them
+    // (both assume spaced or upstream-segmented text, the ja caveat)
+    "ko" -> Seq("는", "을", "이", "가"),
+    "zh" -> Seq("的", "在", "上", "了"))
 
   /** Multilingual fixture texts, one per language key, pure non-Latin
     * scripts (plus umlaut-German): rendered ONCE here and mirrored
@@ -465,7 +470,10 @@ object TextOps {
     ("devanagari", "\\p{IsDevanagari}", "\\p{Devanagari}"),
     ("han", "\\p{IsHan}", "\\p{Han}"),
     ("hiragana", "\\p{IsHiragana}", "\\p{Hiragana}"),
-    ("katakana", "\\p{IsKatakana}", "\\p{Katakana}"))
+    ("katakana", "\\p{IsKatakana}", "\\p{Katakana}"),
+    // round-13: the charset tier put Korean pages in the corpus — a
+    // script audit that can't SEE Hangul would class them 'other'
+    ("hangul", "\\p{IsHangul}", "\\p{Hangul}"))
 
   /** Per-document script composition — the language-mix audit a
     * multilingual corpus build gates on (a "Latin" corpus with 40%

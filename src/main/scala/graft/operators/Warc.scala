@@ -423,8 +423,12 @@ object Warc {
     bos.write(gzipMember(renderRecord("warcinfo", s"graft-pdfinfo-$shardIdx",
       None, ascii(WarcinfoPayload))))
     docs.foreach { case (id, rawText) =>
-      val pdf = graft.functions.PdfCodec.render(
-        rawText.replace('\n', ' '), flate = id % 2 == 0)
+      val text = rawText.replace('\n', ' ')
+      // every third doc ships the PDF 1.5+ layout (xref STREAM +
+      // object stream) real crawls are full of; the rest classic 1.4
+      val pdf =
+        if (id % 3 == 2) graft.functions.PdfCodec.render15(text, flate = id % 2 == 0)
+        else graft.functions.PdfCodec.render(text, flate = id % 2 == 0)
       val payload = ascii(
         "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n") ++ pdf
       bos.write(gzipMember(renderRecord("response", s"graft-pdf-$id",
@@ -451,12 +455,15 @@ object Warc {
         col("p.n_objects").as("n_objects"), col("p.n_streams").as("n_streams"))
 
   /** DuckDB mirror of [[extractPdf]]: the text must round-trip exactly
-    * (escapes, kerned TJ split, FlateDecode); the fixture writes 5
-    * objects / 1 stream per document.
+    * (escapes, kerned TJ split, FlateDecode, the 1.5 xref-stream +
+    * ObjStm layout on every third doc); classic docs carry 5 direct
+    * objects, 1.5 docs 7 (3 direct + 4 compressed), both with exactly
+    * one TEXT stream (metadata streams are never op-scanned).
     */
   def extractPdfOracleSql: String =
     """SELECT doc_id, replace(text, chr(10), ' ') AS text,
-         CAST(5 AS INT) AS n_objects, CAST(1 AS INT) AS n_streams
+         CAST(CASE WHEN doc_id % 3 = 2 THEN 7 ELSE 5 END AS INT) AS n_objects,
+         CAST(1 AS INT) AS n_streams
        FROM documents"""
 
   /** Render one WET shard (Common Crawl's extracted-text sibling):

@@ -45,6 +45,29 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(out != null && out.getUTF8String(0).toString == "A" * 7)
   }
 
+  test("PDF 1.5 layout round-trips: xref STREAM + object stream, 7 objects, 1 text stream") {
+    val cases = Seq(
+      "modern layout document text with GET and ET words",
+      "short", "x" * 3000)
+    for (t <- cases; flate <- Seq(false, true)) {
+      val pdf = PdfCodec.render15(t, flate)
+      val r = PdfCodec.extract(pdf)
+      assert(r != null, s"flate=$flate '${t.take(20)}'")
+      assert(r.getUTF8String(0).toString == t)
+      assert(r.getInt(1) == 7, "3 direct + 4 compressed objects")
+      assert(r.getInt(2) == 1, "only the content stream is op-scanned")
+    }
+    // malformations specific to the 1.5 path fail closed
+    val good = PdfCodec.render15("valid document", flate = true)
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // corrupt the xref stream's W widths
+    val badW = s.replaceFirst("/W \\[1 4 2\\]", "/W [1 9 2]")
+    assert(PdfCodec.extract(badW.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1)) == null)
+    // truncate the xref stream body
+    assert(PdfCodec.extract(good.dropRight(30)) == null)
+  }
+
   test("operator tokens inside literals do not truncate: 'GET/SET/BT/ET' text round-trips") {
     // regression (review finding): a raw indexOf("ET") scan cut the
     // BT..ET segment at the 'ET' inside '(GET ...)' and nulled the doc

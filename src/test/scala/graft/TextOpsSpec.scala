@@ -419,7 +419,8 @@ class TextOpsSpec extends SparkSpec {
       "latin" -> UnicodeScript.LATIN, "cyrillic" -> UnicodeScript.CYRILLIC,
       "greek" -> UnicodeScript.GREEK, "arabic" -> UnicodeScript.ARABIC,
       "devanagari" -> UnicodeScript.DEVANAGARI, "han" -> UnicodeScript.HAN,
-      "hiragana" -> UnicodeScript.HIRAGANA, "katakana" -> UnicodeScript.KATAKANA)
+      "hiragana" -> UnicodeScript.HIRAGANA, "katakana" -> UnicodeScript.KATAKANA,
+      "hangul" -> UnicodeScript.HANGUL)
     val fixtureByLang = TextOps.UnicodeFixture.toMap
     rows.foreach { case (lang, (nc, cls, other)) =>
       val text = fixtureByLang(lang)
