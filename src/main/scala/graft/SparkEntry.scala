@@ -2880,6 +2880,21 @@ object SparkEntry {
         "text", 50L)
     }),
 
+    // STREAMING charset decode — "legacy-encoded archives land
+    // continuously": a real binaryFile source discovers the charset
+    // shards one per micro-batch and the full sniff chain (gunzip →
+    // framing → BOM/header/meta resolution → counted replacements)
+    // runs stateless inside the stream; shares the batch oracle
+    "q_charset_stream" -> ((s, dir) => {
+      val shards = stagedCharsetShards(s, dir)
+      graft.streaming.StreamExec.runSourceStream(s) {
+        Charsets.decode(Warc.records(s.readStream
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .format("binaryFile").load(shards.toString)))
+      }
+    }),
+
     // and into the LANGUAGE tier: lang-ID over the decoded legacy
     // pages — each slot's script must identify as its language
     // (shift_jis/euc-jp→ja, euc-kr→ko, gbk/big5→zh, cp1251→ru,
@@ -4860,6 +4875,8 @@ object SparkEntry {
     "q_charset_decode" -> Charsets.decodeOracleSql,
     "q_charset_audit" -> Charsets.auditOracleSql,
     "q_charset_langid" -> Charsets.langIdOracleSql,
+    // binaryFile-source streaming twin: stateless per-shard decode ≡ batch
+    "q_charset_stream" -> Charsets.decodeOracleSql,
     "q_charset_vocab" -> TextOps.vocabSummaryUnicodeSql(50L,
       s"""(SELECT doc_id, regexp_extract(text, '<p>(.*)</p>', 1) AS text
            FROM (${Charsets.fixtureSql}) fx WHERE doc_id % 4 <> 3) pt"""),

@@ -65,19 +65,16 @@ object PdfCodec {
     d.end(); out.toByteArray
   }
 
-  /** Render a complete single-page PDF whose content stream carries
-    * `text` split across a Tj and a kerned TJ (so extraction must
-    * CONCATENATE operators in order and skip the kern numbers);
-    * `flate` compresses the content stream with real zlib. The doc
-    * text must round-trip the extractor exactly.
+  /** The shared content stream of both fixture layouts: the doc text
+    * split across a Tj and a kerned TJ, optionally real-zlib'd.
+    * Latin-1 only — PDF literal strings are byte strings; non-latin-1
+    * needs font/encoding machinery out of this tier's scope, so
+    * staging fails LOUDLY rather than silently mangling to '?'
+    * (review finding).
     */
-  def render(text: String, flate: Boolean): Array[Byte] = {
-    // the fixture writes latin-1 byte strings (PDF literal strings are
-    // byte strings; non-latin-1 text needs font/encoding machinery out
-    // of this tier's scope) — fail STAGING loudly rather than silently
-    // mangling a future non-latin-1 corpus to '?' (review finding)
+  private def contentStream(text: String, flate: Boolean): (Array[Byte], String) = {
     require(text.forall(_ <= '\u00ff'),
-      "PdfCodec.render: text contains non-latin-1 characters the fixture cannot carry")
+      "PdfCodec fixture: text contains non-latin-1 characters the fixture cannot carry")
     val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
     val a = text.substring(0, text.length / 2)
     val rest = text.substring(text.length / 2)
@@ -86,8 +83,19 @@ object PdfCodec {
     val content = ("BT /F1 12 Tf 72 720 Td (" + escapeString(a) + ") Tj [(" +
       escapeString(b1) + ") -250 (" + escapeString(b2) + ")] TJ ET")
       .getBytes(ascii)
-    val data = if (flate) zlib(content) else content
-    val filter = if (flate) " /Filter /FlateDecode" else ""
+    (if (flate) zlib(content) else content,
+      if (flate) " /Filter /FlateDecode" else "")
+  }
+
+  /** Render a complete classic (1.4) single-page PDF whose content
+    * stream carries `text` split across a Tj and a kerned TJ (so
+    * extraction must CONCATENATE operators in order and skip the kern
+    * numbers); `flate` compresses the content stream with real zlib.
+    * The doc text must round-trip the extractor exactly.
+    */
+  def render(text: String, flate: Boolean): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val (data, filter) = contentStream(text, flate)
     val objs = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>",
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -128,18 +136,8 @@ object PdfCodec {
     * 4 compressed), 1 text stream.
     */
   def render15(text: String, flate: Boolean): Array[Byte] = {
-    require(text.forall(_ <= '\u00ff'),
-      "PdfCodec.render15: text contains non-latin-1 characters the fixture cannot carry")
     val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
-    val a = text.substring(0, text.length / 2)
-    val rest = text.substring(text.length / 2)
-    val b1 = rest.substring(0, rest.length / 2)
-    val b2 = rest.substring(rest.length / 2)
-    val content = ("BT /F1 12 Tf 72 720 Td (" + escapeString(a) + ") Tj [(" +
-      escapeString(b1) + ") -250 (" + escapeString(b2) + ")] TJ ET")
-      .getBytes(ascii)
-    val cData = if (flate) zlib(content) else content
-    val cFilter = if (flate) " /Filter /FlateDecode" else ""
+    val (cData, cFilter) = contentStream(text, flate)
     // ObjStm body: pair header (objnum offset-in-body), then bodies
     val bodies = Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>",
@@ -386,17 +384,28 @@ object PdfCodec {
   private val SizePattern = java.util.regex.Pattern
     .compile("/Size\\s+(\\d+)")
   private val IndexPattern = java.util.regex.Pattern
-    .compile("/Index\\s*\\[([0-9 ]*)\\]")
+    .compile("/Index\\s*\\[([0-9\\s]*)\\]")
+  // typed-stream detection with ANY legal whitespace between the name
+  // tokens (a one-key-per-line dict is conforming — review finding)
+  private val ObjStmPattern = java.util.regex.Pattern
+    .compile("/Type\\s*/ObjStm")
+  private val XRefTypePattern = java.util.regex.Pattern
+    .compile("/Type\\s*/XRef")
+  private val ImageTypePattern = java.util.regex.Pattern
+    .compile("/Subtype\\s*/Image")
+  private val ObjStmNPattern = java.util.regex.Pattern
+    .compile("/N\\s+(\\d+)")
 
-  /** One `obj … endobj` framing parse at `off`: (dict text, decoded
-    * stream data or null, end position). Shared by the object walk and
+  /** One `obj … endobj` framing parse at `off`: (object number, dict
+    * text, decoded stream data or null). Shared by the object walk and
     * the xref-stream reader.
     */
   private def parseObjectAt(s: String, bytes: Array[Byte],
-      off: Int): (String, Array[Byte]) = {
+      off: Int): (Int, String, Array[Byte]) = {
     if (off < 0 || off >= s.length) throw Malformed
     val m = ObjHeadPattern.matcher(s.substring(off, math.min(s.length, off + 48)))
     if (!m.find()) throw Malformed
+    val objNum = toIntStrict(m.group(1))
     val endObj = s.indexOf("endobj", off)
     if (endObj < 0) throw Malformed
     val streamKw = s.indexOf("stream", off)
@@ -404,11 +413,13 @@ object PdfCodec {
       val dict = s.substring(off, streamKw)
       val lm = LengthPattern.matcher(dict)
       if (!lm.find()) throw Malformed // indirect /Length: documented cut
-      val len = lm.group(1).toInt
+      val len = toIntStrict(lm.group(1))
       var dataStart = streamKw + 6
       if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
       if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-      if (dataStart + len > bytes.length) throw Malformed
+      // LONG arithmetic: a crafted /Length near Int.MaxValue must fail
+      // the bounds check, not wrap it (review finding)
+      if (dataStart.toLong + len > bytes.length) throw Malformed
       if (!s.startsWith("endstream", {
         var q = dataStart + len
         while (q < s.length && (s.charAt(q) == '\r' || s.charAt(q) == '\n')) q += 1
@@ -421,8 +432,16 @@ object PdfCodec {
           if (inf == null) throw Malformed
           inf
         } else raw
-      (dict, data)
-    } else (s.substring(off, endObj), null)
+      (objNum, dict, data)
+    } else (objNum, s.substring(off, endObj), null)
+  }
+
+  /** Digits → Int, Malformed (never NumberFormatException — the
+    * fail-closed catch list does not include it) on overflow.
+    */
+  private def toIntStrict(digits: String): Int = {
+    if (digits.length > 9) throw Malformed
+    digits.toInt
   }
 
   /** PDF 1.5+ cross-reference STREAM at `off`: W-width binary entries
@@ -434,27 +453,32 @@ object PdfCodec {
     * via their container, never dereferenced.
     */
   private def parseXrefStream(s: String, bytes: Array[Byte],
-      off: Int): (Array[Int], Int) = {
-    val (dict, data) = parseObjectAt(s, bytes, off)
+      off: Int): (Array[Int], Array[Int]) = {
+    val (_, dict, data) = parseObjectAt(s, bytes, off)
     if (data == null || !dict.contains("/XRef")) throw Malformed
     val wm = WPattern.matcher(dict)
     if (!wm.find()) throw Malformed
-    val (w1, w2, w3) = (wm.group(1).toInt, wm.group(2).toInt, wm.group(3).toInt)
+    val (w1, w2, w3) =
+      (toIntStrict(wm.group(1)), toIntStrict(wm.group(2)), toIntStrict(wm.group(3)))
     if (w1 > 8 || w2 > 8 || w3 > 8 || w2 == 0) throw Malformed
     val sm = SizePattern.matcher(dict)
     if (!sm.find()) throw Malformed
-    val size = sm.group(1).toInt
+    val size = toIntStrict(sm.group(1))
     if (size < 0 || size > MaxObjects) throw Malformed
     val im = IndexPattern.matcher(dict)
     val index: Array[Int] =
       if (im.find()) {
-        val nums = im.group(1).trim.split("\\s+").filter(_.nonEmpty).map(_.toInt)
+        val nums = im.group(1).trim.split("\\s+").filter(_.nonEmpty).map(toIntStrict)
         if (nums.length % 2 != 0) throw Malformed
         nums
       } else Array(0, size)
     val row = w1 + w2 + w3
-    val nEntries = index.grouped(2).map(_(1)).sum
-    if (nEntries > MaxObjects || data.length < nEntries * row) throw Malformed
+    // LONG sum with a per-total cap: two near-MaxInt /Index counts must
+    // not wrap past both guards into an empty "success" (review finding)
+    val nEntriesL = index.grouped(2).map(_(1).toLong).sum
+    if (nEntriesL < 0 || nEntriesL > MaxObjects) throw Malformed
+    val nEntries = nEntriesL.toInt
+    if (data.length < nEntries.toLong * row) throw Malformed
     @inline def field(base: Int, width: Int): Long = {
       var v = 0L
       var i = 0
@@ -462,7 +486,7 @@ object PdfCodec {
       v
     }
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var type2 = 0
+    val containers = scala.collection.mutable.ArrayBuffer.empty[Int]
     var e = 0
     var p = 0
     while (e < nEntries) {
@@ -473,13 +497,15 @@ object PdfCodec {
         case 1L =>
           if (f2 > Int.MaxValue) throw Malformed
           offsets += f2.toInt
-        case 2L => type2 += 1
+        case 2L =>
+          if (f2 > MaxObjects) throw Malformed
+          containers += f2.toInt
         case _ => throw Malformed
       }
       p += row
       e += 1
     }
-    (offsets.toArray, type2)
+    (offsets.toArray, containers.toArray)
   }
 
   private def extractImpl(bytes: Array[Byte]): (String, Int, Int) = {
@@ -496,28 +522,48 @@ object PdfCodec {
     if (xrefOff < 0 || xrefOff >= s.length) throw Malformed
     // classic table ("xref" keyword) or a 1.5+ cross-reference stream
     // (an object) — dispatch on what actually sits at the offset
-    val (offsets, nType2) =
-      if (s.startsWith("xref", xrefOff)) (parseXref(s, xrefOff), 0)
+    val (offsets, type2Containers) =
+      if (s.startsWith("xref", xrefOff)) (parseXref(s, xrefOff), Array.empty[Int])
       else parseXrefStream(s, bytes, xrefOff)
     if (offsets.length > MaxObjects) throw Malformed
     val out = new StringBuilder
     var nStreams = 0
-    var nObjects = nType2 // compressed objects exist; they carry no text
+    var nObjects = type2Containers.length // compressed objects carry no text
+    val objStmCapacity = scala.collection.mutable.Map.empty[Int, Int]
     // objects in ascending offset order = document order for the
     // fixture and for every writer that appends objects sequentially
     offsets.sorted.foreach { off =>
-      val (dict, data) = parseObjectAt(s, bytes, off)
       nObjects += 1
-      if (data != null) {
-        // metadata/binary streams carry no page text: the xref stream
-        // itself, object streams, and images are never op-scanned
-        val typed = dict.contains("/XRef") || dict.contains("/ObjStm") ||
-          dict.contains("/Subtype /Image") || dict.contains("/Subtype/Image")
-        if (!typed) {
-          nStreams += 1
-          extractOps(new String(data, Ascii), out)
+      if (off == xrefOff) {
+        // the xref stream lists itself type-1; it was already parsed
+        // and inflated above — don't pay the inflate twice per record
+        // (review finding)
+      } else {
+        val (objNum, dict, data) = parseObjectAt(s, bytes, off)
+        if (data != null) {
+          // metadata/binary streams carry no page text: the xref stream
+          // itself, object streams, and images are never op-scanned
+          // (whitespace-robust: dict keys separate with ANY whitespace)
+          if (ObjStmPattern.matcher(dict).find()) {
+            val nm = ObjStmNPattern.matcher(dict)
+            if (!nm.find()) throw Malformed
+            objStmCapacity(objNum) = toIntStrict(nm.group(1))
+          } else if (!XRefTypePattern.matcher(dict).find() &&
+              !ImageTypePattern.matcher(dict).find()) {
+            nStreams += 1
+            extractOps(new String(data, Ascii), out)
+          }
         }
       }
+    }
+    // type-2 entries must resolve: every container is a real ObjStm in
+    // this table, and the entry count matches the containers' declared
+    // /N total — "counted and framing-validated", actually enforced
+    // (review finding)
+    if (type2Containers.nonEmpty) {
+      if (!type2Containers.forall(objStmCapacity.contains)) throw Malformed
+      if (objStmCapacity.values.map(_.toLong).sum != type2Containers.length)
+        throw Malformed
     }
     (out.toString, nObjects, nStreams)
   }

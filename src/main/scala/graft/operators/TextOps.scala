@@ -513,8 +513,9 @@ object TextOps {
 
   /** Language ID in Unicode mode: the [[langId]] argmax-with-
     * alphabetical-tie-break over [[StopWordsUnicode]] membership of
-    * [[tokensU]] tokens — one map-only pass, nine languages across six
-    * scripts.
+    * [[tokensU]] tokens — one map-only pass over every language in
+    * [[StopWordsUnicode]] (eleven since the ko/zh additions, spanning
+    * Latin/Cyrillic/Arabic/Greek/Devanagari/CJK/Hangul scripts).
     */
   def langIdUnicode(text: Column): Column = {
     val langs = StopWordsUnicode.keys.toSeq.sorted

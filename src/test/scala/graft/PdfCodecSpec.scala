@@ -60,12 +60,26 @@ class PdfCodecSpec extends AnyFunSuite {
     // malformations specific to the 1.5 path fail closed
     val good = PdfCodec.render15("valid document", flate = true)
     val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def mut(pat: String, repl: String): Any = {
+      val b = s.replaceFirst(pat, java.util.regex.Matcher.quoteReplacement(repl))
+      assert(b != s, s"pattern $pat did not match")
+      PdfCodec.extract(b.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
     // corrupt the xref stream's W widths
-    val badW = s.replaceFirst("/W \\[1 4 2\\]", "/W [1 9 2]")
-    assert(PdfCodec.extract(badW.getBytes(
-      java.nio.charset.StandardCharsets.ISO_8859_1)) == null)
+    assert(mut("/W \\[1 4 2\\]", "/W [1 9 2]") == null)
     // truncate the xref stream body
     assert(PdfCodec.extract(good.dropRight(30)) == null)
+    // crafted overflow classes must NULL, never crash or garble-open
+    // (review findings: uncaught NumberFormatException / Int wrap)
+    assert(mut("/W \\[1 4 2\\]", "/W [1 99999999999 2]") == null)
+    assert(mut("/Size 8", "/Size 99999999999") == null)
+    assert(mut("/Size 8", "/Size 8 /Index [0 2000000000 0 2000000000]") == null)
+    // a type-2 container that is NOT a real ObjStm in the table must
+    // fail (counted-and-framing-validated, actually enforced): point
+    // the ObjStm type elsewhere so containers reference a non-ObjStm
+    assert(mut("/Type /ObjStm", "/Type /Other1") == null)
+    // and an /N that disagrees with the type-2 entry count must fail
+    assert(mut("/N 4 /First", "/N 3 /First") == null)
   }
 
   test("operator tokens inside literals do not truncate: 'GET/SET/BT/ET' text round-trips") {
