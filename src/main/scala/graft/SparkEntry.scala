@@ -2988,6 +2988,17 @@ object SparkEntry {
     // + appends ≡ full rebuild, so the batch oracle is shared verbatim
     "q_cdx_ingest_stream" -> ((s, dir) => cdxIngestStream(s, dir)),
 
+    // the CDX over a REVISIT-BEARING archive — the index counts each
+    // page ONCE (the response row; revisit records are filtered like
+    // any non-response type) while still seeking correctly: revisit
+    // members SHIFT later records' in-shard positions, and the oracle
+    // re-derives every shifted position from doc_id alone — so a
+    // parser that miscounts (or an index that double-lists re-fetched
+    // pages) breaks the hash
+    "q_cdx_revisit" -> ((s, dir) =>
+      Warc.cdxIndex(s.read.format("binaryFile")
+        .load(stagedRevisitShards(s, dir).toString))),
+
     // payload-integrity audit: per record type, digests present and
     // VERIFIED (sha1 of the received payload == the header) — the
     // end-to-end proof the gzip + framing decode delivered every byte;
@@ -4903,6 +4914,9 @@ object SparkEntry {
     // streaming ingest shares the batch oracle VERBATIM: bootstrap
     // version + per-shard appends must equal the full rebuild
     "q_cdx_ingest_stream" -> cdxIndexOracleSql,
+    // revisit-bearing archive: one row per PAGE, positions shifted by
+    // the interleaved revisit members
+    "q_cdx_revisit" -> cdxOracleSqlWith(withRevisits = true),
 
     "q_warc_digest" ->
       s"""WITH req AS (SELECT COUNT(*) AS n FROM documents
@@ -6134,10 +6148,20 @@ object SparkEntry {
   /** Shared by q_cdx_index and its streaming-ingest twin: every
     * record's (shard, position) predicted from doc_id alone.
     */
-  private def cdxIndexOracleSql: String =
+  private def cdxIndexOracleSql: String = cdxOracleSqlWith(withRevisits = false)
+
+  /** The CDX position oracle, parameterized on whether the archive
+    * interleaves `revisit` members (which come AFTER their doc's
+    * response, so they shift only LATER docs' positions).
+    */
+  private def cdxOracleSqlWith(withRevisits: Boolean): String = {
+    val isrev =
+      if (withRevisits)
+        s" + CASE WHEN doc_id % ${Warc.RevisitEvery} = ${Warc.RevisitPhase} THEN 1 ELSE 0 END"
+      else ""
     s"""WITH ${Urls.urlBaseSqlCtes}, ${Urls.parseSqlCte},
         ord AS (SELECT doc_id, doc_id % ${Warc.NumShards} AS si,
-                  (1 + CASE WHEN doc_id % ${Warc.RequestEvery} = 0 THEN 1 ELSE 0 END) AS nrec,
+                  (1 + CASE WHEN doc_id % ${Warc.RequestEvery} = 0 THEN 1 ELSE 0 END$isrev) AS nrec,
                   CASE WHEN doc_id % ${Warc.RequestEvery} = 0 THEN 1 ELSE 0 END AS isreq
                 FROM documents),
         pos AS (SELECT doc_id, si,
@@ -6150,6 +6174,7 @@ object SparkEntry {
           p.pos AS pos,
           '<urn:uuid:graft-response-' || CAST(p.doc_id AS VARCHAR) || '>' AS record_id
         FROM pos p JOIN parsed USING (doc_id)"""
+  }
 
   /** The curated flagship's shared oracle prefix: frontier keep-first
     * → curated set → extraction → quality gate → exact-dedup canon.
