@@ -3104,6 +3104,53 @@ object SparkEntry {
           .load(stagedSitemapIndex(s, dir).toString))
     }),
 
+    // classifier EVALUATION — the metrics a model gate reads before
+    // promoting a quality classifier: confusion counts vs the teacher
+    // plus exact-integer ppm accuracy/precision/recall; one aggregate
+    // over the scored corpus
+    "q_quality_eval" -> ((s, dir) => {
+      val sc = QualityModel.score(ColOps.table(s, dir, "documents"),
+        "doc_id", "text")
+      sc.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pred") && col("y") > 0L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && col("y") < 0L, 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("y") > 0L, 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pred") && col("y") < 0L, 1L).otherwise(0L)).as("tn"))
+        .withColumn("acc_ppm", expr("(tp + tn) * 1000000L div n"))
+        .withColumn("precision_ppm",
+          expr("CASE WHEN tp + fp > 0 THEN tp * 1000000L div (tp + fp) ELSE 0L END"))
+        .withColumn("recall_ppm",
+          expr("CASE WHEN tp + fn > 0 THEN tp * 1000000L div (tp + fn) ELSE 0L END"))
+    }),
+
+    // the SERVE shape of the trained classifier — train on the corpus
+    // ONCE (the model artifact: 4×70 Longs), then score ARRIVING docs
+    // forever: a real text source delivers one shard per micro-batch
+    // and the stateless broadcast-model scorer appends per-batch
+    // results; shares the batch scoring oracle VERBATIM (serve ≡ batch)
+    "q_quality_stream" -> ((s, dir) => {
+      val m = QualityModel.fit(ColOps.table(s, dir, "documents"),
+        "doc_id", "text")
+      val outDir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_qserve_").toString
+      deleteOnExit(outDir)
+      val shards = stagedTextShards(s, dir)
+      graft.streaming.StreamExec.runSourceForeachBatch(s) {
+        s.readStream.option("maxFilesPerTrigger", "1").text(shards.toString)
+      } { (batch, _) =>
+        val docs = batch
+          .select(split(col("value"), "\t", 2).as("kv"))
+          .select(element_at(col("kv"), 1).cast("long").as("doc_id"),
+            element_at(col("kv"), 2).as("text"))
+        QualityModel.scoreWith(docs, "doc_id", "text", m)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      s.read.parquet(outDir)
+    }),
+
     // frontier POLITENESS schedule: REP user-agent GROUP resolution
     // (sites n%5==0 publish a graftbot group that wins OUTRIGHT —
     // groups never merge, so the generic article blocks stop applying
@@ -4866,6 +4913,19 @@ object SparkEntry {
     "q_quality_filter" -> TextOps.qualityFilterSql(allStopsSql),
     "q_quality_train" -> QualityModel.trainOracleSql(allStopsSql),
     "q_quality_score" -> QualityModel.scoreOracleSql(allStopsSql),
+    "q_quality_eval" ->
+      s"""SELECT n, tp, fp, fn, tn,
+            (tp + tn) * 1000000 // n AS acc_ppm,
+            CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) ELSE 0 END AS precision_ppm,
+            CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) ELSE 0 END AS recall_ppm
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN pred AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN pred AND y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN NOT pred AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(SUM(CASE WHEN NOT pred AND y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM (${QualityModel.scoreOracleSql(allStopsSql)}) sc) agg""",
+    // serve ≡ batch: the streamed broadcast-model scorer shares the oracle
+    "q_quality_stream" -> QualityModel.scoreOracleSql(allStopsSql),
     // the oracle REBUILDS the staged raw HTML from documents via the
     // shared wrapper template, then strips it with its own regexp chain
     // — both engines parse byte-identical markup

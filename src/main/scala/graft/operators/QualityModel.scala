@@ -123,12 +123,19 @@ object QualityModel {
       .select(col("doc_id"), col("d"), col("x"), col("y"))
   }
 
+  /** The fitted model: averaged weights, per-dim absent-entry z
+    * constants, and the standardization statistics — everything a
+    * scorer needs, [[NDims]]·4 Longs (a broadcast literal anywhere).
+    */
+  final case class Fitted(w: Array[Long], z0: Array[Long],
+                          mu: Array[Long], mad: Array[Long])
+
   /** Standardize the sparse feature table: returns the checkpointed
     * (doc_id, d, y, z, dz) table, the per-dim absent-entry constants
-    * z0, and the corpus size.
+    * z0, and the per-dim standardization stats.
     */
   private def standardized(df: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, Array[Long], Long) = {
+      : (DataFrame, Array[Long], Array[Long], Array[Long]) = {
     val raw = graft.core.Materialize.checkpoint(
       rawFeatures(df, idCol, textCol).repartition(col("doc_id")))
     val nDocs = df.count()
@@ -165,7 +172,41 @@ object QualityModel {
         expr("__num div __den").as("z"),
         (expr("__num div __den") - col("__z0")).as("dz"))
     (graft.core.Materialize.checkpoint(zdf.repartition(col("doc_id"))),
-      z0, nDocs)
+      z0, mu, mad)
+  }
+
+  /** Train on `df` and return the portable model. */
+  def fit(df: DataFrame, idCol: String, textCol: String): Fitted = {
+    val (zy, z0, mu, mad) = standardized(df, idCol, textCol)
+    Fitted(trainAveraged(zy, z0), z0, mu, mad)
+  }
+
+  /** Score ANY document set with an already-fitted model — the serve
+    * path (train on the corpus once, score arriving docs forever): one
+    * stateless pass per batch, the model riding as broadcast literal
+    * arrays; no training state, no corpus access.
+    */
+  def scoreWith(df: DataFrame, idCol: String, textCol: String,
+      m: Fitted): DataFrame = {
+    val muArr = array(m.mu.toSeq.map(lit): _*)
+    val madArr = array(m.mad.toSeq.map(lit): _*)
+    val z0Arr = array(m.z0.toSeq.map(lit): _*)
+    val wArr = array(m.w.toSeq.map(lit): _*)
+    val c = (0 until NDims).map(d => m.w(d) * m.z0(d)).sum
+    val zdf = rawFeatures(df, idCol, textCol)
+      .select(col("doc_id"), col("d"), col("y"),
+        ((col("x") - element_at(muArr, (col("d") + 1).cast("int"))) * 1000L)
+          .cast("long").as("__num"),
+        (element_at(madArr, (col("d") + 1).cast("int")) + 1L).as("__den"),
+        element_at(z0Arr, (col("d") + 1).cast("int")).as("__z0"))
+      .select(col("doc_id"), col("d"), col("y"),
+        (expr("__num div __den") - col("__z0")).as("dz"))
+    zdf.groupBy(col("doc_id"), col("y"))
+      .agg((sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz"))
+        + lit(c)).as("score"))
+      .select(col("doc_id"), col("y"), col("score"),
+        (col("score") > 0L).as("pred"),
+        ((col("score") > 0L) === (col("y") > 0L)).as("agree"))
   }
 
   /** The averaged-perceptron loop over the standardized sparse table;
@@ -212,7 +253,7 @@ object QualityModel {
     */
   def train(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
-    val (zy, z0, _) = standardized(df, idCol, textCol)
+    val (zy, z0, _, _) = standardized(df, idCol, textCol)
     val w = trainAveraged(zy, z0)
     import spark.implicits._
     w.zipWithIndex.map { case (v, d) => (d.toLong, v) }.toSeq.toDF("d", "w")
@@ -224,7 +265,7 @@ object QualityModel {
     * thresholds on.
     */
   def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val (zy, z0, _) = standardized(df, idCol, textCol)
+    val (zy, z0, _, _) = standardized(df, idCol, textCol)
     val w = trainAveraged(zy, z0)
     val c = (0 until NDims).map(d => w(d) * z0(d)).sum
     val wArr = array(w.toSeq.map(lit): _*)
