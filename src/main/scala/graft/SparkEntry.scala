@@ -785,6 +785,17 @@ object SparkEntry {
           tmp.resolve("leaf-site0-orphan.xml.gz"), gz(orphanSource))
     }
 
+  /** The TRUNCATED crawl archive: every Warc.TruncEvery-th doc's
+    * response payload is cut at half its wire length and marked
+    * `WARC-Truncated: length` (the Common Crawl size-limit behavior) —
+    * the q_warc_truncated / q_warc_extract_trunc fixture.
+    */
+  private val truncWarcShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedTruncatedShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedShards(truncWarcShardDirs, "graft_warctrunc_", "warc.gz", s, dir)(
+      Warc.renderTruncatedShard)
+
   /** Per-site robots.txt FILES (`robots-site<n>.txt`) — the text layer
     * above the in-plan REP rule fixtures: same groups, wire realism
     * (case/CRLF/comments/empty-Disallow/unknown fields), plus the
@@ -2988,6 +2999,22 @@ object SparkEntry {
     // + appends ≡ full rebuild, so the batch oracle is shared verbatim
     "q_cdx_ingest_stream" -> ((s, dir) => cdxIngestStream(s, dir)),
 
+    // TRUNCATED captures (Common Crawl's size limit): records marked
+    // WARC-Truncated carry the CUT payload with Content-Length framing
+    // the stored bytes; the audit surfaces how many and how much was
+    // kept — every count and byte total a closed doc_id formula
+    "q_warc_truncated" -> ((s, dir) =>
+      Warc.truncationAudit(Warc.records(s.read.format("binaryFile")
+        .load(stagedTruncatedShards(s, dir).toString)))),
+
+    // extraction posture over the same archive: truncated captures are
+    // SKIPPED (a half page poisons text statistics; the audit above
+    // makes the drop observable) — oracle = extraction minus exactly
+    // the truncated docs, the damaged-archive discipline
+    "q_warc_extract_trunc" -> ((s, dir) =>
+      Warc.extractSkippingTruncated(s.read.format("binaryFile")
+        .load(stagedTruncatedShards(s, dir).toString))),
+
     // the CDX over a REVISIT-BEARING archive — the index counts each
     // page ONCE (the response row; revisit records are filtered like
     // any non-response type) while still seeking correctly: revisit
@@ -4958,6 +4985,10 @@ object SparkEntry {
     "q_warc_extract_recover" ->
       s"""SELECT * FROM (${Html.extractOracleSql}) e
           WHERE e.doc_id % ${Warc.DamageEvery} <> ${Warc.DamagePhase}""",
+    "q_warc_truncated" -> Warc.truncationAuditOracleSql,
+    "q_warc_extract_trunc" ->
+      s"""SELECT * FROM (${Html.extractOracleSql}) e
+          WHERE e.doc_id % ${Warc.TruncEvery} <> ${Warc.TruncPhase}""",
 
     "q_domain_rank" -> operators.Graph.pageRankSql(
       s"""SELECT ((doc_id % 150) % 23) * 7 + (doc_id % 150) % 7 AS src,

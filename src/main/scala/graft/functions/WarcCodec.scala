@@ -49,7 +49,11 @@ object WarcCodec {
     StructField("payload_digest", StringType),
     // WARC-Refers-To header value, verbatim (null when absent) — how a
     // `revisit` record names the response whose payload it re-fetched
-    StructField("refers_to", StringType)))
+    StructField("refers_to", StringType),
+    // WARC-Truncated reason (null when absent) — Common Crawl marks
+    // payloads cut at its size limit with `length`; the stored bytes
+    // are the TRUNCATED payload and Content-Length frames those
+    StructField("truncated", StringType)))
 
   val arrayType: ArrayType = ArrayType(recordSchema, containsNull = false)
 
@@ -87,6 +91,7 @@ object WarcCodec {
       var targetUri: UTF8String = null
       var payloadDigest: UTF8String = null
       var refersTo: UTF8String = null
+      var truncated: UTF8String = null
       var contentLength = -1L
       var blank = false
       while (!blank) {
@@ -106,6 +111,7 @@ object WarcCodec {
             case "warc-target-uri" => targetUri = UTF8String.fromString(value)
             case "warc-payload-digest" => payloadDigest = UTF8String.fromString(value)
             case "warc-refers-to" => refersTo = UTF8String.fromString(value)
+            case "warc-truncated" => truncated = UTF8String.fromString(value)
             case "content-length" =>
               try contentLength = java.lang.Long.parseLong(value)
               catch { case _: NumberFormatException => return null }
@@ -124,7 +130,7 @@ object WarcCodec {
       pos += 4
       out += new GenericInternalRow(
         Array[Any](warcType, recordId, targetUri, contentLength, payload,
-          payloadDigest, refersTo))
+          payloadDigest, refersTo, truncated))
     }
     out.toArray
   }
@@ -178,6 +184,7 @@ object WarcCodec {
     var targetUri: UTF8String = null
     var payloadDigest: UTF8String = null
     var refersTo: UTF8String = null
+    var truncated: UTF8String = null
     var contentLength = -1L
     var blank = false
     while (!blank) {
@@ -197,6 +204,7 @@ object WarcCodec {
           case "warc-target-uri" => targetUri = UTF8String.fromString(value)
           case "warc-payload-digest" => payloadDigest = UTF8String.fromString(value)
           case "warc-refers-to" => refersTo = UTF8String.fromString(value)
+          case "warc-truncated" => truncated = UTF8String.fromString(value)
           case "content-length" =>
             try contentLength = java.lang.Long.parseLong(value)
             catch { case _: NumberFormatException => return null }
@@ -212,7 +220,7 @@ object WarcCodec {
     if (bytes(pos) != '\r' || bytes(pos + 1) != '\n' ||
         bytes(pos + 2) != '\r' || bytes(pos + 3) != '\n') return null
     (new GenericInternalRow(Array[Any](warcType, recordId, targetUri,
-      contentLength, payload, payloadDigest, refersTo)), pos + 4)
+      contentLength, payload, payloadDigest, refersTo, truncated)), pos + 4)
   }
 
   /** Recovering parse: a malformed record is SKIPPED to the next

@@ -271,13 +271,15 @@ object Warc {
                    targetUri: Option[String],
                    payload: Array[Byte],
                    digestOverride: Option[String] = None,
-                   refersTo: Option[String] = None): Array[Byte] = {
+                   refersTo: Option[String] = None,
+                   truncated: Option[String] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
     sb.append("WARC-Record-ID: <urn:uuid:").append(recordId).append(">\r\n")
     targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
     refersTo.foreach(r => sb.append("WARC-Refers-To: ").append(r).append("\r\n"))
+    truncated.foreach(t => sb.append("WARC-Truncated: ").append(t).append("\r\n"))
     if (warcType != "warcinfo")
       sb.append("WARC-Payload-Digest: ")
         .append(digestOverride.getOrElse(payloadDigestOf(payload))).append("\r\n")
@@ -465,6 +467,85 @@ object Warc {
          CAST(CASE WHEN doc_id % 3 = 2 THEN 7 ELSE 5 END AS INT) AS n_objects,
          CAST(1 AS INT) AS n_streams
        FROM documents"""
+
+  // ---------------------------------------------------------------------
+  // Truncated captures — Common Crawl cuts payloads at its size limit
+  // and marks the record `WARC-Truncated: length`; the stored bytes ARE
+  // the truncated payload (no original length survives). A pipeline's
+  // posture: skip them at extraction (a half page poisons text
+  // statistics), COUNT them in the audit so the loss is observable.
+  // ---------------------------------------------------------------------
+
+  val TruncEvery = 9
+  val TruncPhase = 7
+  def isTruncated(id: Long): Boolean = id % TruncEvery == TruncPhase
+
+  /** Render one shard where every [[TruncEvery]]-th doc's response
+    * payload is CUT at half its wire length and marked
+    * `WARC-Truncated: length`; all other records byte-identical to
+    * [[renderShard]]'s.
+    */
+  def renderTruncatedShard(shardIdx: Int, docs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(gzipMember(renderRecord("warcinfo", s"graft-warcinfo-$shardIdx",
+      None, ascii(WarcinfoPayload))))
+    docs.foreach { case (id, rawText) =>
+      val uri = Urls.urlOf(id)
+      if (id % RequestEvery == 0)
+        bos.write(gzipMember(renderRecord("request", s"graft-request-$id",
+          Some(uri), ascii(requestPayload(id)))))
+      val full = responsePayload(id, Html.wrapLine(id, rawText))
+      if (isTruncated(id))
+        bos.write(gzipMember(renderRecord("response", s"graft-response-$id",
+          Some(uri), java.util.Arrays.copyOf(full, full.length / 2),
+          truncated = Some("length"))))
+      else
+        bos.write(gzipMember(renderRecord("response", s"graft-response-$id",
+          Some(uri), full)))
+    }
+    bos.toByteArray
+  }
+
+  /** Truncation audit over a decoded record stream: one row —
+    * records seen, responses, truncated responses, and the bytes the
+    * archive actually STORED for them (all the original-length signal
+    * a real WARC retains). One map pass + one scalar aggregate.
+    */
+  def truncationAudit(recs: DataFrame): DataFrame =
+    recs.agg(
+      count(lit(1)).as("n_records"),
+      sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+        .as("n_responses"),
+      sum(when(col("truncated").isNotNull, 1L).otherwise(0L))
+        .as("n_truncated"),
+      coalesce(sum(when(col("truncated").isNotNull, col("content_length"))),
+        lit(0L)).as("truncated_stored_bytes"))
+
+  /** DuckDB mirror of [[truncationAudit]] over the truncated fixture:
+    * every count and every stored-byte total predicted from documents
+    * + the rendering constants (the cut is total div 2, exact).
+    */
+  def truncationAuditOracleSql: String = {
+    val total = responsePayloadLenSql("doc_id", "octet_length(encode(html))")
+    s"""WITH raw AS (SELECT doc_id, ${Html.wrapSqlExpr} AS html FROM documents)
+        SELECT
+          CAST($NumShards + (SELECT COUNT(*) FROM documents)
+            + (SELECT COUNT(*) FROM documents WHERE doc_id % $RequestEvery = 0)
+            AS BIGINT) AS n_records,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_responses,
+          CAST(COUNT(*) AS BIGINT) AS n_truncated,
+          CAST(COALESCE(SUM(($total) // 2), 0) AS BIGINT) AS truncated_stored_bytes
+        FROM raw WHERE doc_id % $TruncEvery = $TruncPhase"""
+  }
+
+  /** Extraction over a truncation-bearing archive: truncated captures
+    * are SKIPPED (the drop is the audit's job to surface); everything
+    * else extracts untouched — the damaged-archive discipline.
+    */
+  def extractSkippingTruncated(shards: DataFrame): DataFrame =
+    Html.extract(
+      responsePages(records(shards).filter(col("truncated").isNull)),
+      "doc_id", "html")
 
   /** Render one WET shard (Common Crawl's extracted-text sibling):
     * warcinfo member, then one `conversion` record per doc whose
@@ -709,7 +790,8 @@ object Warc {
       col("r.content_length").as("content_length"),
       col("r.payload").as("payload"),
       col("r.payload_digest").as("payload_digest"),
-      col("r.refers_to").as("refers_to"))
+      col("r.refers_to").as("refers_to"),
+      col("r.truncated").as("truncated"))
 
   /** HTTP envelope decode + status gate over a decoded response
     * payload column (crawlers keep 200s only): the ONE definition of
