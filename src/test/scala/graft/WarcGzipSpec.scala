@@ -266,6 +266,23 @@ class WarcGzipSpec extends SparkSpec {
     assert(len.getArray(0).numElements() == strict.length)
   }
 
+  test("truncated captures: the marker surfaces, Content-Length frames the stored (cut) bytes") {
+    val docs = Seq(7L -> ("lorem ipsum " * 30).trim, 8L -> "short doc text")
+    val rows = WarcCodec.parse(
+      graft.functions.GzipCodec.gunzip(Warc.renderTruncatedShard(0, docs)))
+    assert(rows != null)
+    val byId = rows.filter(_.getUTF8String(0).toString == "response")
+      .map(r => r.getUTF8String(1).toString -> r).toMap
+    val t = byId("<urn:uuid:graft-response-7>") // 7 % 9 == 7: truncated
+    assert(t.getUTF8String(7).toString == "length")
+    val full7 = Warc.responsePayload(7L, graft.operators.Html.wrapLine(7L, docs.head._2))
+    assert(t.getLong(3) == full7.length / 2)
+    assert(t.getBinary(4).length == full7.length / 2)
+    // untruncated sibling: no marker, full payload
+    val u = byId("<urn:uuid:graft-response-8>")
+    assert(u.isNullAt(7))
+  }
+
   test("revisit records: refers_to surfaces, digest points at the ORIGINAL payload") {
     val docs = Seq(1L -> "alpha text", 2L -> "beta text", 6L -> "gamma text")
     val shard = Warc.renderRevisitShard(0, docs)
