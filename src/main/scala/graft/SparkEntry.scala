@@ -960,6 +960,17 @@ object SparkEntry {
         .repartition(4, pmod(col("asset_id"), lit(4)))
         .write.mode("overwrite").parquet(tmp.toString)
     }
+  /** Parse one [[stagedTextShards]] line (`doc_id<TAB>text`) — the ONE
+    * definition both streaming consumers (q_file_stream,
+    * q_quality_stream) use, so the staging convention cannot be parsed
+    * two different ways (review finding).
+    */
+  private def parseStagedTextLine(lines: DataFrame): DataFrame =
+    lines.select(
+      expr("CAST(substring(value, 1, instr(value, '\t') - 1) AS BIGINT)")
+        .as("doc_id"),
+      expr("substring(value, instr(value, '\t') + 1)").as("text"))
+
   private def stagedTextShards(s: SparkSession, dir: String): java.nio.file.Path =
     stagedArrivalDir(textShardDirs, "graft_textshards_", dir) { tmp =>
       val rows = ColOps.table(s, dir, "documents")
@@ -3157,7 +3168,14 @@ object SparkEntry {
     // and the stateless broadcast-model scorer appends per-batch
     // results; shares the batch scoring oracle VERBATIM (serve ≡ batch)
     "q_quality_stream" -> ((s, dir) => {
-      val m = QualityModel.fit(ColOps.table(s, dir, "documents"),
+      // train on the SAME one-line-per-doc text the staged shards carry
+      // (replace '\n' with ' ', the staging convention) so serve and
+      // train see identical tokens even if the corpus ever gains
+      // newlines; the oracle shadows documents the same way (review
+      // finding — the raw/sanitized split was latent)
+      val m = QualityModel.fit(ColOps.table(s, dir, "documents")
+          .select(col("doc_id"),
+            call_function("replace", col("text"), lit("\n"), lit(" ")).as("text")),
         "doc_id", "text")
       val outDir = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
@@ -3167,11 +3185,7 @@ object SparkEntry {
       graft.streaming.StreamExec.runSourceForeachBatch(s) {
         s.readStream.option("maxFilesPerTrigger", "1").text(shards.toString)
       } { (batch, _) =>
-        val docs = batch
-          .select(split(col("value"), "\t", 2).as("kv"))
-          .select(element_at(col("kv"), 1).cast("long").as("doc_id"),
-            element_at(col("kv"), 2).as("text"))
-        QualityModel.scoreWith(docs, "doc_id", "text", m)
+        QualityModel.scoreWith(parseStagedTextLine(batch), "doc_id", "text", m)
           .write.mode("append").parquet(outDir)
         ()
       }
@@ -3334,11 +3348,7 @@ object SparkEntry {
       graft.streaming.StreamExec.runSourceStream(s) {
         val lines = s.readStream
           .option("maxFilesPerTrigger", "1").text(shards.toString)
-        val parsed = lines.select(
-          expr("CAST(substring(value, 1, instr(value, '\t') - 1) AS BIGINT)")
-            .as("doc_id"),
-          expr("substring(value, instr(value, '\t') + 1)").as("text"))
-        TextOps.qualityFilter(parsed, "doc_id", "text")
+        TextOps.qualityFilter(parseStagedTextLine(lines), "doc_id", "text")
       }
     }),
 
@@ -4951,8 +4961,11 @@ object SparkEntry {
             CAST(SUM(CASE WHEN NOT pred AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
             CAST(SUM(CASE WHEN NOT pred AND y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
           FROM (${QualityModel.scoreOracleSql(allStopsSql)}) sc) agg""",
-    // serve ≡ batch: the streamed broadcast-model scorer shares the oracle
-    "q_quality_stream" -> QualityModel.scoreOracleSql(allStopsSql),
+    // serve ≡ batch: the streamed broadcast-model scorer shares the
+    // scoring oracle over the SANITIZED one-line-per-doc text (the
+    // staging convention — the q_file_stream shadow discipline)
+    "q_quality_stream" -> QualityModel.scoreOracleSql(allStopsSql,
+      from = "(SELECT doc_id, replace(text, chr(10), ' ') AS text FROM documents) sdocs"),
     // the oracle REBUILDS the staged raw HTML from documents via the
     // shared wrapper template, then strips it with its own regexp chain
     // — both engines parse byte-identical markup

@@ -161,9 +161,22 @@ object QualityModel {
     val z0 = Array.tabulate(NDims) { d =>
       if (d == Bias) BiasZ else tdiv((0L - mu(d)) * 1000L, mad(d) + 1L)
     }
+    (graft.core.Materialize.checkpoint(
+      standardizeCols(raw, mu, mad, z0).repartition(col("doc_id"))),
+      z0, mu, mad)
+  }
+
+  /** The ONE standardization projection (raw (doc_id, d, x, y) →
+    * (doc_id, d, y, z, dz)) — shared by training and serve so the two
+    * paths cannot drift (serve ≡ batch is the q_quality_stream
+    * contract; review finding).
+    */
+  private def standardizeCols(raw: DataFrame, mu: Array[Long],
+      mad: Array[Long], z0: Array[Long]): DataFrame = {
+    val muArr = array(mu.toSeq.map(lit): _*)
     val madArr = array(mad.toSeq.map(lit): _*)
     val z0Arr = array(z0.toSeq.map(lit): _*)
-    val zdf = raw.select(col("doc_id"), col("d"), col("y"),
+    raw.select(col("doc_id"), col("d"), col("y"),
       ((col("x") - element_at(muArr, (col("d") + 1).cast("int"))) * 1000L)
         .cast("long").as("__num"),
       (element_at(madArr, (col("d") + 1).cast("int")) + 1L).as("__den"),
@@ -171,8 +184,22 @@ object QualityModel {
       .select(col("doc_id"), col("d"), col("y"),
         expr("__num div __den").as("z"),
         (expr("__num div __den") - col("__z0")).as("dz"))
-    (graft.core.Materialize.checkpoint(zdf.repartition(col("doc_id"))),
-      z0, mu, mad)
+  }
+
+  /** The ONE scored-output aggregate ((doc_id, d, y, dz) → per-doc
+    * score/pred/agree under weights `w`) — shared by batch score and
+    * the serve path (review finding).
+    */
+  private def scoredOutput(zy: DataFrame, w: Array[Long],
+      z0: Array[Long]): DataFrame = {
+    val wArr = array(w.toSeq.map(lit): _*)
+    val c = (0 until NDims).map(d => w(d) * z0(d)).sum
+    zy.groupBy(col("doc_id"), col("y"))
+      .agg((sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz"))
+        + lit(c)).as("score"))
+      .select(col("doc_id"), col("y"), col("score"),
+        (col("score") > 0L).as("pred"),
+        ((col("score") > 0L) === (col("y") > 0L)).as("agree"))
   }
 
   /** Train on `df` and return the portable model. */
@@ -187,27 +214,10 @@ object QualityModel {
     * arrays; no training state, no corpus access.
     */
   def scoreWith(df: DataFrame, idCol: String, textCol: String,
-      m: Fitted): DataFrame = {
-    val muArr = array(m.mu.toSeq.map(lit): _*)
-    val madArr = array(m.mad.toSeq.map(lit): _*)
-    val z0Arr = array(m.z0.toSeq.map(lit): _*)
-    val wArr = array(m.w.toSeq.map(lit): _*)
-    val c = (0 until NDims).map(d => m.w(d) * m.z0(d)).sum
-    val zdf = rawFeatures(df, idCol, textCol)
-      .select(col("doc_id"), col("d"), col("y"),
-        ((col("x") - element_at(muArr, (col("d") + 1).cast("int"))) * 1000L)
-          .cast("long").as("__num"),
-        (element_at(madArr, (col("d") + 1).cast("int")) + 1L).as("__den"),
-        element_at(z0Arr, (col("d") + 1).cast("int")).as("__z0"))
-      .select(col("doc_id"), col("d"), col("y"),
-        (expr("__num div __den") - col("__z0")).as("dz"))
-    zdf.groupBy(col("doc_id"), col("y"))
-      .agg((sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz"))
-        + lit(c)).as("score"))
-      .select(col("doc_id"), col("y"), col("score"),
-        (col("score") > 0L).as("pred"),
-        ((col("score") > 0L) === (col("y") > 0L)).as("agree"))
-  }
+      m: Fitted): DataFrame =
+    scoredOutput(
+      standardizeCols(rawFeatures(df, idCol, textCol), m.mu, m.mad, m.z0),
+      m.w, m.z0)
 
   /** The averaged-perceptron loop over the standardized sparse table;
     * returns the AVERAGED weights (length [[NDims]], bias last).
@@ -266,15 +276,7 @@ object QualityModel {
     */
   def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (zy, z0, _, _) = standardized(df, idCol, textCol)
-    val w = trainAveraged(zy, z0)
-    val c = (0 until NDims).map(d => w(d) * z0(d)).sum
-    val wArr = array(w.toSeq.map(lit): _*)
-    zy.groupBy(col("doc_id"), col("y"))
-      .agg((sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz"))
-        + lit(c)).as("score"))
-      .select(col("doc_id"), col("y"), col("score"),
-        (col("score") > 0L).as("pred"),
-        ((col("score") > 0L) === (col("y") > 0L)).as("agree"))
+    scoredOutput(zy, trainAveraged(zy, z0), z0)
   }
 
   // ---------------------------------------------------------------------
