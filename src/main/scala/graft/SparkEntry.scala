@@ -3162,6 +3162,22 @@ object SparkEntry {
           expr("CASE WHEN tp + fn > 0 THEN tp * 1000000L div (tp + fn) ELSE 0L END"))
     }),
 
+    // the trained score FEEDING the selection tier — per-source volume
+    // caps kept by MODEL score instead of a heuristic: the curation
+    // move the classifier exists for (no source contributes more than
+    // k docs, and the k kept are the model's best); WindowGroupLimit
+    // partial top-k below the exchange, same as q_source_cap
+    "q_quality_select" -> ((s, dir) => {
+      val d = ColOps.table(s, dir, "documents")
+      val sc = QualityModel.score(d, "doc_id", "text")
+        .select(col("doc_id"), col("score"))
+      Sampling.qualityCap(
+          d.select(col("doc_id"), col("source")).join(sc, "doc_id"),
+          "source", "doc_id", col("score"), k = 50)
+        .select(col("doc_id"), col("source"), col("score"),
+          col("rk").cast("long").as("rk"))
+    }),
+
     // the SERVE shape of the trained classifier — train on the corpus
     // ONCE (the model artifact: 4×70 Longs), then score ARRIVING docs
     // forever: a real text source delivers one shard per micro-batch
@@ -4961,6 +4977,16 @@ object SparkEntry {
             CAST(SUM(CASE WHEN NOT pred AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
             CAST(SUM(CASE WHEN NOT pred AND y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
           FROM (${QualityModel.scoreOracleSql(allStopsSql)}) sc) agg""",
+    "q_quality_select" ->
+      s"""WITH sc AS (${QualityModel.scoreOracleSql(allStopsSql)}),
+          j AS (SELECT d.doc_id, d.source, sc.score
+                FROM documents d JOIN sc USING (doc_id)),
+          r AS (SELECT doc_id, source, score,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY score DESC, doc_id) AS rk
+                FROM j)
+          SELECT doc_id, source, score, CAST(rk AS BIGINT) AS rk
+          FROM r WHERE rk <= 50""",
     // serve ≡ batch: the streamed broadcast-model scorer shares the
     // scoring oracle over the SANITIZED one-line-per-doc text (the
     // staging convention — the q_file_stream shadow discipline)
