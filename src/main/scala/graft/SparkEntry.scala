@@ -960,6 +960,28 @@ object SparkEntry {
         .repartition(4, pmod(col("asset_id"), lit(4)))
         .write.mode("overwrite").parquet(tmp.toString)
     }
+  /** The fitted quality model, once per JVM per corpus (the
+    * persisted-index discipline: five quality queries CONSUME the
+    * model; one training produces it — a rerun in a fresh JVM
+    * re-trains, so a regenerated corpus can never serve a stale
+    * model). `sanitized` trains on the one-line-per-doc staged text
+    * (the streaming-serve convention); the two keys are distinct
+    * models on principle even though the fixture corpus has no
+    * newlines.
+    */
+  private val qualityModels =
+    new java.util.concurrent.ConcurrentHashMap[String, QualityModel.Fitted]()
+  private def qualityModelFor(s: SparkSession, dir: String,
+      sanitized: Boolean = false): QualityModel.Fitted =
+    qualityModels.computeIfAbsent(s"$dir|$sanitized", { _ =>
+      val base = ColOps.table(s, dir, "documents")
+      val d =
+        if (sanitized) base.select(col("doc_id"),
+          call_function("replace", col("text"), lit("\n"), lit(" ")).as("text"))
+        else base
+      QualityModel.fit(d, "doc_id", "text")
+    })
+
   /** Parse one [[stagedTextShards]] line (`doc_id<TAB>text`) — the ONE
     * definition both streaming consumers (q_file_stream,
     * q_quality_stream) use, so the staging convention cannot be parsed
@@ -2717,15 +2739,23 @@ object SparkEntry {
     // hashed bag-of-words linear model distilled from the heuristic
     // keep flag by integer-exact batch-perceptron rounds — features
     // checkpointed once, the model broadcast each round, rounds fixed
-    // and corpus-size-independent; output = the final weight vector
-    "q_quality_train" -> ((s, dir) =>
-      QualityModel.train(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+    // and corpus-size-independent; output = the final weight vector.
+    // The FITTED model is a per-JVM per-corpus artifact (the persisted-
+    // index discipline): five quality queries consume it, one training
+    // produces it
+    "q_quality_train" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      qualityModelFor(s, dir).w.zipWithIndex
+        .map { case (v, d) => (d.toLong, v) }.toSeq.toDF("d", "w")
+    }),
 
     // the trained model APPLIED as one broadcast scoring pass: per doc
     // the integer margin, the prediction, and the distillation-
     // fidelity bit (model vs teacher) the selection tier thresholds on
     "q_quality_score" -> ((s, dir) =>
-      QualityModel.score(ColOps.table(s, dir, "documents"), "doc_id", "text")),
+      QualityModel.scoreWith(ColOps.table(s, dir, "documents"),
+        "doc_id", "text", qualityModelFor(s, dir))),
 
     // raw-HTML → clean text: read the staged one-page-per-line crawl
     // fixture, recover doc_id from the page's data attribute, strip
@@ -2842,6 +2872,21 @@ object SparkEntry {
     "q_pdf_extract" -> ((s, dir) =>
       Warc.extractPdf(s.read.format("binaryFile")
         .load(stagedPdfShards(s, dir).toString))),
+
+    // STREAMING PDF ingest — "pdf-bearing archives land continuously":
+    // one shard per micro-batch through a real binaryFile source, the
+    // full chain (gunzip → framing → envelope → xref/stream parse →
+    // FlateDecode → text ops) stateless inside the stream; batch
+    // oracle shared
+    "q_pdf_stream" -> ((s, dir) => {
+      val shards = stagedPdfShards(s, dir)
+      graft.streaming.StreamExec.runSourceStream(s) {
+        Warc.extractPdf(s.readStream
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .format("binaryFile").load(shards.toString))
+      }
+    }),
 
     // NESTED sitemap discovery — the full sitemaps.org shape: per-site
     // sitemapindex files name GZIPPED leaf sitemaps, leaves are fetched
@@ -3147,8 +3192,8 @@ object SparkEntry {
     // plus exact-integer ppm accuracy/precision/recall; one aggregate
     // over the scored corpus
     "q_quality_eval" -> ((s, dir) => {
-      val sc = QualityModel.score(ColOps.table(s, dir, "documents"),
-        "doc_id", "text")
+      val sc = QualityModel.scoreWith(ColOps.table(s, dir, "documents"),
+        "doc_id", "text", qualityModelFor(s, dir))
       sc.agg(
           count(lit(1)).as("n"),
           sum(when(col("pred") && col("y") > 0L, 1L).otherwise(0L)).as("tp"),
@@ -3169,7 +3214,7 @@ object SparkEntry {
     // partial top-k below the exchange, same as q_source_cap
     "q_quality_select" -> ((s, dir) => {
       val d = ColOps.table(s, dir, "documents")
-      val sc = QualityModel.score(d, "doc_id", "text")
+      val sc = QualityModel.scoreWith(d, "doc_id", "text", qualityModelFor(s, dir))
         .select(col("doc_id"), col("score"))
       Sampling.qualityCap(
           d.select(col("doc_id"), col("source")).join(sc, "doc_id"),
@@ -3189,10 +3234,7 @@ object SparkEntry {
       // train see identical tokens even if the corpus ever gains
       // newlines; the oracle shadows documents the same way (review
       // finding — the raw/sanitized split was latent)
-      val m = QualityModel.fit(ColOps.table(s, dir, "documents")
-          .select(col("doc_id"),
-            call_function("replace", col("text"), lit("\n"), lit(" ")).as("text")),
-        "doc_id", "text")
+      val m = qualityModelFor(s, dir, sanitized = true)
       val outDir = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
         "graft_qserve_").toString
@@ -5255,6 +5297,8 @@ object SparkEntry {
                         GROUP BY md5(text)) c USING (doc_id))"""),
     "q_warc_revisit" -> Warc.revisitResolveOracleSql,
     "q_pdf_extract" -> Warc.extractPdfOracleSql,
+    // binaryFile-source streaming twin: stateless per-shard decode ≡ batch
+    "q_pdf_stream" -> Warc.extractPdfOracleSql,
     // streaming flagship: SAME oracle once more — incremental ingest
     // (bootstrap + per-segment appends) must equal the batch rebuild
     "q_corpus_build_stream" -> TextOps.packTokenIdsSql("canon", "doc_id", "text", 6, 128L,
