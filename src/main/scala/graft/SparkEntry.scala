@@ -747,6 +747,17 @@ object SparkEntry {
     stagedShards(pdfShardDirs, "graft_pdfshards_", "warc.gz", s, dir)(
       Warc.renderPdfShard)
 
+  /** The CID/Type0 (CJK) PDF archive: 4 shards whose page text is the
+    * [[Charsets]] slot texts carried as 2-byte-CID hex strings behind
+    * a /ToUnicode CMap (q_pdf_cjk fixture). Same discipline as
+    * [[stagedPdfShards]].
+    */
+  private val pdfCjkShardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def stagedPdfCjkShards(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedShards(pdfCjkShardDirs, "graft_pdfcjkshards_", "warc.gz", s, dir)(
+      Warc.renderPdfCjkShard)
+
   /** The NESTED sitemap layout (q_sitemap_index fixture): per site a
     * `sitemapindex` XML naming two GZIPPED leaf sitemaps
     * (`leaf-site<n>-p<0|1>.xml.gz`, split by doc parity), plus one
@@ -2872,6 +2883,15 @@ object SparkEntry {
     "q_pdf_extract" -> ((s, dir) =>
       Warc.extractPdf(s.read.format("binaryFile")
         .load(stagedPdfShards(s, dir).toString))),
+
+    // CID/Type0 (CJK) PDF text — the documents the plain-literal tier
+    // used to drop wholesale: 2-byte-CID hex strings decoded through
+    // the font's /ToUnicode CMap (bfchar + bfrange); each doc's page
+    // text is its Charsets SLOT text, so one mis-mapped code point
+    // breaks the oracle hash
+    "q_pdf_cjk" -> ((s, dir) =>
+      Warc.extractPdf(s.read.format("binaryFile")
+        .load(stagedPdfCjkShards(s, dir).toString))),
 
     // STREAMING PDF ingest — "pdf-bearing archives land continuously":
     // one shard per micro-batch through a real binaryFile source, the
@@ -5297,6 +5317,7 @@ object SparkEntry {
                         GROUP BY md5(text)) c USING (doc_id))"""),
     "q_warc_revisit" -> Warc.revisitResolveOracleSql,
     "q_pdf_extract" -> Warc.extractPdfOracleSql,
+    "q_pdf_cjk" -> Warc.extractPdfCjkOracleSql,
     // binaryFile-source streaming twin: stateless per-shard decode ≡ batch
     "q_pdf_stream" -> Warc.extractPdfOracleSql,
     // streaming flagship: SAME oracle once more — incremental ingest

@@ -193,14 +193,50 @@ object HttpCodec {
     * label are ASCII in every ASCII-compatible encoding, which is all
     * the registry contains. Returns the lowercased label or null.
     */
-  private val MetaCharsetPattern = java.util.regex.Pattern.compile(
-    "(?i)<meta[^>]{0,300}?charset\\s*=\\s*[\"']?([a-zA-Z0-9._:-]+)")
+  private val MetaTagPattern = java.util.regex.Pattern.compile("(?i)<meta[\\s/]")
+  // one attribute: name = "v" | 'v' | bare-v  (valueless attributes
+  // are skipped — neither charset nor http-equiv is useful bare)
+  private val MetaAttrPattern = java.util.regex.Pattern.compile(
+    "([a-zA-Z-]+)\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))")
 
   private def metaPrescan(body: Array[Byte]): String = {
-    val window = new String(body, 0, math.min(body.length, 1024),
+    val raw = new String(body, 0, math.min(body.length, 1024),
       java.nio.charset.StandardCharsets.ISO_8859_1)
-    val m = MetaCharsetPattern.matcher(window)
-    if (m.find()) m.group(1).toLowerCase(java.util.Locale.ROOT) else null
+    // the WHATWG prescan skips comment spans before looking at tags —
+    // a commented-out <meta charset> must not steer the decode; an
+    // UNTERMINATED comment opener swallows the rest of the window
+    // (the spec's skip-to--> with no --> found)
+    val window = raw.replaceAll("(?s)<!--.*?(-->|$)", " ")
+    val tm = MetaTagPattern.matcher(window)
+    while (tm.find()) {
+      // attribute run of THIS tag only (bounded, as before, at 300
+      // chars — a runaway unclosed tag must not scan the whole window)
+      val gt = window.indexOf('>', tm.end())
+      val tagEnd = math.min(if (gt < 0) window.length else gt, tm.end() + 300)
+      val tag = window.substring(tm.end() - 1, tagEnd)
+      val am = MetaAttrPattern.matcher(tag)
+      var content: String = null
+      var httpEquivCt = false
+      var label: String = null
+      while (am.find() && label == null) {
+        val name = am.group(1).toLowerCase(java.util.Locale.ROOT)
+        val v = if (am.group(2) != null) am.group(2)
+          else if (am.group(3) != null) am.group(3) else am.group(4)
+        // charset as an ATTRIBUTE NAME — a 'charset=' inside some other
+        // attribute's quoted value is consumed by that attribute's
+        // match and can never be the label (review finding)
+        if (name == "charset" && v.trim.nonEmpty) label = v.trim
+        else if (name == "http-equiv" && v.trim.equalsIgnoreCase("content-type"))
+          httpEquivCt = true
+        else if (name == "content") content = v
+      }
+      if (label == null && httpEquivCt && content != null) {
+        val pm = CharsetPattern.matcher(content)
+        if (pm.find()) label = pm.group(1)
+      }
+      if (label != null) return label.toLowerCase(java.util.Locale.ROOT)
+    }
+    null
   }
 
   /** Lenient decode that COUNTS replacement events: REPORT-mode

@@ -176,7 +176,10 @@ object Charsets {
         col("env.charset_source").as("charset_source"),
         col("env.text").as("text"),
         col("env.n_fffd").as("n_fffd"),
-        expr("env.n_fffd * 1000000L div length(env.text)").as("fffd_ppm"))
+        // greatest(…,1): a zero-length 200 body is legal — div-by-zero
+        // yields null in Spark but errors in the DuckDB oracle, so both
+        // sides guard identically (the ndig stat's greatest discipline)
+        expr("env.n_fffd * 1000000L div greatest(length(env.text), 1L)").as("fffd_ppm"))
 
   /** Corpus-level mojibake audit (the q_html_audit sibling for the
     * byte→text boundary): per sniff tier, docs seen, docs with any
@@ -190,7 +193,7 @@ object Charsets {
         sum(when(col("n_fffd") > 0L, 1L).otherwise(0L)).as("n_mojibake_docs"),
         sum(col("n_fffd")).as("total_fffd"),
         sum(length(col("text")).cast("long")).as("total_chars"))
-      .withColumn("fffd_ppm", expr("total_fffd * 1000000L div total_chars"))
+      .withColumn("fffd_ppm", expr("total_fffd * 1000000L div greatest(total_chars, 1L)"))
 
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB) — predicts every output column from documents
@@ -198,6 +201,14 @@ object Charsets {
 
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
   private def listOf(xs: Seq[String]): String = "[" + xs.map(sq).mkString(", ") + "]"
+
+  /** The slot texts as a DuckDB list literal + the doc→slot index
+    * expression — shared by every oracle that predicts a slot text
+    * (charset decode, CJK PDF extraction), so the fixtures can never
+    * drift from their oracles.
+    */
+  def slotTextsSql: String = listOf(Slots.map(_._3))
+  def slotIndexSql: String = s"((doc_id // 4) % ${Slots.size})::INT + 1"
 
   /** The per-doc prediction as a CTE body over `documents`. */
   def fixtureSql: String = {
@@ -242,7 +253,7 @@ object Charsets {
   def decodeOracleSql: String =
     s"""WITH fx AS (${fixtureSql})
         SELECT doc_id, charset_declared, charset_used, charset_source, text,
-               n_fffd, n_fffd * 1000000 // length(text) AS fffd_ppm
+               n_fffd, n_fffd * 1000000 // greatest(length(text), 1) AS fffd_ppm
         FROM fx"""
 
   def auditOracleSql: String =
@@ -252,6 +263,6 @@ object Charsets {
                CAST(sum(CASE WHEN n_fffd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake_docs,
                CAST(sum(n_fffd) AS BIGINT) AS total_fffd,
                CAST(sum(length(text)) AS BIGINT) AS total_chars,
-               CAST(sum(n_fffd) AS BIGINT) * 1000000 // CAST(sum(length(text)) AS BIGINT) AS fffd_ppm
+               CAST(sum(n_fffd) AS BIGINT) * 1000000 // greatest(CAST(sum(length(text)) AS BIGINT), 1) AS fffd_ppm
         FROM fx GROUP BY charset_source"""
 }

@@ -426,10 +426,14 @@ object Warc {
       None, ascii(WarcinfoPayload))))
     docs.foreach { case (id, rawText) =>
       val text = rawText.replace('\n', ' ')
-      // every third doc ships the PDF 1.5+ layout (xref STREAM +
-      // object stream) real crawls are full of; the rest classic 1.4
+      // three layout thirds: id%3==2 ships the PDF 1.5+ layout (xref
+      // STREAM + object stream); id%3==1 ships a classic base whose
+      // content was REPLACED by an appended incremental update (/Prev
+      // chain + indirect /Length — the extractor must take the
+      // update's text, never the base's decoy); the rest classic 1.4
       val pdf =
         if (id % 3 == 2) graft.functions.PdfCodec.render15(text, flate = id % 2 == 0)
+        else if (id % 3 == 1) graft.functions.PdfCodec.renderWithUpdate(text, flate = id % 2 == 0)
         else graft.functions.PdfCodec.render(text, flate = id % 2 == 0)
       val payload = ascii(
         "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n") ++ pdf
@@ -458,14 +462,53 @@ object Warc {
 
   /** DuckDB mirror of [[extractPdf]]: the text must round-trip exactly
     * (escapes, kerned TJ split, FlateDecode, the 1.5 xref-stream +
-    * ObjStm layout on every third doc); classic docs carry 5 direct
-    * objects, 1.5 docs 7 (3 direct + 4 compressed), both with exactly
-    * one TEXT stream (metadata streams are never op-scanned).
+    * ObjStm layout on every doc_id%3==2, the /Prev incremental-update
+    * chain with indirect /Length on every doc_id%3==1 — whose text
+    * must come from the UPDATE, proving newest-wins precedence).
+    * Classic docs carry 5 live objects, updated docs 6 (4 surviving
+    * base + content + length), 1.5 docs 7 (3 direct + 4 compressed),
+    * all with exactly one live TEXT stream (metadata streams are never
+    * op-scanned; the shadowed base content stream is not live).
     */
   def extractPdfOracleSql: String =
     """SELECT doc_id, replace(text, chr(10), ' ') AS text,
-         CAST(CASE WHEN doc_id % 3 = 2 THEN 7 ELSE 5 END AS INT) AS n_objects,
+         CAST(CASE doc_id % 3 WHEN 2 THEN 7 WHEN 1 THEN 6 ELSE 5 END AS INT) AS n_objects,
          CAST(1 AS INT) AS n_streams
+       FROM documents"""
+
+  /** Render one shard of CID/Type0 (CJK) PDFs: each doc's page text is
+    * its [[Charsets]] SLOT text (the multilingual fixture — so the
+    * oracle is closed over `documents.doc_id` alone), carried as
+    * 2-byte-CID hex strings recoverable ONLY through the font's
+    * /ToUnicode CMap ([[graft.functions.PdfCodec.renderCjk]]). This is
+    * the documents the plain-literal PDF tier used to drop wholesale:
+    * CJK PDFs essentially always use Type0 fonts.
+    */
+  def renderPdfCjkShard(shardIdx: Int, docs: Seq[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(gzipMember(renderRecord("warcinfo", s"graft-pdfcjkinfo-$shardIdx",
+      None, ascii(WarcinfoPayload))))
+    docs.foreach { case (id, _) =>
+      val text = Charsets.Slots(Charsets.slotOf(id))._3
+      val pdf = graft.functions.PdfCodec.renderCjk(text, flate = id % 2 == 0)
+      val payload = ascii(
+        "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n") ++ pdf
+      bos.write(gzipMember(renderRecord("response", s"graft-pdf-$id",
+        Some(Urls.urlOf(id)), payload)))
+    }
+    bos.toByteArray
+  }
+
+  /** DuckDB mirror of [[extractPdf]] over the CJK shards: the slot
+    * text must survive the CID→Unicode round trip exactly — one
+    * mis-mapped code point breaks the hash. 6 live objects (catalog,
+    * pages, page, content, font, CMap), 1 text stream (the CMap is
+    * never op-scanned).
+    */
+  def extractPdfCjkOracleSql: String =
+    s"""SELECT doc_id,
+         list_extract(${Charsets.slotTextsSql}, ${Charsets.slotIndexSql}) AS text,
+         CAST(6 AS INT) AS n_objects, CAST(1 AS INT) AS n_streams
        FROM documents"""
 
   // ---------------------------------------------------------------------

@@ -74,6 +74,13 @@ class FuzzSpec extends SparkSpec {
         6, 10, interlaced = true, secondFrame = true, comment = true),
         decoders.filter(d => Set("gif", "transcode", "thumbnail")(d._1))),
       ("pdf", PdfCodec.render("fuzz target (with) \\escapes\\ and text", flate = true),
+        decoders.filter(_._1 == "pdf")),
+      // the /Prev incremental-update chain walker + indirect /Length
+      // resolver under mutation (cycle caps, offset validation)
+      ("pdf-updated", PdfCodec.renderWithUpdate("updated target text here", flate = true),
+        decoders.filter(_._1 == "pdf")),
+      // the ToUnicode CMap parser + hex-string CID decode under mutation
+      ("pdf-cjk", PdfCodec.renderCjk("漢字 と かな mixed ascii.", flate = true),
         decoders.filter(_._1 == "pdf")))
     for ((cLabel, valid, ds) <- valids; (dLabel, f) <- ds) {
       // every position would be O(n^2-ish); sample ~200 positions + all

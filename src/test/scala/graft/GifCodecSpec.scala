@@ -66,6 +66,14 @@ class GifCodecSpec extends AnyFunSuite {
     val gif = GifCodec.encodeIndexed(idx, 200, 200)
     val d = decodeRgb(gif)
     assert(d != null && java.util.Arrays.equals(d._3, pxOf(idx)))
+    // independent arbiter on the SAME dictionary-overflow stream: a
+    // symmetric off-by-one in encoder+decoder would pass the round
+    // trip above, so the 10→11→12-bit growth and the re-clear path
+    // must also survive a third-party reader (review finding)
+    val (iw, ih, ipx) = imageIoRead(gif)
+    assert(iw == 200 && ih == 200)
+    assert(java.util.Arrays.equals(ipx, pxOf(idx)),
+      "ImageIO disagrees with our encoder on the dictionary-overflow fixture")
   }
 
   test("ImageIO reads our encoder's output pixel-exact (incl. interlace)") {

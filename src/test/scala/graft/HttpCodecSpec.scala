@@ -141,6 +141,32 @@ class HttpCodecSpec extends SparkSpec {
     assert(usedOf(r2) == "shift_jis" && sourceOf(r2) == "meta")
   }
 
+  test("meta prescan is attribute-aware and skips comment spans (WHATWG)") {
+    def sniff(html: String) = {
+      val r = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+        html.getBytes(UTF_8)))
+      (usedOf(r), sourceOf(r))
+    }
+    // a commented-out meta must NOT steer the decode
+    assert(sniff("<!-- <meta charset=\"big5\"> --><p>x</p>") == ("utf-8", "default"))
+    // an UNTERMINATED comment swallows the rest of the window
+    assert(sniff("<!-- oops <meta charset=\"big5\"><p>x</p>") == ("utf-8", "default"))
+    // 'charset=' inside an unrelated attribute VALUE is not a declaration
+    assert(sniff("<meta name=\"desc\" content=\"charset=big5 is common\">") ==
+      ("utf-8", "default"))
+    assert(sniff("<meta data-x=\"charset=big5\">") == ("utf-8", "default"))
+    // content='…charset=…' counts ONLY under http-equiv Content-Type
+    assert(sniff("<meta http-equiv='Content-Type' content='text/html; charset=big5'>") ==
+      ("big5", "meta"))
+    // attribute order is free
+    assert(sniff("<meta content=\"text/html; charset=big5\" http-equiv=\"content-type\">") ==
+      ("big5", "meta"))
+    // a comment BEFORE a real declaration: the real one still wins
+    assert(sniff("<!-- nav --><meta charset=\"big5\"><p>x</p>") == ("big5", "meta"))
+    // unquoted attribute value form
+    assert(sniff("<meta charset=big5>") == ("big5", "meta"))
+  }
+
   test("meta prescan window is 1024 bytes — a tag beyond it is ignored") {
     val pad = "<!-- " + ("x" * 1100) + " -->"
     val html = pad + "<meta charset=\"windows-1251\">ok"
