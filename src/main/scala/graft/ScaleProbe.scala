@@ -622,6 +622,18 @@ object ScaleProbe {
     probePair("qualityTrain", docs, bigDocs, d =>
       graft.operators.QualityModel.train(d, "doc_id", "text").count())
 
+    // trained language-ID: same fixed-rounds discipline as
+    // qualityTrain, with K one-vs-rest classes folded into each
+    // round's single join + (class, dim) aggregate — 10x docs must
+    // cost ~10x per-round scans, never extra rounds or K× joins
+    val docsLang = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val bigDocsLang = (0 until n).map { i =>
+      docsLang.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+    }.reduce(_ union _)
+    probePair("langidTrain", docsLang, bigDocsLang, d =>
+      graft.operators.LangModel.train(d, "doc_id", "text", "lang").count())
+
     // triangles: 10x users over a FIXED item vocabulary — the
     // co-occurrence edge set saturates toward the item-pair ceiling, so
     // wedge build + closure must be item-bounded, never user-linear

@@ -621,6 +621,42 @@ object SparkEntry {
         (if (texts.nonEmpty && texts.last.isEmpty) "\n" else "")
     }
 
+  /** Raw character references appended VERBATIM (unencoded) to every
+    * q_html_entities line: named Latin-1/punctuation forms, the
+    * no-rescan pin (`&amp;#38;` must stay literal `&#38;`), a C1-remap
+    * numeric, and the three U+FFFD classes. [[NcrBatteryDecoded]] is
+    * the hand-written expected decode embedded in the oracle
+    * (independence from the decoder under test; equality spec-pinned
+    * in HtmlEntitiesSpec).
+    */
+  private[graft] val NcrBatteryRaw =
+    " &eacute;&mdash;&hellip;&euro;&frac12;&copy; &amp;#38; &#150;&#0;&#x110000; end"
+  private[graft] val NcrBatteryDecoded =
+    " é—…€½© &#38; –�� end"
+
+  /** The documents table as one-doc-per-line NCR-ENCODED text: every
+    * non-ASCII char of (sanitized doc text + the doc's [[Charsets]]
+    * SLOT text) becomes a numeric character reference — decimal or hex
+    * alternating by code-point parity — plus the raw
+    * [[NcrBatteryRaw]]; the q_html_entities fixture. Real multilingual
+    * pages serve exactly this shape (non-ASCII text NCR-encoded inside
+    * ASCII bytes); the oracle predicts the DECODED line from
+    * `documents` + the slot constants, so one mis-decoded reference
+    * breaks the hash.
+    */
+  private def stagedNcrLines(s: SparkSession, dir: String): java.nio.file.Path =
+    stageOnce(dir, "ncrlines") {
+      ColOps.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+        .map { r =>
+          val id = r.getLong(0)
+          val slotText = Charsets.Slots(Charsets.slotOf(id))._3
+          val payload = r.getString(1).replace('\n', ' ') + " " + slotText
+          s"$id\t" + graft.functions.HtmlEntities.ncrEncode(payload) + NcrBatteryRaw
+        }.mkString("\n")
+    }
+
   /** The documents table wrapped as one-doc-per-line RAW HTML — the
     * fixture for the markup-extraction queries. Each line is rendered
     * by [[Html.wrapLine]] (the SAME template the oracle rebuilds in
@@ -2761,6 +2797,31 @@ object SparkEntry {
         .map { case (v, d) => (d.toLong, v) }.toSeq.toDF("d", "w")
     }),
 
+    // TRAINED language-ID — one-vs-rest averaged perceptrons over
+    // hashed char-3-gram features (the fastText shape), trained on the
+    // SIX-SCRIPT decoded charset corpus (ja/ko/zh/ru/de/el pages with
+    // slot-language labels — the one fixture whose text genuinely
+    // carries language signal; documents.lang is a random synthetic
+    // label). Model rows (lang, d, w) hash-match an in-SQL retrain
+    // (class-keyed unrolled fixed rounds, QualityModel discipline).
+    "q_langid_train" -> ((s, dir) =>
+      LangModel.train(
+        Charsets.labeledCorpus(Warc.records(s.read.format("binaryFile")
+          .load(stagedCharsetShards(s, dir).toString))),
+        "doc_id", "text", "lang")),
+
+    // the trained lang-ID APPLIED: per doc all K class margins in one
+    // broadcast pass, prediction = argmax (ties to the alphabetically
+    // first class), agree = prediction vs the slot label. The ASCII
+    // stopword heuristic scores ~1/6 on this corpus (it only knows
+    // de); the trained model must classify every script (spec-pinned
+    // contrast in LangModelSpec)
+    "q_langid_score" -> ((s, dir) =>
+      LangModel.score(
+        Charsets.labeledCorpus(Warc.records(s.read.format("binaryFile")
+          .load(stagedCharsetShards(s, dir).toString))),
+        "doc_id", "text", "lang")),
+
     // the trained model APPLIED as one broadcast scoring pass: per doc
     // the integer margin, the prediction, and the distillation-
     // fidelity bit (model vs teacher) the selection tier thresholds on
@@ -2777,6 +2838,22 @@ object SparkEntry {
         .select(regexp_extract(col("value"), "data-doc=\"([0-9]+)\"", 1)
           .cast("long").as("doc_id"), col("value").as("html"))
       Html.extract(pages, "doc_id", "html")
+    }),
+
+    // CHARACTER-REFERENCE decode — the WHATWG layer real multilingual
+    // pages need: the fixture NCR-encodes every non-ASCII char of
+    // (doc text + the doc's Charsets slot text) into decimal/hex
+    // references plus a raw named/edge-case battery; the engine's
+    // single-pass decoder (numeric + C1 remap + U+FFFD classes + named
+    // set, one codegen'd map pass) must reproduce the plain text the
+    // oracle predicts from documents + constants — one mis-decoded
+    // reference anywhere breaks the hash
+    "q_html_entities" -> ((s, dir) => {
+      val parts = split(col("value"), "\t", 2)
+      s.read.text(stagedNcrLines(s, dir).toString).select(
+        parts.getItem(0).cast("long").as("doc_id"),
+        graft.functions.HtmlEntityDecode.html_entity_decode(parts.getItem(1))
+          .as("text"))
     }),
 
     // corpus-level extraction HEALTH audit — the over-stripping guard
@@ -5027,6 +5104,8 @@ object SparkEntry {
 
     "q_quality_filter" -> TextOps.qualityFilterSql(allStopsSql),
     "q_quality_train" -> QualityModel.trainOracleSql(allStopsSql),
+    "q_langid_train" -> LangModel.trainOracleSql(Charsets.labeledCorpusSql),
+    "q_langid_score" -> LangModel.scoreOracleSql(Charsets.labeledCorpusSql),
     "q_quality_score" -> QualityModel.scoreOracleSql(allStopsSql),
     "q_quality_eval" ->
       s"""SELECT n, tp, fp, fn, tn,
@@ -5058,6 +5137,12 @@ object SparkEntry {
     // shared wrapper template, then strips it with its own regexp chain
     // — both engines parse byte-identical markup
     "q_html_extract" -> Html.extractOracleSql,
+    "q_html_entities" ->
+      s"""SELECT doc_id,
+            replace(text, chr(10), ' ') || ' ' ||
+            list_extract(${Charsets.slotTextsSql}, ${Charsets.slotIndexSql}) ||
+            '$NcrBatteryDecoded' AS text
+          FROM documents""",
     "q_html_audit" -> Html.extractAuditOracleSql,
     // file-source streaming twin: stateless per-page extraction ≡ batch
     "q_html_stream" -> Html.extractOracleSql,

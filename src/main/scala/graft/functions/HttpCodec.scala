@@ -39,11 +39,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     utf-16le / utf-16be, stripped from the text) → the `charset=`
   *     parameter of Content-Type → a `<meta charset>` /
   *     `http-equiv` prescan over the first 1024 decoded-body bytes →
-  *     utf-8 default. The label registry covers the crawl-era legacy
-  *     charsets the JDK ships natively (shift_jis, euc-jp, euc-kr,
-  *     gbk — which also absorbs gb2312 per WHATWG — big5,
-  *     windows-1251, koi8-r, iso-8859-2/-7, windows-1253, beside the
-  *     latin-1/cp1252 originals); an unknown or absent label at one
+  *     the BOM-less UTF-16 first-bytes sniff (`<\0` / `\0<` — the
+  *     prescan cannot read NUL-interleaved markup) → utf-8 default.
+  *     The label registry covers the crawl-era legacy charsets the
+  *     JDK ships natively (shift_jis, euc-jp, iso-2022-jp — the
+  *     escape-sequence family — euc-kr, gbk — which also absorbs
+  *     gb2312 per WHATWG — big5, windows-1251, koi8-r,
+  *     iso-8859-2/-7, windows-1253, beside the latin-1/cp1252
+  *     originals); an unknown or absent label at one
   *     tier falls through to the next, exactly like a browser.
   *     Malformed sequences are replaced with U+FFFD — the lenient
   *     posture a crawl pipeline needs (strict-null here would drop
@@ -80,7 +83,8 @@ object HttpCodec {
     // sniff RESULT — `charset` above stays the raw declared header
     // label, which may be absent, unknown, or overruled by a BOM)
     StructField("charset_used", StringType, nullable = false),
-    // which sniff tier decided: 'bom' | 'header' | 'meta' | 'default'
+    // which sniff tier decided:
+    // 'bom' | 'header' | 'meta' | 'sniff16' | 'default'
     StructField("charset_source", StringType, nullable = false),
     // U+FFFD replacements the lenient decode emitted — the mojibake
     // observability counter (0 on a clean page)
@@ -168,6 +172,7 @@ object HttpCodec {
         "shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji", "csshiftjis",
         "windows-31j") ++
       e("EUC-JP", "euc-jp", "euc-jp", "x-euc-jp", "cseucpkdfmtjapanese") ++
+      e("ISO-2022-JP", "iso-2022-jp", "iso-2022-jp", "csiso2022jp") ++
       e("EUC-KR", "euc-kr",
         "euc-kr", "ks_c_5601-1987", "korean", "csksc56011987", "cseuckr") ++
       e("GBK", "gbk",
@@ -408,6 +413,23 @@ object HttpCodec {
       if (metaLabel != null) CharsetRegistry.get(metaLabel) match {
         case Some((c, canon)) => cs = c; used = canon; source = "meta"
         case None =>
+      }
+    }
+    // BOM-less UTF-16 first-bytes sniff (the WHATWG pseudo-UTF-16
+    // path): markup necessarily begins with an ASCII '<', which in
+    // UTF-16 arrives as `3C 00` (LE) or `00 3C` (BE) — bytes the
+    // prescan above can never read (every ASCII char in the page is
+    // NUL-interleaved, so a meta declaration is invisible). No legacy
+    // byte-oriented page can start with either pair ('<' then NUL /
+    // NUL then '<'), so there are no false positives on the registry's
+    // other encodings.
+    if (cs == null && htmlish && body.length >= 2) {
+      if (body(0) == 0x3c.toByte && body(1) == 0.toByte) {
+        cs = java.nio.charset.StandardCharsets.UTF_16LE
+        used = "utf-16le"; source = "sniff16"
+      } else if (body(0) == 0.toByte && body(1) == 0x3c.toByte) {
+        cs = java.nio.charset.StandardCharsets.UTF_16BE
+        used = "utf-16be"; source = "sniff16"
       }
     }
     if (cs == null) {

@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * windows-1251 pages, and the declaration frequently lives only in a
   * `<meta charset>` tag (or a BOM), not the Content-Type header. This
   * fixture renders the multilingual corpus into a `.warc.gz` archive
-  * whose responses rotate through EIGHT legacy encodings and FOUR
+  * whose responses rotate through TEN legacy encodings (incl. the
+  * escape-sequence ISO-2022-JP family and BOM-less UTF-16) and FOUR
   * declaration channels, so the engine's WHATWG-order sniff
   * ([[graft.functions.HttpCodec]]: BOM → header → meta prescan →
-  * utf-8 default) is exercised on every tier — including the tier
-  * ordering itself (the BOM docs carry a LYING header that the sniff
-  * must overrule) and the failure mode (undeclared non-UTF-8 bytes →
+  * UTF-16 first-bytes sniff → utf-8 default) is exercised on every
+  * tier — including the tier ordering itself (the BOM docs carry a
+  * LYING header that the sniff must overrule), the prescan's blind
+  * spot (a BOM-less UTF-16 page's meta tag is NUL-interleaved and
+  * invisible to the ASCII prescan — the `<\0`/`\0<` first-bytes tier
+  * must decide), and the failure mode (undeclared non-UTF-8 bytes →
   * counted U+FFFD replacements, never silent).
   *
   * FIXTURE DISCIPLINE (the Warc rule): every axis is a pure function
@@ -66,13 +70,26 @@ object Charsets {
     ("big5", "zh", "電腦 在 網路 上 快速 處理 大量 資料 。"),
     ("windows-1251", "ru", UF("ru")),
     ("iso-8859-2", "de", UF("de")),
-    ("windows-1253", "el", UF("el")))
+    ("windows-1253", "el", UF("el")),
+    // round-14 tail: the ESCAPE-SEQUENCE family (older JP pages/mail
+    // archives) and BOM-LESS UTF-16 — in mode 1 the latter's meta tag
+    // is invisible to the ASCII prescan (NUL-interleaved bytes), so
+    // the first-bytes `<\0` sniff tier must decide (source 'sniff16')
+    ("iso-2022-jp", "ja", UF("ja")),
+    ("utf-16le", "ko", "고양이 는 따뜻한 방 에서 조용히 잠 을 잡니다 ."))
 
   private val SlotCharsets: IndexedSeq[Charset] = IndexedSeq(
     Charset.forName("Shift_JIS"), Charset.forName("EUC-JP"),
     Charset.forName("EUC-KR"), Charset.forName("GBK"),
     Charset.forName("Big5"), Charset.forName("windows-1251"),
-    Charset.forName("ISO-8859-2"), Charset.forName("windows-1253"))
+    Charset.forName("ISO-8859-2"), Charset.forName("windows-1253"),
+    Charset.forName("ISO-2022-JP"),
+    java.nio.charset.StandardCharsets.UTF_16LE)
+
+  /** 0-based slot whose mode-1 declaration channel is the UTF-16
+    * first-bytes sniff instead of the meta prescan.
+    */
+  val Utf16Slot: Int = Slots.indexWhere(_._1 == "utf-16le")
 
   val BomLabels: IndexedSeq[String] = IndexedSeq("utf-8", "utf-16le", "utf-16be")
   private val BomCharsets: IndexedSeq[Charset] = IndexedSeq(
@@ -208,7 +225,31 @@ object Charsets {
     * drift from their oracles.
     */
   def slotTextsSql: String = listOf(Slots.map(_._3))
+  def slotLangsSql: String = listOf(Slots.map(_._2))
   def slotIndexSql: String = s"((doc_id // 4) % ${Slots.size})::INT + 1"
+
+  /** Slot language of a doc-id COLUMN — the fixture's stand-in for the
+    * declared-language metadata a real corpus carries alongside its
+    * pages (training labels for the trained lang-ID).
+    */
+  def slotLang(docId: Column): Column =
+    element_at(array(Slots.map(s => lit(s._2)): _*),
+      (((docId / 4).cast("long") % Slots.size) + 1).cast("int"))
+
+  /** The decoded non-mojibake corpus with slot-language labels —
+    * (doc_id, text, lang), the trained lang-ID's training table.
+    */
+  def labeledCorpus(recs: DataFrame): DataFrame =
+    decode(recs).filter(col("charset_source") =!= "default")
+      .select(col("doc_id"), col("text"), slotLang(col("doc_id")).as("lang"))
+
+  /** DuckDB mirror of [[labeledCorpus]] as a parenthesized FROM-able
+    * derived table.
+    */
+  def labeledCorpusSql: String =
+    s"""(SELECT f.doc_id, f.text,
+           list_extract($slotLangsSql, $slotIndexSql) AS lang
+         FROM ($fixtureSql) f WHERE f.doc_id % 4 <> 3) lc"""
 
   /** The per-doc prediction as a CTE body over `documents`. */
   def fixtureSql: String = {
@@ -231,7 +272,9 @@ object Charsets {
           CASE doc_id % 4 WHEN 0 THEN $slotLabel WHEN 2 THEN 'shift_jis' ELSE NULL END AS charset_declared,
           CASE doc_id % 4 WHEN 0 THEN $slotLabel WHEN 1 THEN $slotLabel
                WHEN 2 THEN $bomLabel ELSE 'utf-8' END AS charset_used,
-          CASE doc_id % 4 WHEN 0 THEN 'header' WHEN 1 THEN 'meta'
+          CASE doc_id % 4 WHEN 0 THEN 'header'
+               WHEN 1 THEN (CASE WHEN $slot = ${Utf16Slot + 1}
+                            THEN 'sniff16' ELSE 'meta' END)
                WHEN 2 THEN 'bom' ELSE 'default' END AS charset_source,
           CASE doc_id % 4 WHEN 0 THEN $noMeta WHEN 1 THEN $withMeta
                WHEN 2 THEN $noMeta ELSE $moji END AS text,

@@ -40,10 +40,30 @@ object Html {
   /** Terminal-punctuation line rule (Java and RE2 agree on this regex). */
   val TerminalPunct = "[.!?\"]$"
 
-  /** Entity decode table in APPLICATION ORDER (`&amp;` last). */
+  /** ORACLE-side entity decode table in APPLICATION ORDER (`&amp;`
+    * last — so `&amp;lt;` yields the literal `&lt;`). The ENGINE runs
+    * the full single-pass WHATWG decoder
+    * ([[graft.functions.HtmlEntities]]: every numeric reference + the
+    * high-frequency named set); DuckDB cannot express that pass, so
+    * the oracle mirrors it as a replace() fold over exactly the
+    * references the fixture can contain — the five originals plus the
+    * template's entity-battery line (named, decimal, hex, C1-remap,
+    * surrogate/NUL/out-of-range → U+FFFD). The two chains agree on
+    * every stageable input because the fixture escapes `&` first
+    * (any entity-like run in raw doc text reaches both chains as
+    * `&amp;…`, which both leave as literal text after one decode —
+    * the no-rescan rule, pinned by the battery's `&amp;#38;`).
+    */
   val Entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    "&#39;" -> "'", "&nbsp;" -> " ",
+    // battery references (Spark side decodes these via the FULL pass;
+    // the oracle needs one fold entry per distinct reference staged)
+    "&#233;" -> "é", "&egrave;" -> "è", "&mdash;" -> "—",
+    "&#x20AC;" -> "€", "&hellip;" -> "…",
+    "&#150;" -> "–", // C1 remap: browsers read &#150; as EN DASH
+    "&#xD800;" -> "�", "&#0;" -> "�", "&#1114112;" -> "�",
+    "&amp;" -> "&")
 
   // ---------------------------------------------------------------------
   // Shared fixture template: ONE definition renders BOTH the staged raw
@@ -83,7 +103,14 @@ object Html {
     // not just the fixed template lines
     Lit(".</p><p>First half words here now.<br>second bit</p><p>Short stub" +
       "</p><p>It&#39;s &quot;qu0ted&quot; &lt;fine&gt; &amp; nbsp&nbsp;done." +
-      "</p><pre>function f() { return "), DocId,
+      // the character-reference battery: named + decimal + hex NCRs,
+      // a C1-remap case, the no-rescan pin (&amp;#38; stays literal
+      // &#38;), and the three U+FFFD classes (surrogate / NUL /
+      // out-of-range) — decoded by the engine's full WHATWG pass and
+      // mirrored entity-by-entity in the oracle fold
+      "</p><p>The caf&#233; cr&egrave;me &mdash; 20 &#x20AC; &hellip; " +
+      "fish &amp;#38; chips here &#150; dash &#xD800; bad &#0; nul " +
+      "&#1114112; over.</p><pre>function f() { return "), DocId,
     Lit("; }</pre></body></html>"))
 
   /** Escape raw doc text for embedding in the wrapper (`&` first), and
@@ -149,14 +176,15 @@ object Html {
   }
 
   /** Steps 1-4: raw html → entity-decoded text with one line per tag
-    * boundary.
+    * boundary. The entity step is the FULL single-pass WHATWG decoder
+    * (numeric references incl. C1 remap + the high-frequency named
+    * set, [[graft.functions.HtmlEntities]]) — one codegen'd map pass,
+    * replacing the old six-entity replace() fold (which survives as
+    * the oracle's mirror, see [[Entities]]).
     */
-  def stripTags(html: Column): Column = {
-    val noTags = regexp_replace(stripBlocks(html), "<[^>]*>", "\n")
-    Entities.foldLeft(noTags) { case (c, (e, r)) =>
-      call_function("replace", c, lit(e), lit(r))
-    }
-  }
+  def stripTags(html: Column): Column =
+    graft.functions.HtmlEntityDecode.html_entity_decode(
+      regexp_replace(stripBlocks(html), "<[^>]*>", "\n"))
 
   /** Steps 5-6: normalized lines, then the kept subset. */
   private def normLines(html: Column): Column =

@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql._
+import org.apache.spark.sql.functions._
+
+/** TRAINED language identifier — the fastText-style classifier a
+  * production pipeline (CCNet, RefinedWeb) runs where this repo's
+  * stopword heuristic ([[TextOps.langId]]) falls over: short docs,
+  * mixed scripts, and languages with no curated stopword list (the
+  * corpus' zh docs all identify as 'unknown' under the heuristic —
+  * the trained model classifies them like any other class).
+  *
+  * Architecture: ONE-VS-REST AVERAGED BATCH PERCEPTRONS over hashed
+  * CHARACTER-N-GRAM features — the [[QualityModel]] machinery with
+  * char 3-grams instead of word BoW (char n-grams are what fastText's
+  * lang-id uses: they see morphology and script without tokenization),
+  * trained on the corpus' DECLARED language labels. Everything that
+  * made QualityModel oracle-exact carries over verbatim: integer-exact
+  * ppm feature normalization, per-dim mean/mean-absolute-deviation
+  * standardization with truncating division (Spark `div` ≡ DuckDB `//`
+  * ≡ Java `/`, spec-pinned), absent entries at a per-dim constant z0
+  * so margins and updates stay sparse, FIXED round count, and the
+  * averaged (not final) iterate as the output model.
+  *
+  * Multi-class shape: the K classes share one feature table; each
+  * round computes ALL K margins in one per-doc aggregate (K sum
+  * expressions over the same sparse rows), derives the misclassified
+  * (doc, class) set, and updates all K weight vectors from ONE
+  * co-partitioned join + one (class, dim)-key aggregate — the whole
+  * round costs the same two collects (K·[[NDims]] rows) as the
+  * binary model, not K× the work.
+  *
+  * Scale shape (the 100-TB audit): identical to [[QualityModel]] —
+  * features checkpointed once and partitioned on doc_id, rounds FIXED
+  * and corpus-size-independent ([[Iters]]), driver state bounded by
+  * K·NDims Longs; 10× corpus ⇒ ~10× per-round scan and nothing else
+  * (the langidTrain scale probe pins this).
+  *
+  * Reference cell: the fold/scan sink family
+  * (/root/reference/src/Data/Conduino/Combinators.hs:437-471) — a
+  * training round is a corpus-wide fold whose accumulator is the
+  * weight matrix.
+  */
+object LangModel {
+
+  /** Char-n-gram width and hashed dimensions; dim [[CountDim]] is the
+    * always-present gram-count stat (it guarantees every doc owns at
+    * least one sparse row), bias is dimension [[NDims]]−1.
+    */
+  val GramN = 3
+  val GramDims = 64
+  val CountDim: Int = GramDims
+  val NDims: Int = GramDims + 2
+  private val Bias = NDims - 1
+
+  /** Fixed averaged-perceptron rounds — corpus-size-independent. */
+  val Iters = 6
+
+  private val BiasZ = 1000L
+
+  private def tdiv(a: Long, b: Long): Long = a / b
+
+  /** Character 3-grams of a text column (empty array below [[GramN]]
+    * chars) — both engines index characters, not bytes.
+    */
+  def grams(t: Column): Column =
+    when(length(t) >= GramN,
+      transform(sequence(lit(0), length(t) - lit(GramN)),
+        i => t.substr(i + lit(1), lit(GramN))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Sparse RAW features (doc_id, d, x): hashed-gram ppm counts on
+    * dims 0..[[GramDims]]−1 plus the gram-count stat dim. The bias
+    * never appears here (constant-folded, the QualityModel discipline).
+    */
+  private def rawFeatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val g = grams(col(textCol))
+    val nG = size(g).cast("long")
+    val bow = df
+      .select(col(idCol).as("doc_id"), explode(g).as("g"), nG.as("__n"))
+      .groupBy(col("doc_id"),
+        (TextOps.charHash(col("g")) % GramDims).as("d"), col("__n"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("d"), expr("c * 1000000L div __n").as("x"))
+    val stat = df.select(col(idCol).as("doc_id"),
+      lit(CountDim.toLong).as("d"),
+      (least(nG, lit(1000L)) * 1000L).as("x"))
+    bow.unionByName(stat)
+  }
+
+  /** Standardize: (checkpointed (doc_id, d, z, dz) table, z0, mu,
+    * mad) — the [[QualityModel.standardized]] recurrence without the
+    * label column (labels are per-class here).
+    */
+  private def standardized(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, Array[Long], Array[Long], Array[Long]) = {
+    val raw = graft.core.Materialize.checkpoint(
+      rawFeatures(df, idCol, textCol).repartition(col("doc_id")))
+    val nDocs = df.count()
+    val sums = raw.groupBy(col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect()
+    val mu = new Array[Long](NDims)
+    val cnt = new Array[Long](NDims)
+    sums.foreach { r =>
+      val d = r.getLong(0).toInt
+      mu(d) = tdiv(r.getLong(1), nDocs); cnt(d) = r.getLong(2)
+    }
+    val muArr = array(mu.toSeq.map(lit): _*)
+    val devs = raw.groupBy(col("d"))
+      .agg(sum(abs(col("x") - element_at(muArr, (col("d") + 1).cast("int"))))
+        .as("sdev")).collect()
+    val mad = new Array[Long](NDims)
+    devs.foreach { r =>
+      val d = r.getLong(0).toInt
+      mad(d) = (r.getLong(1) + (nDocs - cnt(d)) * math.abs(mu(d))) / nDocs
+    }
+    val z0 = Array.tabulate(NDims) { d =>
+      if (d == Bias) BiasZ else tdiv((0L - mu(d)) * 1000L, mad(d) + 1L)
+    }
+    val muA = array(mu.toSeq.map(lit): _*)
+    val madA = array(mad.toSeq.map(lit): _*)
+    val z0A = array(z0.toSeq.map(lit): _*)
+    val zy = raw.select(col("doc_id"), col("d"),
+      ((col("x") - element_at(muA, (col("d") + 1).cast("int"))) * 1000L)
+        .cast("long").as("__num"),
+      (element_at(madA, (col("d") + 1).cast("int")) + 1L).as("__den"),
+      element_at(z0A, (col("d") + 1).cast("int")).as("__z0"))
+      .select(col("doc_id"), col("d"),
+        expr("__num div __den").as("z"),
+        (expr("__num div __den") - col("__z0")).as("dz"))
+    (graft.core.Materialize.checkpoint(zy.repartition(col("doc_id"))),
+      z0, mu, mad)
+  }
+
+  /** Per-doc margins for ALL K classes in one aggregate: columns
+    * `__m0..__m{K−1}` (dense parts folded into per-class constants).
+    */
+  private def marginsOf(zy: DataFrame, w: Array[Array[Long]],
+      z0: Array[Long]): DataFrame = {
+    val aggs = w.indices.map { k =>
+      val c = (0 until NDims).map(d => w(k)(d) * z0(d)).sum
+      val wArr = array(w(k).toSeq.map(lit): _*)
+      (sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz")) + lit(c))
+        .as(s"__m$k")
+    }
+    zy.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The one-vs-rest averaged-perceptron loop; returns the K averaged
+    * weight vectors in `langs` order.
+    */
+  private def trainAveraged(zy: DataFrame, labels: DataFrame,
+      langs: IndexedSeq[String], z0: Array[Long]): Array[Array[Long]] = {
+    val K = langs.size
+    val w = Array.fill(K)(new Array[Long](NDims))
+    val wavg = Array.fill(K)(new Array[Long](NDims))
+    for (_ <- 1 to Iters) {
+      // all K margins in one pass, then the misclassified (doc, class)
+      // rows: y_k = +1 iff the doc's declared lang is class k
+      val kStructs = array(langs.indices.map(k =>
+        struct(lit(k.toLong).as("k"),
+          when(col("lang") === langs(k), 1L).otherwise(-1L).as("y"),
+          col(s"__m$k").as("m"))): _*)
+      val mis = graft.core.Materialize.checkpoint(
+        marginsOf(zy, w, z0).join(labels, "doc_id")
+          .select(col("doc_id"), explode(kStructs).as("e"))
+          .filter(col("e.y") * col("e.m") <= 0L)
+          .select(col("doc_id").as("__mid"), col("e.k").as("__k"),
+            col("e.y").as("__my")))
+      // per-class scalars (dense update part) + the sparse part from
+      // ONE join, grouped on (class, dim) — ≤ K·NDims rows collected
+      val scal = mis.groupBy(col("__k"))
+        .agg(count(lit(1)).as("n"), sum(col("__my")).as("sy")).collect()
+      val nMis = new Array[Long](K)
+      val sy = new Array[Long](K)
+      scal.foreach { r =>
+        val k = r.getLong(0).toInt; nMis(k) = r.getLong(1); sy(k) = r.getLong(2)
+      }
+      if (nMis.exists(_ > 0)) {
+        val sparse = zy.join(mis, col("doc_id") === col("__mid"))
+          .groupBy(col("__k"), col("d"))
+          .agg(sum(col("__my") * col("dz")).as("dw")).collect()
+        val delta = Array.tabulate(K, NDims)((k, d) => z0(d) * sy(k))
+        sparse.foreach(r =>
+          delta(r.getLong(0).toInt)(r.getLong(1).toInt) += r.getLong(2))
+        for (k <- 0 until K if nMis(k) > 0; d <- 0 until NDims)
+          w(k)(d) += tdiv(delta(k)(d), nMis(k))
+      }
+      for (k <- 0 until K; d <- 0 until NDims) wavg(k)(d) += w(k)(d)
+    }
+    wavg
+  }
+
+  private def prep(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): (DataFrame, DataFrame, IndexedSeq[String],
+      Array[Long]) = {
+    val labels = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+    val langs = labels.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val (zy, z0, _, _) = standardized(df, idCol, textCol)
+    (zy, labels, langs, z0)
+  }
+
+  /** q_langid_train: the averaged one-vs-rest model — one row per
+    * (class, dimension): (lang, d, w), bias last.
+    */
+  def train(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val (zy, labels, langs, z0) = prep(df, idCol, textCol, langCol)
+    val w = trainAveraged(zy, labels, langs, z0)
+    import spark.implicits._
+    (for (k <- langs.indices; d <- 0 until NDims)
+      yield (langs(k), d.toLong, w(k)(d))).toDF("lang", "d", "w")
+  }
+
+  /** q_langid_score: every doc classified by the trained model —
+    * (doc_id, lang, lang_pred, agree). Prediction = argmax class
+    * margin, ties to the alphabetically first class (mirrored in the
+    * oracle's ORDER BY margin DESC, class ASC).
+    */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val (zy, labels, langs, z0) = prep(df, idCol, textCol, langCol)
+    val w = trainAveraged(zy, labels, langs, z0)
+    val m = marginsOf(zy, w, z0)
+    val best = langs.indices.map(k => col(s"__m$k")).reduce(greatest(_, _))
+    val pred = langs.indices.reverse.foldLeft(lit(langs.last)) {
+      case (els, k) => when(col(s"__m$k") === best, lit(langs(k))).otherwise(els)
+    }
+    m.join(labels, "doc_id")
+      .select(col("doc_id"), col("lang"), pred.as("lang_pred"))
+      .withColumn("agree", col("lang") === col("lang_pred"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB mirrors — the same recurrence unrolled, class-keyed; the
+  // oracle DENSIFIES (docs × dims × classes is fine at oracle scale)
+  // because dense and sparse formulations are algebraically identical
+  // in exact integer math (the QualityModel discipline).
+  // ---------------------------------------------------------------------
+
+  private def trainCtes(from: String): String = {
+    val hash = TextOps.charHashSql("g")
+    val base =
+      s"""nd AS (SELECT COUNT(*)::BIGINT AS n FROM $from),
+          gr AS (SELECT doc_id,
+                   list_transform(range(0, greatest(length(text) - ${GramN - 1}, 0)),
+                     i -> substring(text, (i + 1)::INT, $GramN)) AS gs
+                 FROM $from),
+          toks AS (SELECT doc_id, unnest(gs) AS g FROM gr),
+          ngr AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM toks GROUP BY 1),
+          bow AS (SELECT t.doc_id, ($hash) % $GramDims AS d,
+                         (COUNT(*) * 1000000) // MAX(ngr.nt) AS x
+                  FROM toks t JOIN ngr ON t.doc_id = ngr.doc_id
+                  GROUP BY t.doc_id, ($hash) % $GramDims),
+          stat AS (SELECT g2.doc_id, ${CountDim}::BIGINT AS d,
+                     LEAST(COALESCE(ngr.nt, 0), 1000) * 1000 AS x
+                   FROM gr g2 LEFT JOIN ngr ON g2.doc_id = ngr.doc_id),
+          sparse AS (SELECT * FROM bow UNION ALL SELECT * FROM stat),
+          lab AS (SELECT doc_id, lang FROM $from),
+          ks AS (SELECT DISTINCT lang AS k FROM $from),
+          dims AS (SELECT range::BIGINT AS d FROM range(0, ${NDims - 1})),
+          mu AS (SELECT dims.d,
+                   COALESCE(SUM(s.x), 0) // MAX(nd.n) AS mu,
+                   COUNT(s.x)::BIGINT AS cnt
+                 FROM dims LEFT JOIN sparse s ON dims.d = s.d CROSS JOIN nd
+                 GROUP BY dims.d),
+          mad AS (SELECT mu.d,
+                   (COALESCE(SUM(abs(s.x - mu.mu)), 0)
+                    + (MAX(nd.n) - mu.cnt) * abs(mu.mu)) // MAX(nd.n) AS mad
+                 FROM mu LEFT JOIN sparse s ON mu.d = s.d CROSS JOIN nd
+                 GROUP BY mu.d, mu.cnt, mu.mu),
+          z0 AS (SELECT mu.d, ((0 - mu.mu) * 1000) // (mad.mad + 1) AS z0,
+                        mu.mu AS mu, mad.mad AS mad
+                 FROM mu JOIN mad ON mu.d = mad.d),
+          zden AS (
+            SELECT l.doc_id, z0.d,
+                   CASE WHEN s.x IS NULL THEN z0.z0
+                        ELSE ((s.x - z0.mu) * 1000) // (z0.mad + 1) END AS z
+            FROM lab l CROSS JOIN z0
+            LEFT JOIN sparse s ON s.doc_id = l.doc_id AND s.d = z0.d
+            UNION ALL
+            SELECT doc_id, ${Bias}::BIGINT, $BiasZ::BIGINT FROM lab),
+          yk AS (SELECT l.doc_id, ks.k,
+                   CASE WHEN l.lang = ks.k THEN 1 ELSE -1 END::BIGINT AS y
+                 FROM lab l CROSS JOIN ks),
+          w0 AS (SELECT ks.k, dd.d, 0::BIGINT AS w
+                 FROM ks CROSS JOIN
+                   (SELECT range::BIGINT AS d FROM range(0, $NDims)) dd)"""
+    val rounds = (1 to Iters).map { t =>
+      s"""m$t AS (SELECT z.doc_id, w.k, SUM(w.w * z.z)::BIGINT AS margin
+                  FROM zden z JOIN w${t - 1} w ON z.d = w.d
+                  GROUP BY z.doc_id, w.k),
+          mis$t AS (SELECT m.doc_id, m.k, y.y
+                    FROM m$t m JOIN yk y ON m.doc_id = y.doc_id AND m.k = y.k
+                    WHERE y.y * m.margin <= 0),
+          nm$t AS (SELECT k, COUNT(*)::BIGINT AS n FROM mis$t GROUP BY k),
+          u$t AS (SELECT mis.k, z.d, SUM(mis.y * z.z)::BIGINT AS dw
+                  FROM zden z JOIN mis$t mis ON z.doc_id = mis.doc_id
+                  GROUP BY mis.k, z.d),
+          w$t AS (SELECT w.k, w.d,
+                    (w.w + CASE WHEN COALESCE(nm.n, 0) > 0
+                       THEN COALESCE(u.dw, 0) // nm.n ELSE 0 END)::BIGINT AS w
+                  FROM w${t - 1} w
+                  LEFT JOIN u$t u ON w.k = u.k AND w.d = u.d
+                  LEFT JOIN nm$t nm ON w.k = nm.k)"""
+    }
+    val avg =
+      s"""wavg AS (SELECT w1.k, w1.d,
+            (${(1 to Iters).map(t => s"w$t.w").mkString(" + ")})::BIGINT AS w
+            FROM w1 ${(2 to Iters)
+              .map(t => s"JOIN w$t ON w1.k = w$t.k AND w1.d = w$t.d")
+              .mkString(" ")})"""
+    (base +: rounds :+ avg).mkString(",\n")
+  }
+
+  def trainOracleSql(from: String = "documents"): String =
+    s"""WITH ${trainCtes(from)}
+        SELECT k AS lang, d, w FROM wavg"""
+
+  def scoreOracleSql(from: String = "documents"): String =
+    s"""WITH ${trainCtes(from)},
+        sc AS (SELECT z.doc_id, w.k, SUM(w.w * z.z)::BIGINT AS margin
+               FROM zden z JOIN wavg w ON z.d = w.d GROUP BY z.doc_id, w.k),
+        rk AS (SELECT doc_id, k, margin,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY margin DESC, k) AS r
+               FROM sc)
+        SELECT l.doc_id, l.lang, rk.k AS lang_pred, (l.lang = rk.k) AS agree
+        FROM lab l JOIN rk ON l.doc_id = rk.doc_id AND rk.r = 1"""
+}

@@ -175,6 +175,47 @@ class HttpCodecSpec extends SparkSpec {
     assert(usedOf(r) == "utf-8" && sourceOf(r) == "default")
   }
 
+  test("BOM-less UTF-16 first-bytes sniff: <\\0 → LE, \\0< → BE; header still outranks it") {
+    val html = "<html><body>넓은 세계 wide</body></html>"
+    for ((cs, label) <- Seq(
+        java.nio.charset.StandardCharsets.UTF_16LE -> "utf-16le",
+        java.nio.charset.StandardCharsets.UTF_16BE -> "utf-16be")) {
+      val r = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+        html.getBytes(cs)))
+      assert(usedOf(r) == label && sourceOf(r) == "sniff16", label)
+      assert(textOf(r) == html)
+      assert(fffdOf(r) == 0L)
+    }
+    // a meta tag in BOM-less UTF-16 is NUL-interleaved — the ASCII
+    // prescan cannot see it, and sniff16 must still decode the page
+    val metaHtml = "<html><head><meta charset=\"utf-16le\"></head><body>넓은</body></html>"
+    val rm = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+      metaHtml.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)))
+    assert(usedOf(rm) == "utf-16le" && sourceOf(rm) == "sniff16" && textOf(rm) == metaHtml)
+    // a DECLARED header outranks the first-bytes sniff (WHATWG order)
+    val rh = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-16le\r\n\r\n",
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)))
+    assert(usedOf(rh) == "utf-16le" && sourceOf(rh) == "header" && textOf(rh) == html)
+    // binary payloads never reach the sniff (htmlish gate)
+    val rb = row(msg("HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n\r\n",
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)))
+    assert(sourceOf(rb) == "default")
+  }
+
+  test("ISO-2022-JP escape-sequence pages decode under header and meta declarations") {
+    val cs = java.nio.charset.Charset.forName("ISO-2022-JP")
+    val ja = graft.operators.TextOps.UnicodeFixture.toMap.apply("ja")
+    val html = s"<html><body>$ja</body></html>"
+    assert(new String(html.getBytes(cs), cs) == html, "fixture text must round-trip ISO-2022-JP")
+    val r = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-2022-jp\r\n\r\n",
+      html.getBytes(cs)))
+    assert(usedOf(r) == "iso-2022-jp" && sourceOf(r) == "header" && textOf(r) == html)
+    val metaHtml = s"<html><head><meta charset=\"iso-2022-jp\"></head><body>$ja</body></html>"
+    val rm = row(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+      metaHtml.getBytes(cs)))
+    assert(usedOf(rm) == "iso-2022-jp" && sourceOf(rm) == "meta" && textOf(rm) == metaHtml)
+  }
+
   test("BOM wins over a lying header; the BOM is stripped from the text") {
     val body = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "plain é".getBytes(UTF_8)
     val r = row(msg(
@@ -224,17 +265,22 @@ class HttpCodecSpec extends SparkSpec {
 
   test("charset fixture: every mode decodes to its predicted text") {
     import graft.operators.Charsets
-    for (id <- 0L until 96L) { // 4 modes × 8 slots × 3 bom/k values
+    val nIds = 4 * Charsets.Slots.size * 3 // modes × slots × bom/k values
+    for (id <- 0L until nIds.toLong) {
       val r = row(Charsets.responsePayload(id))
       assert(r != null, s"doc $id")
-      val (label, _, text) = Charsets.Slots(Charsets.slotOf(id))
+      val slot = Charsets.slotOf(id)
+      val (label, _, text) = Charsets.Slots(slot)
       Charsets.modeOf(id) match {
         case 0 =>
           assert(textOf(r) == Charsets.htmlNoMeta(id, text) &&
             usedOf(r) == label && sourceOf(r) == "header")
         case 1 =>
+          // the BOM-less UTF-16 slot's meta tag is invisible to the
+          // ASCII prescan; the first-bytes sniff decides instead
+          val expectSource = if (slot == Charsets.Utf16Slot) "sniff16" else "meta"
           assert(textOf(r) == Charsets.htmlMeta(id, label, text) &&
-            usedOf(r) == label && sourceOf(r) == "meta")
+            usedOf(r) == label && sourceOf(r) == expectSource, s"doc $id")
         case 2 =>
           assert(textOf(r) == Charsets.htmlNoMeta(id, text) &&
             usedOf(r) == Charsets.BomLabels(Charsets.bomEncOf(id)) &&
