@@ -125,16 +125,24 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       (sec, err)
     }
-    // Committed per-query records (the previous idle-HEAD run) — read
-    // BEFORE this run overwrites the file. Query names all start with
-    // q_, so a bare regex over the queries object suffices; {"err":..}
-    // entries simply don't match.
+    // Committed per-query records — read from the ROUND RECORD file
+    // (bench_record.json, refreshed only at round close from an idle
+    // run), NEVER from this run's own rolling output file: a noisy
+    // mid-round bench_last.json write would otherwise become the very
+    // baseline adjudication compares against and mask a real 3× mover
+    // (judge finding, round 13: q_clustering_coef went un-adjudicated
+    // because the mid-round record was already elevated). Falls back
+    // to the rolling file only when no round record exists yet.
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    val records: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(benchOut)), "UTF-8")
-      parseRecords(txt, sfDir)
+    val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD", "bench_record.json")
+    def recordsFrom(path: String): Map[String, Double] = try {
+      parseRecords(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"), sfDir)
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val records: Map[String, Double] = {
+      val r = recordsFrom(recordPath)
+      if (r.nonEmpty) r else recordsFrom(benchOut)
+    }
     val results = selected.map { case (name, fn) => name -> runOnce(fn) }
     // SELF-ADJUDICATION: a query over its committed record by the
     // needsSolo gate is re-run SOLO after the sweep, so a wandering

@@ -280,6 +280,77 @@ object QualityModel {
   }
 
   // ---------------------------------------------------------------------
+  // Versioned model layout + drift-gated maintenance — the "classifier
+  // ages with the crawl" loop: the serving replica PINS a published
+  // version; a maintenance loop measures teacher-fidelity drift on the
+  // corpus ingested so far and republishes (as the NEXT version,
+  // commit-marker-last) when it crosses the threshold. Same shape as
+  // Similarity.maintainIvf, with the model artifact (NDims rows) in
+  // place of the IVF geometry.
+  // ---------------------------------------------------------------------
+
+  /** The fitted model as an [[NDims]]-row DataFrame (seg, d, w, z0,
+    * mu, mad) — `seg` is the constant partition column the versioned
+    * layout machinery partitions by (the artifact is model-sized; one
+    * directory).
+    */
+  def modelDf(s: SparkSession, m: Fitted): DataFrame = {
+    import s.implicits._
+    (0 until NDims).map(d => (0, d.toLong, m.w(d), m.z0(d), m.mu(d), m.mad(d)))
+      .toDF("seg", "d", "w", "z0", "mu", "mad")
+  }
+
+  /** Read a published model back (inverse of [[modelDf]]); model-sized
+    * driver collect.
+    */
+  def modelFromPath(s: SparkSession, path: String): Fitted = {
+    val rows = s.read.parquet(path).orderBy("d").collect()
+    require(rows.length == NDims, s"model at $path has ${rows.length} rows")
+    Fitted(
+      rows.map(_.getAs[Long]("w")), rows.map(_.getAs[Long]("z0")),
+      rows.map(_.getAs[Long]("mu")), rows.map(_.getAs[Long]("mad")))
+  }
+
+  /** Teacher-fidelity DRIFT of model `m` over `corpus`: disagreements
+    * between the model's prediction and the heuristic teacher label,
+    * in ppm of docs. One broadcast scoring pass + one count.
+    */
+  def driftPpm(corpus: DataFrame, idCol: String, textCol: String,
+      m: Fitted): Long = {
+    val n = corpus.count()
+    if (n == 0) 0L
+    else {
+      val dis = scoreWith(corpus, idCol, textCol, m)
+        .filter(!col("agree")).count()
+      dis * 1000000L / n
+    }
+  }
+
+  /** Drift-gated model maintenance over a versioned layout at `base`:
+    * no live version → fit + publish v1; otherwise measure
+    * [[driftPpm]] of the LIVE model over the corpus so far and, at or
+    * above `thresholdPpm`, retrain on that corpus and publish the next
+    * version (commit-marker-last — a pinned serving replica never sees
+    * a torn model). Returns (live-or-retrained model, Some(path) iff a
+    * version was published). Idempotent at the production threshold:
+    * right after a publish the drift of the just-fitted model is its
+    * own training residual, below any sane threshold.
+    */
+  def maintainModel(s: SparkSession, base: String, corpus: DataFrame,
+      idCol: String, textCol: String, thresholdPpm: Long): (Fitted, Option[String]) =
+    Bucketing.liveVersion(base) match {
+      case None =>
+        val m = fit(corpus, idCol, textCol)
+        (m, Some(Bucketing.writeVersion(s, base, modelDf(s, m), "seg")))
+      case Some((_, livePath)) =>
+        val live = modelFromPath(s, livePath)
+        if (driftPpm(corpus, idCol, textCol, live) >= thresholdPpm) {
+          val m = fit(corpus, idCol, textCol)
+          (m, Some(Bucketing.writeVersion(s, base, modelDf(s, m), "seg")))
+        } else (live, None)
+    }
+
+  // ---------------------------------------------------------------------
   // DuckDB mirrors — the same recurrence unrolled; the oracle DENSIFIES
   // (docs × dims is fine at oracle scale) because dense and sparse
   // formulations are algebraically identical in exact integer math.
@@ -372,4 +443,54 @@ object QualityModel {
         SELECT doc_id, y, score, score > 0 AS pred,
                (score > 0) = (y > 0) AS agree
         FROM sc"""
+
+  /** The SERVE split: train on `trainFrom`, score `scoreFrom` with the
+    * trained model AND the training corpus' standardization stats —
+    * the [[scoreWith]] contract in SQL (q_quality_retrain_stream's
+    * pinned-model oracle: the model ages, arriving docs do not retrain
+    * the serving path).
+    */
+  def serveOracleSql(sq: String, trainFrom: String,
+      scoreFrom: String = "documents"): String = {
+    val hash = TextOps.charHashSql("w")
+    val B = BowDims
+    s"""WITH ${trainCtes(sq, trainFrom)},
+        vtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $scoreFrom),
+        vnw AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM vtoks GROUP BY 1),
+        vbow AS (SELECT t.doc_id, ($hash) % $B AS d,
+                        (COUNT(*) * 1000000) // MAX(vnw.nt) AS x
+                 FROM vtoks t JOIN vnw ON t.doc_id = vnw.doc_id
+                 GROUP BY t.doc_id, ($hash) % $B),
+        vst AS (SELECT doc_id,
+                  len(string_split(text, ' '))::BIGINT AS nwv,
+                  (length(text)::BIGINT - len(string_split(text, ' '))::BIGINT + 1) AS swc,
+                  len(list_distinct(string_split(text, ' ')))::BIGINT AS ndis,
+                  len(list_filter(string_split(text, ' '), w -> w IN ($sq)))::BIGINT AS nst,
+                  (length(text)::BIGINT
+                   - length(regexp_replace(text, '[0-9]', '', 'g'))::BIGINT) AS ndig,
+                  length(text)::BIGINT AS nc
+                FROM $scoreFrom),
+        vsfeat AS (
+          SELECT doc_id, $B::BIGINT AS d, LEAST(nwv, 1000) * 1000 AS x FROM vst
+          UNION ALL SELECT doc_id, ${B + 1}, (swc * 1000000) // nwv FROM vst
+          UNION ALL SELECT doc_id, ${B + 2}, (ndis * 1000000) // nwv FROM vst
+          UNION ALL SELECT doc_id, ${B + 3}, (nst * 1000000) // nwv FROM vst
+          UNION ALL SELECT doc_id, ${B + 4}, (ndig * 1000000) // GREATEST(nc, 1) FROM vst),
+        vsparse AS (SELECT * FROM vbow UNION ALL SELECT * FROM vsfeat),
+        vqf AS (${TextOps.qualityFilterSql(sq, scoreFrom)}),
+        vlab AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE -1 END::BIGINT AS y FROM vqf),
+        vzden AS (
+          SELECT l.doc_id, z0.d, l.y,
+                 CASE WHEN s.x IS NULL THEN z0.z0
+                      ELSE ((s.x - z0.mu) * 1000) // (z0.mad + 1) END AS z
+          FROM vlab l CROSS JOIN z0
+          LEFT JOIN vsparse s ON s.doc_id = l.doc_id AND s.d = z0.d
+          UNION ALL
+          SELECT doc_id, ${Bias}::BIGINT, y, $BiasZ::BIGINT FROM vlab),
+        vsc AS (SELECT z.doc_id, z.y, SUM(w.w * z.z)::BIGINT AS score
+                FROM vzden z JOIN wavg w USING (d) GROUP BY z.doc_id, z.y)
+        SELECT doc_id, y, score, score > 0 AS pred,
+               (score > 0) = (y > 0) AS agree
+        FROM vsc"""
+  }
 }

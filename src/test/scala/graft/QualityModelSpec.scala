@@ -61,4 +61,52 @@ class QualityModelSpec extends SparkSpec {
       assert(r.getBoolean(4) == (pred == (r.getLong(1) > 0L)))
     }
   }
+
+  test("model layout round-trips: modelDf → writeVersion → modelFromPath is exact") {
+    val m = QualityModel.fit(docs, "doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_qm_rt_").toString
+    val path = graft.operators.Bucketing.writeVersion(
+      spark, base, QualityModel.modelDf(spark, m), "seg")
+    val back = QualityModel.modelFromPath(spark, path)
+    assert(back.w.sameElements(m.w) && back.z0.sameElements(m.z0) &&
+      back.mu.sameElements(m.mu) && back.mad.sameElements(m.mad))
+  }
+
+  test("drift-gated maintenance: retrained-serve ≡ fresh-train, pin + idempotence") {
+    import spark.implicits._
+    val d = docs
+    val initial = d.filter(col("doc_id") < 45L)
+    val base = java.nio.file.Files.createTempDirectory("graft_qm_maint_").toString
+    // bootstrap publishes v1 regardless of threshold
+    val (m1, p1) = QualityModel.maintainModel(spark, base, initial,
+      "doc_id", "text", thresholdPpm = 0L)
+    assert(p1.isDefined)
+    assert(graft.operators.Bucketing.liveVersion(base).map(_._1).contains(1))
+    // a HAIR-TRIGGER threshold refires on the grown corpus, and the
+    // republished model equals a fresh fit on the same corpus exactly
+    // (retrained-serve ≡ fresh-train)
+    val grown = d.filter(col("doc_id") < 70L)
+    val (m2, p2) = QualityModel.maintainModel(spark, base, grown,
+      "doc_id", "text", thresholdPpm = 0L)
+    assert(p2.isDefined)
+    val fresh = QualityModel.fit(grown, "doc_id", "text")
+    assert(m2.w.sameElements(fresh.w) && m2.z0.sameElements(fresh.z0) &&
+      m2.mu.sameElements(fresh.mu) && m2.mad.sameElements(fresh.mad))
+    // the published live version IS that model…
+    val live = QualityModel.modelFromPath(spark,
+      graft.operators.Bucketing.liveVersion(base).get._2)
+    assert(live.w.sameElements(fresh.w))
+    // …and v1 still serves pinned readers unchanged (versions append,
+    // never mutate — the rollout discipline)
+    val v1 = QualityModel.modelFromPath(spark,
+      java.nio.file.Paths.get(base, "v1").toString)
+    assert(v1.w.sameElements(m1.w))
+    // idempotence at a sane threshold: a just-republished model's
+    // drift over its own training corpus is its training residual —
+    // far below the production gate, so the loop settles
+    val resid = QualityModel.driftPpm(grown, "doc_id", "text", m2)
+    val (_, p3) = QualityModel.maintainModel(spark, base, grown,
+      "doc_id", "text", thresholdPpm = math.max(resid + 1, 100000L))
+    assert(p3.isEmpty, s"loop must settle (residual $resid ppm)")
+  }
 }
