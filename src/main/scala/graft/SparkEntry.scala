@@ -1113,6 +1113,23 @@ object SparkEntry {
     qualityModels.get(key)
   }
 
+  /** The six-script labeled training corpus (decoded charset archive,
+    * slot-language labels) the trained lang-ID fits on.
+    */
+  private def charsetLabeledCorpus(s: SparkSession, dir: String): DataFrame =
+    Charsets.labeledCorpus(Warc.records(s.read.format("binaryFile")
+      .load(stagedCharsetShards(s, dir).toString)))
+
+  /** The fitted lang-ID model, once per JVM per corpus (the
+    * qualityModelFor discipline: two queries consume it, one training
+    * produces it).
+    */
+  private val langModels =
+    new java.util.concurrent.ConcurrentHashMap[String, LangModel.Fitted]()
+  private def langModelFor(s: SparkSession, dir: String): LangModel.Fitted =
+    langModels.computeIfAbsent(dir,
+      _ => LangModel.fit(charsetLabeledCorpus(s, dir), "doc_id", "text", "lang"))
+
   /** Parse one [[stagedTextShards]] line (`doc_id<TAB>text`) — the ONE
     * definition both streaming consumers (q_file_stream,
     * q_quality_stream) use, so the staging convention cannot be parsed
@@ -2887,12 +2904,11 @@ object SparkEntry {
     // slot-language labels — the one fixture whose text genuinely
     // carries language signal; documents.lang is a random synthetic
     // label). Model rows (lang, d, w) hash-match an in-SQL retrain
-    // (class-keyed unrolled fixed rounds, QualityModel discipline).
+    // (class-keyed unrolled fixed rounds, QualityModel discipline);
+    // one fit per JVM serves both queries (the qualityModelFor
+    // artifact discipline)
     "q_langid_train" -> ((s, dir) =>
-      LangModel.train(
-        Charsets.labeledCorpus(Warc.records(s.read.format("binaryFile")
-          .load(stagedCharsetShards(s, dir).toString))),
-        "doc_id", "text", "lang")),
+      LangModel.modelRows(s, langModelFor(s, dir))),
 
     // the trained lang-ID APPLIED: per doc all K class margins in one
     // broadcast pass, prediction = argmax (ties to the alphabetically
@@ -2901,10 +2917,8 @@ object SparkEntry {
     // de); the trained model must classify every script (spec-pinned
     // contrast in LangModelSpec)
     "q_langid_score" -> ((s, dir) =>
-      LangModel.score(
-        Charsets.labeledCorpus(Warc.records(s.read.format("binaryFile")
-          .load(stagedCharsetShards(s, dir).toString))),
-        "doc_id", "text", "lang")),
+      LangModel.scoreWith(charsetLabeledCorpus(s, dir),
+        "doc_id", "text", "lang", langModelFor(s, dir))),
 
     // the trained model APPLIED as one broadcast scoring pass: per doc
     // the integer margin, the prediction, and the distillation-

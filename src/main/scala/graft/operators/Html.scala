@@ -218,7 +218,10 @@ object Html {
     filter(
       transform(regexp_extract_all(stripBlocks(html),
           lit("(?i)<a\\b(?:[^>\"]|\"[^\"]*\")*?\\shref=\"([^\"]*)\""), lit(1)),
-        h => call_function("replace", h, lit("&amp;"), lit("&"))),
+        // attribute values carry the SAME character references as text
+        // (real markup NCR-encodes query separators and non-ASCII path
+        // chars) — the full single-pass decode, not just &amp;
+        h => graft.functions.HtmlEntityDecode.html_entity_decode(h)),
       // scheme match is case-insensitive (crawled markup mixes case)
       h => lower(h).startsWith("http"))
 

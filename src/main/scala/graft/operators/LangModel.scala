@@ -89,6 +89,33 @@ object LangModel {
     bow.unionByName(stat)
   }
 
+  /** The fitted multi-class model: class order, per-class averaged
+    * weights, and the shared standardization artifacts — K·[[NDims]]·4
+    * Longs, a broadcast literal anywhere (the [[QualityModel.Fitted]]
+    * shape with a class axis).
+    */
+  final case class Fitted(langs: IndexedSeq[String], w: Array[Array[Long]],
+                          z0: Array[Long], mu: Array[Long], mad: Array[Long])
+
+  /** The ONE standardization projection (raw (doc_id, d, x) →
+    * (doc_id, d, z, dz) under given stats) — shared by training and
+    * serve so the two paths cannot drift.
+    */
+  private def standardizeCols(raw: DataFrame, mu: Array[Long],
+      mad: Array[Long], z0: Array[Long]): DataFrame = {
+    val muA = array(mu.toSeq.map(lit): _*)
+    val madA = array(mad.toSeq.map(lit): _*)
+    val z0A = array(z0.toSeq.map(lit): _*)
+    raw.select(col("doc_id"), col("d"),
+      ((col("x") - element_at(muA, (col("d") + 1).cast("int"))) * 1000L)
+        .cast("long").as("__num"),
+      (element_at(madA, (col("d") + 1).cast("int")) + 1L).as("__den"),
+      element_at(z0A, (col("d") + 1).cast("int")).as("__z0"))
+      .select(col("doc_id"), col("d"),
+        expr("__num div __den").as("z"),
+        (expr("__num div __den") - col("__z0")).as("dz"))
+  }
+
   /** Standardize: (checkpointed (doc_id, d, z, dz) table, z0, mu,
     * mad) — the [[QualityModel.standardized]] recurrence without the
     * label column (labels are per-class here).
@@ -118,18 +145,8 @@ object LangModel {
     val z0 = Array.tabulate(NDims) { d =>
       if (d == Bias) BiasZ else tdiv((0L - mu(d)) * 1000L, mad(d) + 1L)
     }
-    val muA = array(mu.toSeq.map(lit): _*)
-    val madA = array(mad.toSeq.map(lit): _*)
-    val z0A = array(z0.toSeq.map(lit): _*)
-    val zy = raw.select(col("doc_id"), col("d"),
-      ((col("x") - element_at(muA, (col("d") + 1).cast("int"))) * 1000L)
-        .cast("long").as("__num"),
-      (element_at(madA, (col("d") + 1).cast("int")) + 1L).as("__den"),
-      element_at(z0A, (col("d") + 1).cast("int")).as("__z0"))
-      .select(col("doc_id"), col("d"),
-        expr("__num div __den").as("z"),
-        (expr("__num div __den") - col("__z0")).as("dz"))
-    (graft.core.Materialize.checkpoint(zy.repartition(col("doc_id"))),
+    (graft.core.Materialize.checkpoint(
+      standardizeCols(raw, mu, mad, z0).repartition(col("doc_id"))),
       z0, mu, mad)
   }
 
@@ -192,47 +209,67 @@ object LangModel {
     wavg
   }
 
-  private def prep(df: DataFrame, idCol: String, textCol: String,
-      langCol: String): (DataFrame, DataFrame, IndexedSeq[String],
-      Array[Long]) = {
+  private def labelsOf(df: DataFrame, idCol: String,
+      langCol: String): (DataFrame, IndexedSeq[String]) = {
     val labels = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
     val langs = labels.select(col("lang")).distinct()
       .collect().map(_.getString(0)).sorted.toIndexedSeq
-    val (zy, z0, _, _) = standardized(df, idCol, textCol)
-    (zy, labels, langs, z0)
+    (labels, langs)
   }
 
-  /** q_langid_train: the averaged one-vs-rest model — one row per
-    * (class, dimension): (lang, d, w), bias last.
+  /** Train on `df` and return the portable model (fit ONCE per corpus
+    * — q_langid_train and q_langid_score share the artifact through
+    * the per-JVM cache, the qualityModelFor discipline).
     */
-  def train(df: DataFrame, idCol: String, textCol: String,
-      langCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val (zy, labels, langs, z0) = prep(df, idCol, textCol, langCol)
-    val w = trainAveraged(zy, labels, langs, z0)
-    import spark.implicits._
-    (for (k <- langs.indices; d <- 0 until NDims)
-      yield (langs(k), d.toLong, w(k)(d))).toDF("lang", "d", "w")
+  def fit(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): Fitted = {
+    val (labels, langs) = labelsOf(df, idCol, langCol)
+    val (zy, z0, mu, mad) = standardized(df, idCol, textCol)
+    Fitted(langs, trainAveraged(zy, labels, langs, z0), z0, mu, mad)
   }
 
-  /** q_langid_score: every doc classified by the trained model —
+  /** The fitted model as its q_langid_train rows — one per (class,
+    * dimension): (lang, d, w), bias last.
+    */
+  def modelRows(s: SparkSession, m: Fitted): DataFrame = {
+    import s.implicits._
+    (for (k <- m.langs.indices; d <- 0 until NDims)
+      yield (m.langs(k), d.toLong, m.w(k)(d))).toDF("lang", "d", "w")
+  }
+
+  /** Classify ANY labeled document set with an already-fitted model —
     * (doc_id, lang, lang_pred, agree). Prediction = argmax class
     * margin, ties to the alphabetically first class (mirrored in the
-    * oracle's ORDER BY margin DESC, class ASC).
+    * oracle's ORDER BY margin DESC, class ASC). Stateless broadcast
+    * pass: features standardized with the TRAINING corpus' stats.
     */
-  def score(df: DataFrame, idCol: String, textCol: String,
-      langCol: String): DataFrame = {
-    val (zy, labels, langs, z0) = prep(df, idCol, textCol, langCol)
-    val w = trainAveraged(zy, labels, langs, z0)
-    val m = marginsOf(zy, w, z0)
-    val best = langs.indices.map(k => col(s"__m$k")).reduce(greatest(_, _))
-    val pred = langs.indices.reverse.foldLeft(lit(langs.last)) {
-      case (els, k) => when(col(s"__m$k") === best, lit(langs(k))).otherwise(els)
+  def scoreWith(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, m: Fitted): DataFrame = {
+    val labels = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+    val zy = standardizeCols(
+      rawFeatures(df, idCol, textCol), m.mu, m.mad, m.z0)
+    val mg = marginsOf(zy, m.w, m.z0)
+    val best = m.langs.indices.map(k => col(s"__m$k")).reduce(greatest(_, _))
+    val pred = m.langs.indices.reverse.foldLeft(lit(m.langs.last)) {
+      case (els, k) =>
+        when(col(s"__m$k") === best, lit(m.langs(k))).otherwise(els)
     }
-    m.join(labels, "doc_id")
+    mg.join(labels, "doc_id")
       .select(col("doc_id"), col("lang"), pred.as("lang_pred"))
       .withColumn("agree", col("lang") === col("lang_pred"))
   }
+
+  /** q_langid_train (single-shot form; harness callers fit once and
+    * use [[modelRows]]/[[scoreWith]]).
+    */
+  def train(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    modelRows(df.sparkSession, fit(df, idCol, textCol, langCol))
+
+  /** q_langid_score (single-shot form). */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    scoreWith(df, idCol, textCol, langCol, fit(df, idCol, textCol, langCol))
 
   // ---------------------------------------------------------------------
   // DuckDB mirrors — the same recurrence unrolled, class-keyed; the

@@ -257,8 +257,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_charset_decode / q_pdf_extract: the new front-door tiers are exchange-free map work") {
-    for (q <- Seq("q_charset_decode", "q_pdf_extract")) {
+  test("q_html_entities: the reference decode is ONE exchange-free map pass") {
+    val p = plan(SparkEntry.queries("q_html_entities")(spark, dir))
+    assert(!p.contains("Exchange"),
+      s"entity decode should be map-only, found a shuffle:\n$p")
+    assert(!p.contains("Join"), s"entity decode should not join:\n$p")
+    assert(p.contains("html_entity_decode"),
+      s"expected the codegen decode expression in the plan:\n$p")
+  }
+
+  test("q_charset_decode / q_pdf_extract / q_pdf_cjk: the front-door tiers are exchange-free map work") {
+    for (q <- Seq("q_charset_decode", "q_pdf_extract", "q_pdf_cjk")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("Exchange"),
         s"$q should be a map-only pass, found a shuffle:\n$p")
