@@ -15,39 +15,41 @@ object PerfProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val ev = ColOps.withSeq(ColOps.table(spark, dir, "events"), col("event_id"))
-      .select(col("seq"), floor(col("value") * 100 + 0.5).cast("long").as("ival"))
-
-    time("events count")(ev.count())
-    time("consecutiveDf full")(RowExec.consecutiveDf(ev, "ival", 3).count())
-    time("consecutiveDf again")(RowExec.consecutiveDf(ev, "ival", 3).count())
-    val sorted = ev.repartitionByRange(4, col("seq")).sortWithinPartitions(col("seq"))
-    time("sort only")(sorted.count())
-    time("sort+persist+count")({ val p = sorted.persist(); p.count(); p.unpersist(); () })
-    time("windowed alternative")({
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("seq")).rowsBetween(-3, -1)
-      ev.select(col("seq"), collect_list(col("ival")).over(w).as("window")).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+      }
     })
-    val docs = ColOps.table(spark, dir, "documents")
-    val sig = time("sig localCheckpoint")(
-      Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint())
-    val pairs = time("candidatePairs")(
-      { val p = Dedup.candidatePairs(sig).localCheckpoint(); println(s"PROBE pairs rows: ${p.count()}"); p })
-    time("jaccard join")({
-      val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .select((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-                 size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-        .count()
-    })
-    time("jaccardPairs full")(Dedup.jaccardPairs(docs, "doc_id", "text").count())
+    def counts(label: String): Unit =
+      println(s"COUNTS $label: jobs=${jobs.getAndSet(0)} stages=${stages.getAndSet(0)} tasks=${tasks.getAndSet(0)}")
+    spark.range(100000).selectExpr("sum(id)").collect()
+    counts("warmup")
+    val names = sys.env.getOrElse("GRAFT_PROBE_QUERIES",
+      "q_langid_train,q_langid_score").split(",").map(_.trim).filter(_.nonEmpty)
+    val reps = sys.env.getOrElse("GRAFT_PROBE_REPS", "1").toInt
+    names.foreach { n =>
+      (1 to reps).foreach { i =>
+        time(s"$n#$i")(SparkEntry.queries(n)(spark, dir).count())
+        counts(s"$n#$i")
+      }
+    }
+    if (sys.env.get("GRAFT_PROBE_FIT2").contains("1")) {
+      val docs = ColOps.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      time("QM fit #1")(QualityModel.fit(docs, "doc_id", "text"))
+      time("QM fit #2")(QualityModel.fit(docs, "doc_id", "text"))
+      time("QM fit #3")(QualityModel.fit(docs, "doc_id", "text"))
+    }
     spark.stop()
   }
 }

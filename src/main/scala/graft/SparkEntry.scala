@@ -537,9 +537,9 @@ object SparkEntry {
         .select(col("doc_id"),
           call_function("replace", col("extracted"), lit("\n"), lit(" "))
             .as("text"))
-      val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
-        .filter(col("keep")).select(col("doc_id"))
-      val kept = extracted.join(keepIds, "doc_id")
+      // quality gate as an in-place filter (the corpusCanon discipline:
+      // the keep decision is a per-row predicate, not a join)
+      val kept = extracted.filter(TextOps.qualityKeep(col("text")))
       kept.join(Dedup.exact(kept, "doc_id", "text")
         .select(col("keep_id").as("doc_id")), "doc_id")
     }
@@ -1289,9 +1289,15 @@ object SparkEntry {
     * encode; the near variant also feeds the cluster loop).
     */
   private def corpusCanon(extracted: DataFrame): DataFrame = {
-    val keepIds = TextOps.qualityFilter(extracted, "doc_id", "text")
-      .filter(col("keep")).select(col("doc_id"))
-    val kept = graft.core.Materialize.checkpoint(extracted.join(keepIds, "doc_id"))
+    // the quality gate is a pure per-row predicate (TextOps.qualityKeep
+    // — the same five rules qualityFilter plans), so it FILTERS the one
+    // extraction pass in place; the previous self-join on the kept ids
+    // re-ran the whole extraction chain for the id side and paid a
+    // shuffle to reattach rows to themselves (optimization round:
+    // 2 scans + 1 exchange → 1 scan, and the predicate pushes toward
+    // the source)
+    val kept = graft.core.Materialize.checkpoint(
+      extracted.filter(TextOps.qualityKeep(col("text"))))
     graft.core.Materialize.checkpoint(kept.join(
       Dedup.exact(kept, "doc_id", "text").select(col("keep_id").as("doc_id")),
       "doc_id"))
@@ -3860,9 +3866,9 @@ object SparkEntry {
     // the point: operators compose without rewrites.
     "q_pipeline" -> ((s, dir) => {
       val docs = ColOps.table(s, dir, "documents")
-      val keepIds = TextOps.qualityFilter(docs, "doc_id", "text")
-        .filter(col("keep")).select(col("doc_id"))
-      val kept = docs.join(keepIds, "doc_id")
+      // quality gate as an in-place filter (the corpusCanon discipline:
+      // the keep decision is a per-row predicate, not a self-join)
+      val kept = docs.filter(TextOps.qualityKeep(col("text")))
       val canonical = Dedup.exact(kept, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val survivors = kept.join(canonical, "doc_id")

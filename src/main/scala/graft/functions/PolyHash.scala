@@ -81,6 +81,137 @@ object WordHashes {
   }
 }
 
+/** Native Catalyst expression decoding a string to its CODE POINTS as
+  * `array<bigint>` — the composition seed for fused char-n-gram hashing:
+  * `ngram_hashes(code_points(t), n)[j]` equals
+  * `TextOps.charHash(substring(t, j+1, n))` exactly, because a single
+  * code point's charHash is the code point itself (cp < P) and both
+  * folds then share the `(acc*31 + cp) mod P` recurrence.
+  *
+  * Why it exists (optimization round): the HOF gram formulation
+  * `transform(sequence(0, len-n), i -> substr(t, i+1, n))` is O(len²)
+  * per document — `substr` on a variable-width UTF8String walks from
+  * the string head to find the char offset on EVERY call — and the
+  * transform lambda is CodegenFallback. This expression is one O(len)
+  * code-point walk inside whole-stage codegen; the n-gram fold on top
+  * ([[NgramHashes]]) is O(n·len). Values are IDENTICAL, so oracles are
+  * unchanged (pinned by PolyHashSpec's charHash-equivalence row).
+  */
+case class CodePoints(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"code_points needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    CodePoints.codePoints(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CodePoints.codePoints($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CodePoints =
+    copy(child = newChild)
+
+  override def prettyName: String = "code_points"
+}
+
+object CodePoints {
+  /** One pass; surrogate pairs stay one code point (the `split(s, "")`
+    * + `ascii` contract [[WordHashes.hashWords]] already pins).
+    */
+  def codePoints(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      out += cp.toLong
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column-API entry point (Spark 4 Column↔Expression bridge). */
+  def code_points(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(CodePoints(GraftColumnBridge.expression(c)))
+  }
+}
+
+/** Native Catalyst expression counting array elements that belong to a
+  * LITERAL string set: `count_in_set(arr, set)` ≡
+  * `size(filter(arr, x -> x IN (set)))` — occurrences counted, not
+  * distinct members, and comparison is exact byte equality, matching
+  * both the HOF `isin` form and the DuckDB `list_filter(w IN (...))`
+  * mirror.
+  *
+  * Why it exists (optimization round): the HOF filter is
+  * CodegenFallback — an interpreted lambda invocation per array element
+  * with an O(|set|) linear `In` scan inside — and it sits on the
+  * quality-gate path every corpus build runs. This expression is one
+  * codegen'd loop with an O(1) hash-set probe per element.
+  */
+case class CountInSet(child: Expression, values: Seq[String])
+    extends UnaryExpression {
+  require(values.nonEmpty, "count_in_set needs a non-empty literal set")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"count_in_set needs array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](values.size * 2)
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CountInSet.count(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("inSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CountInSet.count($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+
+  override def prettyName: String = "count_in_set"
+}
+
+object CountInSet {
+  /** Null elements never match (the `isin` lambda yields null → filtered
+    * out); callers' arrays are split() products and carry none anyway.
+    */
+  def count(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Column-API entry point (Spark 4 Column↔Expression bridge). */
+  def count_in_set(c: Column, values: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(CountInSet(GraftColumnBridge.expression(c), values))
+  }
+}
+
 /** Native Catalyst expression for byte-level shingling of BINARY media
   * payloads: `byte_gram_hashes(media)` = array of polynomial hashes of
   * every 4-byte gram, `H(i) = fold (acc*31 + byte) mod P` over bytes

@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * round computes ALL K margins in one per-doc aggregate (K sum
   * expressions over the same sparse rows), derives the misclassified
   * (doc, class) set, and updates all K weight vectors from ONE
-  * co-partitioned join + one (class, dim)-key aggregate — the whole
-  * round costs the same two collects (K·[[NDims]] rows) as the
-  * binary model, not K× the work.
+  * co-partitioned join + one (class, dim)-key aggregate collected once
+  * (≤ K·[[NDims]] rows; the always-present gram-count stat dim doubles
+  * as the per-(doc, class) marker carrying n_mis and Σy) — the whole
+  * round is one job, not K× the work.
   *
   * Scale shape (the 100-TB audit): identical to [[QualityModel]] —
   * features checkpointed once and partitioned on doc_id, rounds FIXED
@@ -42,6 +43,17 @@ import org.apache.spark.sql.functions._
   * weight matrix.
   */
 object LangModel {
+
+  // TEMP instrumentation (perf round): stage timings to stderr when
+  // GRAFT_TIMING=1. Removed before round close.
+  private def timed[T](label: String)(f: => T): T =
+    if (!sys.env.get("GRAFT_TIMING").contains("1")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"TIMING $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
   /** Char-n-gram width and hashed dimensions; dim [[CountDim]] is the
     * always-present gram-count stat (it guarantees every doc owns at
@@ -72,18 +84,26 @@ object LangModel {
   /** Sparse RAW features (doc_id, d, x): hashed-gram ppm counts on
     * dims 0..[[GramDims]]−1 plus the gram-count stat dim. The bias
     * never appears here (constant-folded, the QualityModel discipline).
+    *
+    * Gram hashing is the fused O(len) pass
+    * `ngram_hashes(code_points(t), 3)` — positionally identical values
+    * to `charHash(grams(t)[j])` (PolyHashSpec-pinned); the HOF
+    * substring formulation it replaces was O(len²) per document
+    * (UTF8String.substr re-walks the string head per gram) and
+    * dominated the fit (optimization round).
     */
   private def rawFeatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val g = grams(col(textCol))
-    val nG = size(g).cast("long")
-    val bow = df
-      .select(col(idCol).as("doc_id"), explode(g).as("g"), nG.as("__n"))
-      .groupBy(col("doc_id"),
-        (TextOps.charHash(col("g")) % GramDims).as("d"), col("__n"))
+    val gh = graft.functions.NgramHashes.ngram_hashes(
+      graft.functions.CodePoints.code_points(col(textCol)), GramN)
+    val base = df.select(col(idCol).as("doc_id"), gh.as("__gh"))
+    val nG = coalesce(size(col("__gh")), lit(0)).cast("long")
+    val bow = base
+      .select(col("doc_id"), explode(col("__gh")).as("h"), nG.as("__n"))
+      .groupBy(col("doc_id"), (col("h") % GramDims).as("d"), col("__n"))
       .agg(count(lit(1)).as("c"))
       .select(col("doc_id"), col("d"), expr("c * 1000000L div __n").as("x"))
-    val stat = df.select(col(idCol).as("doc_id"),
+    val stat = base.select(col("doc_id"),
       lit(CountDim.toLong).as("d"),
       (least(nG, lit(1000L)) * 1000L).as("x"))
     bow.unionByName(stat)
@@ -103,9 +123,12 @@ object LangModel {
     */
   private def standardizeCols(raw: DataFrame, mu: Array[Long],
       mad: Array[Long], z0: Array[Long]): DataFrame = {
-    val muA = array(mu.toSeq.map(lit): _*)
-    val madA = array(mad.toSeq.map(lit): _*)
-    val z0A = array(z0.toSeq.map(lit): _*)
+    // lit(Array[Long]) = one reference object in the generated code —
+    // identical source across rounds/fits, so the Janino cache hits
+    // (the QualityModel.standardizeCols discipline)
+    val muA = lit(mu)
+    val madA = lit(mad)
+    val z0A = lit(z0)
     raw.select(col("doc_id"), col("d"),
       ((col("x") - element_at(muA, (col("d") + 1).cast("int"))) * 1000L)
         .cast("long").as("__num"),
@@ -120,23 +143,32 @@ object LangModel {
     * mad) — the [[QualityModel.standardized]] recurrence without the
     * label column (labels are per-class here).
     */
+  /** Standardize (the [[QualityModel.standardized]] recurrence without
+    * the label column): zy is a pure projection over the ONE
+    * checkpointed raw table; nDocs comes from the `sums` collect (the
+    * always-present gram-count stat dim has exactly one row per doc)
+    * instead of a separate rescan of the base corpus.
+    */
   private def standardized(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, Array[Long], Array[Long], Array[Long]) = {
-    val raw = graft.core.Materialize.checkpoint(
-      rawFeatures(df, idCol, textCol).repartition(col("doc_id")))
-    val nDocs = df.count()
-    val sums = raw.groupBy(col("d"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect()
+    val raw = timed("  raw ckpt")(graft.core.Materialize.checkpoint(
+      rawFeatures(df, idCol, textCol).repartition(col("doc_id"))))
+    val sums = timed("  sums")(raw.groupBy(col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect())
     val mu = new Array[Long](NDims)
     val cnt = new Array[Long](NDims)
+    val sx = new Array[Long](NDims)
     sums.foreach { r =>
       val d = r.getLong(0).toInt
-      mu(d) = tdiv(r.getLong(1), nDocs); cnt(d) = r.getLong(2)
+      sx(d) = r.getLong(1); cnt(d) = r.getLong(2)
     }
+    val nDocs = cnt(CountDim)
+    require(nDocs > 0, "LangModel.fit on an empty corpus")
+    (0 until NDims).foreach(d => mu(d) = tdiv(sx(d), nDocs))
     val muArr = array(mu.toSeq.map(lit): _*)
-    val devs = raw.groupBy(col("d"))
+    val devs = timed("  devs")(raw.groupBy(col("d"))
       .agg(sum(abs(col("x") - element_at(muArr, (col("d") + 1).cast("int"))))
-        .as("sdev")).collect()
+        .as("sdev")).collect())
     val mad = new Array[Long](NDims)
     devs.foreach { r =>
       val d = r.getLong(0).toInt
@@ -145,9 +177,7 @@ object LangModel {
     val z0 = Array.tabulate(NDims) { d =>
       if (d == Bias) BiasZ else tdiv((0L - mu(d)) * 1000L, mad(d) + 1L)
     }
-    (graft.core.Materialize.checkpoint(
-      standardizeCols(raw, mu, mad, z0).repartition(col("doc_id"))),
-      z0, mu, mad)
+    (standardizeCols(raw, mu, mad, z0), z0, mu, mad)
   }
 
   /** Per-doc margins for ALL K classes in one aggregate: columns
@@ -155,10 +185,14 @@ object LangModel {
     */
   private def marginsOf(zy: DataFrame, w: Array[Array[Long]],
       z0: Array[Long]): DataFrame = {
+    // per-class weights AND the folded dense constant in ONE
+    // array-literal reference (slot NDims+1 = C_k) — constant generated
+    // source across rounds (the QualityModel discipline)
     val aggs = w.indices.map { k =>
       val c = (0 until NDims).map(d => w(k)(d) * z0(d)).sum
-      val wArr = array(w(k).toSeq.map(lit): _*)
-      (sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz")) + lit(c))
+      val wc = lit(w(k) :+ c)
+      (sum(element_at(wc, (col("d") + 1).cast("int")) * col("dz"))
+        + element_at(wc, lit(NDims + 1)))
         .as(s"__m$k")
     }
     zy.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -172,34 +206,40 @@ object LangModel {
     val K = langs.size
     val w = Array.fill(K)(new Array[Long](NDims))
     val wavg = Array.fill(K)(new Array[Long](NDims))
-    for (_ <- 1 to Iters) {
+    for (it <- 1 to Iters) timed(s"round $it") {
       // all K margins in one pass, then the misclassified (doc, class)
       // rows: y_k = +1 iff the doc's declared lang is class k
       val kStructs = array(langs.indices.map(k =>
         struct(lit(k.toLong).as("k"),
           when(col("lang") === langs(k), 1L).otherwise(-1L).as("y"),
           col(s"__m$k").as("m"))): _*)
-      val mis = graft.core.Materialize.checkpoint(
-        marginsOf(zy, w, z0).join(labels, "doc_id")
-          .select(col("doc_id"), explode(kStructs).as("e"))
-          .filter(col("e.y") * col("e.m") <= 0L)
-          .select(col("doc_id").as("__mid"), col("e.k").as("__k"),
-            col("e.y").as("__my")))
-      // per-class scalars (dense update part) + the sparse part from
-      // ONE join, grouped on (class, dim) — ≤ K·NDims rows collected
-      val scal = mis.groupBy(col("__k"))
-        .agg(count(lit(1)).as("n"), sum(col("__my")).as("sy")).collect()
+      val mis = marginsOf(zy, w, z0).join(labels, "doc_id")
+        .select(col("doc_id"), explode(kStructs).as("e"))
+        .filter(col("e.y") * col("e.m") <= 0L)
+        .select(col("doc_id").as("__mid"), col("e.k").as("__k"),
+          col("e.y").as("__my"))
+      // ONE (class, dim)-keyed aggregate + collect per round (was: mis
+      // checkpoint + per-class scalar collect + per-dim collect = 3
+      // jobs): the per-(k, d) rows carry the sparse update Σ_mis y·dz,
+      // and the always-present gram-count stat dim doubles as the
+      // per-(doc, class) marker — its row count is n_mis(k) and its Σy
+      // is the dense update's per-class scalar. ≤ K·NDims rows collected.
+      val upd = timed("  upd")(
+        zy.join(mis, col("doc_id") === col("__mid"))
+        .groupBy(col("__k"), col("d"))
+        .agg(sum(col("__my") * col("dz")).as("dw"),
+          count(lit(1)).as("cnt"), sum(col("__my")).as("sym")).collect())
       val nMis = new Array[Long](K)
       val sy = new Array[Long](K)
-      scal.foreach { r =>
-        val k = r.getLong(0).toInt; nMis(k) = r.getLong(1); sy(k) = r.getLong(2)
+      upd.foreach { r =>
+        if (r.getLong(1) == CountDim.toLong) {
+          val k = r.getLong(0).toInt
+          nMis(k) = r.getLong(3); sy(k) = r.getLong(4)
+        }
       }
       if (nMis.exists(_ > 0)) {
-        val sparse = zy.join(mis, col("doc_id") === col("__mid"))
-          .groupBy(col("__k"), col("d"))
-          .agg(sum(col("__my") * col("dz")).as("dw")).collect()
         val delta = Array.tabulate(K, NDims)((k, d) => z0(d) * sy(k))
-        sparse.foreach(r =>
+        upd.foreach(r =>
           delta(r.getLong(0).toInt)(r.getLong(1).toInt) += r.getLong(2))
         for (k <- 0 until K if nMis(k) > 0; d <- 0 until NDims)
           w(k)(d) += tdiv(delta(k)(d), nMis(k))
@@ -223,9 +263,17 @@ object LangModel {
     */
   def fit(df: DataFrame, idCol: String, textCol: String,
       langCol: String): Fitted = {
-    val (labels, langs) = labelsOf(df, idCol, langCol)
-    val (zy, z0, mu, mad) = standardized(df, idCol, textCol)
-    Fitted(langs, trainAveraged(zy, labels, langs, z0), z0, mu, mad)
+    // materialize the (id, text, lang) projection ONCE: the training
+    // corpus may be an expensive derivation (the decoded charset
+    // archive), and the fit reads it from labelsOf, the feature pass,
+    // and every round's label join — without the cut each of those
+    // re-ran the full decode chain (optimization round)
+    val corpus = graft.core.Materialize.checkpoint(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        col(langCol).as("lang")))
+    val (labels, langs) = timed("labelsOf")(labelsOf(corpus, "doc_id", "lang"))
+    val (zy, z0, mu, mad) = timed("standardized")(standardized(corpus, "doc_id", "text"))
+    Fitted(langs, timed("trainAveraged")(trainAveraged(zy, labels, langs, z0)), z0, mu, mad)
   }
 
   /** The fitted model as its q_langid_train rows — one per (class,
@@ -245,9 +293,15 @@ object LangModel {
     */
   def scoreWith(df: DataFrame, idCol: String, textCol: String,
       langCol: String, m: Fitted): DataFrame = {
-    val labels = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+    // one materialization of the scored corpus: features and labels both
+    // read it (the fit-side cut's serve twin — the margin aggregate and
+    // the label join would otherwise each re-run the input derivation)
+    val corpus = graft.core.Materialize.checkpoint(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        col(langCol).as("lang")))
+    val labels = corpus.select(col("doc_id"), col("lang"))
     val zy = standardizeCols(
-      rawFeatures(df, idCol, textCol), m.mu, m.mad, m.z0)
+      rawFeatures(corpus, "doc_id", "text"), m.mu, m.mad, m.z0)
     val mg = marginsOf(zy, m.w, m.z0)
     val best = m.langs.indices.map(k => col(s"__m$k")).reduce(greatest(_, _))
     val pred = m.langs.indices.reverse.foldLeft(lit(m.langs.last)) {

@@ -44,10 +44,12 @@ import org.apache.spark.sql.functions._
   *    with C = Σ_d w_d·z0_d + bias folded in (driver-computed from the
   *    70-long model), and the dense part of the update collapses to
   *    z0_d · Σ_mis y — one scalar aggregate;
-  *  - each round = one per-doc aggregate (no new exchange — the table
-  *    is already partitioned on doc_id), one co-partitioned join
-  *    against the misclassified set, one ≤[[NDims]]-key aggregate with
-  *    map-side combine, and two driver collects of model-sized rows;
+  *  - each round = ONE job: the per-doc margin aggregate (no new
+  *    exchange — the table is already partitioned on doc_id), a
+  *    co-partitioned join against the misclassified set, and one
+  *    ≤[[NDims]]-key aggregate with map-side combine, collected once
+  *    (the always-present word-count stat dim doubles as the per-doc
+  *    marker, so n_mis and Σy ride the same collect);
   *  - rounds are FIXED ([[Iters]]), corpus-size-independent, so the
   *    whole train is O(iters · corpus) like the BPE vocab loop.
   *
@@ -57,6 +59,17 @@ import org.apache.spark.sql.functions._
   * weight vector.
   */
 object QualityModel {
+
+  // TEMP instrumentation (perf round): stage timings to stderr when
+  // GRAFT_TIMING=1. Removed before round close.
+  private def timed[T](label: String)(f: => T): T =
+    if (!sys.env.get("GRAFT_TIMING").contains("1")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"TIMING QM $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
   /** Word-hash dimensions; stats occupy [[BowDims]]..[[BowDims]]+4,
     * bias is dimension [[NDims]]−1.
@@ -85,26 +98,36 @@ object QualityModel {
     val w = TextOps.words(t)
     val nW = size(w).cast("long")
     val nC = length(t).cast("long")
+    // the teacher label is a pure per-row expression (TextOps.qualityKeep
+    // = the same five integer rules qualityFilter plans), so it rides the
+    // SAME map pass as the features — the previous formulation re-derived
+    // it through qualityFilter + an equi-join, one whole extra scan of
+    // the corpus plus a shuffle per fit/score (optimization round)
+    val y = when(TextOps.qualityKeep(t), 1L).otherwise(-1L)
+    // word_hashes = charHash per word in one codegen pass (the same
+    // values the HOF aggregate computed interpreted, Dedup's discipline)
     val bow = df
-      .select(col(idCol).as("doc_id"), explode(w).as("tok"),
-        nW.as("__n"))
-      .groupBy(col("doc_id"), (TextOps.charHash(col("tok")) % BowDims).as("d"),
-        col("__n"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.WordHashes.word_hashes(t)).as("h"),
+        nW.as("__n"), y.as("y"))
+      .groupBy(col("doc_id"), (col("h") % BowDims).as("d"),
+        col("__n"), col("y"))
       .agg(count(lit(1)).as("c"))
       // integer `div`, never `/`: the cross-engine weight hash rests on
       // exact truncating arithmetic throughout (review finding — the
       // double-division-then-cast form was the one inconsistent site;
       // exact for today's magnitudes, but a silent precision cliff at
       // the scale this module documents)
-      .select(col("doc_id"), col("d"), expr("c * 1000000L div __n").as("x"))
+      .select(col("doc_id"), col("d"), expr("c * 1000000L div __n").as("x"),
+        col("y"))
     val allStops = TextOps.StopWords.values.flatten.toSeq.distinct
-    val nStops = size(filter(w, x => x.isin(allStops: _*))).cast("long")
+    val nStops = graft.functions.CountInSet.count_in_set(w, allStops)
     val nDistinct = size(array_distinct(w)).cast("long")
     val nDigits = nC - length(regexp_replace(t, "[0-9]", "")).cast("long")
     val swc = nC - nW + lit(1L)
     val stats = df.select(col(idCol).as("doc_id"), nW.as("__nw"), nC.as("__nc"),
         nDistinct.as("__ndis"), nStops.as("__nst"), nDigits.as("__ndig"),
-        swc.as("__swc"))
+        swc.as("__swc"), y.as("y"))
       .select(col("doc_id"),
         map(
           lit(BowDims.toLong), least(col("__nw"), lit(1000L)) * 1000L,
@@ -112,14 +135,10 @@ object QualityModel {
           lit(BowDims + 2L), expr("__ndis * 1000000L div __nw"),
           lit(BowDims + 3L), expr("__nst * 1000000L div __nw"),
           lit(BowDims + 4L), expr("__ndig * 1000000L div greatest(__nc, 1L)")
-        ).as("m"))
-      .select(col("doc_id"), explode(col("m")).as(Seq("d", "x0")))
-      .select(col("doc_id"), col("d"), col("x0").cast("long").as("x"))
-    val lab = TextOps.qualityFilter(df, idCol, textCol)
-      .select(col(idCol).as("__lid"),
-        when(col("keep"), 1L).otherwise(-1L).as("y"))
+        ).as("m"), col("y"))
+      .select(col("doc_id"), explode(col("m")).as(Seq("d", "x0")), col("y"))
+      .select(col("doc_id"), col("d"), col("x0").cast("long").as("x"), col("y"))
     bow.unionByName(stats)
-      .join(lab, col("doc_id") === col("__lid"))
       .select(col("doc_id"), col("d"), col("x"), col("y"))
   }
 
@@ -130,29 +149,42 @@ object QualityModel {
   final case class Fitted(w: Array[Long], z0: Array[Long],
                           mu: Array[Long], mad: Array[Long])
 
-  /** Standardize the sparse feature table: returns the checkpointed
-    * (doc_id, d, y, z, dz) table, the per-dim absent-entry constants
-    * z0, and the per-dim standardization stats.
+  /** Standardize the sparse feature table: returns the (doc_id, d, y,
+    * z, dz) table — a pure projection over the ONE checkpointed raw
+    * table, which stays partitioned on doc_id — plus the per-dim
+    * absent-entry constants z0 and the standardization stats.
+    *
+    * Optimization-round shape changes (same values): nDocs comes from
+    * the `sums` collect (the always-present word-count stat dim has
+    * exactly one row per doc) instead of a separate full rescan of the
+    * base corpus; and zy is no longer re-checkpointed + re-shuffled —
+    * standardizeCols is integer arithmetic over the checkpointed raw,
+    * cheaper to recompute per round than to materialize again.
     */
   private def standardized(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, Array[Long], Array[Long], Array[Long]) = {
-    val raw = graft.core.Materialize.checkpoint(
-      rawFeatures(df, idCol, textCol).repartition(col("doc_id")))
-    val nDocs = df.count()
+    val raw = timed("raw ckpt")(graft.core.Materialize.checkpoint(
+      rawFeatures(df, idCol, textCol).repartition(col("doc_id"))))
     // pass 1: per-dim sum + count → mu (x ≥ 0 always, so sums are too)
-    val sums = raw.groupBy(col("d"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect()
+    val sums = timed("sums")(raw.groupBy(col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect())
     val mu = new Array[Long](NDims)
     val cnt = new Array[Long](NDims)
+    val sx = new Array[Long](NDims)
     sums.foreach { r =>
       val d = r.getLong(0).toInt
-      mu(d) = tdiv(r.getLong(1), nDocs); cnt(d) = r.getLong(2)
+      sx(d) = r.getLong(1); cnt(d) = r.getLong(2)
     }
+    // every doc owns exactly one word-count stat row (dim BowDims), so
+    // its count IS the corpus size — no second scan of the base corpus
+    val nDocs = cnt(BowDims)
+    require(nDocs > 0, "QualityModel.fit on an empty corpus")
+    (0 until NDims).foreach(d => mu(d) = tdiv(sx(d), nDocs))
     // pass 2: per-dim mean absolute deviation (absent entries are |mu|)
     val muArr = array(mu.toSeq.map(lit): _*)
-    val devs = raw.groupBy(col("d"))
+    val devs = timed("devs")(raw.groupBy(col("d"))
       .agg(sum(abs(col("x") - element_at(muArr, (col("d") + 1).cast("int"))))
-        .as("sdev")).collect()
+        .as("sdev")).collect())
     val mad = new Array[Long](NDims)
     devs.foreach { r =>
       val d = r.getLong(0).toInt
@@ -161,9 +193,7 @@ object QualityModel {
     val z0 = Array.tabulate(NDims) { d =>
       if (d == Bias) BiasZ else tdiv((0L - mu(d)) * 1000L, mad(d) + 1L)
     }
-    (graft.core.Materialize.checkpoint(
-      standardizeCols(raw, mu, mad, z0).repartition(col("doc_id"))),
-      z0, mu, mad)
+    (standardizeCols(raw, mu, mad, z0), z0, mu, mad)
   }
 
   /** The ONE standardization projection (raw (doc_id, d, x, y) →
@@ -173,9 +203,14 @@ object QualityModel {
     */
   private def standardizeCols(raw: DataFrame, mu: Array[Long],
       mad: Array[Long], z0: Array[Long]): DataFrame = {
-    val muArr = array(mu.toSeq.map(lit): _*)
-    val madArr = array(mad.toSeq.map(lit): _*)
-    val z0Arr = array(z0.toSeq.map(lit): _*)
+    // lit(Array[Long]), never array(lit, lit, …): an ArrayType literal
+    // rides the generated code as a REFERENCE object, so the generated
+    // source is identical across rounds/fits and the whole-stage-codegen
+    // (Janino) cache hits; 70 inlined long literals made every round of
+    // every fit recompile its stages (optimization round)
+    val muArr = lit(mu)
+    val madArr = lit(mad)
+    val z0Arr = lit(z0)
     raw.select(col("doc_id"), col("d"), col("y"),
       ((col("x") - element_at(muArr, (col("d") + 1).cast("int"))) * 1000L)
         .cast("long").as("__num"),
@@ -192,11 +227,15 @@ object QualityModel {
     */
   private def scoredOutput(zy: DataFrame, w: Array[Long],
       z0: Array[Long]): DataFrame = {
-    val wArr = array(w.toSeq.map(lit): _*)
+    // weights AND the folded dense constant in ONE array-literal
+    // reference (slot NDims+1 = C): a bare lit(c) would inline a
+    // round-varying long into the generated source and force a Janino
+    // recompile per model (see standardizeCols note)
     val c = (0 until NDims).map(d => w(d) * z0(d)).sum
+    val wc = lit(w :+ c)
     zy.groupBy(col("doc_id"), col("y"))
-      .agg((sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz"))
-        + lit(c)).as("score"))
+      .agg((sum(element_at(wc, (col("d") + 1).cast("int")) * col("dz"))
+        + element_at(wc, lit(NDims + 1))).as("score"))
       .select(col("doc_id"), col("y"), col("score"),
         (col("score") > 0L).as("pred"),
         ((col("score") > 0L) === (col("y") > 0L)).as("agree"))
@@ -225,32 +264,37 @@ object QualityModel {
   private def trainAveraged(zy: DataFrame, z0: Array[Long]): Array[Long] = {
     val w = new Array[Long](NDims)
     val wavg = new Array[Long](NDims)
-    for (_ <- 1 to Iters) {
+    for (it <- 1 to Iters) timed(s"round $it") {
       // margin = C + Σ_present w_d·dz_d, with the dense part folded
-      // into the constant C (absent entries all sit at z0)
+      // into the constant C (absent entries all sit at z0); w and C
+      // enter as ONE array-literal reference so every round reuses the
+      // same generated code (see standardizeCols note)
       val c = (0 until NDims).map(d => w(d) * z0(d)).sum
-      val wArr = array(w.toSeq.map(lit): _*)
+      val wc = lit(w :+ c)
       val margins = zy.groupBy(col("doc_id"), col("y"))
-        .agg((sum(element_at(wArr, (col("d") + 1).cast("int")) * col("dz"))
-          + lit(c)).as("margin"))
-      // checkpoint the (small) misclassified set: the scalar aggregate
-      // below and the per-dim join both read it, and without the cut
-      // each would recompute the full margin aggregate
-      val mis = graft.core.Materialize.checkpoint(
-        margins.filter(col("y") * col("margin") <= 0L)
-          .select(col("doc_id").as("__mid"), col("y").as("__my")))
-      // dense part of the update: z0_d · Σ_mis y (one scalar); sparse
-      // part: Σ_mis y·dz per present dim
-      val scal = mis.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("__my")), lit(0L)).as("sy")).collect()(0)
-      val nMis = scal.getLong(0)
-      val sy = scal.getLong(1)
+        .agg((sum(element_at(wc, (col("d") + 1).cast("int")) * col("dz"))
+          + element_at(wc, lit(NDims + 1))).as("margin"))
+      val mis = margins.filter(col("y") * col("margin") <= 0L)
+        .select(col("doc_id").as("__mid"))
+      // ONE aggregate + collect per round (was: mis checkpoint + scalar
+      // collect + per-dim collect = 3 jobs): the per-dim rows carry the
+      // sparse update Σ_mis y·dz, and the always-present word-count stat
+      // dim doubles as the per-doc marker — its row count is n_mis and
+      // its Σy is the dense update's scalar. zy is a projection over the
+      // checkpointed raw table, so the margin subtree's rescan is cheap.
+      val upd = timed(" upd")(zy.join(mis, col("doc_id") === col("__mid"))
+        .groupBy(col("d"))
+        .agg(sum(col("y") * col("dz")).as("dw"),
+          count(lit(1)).as("cnt"), sum(col("y")).as("sy")).collect())
+      val nMis = upd.collectFirst {
+        case r if r.getLong(0) == BowDims.toLong => r.getLong(2)
+      }.getOrElse(0L)
       if (nMis > 0) {
-        val sparse = zy.join(mis, col("doc_id") === col("__mid"))
-          .groupBy(col("d"))
-          .agg(sum(col("y") * col("dz")).as("dw")).collect()
+        val sy = upd.collectFirst {
+          case r if r.getLong(0) == BowDims.toLong => r.getLong(3)
+        }.get
         val delta = Array.tabulate(NDims)(d => z0(d) * sy)
-        sparse.foreach(r => delta(r.getLong(0).toInt) += r.getLong(1))
+        upd.foreach(r => delta(r.getLong(0).toInt) += r.getLong(1))
         (0 until NDims).foreach(d => w(d) += tdiv(delta(d), nMis))
       }
       (0 until NDims).foreach(d => wavg(d) += w(d))
@@ -317,11 +361,11 @@ object QualityModel {
     */
   def driftPpm(corpus: DataFrame, idCol: String, textCol: String,
       m: Fitted): Long = {
-    val n = corpus.count()
+    val n = timed("drift count")(corpus.count())
     if (n == 0) 0L
     else {
-      val dis = scoreWith(corpus, idCol, textCol, m)
-        .filter(!col("agree")).count()
+      val dis = timed("drift score")(scoreWith(corpus, idCol, textCol, m)
+        .filter(!col("agree")).count())
       dis * 1000000L / n
     }
   }
@@ -340,13 +384,13 @@ object QualityModel {
       idCol: String, textCol: String, thresholdPpm: Long): (Fitted, Option[String]) =
     Bucketing.liveVersion(base) match {
       case None =>
-        val m = fit(corpus, idCol, textCol)
-        (m, Some(Bucketing.writeVersion(s, base, modelDf(s, m), "seg")))
+        val m = timed("maintain fit v1")(fit(corpus, idCol, textCol))
+        (m, Some(timed("maintain publish")(Bucketing.writeVersion(s, base, modelDf(s, m), "seg"))))
       case Some((_, livePath)) =>
         val live = modelFromPath(s, livePath)
         if (driftPpm(corpus, idCol, textCol, live) >= thresholdPpm) {
-          val m = fit(corpus, idCol, textCol)
-          (m, Some(Bucketing.writeVersion(s, base, modelDf(s, m), "seg")))
+          val m = timed("maintain refit")(fit(corpus, idCol, textCol))
+          (m, Some(timed("maintain publish")(Bucketing.writeVersion(s, base, modelDf(s, m), "seg"))))
         } else (live, None)
     }
 

@@ -58,9 +58,11 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y"),
     "fr" -> Seq("le", "la", "les", "et"))
 
-  /** Count of words in the given stopword list. */
+  /** Count of words in the given stopword list (codegen'd set probe;
+    * ≡ size(filter(words, isin(stops))), PolyHashSpec-pinned).
+    */
   def stopCount(text: Column, stops: Seq[String]): Column =
-    size(filter(words(text), w => w.isin(stops: _*)))
+    graft.functions.CountInSet.count_in_set(words(text), stops)
 
   /** Predicted language: argmax stopword count, ties broken by
     * alphabetical language order, 'unknown' when every score is 0.
@@ -68,7 +70,7 @@ object TextOps {
   def langId(text: Column): Column = {
     val langs = StopWords.keys.toSeq.sorted
     val scores = langs.map(l => l -> stopCount(text, StopWords(l)))
-    val best = scores.foldLeft(lit(0)) { case (acc, (_, s)) => greatest(acc, s) }
+    val best = scores.foldLeft(lit(0L)) { case (acc, (_, s)) => greatest(acc, s) }
     scores.reverse.foldLeft(lit("unknown")) { case (els, (l, s)) =>
       when(s > 0 && s === best, lit(l)).otherwise(els)
     }
@@ -87,7 +89,10 @@ object TextOps {
       nWords.as("n_words"),
       size(tokens(text)).cast("long").as("n_tokens"),
       ((nChars - (nWords - 1)).cast("double") / nWords.cast("double")).as("mean_word_len"),
-      (size(filter(w, x => x.isin(allStops: _*))).cast("double") /
+      // count_in_set ≡ size(filter(w, isin(stops))) (PolyHashSpec-pinned),
+      // but codegen'd with an O(1) set probe instead of an interpreted
+      // lambda + linear In scan per word
+      (graft.functions.CountInSet.count_in_set(w, allStops).cast("double") /
         nWords.cast("double")).as("stop_ratio"))
   }
 
@@ -122,15 +127,22 @@ object TextOps {
     * (counts cross-multiplied by the ratio denominators), so engine
     * agreement is exact, never within-epsilon.
     */
-  def qualityFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The five rule flags of [[qualityFilter]] over a text COLUMN — the
+    * one definition of the rule battery, shared by the filter query and
+    * by [[QualityModel]]'s inline teacher label (which previously
+    * re-derived it through a join).
+    */
+  def qualityFlags(t: Column): Seq[Column] = {
     val w = words(t)
     val nW = size(w).cast("long")
     val nC = length(t).cast("long")
     val nDistinct = size(array_distinct(w)).cast("long")
+    // count_in_set ≡ size(filter(w, isin(stops))): same occurrence count,
+    // byte-exact comparison, but codegen'd (the HOF lambda is interpreted
+    // per word — this gate runs inside every corpus build)
     val nStops = {
       val allStops = StopWords.values.flatten.toSeq.distinct
-      size(filter(w, x => x.isin(allStops: _*))).cast("long")
+      graft.functions.CountInSet.count_in_set(w, allStops)
     }
     val nDigits = nC - length(regexp_replace(t, "[0-9]", "")).cast("long")
     // mean word length = (nC - (nW - 1)) / nW, bounds via cross-multiply
@@ -140,7 +152,14 @@ object TextOps {
     val okStop = nStops * 20L >= nW
     val okDistinct = nDistinct * 10L >= nW * 3L
     val okDigit = nDigits * 10L <= nC * 3L
-    val flags = Seq(okLen, okWordLen, okStop, okDistinct, okDigit)
+    Seq(okLen, okWordLen, okStop, okDistinct, okDigit)
+  }
+
+  /** The composite keep decision as a bare column (all five flags). */
+  def qualityKeep(t: Column): Column = qualityFlags(t).reduce(_ && _)
+
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val flags = qualityFlags(col(textCol))
     val reason = QualityRules.zip(flags).reverse
       .foldLeft(lit(null).cast("string")) { case (els, (name, ok)) =>
         when(!ok, lit(name)).otherwise(els)
@@ -405,7 +424,7 @@ object TextOps {
     val nC = length(t).cast("long")
     val nDistinct = size(array_distinct(toks)).cast("long")
     val allStops = StopWordsUnicode.values.flatten.toSeq.distinct
-    val nStops = size(filter(toks, x => x.isin(allStops: _*))).cast("long")
+    val nStops = graft.functions.CountInSet.count_in_set(toks, allStops)
     val nDigits = nC - length(regexp_replace(t, "[\\p{N}]", "")).cast("long")
     val sumTokChars =
       length(regexp_replace(t, s"[^\\p{L}\\p{M}\\p{N}]", "")).cast("long")
@@ -521,9 +540,9 @@ object TextOps {
     val langs = StopWordsUnicode.keys.toSeq.sorted
     val toks = tokensU(text)
     val scores = langs.map { l =>
-      l -> size(filter(toks, w => w.isin(StopWordsUnicode(l): _*)))
+      l -> graft.functions.CountInSet.count_in_set(toks, StopWordsUnicode(l))
     }
-    val best = scores.foldLeft(lit(0)) { case (acc, (_, s)) => greatest(acc, s) }
+    val best = scores.foldLeft(lit(0L)) { case (acc, (_, s)) => greatest(acc, s) }
     scores.reverse.foldLeft(lit("unknown")) { case (els, (l, s)) =>
       when(s > 0 && s === best, lit(l)).otherwise(els)
     }
@@ -870,7 +889,9 @@ object TextOps {
     * 1-row driver argmax (the merge decision — same driver-loop shape as
     * [[graft.operators.Graph.pageRank]]'s convergence check), and a
     * narrow per-row merge rewrite. Re-checkpointed per round so lineage
-    * stays O(1), not O(rounds).
+    * stays O(1), not O(rounds) — measured in the optimization round:
+    * the lazy-chain alternative recompiles codegen per round/consumer
+    * and ran ~1.5× slower on every bpeRun consumer.
     *
     * Merge application contract (pinned so the DuckDB oracle can mirror
     * it exactly): tokens live space-joined in `seq`; applying merge
@@ -933,6 +954,13 @@ object TextOps {
         val (l, rr, n) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, l, rr, n))
+        // KEEP the per-round checkpoint (optimization round probed the
+        // lazy-projection-chain alternative and it measured ~1.5× WORSE
+        // on every bpeRun consumer: the chain deepens the plan each
+        // round, forcing re-analysis + a fresh whole-stage-codegen
+        // compile per round and per consumer, while this same-shape
+        // ckpt → replace → ckpt loop compiles once and reuses — and the
+        // string literals ride as codegen references, not source)
         vocab = graft.core.Materialize.checkpoint(
           vocab.withColumn("seq", trim(call_function("replace",
             concat(lit(" "), col("seq"), lit(" ")),

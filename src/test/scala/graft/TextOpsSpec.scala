@@ -82,6 +82,49 @@ class TextOpsSpec extends SparkSpec {
     assert(wh == Seq(3784485L))
   }
 
+  test("code_points∘ngram_hashes ≡ charHash over substring grams (the LangModel feature path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // short (< n), exactly n, ASCII, multi-byte CJK/Cyrillic, an astral
+    // surrogate pair, and empty — the fused O(len) expression must be
+    // POSITIONALLY identical to the O(len²) HOF substring formulation
+    // it replaced (oracles compute the HOF form in SQL)
+    val texts = Seq("", "ab", "abc", "hello world", "русский текст",
+      "日本語のテキストです", "a𝄞b𝄞c", "mixé 混合 text")
+    val n = LangModel.GramN
+    texts.foreach { s =>
+      val hof = Seq(s).toDF("t").select(
+        when(length(col("t")) >= n,
+          transform(sequence(lit(0), length(col("t")) - lit(n)),
+            i => TextOps.charHash(col("t").substr(i + lit(1), lit(n)))))
+          .otherwise(array().cast("array<bigint>")).as("g"))
+        .head().getSeq[Long](0)
+      val fused = Seq(s).toDF("t").select(
+        graft.functions.NgramHashes.ngram_hashes(
+          graft.functions.CodePoints.code_points(col("t")), n).as("g"))
+        .head().getSeq[Long](0)
+      assert(fused == hof, s"gram hashes diverge on '$s': $fused vs $hof")
+    }
+  }
+
+  test("count_in_set ≡ size(filter(isin)) on the stopword gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stops = TextOps.StopWords.values.flatten.toSeq.distinct
+    val texts = Seq("", "the the the", "der hund und die katze",
+      "no stop words here at all", "el la los y the a is and",
+      "Der die DAS", "the")
+    texts.foreach { s =>
+      val hof = Seq(s).toDF("t").select(
+        size(filter(TextOps.words(col("t")), x => x.isin(stops: _*)))
+          .cast("long").as("c")).head().getLong(0)
+      val fused = Seq(s).toDF("t").select(
+        graft.functions.CountInSet.count_in_set(TextOps.words(col("t")), stops)
+          .as("c")).head().getLong(0)
+      assert(fused == hof, s"stop count diverges on '$s': $fused vs $hof")
+    }
+  }
+
   test("KMV sketch: exact below k, ~1/sqrt(k) accurate above") {
     import spark.implicits._
     // 40 distinct words < K=256 → exact
