@@ -53,6 +53,25 @@ object StreamExec {
   private val RocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** RocksDB is REQUIRED by `transformWithState` and nothing else in
+    * this library's streaming surface. The other stateful shapes
+    * (stream-stream joins, watermarked aggregations/dedup) run on the
+    * default HDFS-backed provider, whose per-batch commit for the
+    * near-empty per-partition stores these proof queries carry is one
+    * tiny delta file per store — where RocksDB pays a flush + changelog
+    * + maintenance round per store instance per batch (a stream-stream
+    * join commits FOUR stores per partition). Measured in the
+    * optimization round (interleaved A/B, min-of-reps): the provider
+    * choice is per-QUERY, detected from the logical plan, so the TWS
+    * pipes keep RocksDB and everything else stops paying for it. At
+    * production state sizes the trade flips — large state wants RocksDB
+    * — which is why this stays a per-plan decision, not a global conf.
+    */
+  private def needsRocks(out: DataFrame): Boolean =
+    out.queryExecution.logical.collectFirst {
+      case p if p.nodeName.contains("TransformWithState") => p
+    }.isDefined
+
   /** State-partition count for the proof queries, fixed at query start
     * from the session conf: every micro-batch commits one store (four for
     * a stream-stream join) PER PARTITION, so at fixture state sizes the
@@ -96,19 +115,24 @@ object StreamExec {
       mk: SQLContext => (DataFrame,
         org.apache.spark.sql.streaming.StreamingQuery => Unit)): DataFrame = {
     lastSinkTable.foreach(spark.catalog.dropTempView)
-    withConfs(spark, RocksKey -> RocksProvider,
-                     ShuffleKey -> StreamShufflePartitions) {
+    withConfs(spark, ShuffleKey -> StreamShufflePartitions) {
       val (out, feed) = mk(spark.sqlContext)
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val query = out.writeStream
-        .format("memory").queryName(name).outputMode(mode)
-        .start()
-      lastSinkTable = Some(name)
-      try {
-        feed(query)
-        lastStreamingPlan = capturedExplain(query)
-      } finally query.stop()
-      spark.table(name)
+      // provider chosen from the PLAN (see needsRocks), set before
+      // start() — the query reads it once at start
+      val provider =
+        if (needsRocks(out)) Seq(RocksKey -> RocksProvider) else Nil
+      withConfs(spark, provider: _*) {
+        val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+        val query = out.writeStream
+          .format("memory").queryName(name).outputMode(mode)
+          .start()
+        lastSinkTable = Some(name)
+        try {
+          feed(query)
+          lastStreamingPlan = capturedExplain(query)
+        } finally query.stop()
+        spark.table(name)
+      }
     }
   }
 
@@ -345,8 +369,9 @@ object StreamExec {
   def runForeachBatch[T <: Product : TypeTag](
       spark: SparkSession, elems: Seq[T], quantum: Int = 4096)(
       body: (DataFrame, Long) => Unit): Unit =
-    withConfs(spark, RocksKey -> RocksProvider,
-                     ShuffleKey -> StreamShufflePartitions) {
+    // pass-through stream into a driver body: no state store exists, so
+    // no provider override (the body's batch jobs read session confs)
+    withConfs(spark, ShuffleKey -> StreamShufflePartitions) {
       implicit val sq: SQLContext = spark.sqlContext
       implicit val encT: Encoder[T] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
@@ -385,8 +410,9 @@ object StreamExec {
     */
   def runSourceForeachBatch(spark: SparkSession)(mkSource: => DataFrame)(
       body: (DataFrame, Long) => Unit): Unit =
-    withConfs(spark, RocksKey -> RocksProvider,
-                     ShuffleKey -> StreamShufflePartitions) {
+    // file-discovery stream into a driver body: stateless, no provider
+    // override needed (see runForeachBatch)
+    withConfs(spark, ShuffleKey -> StreamShufflePartitions) {
       val query = mkSource.writeStream
         .foreachBatch((df: Dataset[Row], id: Long) => body(df.toDF(), id))
         .start()
@@ -406,13 +432,16 @@ object StreamExec {
   def runStreamingToParquetSink[T <: Product : TypeTag](
       spark: SparkSession, elems: Seq[T],
       build: Dataset[T] => DataFrame, quantum: Int = 4096): DataFrame =
-    withConfs(spark, RocksKey -> RocksProvider,
-                     ShuffleKey -> StreamShufflePartitions) {
+    withConfs(spark, ShuffleKey -> StreamShufflePartitions) {
       implicit val sq: SQLContext = spark.sqlContext
       implicit val encT: Encoder[T] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
       val input = MemoryStream[T]
       val out = build(input.toDS())
+      // provider from the plan, set before start (see needsRocks)
+      val provider =
+        if (needsRocks(out)) Seq(RocksKey -> RocksProvider) else Nil
+      withConfs(spark, provider: _*) {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
         "graft_psink_")
@@ -433,6 +462,7 @@ object StreamExec {
         lastStreamingPlan = capturedExplain(query)
       } finally query.stop()
       spark.read.parquet(data.toString)
+      }
     }
 
   /** Best-effort recursive temp-dir cleanup at JVM exit (same pattern as
