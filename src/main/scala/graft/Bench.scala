@@ -149,23 +149,45 @@ object Bench {
     // machine-load spike shows up as (sweep: inflated, solo: at-record)
     // in the SAME artifact instead of costing a judge a fresh-JVM
     // re-litigation. A genuine regression shows both numbers inflated.
-    val adjudicated = results.toSeq.collect {
+    //
+    // The solo pass is WALL-CLOCK-BOUNDED: this host has hypervisor CPU
+    // steal bursts (cumulative steal ≈ 2.7x user time in /proc/stat)
+    // that can push a quarter of the suite over the 3x gate at once —
+    // the round-14 sweep adjudicated 82 queries and spent 339 s on
+    // solos, which is how a bench run blows a driver timeout. Candidates
+    // are re-run worst-absolute-offender first (sweep − record
+    // descending, i.e. the numbers that would most mislead a reader)
+    // until the budget is spent; the rest are recorded as
+    // "solo_skipped" so the artifact still names every flagged query.
+    val adjBudgetSec = sys.env.get("SPARK_GRAFT_ADJ_BUDGET")
+      .flatMap(_.toDoubleOption).getOrElse(90.0)
+    val candidates = results.toSeq.collect {
       case (name, (sec, None))
           if records.get(name).exists(r => needsSolo(sec, r)) =>
+        (name, sec, records(name))
+    }.sortBy { case (_, sec, rec) => rec - sec }
+    var adjSpent = 0.0
+    val adjudicated = candidates.map { case (name, sec, rec) =>
+      if (adjSpent >= adjBudgetSec) (name, sec, -1.0, None, rec, true)
+      else {
         // a FAILING solo re-run must not report its time-to-failure as
         // a fast "solo" number (that's the load-spike signature and
         // would steer the reader to the wrong verdict) — carry the error
         val (solo, soloErr) = runOnce(selected(name))
-        (name, sec, solo, soloErr, records(name))
+        adjSpent += solo
+        (name, sec, solo, soloErr, rec, false)
+      }
     }
     val qs = results.map {
       case (k, (_, Some(msg))) => s"\"" + k + "\":{\"err\":\"" + msg + "\"}"
       case (k, (sec, None))    => s"\"" + k + "\":" + sec
     }.mkString("{", ",", "}")
     val adj = adjudicated.map {
-      case (k, sweep, _, Some(msg), rec) =>
+      case (k, sweep, _, _, rec, true) =>
+        s"\"$k\":{\"sweep\":$sweep,\"solo_skipped\":true,\"record\":$rec}"
+      case (k, sweep, _, Some(msg), rec, _) =>
         s"\"$k\":{\"sweep\":$sweep,\"solo_err\":\"$msg\",\"record\":$rec}"
-      case (k, sweep, solo, None, rec) =>
+      case (k, sweep, solo, None, rec, _) =>
         s"\"$k\":{\"sweep\":$sweep,\"solo\":$solo,\"record\":$rec}"
     }.mkString("{", ",", "}")
     val total = results.values.collect { case (sec, None) => sec }.sum

@@ -122,18 +122,23 @@ case class CodePoints(child: Expression) extends UnaryExpression {
 object CodePoints {
   /** One pass; surrogate pairs stay one code point (the `split(s, "")`
     * + `ascii` contract [[WordHashes.hashWords]] already pins).
+    * Primitive long[] throughout (GenericArrayData takes it directly) —
+    * the ArrayBuffer[Any] form boxed every code point and re-copied on
+    * growth (advisor finding); codePointCount pre-sizes exactly.
     */
   def codePoints(s: UTF8String): ArrayData = {
     val str = s.toString
     val n = str.length
-    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    val out = new Array[Long](str.codePointCount(0, n))
     var i = 0
+    var k = 0
     while (i < n) {
       val cp = str.codePointAt(i)
-      out += cp.toLong
+      out(k) = cp.toLong
+      k += 1
       i += Character.charCount(cp)
     }
-    new GenericArrayData(out.toArray)
+    new GenericArrayData(out)
   }
 
   /** Column-API entry point (Spark 4 Column↔Expression bridge). */

@@ -151,10 +151,10 @@ object LangModel {
     */
   private def standardized(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, Array[Long], Array[Long], Array[Long]) = {
-    val raw = timed("  raw ckpt")(graft.core.Materialize.checkpoint(
-      rawFeatures(df, idCol, textCol).repartition(col("doc_id"))))
-    val sums = timed("  sums")(raw.groupBy(col("d"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect())
+    val raw = graft.core.Materialize.checkpoint(
+      rawFeatures(df, idCol, textCol).repartition(col("doc_id")))
+    val sums = raw.groupBy(col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect()
     val mu = new Array[Long](NDims)
     val cnt = new Array[Long](NDims)
     val sx = new Array[Long](NDims)
@@ -166,9 +166,9 @@ object LangModel {
     require(nDocs > 0, "LangModel.fit on an empty corpus")
     (0 until NDims).foreach(d => mu(d) = tdiv(sx(d), nDocs))
     val muArr = array(mu.toSeq.map(lit): _*)
-    val devs = timed("  devs")(raw.groupBy(col("d"))
+    val devs = raw.groupBy(col("d"))
       .agg(sum(abs(col("x") - element_at(muArr, (col("d") + 1).cast("int"))))
-        .as("sdev")).collect())
+        .as("sdev")).collect()
     val mad = new Array[Long](NDims)
     devs.foreach { r =>
       val d = r.getLong(0).toInt
@@ -206,7 +206,7 @@ object LangModel {
     val K = langs.size
     val w = Array.fill(K)(new Array[Long](NDims))
     val wavg = Array.fill(K)(new Array[Long](NDims))
-    for (it <- 1 to Iters) timed(s"round $it") {
+    for (it <- 1 to Iters) {
       // all K margins in one pass, then the misclassified (doc, class)
       // rows: y_k = +1 iff the doc's declared lang is class k
       val kStructs = array(langs.indices.map(k =>
@@ -224,11 +224,11 @@ object LangModel {
       // and the always-present gram-count stat dim doubles as the
       // per-(doc, class) marker — its row count is n_mis(k) and its Σy
       // is the dense update's per-class scalar. ≤ K·NDims rows collected.
-      val upd = timed("  upd")(
+      val upd = 
         zy.join(mis, col("doc_id") === col("__mid"))
         .groupBy(col("__k"), col("d"))
         .agg(sum(col("__my") * col("dz")).as("dw"),
-          count(lit(1)).as("cnt"), sum(col("__my")).as("sym")).collect())
+          count(lit(1)).as("cnt"), sum(col("__my")).as("sym")).collect()
       val nMis = new Array[Long](K)
       val sy = new Array[Long](K)
       upd.foreach { r =>
@@ -271,9 +271,9 @@ object LangModel {
     val corpus = graft.core.Materialize.checkpoint(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
         col(langCol).as("lang")))
-    val (labels, langs) = timed("labelsOf")(labelsOf(corpus, "doc_id", "lang"))
-    val (zy, z0, mu, mad) = timed("standardized")(standardized(corpus, "doc_id", "text"))
-    Fitted(langs, timed("trainAveraged")(trainAveraged(zy, labels, langs, z0)), z0, mu, mad)
+    val (labels, langs) = labelsOf(corpus, "doc_id", "lang")
+    val (zy, z0, mu, mad) = standardized(corpus, "doc_id", "text")
+    Fitted(langs, trainAveraged(zy, labels, langs, z0), z0, mu, mad)
   }
 
   /** The fitted model as its q_langid_train rows — one per (class,
@@ -295,7 +295,14 @@ object LangModel {
       langCol: String, m: Fitted): DataFrame = {
     // one materialization of the scored corpus: features and labels both
     // read it (the fit-side cut's serve twin — the margin aggregate and
-    // the label join would otherwise each re-run the input derivation)
+    // the label join would otherwise each re-run the input derivation).
+    // Advisor note (kept deliberately): every harness caller feeds the
+    // DECODED CHARSET ARCHIVE (gunzip → WARC framing → charset sniff →
+    // decode per record) — a known-expensive derivation that would
+    // otherwise run twice; a caller with a cheap pre-materialized input
+    // pays one redundant localCheckpoint of rows it already holds, the
+    // smaller cost of the two. Checkpointing the narrow feature table
+    // instead would leave the LABEL join re-running the decode chain.
     val corpus = graft.core.Materialize.checkpoint(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
         col(langCol).as("lang")))

@@ -60,17 +60,6 @@ import org.apache.spark.sql.functions._
   */
 object QualityModel {
 
-  // TEMP instrumentation (perf round): stage timings to stderr when
-  // GRAFT_TIMING=1. Removed before round close.
-  private def timed[T](label: String)(f: => T): T =
-    if (!sys.env.get("GRAFT_TIMING").contains("1")) f
-    else {
-      val t0 = System.nanoTime()
-      val r = f
-      System.err.println(f"TIMING QM $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-
   /** Word-hash dimensions; stats occupy [[BowDims]]..[[BowDims]]+4,
     * bias is dimension [[NDims]]−1.
     */
@@ -163,11 +152,11 @@ object QualityModel {
     */
   private def standardized(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, Array[Long], Array[Long], Array[Long]) = {
-    val raw = timed("raw ckpt")(graft.core.Materialize.checkpoint(
-      rawFeatures(df, idCol, textCol).repartition(col("doc_id"))))
+    val raw = graft.core.Materialize.checkpoint(
+      rawFeatures(df, idCol, textCol).repartition(col("doc_id")))
     // pass 1: per-dim sum + count → mu (x ≥ 0 always, so sums are too)
-    val sums = timed("sums")(raw.groupBy(col("d"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect())
+    val sums = raw.groupBy(col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect()
     val mu = new Array[Long](NDims)
     val cnt = new Array[Long](NDims)
     val sx = new Array[Long](NDims)
@@ -182,9 +171,9 @@ object QualityModel {
     (0 until NDims).foreach(d => mu(d) = tdiv(sx(d), nDocs))
     // pass 2: per-dim mean absolute deviation (absent entries are |mu|)
     val muArr = array(mu.toSeq.map(lit): _*)
-    val devs = timed("devs")(raw.groupBy(col("d"))
+    val devs = raw.groupBy(col("d"))
       .agg(sum(abs(col("x") - element_at(muArr, (col("d") + 1).cast("int"))))
-        .as("sdev")).collect())
+        .as("sdev")).collect()
     val mad = new Array[Long](NDims)
     devs.foreach { r =>
       val d = r.getLong(0).toInt
@@ -264,7 +253,7 @@ object QualityModel {
   private def trainAveraged(zy: DataFrame, z0: Array[Long]): Array[Long] = {
     val w = new Array[Long](NDims)
     val wavg = new Array[Long](NDims)
-    for (it <- 1 to Iters) timed(s"round $it") {
+    for (it <- 1 to Iters) {
       // margin = C + Σ_present w_d·dz_d, with the dense part folded
       // into the constant C (absent entries all sit at z0); w and C
       // enter as ONE array-literal reference so every round reuses the
@@ -282,10 +271,10 @@ object QualityModel {
       // dim doubles as the per-doc marker — its row count is n_mis and
       // its Σy is the dense update's scalar. zy is a projection over the
       // checkpointed raw table, so the margin subtree's rescan is cheap.
-      val upd = timed(" upd")(zy.join(mis, col("doc_id") === col("__mid"))
+      val upd = zy.join(mis, col("doc_id") === col("__mid"))
         .groupBy(col("d"))
         .agg(sum(col("y") * col("dz")).as("dw"),
-          count(lit(1)).as("cnt"), sum(col("y")).as("sy")).collect())
+          count(lit(1)).as("cnt"), sum(col("y")).as("sy")).collect()
       val nMis = upd.collectFirst {
         case r if r.getLong(0) == BowDims.toLong => r.getLong(2)
       }.getOrElse(0L)
@@ -361,13 +350,14 @@ object QualityModel {
     */
   def driftPpm(corpus: DataFrame, idCol: String, textCol: String,
       m: Fitted): Long = {
-    val n = timed("drift count")(corpus.count())
-    if (n == 0) 0L
-    else {
-      val dis = timed("drift score")(scoreWith(corpus, idCol, textCol, m)
-        .filter(!col("agree")).count())
-      dis * 1000000L / n
-    }
+    // ONE job: the scored output has exactly one row per doc, so its
+    // row count IS the corpus size — the separate corpus.count() was a
+    // second full scan of the seen corpus per maintenance batch
+    // (optimization round; same two numbers, same ppm)
+    val r = scoreWith(corpus, idCol, textCol, m)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("agree"), 0L).otherwise(1L)).as("dis")).head()
+    if (r.getLong(0) == 0L) 0L else r.getLong(1) * 1000000L / r.getLong(0)
   }
 
   /** Drift-gated model maintenance over a versioned layout at `base`:
@@ -381,18 +371,26 @@ object QualityModel {
     * own training residual, below any sane threshold.
     */
   def maintainModel(s: SparkSession, base: String, corpus: DataFrame,
-      idCol: String, textCol: String, thresholdPpm: Long): (Fitted, Option[String]) =
+      idCol: String, textCol: String, thresholdPpm: Long): (Fitted, Option[String]) = {
+    // Contract: `corpus` must be non-empty on the FIRST-publish path —
+    // fit() fails loud on an empty corpus (advisor finding: the old code
+    // silently published a zero model, which a pinned serving replica
+    // would then score with forever). A caller whose first micro-batch
+    // can be empty must skip the maintain call for that batch; once a
+    // live version exists, an empty corpus is a no-op hold (driftPpm
+    // returns 0 below any sane threshold).
     Bucketing.liveVersion(base) match {
       case None =>
-        val m = timed("maintain fit v1")(fit(corpus, idCol, textCol))
-        (m, Some(timed("maintain publish")(Bucketing.writeVersion(s, base, modelDf(s, m), "seg"))))
+        val m = fit(corpus, idCol, textCol)
+        (m, Some(Bucketing.writeVersion(s, base, modelDf(s, m), "seg")))
       case Some((_, livePath)) =>
         val live = modelFromPath(s, livePath)
         if (driftPpm(corpus, idCol, textCol, live) >= thresholdPpm) {
-          val m = timed("maintain refit")(fit(corpus, idCol, textCol))
-          (m, Some(timed("maintain publish")(Bucketing.writeVersion(s, base, modelDf(s, m), "seg"))))
+          val m = fit(corpus, idCol, textCol)
+          (m, Some(Bucketing.writeVersion(s, base, modelDf(s, m), "seg")))
         } else (live, None)
     }
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB mirrors — the same recurrence unrolled; the oracle DENSIFIES

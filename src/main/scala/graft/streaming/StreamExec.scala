@@ -66,11 +66,21 @@ object StreamExec {
     * pipes keep RocksDB and everything else stops paying for it. At
     * production state sizes the trade flips — large state wants RocksDB
     * — which is why this stays a per-plan decision, not a global conf.
+    * `graft.streaming.forceRocksDB=true` (session conf) is the explicit
+    * large-state escape hatch: it forces RocksDB for every stateful
+    * query regardless of plan shape.
     */
+  private val ForceRocksKey = "graft.streaming.forceRocksDB"
+
   private def needsRocks(out: DataFrame): Boolean =
-    out.queryExecution.logical.collectFirst {
-      case p if p.nodeName.contains("TransformWithState") => p
-    }.isDefined
+    // the logical CLASS, not nodeName text (advisor finding: a node
+    // rename would silently flip providers); TransformWithStateInPySpark
+    // is the Python twin — this library never plans it, but matching the
+    // class hierarchy keeps the check rename-proof for the node we use
+    out.sparkSession.conf.get(ForceRocksKey, "false") == "true" ||
+      out.queryExecution.logical.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.TransformWithState => p
+      }.isDefined
 
   /** State-partition count for the proof queries, fixed at query start
     * from the session conf: every micro-batch commits one store (four for
