@@ -97,8 +97,24 @@ object Bench {
     // live persistent RDD (cached plans + checkpoints) blocking FIRST,
     // then clearCache() to reset the cacheManager bookkeeping (its own
     // unpersist is then a no-op on already-released RDDs).
+    // Cumulative hypervisor-steal ticks (USER_HZ = 10 ms) summed over
+    // all CPUs, from /proc/stat's cpu line (field 8 after the label).
+    // This host's ambient noise is CPU steal — bursts of 2-12 % of
+    // machine capacity for minutes at a time (measured this round;
+    // cumulative steal ≈ 2.7x cumulative user time) — so the artifact
+    // records how much steal each measurement absorbed: a query whose
+    // window carried heavy steal is inflated by the HOST, not the code.
+    // -1 when /proc/stat is unreadable (non-Linux dev boxes).
+    def stealTicks(): Long = try {
+      scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+    val stealRun0 = stealTicks()
+
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+        : (Double, Option[String], Double) = {
+      val st0 = stealTicks()
       val t0 = System.nanoTime()
       // a failing query must be VISIBLE in the JSON, not recorded as a
       // fast normal timing — emit {"err": "..."} for it instead
@@ -120,10 +136,11 @@ object Bench {
             .take(120))
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val st1 = stealTicks()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
-      (sec, err)
+      (sec, err, if (st0 < 0 || st1 < 0) -1.0 else (st1 - st0) / 100.0)
     }
     // Committed per-query records — read from the ROUND RECORD file
     // (bench_record.json, refreshed only at round close from an idle
@@ -162,37 +179,48 @@ object Bench {
     val adjBudgetSec = sys.env.get("SPARK_GRAFT_ADJ_BUDGET")
       .flatMap(_.toDoubleOption).getOrElse(90.0)
     val candidates = results.toSeq.collect {
-      case (name, (sec, None))
+      case (name, (sec, None, stl))
           if records.get(name).exists(r => needsSolo(sec, r)) =>
-        (name, sec, records(name))
-    }.sortBy { case (_, sec, rec) => rec - sec }
+        (name, sec, stl, records(name))
+    }.sortBy { case (_, sec, _, rec) => rec - sec }
     var adjSpent = 0.0
-    val adjudicated = candidates.map { case (name, sec, rec) =>
-      if (adjSpent >= adjBudgetSec) (name, sec, -1.0, None, rec, true)
+    // each adjudicated entry carries the machine-steal seconds its sweep
+    // and solo windows absorbed (sw_steal_s / solo_steal_s): a "solo at
+    // record, sweep 5x over, sweep steal high" row is classified from
+    // the artifact alone, and a solo that ITSELF ran under heavy steal
+    // is visibly suspect rather than silently misleading
+    val adjudicated = candidates.map { case (name, sec, swStl, rec) =>
+      if (adjSpent >= adjBudgetSec) (name, sec, swStl, -1.0, -1.0, None: Option[String], rec, true)
       else {
         // a FAILING solo re-run must not report its time-to-failure as
         // a fast "solo" number (that's the load-spike signature and
         // would steer the reader to the wrong verdict) — carry the error
-        val (solo, soloErr) = runOnce(selected(name))
+        val (solo, soloErr, soloStl) = runOnce(selected(name))
         adjSpent += solo
-        (name, sec, solo, soloErr, rec, false)
+        (name, sec, swStl, solo, soloStl, soloErr, rec, false)
       }
     }
     val qs = results.map {
-      case (k, (_, Some(msg))) => s"\"" + k + "\":{\"err\":\"" + msg + "\"}"
-      case (k, (sec, None))    => s"\"" + k + "\":" + sec
+      case (k, (_, Some(msg), _)) => s"\"" + k + "\":{\"err\":\"" + msg + "\"}"
+      case (k, (sec, None, _))    => s"\"" + k + "\":" + sec
     }.mkString("{", ",", "}")
     val adj = adjudicated.map {
-      case (k, sweep, _, _, rec, true) =>
-        s"\"$k\":{\"sweep\":$sweep,\"solo_skipped\":true,\"record\":$rec}"
-      case (k, sweep, _, Some(msg), rec, _) =>
-        s"\"$k\":{\"sweep\":$sweep,\"solo_err\":\"$msg\",\"record\":$rec}"
-      case (k, sweep, solo, None, rec, _) =>
-        s"\"$k\":{\"sweep\":$sweep,\"solo\":$solo,\"record\":$rec}"
+      case (k, sweep, swStl, _, _, _, rec, true) =>
+        s"\"$k\":{\"sweep\":$sweep,\"sw_steal_s\":$swStl,\"solo_skipped\":true,\"record\":$rec}"
+      case (k, sweep, swStl, _, _, Some(msg), rec, _) =>
+        s"\"$k\":{\"sweep\":$sweep,\"sw_steal_s\":$swStl,\"solo_err\":\"$msg\",\"record\":$rec}"
+      case (k, sweep, swStl, solo, soloStl, None, rec, _) =>
+        s"\"$k\":{\"sweep\":$sweep,\"sw_steal_s\":$swStl,\"solo\":$solo,\"solo_steal_s\":$soloStl,\"record\":$rec}"
     }.mkString("{", ",", "}")
-    val total = results.values.collect { case (sec, None) => sec }.sum
+    val total = results.values.collect { case (sec, None, _) => sec }.sum
     val nErr = results.values.count(_._2.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"adjudicated":$adj,"sf":"$sfDir"}"""
+    // whole-run steal (sweep + solos): the single number that says
+    // whether this run is comparable to an idle-machine record
+    val stealRun = {
+      val s1 = stealTicks()
+      if (stealRun0 < 0 || s1 < 0) -1.0 else (s1 - stealRun0) / 100.0
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"steal_cpu_s":$stealRun,"queries":$qs,"adjudicated":$adj,"sf":"$sfDir"}"""
     println(json)
     // The driver archives only the tail of stdout (~4 KB), which truncates
     // most of the 200+ per-query numbers out of the recorded BENCH_r0N
